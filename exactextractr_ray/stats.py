@@ -1,0 +1,392 @@
+"""Mergeable coverage-weighted aggregation state (RasterStats analog).
+
+Semantics mirror the reference's RasterStats
+(/root/reference/src/exactextract/src/raster_stats.h:30-493):
+
+* a cell participates iff its coverage fraction > 0 AND its value is not
+  NODATA/NaN (raster_stats.h:96-110);
+* an NA weight is processed as NaN, poisoning the weighted sums
+  (raster_stats.h:101-110) so weighted stats come out NaN;
+* running sums: sum_ci, sum_xici, sum_ciwi, sum_xiciwi; min/max; two
+  West-variance accumulators (variance.h:21-69, West 1979 WV2); a value ->
+  (sum_ci, sum_ciwi) frequency map for the stats that need stored values
+  (mode/minority/variety/median/quantile/frac — raster_utils.h:63-73).
+
+What the reference does NOT have — and this rebuild adds — is ``merge``:
+partial states computed per tile inside Ray Data tasks are combined in a
+``groupby(zone_id)`` shuffle. Sums/min/max/freq merge trivially; the West
+variance accumulators merge with the standard Chan parallel formula
+(t_ab = t_a + t_b + (mean_b-mean_a)^2 * W_a W_b / (W_a + W_b)).
+
+Batch processing is vectorized numpy — within a batch the variance update
+uses the two-pass batch formula, then batches merge via Chan; results agree
+with the reference's sequential West updates to ~1e-12 relative (validated
+against the reference's published golden values in tests).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+#: stats that require the value->coverage frequency map, mirroring
+#: requires_stored_values (/root/reference/src/raster_utils.h:63-73)
+STORED_VALUE_STATS = {
+    "mode",
+    "majority",
+    "minority",
+    "variety",
+    "median",
+    "quantile",
+    "frac",
+    "weighted_frac",
+}
+
+ALL_STATS = [
+    "count",
+    "sum",
+    "mean",
+    "min",
+    "max",
+    "median",
+    "quantile",
+    "mode",
+    "majority",
+    "minority",
+    "variety",
+    "variance",
+    "stdev",
+    "coefficient_of_variation",
+    "weighted_mean",
+    "weighted_sum",
+    "weighted_variance",
+    "weighted_stdev",
+    "frac",
+    "weighted_frac",
+]
+
+
+@dataclass
+class VarState:
+    """West/Chan mergeable weighted-variance accumulator."""
+
+    sum_w: float = 0.0
+    mean: float = 0.0
+    t: float = 0.0
+
+    def process_batch(self, x: np.ndarray, w: np.ndarray) -> None:
+        m = w != 0.0
+        if not np.any(m):
+            return
+        x, w = x[m], w[m]
+        W = float(np.sum(w))
+        mu = float(np.sum(x * w)) / W
+        t = float(np.sum(w * (x - mu) ** 2))
+        self.merge(VarState(W, mu, t))
+
+    def merge(self, other: "VarState") -> None:
+        if other.sum_w == 0.0:
+            return
+        if self.sum_w == 0.0:
+            self.sum_w, self.mean, self.t = other.sum_w, other.mean, other.t
+            return
+        W = self.sum_w + other.sum_w
+        d = other.mean - self.mean
+        self.t = self.t + other.t + d * d * self.sum_w * other.sum_w / W
+        self.mean = self.mean + d * other.sum_w / W
+        self.sum_w = W
+
+    def variance(self) -> float:
+        return self.t / self.sum_w if self.sum_w > 0 else float("nan")
+
+    def stdev(self) -> float:
+        v = self.variance()
+        return math.sqrt(v) if v == v else float("nan")
+
+
+@dataclass
+class RasterStats:
+    """Mergeable per-(zone, layer) aggregation state."""
+
+    store_values: bool = False
+    sum_ci: float = 0.0
+    sum_xici: float = 0.0
+    sum_ciwi: float = 0.0
+    sum_xiciwi: float = 0.0
+    min: float = math.inf
+    max: float = -math.inf
+    var: VarState = field(default_factory=VarState)
+    wvar: VarState = field(default_factory=VarState)
+    # frequency map: value -> [sum_ci, sum_ciwi]
+    freq: dict = field(default_factory=dict)
+
+    def process(
+        self,
+        values: np.ndarray,
+        cov: np.ndarray,
+        weights: np.ndarray | None = None,
+    ) -> None:
+        """Vectorized equivalent of repeated process_value calls
+        (raster_stats.h:113-139). NaN values are NODATA and skipped; NaN
+        weights poison the weighted sums."""
+        values = np.asarray(values, dtype=np.float64).ravel()
+        cov = np.asarray(cov, dtype=np.float64).ravel()
+        m = (cov > 0.0) & ~np.isnan(values)
+        if not np.any(m):
+            return
+        x = values[m]
+        c = cov[m]
+        self.sum_ci += float(np.sum(c))
+        self.sum_xici += float(np.sum(x * c))
+        self.var.process_batch(x, c)
+        self.min = min(self.min, float(np.min(x)))
+        self.max = max(self.max, float(np.max(x)))
+
+        if weights is None:
+            ciwi = c
+        else:
+            w = np.asarray(weights, dtype=np.float64).ravel()[m]
+            ciwi = c * w
+        self.sum_ciwi += float(np.sum(ciwi))
+        self.sum_xiciwi += float(np.sum(x * ciwi))
+        # NaN ciwi entries poison the weighted variance too, matching the
+        # reference where process(x, nan) corrupts the accumulator
+        self.wvar.process_batch(x, ciwi)
+
+        if self.store_values:
+            uq, inv = np.unique(x, return_inverse=True)
+            csum = np.bincount(inv, weights=c, minlength=len(uq))
+            wsum = np.bincount(inv, weights=ciwi, minlength=len(uq))
+            for v, cs, ws in zip(uq.tolist(), csum.tolist(), wsum.tolist()):
+                ent = self.freq.get(v)
+                if ent is None:
+                    self.freq[v] = [cs, ws]
+                else:
+                    ent[0] += cs
+                    ent[1] += ws
+
+    def merge(self, other: "RasterStats") -> None:
+        self.sum_ci += other.sum_ci
+        self.sum_xici += other.sum_xici
+        self.sum_ciwi += other.sum_ciwi
+        self.sum_xiciwi += other.sum_xiciwi
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self.var.merge(other.var)
+        self.wvar.merge(other.wvar)
+        for v, (cs, ws) in other.freq.items():
+            ent = self.freq.get(v)
+            if ent is None:
+                self.freq[v] = [cs, ws]
+            else:
+                ent[0] += cs
+                ent[1] += ws
+
+    # ---------- finalizers (raster_stats.h definitions) ----------
+
+    def count(self) -> float:
+        return self.sum_ci
+
+    def sum(self) -> float:
+        return self.sum_xici
+
+    def mean(self) -> float:
+        return self.sum_xici / self.sum_ci if self.sum_ci > 0 else float("nan")
+
+    def stat_min(self) -> float:
+        return self.min if self.sum_ci > 0 else float("nan")
+
+    def stat_max(self) -> float:
+        return self.max if self.sum_ci > 0 else float("nan")
+
+    def weighted_sum(self) -> float:
+        return self.sum_xiciwi
+
+    def weighted_mean(self) -> float:
+        return (
+            self.sum_xiciwi / self.sum_ciwi if self.sum_ciwi != 0 else float("nan")
+        )
+
+    def variance(self) -> float:
+        return self.var.variance()
+
+    def stdev(self) -> float:
+        return self.var.stdev()
+
+    def coefficient_of_variation(self) -> float:
+        v = self.var
+        return v.stdev() / v.mean if v.sum_w > 0 else float("nan")
+
+    def weighted_variance(self) -> float:
+        return self.wvar.variance()
+
+    def weighted_stdev(self) -> float:
+        return self.wvar.stdev()
+
+    def variety(self) -> int:
+        return len(self.freq)
+
+    def mode(self) -> float:
+        """Value with max coverage; ties -> greatest value
+        (raster_stats.h:170-186)."""
+        if not self.freq:
+            return float("nan")
+        return max(self.freq.items(), key=lambda kv: (kv[1][0], kv[0]))[0]
+
+    def minority(self) -> float:
+        """Value with min coverage; ties -> smallest value
+        (raster_stats.h:393-403)."""
+        if not self.freq:
+            return float("nan")
+        return min(self.freq.items(), key=lambda kv: (kv[1][0], kv[0]))[0]
+
+    def quantile(self, q: float) -> float:
+        """The reference's weighted quantile over the (distinct value ->
+        sum_ci) map (/root/reference/src/exactextract/src/
+        weighted_quantiles.cpp:20-70): sort by x; s_0 = 0,
+        s_i = i*w_i + (n-1)*cumsum_{i-1}; target q * sum_w * (n-1);
+        linear interpolation on s."""
+        if self.sum_ci == 0 or not self.freq:
+            return float("nan")
+        if not (0.0 <= q <= 1.0):
+            raise ValueError("Quantile must be between 0 and 1.")
+        xs = np.array(sorted(self.freq.keys()))
+        ws = np.array([self.freq[x][0] for x in xs.tolist()])
+        n = len(xs)
+        sum_w = float(ws.sum())
+        if n == 1:
+            return float(xs[0])
+        cumsum = np.cumsum(ws)
+        s = np.empty(n)
+        s[0] = 0.0
+        idx = np.arange(1, n)
+        s[1:] = idx * ws[1:] + (n - 1) * cumsum[:-1]
+        target = q * sum_w * (n - 1)
+        right = int(np.searchsorted(s, target, side="right"))
+        left = right - 1
+        if right >= n:
+            return float(xs[left])
+        return float(
+            xs[left]
+            + (target - s[left]) * (xs[right] - xs[left]) / (s[right] - s[left])
+        )
+
+    def median(self) -> float:
+        return self.quantile(0.5)
+
+    def frac(self) -> dict:
+        """value -> sum_ci[x=v]/sum_ci (raster_stats.h:281-289)."""
+        if self.sum_ci == 0:
+            return {}
+        return {v: e[0] / self.sum_ci for v, e in self.freq.items()}
+
+    def weighted_frac(self) -> dict:
+        """value -> sum_ciwi[x=v]/sum_ciwi (raster_stats.h:296-304)."""
+        if self.sum_ciwi == 0:
+            return {}
+        return {v: e[1] / self.sum_ciwi for v, e in self.freq.items()}
+
+    def result(self, stat: str, quantiles: list[float] | None = None):
+        if stat == "count":
+            return self.count()
+        if stat == "sum":
+            return self.sum()
+        if stat == "mean":
+            return self.mean()
+        if stat == "min":
+            return self.stat_min()
+        if stat == "max":
+            return self.stat_max()
+        if stat == "median":
+            return self.median()
+        if stat == "quantile":
+            return [self.quantile(q) for q in (quantiles or [0.5])]
+        if stat in ("mode", "majority"):
+            return self.mode()
+        if stat == "minority":
+            return self.minority()
+        if stat == "variety":
+            return float(self.variety())
+        if stat == "variance":
+            return self.variance()
+        if stat == "stdev":
+            return self.stdev()
+        if stat == "coefficient_of_variation":
+            return self.coefficient_of_variation()
+        if stat == "weighted_mean":
+            return self.weighted_mean()
+        if stat == "weighted_sum":
+            return self.weighted_sum()
+        if stat == "weighted_variance":
+            return self.weighted_variance()
+        if stat == "weighted_stdev":
+            return self.weighted_stdev()
+        if stat == "frac":
+            return self.frac()
+        if stat == "weighted_frac":
+            return self.weighted_frac()
+        raise ValueError(f"unknown stat {stat!r}")
+
+    # ---------- (de)serialization for shuffling partial states ----------
+
+    def to_row(self) -> dict:
+        """Flatten into plain-typed columns for an Arrow partial-stats row."""
+        return {
+            "sum_ci": self.sum_ci,
+            "sum_xici": self.sum_xici,
+            "sum_ciwi": self.sum_ciwi,
+            "sum_xiciwi": self.sum_xiciwi,
+            "vmin": self.min if self.sum_ci > 0 else math.inf,
+            "vmax": self.max if self.sum_ci > 0 else -math.inf,
+            "var_w": self.var.sum_w,
+            "var_mean": self.var.mean,
+            "var_t": self.var.t,
+            "wvar_w": self.wvar.sum_w,
+            "wvar_mean": self.wvar.mean,
+            "wvar_t": self.wvar.t,
+            "freq_values": list(self.freq.keys()),
+            "freq_ci": [e[0] for e in self.freq.values()],
+            "freq_ciwi": [e[1] for e in self.freq.values()],
+        }
+
+    @staticmethod
+    def from_row(row: dict, store_values: bool = False) -> "RasterStats":
+        st = RasterStats(store_values=store_values)
+        st.sum_ci = float(row["sum_ci"])
+        st.sum_xici = float(row["sum_xici"])
+        st.sum_ciwi = float(row["sum_ciwi"])
+        st.sum_xiciwi = float(row["sum_xiciwi"])
+        st.min = float(row["vmin"])
+        st.max = float(row["vmax"])
+        st.var = VarState(float(row["var_w"]), float(row["var_mean"]), float(row["var_t"]))
+        st.wvar = VarState(
+            float(row["wvar_w"]), float(row["wvar_mean"]), float(row["wvar_t"])
+        )
+        fv = row.get("freq_values")
+        if fv is not None and len(fv):
+            st.freq = {
+                float(v): [float(c), float(w)]
+                for v, c, w in zip(fv, row["freq_ci"], row["freq_ciwi"])
+            }
+        return st
+
+
+PARTIAL_COLUMNS = [
+    "sum_ci",
+    "sum_xici",
+    "sum_ciwi",
+    "sum_xiciwi",
+    "vmin",
+    "vmax",
+    "var_w",
+    "var_mean",
+    "var_t",
+    "wvar_w",
+    "wvar_mean",
+    "wvar_t",
+    "freq_values",
+    "freq_ci",
+    "freq_ciwi",
+]
