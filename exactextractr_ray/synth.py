@@ -1,0 +1,184 @@
+"""Deterministic synthetic inputs shared by the Ray pipelines, the DuckDB
+oracles, and the benchmarks.
+
+Everything here is a pure function of integer indices so that the Ray side
+(numpy) and the oracle side (SQL over DuckDB) compute bit-identical values:
+
+* raster values are small integers; NODATA cells are fixed by a modular rule;
+* zone rectangles are aligned to quarter-cell boundaries so every coverage
+  fraction is an exact binary fraction (multiples of 1/16) and all
+  coverage-weighted sums are exact in float64 — aggregation order cannot
+  change the result;
+* geocoding is a Knuth multiplicative hash of doc_id, exactly expressible in
+  SQL integer arithmetic.
+
+This mirrors the reference's seeded-fixture test strategy
+(/root/reference/tests/testthat/helper_functions.R:16-59) while adding the
+determinism-at-any-parallelism requirement of the rebuild (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .grid import Grid
+
+# ---------------- synthetic raster ----------------
+
+VAL_A, VAL_B, VAL_MOD = 7919, 104729, 1000  # value = (r*A + c*B) % MOD
+NA_A, NA_B, NA_MOD = 31, 17, 23  # NODATA where (r*A + c*B) % MOD == 0
+W_A, W_B, W_MOD = 13, 29, 7  # weight layer = (r*A + c*B) % MOD + 1
+
+
+def synth_values(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Integer-valued raster with deterministic NODATA holes. rows/cols are
+    GLOBAL (grid-level) indices; row 0 at the top."""
+    r = np.asarray(rows, dtype=np.int64)
+    c = np.asarray(cols, dtype=np.int64)
+    v = ((r * VAL_A + c * VAL_B) % VAL_MOD).astype(np.float64)
+    v[(r * NA_A + c * NA_B) % NA_MOD == 0] = np.nan
+    return v
+
+
+def synth_weights(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    r = np.asarray(rows, dtype=np.int64)
+    c = np.asarray(cols, dtype=np.int64)
+    return ((r * W_A + c * W_B) % W_MOD + 1).astype(np.float64)
+
+
+def synth_value_sql(r: str = "r", c: str = "c") -> str:
+    """SQL expression computing synth_values for integer columns r, c."""
+    return (
+        f"CASE WHEN ({r}*{NA_A} + {c}*{NA_B}) % {NA_MOD} = 0 THEN NULL "
+        f"ELSE CAST(({r}*{VAL_A} + {c}*{VAL_B}) % {VAL_MOD} AS DOUBLE) END"
+    )
+
+
+def synth_weight_sql(r: str = "r", c: str = "c") -> str:
+    return f"CAST(({r}*{W_A} + {c}*{W_B}) % {W_MOD} + 1 AS DOUBLE)"
+
+
+def synth_grid(n: int = 64) -> Grid:
+    """n x n grid over [0, n]^2 with unit cells (row 0 at top, y = n)."""
+    return Grid(0.0, 0.0, float(n), float(n), 1.0, 1.0)
+
+
+# ---------------- synthetic zones (quarter-cell-aligned rectangles) --------
+
+
+def synth_rect_zone_bounds(k: int, n: int = 64) -> tuple[float, float, float, float]:
+    """Rectangle for zone k, aligned to quarter cells; pure integer math.
+
+    Matches synth_rect_zone_sql exactly. One zone in four extends past the
+    grid edge (clipping path); zone widths vary to exercise multi-tile spans.
+    """
+    x0q = (k * 29) % (3 * n)  # in quarter-cells over [0, 3n/4) world
+    y0q = (k * 53) % (3 * n)
+    wq = 2 * n + ((k * 17) % (2 * n))  # width n/2 .. n quarter-cells
+    hq = 2 * n + ((k * 37) % (2 * n))
+    return (x0q / 4.0, y0q / 4.0, (x0q + wq) / 4.0, (y0q + hq) / 4.0)
+
+
+def synth_rect_zones_sql(num_zones: int, n: int = 64) -> str:
+    """SQL relation (zone_id, xmin, ymin, xmax, ymax) matching
+    synth_rect_zone_bounds."""
+    return f"""
+    SELECT CAST(k AS BIGINT) AS zone_id,
+           ((k*29) % {3*n}) / 4.0 AS xmin,
+           ((k*53) % {3*n}) / 4.0 AS ymin,
+           (((k*29) % {3*n}) + {2*n} + ((k*17) % {2*n})) / 4.0 AS xmax,
+           (((k*53) % {3*n}) + {2*n} + ((k*37) % {2*n})) / 4.0 AS ymax
+    FROM range(0, {num_zones}) t(k)
+    """
+
+
+def cells_sql(n: int = 64) -> str:
+    """SQL relation (r, c, x0, x1, y0, y1, val, wgt) of all grid cells.
+    Row 0 at the top: y in [n-r-1, n-r]."""
+    return f"""
+    SELECT (i // {n}) AS r, (i % {n}) AS c,
+           CAST(i % {n} AS DOUBLE) AS x0, CAST(i % {n} + 1 AS DOUBLE) AS x1,
+           CAST({n} - (i // {n}) - 1 AS DOUBLE) AS y0,
+           CAST({n} - (i // {n}) AS DOUBLE) AS y1,
+           {synth_value_sql('(i // %d)' % n, '(i %% %d)' % n)} AS val,
+           {synth_weight_sql('(i // %d)' % n, '(i %% %d)' % n)} AS wgt
+    FROM range(0, {n * n}) t(i)
+    """
+
+
+def rect_cov_sql(n: int = 64, num_zones: int = 12) -> str:
+    """SQL relation (zone_id, r, c, val, wgt, cov) of exact per-cell coverage
+    of the synthetic rectangle zones — closed-form rectangle/cell overlap."""
+    return f"""
+    SELECT z.zone_id, v.r, v.c, v.val, v.wgt,
+           GREATEST(0.0, LEAST(v.x1, z.xmax) - GREATEST(v.x0, z.xmin)) *
+           GREATEST(0.0, LEAST(v.y1, z.ymax) - GREATEST(v.y0, z.ymin)) AS cov
+    FROM ({synth_rect_zones_sql(num_zones, n)}) z
+    CROSS JOIN ({cells_sql(n)}) v
+    WHERE v.x1 > z.xmin AND v.x0 < z.xmax AND v.y1 > z.ymin AND v.y0 < z.ymax
+    """
+
+
+# ---------------- deterministic geocoding ----------------
+
+LON_MULT = 2654435761  # Knuth multiplicative hash constants
+LAT_MULT = 2246822519
+HASH_MOD = 4294967296  # 2^32
+
+
+def geocode_ids(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """doc_id -> (lon, lat); pure integer hash, exact in SQL too.
+    lat restricted to [-60, 60) per FIXTURES.md."""
+    i = np.asarray(ids, dtype=np.int64)
+    lon = ((i * LON_MULT) % HASH_MOD).astype(np.float64) / HASH_MOD * 360.0 - 180.0
+    lat = ((i * LAT_MULT) % HASH_MOD).astype(np.float64) / HASH_MOD * 120.0 - 60.0
+    return lon, lat
+
+
+GEOCODE_LON_SQL = (
+    f"((doc_id * {LON_MULT}) % {HASH_MOD}) / {float(HASH_MOD)} * 360.0 - 180.0"
+)
+GEOCODE_LAT_SQL = (
+    f"((doc_id * {LAT_MULT}) % {HASH_MOD}) / {float(HASH_MOD)} * 120.0 - 60.0"
+)
+
+
+def cell_for_lonlat(lon: np.ndarray, lat: np.ndarray, res_deg: float = 3.0) -> np.ndarray:
+    """Flat lat/lon grid cell id (H3-style spatial key fallback; no h3 lib in
+    this env — see FIXTURES.md §1). ncols = 360/res."""
+    ncols = int(round(360.0 / res_deg))
+    cx = np.floor((np.asarray(lon) + 180.0) / res_deg).astype(np.int64)
+    cy = np.floor((np.asarray(lat) + 90.0) / res_deg).astype(np.int64)
+    return cy * ncols + cx
+
+
+def cell_sql(res_deg: float = 3.0) -> str:
+    ncols = int(round(360.0 / res_deg))
+    return (
+        f"CAST(FLOOR((lat + 90.0) / {res_deg}) AS BIGINT) * {ncols} "
+        f"+ CAST(FLOOR((lon + 180.0) / {res_deg}) AS BIGINT)"
+    )
+
+
+# ---------------- geo zones in lon/lat space (for the PIP join) ----------
+
+
+def synth_geo_zone_bounds(k: int) -> tuple[float, float, float, float]:
+    """Rectangular lon/lat zone k; pure integer math over tenths of degrees.
+    Matches synth_geo_zones_sql exactly."""
+    x0 = ((k * 173) % 3000) / 10.0 - 180.0  # [-180, 120)
+    y0 = ((k * 97) % 900) / 10.0 - 55.0  # [-55, 35)
+    w = (200 + (k * 31) % 400) / 10.0  # 20..60 deg
+    h = (100 + (k * 61) % 200) / 10.0  # 10..30 deg
+    return (x0, y0, x0 + w, y0 + h)
+
+
+def synth_geo_zones_sql(num_zones: int) -> str:
+    return f"""
+    SELECT CAST(k AS BIGINT) AS zone_id,
+           ((k*173) % 3000) / 10.0 - 180.0 AS xmin,
+           ((k*97) % 900) / 10.0 - 55.0 AS ymin,
+           ((k*173) % 3000) / 10.0 - 180.0 + (200 + (k*31) % 400) / 10.0 AS xmax,
+           ((k*97) % 900) / 10.0 - 55.0 + (100 + (k*61) % 200) / 10.0 AS ymax
+    FROM range(0, {num_zones}) t(k)
+    """
