@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here may
+call ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is an implemented operator/pipeline from SURVEY.md
+§2 (zonal statistics, extraction, rasterize, resample, coverage fraction,
+spatial join) plus the training-data-pipeline operators (dedup, text
+analysis, kNN). The matching ``oracle_sql()`` strings are exact DuckDB
+equivalents; inputs are either the driver's parquet tables (documents,
+embeddings) or deterministic integer-exact synthetic rasters/zones
+(exactextractr_ray.synth) reproduced closed-form in SQL, so value hashes
+match bit-for-bit wherever an oracle exists.
 """
 
 from __future__ import annotations
@@ -18,27 +18,638 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+N_GRID = 64  # synthetic raster side
+TILE = 16
+N_ZONES = 12  # rectangle zones over the raster
+N_GEO_ZONES = 24  # lon/lat zones for the PIP join
+KNN_Q = 8
+KNN_K = 10
+DST_N = 36  # resample destination grid side
+DST_RES = 1.75  # 7/4: binary fraction, non-aligned with the unit source grid
+
+
+def _raster(layers=("value",)):
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    return synthetic_raster_dataset(n=N_GRID, tile=TILE, layers=layers)
+
+
+def _rect_zones():
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    return synth_rect_zones(N_ZONES, N_GRID)
+
+
+def _dst_grid():
+    from exactextractr_ray.grid import Grid
+
+    top = float(N_GRID)
+    side = DST_N * DST_RES  # 63.0
+    return Grid(0.0, top - side, side, top, DST_RES, DST_RES)
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001."""
+    from exactextractr_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
+
+
+def _q_zonal_stats(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+
+    t = exact_extract(
+        _raster(), _rect_zones(),
+        ["count", "sum", "mean", "min", "max", "variance_exact"],
+    ).to_pandas()
+    t = t.rename(
+        columns={
+            "count": "cell_count",
+            "sum": "val_sum",
+            "mean": "val_mean",
+            "min": "val_min",
+            "max": "val_max",
+            "variance_exact": "val_var",
+        }
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_zonal_weighted(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+
+    t = exact_extract(
+        _raster(("value", "weight")), _rect_zones(),
+        ["weighted_sum", "weighted_mean"], weight_layer="weight",
+    ).to_pandas()
+    t = t.rename(columns={"weighted_sum": "wsum", "weighted_mean": "wmean"})
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_zonal_mode(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+
+    t = exact_extract(
+        _raster(), _rect_zones(), ["mode", "minority", "variety"]
+    ).to_pandas()
+    t = t.rename(columns={"mode": "val_mode", "minority": "val_minority"})
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_zonal_median(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+
+    t = exact_extract(
+        _raster(), _rect_zones(), ["median", "quantile"], quantiles=[0.25, 0.75]
+    ).to_pandas()
+    t = t.rename(columns={"median": "val_median"})
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_zonal_frac(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import extract_cells
+
+    cells = extract_cells(_raster(), _rect_zones())
+
+    def shares(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=["value"])
+        tot = g["cov"].sum()
+        agg = g.groupby("value", as_index=False)["cov"].sum()
+        agg["share"] = agg["cov"] / tot
+        agg["zone_id"] = g["zone_id"].iloc[0] if len(g) else -1
+        return agg[["zone_id", "value", "share"]]
+
+    out = cells.groupby("zone_id").map_groups(shares, batch_format="pandas")
+    df = out.to_pandas()
+    return df.sort_values(["zone_id", "value"]).reset_index(drop=True)
+
+
+def _q_extract_cells(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import extract_cells
+
+    ds = extract_cells(_raster(), _rect_zones(), include_cell=True)
+    df = ds.to_pandas()
+    df = df.dropna(subset=["value"]).rename(columns={"value": "val"})
+    return (
+        df[["zone_id", "cell", "val", "cov"]]
+        .sort_values(["zone_id", "cell"])
+        .reset_index(drop=True)
+    )
+
+
+def _q_rasterize(sf_dir: str):
+    from exactextractr_ray.pipelines.rasterize import rasterize_polygons
+    from exactextractr_ray import synth
+
+    tiles = rasterize_polygons(_rect_zones(), synth.synth_grid(N_GRID), tile=TILE)
+    df = tiles.to_pandas()
+    rows = []
+    for _, r in df.iterrows():
+        zi = np.asarray(r["zone_index"], dtype=np.int32).reshape(r["th"], r["tw"])
+        rr, cc = np.nonzero(zi >= 0)
+        cells = (rr + r["row0"]) * N_GRID + (cc + r["col0"]) + 1
+        rows.append(pd.DataFrame({"cell": cells, "zone_pick": zi[rr, cc]}))
+    out = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"cell": [], "zone_pick": []}
+    )
+    out["cell"] = out["cell"].astype(np.int64)
+    out["zone_pick"] = out["zone_pick"].astype(np.int64)
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def _q_resample(stat):
+    def run(sf_dir: str):
+        from exactextractr_ray.pipelines.resample import exact_resample
+
+        ds = exact_resample(_raster(), _dst_grid(), stat=stat)
+        df = ds.to_pandas()[["cell", "value"]]
+        return df.sort_values("cell").reset_index(drop=True)
+
+    return run
+
+
+def _q_coverage_fraction(sf_dir: str):
+    from exactextractr_ray.pipelines.coverage_tiles import coverage_fraction
+    from exactextractr_ray import synth
+
+    zones = _rect_zones().slice(3, 1)  # a single zone
+    tiles = coverage_fraction(zones, synth.synth_grid(N_GRID), tile=TILE)
+    df = tiles.to_pandas()
+    rows = []
+    for _, r in df.iterrows():
+        cov = np.asarray(r["coverage"], dtype=np.float64).reshape(r["th"], r["tw"])
+        rr, cc = np.nonzero(cov > 0)
+        cells = (rr + r["row0"]) * N_GRID + (cc + r["col0"]) + 1
+        rows.append(pd.DataFrame({"cell": cells, "cov": cov[rr, cc]}))
+    out = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"cell": [], "cov": []}
+    )
+    out["cell"] = out["cell"].astype(np.int64)
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def _q_pip_join(sf_dir: str):
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.pip_join import pip_join
+    from exactextractr_ray.sources.zones import synth_geo_zones
+
+    docs = _docs(sf_dir).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    joined = pip_join(docs, synth_geo_zones(N_GEO_ZONES))
+    df = (
+        joined.select_columns(["zone_id", "doc_id", "n_chars"])
+        .to_pandas()
+        .groupby("zone_id", as_index=False)
+        .agg(n_docs=("doc_id", "count"), sum_chars=("n_chars", "sum"))
+    )
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["sum_chars"] = df["sum_chars"].astype(np.int64)
+    return df.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_cell_assign(sf_dir: str):
+    from exactextractr_ray.stages.geocode import geocode_documents
+
+    geo = geocode_documents(_docs(sf_dir))
+    df = geo.groupby("cell").count().to_pandas()
+    df = df.rename(columns={"count()": "n_docs"})
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from exactextractr_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir)).to_pandas()
+    out["keeper_id"] = out["keeper_id"].astype(np.int64)
+    out["n_dups"] = out["n_dups"].astype(np.int64)
+    return out.sort_values("content_hash").reset_index(drop=True)
+
+
+def _q_token_stats(sf_dir: str):
+    from exactextractr_ray.stages.text import quality_batch
+
+    ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    df = (
+        ds.select_columns(["lang", "q_tokens", "q_unique", "q_punct"])
+        .to_pandas()
+        .groupby("lang", as_index=False)
+        .agg(
+            n_docs=("q_tokens", "count"),
+            sum_tokens=("q_tokens", "sum"),
+            sum_unique=("q_unique", "sum"),
+            sum_punct=("q_punct", "sum"),
+        )
+    )
+    for c in ["n_docs", "sum_tokens", "sum_unique", "sum_punct"]:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def _q_quality(sf_dir: str):
+    from exactextractr_ray.stages.text import quality_batch
+
+    ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    df = ds.select_columns(
+        ["doc_id", "q_tokens", "q_unique", "q_punct", "quality_score"]
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_knn(sf_dir: str):
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(lambda r: r["vec_id"] < KNN_Q).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_cosine(emb, qids, qmat, k=KNN_K).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_extract_text(sf_dir: str):
+    from exactextractr_ray.sources.pages import read_pages
+    from exactextractr_ray.stages.text import extract_text_batch
+
+    pages = read_pages(sf_dir).map_batches(extract_text_batch, batch_format="pyarrow")
+    df = pages.select_columns(["doc_id", "extracted_text"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_fingerprint(sf_dir: str):
+    from exactextractr_ray.stages.text import md5_fingerprint_batch
+
+    ds = _docs(sf_dir).map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+    df = ds.select_columns(["doc_id", "fingerprint"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_langid(sf_dir: str):
+    from exactextractr_ray.stages.text import langid_batch
+
+    ds = _docs(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
+    df = ds.select_columns(["doc_id", "pred_lang"]).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_minhash(sf_dir: str):
+    from exactextractr_ray.stages.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(sf_dir), threshold=0.35).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64)})
+    out = out[["doc_a", "doc_b"]].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_simhash(sf_dir: str):
+    from exactextractr_ray.stages.dedup import simhash_pairs
+
+    out = simhash_pairs(_docs(sf_dir), max_hamming=6).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "hamming": pd.Series([], dtype=np.int64)})
+    out = out[["doc_a", "doc_b", "hamming"]].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "zonal_stats_rect": _q_zonal_stats,
+        "zonal_weighted_rect": _q_zonal_weighted,
+        "zonal_mode_rect": _q_zonal_mode,
+        "zonal_median_rect": _q_zonal_median,
+        "zonal_frac_rect": _q_zonal_frac,
+        "extract_cells_rect": _q_extract_cells,
+        "rasterize_rect": _q_rasterize,
+        "resample_sum": _q_resample("sum"),
+        "resample_mean": _q_resample("mean"),
+        "coverage_fraction_rect": _q_coverage_fraction,
+        "pip_join_counts": _q_pip_join,
+        "cell_assign_counts": _q_cell_assign,
+        "dedup_exact": _q_dedup_exact,
+        "token_stats_lang": _q_token_stats,
+        "quality_scores": _q_quality,
+        "knn_cosine": _q_knn,
+        "extract_text_identity": _q_extract_text,
+        "doc_fingerprint": _q_fingerprint,
+        "langid": _q_langid,
+        "minhash_pairs": _q_minhash,
+        "simhash_pairs": _q_simhash,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from exactextractr_ray import synth
+
+    cov = synth.rect_cov_sql(N_GRID, N_ZONES)
+
+    zonal_stats = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id,
+      SUM(CASE WHEN val IS NOT NULL THEN cov END) AS cell_count,
+      SUM(val*cov) AS val_sum,
+      SUM(val*cov) / SUM(CASE WHEN val IS NOT NULL THEN cov END) AS val_mean,
+      MIN(CASE WHEN val IS NOT NULL THEN val END) AS val_min,
+      MAX(CASE WHEN val IS NOT NULL THEN val END) AS val_max,
+      (SUM(val*val*cov) - SUM(val*cov)*SUM(val*cov)/SUM(CASE WHEN val IS NOT NULL THEN cov END))
+        / SUM(CASE WHEN val IS NOT NULL THEN cov END) AS val_var
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
     """
-    return {}
+
+    zonal_weighted = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id,
+      SUM(val*cov*wgt) AS wsum,
+      SUM(val*cov*wgt) / SUM(CASE WHEN val IS NOT NULL THEN cov*wgt END) AS wmean
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
+    """
+
+    zonal_mode = f"""
+    WITH cov AS ({cov}),
+    agg AS (
+      SELECT zone_id, val, SUM(cov) AS w FROM cov
+      WHERE cov > 0 AND val IS NOT NULL GROUP BY zone_id, val
+    ),
+    ranked AS (
+      SELECT zone_id, val, w,
+        ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY w DESC, val DESC) AS rmode,
+        ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY w ASC, val ASC) AS rmin
+      FROM agg
+    )
+    SELECT zone_id,
+      MAX(CASE WHEN rmode = 1 THEN val END) AS val_mode,
+      MAX(CASE WHEN rmin = 1 THEN val END) AS val_minority,
+      CAST(COUNT(*) AS DOUBLE) AS variety
+    FROM ranked GROUP BY zone_id ORDER BY zone_id
+    """
+
+    # the reference's weighted-quantile algorithm (weighted_quantiles.cpp:
+    # 20-70): distinct values sorted; s_0 = 0, s_i = i*w_i + (n-1)*cum_{i-1};
+    # target q*sumw*(n-1); linear interpolation between bracketing s values.
+    # s is strictly increasing for positive weights, so the s-equality joins
+    # below are unique.
+    zonal_median = f"""
+    WITH cov AS ({cov}),
+    agg AS (
+      SELECT zone_id, val AS x, SUM(cov) AS w FROM cov
+      WHERE cov > 0 AND val IS NOT NULL GROUP BY zone_id, val
+    ),
+    ord AS (
+      SELECT zone_id, x, w,
+        ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY x) - 1 AS i,
+        SUM(w) OVER (PARTITION BY zone_id ORDER BY x
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+        COUNT(*) OVER (PARTITION BY zone_id) AS n,
+        SUM(w) OVER (PARTITION BY zone_id) AS sumw
+      FROM agg
+    ),
+    s AS (
+      SELECT zone_id, x,
+        CASE WHEN i = 0 THEN 0.0 ELSE i*w + (n-1)*(cum-w) END AS s,
+        n, sumw
+      FROM ord
+    ),
+    qs AS (SELECT UNNEST([0.25, 0.5, 0.75]) AS q),
+    tgt AS (
+      SELECT DISTINCT s.zone_id, qs.q, qs.q * s.sumw * (s.n - 1) AS t
+      FROM s, qs
+    ),
+    lft AS (
+      SELECT tgt.zone_id, tgt.q, MAX(s.s) AS ls FROM tgt
+      JOIN s ON s.zone_id = tgt.zone_id AND s.s <= tgt.t
+      GROUP BY tgt.zone_id, tgt.q
+    ),
+    rgt AS (
+      SELECT tgt.zone_id, tgt.q, MIN(s.s) AS rs FROM tgt
+      JOIN s ON s.zone_id = tgt.zone_id AND s.s > tgt.t
+      GROUP BY tgt.zone_id, tgt.q
+    ),
+    interp AS (
+      SELECT tgt.zone_id, tgt.q,
+        CASE WHEN rgt.rs IS NULL THEN sl.x
+             ELSE sl.x + (tgt.t - lft.ls) * (sr.x - sl.x) / (rgt.rs - lft.ls)
+        END AS v
+      FROM tgt
+      JOIN lft ON lft.zone_id = tgt.zone_id AND lft.q = tgt.q
+      JOIN s sl ON sl.zone_id = tgt.zone_id AND sl.s = lft.ls
+      LEFT JOIN rgt ON rgt.zone_id = tgt.zone_id AND rgt.q = tgt.q
+      LEFT JOIN s sr ON sr.zone_id = tgt.zone_id AND sr.s = rgt.rs
+    )
+    SELECT zone_id,
+      MAX(CASE WHEN q = 0.5 THEN v END) AS val_median,
+      MAX(CASE WHEN q = 0.25 THEN v END) AS q25,
+      MAX(CASE WHEN q = 0.75 THEN v END) AS q75
+    FROM interp GROUP BY zone_id ORDER BY zone_id
+    """
+
+    zonal_frac = f"""
+    WITH cov AS ({cov}),
+    agg AS (
+      SELECT zone_id, val AS value, SUM(cov) AS w FROM cov
+      WHERE cov > 0 AND val IS NOT NULL GROUP BY zone_id, val
+    )
+    SELECT zone_id, value, w / SUM(w) OVER (PARTITION BY zone_id) AS share
+    FROM agg ORDER BY zone_id, value
+    """
+
+    extract_cells = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id, r*{N_GRID} + c + 1 AS cell, val, cov
+    FROM cov WHERE cov > 0 AND val IS NOT NULL
+    ORDER BY zone_id, cell
+    """
+
+    rasterize = f"""
+    WITH cov AS ({cov}),
+    ranked AS (
+      SELECT r*{N_GRID} + c + 1 AS cell, zone_id,
+        ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY cov DESC, zone_id ASC) AS rnk
+      FROM cov WHERE cov > 0
+    )
+    SELECT cell, zone_id AS zone_pick FROM ranked WHERE rnk = 1 ORDER BY cell
+    """
+
+    dst_x0 = 0.0
+    dst_y1 = float(N_GRID)
+    resample_base = f"""
+    WITH dst AS (
+      SELECT i AS cell, (i // {DST_N}) AS dr, (i % {DST_N}) AS dc,
+        {dst_x0} + (i % {DST_N}) * {DST_RES} AS x0,
+        {dst_x0} + (i % {DST_N} + 1) * {DST_RES} AS x1,
+        {dst_y1} - ((i // {DST_N}) + 1) * {DST_RES} AS y0,
+        {dst_y1} - (i // {DST_N}) * {DST_RES} AS y1
+      FROM range(0, {DST_N * DST_N}) t(i)
+    ),
+    src AS ({synth.cells_sql(N_GRID)}),
+    ov AS (
+      SELECT d.cell, s.val,
+        GREATEST(0.0, LEAST(s.x1, d.x1) - GREATEST(s.x0, d.x0)) *
+        GREATEST(0.0, LEAST(s.y1, d.y1) - GREATEST(s.y0, d.y0)) AS cov
+      FROM dst d JOIN src s
+        ON s.x1 > d.x0 AND s.x0 < d.x1 AND s.y1 > d.y0 AND s.y0 < d.y1
+    )
+    """
+
+    resample_sum = (
+        resample_base
+        + """
+    SELECT cell, SUM(val*cov) AS value FROM ov WHERE cov > 0
+    GROUP BY cell
+    HAVING SUM(CASE WHEN val IS NOT NULL THEN cov END) > 0
+    ORDER BY cell
+    """
+    )
+    resample_mean = (
+        resample_base
+        + """
+    SELECT cell,
+      SUM(val*cov) / SUM(CASE WHEN val IS NOT NULL THEN cov END) AS value
+    FROM ov WHERE cov > 0
+    GROUP BY cell
+    HAVING SUM(CASE WHEN val IS NOT NULL THEN cov END) > 0
+    ORDER BY cell
+    """
+    )
+
+    coverage_fraction_rect = f"""
+    WITH cov AS ({synth.rect_cov_sql(N_GRID, 4)})
+    SELECT r*{N_GRID} + c + 1 AS cell, cov
+    FROM cov WHERE cov > 0 AND zone_id = 3 ORDER BY cell
+    """
+
+    geo = f"""
+    SELECT doc_id, n_chars,
+      {synth.GEOCODE_LON_SQL} AS lon,
+      {synth.GEOCODE_LAT_SQL} AS lat
+    FROM documents
+    """
+
+    pip_join = f"""
+    WITH geo AS ({geo}), z AS ({synth.synth_geo_zones_sql(N_GEO_ZONES)})
+    SELECT z.zone_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(geo.n_chars) AS BIGINT) AS sum_chars
+    FROM geo JOIN z
+      ON geo.lon > z.xmin AND geo.lon < z.xmax
+     AND geo.lat > z.ymin AND geo.lat < z.ymax
+    GROUP BY z.zone_id ORDER BY z.zone_id
+    """
+
+    cell_assign = f"""
+    WITH geo AS ({geo})
+    SELECT {synth.cell_sql(3.0)} AS cell, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM geo GROUP BY 1 ORDER BY cell
+    """
+
+    dedup_exact = """
+    SELECT md5(text) AS content_hash,
+      CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+      CAST(COUNT(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY content_hash
+    """
+
+    token_stats = """
+    WITH t AS (
+      SELECT lang,
+        len(string_split(text, ' ')) AS n_tok,
+        len(list_distinct(string_split(text, ' '))) AS n_uni,
+        length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      CAST(SUM(n_uni) AS BIGINT) AS sum_unique,
+      CAST(SUM(n_punct) AS BIGINT) AS sum_punct
+    FROM t GROUP BY lang ORDER BY lang
+    """
+
+    quality = """
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS q_tokens,
+      len(list_distinct(string_split(text, ' '))) AS q_unique,
+      length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS q_punct,
+      0.5 * (len(list_distinct(string_split(text, ' '))) /
+             CAST(len(string_split(text, ' ')) AS DOUBLE))
+      + 0.5 * (1.0 - (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+               / CAST(length(text) AS DOUBLE)) AS quality_score
+    FROM documents ORDER BY doc_id
+    """
+
+    knn = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {KNN_Q}
+    ),
+    sims AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+        list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM sims
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {KNN_K} ORDER BY query_id, rank
+    """
+
+    extract_text = """
+    SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
+    """
+
+    fingerprint = """
+    SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
+    """
+
+    return {
+        "zonal_stats_rect": zonal_stats,
+        "zonal_weighted_rect": zonal_weighted,
+        "zonal_mode_rect": zonal_mode,
+        "zonal_median_rect": zonal_median,
+        "zonal_frac_rect": zonal_frac,
+        "extract_cells_rect": extract_cells,
+        "rasterize_rect": rasterize,
+        "resample_sum": resample_sum,
+        "resample_mean": resample_mean,
+        "coverage_fraction_rect": coverage_fraction_rect,
+        "pip_join_counts": pip_join,
+        "cell_assign_counts": cell_assign,
+        "dedup_exact": dedup_exact,
+        "token_stats_lang": token_stats,
+        "quality_scores": quality,
+        "knn_cosine": knn,
+        "extract_text_identity": extract_text,
+        "doc_fingerprint": fingerprint,
+        # langid, minhash_pairs, simhash_pairs: not SQL-expressible ->
+        # rows-only checks by the driver
+    }

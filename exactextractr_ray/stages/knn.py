@@ -1,0 +1,187 @@
+"""Similarity search over an embedding column: brute-force cosine top-k
+(baseline) and an LSH-bucketed variant (scale path).
+
+Brute force is the canonical broadcast pattern: the query matrix is put in
+the object store ONCE (``ray.put``), every map task computes a numpy matmul
+against its batch and emits only per-batch top-k candidate rows; a tiny
+``groupby(query_id)`` selects the global top-k. Shuffle volume:
+O(num_queries * k * num_batches) rows, never the embeddings themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    flat = np.asarray(arr.values, dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+class BruteForceTopK:
+    """Actor stage: batch embeddings x broadcast queries -> candidate rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, qmat = q
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.qmat = (qmat / norms).T  # (dim, Q)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        mat = _to_matrix(batch.column(self.vec_col))
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ self.qmat  # (B, Q)
+        k = min(self.k, sims.shape[0])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for t in top:
+                out_q.append(int(self.query_ids[qi]))
+                out_n.append(int(ids[t]))
+                out_s.append(float(col[t]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def knn_cosine(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+):
+    """Global cosine top-k of each query vector against the Dataset.
+
+    Returns a Dataset of (query_id, neighbor_id, rank, sim) with rank 1..k,
+    ordered deterministically by (-sim, neighbor_id) within each query.
+    """
+    queries_ref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix, dtype=np.float64)))
+    cand = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(queries_ref, k + (1 if exclude_self else 0), id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------- LSH-bucketed ANN (scale path) ----------------
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection bucketing: 2^num_planes buckets. Queries are
+    assigned the same buckets; search only touches matching buckets, turning
+    the full scan into a partition-pruned scan (the IVF-style scale path)."""
+
+    def __init__(self, dim: int, num_planes: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, num_planes))
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def knn_cosine_lsh(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate top-k: only vectors in a query's hyperplane-LSH bucket are
+    scanned. Recall < 1.0 by design; same output schema as knn_cosine."""
+    dim = query_matrix.shape[1]
+    lsh = RandomHyperplaneLSH(dim, num_planes)
+    qb = lsh.bucket(np.asarray(query_matrix, dtype=np.float64))
+    wanted = {}
+    for qid, b in zip(query_ids, qb):
+        wanted.setdefault(int(b), []).append(int(qid))
+    qnorm = query_matrix / np.maximum(
+        np.linalg.norm(query_matrix, axis=1, keepdims=True), 1e-12
+    )
+    qidx = {int(q): i for i, q in enumerate(query_ids)}
+    wanted_ref = ray.put((wanted, qnorm, qidx, lsh.planes))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        w, qn, qix, planes = ray.get(wanted_ref)
+        ids = batch.column(id_col).to_numpy()
+        mat = _to_matrix(batch.column(vec_col))
+        if mat.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        signs = (mat @ planes) > 0
+        buckets = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        nm = mat / norms
+        out_q, out_n, out_s = [], [], []
+        for b, qids in w.items():
+            rows = np.nonzero(buckets == b)[0]
+            if len(rows) == 0:
+                continue
+            sims = nm[rows] @ qn[[qix[q] for q in qids]].T
+            for j, q in enumerate(qids):
+                for r_i, r in enumerate(rows):
+                    out_q.append(q)
+                    out_n.append(int(ids[r]))
+                    out_s.append(float(sims[r_i, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(scan, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -1,0 +1,155 @@
+"""Point-in-polygon spatial join as an actor-pool map_batches stage.
+
+The Ray-native analog of the reference's broadcast spatial hash join: the
+RasterSequentialProcessor builds a GEOS STRtree over all features and probes
+it per subgrid (/root/reference/src/exactextract/src/
+raster_sequential_processor.cpp:31-58). Here the zone set is broadcast via
+``ray.put`` and each actor builds a bucket-grid spatial index ONCE in
+``__init__``; per batch it does vectorized even-odd ray casting (numpy, no
+GEOS in this environment) against candidate zones only.
+
+Join semantics: inner — points matching no zone are dropped; a point inside k
+overlapping zones emits k rows. Output rows carry all input columns plus
+``zone_id``; row multiset is independent of batch/block boundaries, so counts
+are bit-stable across parallelism levels (BASELINE.json requirement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..sources.zones import ZoneSet, parse_zone_table
+
+
+def point_in_parts(px: np.ndarray, py: np.ndarray, parts: list[dict]) -> np.ndarray:
+    """Vectorized even-odd point-in-polygon over all rings of all parts.
+
+    Even-odd counting makes holes subtract regardless of ring orientation.
+    Boundary behavior follows the half-open ray-cast rule (measure-zero for
+    hashed point locations).
+    """
+    inside = np.zeros(len(px), dtype=bool)
+    for part in parts:
+        if part["type"] != "Polygon":
+            continue
+        for ring in part["rings"]:
+            x0, y0 = ring[:-1, 0], ring[:-1, 1]
+            x1, y1 = ring[1:, 0], ring[1:, 1]
+            dy = y1 - y0
+            valid = dy != 0.0
+            x0v, y0v, x1v, y1v, dyv = x0[valid], y0[valid], x1[valid], y1[valid], dy[valid]
+            # edges x points: crossing where the horizontal ray to +inf
+            # intersects the edge
+            cond = (y0v[None, :] > py[:, None]) != (y1v[None, :] > py[:, None])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xint = x0v[None, :] + (py[:, None] - y0v[None, :]) * (
+                    x1v[None, :] - x0v[None, :]
+                ) / dyv[None, :]
+            crossings = cond & (px[:, None] < xint)
+            inside ^= (crossings.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+class _BucketIndex:
+    """Coarse uniform-grid envelope index over a ZoneSet (per-actor state)."""
+
+    def __init__(self, zones: ZoneSet, nb: int = 64):
+        self.zones = zones
+        e = zones.envelopes
+        self.xmin = float(e[:, 0].min())
+        self.ymin = float(e[:, 1].min())
+        self.xmax = float(e[:, 2].max())
+        self.ymax = float(e[:, 3].max())
+        self.nb = nb
+        self.sx = (self.xmax - self.xmin) / nb or 1.0
+        self.sy = (self.ymax - self.ymin) / nb or 1.0
+        self.buckets: dict[int, list[int]] = {}
+        for zi in range(len(zones)):
+            bx0 = int((e[zi, 0] - self.xmin) / self.sx)
+            bx1 = int((e[zi, 2] - self.xmin) / self.sx)
+            by0 = int((e[zi, 1] - self.ymin) / self.sy)
+            by1 = int((e[zi, 3] - self.ymin) / self.sy)
+            for by in range(max(by0, 0), min(by1, self.nb - 1) + 1):
+                for bx in range(max(bx0, 0), min(bx1, self.nb - 1) + 1):
+                    self.buckets.setdefault(by * nb + bx, []).append(zi)
+
+    def candidates(self, px: np.ndarray, py: np.ndarray):
+        """Yield (zone_index, point_index_array) candidate pairs."""
+        bx = np.floor((px - self.xmin) / self.sx).astype(np.int64)
+        by = np.floor((py - self.ymin) / self.sy).astype(np.int64)
+        inb = (bx >= 0) & (bx < self.nb) & (by >= 0) & (by < self.nb)
+        bid = by * self.nb + bx
+        bid[~inb] = -1
+        order = np.argsort(bid, kind="stable")
+        sorted_bid = bid[order]
+        bounds = np.searchsorted(
+            sorted_bid, np.unique(sorted_bid[sorted_bid >= 0])
+        )
+        uniq = np.unique(sorted_bid[sorted_bid >= 0])
+        per_zone: dict[int, list[np.ndarray]] = {}
+        starts = np.searchsorted(sorted_bid, uniq, side="left")
+        ends = np.searchsorted(sorted_bid, uniq, side="right")
+        for b, s, t in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            zlist = self.buckets.get(b)
+            if not zlist:
+                continue
+            pts = order[s:t]
+            for zi in zlist:
+                per_zone.setdefault(zi, []).append(pts)
+        for zi, chunks in per_zone.items():
+            yield zi, np.concatenate(chunks)
+
+
+class PIPJoinZones:
+    """map_batches(PIPJoinZones, concurrency=N) — stateful actor stage."""
+
+    def __init__(self, zones_ref, lon_col: str = "lon", lat_col: str = "lat"):
+        zones = ray.get(zones_ref) if not isinstance(zones_ref, ZoneSet) else zones_ref
+        self.index = _BucketIndex(zones)
+        self.zones = zones
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch.column(self.lon_col).to_numpy().astype(np.float64)
+        py = batch.column(self.lat_col).to_numpy().astype(np.float64)
+        take_idx: list[np.ndarray] = []
+        zone_ids: list[np.ndarray] = []
+        for zi, pts in self.index.candidates(px, py):
+            e = self.zones.envelopes[zi]
+            m = (px[pts] >= e[0]) & (px[pts] <= e[2]) & (py[pts] >= e[1]) & (
+                py[pts] <= e[3]
+            )
+            pts = pts[m]
+            if len(pts) == 0:
+                continue
+            hit = point_in_parts(px[pts], py[pts], self.zones.parts[zi])
+            pts = pts[hit]
+            if len(pts) == 0:
+                continue
+            take_idx.append(pts)
+            zone_ids.append(np.full(len(pts), self.zones.zone_ids[zi], dtype=np.int64))
+        if not take_idx:
+            empty = batch.slice(0, 0)
+            return empty.append_column("zone_id", pa.array([], type=pa.int64()))
+        idx = np.concatenate(take_idx)
+        zids = np.concatenate(zone_ids)
+        # deterministic row order within the batch: by (point index, zone_id)
+        order = np.lexsort((zids, idx))
+        out = batch.take(pa.array(idx[order]))
+        return out.append_column("zone_id", pa.array(zids[order], type=pa.int64()))
+
+
+def pip_join(ds, zones: pa.Table, lon_col="lon", lat_col="lat", concurrency=None):
+    """points Dataset x zones table -> inner spatial join Dataset."""
+    zset = parse_zone_table(zones)
+    zones_ref = ray.put(zset)
+    return ds.map_batches(
+        PIPJoinZones,
+        fn_constructor_args=(zones_ref, lon_col, lat_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )

@@ -115,6 +115,10 @@ class RasterStats:
     sum_xici: float = 0.0
     sum_ciwi: float = 0.0
     sum_xiciwi: float = 0.0
+    # exact second moments (not in the reference; enable the moment-form
+    # variance used by the SQL oracles — exact for integer-valued rasters)
+    sum_x2ci: float = 0.0
+    sum_x2ciwi: float = 0.0
     min: float = math.inf
     max: float = -math.inf
     var: VarState = field(default_factory=VarState)
@@ -140,6 +144,7 @@ class RasterStats:
         c = cov[m]
         self.sum_ci += float(np.sum(c))
         self.sum_xici += float(np.sum(x * c))
+        self.sum_x2ci += float(np.sum(x * x * c))
         self.var.process_batch(x, c)
         self.min = min(self.min, float(np.min(x)))
         self.max = max(self.max, float(np.max(x)))
@@ -151,6 +156,7 @@ class RasterStats:
             ciwi = c * w
         self.sum_ciwi += float(np.sum(ciwi))
         self.sum_xiciwi += float(np.sum(x * ciwi))
+        self.sum_x2ciwi += float(np.sum(x * x * ciwi))
         # NaN ciwi entries poison the weighted variance too, matching the
         # reference where process(x, nan) corrupts the accumulator
         self.wvar.process_batch(x, ciwi)
@@ -172,6 +178,8 @@ class RasterStats:
         self.sum_xici += other.sum_xici
         self.sum_ciwi += other.sum_ciwi
         self.sum_xiciwi += other.sum_xiciwi
+        self.sum_x2ci += other.sum_x2ci
+        self.sum_x2ciwi += other.sum_x2ciwi
         self.min = min(self.min, other.min)
         self.max = max(self.max, other.max)
         self.var.merge(other.var)
@@ -224,6 +232,16 @@ class RasterStats:
 
     def weighted_stdev(self) -> float:
         return self.wvar.stdev()
+
+    def variance_exact(self) -> float:
+        """Moment-form population variance from exact sums:
+        (sum(x^2 c) - sum(x c)^2 / sum(c)) / sum(c). Bit-reproducible for
+        integer-valued rasters with binary-fraction coverages; used by the
+        SQL-oracle queries (named 'variance' keeps the reference's West
+        accumulator)."""
+        if self.sum_ci <= 0:
+            return float("nan")
+        return (self.sum_x2ci - self.sum_xici * self.sum_xici / self.sum_ci) / self.sum_ci
 
     def variety(self) -> int:
         return len(self.freq)
@@ -311,6 +329,8 @@ class RasterStats:
             return float(self.variety())
         if stat == "variance":
             return self.variance()
+        if stat == "variance_exact":
+            return self.variance_exact()
         if stat == "stdev":
             return self.stdev()
         if stat == "coefficient_of_variation":
@@ -338,6 +358,8 @@ class RasterStats:
             "sum_xici": self.sum_xici,
             "sum_ciwi": self.sum_ciwi,
             "sum_xiciwi": self.sum_xiciwi,
+            "sum_x2ci": self.sum_x2ci,
+            "sum_x2ciwi": self.sum_x2ciwi,
             "vmin": self.min if self.sum_ci > 0 else math.inf,
             "vmax": self.max if self.sum_ci > 0 else -math.inf,
             "var_w": self.var.sum_w,
@@ -358,6 +380,8 @@ class RasterStats:
         st.sum_xici = float(row["sum_xici"])
         st.sum_ciwi = float(row["sum_ciwi"])
         st.sum_xiciwi = float(row["sum_xiciwi"])
+        st.sum_x2ci = float(row.get("sum_x2ci", 0.0))
+        st.sum_x2ciwi = float(row.get("sum_x2ciwi", 0.0))
         st.min = float(row["vmin"])
         st.max = float(row["vmax"])
         st.var = VarState(float(row["var_w"]), float(row["var_mean"]), float(row["var_t"]))
@@ -378,6 +402,8 @@ PARTIAL_COLUMNS = [
     "sum_xici",
     "sum_ciwi",
     "sum_xiciwi",
+    "sum_x2ci",
+    "sum_x2ciwi",
     "vmin",
     "vmax",
     "var_w",
