@@ -1,0 +1,290 @@
+"""Ray Data pipeline tests: end-to-end operator correctness against
+kernel-computed truth, parallelism/tiling invariance, reference semantics
+(NaN rows, ordering, tie-breaks, mass conservation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from exactextractr_ray import synth, wkbio
+from exactextractr_ray.coverage import coverage_fraction_wkb
+from exactextractr_ray.grid import Grid
+from exactextractr_ray.stats import RasterStats
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return None
+
+
+def _truth_stats(n, bounds, weights=False):
+    g = synth.synth_grid(n)
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(rr, cc)
+    wts = synth.synth_weights(rr, cc) if weights else None
+    cov = coverage_fraction_wkb(g, wkbio.rect_wkb(*bounds))
+    st = RasterStats(store_values=True)
+    st.process(vals, cov, wts)
+    return st
+
+
+def test_exact_extract_matches_kernel(_ray):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=64, tile=16, layers=("value", "weight"))
+    res = exact_extract(
+        rd,
+        synth_rect_zones(4, 64),
+        ["count", "sum", "mean", "median", "variety", "variance", "weighted_mean"],
+        weight_layer="weight",
+    ).to_pandas()
+    for k in range(4):
+        st = _truth_stats(64, synth.synth_rect_zone_bounds(k, 64), weights=True)
+        row = res[res.zone_id == k].iloc[0]
+        assert row["count"] == st.count()
+        assert row["sum"] == st.sum()
+        assert row["mean"] == st.mean()
+        assert row["median"] == pytest.approx(st.median(), rel=1e-12)
+        assert row["variety"] == st.variety()
+        assert row["variance"] == pytest.approx(st.variance(), rel=1e-9)
+        assert row["weighted_mean"] == pytest.approx(st.weighted_mean(), rel=1e-12)
+
+
+def test_tile_size_invariance(_ray):
+    """max_cells_in_memory=1 analog: results identical across tilings
+    (test_exact_extract.R:598-604)."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    zones = synth_rect_zones(3, 64)
+    results = []
+    for tile in (8, 16, 64):
+        rd = synthetic_raster_dataset(n=64, tile=tile)
+        df = exact_extract(rd, zones, ["count", "sum", "mean", "median"]).to_pandas()
+        results.append(df.sort_values("zone_id").reset_index(drop=True))
+    for other in results[1:]:
+        pd.testing.assert_frame_equal(results[0], other)
+
+
+def test_zone_outside_grid_nan_row(_ray):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import fixture_zones
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    res = exact_extract(rd, fixture_zones(16), ["count", "mean"]).to_pandas()
+    out_row = res[res.zone_id == 6].iloc[0]  # "outside" zone
+    assert out_row["count"] == 0.0
+    assert np.isnan(out_row["mean"])
+    # ordering contract: input order preserved
+    assert list(res["zone_id"]) == list(range(7))
+
+
+def test_fixture_zone_shapes(_ray):
+    """multipolygon / hole / circle zones run through the full pipeline."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import fixture_zones
+
+    n = 32
+    rd = synthetic_raster_dataset(n=n, tile=8)
+    res = exact_extract(rd, fixture_zones(n), ["count"]).to_pandas()
+    g = synth.synth_grid(n)
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(rr, cc)
+    from exactextractr_ray.sources.zones import parse_zone_table
+    from exactextractr_ray.coverage import coverage_matrix
+
+    zset = parse_zone_table(fixture_zones(n))
+    for i in range(len(zset)):
+        cov = coverage_matrix(g, zset.parts[i])
+        expected = float(np.sum(cov[~np.isnan(vals)]))
+        got = res[res.zone_id == zset.zone_ids[i]]["count"].iloc[0]
+        assert got == pytest.approx(expected, abs=1e-9), f"zone {i}"
+
+
+def test_extract_cells_totals(_ray):
+    from exactextractr_ray.pipelines.zonal import extract_cells
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=32, tile=8)
+    df = extract_cells(rd, synth_rect_zones(2, 32), include_cell=True).to_pandas()
+    for k in range(2):
+        st = _truth_stats(32, synth.synth_rect_zone_bounds(k, 32))
+        sub = df[(df.zone_id == k) & df.value.notna()]
+        assert sub["cov"].sum() == pytest.approx(st.count(), rel=1e-12)
+        assert (sub["value"] * sub["cov"]).sum() == pytest.approx(st.sum(), rel=1e-12)
+    # cell ids unique per zone
+    assert not df.duplicated(subset=["zone_id", "cell"]).any()
+
+
+def test_pip_join_vs_bruteforce(_ray):
+    import ray.data
+    from exactextractr_ray.stages.pip_join import pip_join, point_in_parts
+    from exactextractr_ray.sources.zones import synth_geo_zones, parse_zone_table
+
+    rng = np.random.default_rng(42)
+    n = 2000
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(-60, 60, n),
+        }
+    )
+    zones = synth_geo_zones(16)
+    joined = pip_join(ray.data.from_pandas(pts), zones).to_pandas()
+    zset = parse_zone_table(zones)
+    expected = 0
+    for zi in range(len(zset)):
+        hit = point_in_parts(
+            pts["lon"].to_numpy(), pts["lat"].to_numpy(), zset.parts[zi]
+        )
+        expected += int(hit.sum())
+        got = set(joined[joined.zone_id == zset.zone_ids[zi]]["pid"])
+        assert got == set(pts["pid"][hit]), f"zone {zi}"
+    assert len(joined) == expected
+
+
+def test_pip_polygon_nonrect(_ray):
+    """PIP against a circle: matches the analytic disk test for interior
+    points away from the 30-gon boundary."""
+    from exactextractr_ray.stages.pip_join import point_in_parts
+
+    wkb = wkbio.circle_wkb(0, 0, 10, segments=64)
+    parts = wkbio.parse_wkb(wkb)
+    rng = np.random.default_rng(1)
+    px = rng.uniform(-12, 12, 5000)
+    py = rng.uniform(-12, 12, 5000)
+    r = np.hypot(px, py)
+    clear = np.abs(r - 10) > 0.2  # keep away from polygon-vs-circle edge band
+    got = point_in_parts(px, py, parts)
+    np.testing.assert_array_equal(got[clear], (r < 10)[clear])
+
+
+def test_rasterize_tiebreak_and_min_coverage(_ray):
+    from exactextractr_ray.pipelines.rasterize import rasterize_polygons
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 4, 4, 1, 1)
+    # two rects meeting at x=2.5: col 2 gets 0.5 coverage from each -> tie;
+    # zone 1 listed second -> loses the tie
+    zones = zone_table(
+        [
+            (0, "a", wkbio.rect_wkb(0, 0, 2.5, 4)),
+            (1, "b", wkbio.rect_wkb(2.5, 0, 4, 4)),
+        ]
+    )
+    tiles = rasterize_polygons(zones, g, tile=4).to_pandas()
+    zi = np.asarray(tiles.iloc[0]["zone_index"], dtype=np.int32).reshape(4, 4)
+    # col 0,1: zone 0 full; col 2: 0.5 vs 0.5 tie -> zone 0; col 3: zone 1
+    assert (zi[:, 0] == 0).all() and (zi[:, 1] == 0).all()
+    assert (zi[:, 2] == 0).all()
+    assert (zi[:, 3] == 1).all()
+
+    tiles2 = rasterize_polygons(zones, g, tile=4, min_coverage=0.6).to_pandas()
+    zi2 = np.asarray(tiles2.iloc[0]["zone_index"], dtype=np.int32).reshape(4, 4)
+    # col 2 total coverage = 1.0 >= 0.6 -> still assigned
+    assert (zi2[:, 2] == 0).all()
+
+
+def test_resample_mass_conservation(_ray):
+    """sum is preserved under regridding (test_exact_resample.R:16-43)."""
+    from exactextractr_ray.pipelines.resample import exact_resample
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=32, tile=8)
+    dst = Grid(0.0, 0.0, 32.0, 32.0, 32.0 / 12, 32.0 / 12)  # non-aligned 12x12
+    out = exact_resample(rd, dst, stat="sum").to_pandas()
+    rr, cc = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    vals = synth.synth_values(rr, cc)
+    assert out["value"].sum() == pytest.approx(np.nansum(vals), rel=1e-10)
+
+
+def test_dedup_exact_keeper(_ray):
+    import ray.data
+    from exactextractr_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["aa", "bb", "aa", "cc", "bb", "aa"],
+        }
+    )
+    out = exact_dedup(ray.data.from_pandas(df)).to_pandas()
+    m = {r.keeper_id: r.n_dups for r in out.itertuples()}
+    assert m == {0: 3, 1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dups(_ray):
+    import ray.data
+    from exactextractr_ray.stages.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words nothing shared here at all " * 6
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [base.strip(), near.strip(), far.strip()]}
+    )
+    out = minhash_lsh_pairs(
+        ray.data.from_pandas(df), threshold=0.5, num_hashes=64, bands=16
+    ).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_knn_matches_numpy(_ray):
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 16
+    mat = rng.standard_normal((n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64)})
+    df["embedding"] = [row.tolist() for row in mat]
+    ds = ray.data.from_pandas(df)
+    out = knn_cosine(ds, np.arange(3), mat[:3], k=5).to_pandas()
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm[:3].T
+    for q in range(3):
+        s = sims[:, q].copy()
+        s[q] = -np.inf
+        expect = list(np.argsort(-s, kind="stable")[:5])
+        got = list(
+            out[out.query_id == q].sort_values("rank")["neighbor_id"].astype(int)
+        )
+        assert got == expect
+
+
+def test_extract_text_byte_identity(_ray):
+    from exactextractr_ray.sources.pages import read_pages
+    from exactextractr_ray.stages.text import extract_text_batch
+
+    pages = read_pages("/root/testdata/sf0.001").map_batches(
+        extract_text_batch, batch_format="pyarrow"
+    )
+    df = pages.select_columns(["text", "extracted_text"]).to_pandas()
+    assert (df["text"] == df["extracted_text"]).all()
+
+
+def test_coverage_fraction_tiles_reassemble(_ray):
+    from exactextractr_ray.pipelines.coverage_tiles import coverage_fraction
+    from exactextractr_ray.sources.zones import zone_table
+
+    n = 32
+    g = synth.synth_grid(n)
+    wkb = wkbio.circle_wkb(12, 14, 9, segments=24)
+    zones = zone_table([(0, "c", wkb)])
+    tiles = coverage_fraction(zones, g, tile=8).to_pandas()
+    full = np.zeros((n, n))
+    for _, r in tiles.iterrows():
+        cov = np.asarray(r["coverage"]).reshape(r["th"], r["tw"])
+        full[r["row0"] : r["row0"] + r["th"], r["col0"] : r["col0"] + r["tw"]] = cov
+    np.testing.assert_allclose(
+        full, coverage_fraction_wkb(g, wkb), atol=1e-12
+    )
