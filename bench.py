@@ -1,0 +1,237 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS, default 32) and
+prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N, "tiles_per_sec": ..., "joined_rows_per_sec": ...}
+
+--scaling runs the headline zonal+join benchmark in two FRESH subprocesses
+(num_cpus=8 and num_cpus=32) on identical input and reports both throughputs
+plus the scaling efficiency — the sandbox substitute for the N vs 4N cluster
+criterion (BASELINE.json / BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline sizes (independent of sf_dir contents for the raster/join parts so
+# throughput numbers are comparable across sf; document tables come from sf)
+ZONAL_N = 4096  # raster side: 16.8M cells
+ZONAL_TILE = 256  # 256 tiles of 64k cells
+ZONAL_ZONES = 64
+JOIN_POINTS = 2_000_000
+JOIN_ZONES = 64
+
+
+def bench_zonal():
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=ZONAL_N, tile=ZONAL_TILE)
+    zones = synth_rect_zones(ZONAL_ZONES, ZONAL_N)
+    t0 = time.time()
+    res = exact_extract(
+        rd, zones, ["count", "sum", "mean", "min", "max", "stdev"],
+        concurrency=(1, NUM_CPUS),
+    )
+    n = len(res)
+    dt = time.time() - t0
+    assert n == ZONAL_ZONES
+    return dt, {"tiles": rd.num_tiles, "cells": rd.grid.ncell}
+
+
+def bench_zonal_median():
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=2048, tile=256)
+    zones = synth_rect_zones(32, 2048)
+    t0 = time.time()
+    res = exact_extract(rd, zones, ["median", "mode", "variety"],
+                        concurrency=(1, NUM_CPUS))
+    dt = time.time() - t0
+    assert len(res) == 32
+    return dt, {"tiles": rd.num_tiles}
+
+
+def bench_pip_join():
+    import ray.data
+    from exactextractr_ray import synth
+    from exactextractr_ray.sources.zones import synth_geo_zones
+    from exactextractr_ray.stages.pip_join import pip_join
+
+    import pyarrow as pa
+
+    def gen_points(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        lon, lat = synth.geocode_ids(ids)
+        return pa.table(
+            {
+                "pid": pa.array(ids, pa.int64()),
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    pts = ray.data.range(JOIN_POINTS, override_num_blocks=NUM_CPUS * 4).map_batches(
+        gen_points, batch_format="pyarrow"
+    )
+    zones = synth_geo_zones(JOIN_ZONES)
+    t0 = time.time()
+    joined = pip_join(pts, zones, concurrency=(1, NUM_CPUS))
+    n_joined = joined.count()
+    dt = time.time() - t0
+    return dt, {"points": JOIN_POINTS, "joined_rows": n_joined}
+
+
+def bench_text():
+    from exactextractr_ray.sources.pages import read_pages
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.text import extract_text_batch, quality_batch
+
+    t0 = time.time()
+    pages = read_pages(SF_DIR)
+    pages = pages.map_batches(extract_text_batch, batch_format="pyarrow")
+    pages = pages.map_batches(quality_batch, batch_format="pyarrow")
+    pages = pages.map_batches(geocode_doc_batch, batch_format="pyarrow")
+    n = pages.count()
+    return time.time() - t0, {"pages": n}
+
+
+def bench_dedup():
+    import ray.data
+    from exactextractr_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    exact_dedup(docs).count()
+    t_exact = time.time() - t0
+    t0 = time.time()
+    n_pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
+    t_mh = time.time() - t0
+    return t_exact, t_mh, {"near_dup_pairs": n_pairs}
+
+
+def bench_knn():
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine
+
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = emb.limit(16).to_pandas()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    t0 = time.time()
+    knn_cosine(emb, qdf["vec_id"].to_numpy(), qmat, k=10).count()
+    return time.time() - t0, {}
+
+
+def run_all(full: bool = True):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+            log_to_driver=False,
+        )
+
+    queries = {}
+    extras = {}
+
+    t_zonal, zinfo = bench_zonal()
+    queries["zonal_stats"] = round(t_zonal, 3)
+    extras["tiles_per_sec"] = round(zinfo["tiles"] / t_zonal, 2)
+    extras["zonal_cells_per_sec"] = round(zinfo["cells"] / t_zonal, 0)
+
+    t_join, jinfo = bench_pip_join()
+    queries["pip_join"] = round(t_join, 3)
+    extras["joined_rows_per_sec"] = round(jinfo["joined_rows"] / t_join, 0)
+    extras["join_points_per_sec"] = round(jinfo["points"] / t_join, 0)
+
+    if full:
+        t_med, _ = bench_zonal_median()
+        queries["zonal_median"] = round(t_med, 3)
+
+        t_text, tinfo = bench_text()
+        queries["text_pipeline"] = round(t_text, 3)
+
+        t_exact, t_mh, dinfo = bench_dedup()
+        queries["dedup_exact"] = round(t_exact, 3)
+        queries["minhash_lsh"] = round(t_mh, 3)
+
+        t_knn, _ = bench_knn()
+        queries["knn_cosine"] = round(t_knn, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "graft_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    """Same headline job at num_cpus=8 and num_cpus=32 in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = SF_DIR
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    r8, r32 = results[8], results[32]
+    # throughput scaling on the two headline numbers
+    eff_tiles = (r32["tiles_per_sec"] / r8["tiles_per_sec"]) / 4.0
+    eff_join = (r32["joined_rows_per_sec"] / r8["joined_rows_per_sec"]) / 4.0
+    out = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(min(eff_tiles, eff_join), 3),
+        "unit": "fraction",
+        "tiles_per_sec": {"cpus8": r8["tiles_per_sec"], "cpus32": r32["tiles_per_sec"]},
+        "joined_rows_per_sec": {
+            "cpus8": r8["joined_rows_per_sec"],
+            "cpus32": r32["joined_rows_per_sec"],
+        },
+        "efficiency_tiles": round(eff_tiles, 3),
+        "efficiency_join": round(eff_join, 3),
+        "sf": SF_DIR,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--child" in sys.argv:
+        print(json.dumps(run_all(full=False)))
+    else:
+        print(json.dumps(run_all(full=True)))

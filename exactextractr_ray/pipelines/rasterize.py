@@ -115,10 +115,10 @@ def rasterize_polygons(
     zones_ref = ray.put(zset)
     tiles_x = (grid.ncol + tile - 1) // tile
     tiles_y = (grid.nrow + tile - 1) // tile
+    from ..util import cached_stage
+
     ids = ray.data.range(tiles_x * tiles_y)
     return ids.map_batches(
-        RasterizeTile,
-        fn_constructor_args=(zones_ref, grid.to_dict(), min_coverage, tile, tile),
+        cached_stage(RasterizeTile, zones_ref, grid.to_dict(), min_coverage, tile, tile),
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
     )

@@ -121,17 +121,18 @@ def exact_resample(
     """Returns a Dataset of (cell, row, col, value) over the destination grid
     (only cells receiving any source data appear, like the reference's NODATA
     for uncovered cells)."""
+    from ..util import cached_stage
+
     store_values = stat in STORED_VALUE_STATS
     partials = src_raster.ds.map_batches(
-        ResampleTilePartials,
-        fn_constructor_args=(
+        cached_stage(
+            ResampleTilePartials,
             src_raster.grid.to_dict(),
             dst_grid.to_dict(),
             store_values,
         ),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency or (1, 8),
     )
     ncol = dst_grid.ncol
 

@@ -38,6 +38,7 @@ from ..grid import Box, Grid
 from ..sources.zones import ZoneSet, parse_zone_table
 from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats
 from ..coverage import coverage_matrix
+from ..util import cached_stage
 
 
 def _quantile_colname(q: float) -> str:
@@ -62,8 +63,17 @@ def expand_stat_columns(stats: list[str], quantiles: list[float] | None) -> list
 class ZonalPartialStats:
     """Actor-pool map_batches stage: tile batches -> partial-stats rows.
 
-    Stateful setup (zone parse + envelope index) happens once per actor in
-    __init__; __call__ only does vectorized per-tile work.
+    Stateful setup (zone parse + per-zone edge bounding boxes) happens once
+    per actor in __init__; __call__ only does vectorized per-tile work.
+
+    Fast path — the tile-granular analog of the reference's FloodFill
+    (/root/reference/src/exactextract/src/floodfill.h:62-131): a tile that no
+    zone-boundary edge crosses is uniformly inside (coverage 1 everywhere) or
+    uniformly outside (skip) a zone, decided by one point-in-polygon test of
+    the tile center. Uniform-inside tiles reuse ONE cached full-tile stat per
+    tile instead of an O(cells) pass per (zone, tile) pair — for large zones
+    this removes almost all interior work, exactly like the reference's
+    traversal touching only boundary cells.
     """
 
     def __init__(
@@ -80,6 +90,48 @@ class ZonalPartialStats:
         self.store_values = store_values
         self.value_layer = value_layer
         self.weight_layer = weight_layer
+        # per-zone edge bounding boxes for the boundary-crossing test
+        self._edge_bboxes: list[np.ndarray] = []
+        for parts in zones.parts:
+            boxes = []
+            for part in parts:
+                rings = part["rings"] if part["type"] == "Polygon" else [part["coords"]]
+                for ring in rings:
+                    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+                    x1, y1 = ring[1:, 0], ring[1:, 1]
+                    boxes.append(
+                        np.column_stack(
+                            [
+                                np.minimum(x0, x1),
+                                np.minimum(y0, y1),
+                                np.maximum(x0, x1),
+                                np.maximum(y0, y1),
+                            ]
+                        )
+                    )
+            self._edge_bboxes.append(
+                np.vstack(boxes) if boxes else np.empty((0, 4))
+            )
+
+    def _classify(self, zi: int, box: Box) -> int:
+        """-1 if any ring edge bbox overlaps the tile box (boundary tile),
+        else the uniform winding number (0 = outside, k>=1 = covered k times
+        — k>1 for self-overlapping multipolygons)."""
+        eb = self._edge_bboxes[zi]
+        if len(eb):
+            hit = (
+                (eb[:, 0] < box.xmax)
+                & (eb[:, 2] > box.xmin)
+                & (eb[:, 1] < box.ymax)
+                & (eb[:, 3] > box.ymin)
+            )
+            if hit.any():
+                return -1
+        from ..stages.pip_join import winding_number
+
+        cx = np.array([(box.xmin + box.xmax) * 0.5])
+        cy = np.array([(box.ymin + box.ymax) * 0.5])
+        return int(winding_number(cx, cy, self.zones.parts[zi])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         layers = batch.column("layer").to_pylist()
@@ -109,39 +161,65 @@ class ZonalPartialStats:
                 continue
             vals = None
             wvals = None
-            for zi in zidx:
-                e = self.zones.envelopes[zi]
-                sub = tile_grid.crop_to_box(Box(e[0], e[1], e[2], e[3]))
-                if sub.empty():
-                    continue
-                cov = coverage_matrix(sub, self.zones.parts[zi])
-                if not np.any(cov):
-                    continue
+            full_tile_row = None  # cached full-coverage stats for this tile
+
+            def load_values():
+                nonlocal vals, wvals
                 if vals is None:
-                    vals = np.asarray(values_col[i].values, dtype=np.float64).reshape(
-                        th, tw
-                    )
+                    vals = np.asarray(
+                        values_col[i].values, dtype=np.float64
+                    ).reshape(th, tw)
                     if self.weight_layer is not None:
                         wi = weight_rows.get(tid)
                         if wi is None:
                             raise ValueError(
-                                f"weight layer {self.weight_layer!r} for tile {tid} "
-                                "not in the same block as its value layer"
+                                f"weight layer {self.weight_layer!r} for tile "
+                                f"{tid} not in the same block as its value layer"
                             )
                         wvals = np.asarray(
                             values_col[wi].values, dtype=np.float64
                         ).reshape(th, tw)
-                r0 = sub.row_offset(tile_grid)
-                c0 = sub.col_offset(tile_grid)
-                vs = vals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
-                ws = (
-                    wvals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
-                    if wvals is not None
-                    else None
+
+            for zi in zidx:
+                e = self.zones.envelopes[zi]
+                zbox = Box(e[0], e[1], e[2], e[3])
+                kind = (
+                    -1
+                    if not zbox.contains(tile_grid.extent)
+                    else self._classify(zi, tile_grid.extent)
                 )
-                st = RasterStats(store_values=self.store_values)
-                st.process(vs, cov, ws)
-                row = st.to_row()
+                if kind == 0:
+                    continue
+                load_values()
+                if kind >= 1:
+                    if full_tile_row is None:
+                        st = RasterStats(store_values=self.store_values)
+                        st.process(vals, np.ones((th, tw)), wvals)
+                        full_tile_row = st.to_row()
+                    if kind == 1:
+                        row = dict(full_tile_row)
+                    else:
+                        st = RasterStats(store_values=self.store_values)
+                        st.process(vals, np.full((th, tw), float(kind)), wvals)
+                        row = st.to_row()
+                else:
+                    sub = tile_grid.crop_to_box(zbox)
+                    if sub.empty():
+                        continue
+                    cov = coverage_matrix(sub, self.zones.parts[zi])
+                    if not np.any(cov):
+                        continue
+                    r0 = sub.row_offset(tile_grid)
+                    c0 = sub.col_offset(tile_grid)
+                    vs = vals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
+                    ws = (
+                        wvals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
+                        if wvals is not None
+                        else None
+                    )
+                    st = RasterStats(store_values=self.store_values)
+                    st.process(vs, cov, ws)
+                    row = st.to_row()
                 row["zone_id"] = int(self.zones.zone_ids[zi])
                 row["tile_id"] = tid
                 out_rows.append(row)
@@ -183,6 +261,7 @@ def exact_extract(
     quantiles: list[float] | None = None,
     include_cols: list[str] | None = None,
     concurrency: int | None = None,
+    actors: bool = False,
 ) -> pa.Table:
     """Named-stats zonal statistics; returns one row per zone in input order.
 
@@ -196,19 +275,28 @@ def exact_extract(
     zones_ref = ray.put(zset)
     store_values = bool(STORED_VALUE_STATS & set(stats))
 
-    partials = raster.ds.map_batches(
-        ZonalPartialStats,
-        fn_constructor_args=(
-            zones_ref,
-            raster.grid.to_dict(),
-            store_values,
-            value_layer,
-            weight_layer,
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency or (1, 8),
+    stage_args = (
+        zones_ref,
+        raster.grid.to_dict(),
+        store_values,
+        value_layer,
+        weight_layer,
     )
+    if actors:
+        partials = raster.ds.map_batches(
+            ZonalPartialStats,
+            fn_constructor_args=stage_args,
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency or (1, 8),
+        )
+    else:
+        # cached-task mode: instance built once per worker process (util.py)
+        partials = raster.ds.map_batches(
+            cached_stage(ZonalPartialStats, *stage_args),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
 
     quantiles = quantiles or [0.5]
 
@@ -384,8 +472,8 @@ def extract_cells(
     zset = parse_zone_table(zones)
     zones_ref = ray.put(zset)
     return raster.ds.map_batches(
-        ZonalCellExtract,
-        fn_constructor_args=(
+        cached_stage(
+            ZonalCellExtract,
             zones_ref,
             raster.grid.to_dict(),
             value_layer,
@@ -395,5 +483,4 @@ def extract_cells(
         ),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency or (1, 8),
     )

@@ -65,7 +65,13 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 class MinHasher:
-    """Per-actor state: the H hash-function parameters (built once)."""
+    """Per-worker state: hash parameters + token-hash cache (built once).
+
+    Shingle hashing is vectorized: tokens hash once via md5 (cached across
+    batches — natural-language vocabularies are tiny relative to corpora),
+    k-gram hashes combine token hashes with a wrapping uint64 polynomial, and
+    signatures are a (H x S) universal-hash min — all numpy, no per-gram
+    Python hashing."""
 
     def __init__(
         self,
@@ -79,26 +85,44 @@ class MinHasher:
         self.id_col = id_col
         self.text_col = text_col
         rng = np.random.default_rng(42)  # fixed seed: signatures reproducible
-        self.a = rng.integers(1, _P61, size=num_hashes, dtype=np.uint64)
-        self.b = rng.integers(0, _P61, size=num_hashes, dtype=np.uint64)
+        self.a = rng.integers(1, 1 << 62, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 62, size=num_hashes, dtype=np.uint64)
+        self.cmul = rng.integers(1, 1 << 62, size=shingle_k, dtype=np.uint64) | np.uint64(1)
+        self._tok_cache: dict[str, int] = {}
+
+    def _tok_hashes(self, toks: list[str]) -> np.ndarray:
+        cache = self._tok_cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = _md5_u64(t)
+                cache[t] = h
+            out[i] = h
+        return out
 
     def shingle_hashes(self, text: str) -> np.ndarray:
         toks = (text or "").split(" ")
-        if len(toks) < self.k:
-            grams = [" ".join(toks)]
-        else:
-            grams = [
-                " ".join(toks[j : j + self.k]) for j in range(len(toks) - self.k + 1)
-            ]
-        return np.unique(
-            np.array([_md5_u64(g) for g in grams], dtype=np.uint64) % _P61
-        )
+        h = self._tok_hashes(toks)
+        with np.errstate(over="ignore"):
+            if len(h) < self.k:
+                g = np.zeros(1, dtype=np.uint64)
+                for j in range(len(h)):
+                    g = g + h[j] * self.cmul[j]
+            else:
+                n = len(h) - self.k + 1
+                g = np.zeros(n, dtype=np.uint64)
+                for j in range(self.k):
+                    g = g + h[j : j + n] * self.cmul[j]
+        return np.unique(g)
 
     def signature(self, sh: np.ndarray) -> np.ndarray:
         if len(sh) == 0:
             return np.zeros(self.H, dtype=np.uint64)
-        # (a*x + b) mod p, min over shingles, vectorized H x S
-        prod = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _P61
+        # (a*x + b) mod 2^64 (wrapping multiply is a fine mixing family for
+        # dedup), min over shingles, vectorized H x S
+        with np.errstate(over="ignore"):
+            prod = self.a[:, None] * sh[None, :] + self.b[:, None]
         return prod.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -121,47 +145,95 @@ class MinHasher:
 
 
 def _band_batch(batch: pa.Table, bands: int, rows: int) -> pa.Table:
-    """signatures -> (band, bucket, doc_id, shingles) rows (flat_map shape)."""
+    """signatures -> (bucket, doc_id, shingles) rows (flat_map shape),
+    vectorized: band buckets are wrapping polynomial combines of the band's
+    signature rows, salted by band index."""
     ids = batch.column("doc_id").to_numpy()
-    sigs = batch.column("minhash").to_pylist()
-    shingles = batch.column("shingles")
-    out_band, out_bucket, out_id, out_idx = [], [], [], []
-    for i, sig in enumerate(sigs):
+    n = len(ids)
+    sig = np.asarray(
+        batch.column("minhash").combine_chunks().values, dtype=np.uint64
+    ).reshape(n, bands * rows)
+    rng = np.random.default_rng(7)
+    mix = rng.integers(1, 1 << 62, size=bands * rows, dtype=np.uint64) | np.uint64(1)
+    salt = rng.integers(0, 1 << 62, size=bands, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        buckets = np.empty((n, bands), dtype=np.uint64)
         for b in range(bands):
-            chunk = tuple(sig[b * rows : (b + 1) * rows])
-            bucket = _md5_u64(f"{b}:{chunk}")
-            out_band.append(b)
-            out_bucket.append(bucket)
-            out_id.append(int(ids[i]))
-            out_idx.append(i)
-    tbl = pa.table(
+            seg = sig[:, b * rows : (b + 1) * rows]
+            acc = salt[b] + np.uint64(0)
+            acc = np.full(n, salt[b], dtype=np.uint64)
+            for j in range(rows):
+                acc = acc + seg[:, j] * mix[b * rows + j]
+            buckets[:, b] = acc
+    idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+    return pa.table(
         {
-            "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_bucket, pa.uint64()),
-            "doc_id": pa.array(out_id, pa.int64()),
-            "shingles": shingles.take(pa.array(out_idx, pa.int32())),
+            "bucket": pa.array(buckets.ravel(), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "shingles": batch.column("shingles").combine_chunks().take(
+                pa.array(idx, pa.int64())
+            ),
         }
     )
-    return tbl
+
+
+_MAX_BUCKET = 512  # skew guard: a degenerate bucket (boilerplate corpus)
+# would cost O(n^2) verification; cap and count drops instead of stalling
+
+#: coarse shuffle key count: the groupby runs one Python call per COARSE
+#: group (each holding many LSH buckets, processed with numpy slicing), not
+#: one per bucket — per-group pandas overhead killed the naive version
+_NUM_COARSE_GROUPS = 256
 
 
 def _bucket_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Within one LSH bucket: verify candidate pairs with true Jaccard."""
+    """One COARSE group (= many LSH buckets; a bucket never straddles coarse
+    groups since the coarse key is bucket % N): generate candidate pairs per
+    bucket, dedupe, verify with true Jaccard over the shingle sets."""
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype=np.int64),
+            "doc_b": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64),
+        }
+    )
+    g = g.drop_duplicates(subset=["bucket", "doc_id"]).sort_values(
+        ["bucket", "doc_id"]
+    )
     if len(g) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
-    g = g.sort_values("doc_id")
+        return empty
+    buckets = g["bucket"].to_numpy()
     ids = g["doc_id"].to_numpy()
-    sets = [np.asarray(s, dtype=np.uint64) for s in g["shingles"]]
-    out_a, out_b, out_j = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
-            union = len(sets[i]) + len(sets[j]) - inter
-            jac = inter / union if union else 0.0
-            if jac >= threshold:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
-                out_j.append(jac)
+    shingles = g["shingles"].to_numpy()
+    starts = np.nonzero(np.r_[True, buckets[1:] != buckets[:-1]])[0]
+    sizes = np.diff(np.r_[starts, len(buckets)])
+    seen: set[tuple[int, int]] = set()
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_j: list[float] = []
+    for s0, sz in zip(starts.tolist(), sizes.tolist()):
+        if sz < 2:
+            continue
+        sz = min(sz, _MAX_BUCKET)
+        for i in range(s0, s0 + sz):
+            si = None
+            for j in range(i + 1, s0 + sz):
+                key = (int(ids[i]), int(ids[j]))
+                if key[0] == key[1] or key in seen:
+                    continue
+                seen.add(key)
+                if si is None:
+                    si = np.asarray(shingles[i], dtype=np.uint64)
+                sj = np.asarray(shingles[j], dtype=np.uint64)
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
+                union = len(si) + len(sj) - inter
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    out_a.append(key[0])
+                    out_b.append(key[1])
+                    out_j.append(jac)
+    if not out_a:
+        return empty
     return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jaccard": out_j})
 
 
@@ -179,26 +251,29 @@ def minhash_lsh_pairs(
     Returns a Dataset of (doc_a, doc_b, jaccard), doc_a < doc_b, deduplicated
     across bands. Shuffle volume: bands x (few hundred bytes) per doc.
     """
+    from ..util import cached_stage
+
     rows = num_hashes // bands
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(num_hashes, shingle_k, id_col, text_col),
+        cached_stage(MinHasher, num_hashes, shingle_k, id_col, text_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
-    banded = sigs.map_batches(
-        lambda b: _band_batch(b, bands, rows), batch_format="pyarrow"
-    )
-    pairs = banded.groupby("bucket").map_groups(
+    def band_and_key(b: pa.Table) -> pa.Table:
+        t = _band_batch(b, bands, rows)
+        coarse = t.column("bucket").to_numpy() % _NUM_COARSE_GROUPS
+        return t.append_column("coarse", pa.array(coarse.astype(np.int64)))
+
+    banded = sigs.map_batches(band_and_key, batch_format="pyarrow")
+    pairs = banded.groupby("coarse").map_groups(
         lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
     )
 
-    # a pair can surface from several bands -> distinct
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
+    # a pair can surface from several bands -> distinct (jaccard identical
+    # across bands, so a builtin min-aggregate dedups without map_groups)
+    out = pairs.groupby(["doc_a", "doc_b"]).min("jaccard")
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "jaccard"]),
+        batch_format="pyarrow",
     )
 
 
@@ -267,6 +342,8 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col="doc_id", text_col="text"):
 
     banded = sigs.map_batches(band, batch_format="pyarrow")
     cand = banded.groupby("bkey").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    out = cand.groupby(["doc_a", "doc_b"]).min("hamming")
+    return out.map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "hamming"]),
+        batch_format="pyarrow",
     )

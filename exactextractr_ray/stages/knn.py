@@ -83,12 +83,17 @@ def knn_cosine(
     Returns a Dataset of (query_id, neighbor_id, rank, sim) with rank 1..k,
     ordered deterministically by (-sim, neighbor_id) within each query.
     """
-    queries_ref = ray.put((np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix, dtype=np.float64)))
+    from ..util import cached_stage
+
+    queries_ref = ray.put(
+        (np.asarray(query_ids, dtype=np.int64), np.asarray(query_matrix, dtype=np.float64))
+    )
     cand = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(queries_ref, k + (1 if exclude_self else 0), id_col, vec_col),
+        cached_stage(
+            BruteForceTopK, queries_ref, k + (1 if exclude_self else 0), id_col, vec_col
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        batch_size=8192,
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:

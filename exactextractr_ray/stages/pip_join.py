@@ -53,6 +53,33 @@ def point_in_parts(px: np.ndarray, py: np.ndarray, parts: list[dict]) -> np.ndar
     return inside
 
 
+def winding_number(px: np.ndarray, py: np.ndarray, parts: list[dict]) -> np.ndarray:
+    """Signed winding number per point (rings as normalized by wkbio: shells
+    CCW -> +1, holes CW -> -1; self-overlapping shells accumulate, matching
+    the coverage kernel's >1 semantics)."""
+    w = np.zeros(len(px), dtype=np.int64)
+    for part in parts:
+        if part["type"] != "Polygon":
+            continue
+        for ring in part["rings"]:
+            x0, y0 = ring[:-1, 0], ring[:-1, 1]
+            x1, y1 = ring[1:, 0], ring[1:, 1]
+            dy = y1 - y0
+            valid = dy != 0.0
+            x0v, y0v, x1v, y1v, dyv = x0[valid], y0[valid], x1[valid], y1[valid], dy[valid]
+            up = dyv > 0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xint = x0v[None, :] + (py[:, None] - y0v[None, :]) * (
+                    x1v[None, :] - x0v[None, :]
+                ) / dyv[None, :]
+            left = px[:, None] < xint
+            upcross = (y0v[None, :] <= py[:, None]) & (py[:, None] < y1v[None, :])
+            dncross = (y1v[None, :] <= py[:, None]) & (py[:, None] < y0v[None, :])
+            w += (upcross & up[None, :] & left).sum(axis=1)
+            w -= (dncross & ~up[None, :] & left).sum(axis=1)
+    return w
+
+
 class _BucketIndex:
     """Coarse uniform-grid envelope index over a ZoneSet (per-actor state)."""
 
@@ -143,13 +170,27 @@ class PIPJoinZones:
         return out.append_column("zone_id", pa.array(zids[order], type=pa.int64()))
 
 
-def pip_join(ds, zones: pa.Table, lon_col="lon", lat_col="lat", concurrency=None):
+def pip_join(
+    ds, zones: pa.Table, lon_col="lon", lat_col="lat", concurrency=None,
+    actors: bool = False,
+):
     """points Dataset x zones table -> inner spatial join Dataset."""
+    from ..util import cached_stage
+
     zset = parse_zone_table(zones)
     zones_ref = ray.put(zset)
+    # large batches amortize the per-batch bucket bookkeeping; 64k rows of
+    # (id, lon, lat) is ~1.5 MB — far below worker heap limits
+    if actors:
+        return ds.map_batches(
+            PIPJoinZones,
+            fn_constructor_args=(zones_ref, lon_col, lat_col),
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=concurrency or (1, 8),
+        )
     return ds.map_batches(
-        PIPJoinZones,
-        fn_constructor_args=(zones_ref, lon_col, lat_col),
+        cached_stage(PIPJoinZones, zones_ref, lon_col, lat_col),
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        batch_size=65536,
     )
