@@ -134,6 +134,12 @@ def exact_resample(
         batch_format="pyarrow",
         batch_size=None,
     )
+    import ray
+
+    # see zonal.exact_extract: detach the map stage from the shuffle and
+    # coalesce the small partial rows
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    partials = partials.materialize().repartition(ncpu)
     ncol = dst_grid.ncol
 
     def finalize(group: pd.DataFrame) -> pd.DataFrame:

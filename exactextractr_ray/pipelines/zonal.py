@@ -298,6 +298,16 @@ def exact_extract(
             batch_size=None,
         )
 
+    # Materialize the partial-stats rows, then coalesce before the groupby.
+    # Both are safe by design — partials are ~200-byte aggregation states,
+    # orders of magnitude smaller than the tile stream — and both matter:
+    # materializing detaches the map stage from the all-to-all (the streaming
+    # executor throttles map tasks feeding a pending shuffle: 3.4x slower
+    # measured), and coalescing to a CPU-count of blocks keeps the sort
+    # shuffle out of the tiny-object regime.
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    partials = partials.materialize().repartition(ncpu)
+
     quantiles = quantiles or [0.5]
 
     def finalize(group: pd.DataFrame) -> pd.DataFrame:

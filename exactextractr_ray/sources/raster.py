@@ -84,9 +84,10 @@ def tile_batch(
         row0, col0 = ty * tile_h, tx * tile_w
         th = min(tile_h, grid.nrow - row0)
         tw = min(tile_w, grid.ncol - col0)
-        rr, cc = np.meshgrid(
-            np.arange(row0, row0 + th), np.arange(col0, col0 + tw), indexing="ij"
-        )
+        # broadcast views (no materialized meshgrid): layer fns exploit the
+        # separable row/col structure for cheap modular generation
+        rr = np.broadcast_to(np.arange(row0, row0 + th)[:, None], (th, tw))
+        cc = np.broadcast_to(np.arange(col0, col0 + tw)[None, :], (th, tw))
         for layer, fn in layer_fns.items():
             vals = np.asarray(fn(rr, cc), dtype=np.float64).ravel()
             out["layer"].append(layer)
@@ -141,11 +142,27 @@ def synthetic_raster_dataset(
     tiles_x = (n + tile - 1) // tile
     tiles_y = (n + tile - 1) // tile
     num_tiles = tiles_x * tiles_y
+    if parallelism is None:
+        # enough blocks for load balance (spatially-adjacent tiles do very
+        # different amounts of zonal work; the id shuffle below spreads the
+        # heavy ones), but proportional to cluster size so task-launch
+        # overhead doesn't dominate on small clusters
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            ncpu = 8
+        parallelism = max(1, min(num_tiles, 16 * ncpu))
     ids = ray.data.range(num_tiles, override_num_blocks=parallelism)
     layer_fns = {k: _SYNTH_LAYER_FNS[k] for k in layers}
 
     def make_tiles(batch: pa.Table) -> pa.Table:
         tile_ids = batch.column("id").to_numpy()
+        # deterministic decorrelating permutation of tile ids (odd multiplier
+        # mod num_tiles is a bijection when gcd(mult, num_tiles) == 1)
+        mult = 2654435761
+        while np.gcd(mult, num_tiles) != 1:
+            mult += 2
+        tile_ids = (tile_ids * mult) % num_tiles
         return tile_batch(grid, tile, tile, tile_ids, layer_fns)
 
     ds = ids.map_batches(make_tiles, batch_format="pyarrow")

@@ -179,18 +179,19 @@ def pip_join(
 
     zset = parse_zone_table(zones)
     zones_ref = ray.put(zset)
-    # large batches amortize the per-batch bucket bookkeeping; 64k rows of
-    # (id, lon, lat) is ~1.5 MB — far below worker heap limits
+    # batch_size=None: process whole blocks — point rows are ~24 bytes so
+    # even multi-million-row blocks are small, and Ray's batch re-slicing +
+    # output concatenation costs ~2x throughput when enabled (measured)
     if actors:
         return ds.map_batches(
             PIPJoinZones,
             fn_constructor_args=(zones_ref, lon_col, lat_col),
             batch_format="pyarrow",
-            batch_size=65536,
+            batch_size=None,
             concurrency=concurrency or (1, 8),
         )
     return ds.map_batches(
         cached_stage(PIPJoinZones, zones_ref, lon_col, lat_col),
         batch_format="pyarrow",
-        batch_size=65536,
+        batch_size=None,
     )

@@ -134,44 +134,72 @@ class RasterStats:
     ) -> None:
         """Vectorized equivalent of repeated process_value calls
         (raster_stats.h:113-139). NaN values are NODATA and skipped; NaN
-        weights poison the weighted sums."""
-        values = np.asarray(values, dtype=np.float64).ravel()
-        cov = np.asarray(cov, dtype=np.float64).ravel()
-        m = (cov > 0.0) & ~np.isnan(values)
-        if not np.any(m):
+        weights poison the weighted sums.
+
+        Implemented with where-masked whole-array kernels (no boolean-index
+        copies) and moment-form batch variance feeding the Chan merge — the
+        stage is memory-bandwidth-bound at high core counts, so array passes
+        are the cost model."""
+        v = np.asarray(values, dtype=np.float64).ravel()
+        c = np.asarray(cov, dtype=np.float64).ravel()
+        nan = np.isnan(v)
+        cm = np.where(nan | (c <= 0.0), 0.0, c)
+        W = float(np.sum(cm))
+        if W <= 0.0:
             return
-        x = values[m]
-        c = cov[m]
-        self.sum_ci += float(np.sum(c))
-        self.sum_xici += float(np.sum(x * c))
-        self.sum_x2ci += float(np.sum(x * x * c))
-        self.var.process_batch(x, c)
-        self.min = min(self.min, float(np.min(x)))
-        self.max = max(self.max, float(np.max(x)))
+        v0 = np.where(nan, 0.0, v)
+        # BLAS dot / single-pass einsum: no materialized product temporaries
+        s1 = float(np.dot(v0, cm))
+        s2 = float(np.einsum("i,i,i->", v0, v0, cm))
+        self.sum_ci += W
+        self.sum_xici += s1
+        self.sum_x2ci += s2
+        mu = s1 / W
+        self.var.merge(VarState(W, mu, max(0.0, s2 - s1 * mu)))
+        vm = np.where(cm > 0.0, v, np.nan)
+        self.min = min(self.min, float(np.nanmin(vm)))
+        self.max = max(self.max, float(np.nanmax(vm)))
 
         if weights is None:
-            ciwi = c
+            ciwi = cm
+            ws1, ws2, WW = s1, s2, W
+            self.sum_ciwi += W
+            self.sum_xiciwi += s1
+            self.sum_x2ciwi += s2
         else:
-            w = np.asarray(weights, dtype=np.float64).ravel()[m]
-            ciwi = c * w
-        self.sum_ciwi += float(np.sum(ciwi))
-        self.sum_xiciwi += float(np.sum(x * ciwi))
-        self.sum_x2ciwi += float(np.sum(x * x * ciwi))
-        # NaN ciwi entries poison the weighted variance too, matching the
+            w = np.asarray(weights, dtype=np.float64).ravel()
+            # zero out excluded cells BEFORE multiplying so a NaN weight on an
+            # excluded cell cannot poison the sums (0 * nan = nan otherwise)
+            wm = np.where(cm > 0.0, w, 0.0)
+            ciwi = cm * wm
+            WW = float(np.sum(ciwi))
+            ws1 = float(np.dot(v0, ciwi))
+            ws2 = float(np.einsum("i,i,i->", v0, v0, ciwi))
+            self.sum_ciwi += WW
+            self.sum_xiciwi += ws1
+            self.sum_x2ciwi += ws2
+        # NaN moments poison the weighted variance too, matching the
         # reference where process(x, nan) corrupts the accumulator
-        self.wvar.process_batch(x, ciwi)
+        if WW != 0.0:
+            wmu = ws1 / WW
+            t = ws2 - ws1 * wmu
+            self.wvar.merge(VarState(WW, wmu, t if t == t and t > 0.0 else (t if t != t else 0.0)))
 
         if self.store_values:
+            m = cm > 0.0
+            x = v[m]
+            cc = cm[m]
+            cw = ciwi[m]
             uq, inv = np.unique(x, return_inverse=True)
-            csum = np.bincount(inv, weights=c, minlength=len(uq))
-            wsum = np.bincount(inv, weights=ciwi, minlength=len(uq))
-            for v, cs, ws in zip(uq.tolist(), csum.tolist(), wsum.tolist()):
-                ent = self.freq.get(v)
+            csum = np.bincount(inv, weights=cc, minlength=len(uq))
+            wsum = np.bincount(inv, weights=cw, minlength=len(uq))
+            for val, cs, wsv in zip(uq.tolist(), csum.tolist(), wsum.tolist()):
+                ent = self.freq.get(val)
                 if ent is None:
-                    self.freq[v] = [cs, ws]
+                    self.freq[val] = [cs, wsv]
                 else:
                     ent[0] += cs
-                    ent[1] += ws
+                    ent[1] += wsv
 
     def merge(self, other: "RasterStats") -> None:
         self.sum_ci += other.sum_ci

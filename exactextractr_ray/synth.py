@@ -32,9 +32,19 @@ W_A, W_B, W_MOD = 13, 29, 7  # weight layer = (r*A + c*B) % MOD + 1
 
 def synth_values(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     """Integer-valued raster with deterministic NODATA holes. rows/cols are
-    GLOBAL (grid-level) indices; row 0 at the top."""
+    GLOBAL (grid-level) indices; row 0 at the top. Identical math to
+    synth_value_sql (mod distributes over the sum)."""
     r = np.asarray(rows, dtype=np.int64)
     c = np.asarray(cols, dtype=np.int64)
+    if r.ndim == 2 and r.shape == c.shape:
+        # broadcast-friendly: per-row / per-col partial products stay small
+        rv = (r[:, :1] * VAL_A) % VAL_MOD
+        cv = (c[:1, :] * VAL_B) % VAL_MOD
+        v = ((rv + cv) % VAL_MOD).astype(np.float64)
+        rn = (r[:, :1] * NA_A) % NA_MOD
+        cn = (c[:1, :] * NA_B) % NA_MOD
+        v[(rn + cn) % NA_MOD == 0] = np.nan
+        return v
     v = ((r * VAL_A + c * VAL_B) % VAL_MOD).astype(np.float64)
     v[(r * NA_A + c * NA_B) % NA_MOD == 0] = np.nan
     return v
@@ -43,6 +53,10 @@ def synth_values(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
 def synth_weights(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
     r = np.asarray(rows, dtype=np.int64)
     c = np.asarray(cols, dtype=np.int64)
+    if r.ndim == 2 and r.shape == c.shape:
+        rw = (r[:, :1] * W_A) % W_MOD
+        cw = (c[:1, :] * W_B) % W_MOD
+        return ((rw + cw) % W_MOD + 1).astype(np.float64)
     return ((r * W_A + c * W_B) % W_MOD + 1).astype(np.float64)
 
 
