@@ -1,0 +1,93 @@
+"""Resumable partitioned output: lineage manifest, crash recovery,
+fingerprint invalidation."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return None
+
+
+def _factory_calls(tmp_path):
+    calls = []
+
+    def factory(key, spec):
+        import ray.data
+
+        calls.append(key)
+        lo, hi = spec
+        return ray.data.range(hi - lo).map_batches(
+            lambda b, lo=lo: pd.DataFrame(
+                {"x": b["id"] + lo, "sq": (b["id"] + lo) ** 2}
+            ),
+            batch_format="pandas",
+        )
+
+    return factory, calls
+
+
+def test_resumable_write_and_resume(_ray, tmp_path):
+    from exactextractr_ray.state.lineage import (
+        LineageManifest,
+        read_resumable,
+        resumable_write,
+    )
+
+    out = str(tmp_path / "out")
+    parts = {"p0": (0, 100), "p1": (100, 200), "p2": (200, 300)}
+    factory, calls = _factory_calls(tmp_path)
+
+    res = resumable_write(out, "squares", parts, factory, lambda k, s: f"v1:{s}")
+    assert res["written"] == ["p0", "p1", "p2"] and res["skipped"] == []
+    assert sorted(calls) == ["p0", "p1", "p2"]
+
+    # resume: nothing recomputed
+    calls.clear()
+    res2 = resumable_write(out, "squares", parts, factory, lambda k, s: f"v1:{s}")
+    assert res2["written"] == [] and sorted(res2["skipped"]) == ["p0", "p1", "p2"]
+    assert calls == []
+
+    df = read_resumable(out).to_pandas().sort_values("x").reset_index(drop=True)
+    assert len(df) == 300
+    assert (df["sq"] == df["x"] ** 2).all()
+
+    # lineage records carry metrics
+    recs = LineageManifest(out, "squares").records()
+    assert len(recs) == 3
+    assert all(r["metrics"]["rows"] == 100 for r in recs)
+
+
+def test_crash_partition_redone(_ray, tmp_path):
+    from exactextractr_ray.state.lineage import resumable_write
+
+    out = str(tmp_path / "out")
+    parts = {"a": (0, 50), "b": (50, 100)}
+    factory, calls = _factory_calls(tmp_path)
+    resumable_write(out, "s", parts, factory, "fp")
+
+    # simulate a crash that wrote data but died before the manifest commit
+    os.remove(os.path.join(out, "_manifest", "b.json"))
+    calls.clear()
+    res = resumable_write(out, "s", parts, factory, "fp")
+    assert res["written"] == ["b"] and res["skipped"] == ["a"]
+    assert calls == ["b"]
+
+
+def test_fingerprint_invalidation(_ray, tmp_path):
+    from exactextractr_ray.state.lineage import resumable_write
+
+    out = str(tmp_path / "out")
+    parts = {"a": (0, 10)}
+    factory, calls = _factory_calls(tmp_path)
+    resumable_write(out, "s", parts, factory, "input-v1")
+    calls.clear()
+    # same key, changed input -> recompute
+    res = resumable_write(out, "s", parts, factory, "input-v2")
+    assert res["written"] == ["a"]
+    assert calls == ["a"]
