@@ -12,16 +12,27 @@ broadcast the feature set, merge partial stats per feature"):
 2. ``tiles.map_batches(ZonalPartialStats)`` — for each tile, envelope-probe
    the broadcast zones, compute exact coverage on the (tile ∩ zone-envelope)
    subgrid with the vectorized kernel, and emit ONE partial-stats row per
-   (zone, tile): the wide data (cell values) never leaves the task, only
-   ~200-byte aggregation states shuffle. A zone spanning 10^6 tiles is
-   naturally decomposed into 10^6 independent work items (the skew story of
-   SURVEY.md §4.3);
+   (zone, tile, layer-pair): the wide data (cell values) never leaves the
+   task, only ~250-byte aggregation states shuffle. A zone spanning 10^6
+   tiles is naturally decomposed into 10^6 independent work items (the skew
+   story of SURVEY.md §4.3). Tiles that no zone-boundary edge crosses are
+   uniformly covered and reuse one cached full-tile stat (the tile-granular
+   analog of the reference's FloodFill, floodfill.h:62-131);
 3. ``groupby("zone_id")`` over partial rows + per-group merge in sorted
    tile_id order (deterministic at any parallelism), then finalize into stat
-   columns;
+   columns named by the reference's rules
+   (/root/reference/R/exact_extract_helpers.R:28-152: layer recycling,
+   ``{stat}.{value_layer}.{weight_layer}`` suffixing, q%02d, frac_{v});
 4. zones that touched nothing get NaN rows, and the output is ordered by
    input zone order (zone_seq), matching the reference's ordering contract
    (/root/reference/R/exact_extract.R:87-89).
+
+Multi-layer semantics: value × weight stacks recycle pairwise (n×n, 1×n,
+n×1; n×m rejected) exactly as .valueWeightIndexes
+(/root/reference/R/exact_extract_helpers.R:133-152). ``weights='area'``
+builds a per-cell area raster (constant for 'cartesian', per-latitude-band
+spherical for 'spherical' with R=6378137 — raster_area.h:21-69);
+``coverage_area=True`` multiplies coverage fractions by cell area.
 """
 
 from __future__ import annotations
@@ -40,56 +51,119 @@ from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats
 from ..coverage import coverage_matrix
 from ..util import cached_stage
 
+EARTH_RADIUS = 6378137.0
+_PI_180 = math.pi / 180.0
 
-def _quantile_colname(q: float) -> str:
-    """q=0.25 -> 'q25', mirroring .quantileColNames
-    (/root/reference/R/exact_extract_helpers.R:39-49)."""
-    pct = 100 * q
-    if abs(pct - round(pct)) < 1e-9:
-        return f"q{int(round(pct)):02d}"
-    return ("q%s" % pct).replace(".", "_")
+WEIGHTED_STATS = {
+    "weighted_mean",
+    "weighted_sum",
+    "weighted_frac",
+    "weighted_stdev",
+    "weighted_variance",
+}
 
 
-def expand_stat_columns(stats: list[str], quantiles: list[float] | None) -> list[str]:
-    cols: list[str] = []
-    for s in stats:
-        if s == "quantile":
-            cols.extend(_quantile_colname(q) for q in (quantiles or [0.5]))
-        else:
-            cols.append(s)
-    return cols
+def spherical_band_areas(grid: Grid, row0: int, nrows: int) -> np.ndarray:
+    """Per-row spherical cell areas (m^2), R=6378137 — the reference's
+    SphericalAreaRaster (/root/reference/src/exactextract/src/raster_area.h:38-69)."""
+    rows = np.arange(row0, row0 + nrows)
+    y = grid.ymax - (rows + 0.5) * grid.dy
+    ymin = y - 0.5 * grid.dy
+    ymax = y + 0.5 * grid.dy
+    return (
+        EARTH_RADIUS
+        * EARTH_RADIUS
+        * _PI_180
+        * np.abs(np.sin(ymin * _PI_180) - np.sin(ymax * _PI_180))
+        * grid.dx
+    )
+
+
+def cell_area_matrix(grid: Grid, row0: int, nrows: int, ncols: int, method: str) -> np.ndarray:
+    if method == "spherical":
+        return np.broadcast_to(
+            spherical_band_areas(grid, row0, nrows)[:, None], (nrows, ncols)
+        )
+    return np.full((nrows, ncols), grid.dx * grid.dy)
+
+
+def value_weight_indexes(num_values: int, num_weights: int):
+    """Layer recycling (.valueWeightIndexes, exact_extract_helpers.R:133-152)."""
+    if num_weights == 0:
+        return list(range(num_values)), [None] * num_values
+    if num_values == num_weights:
+        return list(range(num_values)), list(range(num_weights))
+    if num_values == 1 and num_weights > 1:
+        return [0] * num_weights, list(range(num_weights))
+    if num_values > 1 and num_weights == 1:
+        return list(range(num_values)), [0] * num_values
+    raise ValueError(
+        "value and weight layer counts must be n/n, 1/n, or n/1 "
+        f"(got {num_values}/{num_weights})"
+    )
+
+
+def _quantile_part(q: float) -> str:
+    """sprintf('q%02d', as.integer(100*q)) — truncation, not rounding
+    (exact_extract_helpers.R:99)."""
+    return f"q{int(100 * q):02d}"
+
+
+def _frac_part(stat: str, v: float) -> str:
+    sv = str(int(v)) if float(v).is_integer() else str(v)
+    return f"{stat}_{sv}"
+
+
+def make_colname(
+    stat: str,
+    value_name: str,
+    weight_name: str | None,
+    fun_value,
+    full_colnames: bool,
+    nvalues: int,
+    nweights: int,
+) -> str:
+    """.makeColname (exact_extract_helpers.R:95-115)."""
+    if stat == "quantile":
+        ret = _quantile_part(fun_value)
+    elif stat in ("frac", "weighted_frac"):
+        ret = _frac_part(stat, fun_value)
+    else:
+        ret = stat
+    if full_colnames or nvalues > 1:
+        ret = f"{ret}.{value_name}"
+    include_weight = stat in WEIGHTED_STATS or stat == "fun"
+    if weight_name is not None and include_weight and (
+        (full_colnames and nweights > 0) or nweights > 1
+    ):
+        ret = f"{ret}.{weight_name}"
+    return ret
 
 
 class ZonalPartialStats:
-    """Actor-pool map_batches stage: tile batches -> partial-stats rows.
-
-    Stateful setup (zone parse + per-zone edge bounding boxes) happens once
-    per actor in __init__; __call__ only does vectorized per-tile work.
-
-    Fast path — the tile-granular analog of the reference's FloodFill
-    (/root/reference/src/exactextract/src/floodfill.h:62-131): a tile that no
-    zone-boundary edge crosses is uniformly inside (coverage 1 everywhere) or
-    uniformly outside (skip) a zone, decided by one point-in-polygon test of
-    the tile center. Uniform-inside tiles reuse ONE cached full-tile stat per
-    tile instead of an O(cells) pass per (zone, tile) pair — for large zones
-    this removes almost all interior work, exactly like the reference's
-    traversal touching only boundary cells.
-    """
+    """map_batches stage: tile batches -> partial-stats rows, one per
+    (zone, tile, value/weight layer pair)."""
 
     def __init__(
         self,
         zones_ref,
         grid_dict: dict,
         store_values: bool,
-        value_layer: str = "value",
-        weight_layer: str | None = None,
+        pairs: list[tuple[str, str | None]],
+        coverage_area: bool = False,
+        area_method: str = "cartesian",
+        default_value: float | None = None,
+        default_weight: float | None = None,
     ):
         zones = ray.get(zones_ref) if not isinstance(zones_ref, ZoneSet) else zones_ref
         self.zones = zones
         self.grid = Grid.from_dict(grid_dict)
         self.store_values = store_values
-        self.value_layer = value_layer
-        self.weight_layer = weight_layer
+        self.pairs = pairs
+        self.coverage_area = coverage_area
+        self.area_method = area_method
+        self.default_value = default_value
+        self.default_weight = default_weight
         # per-zone edge bounding boxes for the boundary-crossing test
         self._edge_bboxes: list[np.ndarray] = []
         for parts in zones.parts:
@@ -109,14 +183,11 @@ class ZonalPartialStats:
                             ]
                         )
                     )
-            self._edge_bboxes.append(
-                np.vstack(boxes) if boxes else np.empty((0, 4))
-            )
+            self._edge_bboxes.append(np.vstack(boxes) if boxes else np.empty((0, 4)))
 
     def _classify(self, zi: int, box: Box) -> int:
-        """-1 if any ring edge bbox overlaps the tile box (boundary tile),
-        else the uniform winding number (0 = outside, k>=1 = covered k times
-        — k>1 for self-overlapping multipolygons)."""
+        """-1 = boundary tile; else the uniform winding number (0 outside,
+        k >= 1 covered k times — k > 1 for self-overlapping multipolygons)."""
         eb = self._edge_bboxes[zi]
         if len(eb):
             hit = (
@@ -133,6 +204,15 @@ class ZonalPartialStats:
         cy = np.array([(box.ymin + box.ymax) * 0.5])
         return int(winding_number(cx, cy, self.zones.parts[zi])[0])
 
+    def _fill(self, arr: np.ndarray, default: float | None) -> np.ndarray:
+        """default_value/default_weight NA substitution
+        (/root/reference/src/s4_raster_source.h:84-90)."""
+        if default is None:
+            return arr
+        out = arr.copy()
+        out[np.isnan(out)] = default
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         layers = batch.column("layer").to_pylist()
         tile_ids = batch.column("tile_id").to_numpy()
@@ -142,44 +222,68 @@ class ZonalPartialStats:
         tws = batch.column("tw").to_numpy()
         values_col = batch.column("values")
 
-        # locate the weight row for each tile in this batch (if weighted)
-        weight_rows: dict[int, int] = {}
-        if self.weight_layer is not None:
-            for i, lay in enumerate(layers):
-                if lay == self.weight_layer:
-                    weight_rows[int(tile_ids[i])] = i
+        # row index per (tile, layer) in this batch
+        layer_rows: dict[tuple[int, str], int] = {
+            (int(tile_ids[i]), lay): i for i, lay in enumerate(layers)
+        }
+        needed_layers = {p[0] for p in self.pairs} | {
+            p[1] for p in self.pairs if p[1] not in (None, "area")
+        }
+        seen_tiles: list[int] = []
+        seen = set()
+        for i, lay in enumerate(layers):
+            t = int(tile_ids[i])
+            if t not in seen:
+                seen.add(t)
+                seen_tiles.append(t)
 
         out_rows: list[dict] = []
-        for i, lay in enumerate(layers):
-            if lay != self.value_layer:
+        for tid in seen_tiles:
+            i0 = layer_rows.get((tid, self.pairs[0][0]))
+            if i0 is None:
                 continue
-            tid = int(tile_ids[i])
-            row0, col0, th, tw = int(row0s[i]), int(col0s[i]), int(ths[i]), int(tws[i])
+            row0, col0, th, tw = (
+                int(row0s[i0]),
+                int(col0s[i0]),
+                int(ths[i0]),
+                int(tws[i0]),
+            )
             tile_grid = self.grid.subgrid(row0, col0, th, tw)
             zidx = self.zones.intersecting(tile_grid.extent)
             if len(zidx) == 0:
                 continue
-            vals = None
-            wvals = None
-            full_tile_row = None  # cached full-coverage stats for this tile
 
-            def load_values():
-                nonlocal vals, wvals
-                if vals is None:
-                    vals = np.asarray(
-                        values_col[i].values, dtype=np.float64
-                    ).reshape(th, tw)
-                    if self.weight_layer is not None:
-                        wi = weight_rows.get(tid)
-                        if wi is None:
-                            raise ValueError(
-                                f"weight layer {self.weight_layer!r} for tile "
-                                f"{tid} not in the same block as its value layer"
+            loaded: dict[str, np.ndarray] = {}
+
+            def get_layer(name: str) -> np.ndarray:
+                arr = loaded.get(name)
+                if arr is None:
+                    if name == "area":
+                        arr = np.asarray(
+                            cell_area_matrix(
+                                self.grid, row0, th, tw, self.area_method
                             )
-                        wvals = np.asarray(
-                            values_col[wi].values, dtype=np.float64
+                        )
+                    else:
+                        ri = layer_rows.get((tid, name))
+                        if ri is None:
+                            raise ValueError(
+                                f"layer {name!r} for tile {tid} not in the "
+                                "same block as its value layer"
+                            )
+                        arr = np.asarray(
+                            values_col[ri].values, dtype=np.float64
                         ).reshape(th, tw)
+                    loaded[name] = arr
+                return arr
 
+            cov_scale = None
+            if self.coverage_area:
+                cov_scale = cell_area_matrix(
+                    self.grid, row0, th, tw, self.area_method
+                )
+
+            full_tile_rows: dict[int, dict] = {}  # pair_idx -> cached row
             for zi in zidx:
                 e = self.zones.envelopes[zi]
                 zbox = Box(e[0], e[1], e[2], e[3])
@@ -190,18 +294,31 @@ class ZonalPartialStats:
                 )
                 if kind == 0:
                     continue
-                load_values()
                 if kind >= 1:
-                    if full_tile_row is None:
-                        st = RasterStats(store_values=self.store_values)
-                        st.process(vals, np.ones((th, tw)), wvals)
-                        full_tile_row = st.to_row()
-                    if kind == 1:
-                        row = dict(full_tile_row)
-                    else:
-                        st = RasterStats(store_values=self.store_values)
-                        st.process(vals, np.full((th, tw), float(kind)), wvals)
-                        row = st.to_row()
+                    cov_full = None
+                    for pi, (vlay, wlay) in enumerate(self.pairs):
+                        if kind == 1 and pi in full_tile_rows:
+                            row = dict(full_tile_rows[pi])
+                        else:
+                            if cov_full is None:
+                                cov_full = np.full((th, tw), float(kind))
+                                if cov_scale is not None:
+                                    cov_full = cov_full * cov_scale
+                            vals = self._fill(get_layer(vlay), self.default_value)
+                            ws = (
+                                self._fill(get_layer(wlay), self.default_weight)
+                                if wlay is not None
+                                else None
+                            )
+                            st = RasterStats(store_values=self.store_values)
+                            st.process(vals, cov_full, ws)
+                            row = st.to_row()
+                            if kind == 1:
+                                full_tile_rows[pi] = dict(row)
+                        row["zone_id"] = int(self.zones.zone_ids[zi])
+                        row["tile_id"] = tid
+                        row["pair_idx"] = pi
+                        out_rows.append(row)
                 else:
                     sub = tile_grid.crop_to_box(zbox)
                     if sub.empty():
@@ -211,18 +328,24 @@ class ZonalPartialStats:
                         continue
                     r0 = sub.row_offset(tile_grid)
                     c0 = sub.col_offset(tile_grid)
-                    vs = vals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
-                    ws = (
-                        wvals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
-                        if wvals is not None
-                        else None
-                    )
-                    st = RasterStats(store_values=self.store_values)
-                    st.process(vs, cov, ws)
-                    row = st.to_row()
-                row["zone_id"] = int(self.zones.zone_ids[zi])
-                row["tile_id"] = tid
-                out_rows.append(row)
+                    if cov_scale is not None:
+                        cov = cov * cov_scale[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
+                    for pi, (vlay, wlay) in enumerate(self.pairs):
+                        vals = self._fill(get_layer(vlay), self.default_value)[
+                            r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
+                        ]
+                        ws = None
+                        if wlay is not None:
+                            ws = self._fill(get_layer(wlay), self.default_weight)[
+                                r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
+                            ]
+                        st = RasterStats(store_values=self.store_values)
+                        st.process(vals, cov, ws)
+                        row = st.to_row()
+                        row["zone_id"] = int(self.zones.zone_ids[zi])
+                        row["tile_id"] = tid
+                        row["pair_idx"] = pi
+                        out_rows.append(row)
 
         if not out_rows:
             return _empty_partial_table()
@@ -230,7 +353,11 @@ class ZonalPartialStats:
 
 
 def _partial_schema() -> pa.Schema:
-    fields = [("zone_id", pa.int64()), ("tile_id", pa.int64())]
+    fields = [
+        ("zone_id", pa.int64()),
+        ("tile_id", pa.int64()),
+        ("pair_idx", pa.int32()),
+    ]
     for c in PARTIAL_COLUMNS:
         if c.startswith("freq_"):
             fields.append((c, pa.list_(pa.float64())))
@@ -252,25 +379,55 @@ def merge_partial_group(df: pd.DataFrame, store_values: bool) -> RasterStats:
     return merged
 
 
+def expand_stat_columns(stats: list[str], quantiles: list[float] | None) -> list[str]:
+    cols: list[str] = []
+    for s in stats:
+        if s == "quantile":
+            cols.extend(_quantile_part(q) for q in (quantiles or [0.5]))
+        else:
+            cols.append(s)
+    return cols
+
+
 def exact_extract(
     raster,
     zones: pa.Table,
     stats: list[str],
-    value_layer: str = "value",
-    weight_layer: str | None = None,
+    value_layer="value",
+    weight_layer=None,
     quantiles: list[float] | None = None,
     include_cols: list[str] | None = None,
+    coverage_area: bool = False,
+    area_method: str = "cartesian",
+    default_value: float | None = None,
+    default_weight: float | None = None,
+    full_colnames: bool = False,
+    colname_fun=None,
     concurrency: int | None = None,
     actors: bool = False,
 ) -> pa.Table:
-    """Named-stats zonal statistics; returns one row per zone in input order.
+    """Named-stats zonal statistics; one row per zone in input order.
 
-    ``raster``: a sources.raster.RasterDataset. ``zones``: Arrow table with
-    zone_id / geom_wkb (+ zone_seq, extra attribute columns). ``stats``: any
-    of stats.ALL_STATS; 'quantile' expands via ``quantiles``; 'frac' /
-    'weighted_frac' expand into one column per observed value across all
-    zones with 0.0 defaults (/root/reference/R/exact_extract.R:533-569).
+    ``value_layer`` / ``weight_layer`` may be a single layer name or a list
+    (stacks recycle pairwise); ``weight_layer='area'`` weights by cell area.
+    'frac'/'weighted_frac' expand into one column per observed value across
+    all zones with 0.0 defaults (/root/reference/R/exact_extract.R:533-569).
     """
+    value_names = [value_layer] if isinstance(value_layer, str) else list(value_layer)
+    if weight_layer is None:
+        weight_names: list[str] = []
+    elif isinstance(weight_layer, str):
+        weight_names = [weight_layer]
+    else:
+        weight_names = list(weight_layer)
+    if any(s in WEIGHTED_STATS for s in stats) and not weight_names:
+        raise ValueError("weighted stat requested but no weight layer given")
+    vi, wi = value_weight_indexes(len(value_names), len(weight_names))
+    pairs = [
+        (value_names[a], (weight_names[b] if b is not None else None))
+        for a, b in zip(vi, wi)
+    ]
+
     zset = parse_zone_table(zones)
     zones_ref = ray.put(zset)
     store_values = bool(STORED_VALUE_STATS & set(stats))
@@ -279,8 +436,11 @@ def exact_extract(
         zones_ref,
         raster.grid.to_dict(),
         store_values,
-        value_layer,
-        weight_layer,
+        pairs,
+        coverage_area,
+        area_method,
+        default_value,
+        default_weight,
     )
     if actors:
         partials = raster.ds.map_batches(
@@ -291,7 +451,6 @@ def exact_extract(
             concurrency=concurrency or (1, 8),
         )
     else:
-        # cached-task mode: instance built once per worker process (util.py)
         partials = raster.ds.map_batches(
             cached_stage(ZonalPartialStats, *stage_args),
             batch_format="pyarrow",
@@ -299,7 +458,7 @@ def exact_extract(
         )
 
     # Materialize the partial-stats rows, then coalesce before the groupby.
-    # Both are safe by design — partials are ~200-byte aggregation states,
+    # Both are safe by design — partials are ~250-byte aggregation states,
     # orders of magnitude smaller than the tile stream — and both matter:
     # materializing detaches the map stage from the all-to-all (the streaming
     # executor throttles map tasks feeding a pending shuffle: 3.4x slower
@@ -309,20 +468,23 @@ def exact_extract(
     partials = partials.materialize().repartition(ncpu)
 
     quantiles = quantiles or [0.5]
+    npairs = len(pairs)
 
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        merged = merge_partial_group(group, store_values)
         out = {"zone_id": [int(group["zone_id"].iloc[0])]}
-        for s in stats:
-            if s == "quantile":
-                for q in quantiles:
-                    out[_quantile_colname(q)] = [merged.quantile(q)]
-            elif s in ("frac", "weighted_frac"):
-                d = merged.result(s)
-                out[f"__{s}_values"] = [list(d.keys())]
-                out[f"__{s}_shares"] = [list(d.values())]
-            else:
-                out[s] = [merged.result(s)]
+        for pi in range(npairs):
+            sub = group[group["pair_idx"] == pi]
+            merged = merge_partial_group(sub, store_values)
+            for s in stats:
+                if s == "quantile":
+                    for q in quantiles:
+                        out[f"__{pi}__q{q}"] = [merged.quantile(q)]
+                elif s in ("frac", "weighted_frac"):
+                    d = merged.result(s)
+                    out[f"__{pi}__{s}_values"] = [list(d.keys())]
+                    out[f"__{pi}__{s}_shares"] = [list(d.values())]
+                else:
+                    out[f"__{pi}__{s}"] = [merged.result(s)]
         return pd.DataFrame(out)
 
     agg = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
@@ -336,45 +498,92 @@ def exact_extract(
         for col in result.columns:
             if col == "zone_id":
                 continue
-            if col.startswith("__"):
+            base = col.split("__", 2)[-1]
+            if base.endswith("_values") or base.endswith("_shares"):
                 pad[col] = [[] for _ in missing]
             else:
                 pad[col] = [
-                    0.0 if col in ("count", "sum", "weighted_sum", "variety") else math.nan
+                    0.0
+                    if base in ("count", "sum", "weighted_sum", "variety")
+                    else math.nan
                 ] * len(missing)
         result = pd.concat([result, pd.DataFrame(pad)], ignore_index=True)
 
-    # frac/weighted_frac: union observed values across zones -> wide columns
-    for s in ("frac", "weighted_frac"):
-        vcol, scol = f"__{s}_values", f"__{s}_shares"
-        if vcol in result.columns:
-            all_vals = sorted({v for lst in result[vcol] for v in lst})
-            for v in all_vals:
-                name = f"{s}_{int(v) if float(v).is_integer() else v}"
-                result[name] = [
-                    dict(zip(vl, sl)).get(v, 0.0)
-                    for vl, sl in zip(result[vcol], result[scol])
-                ]
-            result = result.drop(columns=[vcol, scol])
+    # frac/weighted_frac: union observed values across zones AND pairs
+    unique_values: list[float] = []
+    if store_values and ("frac" in stats or "weighted_frac" in stats):
+        uv = set()
+        for col in result.columns:
+            if col.endswith("_values"):
+                for lst in result[col]:
+                    uv.update(lst)
+        unique_values = sorted(uv)
+
+    # assemble final named columns in reference order: for each pair, each
+    # stat (with quantile/frac expansion)
+    final = pd.DataFrame({"zone_id": result["zone_id"]})
+    nvalues, nweights = len(value_names), len(weight_names)
+    for pi, (vname, wname) in enumerate(pairs):
+        for s in stats:
+            if s == "quantile":
+                for q in quantiles:
+                    name = (
+                        colname_fun or (
+                            lambda **kw: make_colname(
+                                kw["fun_name"], kw["values"], kw["weights"],
+                                kw["fun_value"], full_colnames, nvalues, nweights,
+                            )
+                        )
+                    )(fun_name="quantile", values=vname, weights=wname, fun_value=q,
+                      nvalues=nvalues, nweights=nweights)
+                    final[name] = result[f"__{pi}__q{q}"]
+            elif s in ("frac", "weighted_frac"):
+                for v in unique_values:
+                    name = (
+                        colname_fun or (
+                            lambda **kw: make_colname(
+                                kw["fun_name"], kw["values"], kw["weights"],
+                                kw["fun_value"], full_colnames, nvalues, nweights,
+                            )
+                        )
+                    )(fun_name=s, values=vname, weights=wname, fun_value=v,
+                      nvalues=nvalues, nweights=nweights)
+                    vcol, scol = f"__{pi}__{s}_values", f"__{pi}__{s}_shares"
+                    final[name] = [
+                        dict(zip(vl, sl)).get(v, 0.0)
+                        for vl, sl in zip(result[vcol], result[scol])
+                    ]
+            else:
+                name = (
+                    colname_fun or (
+                        lambda **kw: make_colname(
+                            kw["fun_name"], kw["values"], kw["weights"],
+                            kw["fun_value"], full_colnames, nvalues, nweights,
+                        )
+                    )
+                )(fun_name=s, values=vname, weights=wname, fun_value=None,
+                  nvalues=nvalues, nweights=nweights)
+                final[name] = result[f"__{pi}__{s}"]
 
     # restore input order + attach attribute columns (include_cols analog)
     seq = {int(z): int(s) for z, s in zip(zset.zone_ids, zset.zone_seq)}
-    result["__seq"] = result["zone_id"].map(seq)
-    result = result.sort_values("__seq").drop(columns="__seq").reset_index(drop=True)
+    final["__seq"] = final["zone_id"].map(seq)
+    final = final.sort_values("__seq").drop(columns="__seq").reset_index(drop=True)
     if include_cols:
         zdf = zones.select(["zone_id"] + include_cols).to_pandas()
-        result = result.merge(zdf, on="zone_id", how="left")
-        result = result[
+        final = final.merge(zdf, on="zone_id", how="left")
+        final = final[
             ["zone_id"] + include_cols
-            + [c for c in result.columns if c not in ("zone_id", *include_cols)]
+            + [c for c in final.columns if c not in ("zone_id", *include_cols)]
         ]
-    return pa.Table.from_pandas(result, preserve_index=False)
+    return pa.Table.from_pandas(final, preserve_index=False)
 
 
 class ZonalCellExtract:
     """map_batches stage: tile batches -> per-cell extraction rows
     (the reference's fun=NULL path, /root/reference/src/exact_extract.cpp:46-237:
-    one row per covered cell with value / coverage / optional x, y, cell)."""
+    one row per covered cell with value / coverage / optional x, y, cell,
+    area)."""
 
     def __init__(
         self,
@@ -384,6 +593,11 @@ class ZonalCellExtract:
         weight_layer: str | None,
         include_xy: bool,
         include_cell: bool,
+        include_area: bool = False,
+        area_method: str = "cartesian",
+        coverage_area: bool = False,
+        default_value: float | None = None,
+        default_weight: float | None = None,
     ):
         zones = ray.get(zones_ref) if not isinstance(zones_ref, ZoneSet) else zones_ref
         self.zones = zones
@@ -392,6 +606,11 @@ class ZonalCellExtract:
         self.weight_layer = weight_layer
         self.include_xy = include_xy
         self.include_cell = include_cell
+        self.include_area = include_area
+        self.area_method = area_method
+        self.coverage_area = coverage_area
+        self.default_value = default_value
+        self.default_weight = default_weight
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         layers = batch.column("layer").to_pylist()
@@ -408,6 +627,7 @@ class ZonalCellExtract:
                 if lay == self.weight_layer:
                     weight_rows[int(tile_ids[i])] = i
 
+        cov_name = "coverage_area" if self.coverage_area else "cov"
         chunks: list[dict] = []
         for i, lay in enumerate(layers):
             if lay != self.value_layer:
@@ -419,22 +639,36 @@ class ZonalCellExtract:
             if len(zidx) == 0:
                 continue
             vals = np.asarray(values_col[i].values, dtype=np.float64).reshape(th, tw)
+            if self.default_value is not None:
+                vals = vals.copy()
+                vals[np.isnan(vals)] = self.default_value
             wvals = None
             if self.weight_layer is not None:
                 wi = weight_rows.get(tid)
                 if wi is not None:
-                    wvals = np.asarray(values_col[wi].values, dtype=np.float64).reshape(
-                        th, tw
-                    )
+                    wvals = np.asarray(
+                        values_col[wi].values, dtype=np.float64
+                    ).reshape(th, tw)
+                    if self.default_weight is not None:
+                        wvals = wvals.copy()
+                        wvals[np.isnan(wvals)] = self.default_weight
+            areas = None
+            if self.include_area or self.coverage_area:
+                areas = np.asarray(
+                    cell_area_matrix(self.grid, row0, th, tw, self.area_method)
+                )
             for zi in zidx:
                 cov = coverage_matrix(tile_grid, self.zones.parts[zi])
                 rr, cc = np.nonzero(cov > 0.0)
                 if len(rr) == 0:
                     continue
+                covv = cov[rr, cc]
+                if self.coverage_area:
+                    covv = covv * areas[rr, cc]
                 chunk = {
                     "zone_id": np.full(len(rr), self.zones.zone_ids[zi], dtype=np.int64),
                     "value": vals[rr, cc],
-                    "cov": cov[rr, cc],
+                    cov_name: covv,
                 }
                 if wvals is not None:
                     chunk["weight"] = wvals[rr, cc]
@@ -445,12 +679,16 @@ class ZonalCellExtract:
                     chunk["y"] = self.grid.y_for_row(g_rows)
                 if self.include_cell:
                     chunk["cell"] = self.grid.cell_numbers(g_rows, g_cols)
+                if self.include_area:
+                    chunk["area"] = areas[rr, cc]
                 chunks.append(chunk)
 
         if not chunks:
-            cols = {"zone_id": pa.array([], pa.int64()),
-                    "value": pa.array([], pa.float64()),
-                    "cov": pa.array([], pa.float64())}
+            cols = {
+                "zone_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+                cov_name: pa.array([], pa.float64()),
+            }
             if self.weight_layer is not None:
                 cols["weight"] = pa.array([], pa.float64())
             if self.include_xy:
@@ -458,10 +696,10 @@ class ZonalCellExtract:
                 cols["y"] = pa.array([], pa.float64())
             if self.include_cell:
                 cols["cell"] = pa.array([], pa.int64())
+            if self.include_area:
+                cols["area"] = pa.array([], pa.float64())
             return pa.table(cols)
-        merged = {
-            k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]
-        }
+        merged = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
         return pa.table(merged)
 
 
@@ -472,6 +710,11 @@ def extract_cells(
     weight_layer: str | None = None,
     include_xy: bool = False,
     include_cell: bool = False,
+    include_area: bool = False,
+    area_method: str = "cartesian",
+    coverage_area: bool = False,
+    default_value: float | None = None,
+    default_weight: float | None = None,
     concurrency=None,
 ):
     """Per-cell extraction Dataset: one row per (zone, covered cell).
@@ -490,7 +733,52 @@ def extract_cells(
             weight_layer,
             include_xy,
             include_cell,
+            include_area,
+            area_method,
+            coverage_area,
+            default_value,
+            default_weight,
         ),
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def exact_extract_apply(
+    raster,
+    zones: pa.Table,
+    fn,
+    value_layer: str = "value",
+    weight_layer: str | None = None,
+    include_xy: bool = False,
+    include_cell: bool = False,
+    **kwargs,
+):
+    """The user-summary-function path (fun=... in the reference,
+    /root/reference/R/exact_extract.R:608-765): ``fn`` receives one zone's
+    per-cell pandas frame (value, cov[, weight, x, y, cell]) and returns a
+    scalar-per-column frame; frames concatenate across zones.
+
+    Runs as ``groupby(zone_id).map_groups`` over the streaming per-cell
+    extraction — the UDF sees the same (values, coverage_fraction, weights)
+    triple the reference passes to R functions."""
+    cells = extract_cells(
+        raster,
+        zones,
+        value_layer=value_layer,
+        weight_layer=weight_layer,
+        include_xy=include_xy,
+        include_cell=include_cell,
+        **kwargs,
+    )
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        zone_id = int(group["zone_id"].iloc[0])
+        out = fn(group.drop(columns=["zone_id"]))
+        if np.isscalar(out):
+            out = pd.DataFrame({"result": [out]})
+        out = out.copy()
+        out.insert(0, "zone_id", zone_id)
+        return out
+
+    return cells.groupby("zone_id").map_groups(run, batch_format="pandas")

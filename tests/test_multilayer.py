@@ -1,0 +1,177 @@
+"""Multi-layer stack semantics, column naming conformance, area weighting,
+default_value substitution, UDF apply path — mirroring the reference's
+conformance tests (test_exact_extract.R:792-912 stacks/recycling, :960-1046
+column names, include-area tests)."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from exactextractr_ray import synth, wkbio
+from exactextractr_ray.grid import Grid
+from exactextractr_ray.pipelines.zonal import (
+    exact_extract,
+    exact_extract_apply,
+    make_colname,
+    spherical_band_areas,
+    value_weight_indexes,
+)
+from exactextractr_ray.sources.raster import raster_from_array
+from exactextractr_ray.sources.zones import zone_table
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return None
+
+
+def _two_layer_raster(n=8):
+    g = Grid(0, 0, n, n, 1, 1)
+    a = np.arange(n * n, dtype=float).reshape(n, n)
+    return raster_from_array(
+        a, g, tile=4, layer="a", extra_layers={"b": a * 2.0, "w": np.ones((n, n))}
+    )
+
+
+def test_value_weight_indexes_recycling():
+    # .valueWeightIndexes (exact_extract_helpers.R:133-152)
+    assert value_weight_indexes(2, 0) == ([0, 1], [None, None])
+    assert value_weight_indexes(2, 2) == ([0, 1], [0, 1])
+    assert value_weight_indexes(1, 3) == ([0, 0, 0], [0, 1, 2])
+    assert value_weight_indexes(3, 1) == ([0, 1, 2], [0, 0, 0])
+    with pytest.raises(ValueError):
+        value_weight_indexes(2, 3)
+
+
+def test_colname_rules():
+    # .makeColname (exact_extract_helpers.R:95-115)
+    assert make_colname("mean", "a", None, None, False, 1, 0) == "mean"
+    assert make_colname("mean", "a", None, None, True, 1, 0) == "mean.a"
+    assert make_colname("mean", "a", "w", None, False, 2, 1) == "mean.a"
+    # weight name only for weighted stats, and only when ambiguous
+    assert make_colname("weighted_mean", "a", "w", None, False, 1, 1) == "weighted_mean"
+    assert (
+        make_colname("weighted_mean", "a", "w", None, False, 2, 2)
+        == "weighted_mean.a.w"
+    )
+    assert (
+        make_colname("weighted_mean", "a", "w", None, True, 1, 1)
+        == "weighted_mean.a.w"
+    )
+    # quantile: q%02d with truncation (as.integer)
+    assert make_colname("quantile", "a", None, 0.25, False, 1, 0) == "q25"
+    assert make_colname("quantile", "a", None, 0.125, False, 1, 0) == "q12"
+    assert make_colname("frac", "a", None, 3.0, False, 1, 0) == "frac_3"
+
+
+def test_stack_multilayer_columns(_ray):
+    rd = _two_layer_raster()
+    zones = zone_table([(0, "z", wkbio.rect_wkb(1, 1, 7, 7))])
+    res = exact_extract(
+        rd, zones, ["mean", "sum"], value_layer=["a", "b"]
+    ).to_pandas()
+    assert list(res.columns) == ["zone_id", "mean.a", "sum.a", "mean.b", "sum.b"]
+    assert res["mean.b"].iloc[0] == 2 * res["mean.a"].iloc[0]
+    assert res["sum.b"].iloc[0] == 2 * res["sum.a"].iloc[0]
+
+
+def test_stack_weight_recycling(_ray):
+    rd = _two_layer_raster()
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 8, 8))])
+    res = exact_extract(
+        rd, zones, ["weighted_mean"], value_layer=["a", "b"], weight_layer="w"
+    ).to_pandas()
+    assert list(res.columns) == ["zone_id", "weighted_mean.a", "weighted_mean.b"]
+    assert res["weighted_mean.b"].iloc[0] == pytest.approx(
+        2 * res["weighted_mean.a"].iloc[0]
+    )
+
+
+def test_area_weights_cartesian_equals_unweighted(_ray):
+    # constant cell area: weighted_mean == mean
+    rd = _two_layer_raster()
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0.5, 0.5, 6.5, 7.0))])
+    res = exact_extract(
+        rd, zones, ["mean", "weighted_mean"], value_layer="a", weight_layer="area"
+    ).to_pandas()
+    assert res["weighted_mean"].iloc[0] == pytest.approx(res["mean"].iloc[0])
+
+
+def test_spherical_band_areas_match_reference_formula():
+    # raster_area.h:38-69: R^2 * pi/180 * |sin(ymin) - sin(ymax)| * dlon
+    g = Grid(-180, -90, 180, 90, 1.0, 1.0)
+    areas = spherical_band_areas(g, 0, 180)
+    R = 6378137.0
+    total = areas.sum() * 360  # every band x 360 columns
+    assert total == pytest.approx(4 * math.pi * R * R, rel=1e-9)
+    # equator band biggest
+    assert areas[89] == areas.max() or areas[90] == areas.max()
+
+
+def test_spherical_area_weighted_mean(_ray):
+    g = Grid(0, 40, 10, 50, 1.0, 1.0)  # 10x10 degrees
+    vals = np.arange(100, dtype=float).reshape(10, 10)
+    rd = raster_from_array(vals, g, tile=5)
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 40, 10, 50))])
+    res = exact_extract(
+        rd, zones, ["weighted_mean"], weight_layer="area", area_method="spherical"
+    ).to_pandas()
+    areas = spherical_band_areas(g, 0, 10)
+    w = np.broadcast_to(areas[:, None], (10, 10))
+    expect = float(np.sum(vals * w) / np.sum(w))
+    assert res["weighted_mean"].iloc[0] == pytest.approx(expect, rel=1e-12)
+
+
+def test_coverage_area_scales_count(_ray):
+    g = Grid(0, 0, 4, 4, 0.5, 0.5)  # cell area 0.25
+    vals = np.ones((8, 8))
+    rd = raster_from_array(vals, g, tile=4)
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 4, 4))])
+    res = exact_extract(rd, zones, ["count"], coverage_area=True).to_pandas()
+    # count with coverage_area = total covered AREA = 16 world units
+    assert res["count"].iloc[0] == pytest.approx(16.0)
+
+
+def test_default_value_substitution(_ray):
+    # test_exact_extract.R:1048-1086
+    g = Grid(0, 0, 4, 4, 1, 1)
+    vals = np.ones((4, 4))
+    vals[1, 1] = np.nan
+    rd = raster_from_array(vals, g, tile=4)
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 4, 4))])
+    base = exact_extract(rd, zones, ["sum", "count"]).to_pandas()
+    assert base["sum"].iloc[0] == 15.0 and base["count"].iloc[0] == 15.0
+    subst = exact_extract(rd, zones, ["sum", "count"], default_value=5.0).to_pandas()
+    assert subst["sum"].iloc[0] == 20.0 and subst["count"].iloc[0] == 16.0
+
+
+def test_apply_udf(_ray):
+    rd = _two_layer_raster()
+    zones = zone_table(
+        [
+            (0, "z0", wkbio.rect_wkb(0.5, 0.5, 3.5, 3.5)),
+            (1, "z1", wkbio.rect_wkb(4, 4, 8, 8)),
+        ]
+    )
+
+    def covered_mean(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"my_mean": [float(np.sum(df["value"] * df["cov"]) / np.sum(df["cov"]))]}
+        )
+
+    out = exact_extract_apply(rd, zones, covered_mean, value_layer="a").to_pandas()
+    ref = exact_extract(rd, zones, ["mean"], value_layer="a").to_pandas()
+    merged = out.merge(ref, on="zone_id")
+    assert np.allclose(merged["my_mean"], merged["mean"])
+
+
+def test_include_area_column(_ray):
+    from exactextractr_ray.pipelines.zonal import extract_cells
+
+    g = Grid(0, 0, 4, 4, 0.5, 0.5)
+    rd = raster_from_array(np.ones((8, 8)), g, tile=8)
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 4, 4))])
+    df = extract_cells(rd, zones, include_area=True).to_pandas()
+    assert (df["area"] == 0.25).all()
