@@ -1,0 +1,106 @@
+"""Command-line entry point — the Ray-native analog of the reference's
+``exactextract`` CLI (/root/reference/src/exactextract/src/exactextract.cpp:42-172):
+
+    python -m exactextractr_ray.cli \
+        -p zones.parquet -r values:tiles_dir -s "mean" -s "wsum=weighted_sum(values,weight)" \
+        -f zone_id -o out.parquet
+
+* ``-p``: zones parquet (zone_id, geom_wkb columns; -f picks the id column)
+* ``-r``: raster descriptor name:tiles_dir[layer] — a tile-table directory
+  written by sources.raster.write_raster_parquet
+* ``-s``: stat descriptor out=stat(values,weights) (repeatable)
+* ``-o``: output parquet (or .csv)
+* ``--strategy`` is accepted for CLI parity; the Ray engine always runs the
+  broadcast-zones/tile-parallel plan (the reference's raster-sequential
+  shape, which is its scalable strategy).
+
+Owns its own Ray session (scripts init; library code never does).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="exactextractr-ray")
+    ap.add_argument("-p", "--polygons", required=True, help="zones parquet file")
+    ap.add_argument(
+        "-r", "--raster", action="append", required=True,
+        help="raster descriptor name:tiles_dir[layer]",
+    )
+    ap.add_argument(
+        "-s", "--stat", action="append", required=True,
+        help="stat descriptor out=stat(values,weights)",
+    )
+    ap.add_argument("-f", "--fid", default="zone_id", help="zone id column")
+    ap.add_argument("-o", "--output", required=True, help="output .parquet or .csv")
+    ap.add_argument("--strategy", default="raster-sequential", help="(parity only)")
+    ap.add_argument("--max-cells", type=int, default=None, help="(parity only)")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
+        kwargs = {"address": "local", "include_dashboard": False}
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+
+    import pyarrow.parquet as pq
+
+    from .plan import parse_raster_descriptor, parse_stat_descriptor
+    from .pipelines.zonal import exact_extract
+    from .sources.raster import read_raster_parquet
+
+    rasters = {}
+    for rd in args.raster:
+        d = parse_raster_descriptor(rd)
+        rasters[d.name] = (d, read_raster_parquet(d.path))
+    stats = [parse_stat_descriptor(s) for s in args.stat]
+
+    zones = pq.read_table(args.polygons)
+    if args.fid != "zone_id":
+        idx = zones.column_names.index(args.fid)
+        zones = zones.set_column(idx, "zone_id", zones.column(args.fid))
+
+    # group stat descriptors by (values, weights) source pair and run one
+    # exact_extract per raster, concatenating columns
+    default_name = next(iter(rasters))
+    result = None
+    for sd in stats:
+        rname = sd.values or default_name
+        d, raster = rasters[rname]
+        value_layer = d.band or "value"
+        weight_layer = None
+        if sd.weights is not None:
+            wd, _ = rasters.get(sd.weights, (None, None))
+            weight_layer = (wd.band or "value") if wd else sd.weights
+        t = exact_extract(
+            raster,
+            zones,
+            [sd.stat],
+            value_layer=value_layer,
+            weight_layer=weight_layer,
+        ).to_pandas()
+        stat_col = [c for c in t.columns if c != "zone_id"][0]
+        t = t.rename(columns={stat_col: sd.name})
+        result = t if result is None else result.merge(t, on="zone_id")
+
+    if args.output.endswith(".csv"):
+        result.to_csv(args.output, index=False)
+    else:
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(result, preserve_index=False), args.output)
+    print(f"wrote {len(result)} rows to {args.output}", file=sys.stderr)
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -155,10 +155,13 @@ class Grid:
         """Shrink to the cells whose area intersects ``box`` (snapped outward
         to this grid's cell boundaries) — the analog of the reference's
         ``shrink_to_fit`` (grid.h:138-217)."""
-        if box.empty():
+        # degenerate (zero-width/height) boxes are valid: a horizontal or
+        # vertical line's envelope still selects the row/column of cells it
+        # lies in
+        if box.xmax < box.xmin or box.ymax < box.ymin:
             return Grid(self.xmin, self.ymax, self.xmin, self.ymax, self.dx, self.dy)
         b = box.intersection(self.extent)
-        if b.empty():
+        if b.xmax < b.xmin or b.ymax < b.ymin:
             return Grid(self.xmin, self.ymax, self.xmin, self.ymax, self.dx, self.dy)
         # Snap outward, with a fudge so that a box edge falling exactly on a
         # cell boundary does not pull in an extra empty row/col.

@@ -48,8 +48,24 @@ import ray
 from ..grid import Box, Grid
 from ..sources.zones import ZoneSet, parse_zone_table
 from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats
-from ..coverage import coverage_matrix
+from ..coverage import coverage_matrix, length_matrix
 from ..util import cached_stage
+
+
+def zone_coverage(sub: Grid, parts: list[dict]) -> np.ndarray:
+    """Coverage matrix for a zone's parts: exact area fractions for polygons,
+    per-cell traversal lengths for linestrings. Mixed areal/linear
+    collections are rejected like the reference
+    (/root/reference/src/exactextract/src/raster_cell_intersection.cpp:250-259)."""
+    has_poly = any(p["type"] == "Polygon" for p in parts)
+    has_line = any(p["type"] == "LineString" for p in parts)
+    if has_poly and has_line:
+        raise ValueError(
+            "geometry collections mixing areal and linear parts are not supported"
+        )
+    if has_line:
+        return length_matrix(sub, parts)
+    return coverage_matrix(sub, parts)
 
 EARTH_RADIUS = 6378137.0
 _PI_180 = math.pi / 180.0
@@ -323,7 +339,7 @@ class ZonalPartialStats:
                     sub = tile_grid.crop_to_box(zbox)
                     if sub.empty():
                         continue
-                    cov = coverage_matrix(sub, self.zones.parts[zi])
+                    cov = zone_coverage(sub, self.zones.parts[zi])
                     if not np.any(cov):
                         continue
                     r0 = sub.row_offset(tile_grid)
@@ -658,7 +674,7 @@ class ZonalCellExtract:
                     cell_area_matrix(self.grid, row0, th, tw, self.area_method)
                 )
             for zi in zidx:
-                cov = coverage_matrix(tile_grid, self.zones.parts[zi])
+                cov = zone_coverage(tile_grid, self.zones.parts[zi])
                 rr, cc = np.nonzero(cov > 0.0)
                 if len(rr) == 0:
                     continue
