@@ -202,6 +202,46 @@ def _q_coverage_fraction(sf_dir: str):
     return out.sort_values("cell").reset_index(drop=True)
 
 
+def _q_zonal_lines(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.zones import synth_line_zones
+
+    t = exact_extract(
+        _raster(), synth_line_zones(8, N_GRID), ["count", "sum", "mean"]
+    ).to_pandas()
+    t = t.rename(
+        columns={"count": "total_len", "sum": "len_sum", "mean": "len_mean"}
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_zonal_stack(sf_dir: str):
+    from exactextractr_ray.pipelines.zonal import exact_extract
+
+    t = exact_extract(
+        _raster(("value", "weight")),
+        _rect_zones(),
+        ["mean", "sum"],
+        value_layer=["value", "weight"],
+    ).to_pandas()
+    # columns: mean.value, sum.value, mean.weight, sum.weight
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_embedding_dups(sf_dir: str):
+    import ray.data
+    from exactextractr_ray.stages.knn import embedding_dup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_dup_pairs(emb, threshold=0.45).to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"vec_a": pd.Series([], dtype=np.int64),
+             "vec_b": pd.Series([], dtype=np.int64)}
+        )
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 def _q_pip_join(sf_dir: str):
     from exactextractr_ray.stages.geocode import geocode_doc_batch
     from exactextractr_ray.stages.pip_join import pip_join
@@ -344,6 +384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_sum": _q_resample("sum"),
         "resample_mean": _q_resample("mean"),
         "coverage_fraction_rect": _q_coverage_fraction,
+        "zonal_line_length": _q_zonal_lines,
+        "zonal_stack_rect": _q_zonal_stack,
+        "embedding_dups": _q_embedding_dups,
         "pip_join_counts": _q_pip_join,
         "cell_assign_counts": _q_cell_assign,
         "dedup_exact": _q_dedup_exact,
@@ -542,6 +585,32 @@ def oracle_sql() -> dict[str, str]:
     FROM cov WHERE cov > 0 AND zone_id = 3 ORDER BY cell
     """
 
+    zonal_lines = f"""
+    WITH cov AS ({synth.line_cov_sql(N_GRID, 8)})
+    SELECT zone_id,
+      SUM(CASE WHEN val IS NOT NULL THEN cov END) AS total_len,
+      SUM(val*cov) AS len_sum,
+      SUM(val*cov) / SUM(CASE WHEN val IS NOT NULL THEN cov END) AS len_mean
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
+    """
+
+    zonal_stack = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id,
+      SUM(val*cov) / SUM(CASE WHEN val IS NOT NULL THEN cov END) AS "mean.value",
+      SUM(val*cov) AS "sum.value",
+      SUM(wgt*cov) / SUM(cov) AS "mean.weight",
+      SUM(wgt*cov) AS "sum.weight"
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
+    """
+
+    embedding_dups = """
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_a, CAST(b.vec_id AS BIGINT) AS vec_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    ORDER BY vec_a, vec_b
+    """
+
     geo = f"""
     SELECT doc_id, n_chars,
       {synth.GEOCODE_LON_SQL} AS lon,
@@ -642,6 +711,9 @@ def oracle_sql() -> dict[str, str]:
         "resample_sum": resample_sum,
         "resample_mean": resample_mean,
         "coverage_fraction_rect": coverage_fraction_rect,
+        "zonal_line_length": zonal_lines,
+        "zonal_stack_rect": zonal_stack,
+        "embedding_dups": embedding_dups,
         "pip_join_counts": pip_join,
         "cell_assign_counts": cell_assign,
         "dedup_exact": dedup_exact,

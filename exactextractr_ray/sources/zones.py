@@ -147,6 +147,15 @@ def fixture_zones(n: int = 64) -> pa.Table:
     return zone_table(rows)
 
 
+def synth_line_zones(num: int, n: int = 64) -> pa.Table:
+    """Horizontal line zones matching synth.synth_line_zones_sql."""
+    rows = []
+    for k in range(num):
+        y, x0, x1 = synth.synth_line_zone(k, n)
+        rows.append((k, f"line{k}", wkbio.linestring_wkb([(x0, y), (x1, y)])))
+    return zone_table(rows)
+
+
 def synth_geo_zones(num_zones: int) -> pa.Table:
     """Rectangular lon/lat zones for the PIP join, matching
     synth.synth_geo_zones_sql."""

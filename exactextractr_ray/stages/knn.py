@@ -108,6 +108,55 @@ def knn_cosine(
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def embedding_dup_pairs(
+    ds,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with cosine
+    similarity >= threshold.
+
+    Baseline shape: the (normalized) full matrix is broadcast once via
+    ``ray.put``; each task matmuls its batch against it and emits only the
+    above-threshold pairs — output volume is the duplicate set, never the
+    n^2 similarity matrix. The scale path replaces the broadcast side with
+    hyperplane-LSH buckets (knn_cosine_lsh)."""
+    full = ds.to_pandas()  # embeddings are the small broadcast side here
+    ids_all = full[id_col].to_numpy().astype(np.int64)
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids_all, nm))
+
+    def find(batch: pa.Table) -> pa.Table:
+        all_ids, all_nm = ray.get(ref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        m = _to_matrix(batch.column(vec_col))
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                }
+            )
+        bn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = bn @ all_nm.T
+        rows, cols = np.nonzero(sims >= threshold)
+        a = ids[rows]
+        b = all_ids[cols]
+        keep = a < b  # each unordered pair emitted exactly once
+        a, b = a[keep], b[keep]
+        order = np.lexsort((b, a))
+        return pa.table(
+            {
+                "vec_a": pa.array(a[order], pa.int64()),
+                "vec_b": pa.array(b[order], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(find, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------- LSH-bucketed ANN (scale path) ----------------
 
 

@@ -133,6 +133,44 @@ def rect_cov_sql(n: int = 64, num_zones: int = 12) -> str:
     """
 
 
+# ---------------- synthetic line zones (horizontal, eighth-aligned) -------
+
+
+def synth_line_zone(k: int, n: int = 64) -> tuple[float, float, float]:
+    """Horizontal line k: (y, x0, x1). y is eighth-aligned and never an
+    integer (no cell-boundary ambiguity); x endpoints quarter-aligned so
+    per-cell lengths are exact binary fractions. Matches synth_line_sql."""
+    y = ((k * 13) % (4 * (n - 1))) / 4.0 + 0.125
+    x0 = ((k * 29) % (2 * n)) / 4.0
+    x1 = x0 + n / 4.0 + ((k * 7) % n) / 4.0
+    return (y, x0, min(x1, float(n)))
+
+
+def synth_line_zones_sql(num: int, n: int = 64) -> str:
+    return f"""
+    SELECT CAST(k AS BIGINT) AS zone_id,
+           ((k*13) % {4*(n-1)}) / 4.0 + 0.125 AS y,
+           ((k*29) % {2*n}) / 4.0 AS x0,
+           LEAST(((k*29) % {2*n}) / 4.0 + {n}/4.0 + ((k*7) % {n}) / 4.0,
+                 CAST({n} AS DOUBLE)) AS x1
+    FROM range(0, {num}) t(k)
+    """
+
+
+def line_cov_sql(n: int = 64, num: int = 8) -> str:
+    """(zone_id, r, c, val, cov) with cov = per-cell traversal length of the
+    horizontal line — closed-form x-interval overlap in the cell row
+    containing y (rows count from the top: r = n-1-floor(y))."""
+    return f"""
+    SELECT z.zone_id, v.r, v.c, v.val,
+           GREATEST(0.0, LEAST(v.x1, z.x1) - GREATEST(v.x0, z.x0)) AS cov
+    FROM ({synth_line_zones_sql(num, n)}) z
+    JOIN ({cells_sql(n)}) v
+      ON v.r = {n - 1} - CAST(FLOOR(z.y) AS BIGINT)
+     AND v.x1 > z.x0 AND v.x0 < z.x1
+    """
+
+
 # ---------------- deterministic geocoding ----------------
 
 LON_MULT = 2654435761  # Knuth multiplicative hash constants
