@@ -270,6 +270,30 @@ def _q_cell_assign(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_sessionize(sf_dir: str):
+    import ray.data
+    from exactextractr_ray.stages.sessions import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    df = sessionize(ev, gap_seconds=1800).to_pandas()
+    df = df[["user_id", "session_seq", "n_events", "start_us", "end_us", "duration_us"]]
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+
+
+def _q_event_windows(sf_dir: str):
+    import ray.data
+    from exactextractr_ray.stages.sessions import tumbling_window
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    df = tumbling_window(ev, window_seconds=3600).to_pandas()
+    df = df[["window_start", "event_type", "n_events"]]
+    df["window_start"] = df["window_start"].astype(np.int64)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return df.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
 def _q_dedup_exact(sf_dir: str):
     from exactextractr_ray.stages.dedup import exact_dedup
 
@@ -389,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "pip_join_counts": _q_pip_join,
         "cell_assign_counts": _q_cell_assign,
+        "sessionize": _q_sessionize,
+        "event_windows": _q_event_windows,
         "dedup_exact": _q_dedup_exact,
         "token_stats_lang": _q_token_stats,
         "quality_scores": _q_quality,
@@ -635,6 +661,33 @@ def oracle_sql() -> dict[str, str]:
     FROM geo GROUP BY 1 ORDER BY cell
     """
 
+    sessionize_sql = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+    o AS (
+      SELECT user_id, t,
+        CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT user_id, t,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY t, brk
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM o
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      MIN(t) AS start_us, MAX(t) AS end_us,
+      MAX(t) - MIN(t) AS duration_us
+    FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+    """
+
+    event_windows = """
+    SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+      event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """
+
     dedup_exact = """
     SELECT md5(text) AS content_hash,
       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
@@ -716,6 +769,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups": embedding_dups,
         "pip_join_counts": pip_join,
         "cell_assign_counts": cell_assign,
+        "sessionize": sessionize_sql,
+        "event_windows": event_windows,
         "dedup_exact": dedup_exact,
         "token_stats_lang": token_stats,
         "quality_scores": quality,
