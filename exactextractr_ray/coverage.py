@@ -193,8 +193,13 @@ def coverage_matrix(
     # v measured downward flips ring orientation: world-CCW shells integrate
     # negative here, so negate to make shells positive / holes negative.
     np.negative(out, out)
-    # clip float dust (boundary cancellation can leave ±1e-17)
-    out[np.abs(out) < 1e-14] = 0.0
+    # clamp float dust: boundary cancellation can leave values a few ULPs
+    # outside [0, 1]; true coverage is never negative, and only self-
+    # overlapping multipolygons legitimately exceed 1 (by whole winding
+    # increments, far beyond the dust band)
+    out[(out > -1e-9) & (out < 1e-14)] = 0.0
+    near_one = (out > 1.0) & (out < 1.0 + 1e-9)
+    out[near_one] = 1.0
     return out.astype(dtype, copy=False)
 
 

@@ -137,6 +137,67 @@ def parts_envelope(parts: list[dict]) -> tuple[float, float, float, float]:
     return (min(xmins), min(ymins), max(xmaxs), max(ymaxs))
 
 
+# ---------- WKT reader (test fixtures use real-world WKT) ----------
+
+
+def _parse_ring_text(txt: str) -> np.ndarray:
+    pts = []
+    for pair in txt.split(","):
+        xy = pair.split()
+        pts.append((float(xy[0]), float(xy[1])))
+    return np.asarray(pts, dtype=np.float64)
+
+
+def _split_top_level(txt: str) -> list[str]:
+    """Split 'a),(b' style lists at depth-0 commas."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(txt):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(txt[start:i])
+            start = i + 1
+    out.append(txt[start:])
+    return [s.strip() for s in out]
+
+
+def _normalize_polygon(rings_txt: list[str]) -> dict:
+    rings = []
+    for i, rt in enumerate(rings_txt):
+        ring = _parse_ring_text(rt.strip().strip("()"))
+        area = ring_area_signed(ring)
+        want_ccw = i == 0
+        if (area < 0) == want_ccw:
+            ring = ring[::-1].copy()
+        rings.append(ring)
+    return {"type": "Polygon", "rings": rings}
+
+
+def parse_wkt(wkt: str) -> list[dict]:
+    """Parse POLYGON / MULTIPOLYGON / LINESTRING / POINT WKT into the same
+    flat part-list structure as parse_wkb."""
+    s = wkt.strip().strip('"').strip()
+    kind, _, body = s.partition("(")
+    kind = kind.strip().upper()
+    body = body.rsplit(")", 1)[0]
+    if kind == "POLYGON":
+        return [_normalize_polygon(_split_top_level(body))]
+    if kind == "MULTIPOLYGON":
+        parts = []
+        for poly_txt in _split_top_level(body):
+            inner = poly_txt.strip()
+            inner = inner[1:-1] if inner.startswith("(") else inner
+            parts.append(_normalize_polygon(_split_top_level(inner)))
+        return parts
+    if kind == "LINESTRING":
+        return [{"type": "LineString", "coords": _parse_ring_text(body)}]
+    if kind == "POINT":
+        return [{"type": "Point", "coords": _parse_ring_text(body)}]
+    raise ValueError(f"unsupported WKT type {kind!r}")
+
+
 # ---------- writers (used by fixtures / zone synthesis) ----------
 
 
