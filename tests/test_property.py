@@ -1,0 +1,127 @@
+"""Property-based kernel tests (hypothesis): the scanline coverage kernel vs
+a brute-force per-cell Sutherland–Hodgman clipping oracle, plus invariants
+(area conservation, translation equivariance, tile additivity)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from exactextractr_ray import wkbio
+from exactextractr_ray.coverage import coverage_matrix
+from exactextractr_ray.grid import Grid
+
+
+def clip_halfplane(pts: np.ndarray, axis: int, bound: float, keep_le: bool):
+    """Sutherland–Hodgman clip of a ring against an axis-aligned halfplane."""
+    out = []
+    n = len(pts)
+    for i in range(n):
+        a, b = pts[i], pts[(i + 1) % n]
+        ina = (a[axis] <= bound) if keep_le else (a[axis] >= bound)
+        inb = (b[axis] <= bound) if keep_le else (b[axis] >= bound)
+        if ina:
+            out.append(a)
+        if ina != inb:
+            t = (bound - a[axis]) / (b[axis] - a[axis])
+            out.append(a + t * (b - a))
+    return np.asarray(out) if out else np.empty((0, 2))
+
+
+def cell_clip_area(ring: np.ndarray, x0, y0, x1, y1) -> float:
+    """Exact |ring ∩ cell| via successive halfplane clips + shoelace."""
+    p = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    for axis, bound, keep_le in [(0, x0, False), (0, x1, True), (1, y0, False), (1, y1, True)]:
+        if len(p) == 0:
+            return 0.0
+        p = clip_halfplane(p, axis, bound, keep_le)
+    if len(p) < 3:
+        return 0.0
+    x, y = p[:, 0], p[:, 1]
+    return 0.5 * abs(float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)))
+
+
+def brute_force_coverage(grid: Grid, ring: np.ndarray) -> np.ndarray:
+    out = np.zeros((grid.nrow, grid.ncol))
+    cell_area = grid.dx * grid.dy
+    for r in range(grid.nrow):
+        for c in range(grid.ncol):
+            x0 = grid.xmin + c * grid.dx
+            y1 = grid.ymax - r * grid.dy
+            out[r, c] = cell_clip_area(ring, x0, y1 - grid.dy, x0 + grid.dx, y1) / cell_area
+    return out
+
+
+def star_polygon(pts: np.ndarray) -> np.ndarray:
+    """Simple (non-self-intersecting) polygon via angle sort around centroid."""
+    ctr = pts.mean(axis=0)
+    ang = np.arctan2(pts[:, 1] - ctr[1], pts[:, 0] - ctr[0])
+    ring = pts[np.argsort(ang)]
+    return np.vstack([ring, ring[:1]])
+
+
+coords = st.floats(min_value=-2.0, max_value=8.0, allow_nan=False, width=64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=3, max_size=10, unique=True))
+def test_kernel_matches_bruteforce_clipping(points):
+    pts = np.asarray(points)
+    ring = star_polygon(pts)
+    if abs(wkbio.ring_area_signed(ring)) < 1e-9:
+        return
+    g = Grid(0, 0, 6, 6, 1, 1)
+    parts = wkbio.parse_wkb(wkbio.polygon_wkb(ring))
+    fast = coverage_matrix(g, parts)
+    slow = brute_force_coverage(g, parts[0]["rings"][0])
+    np.testing.assert_allclose(fast, slow, atol=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.tuples(coords, coords), min_size=3, max_size=8, unique=True),
+    st.floats(min_value=-3, max_value=3, allow_nan=False),
+    st.floats(min_value=-3, max_value=3, allow_nan=False),
+)
+def test_translation_equivariance(points, dx_shift, dy_shift):
+    pts = np.asarray(points)
+    ring = star_polygon(pts)
+    if abs(wkbio.ring_area_signed(ring)) < 1e-6:
+        return
+    g1 = Grid(0, 0, 8, 8, 1, 1)
+    g2 = Grid(dx_shift, dy_shift, 8 + dx_shift, 8 + dy_shift, 1, 1)
+    shifted = ring + np.array([dx_shift, dy_shift])
+    c1 = coverage_matrix(g1, wkbio.parse_wkb(wkbio.polygon_wkb(ring)))
+    c2 = coverage_matrix(g2, wkbio.parse_wkb(wkbio.polygon_wkb(shifted)))
+    np.testing.assert_allclose(c1, c2, atol=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=3, max_size=10, unique=True))
+def test_tile_additivity(points):
+    pts = np.asarray(points)
+    ring = star_polygon(pts)
+    if abs(wkbio.ring_area_signed(ring)) < 1e-9:
+        return
+    g = Grid(0, 0, 6, 6, 0.5, 0.5)  # 12x12
+    parts = wkbio.parse_wkb(wkbio.polygon_wkb(ring))
+    whole = coverage_matrix(g, parts)
+    merged = np.zeros_like(whole)
+    for r0 in (0, 6):
+        for c0 in (0, 6):
+            sub = g.subgrid(r0, c0, 6, 6)
+            merged[r0 : r0 + 6, c0 : c0 + 6] = coverage_matrix(sub, parts)
+    np.testing.assert_allclose(merged, whole, atol=1e-12)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(coords, coords), min_size=3, max_size=12, unique=True))
+def test_area_conservation_on_containing_grid(points):
+    pts = np.asarray(points)
+    ring = star_polygon(pts)
+    area = abs(wkbio.ring_area_signed(ring))
+    if area < 1e-9:
+        return
+    g = Grid(-4, -4, 12, 12, 0.25, 0.25)  # contains the coordinate range
+    cov = coverage_matrix(g, wkbio.parse_wkb(wkbio.polygon_wkb(ring)))
+    assert cov.min() >= 0.0 and cov.max() <= 1.0
+    assert cov.sum() * 0.0625 == pytest.approx(area, rel=1e-9, abs=1e-12)
