@@ -170,6 +170,7 @@ class ZonalPartialStats:
         area_method: str = "cartesian",
         default_value: float | None = None,
         default_weight: float | None = None,
+        need_minmax: bool = True,
     ):
         zones = ray.get(zones_ref) if not isinstance(zones_ref, ZoneSet) else zones_ref
         self.zones = zones
@@ -180,6 +181,7 @@ class ZonalPartialStats:
         self.area_method = area_method
         self.default_value = default_value
         self.default_weight = default_weight
+        self.need_minmax = need_minmax
         # per-zone edge bounding boxes for the boundary-crossing test
         self._edge_bboxes: list[np.ndarray] = []
         for parts in zones.parts:
@@ -327,7 +329,7 @@ class ZonalPartialStats:
                                 else None
                             )
                             st = RasterStats(store_values=self.store_values)
-                            st.process(vals, cov_full, ws)
+                            st.process(vals, cov_full, ws, need_minmax=self.need_minmax)
                             row = st.to_row()
                             if kind == 1:
                                 full_tile_rows[pi] = dict(row)
@@ -356,7 +358,7 @@ class ZonalPartialStats:
                                 r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
                             ]
                         st = RasterStats(store_values=self.store_values)
-                        st.process(vals, cov, ws)
+                        st.process(vals, cov, ws, need_minmax=self.need_minmax)
                         row = st.to_row()
                         row["zone_id"] = int(self.zones.zone_ids[zi])
                         row["tile_id"] = tid
@@ -457,6 +459,7 @@ def exact_extract(
         area_method,
         default_value,
         default_weight,
+        bool({"min", "max"} & set(stats)),
     )
     if actors:
         partials = raster.ds.map_batches(

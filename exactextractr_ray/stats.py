@@ -131,6 +131,7 @@ class RasterStats:
         values: np.ndarray,
         cov: np.ndarray,
         weights: np.ndarray | None = None,
+        need_minmax: bool = True,
     ) -> None:
         """Vectorized equivalent of repeated process_value calls
         (raster_stats.h:113-139). NaN values are NODATA and skipped; NaN
@@ -156,9 +157,12 @@ class RasterStats:
         self.sum_x2ci += s2
         mu = s1 / W
         self.var.merge(VarState(W, mu, max(0.0, s2 - s1 * mu)))
-        vm = np.where(cm > 0.0, v, np.nan)
-        self.min = min(self.min, float(np.nanmin(vm)))
-        self.max = max(self.max, float(np.nanmax(vm)))
+        if need_minmax:
+            # three extra array passes — callers that don't request min/max
+            # skip them (the stage is memory-bandwidth-bound at scale)
+            vm = np.where(cm > 0.0, v, np.nan)
+            self.min = min(self.min, float(np.nanmin(vm)))
+            self.max = max(self.max, float(np.nanmax(vm)))
 
         if weights is None:
             ciwi = cm
