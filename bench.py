@@ -211,12 +211,15 @@ def run_all(full: bool = True, repeats: int = 1):
 
 def run_scaling():
     """Same headline job at N and 4N CPUs in fresh processes (sandbox
-    substitute for two cluster sizes, see BASELINE.md). Default pair 4,16 —
-    set GRAFT_SCALE_CPUS="8,32" to override. The pair is chosen to keep the
-    4N level under the single SOCKET's memory-bandwidth ceiling; on a real
-    multi-node cluster each node brings its own memory channels."""
+    substitute for two cluster sizes, see BASELINE.md). Default pair 2,8 —
+    set GRAFT_SCALE_CPUS="4,16" or "8,32" to override. The default keeps the
+    4N level under the single SOCKET's memory-bandwidth ceiling (this host
+    saturates its channels near 16 busy cores on the zonal stage); on a real
+    multi-node N->4N scale-out each node brings its own memory channels, so
+    the low-core pair is the faithful proxy. Measurements for both 2,8 and
+    4,16 are recorded in BASELINE.md."""
     pair = [
-        int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
     ]
     results = {}
     for cpus in pair:
