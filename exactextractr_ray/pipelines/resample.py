@@ -83,29 +83,68 @@ class ResampleTilePartials:
             dy1 = dst.ymax - drows * dst.dy
             dy0 = dy1 - dst.dy
 
-            xov = _interval_overlaps(sx0, sx1, dx0, dx1)  # (tw, ndc)
+            xov = _interval_overlaps(sx0, sx1, dx0, dx1) / src_area  # (tw, ndc)
             yov = _interval_overlaps(sy0, sy1, dy0, dy1)  # (th, ndr)
+            ndr, ndc = len(drows), len(dcols)
 
-            finite = ~np.isnan(vals)
-            for a, dr in enumerate(drows):
-                ys = yov[:, a]
-                if not np.any(ys > 0):
-                    continue
-                for b, dc in enumerate(dcols):
-                    xs = xov[:, b]
-                    if not np.any(xs > 0):
-                        continue
-                    cov = np.outer(ys, xs) / src_area  # (th, tw) fraction
-                    st = RasterStats(store_values=self.store_values)
-                    st.process(vals, cov)
-                    if st.sum_ci == 0 and not st.freq:
-                        # may still be all-NODATA under nonzero cov; skip empty
-                        if not np.any((cov > 0) & finite):
+            if not self.store_values:
+                # fully vectorized: all dest-cell partial sums at once via
+                # separable einsum contractions (cov = yov ⊗ xov)
+                nanmask = np.isnan(vals)
+                v0 = np.where(nanmask, 0.0, vals)
+                m = (~nanmask).astype(np.float64)
+                sum_ci = np.einsum("ra,rc,cb->ab", yov, m, xov)
+                sum_xc = np.einsum("ra,rc,cb->ab", yov, v0 * m, xov)
+                sum_x2c = np.einsum("ra,rc,cb->ab", yov, v0 * v0 * m, xov)
+                for a in range(ndr):
+                    for b in range(ndc):
+                        W = float(sum_ci[a, b])
+                        if W <= 0.0:
                             continue
-                    row = st.to_row()
-                    row["zone_id"] = int(dr) * dst.ncol + int(dc)  # dest cell id
-                    row["tile_id"] = int(tile_ids[i])
-                    rows_out.append(row)
+                        st = RasterStats(store_values=False)
+                        st.sum_ci = W
+                        st.sum_xici = float(sum_xc[a, b])
+                        st.sum_x2ci = float(sum_x2c[a, b])
+                        st.sum_ciwi = W
+                        st.sum_xiciwi = st.sum_xici
+                        st.sum_x2ciwi = st.sum_x2ci
+                        mu = st.sum_xici / W
+                        from ..stats import VarState
+
+                        st.var = VarState(W, mu, max(0.0, st.sum_x2ci - st.sum_xici * mu))
+                        st.wvar = VarState(W, mu, st.var.t)
+                        # min/max over source cells overlapping this dest cell
+                        rs = np.nonzero(yov[:, a] > 0)[0]
+                        cs = np.nonzero(xov[:, b] > 0)[0]
+                        window = vals[np.ix_(rs, cs)]
+                        if np.all(np.isnan(window)):
+                            continue
+                        st.min = float(np.nanmin(window))
+                        st.max = float(np.nanmax(window))
+                        row = st.to_row()
+                        row["zone_id"] = int(drows[a]) * dst.ncol + int(dcols[b])
+                        row["tile_id"] = int(tile_ids[i])
+                        rows_out.append(row)
+            else:
+                finite = ~np.isnan(vals)
+                for a, dr in enumerate(drows):
+                    ys = yov[:, a]
+                    if not np.any(ys > 0):
+                        continue
+                    for b, dc in enumerate(dcols):
+                        xs = xov[:, b]
+                        if not np.any(xs > 0):
+                            continue
+                        cov = np.outer(ys, xs)  # (th, tw) fraction
+                        st = RasterStats(store_values=True)
+                        st.process(vals, cov)
+                        if st.sum_ci == 0 and not st.freq:
+                            if not np.any((cov > 0) & finite):
+                                continue
+                        row = st.to_row()
+                        row["zone_id"] = int(dr) * dst.ncol + int(dc)
+                        row["tile_id"] = int(tile_ids[i])
+                        rows_out.append(row)
         if not rows_out:
             return _empty_partial_table()
         return pa.Table.from_pylist(rows_out, schema=_partial_schema())
