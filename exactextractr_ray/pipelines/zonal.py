@@ -677,11 +677,21 @@ class ZonalCellExtract:
                     cell_area_matrix(self.grid, row0, th, tw, self.area_method)
                 )
             for zi in zidx:
-                cov = zone_coverage(tile_grid, self.zones.parts[zi])
+                # crop to the zone envelope before running the kernel — a
+                # small zone on a large tile only pays for its own cells
+                e = self.zones.envelopes[zi]
+                sub = tile_grid.crop_to_box(Box(e[0], e[1], e[2], e[3]))
+                if sub.empty():
+                    continue
+                cov = zone_coverage(sub, self.zones.parts[zi])
                 rr, cc = np.nonzero(cov > 0.0)
                 if len(rr) == 0:
                     continue
                 covv = cov[rr, cc]
+                sr0 = sub.row_offset(tile_grid)
+                sc0 = sub.col_offset(tile_grid)
+                rr = rr + sr0  # tile-local indices
+                cc = cc + sc0
                 if self.coverage_area:
                     covv = covv * areas[rr, cc]
                 chunk = {
