@@ -15,11 +15,65 @@ match bit-for-bit wherever an oracle exists.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pandas as pd
+
+# The driver may import this module from any cwd after its own ray.init().
+# Ray workers unpickle our stage functions BY REFERENCE (module-level
+# definitions), so they must be able to import exactextractr_ray — register
+# the package for by-value pickling instead, making every shipped function
+# self-contained regardless of the workers' sys.path.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+
+def _register_by_value() -> None:
+    import importlib
+    import pkgutil
+
+    # ray serializes tasks with its VENDORED cloudpickle — register there
+    # (and on the standalone one for completeness)
+    pickler_modules = []
+    try:
+        from ray import cloudpickle as ray_cp
+
+        pickler_modules.append(ray_cp)
+    except ImportError:
+        pass
+    try:
+        import cloudpickle as std_cp
+
+        pickler_modules.append(std_cp)
+    except ImportError:
+        pass
+
+    import exactextractr_ray
+
+    # import every submodule eagerly so the by-value registration covers
+    # everything the query callables will ship to workers
+    for info in pkgutil.walk_packages(
+        exactextractr_ray.__path__, prefix="exactextractr_ray."
+    ):
+        try:
+            importlib.import_module(info.name)
+        except Exception:
+            pass
+    for name, mod in list(sys.modules.items()):
+        if name == "exactextractr_ray" or name.startswith("exactextractr_ray."):
+            for cp in pickler_modules:
+                try:
+                    cp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
+
+
+_register_by_value()
 
 N_GRID = 64  # synthetic raster side
 TILE = 16

@@ -152,9 +152,17 @@ def run_all(full: bool = True, repeats: int = 1):
             log_to_driver=False,
         )
 
+    # keep stdout to the single JSON line (driver contract): route ray.data
+    # chatter away and disable progress bars
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
     # warm the worker pool (process spawn + imports) so timings measure the
     # pipelines, not cold start
     import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
 
     ray.data.range(1000, override_num_blocks=NUM_CPUS * 2).map_batches(
         lambda b: b

@@ -235,6 +235,6 @@ def length_matrix(grid: Grid, parts: list[dict], dtype=np.float64) -> np.ndarray
 
 def coverage_fraction_wkb(grid: Grid, wkb: bytes, dtype=np.float64) -> np.ndarray:
     """Convenience: WKB polygon -> coverage matrix over grid."""
-    from .wkbio import parse_wkb
+    from . import wkbio  # module-level circular-import guard
 
-    return coverage_matrix(grid, parse_wkb(wkb), dtype=dtype)
+    return coverage_matrix(grid, wkbio.parse_wkb(wkb), dtype=dtype)

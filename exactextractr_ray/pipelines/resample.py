@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..grid import Grid
-from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats
+from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats, VarState
 from ..pipelines.zonal import merge_partial_group, _partial_schema, _empty_partial_table
 
 
@@ -109,8 +109,6 @@ class ResampleTilePartials:
                         st.sum_xiciwi = st.sum_xici
                         st.sum_x2ciwi = st.sum_x2ci
                         mu = st.sum_xici / W
-                        from ..stats import VarState
-
                         st.var = VarState(W, mu, max(0.0, st.sum_x2ci - st.sum_xici * mu))
                         st.wvar = VarState(W, mu, st.var.t)
                         # min/max over source cells overlapping this dest cell

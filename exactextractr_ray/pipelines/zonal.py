@@ -47,6 +47,7 @@ import ray
 
 from ..grid import Box, Grid
 from ..sources.zones import ZoneSet, parse_zone_table
+from ..stages.pip_join import winding_number
 from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats
 from ..coverage import coverage_matrix, length_matrix
 from ..util import cached_stage
@@ -216,8 +217,6 @@ class ZonalPartialStats:
             )
             if hit.any():
                 return -1
-        from ..stages.pip_join import winding_number
-
         cx = np.array([(box.xmin + box.xmax) * 0.5])
         cy = np.array([(box.ymin + box.ymax) * 0.5])
         return int(winding_number(cx, cy, self.zones.parts[zi])[0])
