@@ -1,0 +1,79 @@
+"""Parallelism-invariance check (FIXTURES.md §4.4): run representative
+queries at two CPU counts in FRESH processes and require byte-identical
+results (values, row counts, tile ids). Usage:
+    python tools/check_parallelism.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+QUERIES = [
+    "zonal_stats_rect",
+    "zonal_median_rect",
+    "extract_cells_rect",
+    "rasterize_rect",
+    "resample_sum",
+    "pip_join_counts",
+    "dedup_exact",
+    "sessionize",
+    "knn_cosine",
+    "minhash_pairs",
+]
+
+_CHILD = r"""
+import hashlib, json, sys
+import ray
+ray.init(address="local", num_cpus=int(sys.argv[1]), include_dashboard=False,
+         log_to_driver=False, logging_level="ERROR")
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as e
+import pandas as pd
+out = {}
+qs = e.queries()
+for name in json.loads(sys.argv[3]):
+    df = qs[name](sys.argv[2])
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    df = df[sorted(df.columns)].sort_values(list(sorted(df.columns)))
+    h = hashlib.sha256(df.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
+    out[name] = {"rows": len(df), "hash": h}
+ray.shutdown()
+print("RESULT:" + json.dumps(out))
+"""
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(cpus), sf_dir, json.dumps(QUERIES)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            return json.loads(line[len("RESULT:"):])
+    raise RuntimeError(f"child at {cpus} cpus failed:\n{proc.stderr[-2000:]}")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    a = run_level(4, sf_dir)
+    b = run_level(16, sf_dir)
+    bad = 0
+    for name in QUERIES:
+        same = a[name] == b[name]
+        if not same:
+            bad += 1
+        print(f"{name:24s} cpus4={a[name]['rows']} cpus16={b[name]['rows']} "
+              f"{'IDENTICAL' if same else 'MISMATCH ' + a[name]['hash'][:12] + ' vs ' + b[name]['hash'][:12]}")
+    print("FAILURES:", bad)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
