@@ -57,6 +57,30 @@ def assign_cell_batch(batch: pa.Table, res_deg: float = 3.0) -> pa.Table:
     return batch.append_column("cell", pa.array(cells, type=pa.int64()))
 
 
+def morton_cell(lon: np.ndarray, lat: np.ndarray, level: int = 12) -> np.ndarray:
+    """Hierarchical quadtree cell id (Morton / Z-order interleave) — the
+    S2/H3-style spatial key: the id at level L-1 is ``id >> 2`` of level L,
+    so prefix truncation coarsens cells (used for multi-resolution bucketing
+    and range-partitioning by key prefix). Pure integer numpy; deterministic
+    at any parallelism. 2^level x 2^level cells over lon/lat."""
+    n = np.int64(1) << level
+    x = np.clip(((np.asarray(lon) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    y = np.clip(((np.asarray(lat) + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    code = np.zeros(len(x), dtype=np.int64)
+    for b in range(level):
+        code |= ((x >> b) & 1) << (2 * b)
+        code |= ((y >> b) & 1) << (2 * b + 1)
+    return code
+
+
+def assign_morton_batch(batch: pa.Table, level: int = 12) -> pa.Table:
+    lon = batch.column("lon").to_numpy()
+    lat = batch.column("lat").to_numpy()
+    return batch.append_column(
+        "morton_cell", pa.array(morton_cell(lon, lat, level), type=pa.int64())
+    )
+
+
 def geocode_documents(ds, res_deg: float = 3.0):
     """documents Dataset -> + lon, lat, cell (chained zero-copy Arrow maps)."""
     return ds.map_batches(geocode_doc_batch, batch_format="pyarrow").map_batches(

@@ -51,3 +51,18 @@ def test_tumbling_window_counts(_ray):
     b = out2.sort_values(["window_start", "event_type"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[["window_start", "event_type", "n_events"]],
                                   b[["window_start", "event_type", "n_events"]])
+
+
+def test_morton_cell_hierarchy():
+    from exactextractr_ray.stages.geocode import morton_cell
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    c12 = morton_cell(lon, lat, 12)
+    c11 = morton_cell(lon, lat, 11)
+    c8 = morton_cell(lon, lat, 8)
+    # prefix-truncation hierarchy: parent id = child id >> 2
+    assert np.array_equal(c12 >> 2, c11)
+    assert np.array_equal(c12 >> 8, c8)
+    assert c12.min() >= 0 and c12.max() < (1 << 24)
