@@ -1,0 +1,52 @@
+"""Approximate kNN (hyperplane LSH) — recall against brute force, and
+bucketing determinism."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return None
+
+
+def test_lsh_knn_recall(_ray):
+    import pandas as pd
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine, knn_cosine_lsh
+
+    rng = np.random.default_rng(21)
+    n, d = 800, 32
+    # clustered vectors so neighbors share buckets more often than random
+    centers = rng.standard_normal((8, d)) * 3
+    mat = centers[rng.integers(0, 8, n)] + rng.standard_normal((n, d)) * 0.5
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64)})
+    df["embedding"] = [r.tolist() for r in mat]
+    ds = ray.data.from_pandas(df)
+
+    qids = np.arange(10)
+    exact = knn_cosine(ds, qids, mat[:10], k=10).to_pandas()
+    approx = knn_cosine_lsh(
+        ray.data.from_pandas(df), qids, mat[:10], k=10, num_planes=6
+    ).to_pandas()
+
+    # recall: fraction of exact top-10 found by the bucketed search
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q]["neighbor_id"])
+        a = set(approx[approx.query_id == q]["neighbor_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) > 0.5  # bucketed search finds most true neighbors
+    # approximate results are a subset of the dataset and exclude self
+    assert not any(approx.query_id == approx.neighbor_id)
+
+
+def test_lsh_bucketing_deterministic():
+    from exactextractr_ray.stages.knn import RandomHyperplaneLSH
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((100, 16))
+    b1 = RandomHyperplaneLSH(16, 8).bucket(mat)
+    b2 = RandomHyperplaneLSH(16, 8).bucket(mat)
+    np.testing.assert_array_equal(b1, b2)
+    assert b1.min() >= 0 and b1.max() < 256

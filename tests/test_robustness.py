@@ -11,7 +11,13 @@ from exactextractr_ray import wkbio
 from exactextractr_ray.coverage import coverage_matrix
 from exactextractr_ray.grid import Grid
 
+import os
+
 RES = "/root/reference/src/exactextract/test/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RES), reason="reference WKT resources not available"
+)
 
 
 def _load(name: str) -> list[dict]:
