@@ -53,6 +53,7 @@ def main(argv=None) -> int:
     import pyarrow.parquet as pq
 
     from .plan import parse_raster_descriptor, parse_stat_descriptor
+    from .pipelines.mixed import exact_extract_mixed
     from .pipelines.zonal import exact_extract
     from .sources.raster import read_raster_parquet
 
@@ -67,25 +68,38 @@ def main(argv=None) -> int:
         idx = zones.column_names.index(args.fid)
         zones = zones.set_column(idx, "zone_id", zones.column(args.fid))
 
-    # group stat descriptors by (values, weights) source pair and run one
-    # exact_extract per raster, concatenating columns
+    # run one extraction per stat descriptor, concatenating columns.
+    # weights may name (a) a layer of the SAME raster (co-located tiles) or
+    # (b) another raster descriptor — routed through the mixed-grid path,
+    # which broadcasts the weight raster and tolerates compatible-resolution
+    # differences (the reference's RasterView behavior).
     default_name = next(iter(rasters))
     result = None
     for sd in stats:
         rname = sd.values or default_name
         d, raster = rasters[rname]
         value_layer = d.band or "value"
-        weight_layer = None
-        if sd.weights is not None:
-            wd, _ = rasters.get(sd.weights, (None, None))
-            weight_layer = (wd.band or "value") if wd else sd.weights
-        t = exact_extract(
-            raster,
-            zones,
-            [sd.stat],
-            value_layer=value_layer,
-            weight_layer=weight_layer,
-        ).to_pandas()
+        if sd.weights is not None and sd.weights in rasters and sd.weights != rname:
+            wd, wraster = rasters[sd.weights]
+            t = exact_extract_mixed(
+                raster,
+                wraster,
+                zones,
+                [sd.stat],
+                value_layer=value_layer,
+                weight_layer=wd.band or "value",
+            ).to_pandas()
+        else:
+            weight_layer = None
+            if sd.weights is not None:
+                weight_layer = sd.weights  # a layer of the value raster
+            t = exact_extract(
+                raster,
+                zones,
+                [sd.stat],
+                value_layer=value_layer,
+                weight_layer=weight_layer,
+            ).to_pandas()
         stat_col = [c for c in t.columns if c != "zone_id"][0]
         t = t.rename(columns={stat_col: sd.name})
         result = t if result is None else result.merge(t, on="zone_id")

@@ -96,3 +96,41 @@ def test_multimodal_pipeline(ray_session):
     # the real-codec stage is an explicit stub
     with pytest.raises(NotImplementedError):
         CodecDecoder().decode_one(b"x", 4, 4)
+
+
+def test_cli_cross_raster_weights(ray_session, tmp_path):
+    """-s with weights naming ANOTHER raster descriptor routes through the
+    mixed-grid (broadcast weight) path."""
+    import numpy as np
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.raster import (
+        raster_from_array,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    wts = np.ones((8, 8))
+    wts[4:, :] = 3.0
+    vdir, wdir = str(tmp_path / "v"), str(tmp_path / "w")
+    write_raster_parquet(raster_from_array(vals, g, tile=4), vdir)
+    write_raster_parquet(raster_from_array(wts, g, tile=4), wdir)
+
+    zpath = str(tmp_path / "z.parquet")
+    pq.write_table(zone_table([(0, "z", wkbio.rect_wkb(0, 0, 8, 8))]), zpath)
+    out = str(tmp_path / "o.parquet")
+    rc = main(
+        [
+            "-p", zpath,
+            "-r", f"pop:{vdir}",
+            "-r", f"wt:{wdir}",
+            "-s", "wm=weighted_mean(pop,wt)",
+            "-o", out,
+        ]
+    )
+    assert rc == 0
+    res = pq.read_table(out).to_pandas()
+    expect = float((vals * wts).sum() / wts.sum())
+    assert res["wm"].iloc[0] == pytest.approx(expect, rel=1e-12)

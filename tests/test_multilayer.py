@@ -175,3 +175,33 @@ def test_include_area_column(_ray):
     zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 4, 4))])
     df = extract_cells(rd, zones, include_area=True).to_pandas()
     assert (df["area"] == 0.25).all()
+
+
+def test_colname_fun_hook(_ray):
+    rd = _two_layer_raster()
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 8, 8))])
+
+    def namer(**kw):
+        return f"{kw['fun_name']}_of_{kw['values']}"
+
+    res = exact_extract(
+        rd, zones, ["mean"], value_layer=["a", "b"], colname_fun=namer
+    ).to_pandas()
+    assert list(res.columns) == ["zone_id", "mean_of_a", "mean_of_b"]
+
+
+def test_multilayer_frac_union(_ray):
+    g = Grid(0, 0, 4, 4, 1, 1)
+    a = np.repeat([1.0, 2.0], 8).reshape(4, 4)
+    b = np.repeat([2.0, 3.0], 8).reshape(4, 4)
+    rd = raster_from_array(a, g, tile=4, layer="a", extra_layers={"b": b})
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 4, 4))])
+    res = exact_extract(rd, zones, ["frac"], value_layer=["a", "b"]).to_pandas()
+    # union of observed values {1,2,3} -> three frac columns per layer
+    assert list(res.columns) == [
+        "zone_id",
+        "frac_1.a", "frac_2.a", "frac_3.a",
+        "frac_1.b", "frac_2.b", "frac_3.b",
+    ]
+    assert res["frac_1.a"].iloc[0] == 0.5 and res["frac_3.a"].iloc[0] == 0.0
+    assert res["frac_1.b"].iloc[0] == 0.0 and res["frac_3.b"].iloc[0] == 0.5
