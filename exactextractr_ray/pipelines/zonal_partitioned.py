@@ -1,0 +1,189 @@
+"""Zonal statistics with RANGE-PARTITIONED zones — the scale path for zone
+sets too large to broadcast (north rule: "vector zones broadcast or
+range-partitioned by tile extent").
+
+Shape:
+
+1. zones arrive as a ``Dataset`` (not a driver-side table); a vectorized
+   ``map_batches`` computes each zone's covering tile-id list from its
+   envelope (the analog of the reference's STRtree query,
+   raster_sequential_processor.cpp:48-58) and flat-maps to
+   (tile_id, zone_id, zone_seq, geom_wkb) assignment rows;
+2. a hash JOIN on tile_id co-locates assignments with tile data — no
+   broadcast, both sides stream and shuffle by the same key;
+3. the joined batches run the same coverage kernel -> partial-stats rows;
+4. the usual ``groupby(zone_id)`` merge finalizes.
+
+Compared to the broadcast plan this pays one extra shuffle of (zone WKB x
+covering tiles); it wins when zones don't fit in worker memory. Results are
+identical (tested against the broadcast path).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..grid import Box, Grid
+from ..coverage import coverage_matrix
+from ..stats import STORED_VALUE_STATS, RasterStats
+from ..wkbio import parse_wkb, parts_envelope
+from .zonal import (
+    _empty_partial_table,
+    _partial_schema,
+    merge_partial_group,
+    zone_coverage,
+)
+
+
+def zone_tile_assignments(
+    zones_ds: "ray.data.Dataset", grid: Grid, tile_h: int, tile_w: int
+) -> "ray.data.Dataset":
+    """zones Dataset -> (tile_id, zone_id, zone_seq, geom_wkb) rows."""
+    tiles_x = (grid.ncol + tile_w - 1) // tile_w
+    tiles_y = (grid.nrow + tile_h - 1) // tile_h
+    gd = grid.to_dict()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        g = Grid.from_dict(gd)
+        zone_ids = batch.column("zone_id").to_numpy()
+        seqs = (
+            batch.column("zone_seq").to_numpy()
+            if "zone_seq" in batch.column_names
+            else np.arange(len(zone_ids))
+        )
+        wkbs = batch.column("geom_wkb").to_pylist()
+        out_t, out_z, out_s, out_w = [], [], [], []
+        for zid, seq, wkb in zip(zone_ids, seqs, wkbs):
+            parts = parse_wkb(wkb)
+            e = parts_envelope(parts)
+            sub = g.crop_to_box(Box(*e))
+            if sub.empty():
+                continue
+            r0, c0 = sub.row_offset(g), sub.col_offset(g)
+            ty0, ty1 = r0 // tile_h, min((r0 + sub.nrow - 1) // tile_h, tiles_y - 1)
+            tx0, tx1 = c0 // tile_w, min((c0 + sub.ncol - 1) // tile_w, tiles_x - 1)
+            for ty in range(ty0, ty1 + 1):
+                for tx in range(tx0, tx1 + 1):
+                    out_t.append(ty * tiles_x + tx)
+                    out_z.append(int(zid))
+                    out_s.append(int(seq))
+                    out_w.append(wkb)
+        return pa.table(
+            {
+                "tile_id": pa.array(out_t, pa.int64()),
+                "zone_id": pa.array(out_z, pa.int64()),
+                "zone_seq": pa.array(out_s, pa.int64()),
+                "geom_wkb": pa.array(out_w, pa.binary()),
+            }
+        )
+
+    return zones_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def _joined_partials(batch: pa.Table, grid_dict: dict, store_values: bool) -> pa.Table:
+    """One joined batch: tile columns + assignment columns -> partial rows."""
+    g = Grid.from_dict(grid_dict)
+    n = batch.num_rows
+    if n == 0:
+        return _empty_partial_table()
+    row0s = batch.column("row0").to_numpy()
+    col0s = batch.column("col0").to_numpy()
+    ths = batch.column("th").to_numpy()
+    tws = batch.column("tw").to_numpy()
+    tids = batch.column("tile_id").to_numpy()
+    zids = batch.column("zone_id").to_numpy()
+    values_col = batch.column("values_bin").to_pylist()
+    wkbs = batch.column("geom_wkb").to_pylist()
+
+    out_rows = []
+    for i in range(n):
+        th, tw = int(ths[i]), int(tws[i])
+        tile_grid = g.subgrid(int(row0s[i]), int(col0s[i]), th, tw)
+        parts = parse_wkb(wkbs[i])
+        e = parts_envelope(parts)
+        sub = tile_grid.crop_to_box(Box(*e))
+        if sub.empty():
+            continue
+        cov = zone_coverage(sub, parts)
+        if not np.any(cov):
+            continue
+        vals = np.frombuffer(values_col[i], dtype="<f8").reshape(th, tw)
+        r0, c0 = sub.row_offset(tile_grid), sub.col_offset(tile_grid)
+        st = RasterStats(store_values=store_values)
+        st.process(vals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol], cov)
+        row = st.to_row()
+        row["zone_id"] = int(zids[i])
+        row["tile_id"] = int(tids[i])
+        row["pair_idx"] = 0
+        out_rows.append(row)
+    if not out_rows:
+        return _empty_partial_table()
+    return pa.Table.from_pylist(out_rows, schema=_partial_schema())
+
+
+def exact_extract_partitioned(
+    raster,
+    zones_ds: "ray.data.Dataset",
+    stats: list[str],
+    value_layer: str = "value",
+    quantiles: list[float] | None = None,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Zonal stats joining zone assignments to tiles by tile_id hash —
+    no zone broadcast; both sides stream. Single value layer, unweighted
+    (the broadcast path covers the full option surface)."""
+    assignments = zone_tile_assignments(
+        zones_ds, raster.grid, raster.tile_h, raster.tile_w
+    )
+
+    def pack_values(b: pa.Table) -> pa.Table:
+        # Arrow's hash join rejects list columns as payload; carry the tile
+        # tensor as raw little-endian float64 bytes instead
+        vals = b.column("values")
+        packed = [
+            np.asarray(vals[i].values, dtype="<f8").tobytes()
+            for i in range(b.num_rows)
+        ]
+        return b.drop_columns(["values"]).append_column(
+            "values_bin", pa.array(packed, pa.large_binary())
+        )
+
+    tiles = raster.ds.filter(lambda r: r["layer"] == value_layer).map_batches(
+        pack_values, batch_format="pyarrow"
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = tiles.join(
+        assignments,
+        join_type="inner",
+        num_partitions=num_partitions or ncpu,
+        on=("tile_id",),
+    )
+    gd = raster.grid.to_dict()
+    store_values = bool(STORED_VALUE_STATS & set(stats))
+    partials = joined.map_batches(
+        lambda b: _joined_partials(b, gd, store_values), batch_format="pyarrow"
+    )
+    partials = partials.materialize().repartition(ncpu)
+    quantiles = quantiles or [0.5]
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        merged = merge_partial_group(group, store_values)
+        out = {"zone_id": [int(group["zone_id"].iloc[0])]}
+        for s in stats:
+            if s == "quantile":
+                for q in quantiles:
+                    out[f"q{int(100*q):02d}"] = [merged.quantile(q)]
+            else:
+                out[s] = [merged.result(s)]
+        return pd.DataFrame(out)
+
+    res = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
+    df = res.to_pandas().sort_values("zone_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

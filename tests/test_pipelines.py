@@ -288,3 +288,33 @@ def test_coverage_fraction_tiles_reassemble(_ray):
     np.testing.assert_allclose(
         full, coverage_fraction_wkb(g, wkb), atol=1e-12
     )
+
+
+def test_partitioned_zones_matches_broadcast(_ray):
+    """Range-partitioned zone join (no broadcast) produces bit-identical
+    stats to the broadcast plan."""
+    import ray.data
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.pipelines.zonal_partitioned import (
+        exact_extract_partitioned,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    zones_tbl = synth_rect_zones(6, 64)
+    broadcast = (
+        exact_extract(
+            synthetic_raster_dataset(n=64, tile=16), zones_tbl,
+            ["count", "sum", "mean", "median"],
+        )
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    part = exact_extract_partitioned(
+        synthetic_raster_dataset(n=64, tile=16),
+        ray.data.from_arrow(zones_tbl),
+        ["count", "sum", "mean", "median"],
+    ).to_pandas()
+    for c in ["count", "sum", "mean", "median"]:
+        assert np.array_equal(broadcast[c].to_numpy(), part[c].to_numpy())
