@@ -148,6 +148,103 @@ class ResampleTilePartials:
         return pa.Table.from_pylist(rows_out, schema=_partial_schema())
 
 
+def resample_cells(src_raster, dst_grid: Grid, concurrency=None):
+    """Per-(dest cell, source cell) overlap rows:
+    (cell, row, col, value, cov) — cov = fraction of the SOURCE cell covered
+    by the destination cell, like the reference's resample coverage
+    (/root/reference/src/resample.cpp:104-155). Feeds exact_resample_apply."""
+    from ..util import cached_stage
+
+    src, dst = src_raster.grid, dst_grid
+
+    class _CellRows:
+        def __init__(self, src_grid, dst_grid):
+            self.src = Grid.from_dict(src_grid)
+            self.dst = Grid.from_dict(dst_grid)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            srcg, dstg = self.src, self.dst
+            src_area = srcg.dx * srcg.dy
+            out = {"cell": [], "row": [], "col": [], "value": [], "cov": []}
+            layers = batch.column("layer").to_pylist()
+            for i, lay in enumerate(layers):
+                if lay != "value":
+                    continue
+                row0 = int(batch.column("row0")[i].as_py())
+                col0 = int(batch.column("col0")[i].as_py())
+                th = int(batch.column("th")[i].as_py())
+                tw = int(batch.column("tw")[i].as_py())
+                vals = np.asarray(
+                    batch.column("values")[i].values, dtype=np.float64
+                ).reshape(th, tw)
+                sx0 = srcg.xmin + (col0 + np.arange(tw)) * srcg.dx
+                sx1 = sx0 + srcg.dx
+                sy1 = srcg.ymax - (row0 + np.arange(th)) * srcg.dy
+                sy0 = sy1 - srcg.dy
+                dc0 = max(0, int(np.floor((sx0[0] - dstg.xmin) / dstg.dx)))
+                dc1 = min(dstg.ncol - 1, int(np.ceil((sx1[-1] - dstg.xmin) / dstg.dx)) - 1)
+                dr0 = max(0, int(np.floor((dstg.ymax - sy1[0]) / dstg.dy)))
+                dr1 = min(dstg.nrow - 1, int(np.ceil((dstg.ymax - sy0[-1]) / dstg.dy)) - 1)
+                if dc1 < dc0 or dr1 < dr0:
+                    continue
+                dcols = np.arange(dc0, dc1 + 1)
+                drows = np.arange(dr0, dr1 + 1)
+                dx0 = dstg.xmin + dcols * dstg.dx
+                dx1 = dx0 + dstg.dx
+                dy1 = dstg.ymax - drows * dstg.dy
+                dy0 = dy1 - dstg.dy
+                xov = _interval_overlaps(sx0, sx1, dx0, dx1)
+                yov = _interval_overlaps(sy0, sy1, dy0, dy1)
+                for a, dr in enumerate(drows):
+                    for b, dc in enumerate(dcols):
+                        cov = np.outer(yov[:, a], xov[:, b]) / src_area
+                        rr, cc = np.nonzero(cov > 0)
+                        if len(rr) == 0:
+                            continue
+                        cell = int(dr) * dstg.ncol + int(dc)
+                        out["cell"].extend([cell] * len(rr))
+                        out["row"].extend([int(dr)] * len(rr))
+                        out["col"].extend([int(dc)] * len(rr))
+                        out["value"].extend(vals[rr, cc].tolist())
+                        out["cov"].extend(cov[rr, cc].tolist())
+            return pa.table(
+                {
+                    "cell": pa.array(out["cell"], pa.int64()),
+                    "row": pa.array(out["row"], pa.int64()),
+                    "col": pa.array(out["col"], pa.int64()),
+                    "value": pa.array(out["value"], pa.float64()),
+                    "cov": pa.array(out["cov"], pa.float64()),
+                }
+            )
+
+    return src_raster.ds.map_batches(
+        cached_stage(_CellRows, src.to_dict(), dst.to_dict()),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def exact_resample_apply(src_raster, dst_grid: Grid, fn, concurrency=None):
+    """exact_resample with a user summary function — the reference's
+    fun=function path (/root/reference/R/exact_resample.R:31-105): ``fn``
+    receives one destination cell's (value, cov) frame and returns a scalar;
+    output is a Dataset of (cell, row, col, value)."""
+    cells = resample_cells(src_raster, dst_grid, concurrency)
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        v = fn(group["value"].to_numpy(), group["cov"].to_numpy())
+        return pd.DataFrame(
+            {
+                "cell": [int(group["cell"].iloc[0])],
+                "row": [int(group["row"].iloc[0])],
+                "col": [int(group["col"].iloc[0])],
+                "value": [float(v)],
+            }
+        )
+
+    return cells.groupby("cell").map_groups(run, batch_format="pandas")
+
+
 def exact_resample(
     src_raster,
     dst_grid: Grid,

@@ -318,3 +318,36 @@ def test_partitioned_zones_matches_broadcast(_ray):
     ).to_pandas()
     for c in ["count", "sum", "mean", "median"]:
         assert np.array_equal(broadcast[c].to_numpy(), part[c].to_numpy())
+
+
+def test_resample_apply_udf(_ray):
+    """User-function resample (reference fun= path) matches the named-stat
+    path for an equivalent function."""
+    from exactextractr_ray.pipelines.resample import (
+        exact_resample,
+        exact_resample_apply,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    dst = Grid(0.0, 0.0, 32.0, 32.0, 32.0 / 12, 32.0 / 12)
+
+    def cov_weighted_mean(values, cov):
+        m = ~np.isnan(values)
+        return np.sum(values[m] * cov[m]) / np.sum(cov[m])
+
+    named = (
+        exact_resample(synthetic_raster_dataset(n=32, tile=8), dst, stat="mean")
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    udf = (
+        exact_resample_apply(
+            synthetic_raster_dataset(n=32, tile=8), dst, cov_weighted_mean
+        )
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert len(named) == len(udf)
+    assert np.allclose(named["value"].to_numpy(), udf["value"].to_numpy(), rtol=1e-12)
