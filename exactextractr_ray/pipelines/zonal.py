@@ -422,6 +422,7 @@ def exact_extract(
     colname_fun=None,
     concurrency: int | None = None,
     actors: bool = False,
+    materialize_partials: bool = True,
 ) -> pa.Table:
     """Named-stats zonal statistics; one row per zone in input order.
 
@@ -482,8 +483,13 @@ def exact_extract(
     # executor throttles map tasks feeding a pending shuffle: 3.4x slower
     # measured), and coalescing to a CPU-count of blocks keeps the sort
     # shuffle out of the tiny-object regime.
+    # (set materialize_partials=False for continuous-valued rasters with
+    # store-values stats, where freq maps make partial rows large enough
+    # that holding them all is undesirable — the shuffle then streams)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    partials = partials.materialize().repartition(ncpu)
+    if materialize_partials:
+        partials = partials.materialize()
+    partials = partials.repartition(ncpu)
 
     quantiles = quantiles or [0.5]
     npairs = len(pairs)
