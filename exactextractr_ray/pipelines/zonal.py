@@ -71,6 +71,11 @@ def zone_coverage(sub: Grid, parts: list[dict]) -> np.ndarray:
 EARTH_RADIUS = 6378137.0
 _PI_180 = math.pi / 180.0
 
+#: cap on the dense working-set of one (zone, tile) boundary work item —
+#: the reference's max_cells_in_memory analog (R/exact_extract.R:286
+#: default 3e7; ours is per-item, tiles bound the common case already)
+MAX_CELLS_PER_ITEM = 1 << 22  # 4M cells = 32 MiB float64
+
 WEIGHTED_STATS = {
     "weighted_mean",
     "weighted_sum",
@@ -172,6 +177,7 @@ class ZonalPartialStats:
         default_value: float | None = None,
         default_weight: float | None = None,
         need_minmax: bool = True,
+        max_cells_per_item: int | None = None,
     ):
         zones = ray.get(zones_ref) if not isinstance(zones_ref, ZoneSet) else zones_ref
         self.zones = zones
@@ -183,6 +189,7 @@ class ZonalPartialStats:
         self.default_value = default_value
         self.default_weight = default_weight
         self.need_minmax = need_minmax
+        self.max_cells_per_item = max_cells_per_item or MAX_CELLS_PER_ITEM
         # per-zone edge bounding boxes for the boundary-crossing test
         self._edge_bboxes: list[np.ndarray] = []
         for parts in zones.parts:
@@ -334,35 +341,62 @@ class ZonalPartialStats:
                                 full_tile_rows[pi] = dict(row)
                         row["zone_id"] = int(self.zones.zone_ids[zi])
                         row["tile_id"] = tid
+                        row["piece"] = 0
                         row["pair_idx"] = pi
                         out_rows.append(row)
                 else:
-                    sub = tile_grid.crop_to_box(zbox)
-                    if sub.empty():
-                        continue
-                    cov = zone_coverage(sub, self.zones.parts[zi])
-                    if not np.any(cov):
-                        continue
-                    r0 = sub.row_offset(tile_grid)
-                    c0 = sub.col_offset(tile_grid)
-                    if cov_scale is not None:
-                        cov = cov * cov_scale[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
-                    for pi, (vlay, wlay) in enumerate(self.pairs):
-                        vals = self._fill(get_layer(vlay), self.default_value)[
-                            r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
-                        ]
-                        ws = None
-                        if wlay is not None:
-                            ws = self._fill(get_layer(wlay), self.default_weight)[
+                    # recursive tile decomposition: a boundary work item whose
+                    # crop exceeds MAX_CELLS_PER_ITEM splits into halves until
+                    # bounded — the reference's subdivide(max_cells_in_memory)
+                    # analog (grid.cpp:74-99), but the split pieces stay
+                    # independent partial rows and recombine in the zone
+                    # groupby like any other tile partials
+                    stack = [tile_grid.crop_to_box(zbox)]
+                    while stack:
+                        sub = stack.pop()
+                        if sub.empty():
+                            continue
+                        if sub.ncell > self.max_cells_per_item:
+                            if sub.nrow >= sub.ncol:
+                                half = sub.nrow // 2
+                                stack.append(sub.subgrid(0, 0, half, sub.ncol))
+                                stack.append(
+                                    sub.subgrid(half, 0, sub.nrow - half, sub.ncol)
+                                )
+                            else:
+                                half = sub.ncol // 2
+                                stack.append(sub.subgrid(0, 0, sub.nrow, half))
+                                stack.append(
+                                    sub.subgrid(0, half, sub.nrow, sub.ncol - half)
+                                )
+                            continue
+                        cov = zone_coverage(sub, self.zones.parts[zi])
+                        if not np.any(cov):
+                            continue
+                        r0 = sub.row_offset(tile_grid)
+                        c0 = sub.col_offset(tile_grid)
+                        if cov_scale is not None:
+                            cov = cov * cov_scale[
                                 r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
                             ]
-                        st = RasterStats(store_values=self.store_values)
-                        st.process(vals, cov, ws, need_minmax=self.need_minmax)
-                        row = st.to_row()
-                        row["zone_id"] = int(self.zones.zone_ids[zi])
-                        row["tile_id"] = tid
-                        row["pair_idx"] = pi
-                        out_rows.append(row)
+                        for pi, (vlay, wlay) in enumerate(self.pairs):
+                            vals = self._fill(get_layer(vlay), self.default_value)[
+                                r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
+                            ]
+                            ws = None
+                            if wlay is not None:
+                                ws = self._fill(
+                                    get_layer(wlay), self.default_weight
+                                )[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
+                            st = RasterStats(store_values=self.store_values)
+                            st.process(vals, cov, ws, need_minmax=self.need_minmax)
+                            row = st.to_row()
+                            row["zone_id"] = int(self.zones.zone_ids[zi])
+                            row["tile_id"] = tid
+                            # deterministic sub-tile merge order for splits
+                            row["piece"] = (r0 << 32) | c0
+                            row["pair_idx"] = pi
+                            out_rows.append(row)
 
         if not out_rows:
             return _empty_partial_table()
@@ -373,6 +407,7 @@ def _partial_schema() -> pa.Schema:
     fields = [
         ("zone_id", pa.int64()),
         ("tile_id", pa.int64()),
+        ("piece", pa.int64()),
         ("pair_idx", pa.int32()),
     ]
     for c in PARTIAL_COLUMNS:
@@ -389,7 +424,10 @@ def _empty_partial_table() -> pa.Table:
 
 def merge_partial_group(df: pd.DataFrame, store_values: bool) -> RasterStats:
     """Merge one zone's partial rows in sorted tile order (determinism)."""
-    df = df.sort_values("tile_id", kind="mergesort")
+    if "piece" in df.columns:
+        df = df.sort_values(["tile_id", "piece"], kind="mergesort")
+    else:
+        df = df.sort_values("tile_id", kind="mergesort")
     merged = RasterStats(store_values=store_values)
     for row in df.to_dict("records"):
         merged.merge(RasterStats.from_row(row, store_values=store_values))
@@ -423,6 +461,7 @@ def exact_extract(
     concurrency: int | None = None,
     actors: bool = False,
     materialize_partials: bool = True,
+    max_cells_per_item: int | None = None,
 ) -> pa.Table:
     """Named-stats zonal statistics; one row per zone in input order.
 
@@ -460,6 +499,7 @@ def exact_extract(
         default_value,
         default_weight,
         bool({"min", "max"} & set(stats)),
+        max_cells_per_item,
     )
     if actors:
         partials = raster.ds.map_batches(

@@ -83,3 +83,36 @@ def test_hot_key_pip_join(_ray):
     zones = zone_table([(7, "hot", wkbio.rect_wkb(0, 0, 3, 3))])
     joined = pip_join(ray.data.from_pandas(pts).repartition(8), zones)
     assert joined.count() == 20000
+
+
+def test_recursive_decomposition_bit_identical(_ray):
+    """Forcing boundary work items to split recursively (tiny
+    max_cells_per_item) yields bit-identical stats to the unsplit run."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    zones = synth_rect_zones(4, 64)
+    base = (
+        exact_extract(
+            synthetic_raster_dataset(n=64, tile=64),
+            zones,
+            ["count", "sum", "mean", "median", "variety"],
+        )
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    split = (
+        exact_extract(
+            synthetic_raster_dataset(n=64, tile=64),
+            zones,
+            ["count", "sum", "mean", "median", "variety"],
+            max_cells_per_item=64,
+        )
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    for c in ["count", "sum", "mean", "median", "variety"]:
+        assert np.array_equal(base[c].to_numpy(), split[c].to_numpy()), c
