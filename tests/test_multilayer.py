@@ -205,3 +205,31 @@ def test_multilayer_frac_union(_ray):
     ]
     assert res["frac_1.a"].iloc[0] == 0.5 and res["frac_3.a"].iloc[0] == 0.0
     assert res["frac_1.b"].iloc[0] == 0.0 and res["frac_3.b"].iloc[0] == 0.5
+
+
+def test_crs_transform_roundtrip():
+    from exactextractr_ray.functions.crs import (
+        lonlat_to_mercator,
+        mercator_to_lonlat,
+        transform_zone_table,
+    )
+
+    lon = np.array([-122.4, 0.0, 151.2])
+    lat = np.array([37.77, 0.0, -33.87])
+    x, y = lonlat_to_mercator(lon, lat)
+    lon2, lat2 = mercator_to_lonlat(x, y)
+    np.testing.assert_allclose(lon2, lon, rtol=1e-12)
+    np.testing.assert_allclose(lat2, lat, rtol=1e-10)
+    # known value: lon 180 -> pi*R
+    x180, _ = lonlat_to_mercator(np.array([180.0]), np.array([0.0]))
+    assert x180[0] == pytest.approx(np.pi * 6378137.0)
+
+    zones = zone_table([(0, "z", wkbio.rect_wkb(-1.0, -1.0, 1.0, 1.0))])
+    with pytest.warns(UserWarning, match="transformed"):
+        tz = transform_zone_table(zones, "EPSG:4326", "EPSG:3857")
+    from exactextractr_ray.wkbio import parse_wkb, parts_envelope
+
+    env = parts_envelope(parse_wkb(tz.column("geom_wkb")[0].as_py()))
+    assert env[0] == pytest.approx(-111319.49, rel=1e-4)
+    with pytest.raises(ValueError, match="unsupported CRS"):
+        transform_zone_table(zones, "EPSG:4326", "EPSG:32618")
