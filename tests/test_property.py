@@ -125,3 +125,22 @@ def test_area_conservation_on_containing_grid(points):
     cov = coverage_matrix(g, wkbio.parse_wkb(wkbio.polygon_wkb(ring)))
     assert cov.min() >= 0.0 and cov.max() <= 1.0
     assert cov.sum() * 0.0625 == pytest.approx(area, rel=1e-9, abs=1e-12)
+
+
+lattice_coords = st.integers(min_value=-4, max_value=16).map(lambda i: i * 0.5)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(lattice_coords, lattice_coords), min_size=3, max_size=10, unique=True))
+def test_kernel_matches_bruteforce_on_lattice(points):
+    """Vertices exactly on cell boundaries/corners (half-integer lattice):
+    the kernel's exact-crossing handling vs brute-force clipping."""
+    pts = np.asarray(points)
+    ring = star_polygon(pts)
+    if abs(wkbio.ring_area_signed(ring)) < 1e-9:
+        return
+    g = Grid(0, 0, 6, 6, 1, 1)
+    parts = wkbio.parse_wkb(wkbio.polygon_wkb(ring))
+    fast = coverage_matrix(g, parts)
+    slow = brute_force_coverage(g, parts[0]["rings"][0])
+    np.testing.assert_allclose(fast, slow, atol=1e-9)
