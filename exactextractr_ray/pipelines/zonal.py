@@ -822,10 +822,11 @@ def exact_extract_apply(
     raster,
     zones: pa.Table,
     fn,
-    value_layer: str = "value",
+    value_layer="value",
     weight_layer: str | None = None,
     include_xy: bool = False,
     include_cell: bool = False,
+    stack_apply: bool = False,
     **kwargs,
 ):
     """The user-summary-function path (fun=... in the reference,
@@ -835,7 +836,30 @@ def exact_extract_apply(
 
     Runs as ``groupby(zone_id).map_groups`` over the streaming per-cell
     extraction — the UDF sees the same (values, coverage_fraction, weights)
-    triple the reference passes to R functions."""
+    triple the reference passes to R functions.
+
+    ``stack_apply=True`` with a list of value layers applies the UDF to each
+    layer independently and suffixes result columns with ``.{layer}``
+    (the reference's stack_apply, /root/reference/R/exact_extract.R)."""
+    if stack_apply:
+        layers = [value_layer] if isinstance(value_layer, str) else list(value_layer)
+        merged = None
+        for lay in layers:
+            part = exact_extract_apply(
+                raster, zones, fn,
+                value_layer=lay, weight_layer=weight_layer,
+                include_xy=include_xy, include_cell=include_cell,
+                stack_apply=False, **kwargs,
+            ).to_pandas()
+            if len(layers) > 1:
+                part = part.rename(
+                    columns={c: f"{c}.{lay}" for c in part.columns if c != "zone_id"}
+                )
+            merged = part if merged is None else merged.merge(part, on="zone_id")
+        import ray.data
+
+        return ray.data.from_pandas(merged)
+
     cells = extract_cells(
         raster,
         zones,

@@ -233,3 +233,17 @@ def test_crs_transform_roundtrip():
     assert env[0] == pytest.approx(-111319.49, rel=1e-4)
     with pytest.raises(ValueError, match="unsupported CRS"):
         transform_zone_table(zones, "EPSG:4326", "EPSG:32618")
+
+
+def test_stack_apply_udf(_ray):
+    rd = _two_layer_raster()
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 8, 8))])
+
+    def total(df):
+        return pd.DataFrame({"t": [float((df["value"] * df["cov"]).sum())]})
+
+    out = exact_extract_apply(
+        rd, zones, total, value_layer=["a", "b"], stack_apply=True
+    ).to_pandas()
+    assert list(out.columns) == ["zone_id", "t.a", "t.b"]
+    assert out["t.b"].iloc[0] == pytest.approx(2 * out["t.a"].iloc[0])
