@@ -272,6 +272,6 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--child" in sys.argv:
-        print(json.dumps(run_all(full=False, repeats=3)))
+        print(json.dumps(run_all(full=False, repeats=4)))
     else:
         print(json.dumps(run_all(full=True)))
