@@ -256,6 +256,49 @@ def _q_coverage_fraction(sf_dir: str):
     return out.sort_values("cell").reset_index(drop=True)
 
 
+def _q_zonal_mixedres(sf_dir: str):
+    """Weighted stats with the weight raster at 2x coarser resolution
+    (RasterView disaggregation path)."""
+    import numpy as np
+    from exactextractr_ray import synth
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.mixed import exact_extract_mixed
+    from exactextractr_ray.sources.raster import raster_from_array
+
+    n2 = N_GRID // 2
+    rr, cc = np.meshgrid(np.arange(n2), np.arange(n2), indexing="ij")
+    wvals = synth.synth_weights(rr, cc)
+    wg = Grid(0.0, 0.0, float(N_GRID), float(N_GRID), 2.0, 2.0)
+    wrd = raster_from_array(wvals, wg, tile=16)
+    t = exact_extract_mixed(
+        _raster(), wrd, _rect_zones(), ["weighted_sum", "weighted_mean"]
+    ).to_pandas()
+    t = t.rename(columns={"weighted_sum": "wsum", "weighted_mean": "wmean"})
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
+def _q_rasterize_min(sf_dir: str):
+    from exactextractr_ray.pipelines.rasterize import rasterize_polygons
+    from exactextractr_ray import synth
+
+    tiles = rasterize_polygons(
+        _rect_zones(), synth.synth_grid(N_GRID), tile=TILE, min_coverage=0.5
+    )
+    df = tiles.to_pandas()
+    rows = []
+    for _, r in df.iterrows():
+        zi = np.asarray(r["zone_index"], dtype=np.int32).reshape(r["th"], r["tw"])
+        rr, cc = np.nonzero(zi >= 0)
+        cells = (rr + r["row0"]) * N_GRID + (cc + r["col0"]) + 1
+        rows.append(pd.DataFrame({"cell": cells, "zone_pick": zi[rr, cc]}))
+    out = pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+        {"cell": [], "zone_pick": []}
+    )
+    out["cell"] = out["cell"].astype(np.int64)
+    out["zone_pick"] = out["zone_pick"].astype(np.int64)
+    return out.sort_values("cell").reset_index(drop=True)
+
+
 def _q_zonal_lines(sf_dir: str):
     from exactextractr_ray.pipelines.zonal import exact_extract
     from exactextractr_ray.sources.zones import synth_line_zones
@@ -462,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_sum": _q_resample("sum"),
         "resample_mean": _q_resample("mean"),
         "coverage_fraction_rect": _q_coverage_fraction,
+        "zonal_mixedres_rect": _q_zonal_mixedres,
+        "rasterize_min_coverage": _q_rasterize_min,
         "zonal_line_length": _q_zonal_lines,
         "zonal_stack_rect": _q_zonal_stack,
         "embedding_dups": _q_embedding_dups,
@@ -665,6 +710,35 @@ def oracle_sql() -> dict[str, str]:
     FROM cov WHERE cov > 0 AND zone_id = 3 ORDER BY cell
     """
 
+    # weight at 2x coarser grid: weight cell (r//2, c//2) under the same
+    # modular rule the Ray side uses to build the coarse raster
+    zonal_mixed = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id,
+      SUM(val*cov*(((r//2)*{synth.W_A} + (c//2)*{synth.W_B}) % {synth.W_MOD} + 1)) AS wsum,
+      SUM(val*cov*(((r//2)*{synth.W_A} + (c//2)*{synth.W_B}) % {synth.W_MOD} + 1))
+        / SUM(CASE WHEN val IS NOT NULL
+              THEN cov*(((r//2)*{synth.W_A} + (c//2)*{synth.W_B}) % {synth.W_MOD} + 1) END) AS wmean
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
+    """
+
+    rasterize_min = f"""
+    WITH cov AS ({cov}),
+    tot AS (
+      SELECT r, c, SUM(cov) AS total_cov FROM cov WHERE cov > 0 GROUP BY r, c
+    ),
+    ranked AS (
+      SELECT cov.r, cov.c, cov.zone_id,
+        ROW_NUMBER() OVER (PARTITION BY cov.r, cov.c
+                           ORDER BY cov.cov DESC, cov.zone_id ASC) AS rnk
+      FROM cov WHERE cov.cov > 0
+    )
+    SELECT ranked.r*{N_GRID} + ranked.c + 1 AS cell, ranked.zone_id AS zone_pick
+    FROM ranked JOIN tot ON tot.r = ranked.r AND tot.c = ranked.c
+    WHERE ranked.rnk = 1 AND tot.total_cov >= 0.5
+    ORDER BY cell
+    """
+
     zonal_lines = f"""
     WITH cov AS ({synth.line_cov_sql(N_GRID, 8)})
     SELECT zone_id,
@@ -818,6 +892,8 @@ def oracle_sql() -> dict[str, str]:
         "resample_sum": resample_sum,
         "resample_mean": resample_mean,
         "coverage_fraction_rect": coverage_fraction_rect,
+        "zonal_mixedres_rect": zonal_mixed,
+        "rasterize_min_coverage": rasterize_min,
         "zonal_line_length": zonal_lines,
         "zonal_stack_rect": zonal_stack,
         "embedding_dups": embedding_dups,
