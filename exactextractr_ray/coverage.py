@@ -164,6 +164,48 @@ def _accumulate_area(ua, va, ub, vb, nrow: int, ncol: int, area, cover):
     np.add.at(cover, (r, c), dv)
 
 
+def _axis_aligned_rect(parts: list[dict]):
+    """If parts form ONE hole-free axis-aligned rectangle, return its box
+    (xmin, ymin, xmax, ymax); else None."""
+    if len(parts) != 1 or parts[0]["type"] != "Polygon":
+        return None
+    rings = parts[0]["rings"]
+    if len(rings) != 1:
+        return None
+    ring = rings[0]
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    if len(pts) != 4:
+        return None
+    xs = np.unique(pts[:, 0])
+    ys = np.unique(pts[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    # each vertex must sit on a corner (guards rotated quads)
+    for p in pts:
+        if p[0] not in xs or p[1] not in ys:
+            return None
+    return float(xs[0]), float(ys[0]), float(xs[1]), float(ys[1])
+
+
+def rect_coverage_matrix(grid: Grid, box, dtype=np.float64) -> np.ndarray:
+    """Closed-form coverage of an axis-aligned rectangle: outer product of
+    1-D interval overlaps — the reference's rectangle fast path
+    (/root/reference/src/exactextract/src/raster_cell_intersection.cpp:161-248),
+    expressed as two O(n) vectors instead of a boundary traversal."""
+    xmin, ymin, xmax, ymax = box
+    cols = np.arange(grid.ncol)
+    x0 = grid.xmin + cols * grid.dx
+    xov = np.clip(
+        np.minimum(x0 + grid.dx, xmax) - np.maximum(x0, xmin), 0.0, None
+    ) / grid.dx
+    rows = np.arange(grid.nrow)
+    y1 = grid.ymax - rows * grid.dy
+    yov = np.clip(
+        np.minimum(y1, ymax) - np.maximum(y1 - grid.dy, ymin), 0.0, None
+    ) / grid.dy
+    return np.outer(yov, xov).astype(dtype, copy=False)
+
+
 def coverage_matrix(
     grid: Grid, parts: list[dict], dtype=np.float64
 ) -> np.ndarray:
@@ -173,6 +215,9 @@ def coverage_matrix(
     shell rings CCW, holes CW as normalized by the parser). Returns an
     (nrow, ncol) array, row 0 at the top.
     """
+    rect = _axis_aligned_rect(parts)
+    if rect is not None:
+        return rect_coverage_matrix(grid, rect, dtype)
     nrow, ncol = grid.nrow, grid.ncol
     area = np.zeros((nrow, ncol))
     cover = np.zeros((nrow, ncol))
