@@ -423,14 +423,58 @@ def _empty_partial_table() -> pa.Table:
 
 
 def merge_partial_group(df: pd.DataFrame, store_values: bool) -> RasterStats:
-    """Merge one zone's partial rows in sorted tile order (determinism)."""
+    """Merge one zone's partial rows in sorted tile order (determinism).
+
+    Vectorized: plain sums/min/max reduce as numpy columns; the West/Chan
+    variance accumulators merge sequentially (order-dependent by nature) over
+    the sorted rows; frequency maps concatenate and aggregate with one
+    np.unique pass instead of per-row dict updates."""
     if "piece" in df.columns:
         df = df.sort_values(["tile_id", "piece"], kind="mergesort")
     else:
         df = df.sort_values("tile_id", kind="mergesort")
     merged = RasterStats(store_values=store_values)
-    for row in df.to_dict("records"):
-        merged.merge(RasterStats.from_row(row, store_values=store_values))
+    if len(df) == 0:
+        return merged
+    for col, attr in [
+        ("sum_ci", "sum_ci"),
+        ("sum_xici", "sum_xici"),
+        ("sum_ciwi", "sum_ciwi"),
+        ("sum_xiciwi", "sum_xiciwi"),
+        ("sum_x2ci", "sum_x2ci"),
+        ("sum_x2ciwi", "sum_x2ciwi"),
+    ]:
+        setattr(merged, attr, float(np.sum(df[col].to_numpy())))
+    merged.min = float(np.min(df["vmin"].to_numpy()))
+    merged.max = float(np.max(df["vmax"].to_numpy()))
+    from ..stats import VarState
+
+    for w, mu, t in zip(
+        df["var_w"].to_numpy(), df["var_mean"].to_numpy(), df["var_t"].to_numpy()
+    ):
+        merged.var.merge(VarState(float(w), float(mu), float(t)))
+    for w, mu, t in zip(
+        df["wvar_w"].to_numpy(), df["wvar_mean"].to_numpy(), df["wvar_t"].to_numpy()
+    ):
+        merged.wvar.merge(VarState(float(w), float(mu), float(t)))
+    if store_values:
+        vals_lists = [np.asarray(v, dtype=np.float64) for v in df["freq_values"]]
+        if vals_lists:
+            flat_v = np.concatenate(vals_lists) if vals_lists else np.empty(0)
+            if len(flat_v):
+                flat_c = np.concatenate(
+                    [np.asarray(v, dtype=np.float64) for v in df["freq_ci"]]
+                )
+                flat_w = np.concatenate(
+                    [np.asarray(v, dtype=np.float64) for v in df["freq_ciwi"]]
+                )
+                uq, inv = np.unique(flat_v, return_inverse=True)
+                csum = np.bincount(inv, weights=flat_c, minlength=len(uq))
+                wsum = np.bincount(inv, weights=flat_w, minlength=len(uq))
+                merged.freq = {
+                    v: [c, w]
+                    for v, c, w in zip(uq.tolist(), csum.tolist(), wsum.tolist())
+                }
     return merged
 
 
