@@ -462,6 +462,44 @@ def _q_fingerprint(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_knn_lsh(sf_dir: str):
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine_lsh
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(lambda r: r["vec_id"] < KNN_Q).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_cosine_lsh(emb, qids, qmat, k=KNN_K, num_planes=4).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_rolling_fp(sf_dir: str):
+    from exactextractr_ray.stages.text import rolling_fingerprint_batch
+
+    ds = _docs(sf_dir).map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+    df = ds.select_columns(["doc_id", "doc_fp"]).to_pandas()
+    df["doc_fp"] = df["doc_fp"].astype(np.uint64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_morton(sf_dir: str):
+    from exactextractr_ray.stages.geocode import (
+        assign_morton_batch,
+        geocode_doc_batch,
+    )
+
+    geo = _docs(sf_dir).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    geo = geo.map_batches(lambda b: assign_morton_batch(b, 10), batch_format="pyarrow")
+    df = geo.select_columns(["doc_id", "morton_cell"]).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     from exactextractr_ray.stages.text import langid_batch
 
@@ -523,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
+        "knn_cosine_lsh": _q_knn_lsh,  # approximate by design -> rows-only
+        "doc_rolling_fingerprint": _q_rolling_fp,
+        "morton_cells": _q_morton,
     }
 
 
@@ -873,6 +914,26 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked WHERE rank <= {KNN_K} ORDER BY query_id, rank
     """
 
+    # Morton interleave as an explicit 2x10-term bit sum
+    level = 10
+    n_cells = 1 << level
+    xexpr = (
+        f"LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n_cells}) AS BIGINT), 0), {n_cells - 1})"
+    )
+    yexpr = (
+        f"LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {n_cells}) AS BIGINT), 0), {n_cells - 1})"
+    )
+    terms = " + ".join(
+        [f"((mx // {1 << b}) % 2) * {1 << (2 * b)}" for b in range(level)]
+        + [f"((my // {1 << b}) % 2) * {1 << (2 * b + 1)}" for b in range(level)]
+    )
+    morton = f"""
+    WITH geo AS ({geo}),
+    xy AS (SELECT doc_id, {xexpr} AS mx, {yexpr} AS my FROM geo)
+    SELECT doc_id, CAST({terms} AS BIGINT) AS morton_cell
+    FROM xy ORDER BY doc_id
+    """
+
     extract_text = """
     SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """
@@ -907,6 +968,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": knn,
         "extract_text_identity": extract_text,
         "doc_fingerprint": fingerprint,
+        "morton_cells": morton,
         # langid, minhash_pairs, simhash_pairs: not SQL-expressible ->
         # rows-only checks by the driver
     }
