@@ -48,7 +48,7 @@ import ray
 from ..grid import Box, Grid
 from ..sources.zones import ZoneSet, parse_zone_table
 from ..stages.pip_join import winding_number
-from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats
+from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats, VarState
 from ..coverage import coverage_matrix, length_matrix
 from ..util import cached_stage
 
@@ -447,8 +447,6 @@ def merge_partial_group(df: pd.DataFrame, store_values: bool) -> RasterStats:
         setattr(merged, attr, float(np.sum(df[col].to_numpy())))
     merged.min = float(np.min(df["vmin"].to_numpy()))
     merged.max = float(np.max(df["vmax"].to_numpy()))
-    from ..stats import VarState
-
     for w, mu, t in zip(
         df["var_w"].to_numpy(), df["var_mean"].to_numpy(), df["var_t"].to_numpy()
     ):

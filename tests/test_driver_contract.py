@@ -1,0 +1,31 @@
+"""Driver-contract regression: the driver initializes Ray itself and may run
+from ANY working directory — workers must not need the repo on their import
+path (guards the by-value pickling registration and the no-runtime-imports
+rule for worker code paths)."""
+
+import subprocess
+import sys
+
+_CHILD = r"""
+import os, sys
+os.chdir("/tmp")  # foreign cwd BEFORE ray starts
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         log_to_driver=False, logging_level="ERROR")
+sys.path.insert(0, "/root/repo")
+import __ray_entry__ as e
+qs = e.queries()
+r = qs["zonal_stats_rect"]("/root/testdata/sf0.001")
+assert len(r) == 12, len(r)
+r2 = qs["dedup_exact"]("/root/testdata/sf0.001")
+assert len(r2) == 500, len(r2)
+ray.shutdown()
+print("DRIVER_CONTRACT_OK")
+"""
+
+
+def test_foreign_cwd_driver():
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD], capture_output=True, text=True, timeout=600
+    )
+    assert "DRIVER_CONTRACT_OK" in proc.stdout, proc.stderr[-3000:]
