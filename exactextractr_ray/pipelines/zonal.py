@@ -476,16 +476,6 @@ def merge_partial_group(df: pd.DataFrame, store_values: bool) -> RasterStats:
     return merged
 
 
-def expand_stat_columns(stats: list[str], quantiles: list[float] | None) -> list[str]:
-    cols: list[str] = []
-    for s in stats:
-        if s == "quantile":
-            cols.extend(_quantile_part(q) for q in (quantiles or [0.5]))
-        else:
-            cols.append(s)
-    return cols
-
-
 def exact_extract(
     raster,
     zones: pa.Table,

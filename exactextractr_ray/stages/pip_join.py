@@ -112,9 +112,6 @@ class _BucketIndex:
         bid[~inb] = -1
         order = np.argsort(bid, kind="stable")
         sorted_bid = bid[order]
-        bounds = np.searchsorted(
-            sorted_bid, np.unique(sorted_bid[sorted_bid >= 0])
-        )
         uniq = np.unique(sorted_bid[sorted_bid >= 0])
         per_zone: dict[int, list[np.ndarray]] = {}
         starts = np.searchsorted(sorted_bid, uniq, side="left")
