@@ -357,6 +357,28 @@ def _q_pip_join(sf_dir: str):
     return df.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_top_docs_per_zone(sf_dir: str):
+    """Top-k per group: the 3 largest documents (by n_chars, ties by doc_id)
+    inside each geo zone — join -> groupby(zone) -> per-group head."""
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.pip_join import pip_join
+    from exactextractr_ray.sources.zones import synth_geo_zones
+
+    docs = _docs(sf_dir).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    joined = pip_join(docs, synth_geo_zones(N_GEO_ZONES))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["zone_id", "rank", "doc_id", "n_chars"]]
+
+    out = joined.groupby("zone_id").map_groups(topk, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["zone_id", "rank"]).reset_index(drop=True)
+
+
 def _q_cell_assign(sf_dir: str):
     from exactextractr_ray.stages.geocode import geocode_documents
 
@@ -549,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stack_rect": _q_zonal_stack,
         "embedding_dups": _q_embedding_dups,
         "pip_join_counts": _q_pip_join,
+        "top_docs_per_zone": _q_top_docs_per_zone,
         "cell_assign_counts": _q_cell_assign,
         "sessionize": _q_sessionize,
         "event_windows": _q_event_windows,
@@ -824,6 +847,21 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY z.zone_id ORDER BY z.zone_id
     """
 
+    top_docs = f"""
+    WITH geo AS ({geo}), z AS ({synth.synth_geo_zones_sql(N_GEO_ZONES)}),
+    j AS (
+      SELECT z.zone_id, geo.doc_id, geo.n_chars,
+        ROW_NUMBER() OVER (PARTITION BY z.zone_id
+                           ORDER BY geo.n_chars DESC, geo.doc_id ASC) AS rank
+      FROM geo JOIN z
+        ON geo.lon > z.xmin AND geo.lon < z.xmax
+       AND geo.lat > z.ymin AND geo.lat < z.ymax
+    )
+    SELECT zone_id, CAST(rank AS BIGINT) AS rank,
+           CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM j WHERE rank <= 3 ORDER BY zone_id, rank
+    """
+
     cell_assign = f"""
     WITH geo AS ({geo})
     SELECT {synth.cell_sql(3.0)} AS cell, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -959,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stack_rect": zonal_stack,
         "embedding_dups": embedding_dups,
         "pip_join_counts": pip_join,
+        "top_docs_per_zone": top_docs,
         "cell_assign_counts": cell_assign,
         "sessionize": sessionize_sql,
         "event_windows": event_windows,
