@@ -586,6 +586,25 @@ def exact_extract(
     agg = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
     result = agg.to_pandas()  # one row per zone: small by design
 
+    # fully-disjoint input (NO zone touches the raster): the aggregation is
+    # an empty frame with no stat columns, so build the expected
+    # __{pi}__{stat} skeleton explicitly — the NaN-padding below then fills
+    # every zone (ref returns NA rows for disjoint polygons)
+    if len(result) == 0:
+        skeleton: dict[str, list] = {"zone_id": []}
+        for pi in range(npairs):
+            for s in stats:
+                if s == "quantile":
+                    for q in quantiles:
+                        skeleton[f"__{pi}__q{q}"] = []
+                elif s in ("frac", "weighted_frac"):
+                    skeleton[f"__{pi}__{s}_values"] = []
+                    skeleton[f"__{pi}__{s}_shares"] = []
+                else:
+                    skeleton[f"__{pi}__{s}"] = []
+        result = pd.DataFrame(skeleton)
+        result["zone_id"] = result["zone_id"].astype(np.int64)
+
     # zones with no coverage -> NaN rows (ref: test_exact_extract.R:433-485)
     have = set(result["zone_id"]) if len(result) else set()
     missing = [int(z) for z in zset.zone_ids if int(z) not in have]

@@ -114,6 +114,15 @@ def resumable_write(
             skipped.append(key)
             continue
         part_dir = os.path.join(out_dir, f"part={key}")
+        # A (re)computed partition must start from an empty directory: Ray's
+        # write_parquet names files with a per-execution UUID, so leftovers
+        # from a crashed attempt (data written, manifest not committed) or a
+        # fingerprint-invalidated previous run would otherwise survive next
+        # to the new files and read_resumable would return duplicate rows.
+        if os.path.isdir(part_dir):
+            import shutil as _shutil
+
+            _shutil.rmtree(part_dir)
         os.makedirs(part_dir, exist_ok=True)
         t0 = time.time()
         ds = dataset_factory(key, spec)

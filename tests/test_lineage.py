@@ -1,6 +1,7 @@
 """Resumable partitioned output: lineage manifest, crash recovery,
 fingerprint invalidation."""
 
+import glob
 import json
 import os
 
@@ -64,19 +65,29 @@ def test_resumable_write_and_resume(_ray, tmp_path):
 
 
 def test_crash_partition_redone(_ray, tmp_path):
-    from exactextractr_ray.state.lineage import resumable_write
+    from exactextractr_ray.state.lineage import read_resumable, resumable_write
 
     out = str(tmp_path / "out")
     parts = {"a": (0, 50), "b": (50, 100)}
     factory, calls = _factory_calls(tmp_path)
     resumable_write(out, "s", parts, factory, "fp")
 
-    # simulate a crash that wrote data but died before the manifest commit
+    # simulate a crash that wrote data but died before the manifest commit:
+    # the partition's parquet files REMAIN on disk (write_parquet finished),
+    # only the manifest record is missing
     os.remove(os.path.join(out, "_manifest", "b.json"))
+    assert glob.glob(os.path.join(out, "part=b", "*.parquet"))
     calls.clear()
     res = resumable_write(out, "s", parts, factory, "fp")
     assert res["written"] == ["b"] and res["skipped"] == ["a"]
     assert calls == ["b"]
+
+    # the redo must have cleared the stale files first: re-reading must give
+    # exactly the logical rows, not duplicates (Ray names output files with a
+    # per-execution UUID, so stale files would otherwise survive the rewrite)
+    df = read_resumable(out).to_pandas()
+    assert len(df) == 100
+    assert sorted(df["x"]) == list(range(100))
 
 
 def test_fingerprint_invalidation(_ray, tmp_path):
@@ -91,3 +102,8 @@ def test_fingerprint_invalidation(_ray, tmp_path):
     res = resumable_write(out, "s", parts, factory, "input-v2")
     assert res["written"] == ["a"]
     assert calls == ["a"]
+
+    # invalidation rewrites in place — the old run's files must be gone
+    from exactextractr_ray.state.lineage import read_resumable
+
+    assert len(read_resumable(out).to_pandas()) == 10

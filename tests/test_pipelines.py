@@ -83,6 +83,39 @@ def test_zone_outside_grid_nan_row(_ray):
     assert list(res["zone_id"]) == list(range(7))
 
 
+def test_all_zones_disjoint_nan_rows(_ray):
+    """NO zone intersects the raster at all: one NA row per zone, same column
+    set as the covered case (ref returns NA rows for disjoint polygons;
+    regression for the empty-aggregation KeyError)."""
+    from exactextractr_ray import wkbio
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import zone_table
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    zones = zone_table(
+        [
+            (0, "far0", wkbio.rect_wkb(100.0, 100.0, 110.0, 110.0)),
+            (1, "far1", wkbio.rect_wkb(-50.0, -50.0, -40.0, -40.0)),
+        ]
+    )
+    res = exact_extract(
+        rd, zones, ["count", "sum", "mean", "median", "variety"]
+    ).to_pandas()
+    assert list(res["zone_id"]) == [0, 1]
+    assert (res["count"] == 0.0).all()
+    assert (res["sum"] == 0.0).all()
+    assert (res["variety"] == 0.0).all()
+    assert res["mean"].isna().all()
+    assert res["median"].isna().all()
+
+    # quantile + frac columns survive the empty path too
+    res2 = exact_extract(
+        rd, zones, ["quantile", "frac"], quantiles=[0.25, 0.75]
+    ).to_pandas()
+    assert len(res2) == 2
+
+
 def test_fixture_zone_shapes(_ray):
     """multipolygon / hole / circle zones run through the full pipeline."""
     from exactextractr_ray.pipelines.zonal import exact_extract
