@@ -972,6 +972,100 @@ def oracle_sql() -> dict[str, str]:
     FROM xy ORDER BY doc_id
     """
 
+    # SimHash pairs — bit-exact: DuckDB's hex-cast of md5's first 16 hex
+    # chars equals the Python token hash (_md5_u64); votes/signature/banding
+    # reproduce stages/dedup.py exactly, and the pigeonhole banding makes the
+    # pipeline's candidate generation exhaustive, so pipeline == all pairs
+    # with hamming <= max_hamming.
+    simhash = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tk),1,16)) AS UBIGINT) AS hv,
+             COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, tk
+    ),
+    votes AS (
+      SELECT doc_id, b, SUM(CASE WHEN (hv >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+      FROM tc, range(0,64) t(b) GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0 END) AS UBIGINT) AS s
+      FROM votes GROUP BY doc_id
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 6
+    ORDER BY doc_a, doc_b
+    """
+
+    # langid — the stopword-voting heuristic is deterministic token math, so
+    # it IS SQL-expressible; marker lists are generated from the same
+    # _LANG_MARKERS dict the pipeline uses.
+    from exactextractr_ray.stages.text import _LANG_MARKERS
+
+    lang_vals = ", ".join(
+        "('%s', [%s])" % (lang, ",".join("'%s'" % w for w in sorted(words)))
+        for lang, words in sorted(_LANG_MARKERS.items())
+    )
+    langid = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk FROM documents
+    ),
+    hits AS (
+      SELECT tok.doc_id, l.lang,
+         SUM(CASE WHEN list_contains(l.words, tk) THEN 1 ELSE 0 END) AS h,
+         COUNT(*) AS ntok
+      FROM tok CROSS JOIN (VALUES {lang_vals}) l(lang, words)
+      GROUP BY tok.doc_id, l.lang
+    ),
+    best AS (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY h*1.0/GREATEST(ntok,1) DESC, lang ASC) AS r
+      FROM hits
+    )
+    SELECT d.doc_id,
+      CASE WHEN regexp_matches(substr(d.text,1,200), '[一-鿿]') THEN 'zh'
+           ELSE b.lang END AS pred_lang
+    FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.r = 1
+    ORDER BY d.doc_id
+    """
+
+    # rolling fingerprint — the polynomial byte hash folds in SQL via
+    # list_reduce (list_reduce's first-element seed equals the Python fold's
+    # h=0 start since h_1 = c_0); texts are ASCII so ascii() == byte value.
+    from exactextractr_ray.stages.text import _ROLL_B, _ROLL_P
+
+    fp_w = 8
+    rolling_fp = f"""
+    WITH g AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < {fp_w} THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[j+1:j+{fp_w}], ' ')
+                   FOR j IN range(len(toks) - {fp_w} + 1)]
+        END AS gs
+      FROM g
+    ),
+    hashes AS (
+      SELECT doc_id,
+        [CASE WHEN length(s) = 0 THEN 0 ELSE
+           list_reduce([CAST(ascii(s[i+1:i+1]) AS BIGINT) FOR i IN range(length(s))],
+                       (acc, ch) -> CAST((CAST(acc AS HUGEINT) * {_ROLL_B} + ch)
+                                         % {_ROLL_P} AS BIGINT))
+         END FOR s IN gs] AS hs
+      FROM grams
+    )
+    SELECT doc_id, CAST(list_min(hs) AS UBIGINT) AS doc_fp
+    FROM hashes ORDER BY doc_id
+    """
+
     extract_text = """
     SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """
@@ -1008,6 +1102,10 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_identity": extract_text,
         "doc_fingerprint": fingerprint,
         "morton_cells": morton,
-        # langid, minhash_pairs, simhash_pairs: not SQL-expressible ->
-        # rows-only checks by the driver
+        "simhash_pairs": simhash,
+        "langid": langid,
+        "doc_rolling_fingerprint": rolling_fp,
+        # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design
+        # -> rows-only here; tools/check_oracles.py verifies both against
+        # brute-force ground truth (subset + bit-equal scores)
     }

@@ -279,66 +279,132 @@ def minhash_lsh_pairs(
 
 # ---------------- SimHash ----------------
 
+#: per-worker token -> md5-u64 cache shared by simhash batches (vocabularies
+#: are tiny relative to corpora, so the cache amortizes across all batches a
+#: worker processes)
+_SIMHASH_TOK_CACHE: dict[str, int] = {}
+
+
+def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no per-element bin(v).count."""
+    x = x.astype(np.uint64, copy=True)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        return (x * h01) >> np.uint64(56)
+
 
 def simhash_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
+    """64-bit SimHash per document, vectorized over the batch: unique tokens
+    hash once (md5, cached per worker), bit votes are an int32 reduceat over
+    the per-token ±1 bit matrix — no per-token Python/numpy inner loop."""
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split(" ")
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
+    tok_lists = [(t or "").split(" ") for t in texts]
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(texts))
+    if len(texts) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "simhash": pa.array([], pa.uint64())}
+        )
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    cache = _SIMHASH_TOK_CACHE
+    hs = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        h = cache.get(tok)
+        if h is None:
             h = _md5_u64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        bits = (acc > 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64))
+            cache[tok] = h
+        hs[i] = h
+    # (V, 64) ±1 vote matrix, gathered per token, summed per doc
+    bitsmat = (
+        ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        .astype(np.int32) * 2 - 1
+    )
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    acc = np.add.reduceat(bitsmat[inv], starts, axis=0)
+    out = (
+        ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
+        .sum(axis=1, dtype=np.uint64)
+    )
     return pa.table(
         {"doc_id": pa.array(ids, pa.int64()), "simhash": pa.array(out, pa.uint64())}
     )
 
 
+def _simhash_band_bounds(bands: int) -> np.ndarray:
+    """Split 64 bits into `bands` contiguous chunks (sizes differ by <=1)."""
+    sizes = np.full(bands, 64 // bands, dtype=np.int64)
+    sizes[: 64 % bands] += 1
+    return np.concatenate([[0], np.cumsum(sizes)])
+
+
 def simhash_pairs(ds, max_hamming: int = 3, id_col="doc_id", text_col="text"):
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4 x 16-bit
-    chunks (any pair within hamming<=3 shares at least one exact chunk),
-    groupby chunk, verify hamming distance within the group."""
+    """Near-dup pairs by SimHash banding with a pigeonhole guarantee: the
+    64-bit signature is split into ``max_hamming + 1`` contiguous chunks, so
+    any pair within the hamming radius shares at least one exact chunk
+    (max_hamming differing bits cannot touch all max_hamming+1 chunks).
+    Candidate generation is therefore EXHAUSTIVE: the output is exactly the
+    set of pairs with hamming <= max_hamming, verified in-bucket."""
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    bounds = _simhash_band_bounds(bands)
     sigs = ds.map_batches(
         lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow"
     )
 
     def band(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy()
-        sh = b.column("simhash").to_numpy()
-        out_k, out_id, out_sig = [], [], []
-        for part in range(4):
-            chunk = (sh >> np.uint64(16 * part)) & np.uint64(0xFFFF)
-            for i in range(len(ids)):
-                out_k.append(int(part) << 16 | int(chunk[i]))
-                out_id.append(int(ids[i]))
-                out_sig.append(int(sh[i]))
+        sh = b.column("simhash").to_numpy().astype(np.uint64)
+        n = len(ids)
+        keys = np.empty((bands, n), dtype=np.int64)
+        for part in range(bands):
+            lo, hi = bounds[part], bounds[part + 1]
+            mask = np.uint64((1 << int(hi - lo)) - 1)
+            chunk = (sh >> np.uint64(lo)) & mask
+            keys[part] = (np.int64(part) << np.int64(10 + 64 // bands)) | chunk.astype(
+                np.int64
+            )
         return pa.table(
             {
-                "bkey": pa.array(out_k, pa.int64()),
-                "doc_id": pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_sig, pa.uint64()),
+                "bkey": pa.array(keys.ravel(), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+                "simhash": pa.array(np.tile(sh, bands), pa.uint64()),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "hamming": pd.Series([], dtype=np.int64),
+                }
+            )
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
         out_a, out_b, out_h = [], [], []
         for i in range(len(ids)):
-            x = sh[i] ^ sh[i + 1 :]
-            hd = np.array([bin(v).count("1") for v in x.tolist()])
+            hd = _popcount_u64(sh[i] ^ sh[i + 1 :])
             for j in np.nonzero(hd <= max_hamming)[0]:
                 out_a.append(int(ids[i]))
                 out_b.append(int(ids[i + 1 + j]))
                 out_h.append(int(hd[j]))
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "hamming": out_h})
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype=np.int64),
+                "doc_b": pd.Series(out_b, dtype=np.int64),
+                "hamming": pd.Series(out_h, dtype=np.int64),
+            }
+        )
 
     banded = sigs.map_batches(band, batch_format="pyarrow")
     cand = banded.groupby("bkey").map_groups(pairs, batch_format="pandas")

@@ -186,26 +186,129 @@ def md5_fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 _ROLL_P = (1 << 61) - 1
 _ROLL_B = 1000003
 
+_U = np.uint64
+_P61 = _U(_ROLL_P)
+_MASK32 = _U(0xFFFFFFFF)
+
+
+def _fold_p61(x: np.ndarray) -> np.ndarray:
+    """Reduce x (< 2^64) mod 2^61-1 using 2^61 ≡ 1 (folded twice)."""
+    x = (x >> _U(61)) + (x & _P61)
+    x = (x >> _U(61)) + (x & _P61)
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _mulmod_p61(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a * b) mod 2^61-1 for a, b < 2^61, vectorized via 32-bit splits:
+    a*b = a1*b1*2^64 + (a1*b0 + a0*b1)*2^32 + a0*b0 with 2^64 ≡ 8 and
+    m*2^32 ≡ (m >> 29) + (m & (2^29-1))*2^32 (since 2^61 ≡ 1)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    a1, a0 = a >> _U(32), a & _MASK32
+    b1, b0 = b >> _U(32), b & _MASK32
+    with np.errstate(over="ignore"):
+        hi = _fold_p61(a1 * b1 * _U(8))                # a1,b1 < 2^29
+        mid = a1 * b0 + a0 * b1                        # < 2^62, no overflow
+        mid = _fold_p61((mid >> _U(29)) + ((mid & _U((1 << 29) - 1)) << _U(32)))
+        lo = _fold_p61(a0 * b0)                        # < 2^64, fits u64
+    return _fold_p61(hi + mid + lo)
+
+
+#: powers of _ROLL_B mod P, grown on demand (cached per worker)
+_POW_B = np.array([1], dtype=np.uint64)
+
+
+def _powers_b(n: int) -> np.ndarray:
+    global _POW_B
+    if len(_POW_B) <= n:
+        ext = [int(_POW_B[-1])]
+        for _ in range(n + 1 - len(_POW_B)):
+            ext.append(ext[-1] * _ROLL_B % _ROLL_P)
+        _POW_B = np.concatenate([_POW_B, np.array(ext[1:], dtype=np.uint64)])
+    return _POW_B
+
 
 def rolling_fingerprint_batch(
     batch: pa.Table, text_col: str = "text", window: int = 8
 ) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash over word
-    ``window``-grams (deterministic polynomial hash, no Python hash())."""
+    ``window``-grams (deterministic polynomial hash, no Python hash()).
+
+    Vectorized: a word w-gram joined by ' ' is an exact byte substring of the
+    text (split(' ') boundaries are single spaces), so gram hashes come from
+    prefix polynomial hashes — H computed in one column-wise pass over the
+    batch's byte matrix (vectorized across docs), then
+    hash(s, e) = H[e] - H[s] * B^(e-s) mod 2^61-1 per gram, all numpy."""
     texts = batch.column(text_col).to_pylist()
-    fps = np.empty(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        toks = (t or "").split(" ")
-        if len(toks) < window:
-            grams = [" ".join(toks)]
-        else:
-            grams = [" ".join(toks[j : j + window]) for j in range(len(toks) - window + 1)]
-        best = _ROLL_P
-        for g in grams:
-            h = 0
-            for ch in g.encode():
-                h = (h * _ROLL_B + ch) % _ROLL_P
-            if h < best:
-                best = h
-        fps[i] = best
+    n = len(texts)
+    fps = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return batch.append_column("doc_fp", pa.array(fps, type=pa.uint64()))
+    bts = [(t or "").encode() for t in texts]
+    lens = np.fromiter((len(b) for b in bts), dtype=np.int64, count=n)
+    maxlen = int(lens.max())
+    # (maxlen, n) byte matrix: the time loop reads CONTIGUOUS rows
+    matT = np.zeros((max(maxlen, 1), n), dtype=np.uint64)
+    for i, b in enumerate(bts):
+        if b:
+            matT[: len(b), i] = np.frombuffer(b, dtype=np.uint8)
+    # prefix hashes: H[k] = hash of first k bytes; the time loop is over byte
+    # POSITION (few hundred), each step vectorized over the batch. Multiply
+    # by the SMALL base B < 2^20 via a 41-bit split (cheaper than the general
+    # mulmod): h*B = (h>>41)*B*2^41 + (h&M41)*B, with z*2^41 ≡
+    # (z>>20) + (z&M20)*2^41 mod 2^61-1.
+    H = np.zeros((maxlen + 1, n), dtype=np.uint64)
+    h = np.zeros(n, dtype=np.uint64)
+    B = _U(_ROLL_B)
+    M41 = _U((1 << 41) - 1)
+    M20 = _U((1 << 20) - 1)
+    with np.errstate(over="ignore"):
+        for k in range(maxlen):
+            z = (h >> _U(41)) * B
+            x = (z >> _U(20)) + ((z & M20) << _U(41)) + (h & M41) * B + matT[k]
+            h = (x >> _U(61)) + (x & _P61)  # < P + 4: one lazy fold
+            h = np.where(h >= _P61, h - _P61, h)
+            H[k + 1] = h
+    HT = np.ascontiguousarray(H.T)  # (n, maxlen+1): per-doc gather below
+    pw = _powers_b(maxlen)
+
+    # gram boundaries for ALL docs at once: global space positions from the
+    # transposed matrix, grouped per doc
+    pos_all, doc_all = np.nonzero(matT == 32)  # sorted by (pos, doc) — resort
+    order = np.lexsort((pos_all, doc_all))
+    doc_all, pos_all = doc_all[order], pos_all[order]
+    valid = pos_all < lens[doc_all]  # padding zeros are never 32; guard anyway
+    doc_all, pos_all = doc_all[valid], pos_all[valid]
+    nsp = np.bincount(doc_all, minlength=n)  # spaces per doc
+    sp_starts = np.concatenate([[0], np.cumsum(nsp)[:-1]])
+    ntoks = nsp + 1
+
+    # docs with >= window tokens: gram j of doc i spans bytes
+    # [tstart_j, space_{j+window-1}) with the last gram ending at len
+    big = ntoks >= window
+    ngrams = np.where(big, ntoks - window + 1, 1)
+    g_doc = np.repeat(np.arange(n), ngrams)
+    g_j = np.arange(len(g_doc)) - np.repeat(
+        np.concatenate([[0], np.cumsum(ngrams)[:-1]]), ngrams
+    )
+    gb = big[g_doc]
+    base = sp_starts[g_doc]
+    # np.where evaluates both branches -> clamp indices into a non-empty view
+    pos_safe = pos_all if len(pos_all) else np.zeros(1, dtype=np.int64)
+    clamp = len(pos_safe) - 1
+    # start byte: 0 for j==0 else space[j-1]+1 (small docs: whole text)
+    s = np.where(
+        gb & (g_j > 0), pos_safe[np.clip(base + g_j - 1, 0, clamp)] + 1, 0
+    )
+    # end byte: space[j+window-1] except the last gram -> len
+    last = g_j == ngrams[g_doc] - 1
+    e = np.where(
+        gb & ~last,
+        pos_safe[np.clip(base + g_j + window - 1, 0, clamp)],
+        lens[g_doc],
+    )
+    hv = _fold_p61(
+        HT[g_doc, e] + _P61 - _mulmod_p61(HT[g_doc, s], pw[e - s])
+    )
+    fps[:] = np.minimum.reduceat(hv, np.concatenate([[0], np.cumsum(ngrams)[:-1]]))
     return batch.append_column("doc_fp", pa.array(fps, type=pa.uint64()))
