@@ -536,8 +536,11 @@ def _q_minhash(sf_dir: str):
     out = minhash_lsh_pairs(_docs(sf_dir), threshold=0.35).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64)})
-    out = out[["doc_a", "doc_b"]].astype(np.int64)
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    out = out[["doc_a", "doc_b", "jaccard"]]
+    out["doc_a"] = out["doc_a"].astype(np.int64)
+    out["doc_b"] = out["doc_b"].astype(np.int64)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

@@ -116,3 +116,29 @@ def test_recursive_decomposition_bit_identical(_ray):
     )
     for c in ["count", "sum", "mean", "median", "variety"]:
         assert np.array_equal(base[c].to_numpy(), split[c].to_numpy()), c
+
+
+def test_minhash_bucket_cap_counts_drops(_ray, caplog):
+    """A degenerate LSH bucket (identical boilerplate docs over the cap) is
+    truncated AND the drop count is surfaced via a logged warning — silent
+    truncation was an ADVICE finding."""
+    import logging
+
+    import ray.data
+    from exactextractr_ray.stages import dedup
+
+    n = dedup._MAX_BUCKET + 40
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "text": ["same boilerplate text repeated endlessly here"] * n}
+    )
+    with caplog.at_level(logging.WARNING, logger="exactextractr_ray.stages.dedup"):
+        out = dedup.minhash_lsh_pairs(
+            ray.data.from_pandas(df), threshold=0.5
+        ).to_pandas()
+    assert any("dropped" in r.message for r in caplog.records)
+    # surviving pairs are all true duplicates with jaccard exactly 1.0
+    assert len(out) > 0
+    assert (out["jaccard"] == 1.0).all()
+    # sentinels never leak into the output
+    assert (out["doc_a"] >= 0).all()

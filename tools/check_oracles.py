@@ -53,6 +53,118 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> str:
     return "; ".join(issues) if issues else "OK (bit-exact)"
 
 
+# ---------------------------------------------------------------------------
+# deterministic non-SQL ground-truth checks for the approximate operators
+# (driver records these queries rows-only; the pass criteria live here)
+# ---------------------------------------------------------------------------
+
+
+def check_minhash_bruteforce(ray_df: pd.DataFrame, sf_dir: str) -> str:
+    """Ground truth: EXACT Jaccard over the same 3-gram shingle hashes for
+    all pairs of docs with doc_id < 1000 (inverted-index pair counting).
+    Pass criteria: (a) zero false positives — every reported pair is a true
+    >= threshold pair; (b) reported jaccard values bit-equal to the exact
+    computation; (c) recall >= 0.9 on the subset (banding is probabilistic;
+    measured recall is reported)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+
+    from exactextractr_ray.stages.dedup import MinHasher
+
+    threshold = 0.35  # must match _q_minhash
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = t.to_pandas()
+    df = df[df.doc_id < 1000]
+    h = MinHasher()
+    sets = {int(r.doc_id): h.shingle_hashes(r.text) for r in df.itertuples()}
+    inv = defaultdict(list)
+    for d, sh in sets.items():
+        for s in sh.tolist():
+            inv[s].append(d)
+    cnt: dict[tuple[int, int], int] = defaultdict(int)
+    for ds_ in inv.values():
+        if len(ds_) > 1:
+            for a, b in combinations(sorted(ds_), 2):
+                cnt[(a, b)] += 1
+    truth = {}
+    for (a, b), inter in cnt.items():
+        union = len(sets[a]) + len(sets[b]) - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            truth[(a, b)] = j
+    got = {
+        (int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+        for r in ray_df.itertuples()
+        if int(r.doc_a) < 1000 and int(r.doc_b) < 1000
+    }
+    false_pos = sorted(set(got) - set(truth))
+    bit_diff = [k for k in got if k in truth and got[k] != truth[k]]
+    recall = len([k for k in truth if k in got]) / len(truth) if truth else 1.0
+    if false_pos:
+        return f"FALSE POSITIVES: {false_pos[:5]}"
+    if bit_diff:
+        return f"JACCARD NOT BIT-EXACT: {bit_diff[:5]}"
+    if recall < 0.9:
+        return f"RECALL {recall:.3f} < 0.9 ({len(truth)} true pairs)"
+    return f"OK (0 false pos, jaccard bit-exact, recall {recall:.3f} of {len(truth)})"
+
+
+def check_knn_lsh_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
+    """The LSH kNN is deterministic (fixed-seed hyperplanes), so its exact
+    expected output is re-derivable in-process: bucket every vector with the
+    same planes, scan each query's bucket, rank by (-sim, neighbor_id).
+    Pass criterion: the pipeline output is IDENTICAL to this re-derivation;
+    brute-force recall@k is reported for context."""
+    import pyarrow.parquet as pq
+
+    from exactextractr_ray.stages.knn import RandomHyperplaneLSH
+
+    KNN_Q, KNN_K, NUM_PLANES = 8, 10, 4  # must match _q_knn_lsh
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    qsel = ids < KNN_Q
+    qids, qmat = ids[qsel], mat[qsel]
+    lsh = RandomHyperplaneLSH(mat.shape[1], NUM_PLANES)
+    vb = lsh.bucket(mat)
+    qb = lsh.bucket(qmat)
+    nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    rows = []
+    recalls = []
+    full_sims = qn @ nm.T
+    for qi, (q, b) in enumerate(zip(qids, qb)):
+        cand = np.nonzero(vb == b)[0]
+        cand = cand[ids[cand] != q]
+        sims = nm[cand] @ qn[qi]
+        order = np.lexsort((ids[cand], -sims))[:KNN_K]
+        got_n = ids[cand][order]
+        for r, (nid, s) in enumerate(zip(got_n, sims[order]), 1):
+            rows.append((int(q), int(nid), r))
+        # brute-force truth for recall context
+        fs = full_sims[qi].copy()
+        fs[ids == q] = -np.inf
+        true_top = ids[np.lexsort((ids, -fs))[:KNN_K]]
+        recalls.append(len(set(got_n) & set(true_top)) / KNN_K)
+    exp = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"]).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    got = ray_df[["query_id", "neighbor_id", "rank"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    if not exp.equals(got.astype(exp.dtypes.to_dict())):
+        return f"MISMATCH vs deterministic re-derivation ({len(exp)} vs {len(got)} rows)"
+    return f"OK (exact match to re-derivation; brute recall@{KNN_K} {np.mean(recalls):.2f})"
+
+
+SPECIAL_CHECKS = {
+    "minhash_pairs": check_minhash_bruteforce,
+    "knn_cosine_lsh": check_knn_lsh_exact,
+}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -91,7 +203,14 @@ def main():
         t1 = time.time()
         sql = oracles.get(name)
         if sql is None:
-            print(f"{name:26s} rows-only: {len(ray_df)} rows  ({t1-t0:.1f}s)")
+            special = SPECIAL_CHECKS.get(name)
+            if special is not None:
+                verdict = special(ray_df, sf_dir)
+                if "OK" not in verdict:
+                    failures += 1
+                print(f"{name:26s} {verdict}  ({t1-t0:.1f}s, {len(ray_df)} rows)")
+            else:
+                print(f"{name:26s} rows-only: {len(ray_df)} rows  ({t1-t0:.1f}s)")
             continue
         try:
             ora_df = con.execute(sql).df()
