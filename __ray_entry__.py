@@ -105,10 +105,11 @@ def _dst_grid():
     return Grid(0.0, top - side, side, top, DST_RES, DST_RES)
 
 
-def _docs(sf_dir: str):
+def _docs(sf_dir: str, columns: list[str] | None = None):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # column-pruned read: only the requested columns leave storage
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # --------------------------------------------------------------------------
@@ -344,7 +345,9 @@ def _q_pip_join(sf_dir: str):
     from exactextractr_ray.stages.pip_join import pip_join
     from exactextractr_ray.sources.zones import synth_geo_zones
 
-    docs = _docs(sf_dir).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
     joined = pip_join(docs, synth_geo_zones(N_GEO_ZONES))
     df = (
         joined.select_columns(["zone_id", "doc_id", "n_chars"])
@@ -364,7 +367,9 @@ def _q_top_docs_per_zone(sf_dir: str):
     from exactextractr_ray.stages.pip_join import pip_join
     from exactextractr_ray.sources.zones import synth_geo_zones
 
-    docs = _docs(sf_dir).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
     joined = pip_join(docs, synth_geo_zones(N_GEO_ZONES))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -382,7 +387,7 @@ def _q_top_docs_per_zone(sf_dir: str):
 def _q_cell_assign(sf_dir: str):
     from exactextractr_ray.stages.geocode import geocode_documents
 
-    geo = geocode_documents(_docs(sf_dir))
+    geo = geocode_documents(_docs(sf_dir, ["doc_id"]))
     df = geo.groupby("cell").count().to_pandas()
     df = df.rename(columns={"count()": "n_docs"})
     df["n_docs"] = df["n_docs"].astype(np.int64)
@@ -393,7 +398,9 @@ def _q_sessionize(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.sessions import sessionize
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
     df = sessionize(ev, gap_seconds=1800).to_pandas()
     df = df[["user_id", "session_seq", "n_events", "start_us", "end_us", "duration_us"]]
     for c in df.columns:
@@ -405,7 +412,9 @@ def _q_event_windows(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.sessions import tumbling_window
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
     df = tumbling_window(ev, window_seconds=3600).to_pandas()
     df = df[["window_start", "event_type", "n_events"]]
     df["window_start"] = df["window_start"].astype(np.int64)
@@ -416,7 +425,7 @@ def _q_event_windows(sf_dir: str):
 def _q_dedup_exact(sf_dir: str):
     from exactextractr_ray.stages.dedup import exact_dedup
 
-    out = exact_dedup(_docs(sf_dir)).to_pandas()
+    out = exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
     out["keeper_id"] = out["keeper_id"].astype(np.int64)
     out["n_dups"] = out["n_dups"].astype(np.int64)
     return out.sort_values("content_hash").reset_index(drop=True)
@@ -425,7 +434,9 @@ def _q_dedup_exact(sf_dir: str):
 def _q_token_stats(sf_dir: str):
     from exactextractr_ray.stages.text import quality_batch
 
-    ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["lang", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
     df = (
         ds.select_columns(["lang", "q_tokens", "q_unique", "q_punct"])
         .to_pandas()
@@ -445,7 +456,9 @@ def _q_token_stats(sf_dir: str):
 def _q_quality(sf_dir: str):
     from exactextractr_ray.stages.text import quality_batch
 
-    ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
     df = ds.select_columns(
         ["doc_id", "q_tokens", "q_unique", "q_punct", "quality_score"]
     ).to_pandas()
@@ -457,7 +470,7 @@ def _q_knn(sf_dir: str):
     from exactextractr_ray.stages.knn import knn_cosine
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = emb.filter(lambda r: r["vec_id"] < KNN_Q).to_pandas()
+    qdf = emb.filter(expr=f"vec_id < {KNN_Q}").to_pandas()
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = knn_cosine(emb, qids, qmat, k=KNN_K).to_pandas()
@@ -479,7 +492,9 @@ def _q_extract_text(sf_dir: str):
 def _q_fingerprint(sf_dir: str):
     from exactextractr_ray.stages.text import md5_fingerprint_batch
 
-    ds = _docs(sf_dir).map_batches(md5_fingerprint_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        md5_fingerprint_batch, batch_format="pyarrow"
+    )
     df = ds.select_columns(["doc_id", "fingerprint"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -489,7 +504,7 @@ def _q_knn_lsh(sf_dir: str):
     from exactextractr_ray.stages.knn import knn_cosine_lsh
 
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = emb.filter(lambda r: r["vec_id"] < KNN_Q).to_pandas()
+    qdf = emb.filter(expr=f"vec_id < {KNN_Q}").to_pandas()
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = knn_cosine_lsh(emb, qids, qmat, k=KNN_K, num_planes=4).to_pandas()
@@ -502,7 +517,9 @@ def _q_knn_lsh(sf_dir: str):
 def _q_rolling_fp(sf_dir: str):
     from exactextractr_ray.stages.text import rolling_fingerprint_batch
 
-    ds = _docs(sf_dir).map_batches(rolling_fingerprint_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rolling_fingerprint_batch, batch_format="pyarrow"
+    )
     df = ds.select_columns(["doc_id", "doc_fp"]).to_pandas()
     df["doc_fp"] = df["doc_fp"].astype(np.uint64)
     return df.sort_values("doc_id").reset_index(drop=True)
@@ -514,7 +531,7 @@ def _q_morton(sf_dir: str):
         geocode_doc_batch,
     )
 
-    geo = _docs(sf_dir).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    geo = _docs(sf_dir, ["doc_id"]).map_batches(geocode_doc_batch, batch_format="pyarrow")
     geo = geo.map_batches(lambda b: assign_morton_batch(b, 10), batch_format="pyarrow")
     df = geo.select_columns(["doc_id", "morton_cell"]).to_pandas()
     for c in df.columns:
@@ -525,7 +542,7 @@ def _q_morton(sf_dir: str):
 def _q_langid(sf_dir: str):
     from exactextractr_ray.stages.text import langid_batch
 
-    ds = _docs(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(langid_batch, batch_format="pyarrow")
     df = ds.select_columns(["doc_id", "pred_lang"]).to_pandas()
     return df.sort_values("doc_id").reset_index(drop=True)
 
@@ -533,7 +550,7 @@ def _q_langid(sf_dir: str):
 def _q_minhash(sf_dir: str):
     from exactextractr_ray.stages.dedup import minhash_lsh_pairs
 
-    out = minhash_lsh_pairs(_docs(sf_dir), threshold=0.35).to_pandas()
+    out = minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.35).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64),
@@ -547,7 +564,7 @@ def _q_minhash(sf_dir: str):
 def _q_simhash(sf_dir: str):
     from exactextractr_ray.stages.dedup import simhash_pairs
 
-    out = simhash_pairs(_docs(sf_dir), max_hamming=6).to_pandas()
+    out = simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=6).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                              "doc_b": pd.Series([], dtype=np.int64),

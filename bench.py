@@ -118,7 +118,9 @@ def bench_dedup():
     import ray.data
     from exactextractr_ray.stages.dedup import exact_dedup, minhash_lsh_pairs
 
-    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs = ray.data.read_parquet(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+    )
     t0 = time.time()
     exact_dedup(docs).count()
     t_exact = time.time() - t0

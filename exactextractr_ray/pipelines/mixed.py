@@ -41,7 +41,7 @@ from .zonal import (
 def materialize_raster(rd, layer: str = "value") -> np.ndarray:
     """Collect a (small) tile Dataset into one dense array (driver side)."""
     arr = np.full((rd.grid.nrow, rd.grid.ncol), np.nan)
-    for row in rd.ds.filter(lambda r: r["layer"] == layer).iter_rows():
+    for row in rd.ds.filter(expr=f"layer == '{layer}'").iter_rows():
         th, tw = int(row["th"]), int(row["tw"])
         r0, c0 = int(row["row0"]), int(row["col0"])
         arr[r0 : r0 + th, c0 : c0 + tw] = np.asarray(

@@ -155,7 +155,7 @@ def exact_extract_partitioned(
             "values_bin", pa.array(packed, pa.large_binary())
         )
 
-    tiles = raster.ds.filter(lambda r: r["layer"] == value_layer).map_batches(
+    tiles = raster.ds.filter(expr=f"layer == '{value_layer}'").map_batches(
         pack_values, batch_format="pyarrow"
     )
     ncpu = int(ray.cluster_resources().get("CPU", 8))

@@ -43,5 +43,8 @@ def pages_from_documents_batch(batch: pa.Table) -> pa.Table:
 
 def read_pages(sf_dir: str) -> "ray.data.Dataset":
     """Pages Dataset synthesized from {sf_dir}/documents.parquet."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # pruned read: page synthesis only consumes these three columns
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
     return docs.map_batches(pages_from_documents_batch, batch_format="pyarrow")

@@ -113,48 +113,97 @@ def embedding_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ):
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with cosine
-    similarity >= threshold.
+    similarity >= threshold. EXACT (no LSH recall loss), fully distributed.
 
-    Baseline shape: the (normalized) full matrix is broadcast once via
-    ``ray.put``; each task matmuls its batch against it and emits only the
-    above-threshold pairs — output volume is the duplicate set, never the
-    n^2 similarity matrix. The scale path replaces the broadcast side with
-    hyperplane-LSH buckets (knn_cosine_lsh)."""
-    full = ds.to_pandas()  # embeddings are the small broadcast side here
-    ids_all = full[id_col].to_numpy().astype(np.int64)
-    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
-    nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_all, nm))
+    Scale shape: a block-pair join. Vectors hash into ``num_blocks`` blocks;
+    each vector is replicated to the ``num_blocks`` block-pair groups its
+    block participates in, and each (i, j) group computes its cross matmul
+    independently — total shuffle O(N * num_blocks), never a driver
+    materialization, never the n^2 similarity matrix (only above-threshold
+    pairs leave a group). Pick num_blocks ~ sqrt(cluster cores) so group
+    count ~ core count; the approximate O(N) alternative at extreme scale is
+    hyperplane-LSH bucketing (knn_cosine_lsh)."""
+    nb = int(num_blocks)
 
-    def find(batch: pa.Table) -> pa.Table:
-        all_ids, all_nm = ray.get(ref)
+    def expand(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.int64)
-        m = _to_matrix(batch.column(vec_col))
-        if m.size == 0:
+        n = len(ids)
+        if n == 0:
             return pa.table(
                 {
-                    "vec_a": pa.array([], pa.int64()),
-                    "vec_b": pa.array([], pa.int64()),
+                    "pairkey": pa.array([], pa.int64()),
+                    "block": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col),
                 }
             )
-        bn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = bn @ all_nm.T
-        rows, cols = np.nonzero(sims >= threshold)
-        a = ids[rows]
-        b = all_ids[cols]
-        keep = a < b  # each unordered pair emitted exactly once
-        a, b = a[keep], b[keep]
-        order = np.lexsort((b, a))
+        blk = ids % nb
+        # each vector joins nb block-pair groups: (min(b,o), max(b,o)) ∀ o
+        keys = np.empty((n, nb), dtype=np.int64)
+        for o in range(nb):
+            lo = np.minimum(blk, o)
+            hi = np.maximum(blk, o)
+            keys[:, o] = lo * nb + hi
+        idx = np.repeat(np.arange(n, dtype=np.int64), nb)
         return pa.table(
             {
-                "vec_a": pa.array(a[order], pa.int64()),
-                "vec_b": pa.array(b[order], pa.int64()),
+                "pairkey": pa.array(keys.ravel(), pa.int64()),
+                "block": pa.array(np.repeat(blk, nb), pa.int64()),
+                id_col: pa.array(np.repeat(ids, nb), pa.int64()),
+                vec_col: batch.column(vec_col).combine_chunks().take(
+                    pa.array(idx, pa.int64())
+                ),
             }
         )
 
-    return ds.map_batches(find, batch_format="pyarrow", batch_size=None)
+    def group_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype=np.int64),
+                "vec_b": pd.Series([], dtype=np.int64),
+            }
+        )
+        key = int(g["pairkey"].iloc[0])
+        bi, bj = key // nb, key % nb
+        # the same (id, block) row lands once per group by construction
+        ids = g[id_col].to_numpy().astype(np.int64)
+        blk = g["block"].to_numpy()
+        mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        if bi == bj:
+            sims = nm @ nm.T
+            rows, cols = np.nonzero(sims >= threshold)
+            a, b = ids[rows], ids[cols]
+        else:
+            ma, mb = blk == bi, blk == bj
+            if not ma.any() or not mb.any():
+                return empty
+            sims = nm[ma] @ nm[mb].T
+            rows, cols = np.nonzero(sims >= threshold)
+            a, b = ids[ma][rows], ids[mb][cols]
+        # canonical unordered orientation; a pair lives in exactly one group
+        if bi == bj:
+            keep = a < b  # diagonal sims matrix yields both orientations
+            a, b = a[keep], b[keep]
+        else:
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        if len(a) == 0:
+            return empty
+        order = np.lexsort((b, a))
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series(a[order], dtype=np.int64),
+                "vec_b": pd.Series(b[order], dtype=np.int64),
+            }
+        )
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow")
+    return expanded.groupby("pairkey").map_groups(
+        group_pairs, batch_format="pandas"
+    )
 
 
 # ---------------- LSH-bucketed ANN (scale path) ----------------
