@@ -5,10 +5,13 @@ Not present in the reference (it has no streaming/windowed execution —
 SURVEY.md §7.5); added as first-class training-data-pipeline operators.
 Both are batch operators over a bounded table — no watermarks:
 
-* ``sessionize``: classic gap-based sessions per user. Shuffle shape:
-  ``groupby(user_id)`` (each user's events fit a group by assumption; hot
-  users would be split by day first — documented, not needed at test scale),
-  then a vectorized gap scan inside the group.
+* ``sessionize``: classic gap-based sessions per user, skew-safe: events
+  group by (user_id, day) — a hot user's events spread across day subkeys
+  instead of one unbounded group — sessionize locally, then a second
+  ``groupby(user_id)`` stitches sessions across day boundaries (gap <=
+  threshold merges). The stitch pass moves SESSION SUMMARIES (one small row
+  per local session), never events, so the per-user group is bounded by the
+  user's session count.
 * ``tumbling_window``: pure ``map_batches`` key assignment + groupby
   aggregate — the shuffle moves only (window, partial) rows.
 """
@@ -21,41 +24,110 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+_DAY_US = 86_400_000_000
+
+
 def sessionize(ds, gap_seconds: float = 1800.0):
     """Events -> one row per session:
-    (user_id, session_seq, n_events, start_ts, end_ts, duration_s, sum_value).
+    (user_id, session_seq, n_events, start_us, end_us, duration_us,
+    sum_value).
 
-    session_seq numbers a user's sessions in time order (0-based);
-    a new session starts when the gap from the previous event exceeds
-    ``gap_seconds``.
+    session_seq numbers a user's sessions in time order (0-based); a new
+    session starts when the gap from the previous event exceeds
+    ``gap_seconds``. Integer microseconds throughout: timestamps stay exact,
+    so session boundaries and durations are bit-stable and
+    SQL-oracle-checkable.
+
+    Skew shape: phase 1 groups by (user_id, day) — hot users never form one
+    unbounded group — and builds per-day sessions with a vectorized gap scan
+    (reduceat, no per-session Python loop). Phase 2 groups the per-day
+    SESSION SUMMARIES by user and merges across day boundaries (two local
+    sessions merge iff the inter-session gap <= threshold; a >gap_seconds
+    empty stretch always separates, so only boundary-adjacent sessions can
+    merge). Correctness is split-invariant: a session is a maximal run of
+    events with consecutive gaps <= threshold, and the day cut only ever
+    splits such runs at points the stitch re-joins.
     """
 
     gap_us = int(gap_seconds * 1_000_000)
+    # coarse shuffle keys: one pandas call handles MANY (user, day) runs
+    # vectorized (key-change points are just extra forced session breaks);
+    # 256 groups bound per-group Python overhead without undoing skew safety
+    # — a hot user's days still scatter across groups
+    ngroups = 256
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        # integer microseconds throughout: timestamps stay exact, so session
-        # boundaries and durations are bit-stable and SQL-oracle-checkable
+    def add_key(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        uid = batch.column("user_id").to_numpy()
+        day = ts // _DAY_US
+        key = ((uid * np.int64(0x9E3779B1) + day) % ngroups).astype(np.int64)
+        out = batch.append_column("day", pa.array(day, pa.int64()))
+        return out.append_column("ckey", pa.array(key, pa.int64()))
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        day = g["day"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = g["value"].to_numpy()
         gaps = np.diff(ts, prepend=ts[0])
-        sid = np.cumsum(gaps > gap_us)
-        out = []
-        for s in np.unique(sid):
-            m = sid == s
-            out.append(
-                {
-                    "user_id": int(g["user_id"].iloc[0]),
-                    "session_seq": int(s),
-                    "n_events": int(m.sum()),
-                    "start_us": int(ts[m].min()),
-                    "end_us": int(ts[m].max()),
-                    "duration_us": int(ts[m].max() - ts[m].min()),
-                    "sum_value": float(g["value"].to_numpy()[m].sum()),
-                }
-            )
-        return pd.DataFrame(out)
+        brk = np.r_[
+            True,
+            (uid[1:] != uid[:-1]) | (day[1:] != day[:-1]) | (gaps[1:] > gap_us),
+        ]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:] - 1, len(ts) - 1]
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "n_events": np.diff(np.r_[starts, len(ts)]).astype(np.int64),
+                "start_us": ts[starts],
+                "end_us": ts[ends],
+                "sum_value": np.add.reduceat(vals, starts),
+                "skey": (uid[starts] % ngroups).astype(np.int64),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    day_sessions = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(per_day, batch_format="pandas")
+    )
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        # session summaries for many users: per user the intervals are
+        # disjoint, so (user, start) sort is time order; user-change points
+        # force breaks
+        g = g.sort_values(["user_id", "start_us", "end_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        s = g["start_us"].to_numpy()
+        e = g["end_us"].to_numpy()
+        newu = np.r_[True, uid[1:] != uid[:-1]]
+        merge_brk = newu | np.r_[True, (s[1:] - e[:-1]) > gap_us]
+        starts = np.nonzero(merge_brk)[0]
+        ends = np.r_[starts[1:] - 1, len(s) - 1]
+        su = uid[starts]
+        # 0-based session_seq within each user
+        urun = np.nonzero(np.r_[True, su[1:] != su[:-1]])[0]
+        ucnt = np.diff(np.r_[urun, len(su)])
+        seq = np.arange(len(su), dtype=np.int64) - np.repeat(urun, ucnt)
+        start_us = s[starts]
+        end_us = e[ends]
+        return pd.DataFrame(
+            {
+                "user_id": su,
+                "session_seq": seq,
+                "n_events": np.add.reduceat(
+                    g["n_events"].to_numpy(), starts
+                ).astype(np.int64),
+                "start_us": start_us,
+                "end_us": end_us,
+                "duration_us": end_us - start_us,
+                "sum_value": np.add.reduceat(g["sum_value"].to_numpy(), starts),
+            }
+        )
+
+    return day_sessions.groupby("skey").map_groups(stitch, batch_format="pandas")
 
 
 def tumbling_window(ds, window_seconds: int = 3600):

@@ -66,3 +66,57 @@ def test_morton_cell_hierarchy():
     assert np.array_equal(c12 >> 2, c11)
     assert np.array_equal(c12 >> 8, c8)
     assert c12.min() >= 0 and c12.max() < (1 << 24)
+
+
+def test_sessionize_hot_user_split(_ray):
+    """One user owning 50% of events, with sessions spanning day boundaries:
+    the (user, day) split + stitch must agree with a single-pass reference
+    sessionization of the full event list."""
+    import ray.data
+    from exactextractr_ray.stages.sessions import sessionize
+
+    rng = np.random.default_rng(9)
+    gap_us = 1800 * 1_000_000
+    day_us = 86_400_000_000
+    rows = []
+    eid = 0
+    # hot user 7: bursts every ~20 min for 6 days (sessions cross midnight),
+    # plus explicit events straddling a midnight with a small gap
+    t = 1_700_000_000_000_000
+    for k in range(5000):
+        t += int(rng.integers(1, 40)) * 60 * 1_000_000  # 1..39 min gaps
+        rows.append((eid, t, 7, "view", 1.0)); eid += 1
+    # events 90 s on each side of a midnight boundary
+    mid = (t // day_us + 2) * day_us
+    rows.append((eid, mid - 90_000_000, 7, "view", 1.0)); eid += 1
+    rows.append((eid, mid + 90_000_000, 7, "view", 1.0)); eid += 1
+    # cold users
+    for u in range(20):
+        tu = 1_700_000_000_000_000 + u * 7_000_000_000
+        for k in range(250):
+            tu += int(rng.integers(1, 50)) * 60 * 1_000_000
+            rows.append((eid, tu, 100 + u, "view", 0.5)); eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+
+    out = sessionize(ray.data.from_pandas(df), gap_seconds=1800).to_pandas()
+    out = out.sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+
+    # single-pass reference
+    exp_rows = []
+    for u, g in df.groupby("user_id"):
+        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+        brk = np.r_[True, np.diff(ts) > gap_us]
+        sid = np.cumsum(brk) - 1
+        for s in range(sid.max() + 1):
+            m = sid == s
+            exp_rows.append((int(u), s, int(m.sum()), int(ts[m].min()), int(ts[m].max())))
+    exp = pd.DataFrame(
+        exp_rows, columns=["user_id", "session_seq", "n_events", "start_us", "end_us"]
+    ).sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+
+    got = out[["user_id", "session_seq", "n_events", "start_us", "end_us"]].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp.astype(np.int64))
+    # the midnight-straddling pair landed in ONE session
+    hot = out[out.user_id == 7]
+    assert ((hot["start_us"] <= mid - 90_000_000) & (hot["end_us"] >= mid + 90_000_000)).any()
