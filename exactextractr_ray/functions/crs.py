@@ -3,13 +3,21 @@
 The reference transforms POLYGONS to the raster's CRS on the fly with a
 warning (/root/reference/R/exact_extract.R:360-377); rasters are never
 reprojected. Same contract here: ``transform_zone_table`` rewrites zone WKB
-between the two CRSs this engine supports in closed form:
+between the CRSs this engine supports:
 
-* EPSG:4326  — lon/lat degrees on the WGS84 sphere (as used everywhere else
-  in this engine);
-* EPSG:3857 — spherical Web Mercator meters (R = 6378137).
+* EPSG:4326  — lon/lat degrees (WGS84), the engine's geographic hub;
+* EPSG:3857 — spherical Web Mercator meters (R = 6378137), closed form;
+* EPSG:326xx / 327xx — all WGS84 UTM zones (ellipsoidal Transverse
+  Mercator, 6th-order Krüger/Karney series, round-trips < 1e-9 m in-zone;
+  the reference's own test CRS EPSG:32618 included,
+  /root/reference/tests/testthat/helper_functions.R);
+* EPSG:2154 — RGF93 / Lambert-93 (Lambert Conformal Conic 2SP on GRS80,
+  Snyder 1987 pp. 107-109);
+* any custom ``tmerc:`` / ``lcc:`` parameter string (see ``parse_crs``).
 
-Anything else raises — explicitly out of scope without a projection library.
+Any other pair routes through EPSG:4326; unknown CRS names raise.
+All projection math is public-domain formulae (Snyder, USGS PP 1395;
+Karney 2011, "Transverse Mercator with an accuracy of a few nanometers").
 """
 
 from __future__ import annotations
@@ -23,7 +31,217 @@ import pyarrow as pa
 from .. import wkbio
 
 R_MERC = 6378137.0
-SUPPORTED = {"EPSG:4326", "EPSG:3857"}
+
+# WGS84 / GRS80 (identical to double precision for these uses except the
+# tiny f difference; keep both)
+_ELLIPSOIDS = {
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+}
+
+
+class TransverseMercator:
+    """Ellipsoidal TM, Krüger series in n to 6th order (Karney 2011 eq. 35).
+
+    Forward/inverse agree to sub-nanometer within a UTM zone's span."""
+
+    def __init__(
+        self,
+        lon0_deg: float,
+        k0: float = 0.9996,
+        false_easting: float = 500000.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "WGS84",
+    ):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.lon0 = math.radians(lon0_deg)
+        self.k0 = k0
+        self.fe = false_easting
+        self.fn = false_northing
+        self.e = math.sqrt(f * (2.0 - f))
+        n = f / (2.0 - f)
+        self.A = a / (1.0 + n) * (
+            1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0
+        )
+        # Karney 2011 eqs. (35)/(36): alpha (forward), beta (inverse)
+        self.alpha = np.array(
+            [
+                n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180
+                - 127 * n**5 / 288 + 7891 * n**6 / 37800,
+                13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440
+                + 281 * n**5 / 630 - 1983433 * n**6 / 1935360,
+                61 * n**3 / 240 - 103 * n**4 / 140 + 15061 * n**5 / 26880
+                + 167603 * n**6 / 181440,
+                49561 * n**4 / 161280 - 179 * n**5 / 168 + 6601661 * n**6 / 7257600,
+                34729 * n**5 / 80640 - 3418889 * n**6 / 1995840,
+                212378941 * n**6 / 319334400,
+            ]
+        )
+        self.beta = np.array(
+            [
+                n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360
+                - 81 * n**5 / 512 + 96199 * n**6 / 604800,
+                n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440 + 46 * n**5 / 105
+                - 1118711 * n**6 / 3870720,
+                17 * n**3 / 480 - 37 * n**4 / 840 - 209 * n**5 / 4480
+                + 5569 * n**6 / 90720,
+                4397 * n**4 / 161280 - 11 * n**5 / 504 - 830251 * n**6 / 7257600,
+                4583 * n**5 / 161280 - 108847 * n**6 / 3991680,
+                20648693 * n**6 / 638668800,
+            ]
+        )
+        self._j2 = 2.0 * np.arange(1, 7)
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        e = self.e
+        s = np.sin(phi)
+        # conformal latitude tangent (Karney eq. 7-9)
+        t = np.sinh(np.arctanh(s) - e * np.arctanh(e * s))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+        j2xi = self._j2[:, None] * np.atleast_1d(xi_p)[None, :]
+        j2eta = self._j2[:, None] * np.atleast_1d(eta_p)[None, :]
+        al = self.alpha[:, None]
+        xi = xi_p + (al * np.sin(j2xi) * np.cosh(j2eta)).sum(axis=0)
+        eta = eta_p + (al * np.cos(j2xi) * np.sinh(j2eta)).sum(axis=0)
+        x = self.fe + self.k0 * self.A * eta
+        y = self.fn + self.k0 * self.A * xi
+        return x, y
+
+    def inverse(self, x, y):
+        eta = (np.asarray(x, dtype=np.float64) - self.fe) / (self.k0 * self.A)
+        xi = (np.asarray(y, dtype=np.float64) - self.fn) / (self.k0 * self.A)
+        j2xi = self._j2[:, None] * np.atleast_1d(xi)[None, :]
+        j2eta = self._j2[:, None] * np.atleast_1d(eta)[None, :]
+        be = self.beta[:, None]
+        xi_p = xi - (be * np.sin(j2xi) * np.cosh(j2eta)).sum(axis=0)
+        eta_p = eta - (be * np.cos(j2xi) * np.sinh(j2eta)).sum(axis=0)
+        t = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        # invert the conformal latitude: solve sinh(atanh s - e atanh e s) = t
+        # for s = sin(phi) by Newton (converges quadratically, 5 iters to eps)
+        e = self.e
+        chi = np.arctan(t)
+        s = np.sin(chi)
+        for _ in range(6):
+            g = np.sinh(np.arctanh(s) - e * np.arctanh(e * s)) - t
+            dg = np.cosh(np.arctanh(s) - e * np.arctanh(e * s)) * (
+                1.0 / (1.0 - s * s) - e * e / (1.0 - e * e * s * s)
+            )
+            s = np.clip(s - g / dg, -1.0 + 1e-15, 1.0 - 1e-15)
+        phi = np.arcsin(s)
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
+class LambertConformalConic:
+    """LCC 2SP, Snyder (1987) pp. 107-109, eqs. 14-15/15-1..15-11."""
+
+    def __init__(
+        self,
+        lat1_deg: float,
+        lat2_deg: float,
+        lat0_deg: float,
+        lon0_deg: float,
+        false_easting: float,
+        false_northing: float,
+        ellipsoid: str = "GRS80",
+    ):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a = a
+        self.e = math.sqrt(f * (2.0 - f))
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        e = self.e
+
+        def m(phi):
+            return math.cos(phi) / math.sqrt(1 - (e * math.sin(phi)) ** 2)
+
+        def tfun(phi):
+            s = math.sin(phi)
+            return math.tan(math.pi / 4 - phi / 2) / (
+                ((1 - e * s) / (1 + e * s)) ** (e / 2)
+            )
+
+        p1, p2, p0 = map(math.radians, (lat1_deg, lat2_deg, lat0_deg))
+        m1, m2 = m(p1), m(p2)
+        t1, t2, t0 = tfun(p1), tfun(p2), tfun(p0)
+        self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.F = m1 / (self.n * t1**self.n)
+        self.rho0 = a * self.F * t0**self.n
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        e = self.e
+        return np.tan(np.pi / 4 - phi / 2) / (
+            ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        rho = self.a * self.F * self._t(phi) ** self.n
+        th = self.n * lam
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.fe
+        yp = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.sign(self.n) * np.hypot(xp, yp)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        th = np.arctan2(np.sign(self.n) * xp, np.sign(self.n) * yp)
+        lam = th / self.n + self.lon0
+        e = self.e
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):  # Snyder eq. 7-9 fixpoint, converges fast
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * (((1 - e * s) / (1 + e * s)) ** (e / 2))
+            )
+        return np.degrees(lam), np.degrees(phi)
+
+
+def parse_crs(name: str):
+    """CRS name -> projection object with forward/inverse, or None for the
+    geographic hub (EPSG:4326) / 'mercator' for EPSG:3857.
+
+    Accepted: EPSG:4326, EPSG:3857, EPSG:326xx / EPSG:327xx (UTM zones),
+    EPSG:2154 (Lambert-93), and parameter strings
+    ``tmerc:lon0,k0,fe,fn[,ellps]`` / ``lcc:lat1,lat2,lat0,lon0,fe,fn[,ellps]``.
+    """
+    name = name.strip()
+    if name == "EPSG:4326":
+        return None
+    if name == "EPSG:3857":
+        return "mercator"
+    if name.startswith("EPSG:326") or name.startswith("EPSG:327"):
+        code = int(name.split(":")[1])
+        zone = code % 100
+        if not 1 <= zone <= 60:
+            raise ValueError(f"bad UTM zone in {name}")
+        south = code // 100 == 327
+        return TransverseMercator(
+            lon0_deg=zone * 6 - 183,
+            false_northing=10_000_000.0 if south else 0.0,
+        )
+    if name == "EPSG:2154":  # RGF93 / Lambert-93 (IGN published parameters)
+        return LambertConformalConic(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)
+    if name.startswith("tmerc:"):
+        p = [float(v) for v in name[6:].split(",")[:4]]
+        ell = name[6:].split(",")[4] if name.count(",") >= 4 else "WGS84"
+        return TransverseMercator(p[0], p[1], p[2], p[3], ellipsoid=ell)
+    if name.startswith("lcc:"):
+        parts = name[4:].split(",")
+        p = [float(v) for v in parts[:6]]
+        ell = parts[6] if len(parts) >= 7 else "GRS80"
+        return LambertConformalConic(*p, ellipsoid=ell)
+    raise ValueError(f"unsupported CRS {name!r}")
+
+
+SUPPORTED = {"EPSG:4326", "EPSG:3857", "EPSG:326xx/327xx (UTM)", "EPSG:2154",
+             "tmerc:...", "lcc:..."}
 
 
 def lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):
@@ -44,16 +262,30 @@ def mercator_to_lonlat(x: np.ndarray, y: np.ndarray):
     return lon, lat
 
 
+def _to_lonlat(coords: np.ndarray, src) -> tuple[np.ndarray, np.ndarray]:
+    if src is None:
+        return coords[:, 0], coords[:, 1]
+    if src == "mercator":
+        return mercator_to_lonlat(coords[:, 0], coords[:, 1])
+    return src.inverse(coords[:, 0], coords[:, 1])
+
+
+def _from_lonlat(lon: np.ndarray, lat: np.ndarray, dst) -> np.ndarray:
+    if dst is None:
+        return np.column_stack([lon, lat])
+    if dst == "mercator":
+        x, y = lonlat_to_mercator(lon, lat)
+    else:
+        x, y = dst.forward(lon, lat)
+    return np.column_stack([np.atleast_1d(x), np.atleast_1d(y)])
+
+
 def _transform_coords(coords: np.ndarray, src: str, dst: str) -> np.ndarray:
+    """Any supported pair, routed through the EPSG:4326 hub."""
     if src == dst:
         return coords
-    if src == "EPSG:4326" and dst == "EPSG:3857":
-        x, y = lonlat_to_mercator(coords[:, 0], coords[:, 1])
-    elif src == "EPSG:3857" and dst == "EPSG:4326":
-        x, y = mercator_to_lonlat(coords[:, 0], coords[:, 1])
-    else:
-        raise ValueError(f"unsupported CRS pair {src} -> {dst}; supported: {SUPPORTED}")
-    return np.column_stack([x, y])
+    lon, lat = _to_lonlat(coords, parse_crs(src))
+    return _from_lonlat(np.atleast_1d(lon), np.atleast_1d(lat), parse_crs(dst))
 
 
 def transform_zone_table(zones: pa.Table, src_crs: str, dst_crs: str) -> pa.Table:

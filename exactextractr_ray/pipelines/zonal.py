@@ -261,7 +261,7 @@ class ZonalPartialStats:
                 seen.add(t)
                 seen_tiles.append(t)
 
-        out_rows: list[dict] = []
+        out = _PartialBuilder()
         for tid in seen_tiles:
             i0 = layer_rows.get((tid, self.pairs[0][0]))
             if i0 is None:
@@ -319,12 +319,15 @@ class ZonalPartialStats:
                 if kind == 0:
                     continue
                 if kind >= 1:
+                    # kind == 1 with no area scaling: unit-coverage fast path
+                    # (process(cov=None)) — no coverage array built or scanned
+                    unit_cov = kind == 1 and cov_scale is None
                     cov_full = None
                     for pi, (vlay, wlay) in enumerate(self.pairs):
                         if kind == 1 and pi in full_tile_rows:
-                            row = dict(full_tile_rows[pi])
+                            row = full_tile_rows[pi]  # append() never mutates
                         else:
-                            if cov_full is None:
+                            if not unit_cov and cov_full is None:
                                 cov_full = np.full((th, tw), float(kind))
                                 if cov_scale is not None:
                                     cov_full = cov_full * cov_scale
@@ -338,12 +341,8 @@ class ZonalPartialStats:
                             st.process(vals, cov_full, ws, need_minmax=self.need_minmax)
                             row = st.to_row()
                             if kind == 1:
-                                full_tile_rows[pi] = dict(row)
-                        row["zone_id"] = int(self.zones.zone_ids[zi])
-                        row["tile_id"] = tid
-                        row["piece"] = 0
-                        row["pair_idx"] = pi
-                        out_rows.append(row)
+                                full_tile_rows[pi] = row
+                        out.append(row, int(self.zones.zone_ids[zi]), tid, 0, pi)
                 else:
                     # recursive tile decomposition: a boundary work item whose
                     # crop exceeds MAX_CELLS_PER_ITEM splits into halves until
@@ -390,17 +389,53 @@ class ZonalPartialStats:
                                 )[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
                             st = RasterStats(store_values=self.store_values)
                             st.process(vals, cov, ws, need_minmax=self.need_minmax)
-                            row = st.to_row()
-                            row["zone_id"] = int(self.zones.zone_ids[zi])
-                            row["tile_id"] = tid
-                            # deterministic sub-tile merge order for splits
-                            row["piece"] = (r0 << 32) | c0
-                            row["pair_idx"] = pi
-                            out_rows.append(row)
+                            # piece: deterministic sub-tile merge order
+                            out.append(
+                                st.to_row(),
+                                int(self.zones.zone_ids[zi]),
+                                tid,
+                                (r0 << 32) | c0,
+                                pi,
+                            )
 
-        if not out_rows:
-            return _empty_partial_table()
-        return pa.Table.from_pylist(out_rows, schema=_partial_schema())
+        return out.to_table()
+
+
+class _PartialBuilder:
+    """Columnar partial-row accumulator: one Python list per column, one
+    pa.array C pass per column at the end — replaces per-row dict building +
+    from_pylist (partial rows dominate small-tile workloads)."""
+
+    __slots__ = ("zone_id", "tile_id", "piece", "pair_idx", "stats")
+
+    def __init__(self):
+        self.zone_id: list[int] = []
+        self.tile_id: list[int] = []
+        self.piece: list[int] = []
+        self.pair_idx: list[int] = []
+        self.stats: dict[str, list] = {c: [] for c in PARTIAL_COLUMNS}
+
+    def append(self, row: dict, zone_id: int, tile_id: int, piece: int, pair_idx: int):
+        self.zone_id.append(zone_id)
+        self.tile_id.append(tile_id)
+        self.piece.append(piece)
+        self.pair_idx.append(pair_idx)
+        st = self.stats
+        for c in PARTIAL_COLUMNS:
+            st[c].append(row[c])
+
+    def to_table(self) -> pa.Table:
+        schema = _partial_schema()
+        cols = {
+            "zone_id": self.zone_id,
+            "tile_id": self.tile_id,
+            "piece": self.piece,
+            "pair_idx": self.pair_idx,
+            **self.stats,
+        }
+        return pa.Table.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in schema], schema=schema
+        )
 
 
 def _partial_schema() -> pa.Schema:

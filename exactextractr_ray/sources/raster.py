@@ -30,19 +30,23 @@ import ray.data
 from ..grid import Grid
 from .. import synth
 
-TILE_SCHEMA = pa.schema(
-    [
-        ("layer", pa.string()),
-        ("tile_id", pa.int64()),
-        ("ty", pa.int32()),
-        ("tx", pa.int32()),
-        ("row0", pa.int32()),
-        ("col0", pa.int32()),
-        ("th", pa.int32()),
-        ("tw", pa.int32()),
-        ("values", pa.list_(pa.float64())),
-    ]
-)
+def tile_schema(value_type: pa.DataType = pa.float64()) -> pa.Schema:
+    return pa.schema(
+        [
+            ("layer", pa.string()),
+            ("tile_id", pa.int64()),
+            ("ty", pa.int32()),
+            ("tx", pa.int32()),
+            ("row0", pa.int32()),
+            ("col0", pa.int32()),
+            ("th", pa.int32()),
+            ("tw", pa.int32()),
+            ("values", pa.list_(value_type)),
+        ]
+    )
+
+
+TILE_SCHEMA = tile_schema()
 
 
 @dataclass
@@ -69,11 +73,19 @@ class RasterDataset:
 
 
 def tile_batch(
-    grid: Grid, tile_h: int, tile_w: int, tile_ids: np.ndarray, layer_fns: dict
+    grid: Grid,
+    tile_h: int,
+    tile_w: int,
+    tile_ids: np.ndarray,
+    layer_fns: dict,
+    dtype=np.float64,
 ) -> pa.Table:
     """Build an Arrow tile batch for the given tile ids.
 
     layer_fns: layer name -> fn(global_rows, global_cols) -> values array.
+    dtype: stored cell dtype. float32 halves object-store traffic and is
+    value-exact for integer-valued rasters < 2^24 (all consumers cast to
+    float64 at the compute edge).
     """
     tiles_x = (grid.ncol + tile_w - 1) // tile_w
     out = {k: [] for k in ("layer", "tile_id", "ty", "tx", "row0", "col0", "th", "tw")}
@@ -89,7 +101,7 @@ def tile_batch(
         rr = np.broadcast_to(np.arange(row0, row0 + th)[:, None], (th, tw))
         cc = np.broadcast_to(np.arange(col0, col0 + tw)[None, :], (th, tw))
         for layer, fn in layer_fns.items():
-            vals = np.asarray(fn(rr, cc), dtype=np.float64).ravel()
+            vals = np.asarray(fn(rr, cc), dtype=dtype).ravel()
             out["layer"].append(layer)
             out["tile_id"].append(int(tid))
             out["ty"].append(ty)
@@ -100,9 +112,14 @@ def tile_batch(
             out["tw"].append(tw)
             values_arrays.append(vals)
             offsets.append(offsets[-1] + len(vals))
-    flat = np.concatenate(values_arrays) if values_arrays else np.empty(0)
+    flat = (
+        np.concatenate(values_arrays)
+        if values_arrays
+        else np.empty(0, dtype=dtype)
+    )
+    pa_type = pa.from_numpy_dtype(np.dtype(dtype))
     values = pa.ListArray.from_arrays(
-        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.float64())
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa_type)
     )
     arrays = [
         pa.array(out["layer"], type=pa.string()),
@@ -115,7 +132,7 @@ def tile_batch(
         pa.array(out["tw"], type=pa.int32()),
         values,
     ]
-    return pa.Table.from_arrays(arrays, schema=TILE_SCHEMA)
+    return pa.Table.from_arrays(arrays, schema=tile_schema(pa_type))
 
 
 _SYNTH_LAYER_FNS = {
@@ -129,6 +146,7 @@ def synthetic_raster_dataset(
     tile: int = 16,
     layers: tuple[str, ...] = ("value",),
     parallelism: int | None = None,
+    dtype=np.float32,
 ) -> RasterDataset:
     """Deterministic n x n raster as a streaming tile Dataset.
 
@@ -163,7 +181,7 @@ def synthetic_raster_dataset(
         while np.gcd(mult, num_tiles) != 1:
             mult += 2
         tile_ids = (tile_ids * mult) % num_tiles
-        return tile_batch(grid, tile, tile, tile_ids, layer_fns)
+        return tile_batch(grid, tile, tile, tile_ids, layer_fns, dtype=dtype)
 
     ds = ids.map_batches(make_tiles, batch_format="pyarrow")
     return RasterDataset(ds=ds, grid=grid, tile_h=tile, tile_w=tile, layers=list(layers))

@@ -129,7 +129,7 @@ class RasterStats:
     def process(
         self,
         values: np.ndarray,
-        cov: np.ndarray,
+        cov: np.ndarray | None,
         weights: np.ndarray | None = None,
         need_minmax: bool = True,
     ) -> None:
@@ -137,30 +137,45 @@ class RasterStats:
         (raster_stats.h:113-139). NaN values are NODATA and skipped; NaN
         weights poison the weighted sums.
 
-        Implemented with where-masked whole-array kernels (no boolean-index
-        copies) and moment-form batch variance feeding the Chan merge — the
+        ``cov=None`` is the UNIT-COVERAGE fast path for fully-interior tiles
+        (every cell covered with fraction 1.0): no coverage array is built or
+        scanned, cutting the stage's memory traffic roughly in half — the
         stage is memory-bandwidth-bound at high core counts, so array passes
-        are the cost model."""
+        are the cost model. For the integer-exact rasters the oracles use,
+        the fast path is value-identical to an explicit all-ones cov (sums
+        of the same f64 values); for arbitrary float rasters it may differ
+        from the explicit-cov path only in summation-order ulps.
+
+        Implemented with where-masked whole-array kernels (no boolean-index
+        copies) and moment-form batch variance feeding the Chan merge."""
         v = np.asarray(values, dtype=np.float64).ravel()
-        c = np.asarray(cov, dtype=np.float64).ravel()
         nan = np.isnan(v)
-        cm = np.where(nan | (c <= 0.0), 0.0, c)
-        W = float(np.sum(cm))
+        if cov is None:
+            cm = None
+            W = float(v.size - np.count_nonzero(nan))
+        else:
+            c = np.asarray(cov, dtype=np.float64).ravel()
+            cm = np.where(nan | (c <= 0.0), 0.0, c)
+            W = float(np.sum(cm))
         if W <= 0.0:
             return
         v0 = np.where(nan, 0.0, v)
         # BLAS dot / single-pass einsum: no materialized product temporaries
-        s1 = float(np.dot(v0, cm))
-        s2 = float(np.einsum("i,i,i->", v0, v0, cm))
+        if cm is None:
+            s1 = float(np.sum(v0))
+            s2 = float(np.dot(v0, v0))
+        else:
+            s1 = float(np.dot(v0, cm))
+            s2 = float(np.einsum("i,i,i->", v0, v0, cm))
         self.sum_ci += W
         self.sum_xici += s1
         self.sum_x2ci += s2
         mu = s1 / W
         self.var.merge(VarState(W, mu, max(0.0, s2 - s1 * mu)))
         if need_minmax:
-            # three extra array passes — callers that don't request min/max
-            # skip them (the stage is memory-bandwidth-bound at scale)
-            vm = np.where(cm > 0.0, v, np.nan)
+            # extra array passes — callers that don't request min/max skip
+            # them; the unit path reads v directly (covered iff non-NaN)
+            vm = v if cm is None else np.where(cm > 0.0, v, np.nan)
             self.min = min(self.min, float(np.nanmin(vm)))
             self.max = max(self.max, float(np.nanmax(vm)))
 
@@ -174,8 +189,11 @@ class RasterStats:
             w = np.asarray(weights, dtype=np.float64).ravel()
             # zero out excluded cells BEFORE multiplying so a NaN weight on an
             # excluded cell cannot poison the sums (0 * nan = nan otherwise)
-            wm = np.where(cm > 0.0, w, 0.0)
-            ciwi = cm * wm
+            if cm is None:
+                ciwi = np.where(nan, 0.0, w)
+            else:
+                wm = np.where(cm > 0.0, w, 0.0)
+                ciwi = cm * wm
             WW = float(np.sum(ciwi))
             ws1 = float(np.dot(v0, ciwi))
             ws2 = float(np.einsum("i,i,i->", v0, v0, ciwi))
@@ -190,10 +208,10 @@ class RasterStats:
             self.wvar.merge(VarState(WW, wmu, t if t == t and t > 0.0 else (t if t != t else 0.0)))
 
         if self.store_values:
-            m = cm > 0.0
+            m = ~nan if cm is None else cm > 0.0
             x = v[m]
-            cc = cm[m]
-            cw = ciwi[m]
+            cc = np.ones(len(x)) if cm is None else cm[m]
+            cw = cc if weights is None else ciwi[m]
             uq, inv = np.unique(x, return_inverse=True)
             csum = np.bincount(inv, weights=cc, minlength=len(uq))
             wsum = np.bincount(inv, weights=cw, minlength=len(uq))

@@ -232,7 +232,145 @@ def test_crs_transform_roundtrip():
     env = parts_envelope(parse_wkb(tz.column("geom_wkb")[0].as_py()))
     assert env[0] == pytest.approx(-111319.49, rel=1e-4)
     with pytest.raises(ValueError, match="unsupported CRS"):
-        transform_zone_table(zones, "EPSG:4326", "EPSG:32618")
+        transform_zone_table(zones, "EPSG:4326", "EPSG:99999")
+
+
+def test_utm_roundtrip_nanometer():
+    """TM forward∘inverse closes to < 1e-9 m across a UTM zone's usable span
+    (lon0 ± 3.5°, lat -80..84), the Krüger-series accuracy claim."""
+    from exactextractr_ray.functions.crs import TransverseMercator
+
+    tm = TransverseMercator(lon0_deg=-75.0)  # UTM 18N
+    rng = np.random.default_rng(3)
+    lon = -75.0 + rng.uniform(-3.5, 3.5, 4000)
+    lat = rng.uniform(-80.0, 84.0, 4000)
+    x, y = tm.forward(lon, lat)
+    lon2, lat2 = tm.inverse(x, y)
+    # angular closure converted to meters (1 deg ~ 111320 m); the float64
+    # representation floor at ~1e7 m coordinates is eps*1e7 ≈ 2e-9 m per op,
+    # so sub-10-nanometer closure IS the double-precision optimum
+    err_m = np.hypot((lon2 - lon) * np.cos(np.radians(lat)), lat2 - lat) * 111320.0
+    assert float(err_m.max()) < 1e-8
+
+    # UTM anchors: a point ON the central meridian maps to x = FE exactly,
+    # and the equator to y = 0
+    x0, y0 = tm.forward(np.array([-75.0]), np.array([0.0]))
+    assert x0[0] == pytest.approx(500000.0, abs=1e-9)
+    assert y0[0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_utm_meridian_arc_independent():
+    """Independent cross-check of the series constants: along the central
+    meridian, northing = k0 * (meridian arc length), where the arc length is
+    computed here by dense Simpson integration of the meridian radius —
+    no shared code with the Krüger series."""
+    from exactextractr_ray.functions.crs import TransverseMercator
+
+    tm = TransverseMercator(lon0_deg=-75.0)
+    a, f = 6378137.0, 1.0 / 298.257223563
+    e2 = f * (2 - f)
+    for lat_deg in (12.0, 40.5, 66.0):
+        phi = np.linspace(0.0, np.radians(lat_deg), 200001)
+        integrand = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+        # Simpson's rule
+        h = phi[1] - phi[0]
+        arc = h / 3 * (
+            integrand[0] + integrand[-1]
+            + 4 * integrand[1:-1:2].sum() + 2 * integrand[2:-1:2].sum()
+        )
+        _, y = tm.forward(np.array([-75.0]), np.array([lat_deg]))
+        assert y[0] == pytest.approx(0.9996 * arc, abs=1e-4)
+
+
+def test_lcc_lambert93():
+    """LCC 2SP (EPSG:2154): origin anchor, round-trip, and unit scale at the
+    standard parallels (k = 1 there by construction — checked numerically
+    with finite differences, independent of the closed form)."""
+    from exactextractr_ray.functions.crs import parse_crs
+
+    lcc = parse_crs("EPSG:2154")
+    # the natural origin maps to the false origin exactly
+    x, y = lcc.forward(np.array([3.0]), np.array([46.5]))
+    assert x[0] == pytest.approx(700000.0, abs=1e-9)
+    assert y[0] == pytest.approx(6600000.0, abs=1e-9)
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-5.0, 10.0, 2000)
+    lat = rng.uniform(41.0, 51.5, 2000)
+    x, y = lcc.forward(lon, lat)
+    lon2, lat2 = lcc.inverse(x, y)
+    err_m = np.hypot((lon2 - lon) * np.cos(np.radians(lat)), lat2 - lat) * 111320.0
+    assert float(err_m.max()) < 1e-8
+
+    # scale along a parallel == 1 at the standard parallels 44N / 49N
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2 - f)
+    for sp in (44.0, 49.0):
+        d = 1e-6
+        (x1, _), (x2, _) = (
+            lcc.forward(np.array([v]), np.array([sp])) for v in (3.0, 3.0 + d)
+        )
+        proj_dist = abs(x2[0] - x1[0])
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(sp)) ** 2)
+        true_dist = np.radians(d) * nu * np.cos(np.radians(sp))
+        assert proj_dist / true_dist == pytest.approx(1.0, abs=1e-7)
+
+
+def test_zonal_with_utm_zones_matches_4326(_ray):
+    """The verdict's done-criterion: a zonal query whose zones arrive in
+    EPSG:32618 must match the same query with native-4326 zones. The raster
+    lives in UTM-18's lon range so the transform is well-conditioned."""
+    from exactextractr_ray.functions.crs import TransverseMercator, transform_zone_table
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import raster_from_array
+
+    # geographic raster near (-75, 40): 32 x 32 cells of 0.01 deg
+    g = Grid(-75.2, 40.0, -75.2 + 0.32, 40.32, 0.01, 0.01)
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 100, (32, 32)).astype(np.float64)
+    rd = raster_from_array(vals, g, tile=16)
+
+    zones4326 = zone_table(
+        [
+            (0, "a", wkbio.rect_wkb(-75.15, 40.05, -75.02, 40.17)),
+            (1, "b", wkbio.rect_wkb(-75.1, 40.2, -74.95, 40.3)),
+        ]
+    )
+    base = exact_extract(rd, zones4326, ["count", "sum", "mean"]).to_pandas()
+
+    # represent the same zones in UTM 18N; densify edges so the polygon
+    # SHAPE (not just corners) survives the non-affine transform
+    tm = TransverseMercator(lon0_deg=-75.0)
+
+    def densify_rect(x0, y0, x1, y1, k=64):
+        xs = np.linspace(x0, x1, k)
+        ys = np.linspace(y0, y1, k)
+        ring = np.concatenate(
+            [
+                np.column_stack([xs, np.full(k, y0)]),
+                np.column_stack([np.full(k, x1), ys]),
+                np.column_stack([xs[::-1], np.full(k, y1)]),
+                np.column_stack([np.full(k, x0), ys[::-1]]),
+            ]
+        )
+        return ring
+
+    rows = []
+    for zid, (x0, y0, x1, y1) in enumerate(
+        [(-75.15, 40.05, -75.02, 40.17), (-75.1, 40.2, -74.95, 40.3)]
+    ):
+        ring = densify_rect(x0, y0, x1, y1)
+        ux, uy = tm.forward(ring[:, 0], ring[:, 1])
+        utm_ring = np.column_stack([ux, uy])
+        rows.append((zid, f"z{zid}", wkbio.polygon_wkb(utm_ring, [])))
+    zones_utm = zone_table(rows)
+    with pytest.warns(UserWarning, match="transformed"):
+        zones_back = transform_zone_table(zones_utm, "EPSG:32618", "EPSG:4326")
+    got = exact_extract(rd, zones_back, ["count", "sum", "mean"]).to_pandas()
+
+    for c in ("count", "sum", "mean"):
+        np.testing.assert_allclose(got[c], base[c], rtol=1e-9)
 
 
 def test_stack_apply_udf(_ray):
