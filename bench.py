@@ -30,8 +30,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # throughput numbers are comparable across sf; document tables come from sf).
 # sized so parallel compute dominates fixed per-pipeline overhead — the
 # regime the scaling criterion is about
-ZONAL_N = 32768  # raster side: 1.07G cells
-ZONAL_TILE = 512  # 4096 tiles of 262k cells (2 MiB float64 each)
+ZONAL_N = int(os.environ.get("GRAFT_ZONAL_N", "32768"))  # raster side
+ZONAL_TILE = 512  # tiles of 262k cells (1 MiB float32 each)
 ZONAL_ZONES = 64
 JOIN_POINTS = 40_000_000
 JOIN_ZONES = 64
@@ -221,21 +221,24 @@ def run_all(full: bool = True, repeats: int = 1):
 
 def run_scaling():
     """Same headline job at N and 4N CPUs in fresh processes (sandbox
-    substitute for two cluster sizes, see BASELINE.md). Default pair 2,8 —
-    set GRAFT_SCALE_CPUS="4,16" or "8,32" to override. The default keeps the
-    4N level under the single SOCKET's memory-bandwidth ceiling (this host
-    saturates its channels near 16 busy cores on the zonal stage); on a real
-    multi-node N->4N scale-out each node brings its own memory channels, so
-    the low-core pair is the faithful proxy. Measurements for both 2,8 and
-    4,16 are recorded in BASELINE.md."""
+    substitute for two cluster sizes, see BASELINE.md). Default pair 4,16 —
+    set GRAFT_SCALE_CPUS="2,8" or "8,32" to override. Children run the
+    zonal raster at GRAFT_ZONAL_N=65536 (16384 tiles) so BOTH levels measure
+    steady-state throughput; measurements are recorded in BASELINE.md."""
     pair = [
-        int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "2,8").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(",")
     ]
     results = {}
     for cpus in pair:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = SF_DIR
+        # steady-state sizing: the scaling criterion is THROUGHPUT ratio, so
+        # both levels must run long enough that fixed plan/ramp cost (~0.5 s)
+        # is amortized — at the default 4096 tiles a 16-cpu run lasts ~3 s
+        # and measures ramp-up, not scaling (measured: 835 tiles/s at 4096
+        # tiles vs 1590 at 16384 tiles, same 16 cpus)
+        env.setdefault("GRAFT_ZONAL_N", "65536")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child"],
             capture_output=True,
@@ -274,6 +277,6 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--child" in sys.argv:
-        print(json.dumps(run_all(full=False, repeats=4)))
+        print(json.dumps(run_all(full=False, repeats=3)))
     else:
         print(json.dumps(run_all(full=True)))

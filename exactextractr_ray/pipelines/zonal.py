@@ -904,6 +904,21 @@ def extract_cells(
     )
 
 
+def _num_expected_args(fn) -> int:
+    """The reference's .num_expected_args
+    (/root/reference/R/exact_extract_helpers.R:209-213): count the
+    positional parameters WITHOUT defaults, excluding *args/**kwargs."""
+    import inspect
+
+    n = 0
+    for p in inspect.signature(fn).parameters.values():
+        if p.kind in (p.VAR_POSITIONAL, p.VAR_KEYWORD):
+            continue
+        if p.default is inspect.Parameter.empty:
+            n += 1
+    return n
+
+
 def exact_extract_apply(
     raster,
     zones: pa.Table,
@@ -913,20 +928,55 @@ def exact_extract_apply(
     include_xy: bool = False,
     include_cell: bool = False,
     stack_apply: bool = False,
+    summarize_df: bool = False,
+    fn_kwargs: dict | None = None,
     **kwargs,
 ):
     """The user-summary-function path (fun=... in the reference,
-    /root/reference/R/exact_extract.R:608-765): ``fn`` receives one zone's
-    per-cell pandas frame (value, cov[, weight, x, y, cell]) and returns a
-    scalar-per-column frame; frames concatenate across zones.
+    /root/reference/R/exact_extract.R:405-430, 608-765) with BOTH reference
+    call conventions, selected exactly like R's ``summarize_df`` flag:
 
-    Runs as ``groupby(zone_id).map_groups`` over the streaming per-cell
-    extraction — the UDF sees the same (values, coverage_fraction, weights)
-    triple the reference passes to R functions.
+    * ``summarize_df=False`` (default, like R): ``fn(values,
+      coverage_fractions[, weights], **fn_kwargs)`` — positional vectors
+      (pandas Series). fn must accept >= 2 (no weights) / >= 3 (weights)
+      non-default args or a ValueError mirrors the reference's message.
+    * ``summarize_df=True``: ``fn(df, **fn_kwargs)`` — one frame per zone
+      with the reference's column names: the value column is ``value`` for a
+      single layer (multi-layer frames keep layer names via stack_apply),
+      the weight column ``weight``, and the coverage column
+      ``coverage_fraction`` (``coverage_area`` when coverage_area=True);
+      x/y/cell columns appear when requested. fn must accept >= 1 args.
+
+    A multi-row frame returned by fn r-binds across zones with zone_id
+    repeated (the reference's data.frame rbind semantics). Runs as
+    ``groupby(zone_id).map_groups`` over the streaming per-cell extraction.
 
     ``stack_apply=True`` with a list of value layers applies the UDF to each
-    layer independently and suffixes result columns with ``.{layer}``
-    (the reference's stack_apply, /root/reference/R/exact_extract.R)."""
+    layer independently and suffixes result columns with ``.{layer}``."""
+    # arity validation (exact_extract.R:413-430)
+    if summarize_df:
+        if _num_expected_args(fn) < 1:
+            raise ValueError(
+                "exact_extract was called with a function that does not "
+                "appear to be of the form `function(df, ...)`."
+            )
+    elif weight_layer is None:
+        if _num_expected_args(fn) < 2:
+            raise ValueError(
+                "exact_extract was called with a function that does not "
+                "appear to be of the form `function(values, "
+                "coverage_fractions, ...)`. If the summary function should "
+                "accept a single data frame argument, set "
+                "`summarize_df=True`."
+            )
+    elif _num_expected_args(fn) < 3:
+        raise ValueError(
+            "exact_extract was called with a function that does not appear "
+            "to be of the form `function(values, coverage_fractions, "
+            "weights, ...)`. If the summary function should accept a single "
+            "data frame argument, set `summarize_df=True`."
+        )
+
     if stack_apply:
         layers = [value_layer] if isinstance(value_layer, str) else list(value_layer)
         merged = None
@@ -935,7 +985,8 @@ def exact_extract_apply(
                 raster, zones, fn,
                 value_layer=lay, weight_layer=weight_layer,
                 include_xy=include_xy, include_cell=include_cell,
-                stack_apply=False, **kwargs,
+                stack_apply=False, summarize_df=summarize_df,
+                fn_kwargs=fn_kwargs, **kwargs,
             ).to_pandas()
             if len(layers) > 1:
                 part = part.rename(
@@ -955,10 +1006,18 @@ def exact_extract_apply(
         include_cell=include_cell,
         **kwargs,
     )
+    cov_name = "coverage_area" if kwargs.get("coverage_area") else "coverage_fraction"
+    fkw = fn_kwargs or {}
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         zone_id = int(group["zone_id"].iloc[0])
-        out = fn(group.drop(columns=["zone_id"]))
+        df = group.drop(columns=["zone_id"]).rename(columns={"cov": cov_name})
+        if summarize_df:
+            out = fn(df, **fkw)
+        elif weight_layer is None:
+            out = fn(df["value"], df[cov_name], **fkw)
+        else:
+            out = fn(df["value"], df[cov_name], df["weight"], **fkw)
         if np.isscalar(out):
             out = pd.DataFrame({"result": [out]})
         out = out.copy()

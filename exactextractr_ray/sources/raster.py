@@ -136,8 +136,10 @@ def tile_batch(
 
 
 _SYNTH_LAYER_FNS = {
-    "value": synth.synth_values,
-    "weight": synth.synth_weights,
+    # generate in the stored dtype directly: skips a float64 intermediate
+    # (values are small integers — exact in float32)
+    "value": lambda rr, cc: synth.synth_values(rr, cc, dtype=np.float32),
+    "weight": lambda rr, cc: synth.synth_weights(rr, cc, dtype=np.float32),
 }
 
 

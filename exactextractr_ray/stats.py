@@ -148,7 +148,15 @@ class RasterStats:
 
         Implemented with where-masked whole-array kernels (no boolean-index
         copies) and moment-form batch variance feeding the Chan merge."""
-        v = np.asarray(values, dtype=np.float64).ravel()
+        if cov is None:
+            # unit path additionally avoids the float64 cast pass: float32
+            # storage stays float32 through the masks (f32 -> f64 conversion
+            # is exact, and the reductions accumulate in f64 via dtype=)
+            v = np.asarray(values).ravel()
+            if v.dtype not in (np.float32, np.float64):
+                v = v.astype(np.float64)
+        else:
+            v = np.asarray(values, dtype=np.float64).ravel()
         nan = np.isnan(v)
         if cov is None:
             cm = None
@@ -159,11 +167,11 @@ class RasterStats:
             W = float(np.sum(cm))
         if W <= 0.0:
             return
-        v0 = np.where(nan, 0.0, v)
+        v0 = np.where(nan, v.dtype.type(0.0), v)
         # BLAS dot / single-pass einsum: no materialized product temporaries
         if cm is None:
-            s1 = float(np.sum(v0))
-            s2 = float(np.dot(v0, v0))
+            s1 = float(np.sum(v0, dtype=np.float64))
+            s2 = float(np.einsum("i,i->", v0, v0, dtype=np.float64))
         else:
             s1 = float(np.dot(v0, cm))
             s2 = float(np.einsum("i,i,i->", v0, v0, cm))

@@ -30,33 +30,45 @@ NA_A, NA_B, NA_MOD = 31, 17, 23  # NODATA where (r*A + c*B) % MOD == 0
 W_A, W_B, W_MOD = 13, 29, 7  # weight layer = (r*A + c*B) % MOD + 1
 
 
-def synth_values(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+def synth_values(
+    rows: np.ndarray, cols: np.ndarray, dtype=np.float64
+) -> np.ndarray:
     """Integer-valued raster with deterministic NODATA holes. rows/cols are
     GLOBAL (grid-level) indices; row 0 at the top. Identical math to
     synth_value_sql (mod distributes over the sum)."""
     r = np.asarray(rows, dtype=np.int64)
     c = np.asarray(cols, dtype=np.int64)
     if r.ndim == 2 and r.shape == c.shape:
-        # broadcast-friendly: per-row / per-col partial products stay small
-        rv = (r[:, :1] * VAL_A) % VAL_MOD
-        cv = (c[:1, :] * VAL_B) % VAL_MOD
-        v = ((rv + cv) % VAL_MOD).astype(np.float64)
-        rn = (r[:, :1] * NA_A) % NA_MOD
-        cn = (c[:1, :] * NA_B) % NA_MOD
-        v[(rn + cn) % NA_MOD == 0] = np.nan
+        # separable: 1-D modular partials, then ONE int32 2-D add with a
+        # conditional subtract instead of a full-array integer division —
+        # bit-identical values, ~3x less generation bandwidth (generation
+        # showed up as the hottest pass in the zonal profile)
+        rv = ((r[:, 0] * VAL_A) % VAL_MOD).astype(np.int32)
+        cv = ((c[0, :] * VAL_B) % VAL_MOD).astype(np.int32)
+        t = rv[:, None] + cv[None, :]  # each < VAL_MOD -> sum < 2*VAL_MOD
+        t = np.where(t >= VAL_MOD, t - VAL_MOD, t)
+        rn = ((r[:, 0] * NA_A) % NA_MOD).astype(np.int32)
+        cn = ((c[0, :] * NA_B) % NA_MOD).astype(np.int32)
+        tn = rn[:, None] + cn[None, :]
+        v = t.astype(dtype)  # integer values < 1000: exact in float32 too
+        v[(tn == 0) | (tn == NA_MOD)] = np.nan
         return v
     v = ((r * VAL_A + c * VAL_B) % VAL_MOD).astype(np.float64)
     v[(r * NA_A + c * NA_B) % NA_MOD == 0] = np.nan
     return v
 
 
-def synth_weights(rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+def synth_weights(
+    rows: np.ndarray, cols: np.ndarray, dtype=np.float64
+) -> np.ndarray:
     r = np.asarray(rows, dtype=np.int64)
     c = np.asarray(cols, dtype=np.int64)
     if r.ndim == 2 and r.shape == c.shape:
-        rw = (r[:, :1] * W_A) % W_MOD
-        cw = (c[:1, :] * W_B) % W_MOD
-        return ((rw + cw) % W_MOD + 1).astype(np.float64)
+        rw = ((r[:, 0] * W_A) % W_MOD).astype(np.int32)
+        cw = ((c[0, :] * W_B) % W_MOD).astype(np.int32)
+        t = rw[:, None] + cw[None, :]
+        t = np.where(t >= W_MOD, t - W_MOD, t)
+        return (t + 1).astype(dtype)
     return ((r * W_A + c * W_B) % W_MOD + 1).astype(np.float64)
 
 

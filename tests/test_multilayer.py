@@ -156,15 +156,98 @@ def test_apply_udf(_ray):
         ]
     )
 
-    def covered_mean(df: pd.DataFrame) -> pd.DataFrame:
+    # the R-default POSITIONAL convention: fn(values, coverage_fractions)
+    def covered_mean(values, cov) -> pd.DataFrame:
         return pd.DataFrame(
-            {"my_mean": [float(np.sum(df["value"] * df["cov"]) / np.sum(df["cov"]))]}
+            {"my_mean": [float(np.sum(values * cov) / np.sum(cov))]}
         )
 
     out = exact_extract_apply(rd, zones, covered_mean, value_layer="a").to_pandas()
     ref = exact_extract(rd, zones, ["mean"], value_layer="a").to_pandas()
     merged = out.merge(ref, on="zone_id")
     assert np.allclose(merged["my_mean"], merged["mean"])
+
+    # summarize_df=True: fn(df) with the reference's column names
+    def covered_mean_df(df: pd.DataFrame) -> pd.DataFrame:
+        assert list(df.columns) == ["value", "coverage_fraction"]
+        return pd.DataFrame(
+            {
+                "my_mean": [
+                    float(
+                        np.sum(df["value"] * df["coverage_fraction"])
+                        / np.sum(df["coverage_fraction"])
+                    )
+                ]
+            }
+        )
+
+    out2 = exact_extract_apply(
+        rd, zones, covered_mean_df, value_layer="a", summarize_df=True
+    ).to_pandas()
+    assert np.allclose(out2.merge(ref, on="zone_id")["my_mean"], merged["mean"])
+
+
+def test_apply_udf_arity_and_weights(_ray):
+    """Transcribed reference arity contract (exact_extract.R:413-430) and
+    the weighted positional convention fn(values, cov, weights)."""
+    rd = _two_layer_raster()
+    zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 8, 8))])
+
+    # one-arg fn without summarize_df -> the reference's error
+    with pytest.raises(ValueError, match="values, coverage_fractions"):
+        exact_extract_apply(rd, zones, lambda df: df, value_layer="a")
+    # two-arg fn with weights -> the reference's 3-arg error
+    with pytest.raises(ValueError, match="weights"):
+        exact_extract_apply(
+            rd, zones, lambda v, c: None, value_layer="a", weight_layer="b"
+        )
+    # zero-arg fn with summarize_df -> df-form error
+    with pytest.raises(ValueError, match="function\\(df"):
+        exact_extract_apply(
+            rd, zones, lambda: None, value_layer="a", summarize_df=True
+        )
+    # extra args WITH defaults don't count toward the arity (R's formals rule)
+    def wmean(values, cov, weights, scale=1.0):
+        return pd.DataFrame(
+            {"wm": [float(np.sum(values * cov * weights) / np.sum(cov * weights)) * scale]}
+        )
+
+    out = exact_extract_apply(
+        rd, zones, wmean, value_layer="a", weight_layer="b"
+    ).to_pandas()
+    ref = exact_extract(
+        rd, zones, ["weighted_mean"], value_layer="a", weight_layer="b"
+    ).to_pandas()
+    assert np.allclose(out["wm"], ref["weighted_mean"])
+
+    # **fn_kwargs pass-through (the reference's `...`)
+    out2 = exact_extract_apply(
+        rd, zones, wmean, value_layer="a", weight_layer="b",
+        fn_kwargs={"scale": 2.0},
+    ).to_pandas()
+    assert np.allclose(out2["wm"], 2.0 * ref["weighted_mean"])
+
+
+def test_apply_udf_multirow_rbind(_ray):
+    """A UDF returning a multi-row frame r-binds across zones with zone_id
+    repeated (the reference's data.frame rbind semantics)."""
+    rd = _two_layer_raster()
+    zones = zone_table(
+        [
+            (0, "z0", wkbio.rect_wkb(0, 0, 4, 4)),
+            (1, "z1", wkbio.rect_wkb(4, 4, 8, 8)),
+        ]
+    )
+
+    def top2(values, cov):
+        idx = np.argsort(-values.to_numpy())[:2]
+        return pd.DataFrame({"v": values.to_numpy()[idx], "rank": [1, 2]})
+
+    out = exact_extract_apply(rd, zones, top2, value_layer="a").to_pandas()
+    out = out.sort_values(["zone_id", "rank"]).reset_index(drop=True)
+    assert list(out["zone_id"]) == [0, 0, 1, 1]
+    assert (out.groupby("zone_id")["v"].first()
+            >= out.groupby("zone_id")["v"].last()).all()
 
 
 def test_include_area_column(_ray):
@@ -377,8 +460,8 @@ def test_stack_apply_udf(_ray):
     rd = _two_layer_raster()
     zones = zone_table([(0, "z", wkbio.rect_wkb(0, 0, 8, 8))])
 
-    def total(df):
-        return pd.DataFrame({"t": [float((df["value"] * df["cov"]).sum())]})
+    def total(values, cov):
+        return pd.DataFrame({"t": [float((values * cov).sum())]})
 
     out = exact_extract_apply(
         rd, zones, total, value_layer=["a", "b"], stack_apply=True
