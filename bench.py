@@ -33,7 +33,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ZONAL_N = int(os.environ.get("GRAFT_ZONAL_N", "32768"))  # raster side
 ZONAL_TILE = 512  # tiles of 262k cells (1 MiB float32 each)
 ZONAL_ZONES = 64
-JOIN_POINTS = 40_000_000
+JOIN_POINTS = int(os.environ.get("GRAFT_JOIN_POINTS", "40000000"))
 JOIN_ZONES = 64
 
 
@@ -239,6 +239,7 @@ def run_scaling():
         # and measures ramp-up, not scaling (measured: 835 tiles/s at 4096
         # tiles vs 1590 at 16384 tiles, same 16 cpus)
         env.setdefault("GRAFT_ZONAL_N", "65536")
+        env.setdefault("GRAFT_JOIN_POINTS", "120000000")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child"],
             capture_output=True,

@@ -792,8 +792,21 @@ class ZonalCellExtract:
             if self.default_value is not None:
                 vals = vals.copy()
                 vals[np.isnan(vals)] = self.default_value
+            areas = None
+            if (
+                self.include_area
+                or self.coverage_area
+                or self.weight_layer == "area"
+            ):
+                areas = np.asarray(
+                    cell_area_matrix(self.grid, row0, th, tw, self.area_method)
+                )
             wvals = None
-            if self.weight_layer is not None:
+            if self.weight_layer == "area":
+                # the reference's area-weights path (R/exact_extract.R:
+                # area_weights): cell areas act as the weight raster
+                wvals = areas
+            elif self.weight_layer is not None:
                 wi = weight_rows.get(tid)
                 if wi is not None:
                     wvals = np.asarray(
@@ -802,11 +815,6 @@ class ZonalCellExtract:
                     if self.default_weight is not None:
                         wvals = wvals.copy()
                         wvals[np.isnan(wvals)] = self.default_weight
-            areas = None
-            if self.include_area or self.coverage_area:
-                areas = np.asarray(
-                    cell_area_matrix(self.grid, row0, th, tw, self.area_method)
-                )
             for zi in zidx:
                 # crop to the zone envelope before running the kernel — a
                 # small zone on a large tile only pays for its own cells

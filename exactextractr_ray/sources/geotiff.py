@@ -1,0 +1,279 @@
+"""Pure-Python GeoTIFF ingestion (no GDAL in this environment).
+
+The reference's raster source is a GDAL band wrapper
+(/root/reference/src/exactextract/src/gdal_raster_wrapper.cpp:22-95); this
+module is its ingestion analog for the subset of GeoTIFF every real-world
+test asset in the reference uses (and the common wild formats): baseline
+TIFF, little/big endian, strip- or tile-organized, compression none /
+Deflate (zlib) / PackBits / LZW, horizontal-differencing predictor,
+uint8/16/32, int8/16/32, float32/64, ModelPixelScale + ModelTiepoint
+georeferencing, and GDAL's ASCII NODATA tag.
+
+Scale contract: ``read_geotiff`` materializes one raster in memory (used for
+the reference's test assets, all < 100 MB); ``geotiff_to_tile_parquet``
+converts to the engine's native tile-parquet layout, after which everything
+streams through Ray Data. For rasters too large for one machine, the
+converter is the per-file unit of a ``map_batches`` over a file manifest —
+each file (or strip range) converts independently.
+
+Validated against the reference's own assets: the sao_miguel population
+vignette reconciliation (vignettes/vig1_population.Rmd:186-189,
+``stopifnot(missing_pop_pct < 1)``) passes end-to-end in
+tests/test_geotiff.py.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..grid import Grid
+
+# TIFF tag ids
+_TAGS = {
+    "width": 256,
+    "height": 257,
+    "bits_per_sample": 258,
+    "compression": 259,
+    "strip_offsets": 273,
+    "samples_per_pixel": 277,
+    "rows_per_strip": 278,
+    "strip_byte_counts": 279,
+    "predictor": 317,
+    "tile_width": 322,
+    "tile_length": 323,
+    "tile_offsets": 324,
+    "tile_byte_counts": 325,
+    "sample_format": 339,
+    "model_pixel_scale": 33550,
+    "model_tiepoint": 33922,
+    "gdal_nodata": 42113,
+}
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
+             11: "f", 12: "d", 16: "Q", 17: "q"}
+
+
+@dataclass
+class GeoTiffMeta:
+    width: int
+    height: int
+    dtype: np.dtype
+    nodata: float | None
+    grid: Grid
+
+
+def _read_ifd(data: bytes, endian: str, off: int) -> dict:
+    n = struct.unpack(endian + "H", data[off : off + 2])[0]
+    tags = {}
+    for i in range(n):
+        e = data[off + 2 + i * 12 : off + 14 + i * 12]
+        tag, typ, cnt = struct.unpack(endian + "HHI", e[:8])
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue
+        total = size * cnt
+        raw = e[8:12] if total <= 4 else None
+        if raw is None:
+            o = struct.unpack(endian + "I", e[8:12])[0]
+            raw = data[o : o + total]
+        if typ == 2:  # ASCII
+            tags[tag] = raw[:cnt].rstrip(b"\x00").decode("ascii", "replace")
+        elif typ == 5:  # RATIONAL
+            vals = struct.unpack(endian + "II" * cnt, raw[: 8 * cnt])
+            tags[tag] = tuple(
+                vals[2 * k] / vals[2 * k + 1] for k in range(cnt)
+            )
+        else:
+            fmt = _TYPE_FMT[typ]
+            tags[tag] = struct.unpack(endian + fmt * cnt, raw[: size * cnt])
+    return tags
+
+
+def _decode_lzw(data: bytes) -> bytes:
+    """TIFF LZW (MSB-first bit packing, early-change), public spec
+    (TIFF 6.0 §13)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    bits = 0
+    acc = 0
+    width = 9
+    prev: bytes | None = None
+    for byte in data:
+        acc = (acc << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (acc >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == CLEAR:
+                reset()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _decode_packbits(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        elif n > 128:
+            out.extend(data[i : i + 1] * (257 - n))
+            i += 1
+    return bytes(out)
+
+
+def _decompress(chunk: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return chunk
+    if compression in (8, 32946):  # Deflate (zlib)
+        return zlib.decompress(chunk)
+    if compression == 5:
+        return _decode_lzw(chunk)
+    if compression == 32773:
+        return _decode_packbits(chunk)
+    raise ValueError(f"unsupported TIFF compression {compression}")
+
+
+def _undo_predictor2(block: np.ndarray, dt: np.dtype, bps: int,
+                     endian: str) -> np.ndarray:
+    """Horizontal differencing (TIFF predictor 2): value-level modular
+    cumsum over each row, two's-complement-safe via the unsigned view."""
+    un_file = np.dtype(f"{endian}u{bps // 8}")
+    un_native = np.dtype(f"u{bps // 8}")
+    rec = np.cumsum(block.view(un_file), axis=1, dtype=np.uint64).astype(
+        un_native
+    )
+    return rec.view(np.dtype(f"{dt.kind}{bps // 8}"))
+
+
+def _np_dtype(bps: int, fmt: int, endian: str) -> np.dtype:
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt, "u")
+    return np.dtype(f"{endian}{kind}{bps // 8}")
+
+
+def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
+    """Read band 1 of a GeoTIFF into (float64 array with NaN nodata, meta)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"II":
+        endian = "<"
+    elif data[:2] == b"MM":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    magic, ifd_off = struct.unpack(endian + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
+    t = _read_ifd(data, endian, ifd_off)
+
+    width = t[_TAGS["width"]][0]
+    height = t[_TAGS["height"]][0]
+    bps = t.get(_TAGS["bits_per_sample"], (8,))[0]
+    spp = t.get(_TAGS["samples_per_pixel"], (1,))[0]
+    fmt = t.get(_TAGS["sample_format"], (1,))[0]
+    comp = t.get(_TAGS["compression"], (1,))[0]
+    predictor = t.get(_TAGS["predictor"], (1,))[0]
+    if spp != 1:
+        raise ValueError("only single-band GeoTIFFs supported")
+    dt = _np_dtype(bps, fmt, endian)
+
+    arr = np.empty((height, width), dtype=dt.newbyteorder("="))
+    if _TAGS["tile_offsets"] in t:
+        tw = t[_TAGS["tile_width"]][0]
+        tl = t[_TAGS["tile_length"]][0]
+        offs = t[_TAGS["tile_offsets"]]
+        cnts = t[_TAGS["tile_byte_counts"]]
+        tiles_x = (width + tw - 1) // tw
+        for k, (o, c) in enumerate(zip(offs, cnts)):
+            ty, tx = k // tiles_x, k % tiles_x
+            raw = _decompress(data[o : o + c], comp)
+            block = np.frombuffer(raw, dtype=dt, count=tw * tl).reshape(tl, tw)
+            if predictor == 2:
+                block = _undo_predictor2(block, dt, bps, endian)
+            h = min(tl, height - ty * tl)
+            w = min(tw, width - tx * tw)
+            arr[ty * tl : ty * tl + h, tx * tw : tx * tw + w] = block[:h, :w]
+    else:
+        rps = t.get(_TAGS["rows_per_strip"], (height,))[0]
+        offs = t[_TAGS["strip_offsets"]]
+        cnts = t[_TAGS["strip_byte_counts"]]
+        row = 0
+        for o, c in zip(offs, cnts):
+            raw = _decompress(data[o : o + c], comp)
+            h = min(rps, height - row)
+            block = np.frombuffer(raw, dtype=dt, count=h * width).reshape(h, width)
+            if predictor == 2:
+                block = _undo_predictor2(block, dt, bps, endian)
+            arr[row : row + h] = block
+            row += h
+
+    # georeferencing: raster-space (i, j) tiepoint -> model (x, y)
+    sx, sy = t[_TAGS["model_pixel_scale"]][:2]
+    ti, tj, _tk, tx0, ty0, _tz = t[_TAGS["model_tiepoint"]][:6]
+    xmin = tx0 - ti * sx
+    ymax = ty0 + tj * sy
+    grid = Grid(xmin, ymax - height * sy, xmin + width * sx, ymax, sx, sy)
+
+    nodata = None
+    nd = t.get(_TAGS["gdal_nodata"])
+    if nd is not None:
+        try:
+            nodata = float(nd.strip())
+        except (ValueError, AttributeError):
+            nodata = None
+
+    out = arr.astype(np.float64)
+    if nodata is not None:
+        if np.isnan(nodata):
+            pass  # already NaN
+        else:
+            out[arr == arr.dtype.type(nodata)] = np.nan
+    meta = GeoTiffMeta(width, height, np.dtype(dt.base), nodata, grid)
+    return out, meta
+
+
+def geotiff_raster_dataset(path: str, tile: int = 256):
+    """GeoTIFF -> streaming tile Dataset (the engine's native form)."""
+    from .raster import raster_from_array
+
+    arr, meta = read_geotiff(path)
+    return raster_from_array(arr, meta.grid, tile=tile)
+
+
+def geotiff_to_tile_parquet(path: str, out_dir: str, tile: int = 256) -> None:
+    """GeoTIFF -> tile-parquet + grid sidecar (resumable ingestion unit)."""
+    from .raster import write_raster_parquet
+
+    write_raster_parquet(geotiff_raster_dataset(path, tile), out_dir)

@@ -1,0 +1,210 @@
+"""GeoTIFF + GeoPackage ingestion against the reference's REAL test assets
+(inst/sao_miguel), ending in the population vignette's own reconciliation
+check (vignettes/vig1_population.Rmd:186-189)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+SM = "/root/reference/inst/sao_miguel"
+
+
+@pytest.fixture(scope="module")
+def _ray(ray_session):
+    return None
+
+
+def test_read_gpw_population():
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    arr, meta = read_geotiff(f"{SM}/gpw_v411_2020_count_2020.tif")
+    assert arr.shape == (48, 96)
+    assert meta.grid.dx == pytest.approx(0.00833333333, rel=1e-6)
+    # São Miguel's population is ~140k; nodata became NaN
+    total = np.nansum(arr)
+    assert 120_000 < total < 180_000
+    assert np.isnan(arr).any()
+
+
+def test_read_landcover_and_dem():
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    clc, m1 = read_geotiff(f"{SM}/clc2018_v2020_20u1.tif")
+    assert clc.shape == (1920, 3840)
+    codes = np.unique(clc[np.isfinite(clc)])
+    assert codes.min() >= 0 and codes.max() <= 255
+    dem, m2 = read_geotiff(f"{SM}/eu_dem_v11.tif")
+    vals = dem[np.isfinite(dem)]
+    assert 0 < vals.mean() < 1500  # island elevations
+    # the two rasters cover the same extent at different resolutions
+    assert m1.grid.xmin == pytest.approx(m2.grid.xmin)
+    assert m1.grid.ymax == pytest.approx(m2.grid.ymax)
+
+
+def test_read_concelhos_gpkg():
+    from exactextractr_ray.sources.gpkg import gpkg_srs, read_gpkg_zones
+    from exactextractr_ray import wkbio
+
+    zones = read_gpkg_zones(f"{SM}/concelhos.gpkg")
+    assert zones.num_rows == 6
+    assert "Ponta Delgada" in zones.column("name").to_pylist()
+    assert gpkg_srs(f"{SM}/concelhos.gpkg") == "EPSG:4326"
+    for wkb in zones.column("geom_wkb").to_pylist():
+        parts = wkbio.parse_wkb(wkb)  # GPKG blob -> standard WKB parses
+        assert len(parts) >= 1
+
+
+def test_sao_miguel_population_reconciliation(_ray):
+    """The vignette's own correctness gate, reproduced exactly
+    (vig1_population.Rmd:166-189): population = density x coverage_fraction
+    x cell area via the weighted-UDF path with the spherical area raster as
+    weights, summed over the six concelhos, must reconcile with the count
+    raster's total to < 1% (stopifnot(missing_pop_pct < 1))."""
+    from exactextractr_ray.pipelines.zonal import exact_extract, exact_extract_apply
+    from exactextractr_ray.sources.geotiff import read_geotiff
+    from exactextractr_ray.sources.gpkg import read_gpkg_zones
+    from exactextractr_ray.sources.raster import raster_from_array
+    import pandas as pd
+
+    cnt, _ = read_geotiff(f"{SM}/gpw_v411_2020_count_2020.tif")
+    sao_miguel_pop = float(np.nansum(cnt))  # the vignette's cellStats total
+    den, meta = read_geotiff(f"{SM}/gpw_v411_2020_density_2020.tif")
+    zones = read_gpkg_zones(f"{SM}/concelhos.gpkg")
+    rd = raster_from_array(den, meta.grid, tile=16)
+
+    def pop_from_density(density, frac, area):
+        # density is persons/km^2; engine cell areas are m^2
+        return pd.DataFrame(
+            {"result": [float(np.nansum(density * frac * area / 1e6))]}
+        )
+
+    res = exact_extract_apply(
+        rd, zones, pop_from_density,
+        weight_layer="area", area_method="spherical",
+    ).to_pandas()
+    assert len(res) == 6
+    missing_pop_pct = 100.0 * (sao_miguel_pop - res["result"].sum()) / sao_miguel_pop
+    assert abs(missing_pop_pct) < 1.0
+
+    # the count raster direct 'sum' is also sane: every concelho inhabited,
+    # Ponta Delgada the largest (the vignette's table ordering)
+    rc = raster_from_array(cnt, meta.grid, tile=16)
+    direct = exact_extract(rc, zones, ["sum"]).to_pandas()
+    assert (direct["sum"] > 1000).all()
+    names = zones.to_pandas()["name"]
+    assert names[int(direct["sum"].idxmax())] == "Ponta Delgada"
+
+
+def test_sao_miguel_mean_elevation(_ray):
+    """Real multipolygons x real DEM through the full pipeline."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.geotiff import read_geotiff
+    from exactextractr_ray.sources.gpkg import read_gpkg_zones
+    from exactextractr_ray.sources.raster import raster_from_array
+
+    dem, meta = read_geotiff(f"{SM}/eu_dem_v11.tif")
+    zones = read_gpkg_zones(f"{SM}/concelhos.gpkg")
+    rd = raster_from_array(dem, meta.grid, tile=64)
+    res = exact_extract(rd, zones, ["mean", "max"]).to_pandas()
+    assert (res["mean"] > 0).all()
+    # Nordeste contains Pico da Vara (~1100 m)
+    nord = res[zones.to_pandas()["name"] == "Nordeste"]
+    assert float(nord["max"].iloc[0]) > 900
+
+
+def _write_tiff(path, arr, *, tiled=False, compression=1, predictor=1,
+                endian="<"):
+    """Minimal single-band TIFF writer for decoder tests (uncompressed /
+    deflate, strip / tile, optional horizontal predictor)."""
+    h, w = arr.shape
+    dt = arr.dtype
+    fmt_code = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    payload = arr
+    if predictor == 2:
+        p = arr.view(f"u{dt.itemsize}").astype(np.int64)
+        d = np.diff(p, axis=1)
+        payload = np.concatenate([p[:, :1], d], axis=1).astype(
+            f"u{dt.itemsize}"
+        ).view(dt)
+    body = payload.astype(dt.newbyteorder(endian)).tobytes()
+    if compression == 8:
+        body = zlib.compress(body)
+    data_off = 8
+    tags = []
+
+    def tag(tid, typ, cnt, val):
+        tags.append((tid, typ, cnt, val))
+
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 1, dt.itemsize * 8)
+    tag(259, 3, 1, compression)
+    tag(262, 3, 1, 1)
+    tag(277, 3, 1, 1)
+    tag(317, 3, 1, predictor)
+    tag(339, 3, 1, fmt_code)
+    if tiled:
+        tag(322, 4, 1, w)
+        tag(323, 4, 1, h)
+        tag(324, 4, 1, data_off)
+        tag(325, 4, 1, len(body))
+    else:
+        tag(273, 4, 1, data_off)
+        tag(278, 4, 1, h)
+        tag(279, 4, 1, len(body))
+    # georeferencing: unit grid at origin
+    extra = b""
+    ifd_off = data_off + len(body)
+    extra_off = ifd_off + 2 + 12 * (len(tags) + 2) + 4
+    scale = struct.pack(endian + "ddd", 1.0, 1.0, 0.0)
+    tie = struct.pack(endian + "dddddd", 0, 0, 0, 0.0, float(h), 0.0)
+    tag(33550, 12, 3, extra_off)
+    extra += scale
+    tag(33922, 12, 6, extra_off + len(scale))
+    extra += tie
+    out = bytearray()
+    out += (b"II" if endian == "<" else b"MM")
+    out += struct.pack(endian + "HI", 42, ifd_off)
+    out += body
+    out += struct.pack(endian + "H", len(tags))
+    for tid, typ, cnt, val in sorted(tags):
+        sz = {3: 2, 4: 4, 12: 8}[typ] * cnt
+        if sz <= 4:
+            raw = struct.pack(endian + {3: "H", 4: "I"}[typ] * cnt, *(
+                [val] if cnt == 1 else val))
+            raw = raw.ljust(4, b"\x00")
+        else:
+            raw = struct.pack(endian + "I", val)
+        out += struct.pack(endian + "HHI", tid, typ, cnt) + raw
+    out += struct.pack(endian + "I", 0)
+    out += extra
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+@pytest.mark.parametrize("tiled", [False, True])
+@pytest.mark.parametrize("compression", [1, 8])
+@pytest.mark.parametrize("endian", ["<", ">"])
+def test_tiff_reader_variants(tmp_path, tiled, compression, endian):
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 1000, (13, 17)).astype(np.float32)
+    p = str(tmp_path / "t.tif")
+    _write_tiff(p, arr, tiled=tiled, compression=compression, endian=endian)
+    got, meta = read_geotiff(p)
+    np.testing.assert_array_equal(got, arr.astype(np.float64))
+    assert meta.grid.dx == 1.0 and meta.grid.ymax == 13.0
+
+
+def test_tiff_predictor2_uint16(tmp_path):
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 60000, (9, 21)).astype(np.uint16)
+    p = str(tmp_path / "p.tif")
+    _write_tiff(p, arr, compression=8, predictor=2)
+    got, _ = read_geotiff(p)
+    np.testing.assert_array_equal(got, arr.astype(np.float64))
