@@ -10,9 +10,11 @@
   written by sources.raster.write_raster_parquet
 * ``-s``: stat descriptor out=stat(values,weights) (repeatable)
 * ``-o``: output parquet (or .csv)
-* ``--strategy`` is accepted for CLI parity; the Ray engine always runs the
-  broadcast-zones/tile-parallel plan (the reference's raster-sequential
-  shape, which is its scalable strategy).
+* ``--strategy``: ``raster-sequential`` (default; broadcast-zones,
+  tile-parallel — the scalable shape) or ``feature-sequential`` (zones are
+  the parallel unit, raster windows read on demand with predicate pushdown
+  — the reference's FeatureSequentialProcessor shape, cheaper when zones
+  ≪ tiles). Both plans produce bit-identical results.
 
 Owns its own Ray session (scripts init; library code never does).
 """
@@ -36,7 +38,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument("-f", "--fid", default="zone_id", help="zone id column")
     ap.add_argument("-o", "--output", required=True, help="output .parquet or .csv")
-    ap.add_argument("--strategy", default="raster-sequential", help="(parity only)")
+    ap.add_argument(
+        "--strategy", default="raster-sequential",
+        choices=["raster-sequential", "feature-sequential"],
+    )
     ap.add_argument("--max-cells", type=int, default=None, help="(parity only)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -93,13 +98,26 @@ def main(argv=None) -> int:
             weight_layer = None
             if sd.weights is not None:
                 weight_layer = sd.weights  # a layer of the value raster
-            t = exact_extract(
-                raster,
-                zones,
-                [sd.stat],
-                value_layer=value_layer,
-                weight_layer=weight_layer,
-            ).to_pandas()
+            if args.strategy == "feature-sequential":
+                from .pipelines.zonal_feature_seq import (
+                    exact_extract_feature_seq,
+                )
+
+                t = exact_extract_feature_seq(
+                    d.path,
+                    zones,
+                    [sd.stat],
+                    value_layer=value_layer,
+                    weight_layer=weight_layer,
+                ).to_pandas()
+            else:
+                t = exact_extract(
+                    raster,
+                    zones,
+                    [sd.stat],
+                    value_layer=value_layer,
+                    weight_layer=weight_layer,
+                ).to_pandas()
         stat_col = [c for c in t.columns if c != "zone_id"][0]
         t = t.rename(columns={stat_col: sd.name})
         result = t if result is None else result.merge(t, on="zone_id")

@@ -1,6 +1,7 @@
 """CLI + plan-language + multimodal stage tests."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -68,6 +69,24 @@ def test_cli_end_to_end(ray_session, tmp_path):
     assert list(res.columns) == ["zone_id", "mean", "total"]
     assert res["mean"].iloc[0] == vals[4:, :4].mean()  # zone (0..4)^2 = bottom-left
     assert res["total"].iloc[1] == vals[:4, 4:].sum()
+
+    # --strategy feature-sequential: same request, bit-identical output
+    out2 = str(tmp_path / "out2.parquet")
+    rc = main(
+        [
+            "-p", zpath,
+            "-r", f"values:{tiles_dir}",
+            "-s", "mean",
+            "-s", "total=sum(values)",
+            "-o", out2,
+            "--strategy", "feature-sequential",
+        ]
+    )
+    assert rc == 0
+    res2 = pq.read_table(out2).to_pandas().sort_values("zone_id")
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), res2.reset_index(drop=True)
+    )
 
 
 def test_multimodal_pipeline(ray_session):

@@ -384,3 +384,39 @@ def test_resample_apply_udf(_ray):
     )
     assert len(named) == len(udf)
     assert np.allclose(named["value"].to_numpy(), udf["value"].to_numpy(), rtol=1e-12)
+
+
+def test_feature_sequential_matches_raster_sequential(_ray, tmp_path):
+    """The reference's second processing strategy
+    (feature_sequential_processor.cpp): zones are the parallel unit, raster
+    windows read on demand with predicate pushdown. Results must be
+    bit-identical to the raster-sequential plan."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.pipelines.zonal_feature_seq import (
+        exact_extract_feature_seq,
+    )
+    from exactextractr_ray.sources.raster import (
+        synthetic_raster_dataset,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=128, tile=32, layers=("value", "weight"))
+    pq_dir = str(tmp_path / "tiles")
+    write_raster_parquet(rd, pq_dir)
+    zones = synth_rect_zones(10, 128)
+    stats = ["count", "sum", "mean", "min", "max", "median", "weighted_mean"]
+
+    rd2 = synthetic_raster_dataset(n=128, tile=32, layers=("value", "weight"))
+    base = exact_extract(
+        rd2, zones, stats, weight_layer="weight"
+    ).to_pandas()
+    got = exact_extract_feature_seq(
+        pq_dir, zones, stats, weight_layer="weight"
+    ).to_pandas()
+    base = base.sort_values("zone_id").reset_index(drop=True)
+    got = got.sort_values("zone_id").reset_index(drop=True)
+    for c in stats:
+        np.testing.assert_array_equal(
+            got[c].to_numpy(), base[c].to_numpy(), err_msg=c
+        )
