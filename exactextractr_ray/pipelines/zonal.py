@@ -529,6 +529,7 @@ def exact_extract(
     actors: bool = False,
     materialize_partials: bool = True,
     max_cells_per_item: int | None = None,
+    append_cols: list[str] | None = None,
 ) -> pa.Table:
     """Named-stats zonal statistics; one row per zone in input order.
 
@@ -536,7 +537,12 @@ def exact_extract(
     (stacks recycle pairwise); ``weight_layer='area'`` weights by cell area.
     'frac'/'weighted_frac' expand into one column per observed value across
     all zones with 0.0 defaults (/root/reference/R/exact_extract.R:533-569).
+    ``append_cols`` is the reference's name for carrying feature attribute
+    columns through to the per-zone result (R/exact_extract.R:219-224);
+    it is the same operation as ``include_cols`` here.
     """
+    if append_cols:
+        include_cols = list(dict.fromkeys((include_cols or []) + append_cols))
     value_names = [value_layer] if isinstance(value_layer, str) else list(value_layer)
     if weight_layer is None:
         weight_names: list[str] = []

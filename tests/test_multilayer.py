@@ -468,3 +468,20 @@ def test_stack_apply_udf(_ray):
     ).to_pandas()
     assert list(out.columns) == ["zone_id", "t.a", "t.b"]
     assert out["t.b"].iloc[0] == pytest.approx(2 * out["t.a"].iloc[0])
+
+
+def test_append_cols_carries_attributes(_ray):
+    """append_cols (the reference's named-summary attribute pass-through,
+    R/exact_extract.R:219-224) joins zone attribute columns onto the result."""
+    rd = _two_layer_raster()
+    zones = zone_table(
+        [
+            (0, "alpha", wkbio.rect_wkb(0, 0, 4, 4)),
+            (1, "beta", wkbio.rect_wkb(4, 4, 8, 8)),
+        ]
+    )
+    res = exact_extract(
+        rd, zones, ["mean"], value_layer="a", append_cols=["name"]
+    ).to_pandas()
+    assert list(res["name"]) == ["alpha", "beta"]
+    assert "mean" in res.columns
