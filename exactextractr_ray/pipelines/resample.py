@@ -228,7 +228,17 @@ def exact_resample_apply(src_raster, dst_grid: Grid, fn, concurrency=None):
     """exact_resample with a user summary function — the reference's
     fun=function path (/root/reference/R/exact_resample.R:31-105): ``fn``
     receives one destination cell's (value, cov) frame and returns a scalar;
-    output is a Dataset of (cell, row, col, value)."""
+    output is a Dataset of (cell, row, col, value).
+
+    Arity contract (R/exact_resample.R:64-66): fn must take exactly two
+    non-default positional args (values, coverage_fractions)."""
+    from .zonal import _num_expected_args
+
+    if _num_expected_args(fn) != 2:
+        raise ValueError(
+            "exact_resample was called with a function that does not appear "
+            "to be of the form `function(values, coverage_fractions)`."
+        )
     cells = resample_cells(src_raster, dst_grid, concurrency)
 
     def run(group: pd.DataFrame) -> pd.DataFrame:

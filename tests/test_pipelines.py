@@ -420,3 +420,15 @@ def test_feature_sequential_matches_raster_sequential(_ray, tmp_path):
         np.testing.assert_array_equal(
             got[c].to_numpy(), base[c].to_numpy(), err_msg=c
         )
+
+
+def test_resample_apply_arity_error(_ray):
+    """Transcribed: test_exact_resample_terra.R:132-144 — wrong-signature fn
+    raises the reference's error."""
+    from exactextractr_ray.pipelines.resample import exact_resample_apply
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    g = synth.synth_grid(4)
+    with pytest.raises(ValueError, match="does not appear to be of the form"):
+        exact_resample_apply(rd, g, lambda v: v.sum())
