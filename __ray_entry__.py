@@ -539,6 +539,47 @@ def _q_morton(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from exactextractr_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.35
+    ).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _q_zonal_feature_seq(sf_dir: str):
+    """The feature-sequential plan (zones-parallel, on-demand tile-parquet
+    window reads) over the same synthetic raster/zones as zonal_stats_rect —
+    one oracle covers both physical plans."""
+    import tempfile
+
+    from exactextractr_ray.pipelines.zonal_feature_seq import (
+        exact_extract_feature_seq,
+    )
+    from exactextractr_ray.sources.raster import write_raster_parquet
+
+    with tempfile.TemporaryDirectory(prefix="fseq_") as tmp:
+        write_raster_parquet(_raster(), tmp)
+        t = exact_extract_feature_seq(
+            tmp, _rect_zones(), ["count", "sum", "mean", "min", "max"]
+        ).to_pandas()
+    t = t.rename(
+        columns={
+            "count": "cell_count",
+            "sum": "val_sum",
+            "mean": "val_mean",
+            "min": "val_min",
+            "max": "val_max",
+        }
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     from exactextractr_ray.stages.text import langid_batch
 
@@ -607,6 +648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": _q_knn_lsh,  # approximate by design -> rows-only
         "doc_rolling_fingerprint": _q_rolling_fp,
         "morton_cells": _q_morton,
+        "zonal_feature_seq_rect": _q_zonal_feature_seq,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
     }
 
 
@@ -1086,6 +1129,38 @@ def oracle_sql() -> dict[str, str]:
     FROM hashes ORDER BY doc_id
     """
 
+    # exact n-gram Jaccard — gram hash is md5-u64 of the gram TEXT (the
+    # hex-cast trick), so DuckDB reproduces the pipeline's sets exactly;
+    # the i/u double division is bit-identical on both sides.
+    ngram_jaccard = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE [array_to_string(tk[j+1:j+3], ' ') FOR j IN range(len(tk)-2)]
+        END AS gs
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+        CAST(('0x' || substr(md5(unnest(gs)), 1, 16)) AS UBIGINT) AS h
+      FROM grams
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+           i / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.35
+    ORDER BY doc_a, doc_b
+    """
+
     extract_text = """
     SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """
@@ -1094,8 +1169,20 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
     """
 
+    zonal_feature_seq = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id,
+      SUM(CASE WHEN val IS NOT NULL THEN cov END) AS cell_count,
+      SUM(val*cov) AS val_sum,
+      SUM(val*cov) / SUM(CASE WHEN val IS NOT NULL THEN cov END) AS val_mean,
+      MIN(CASE WHEN val IS NOT NULL THEN val END) AS val_min,
+      MAX(CASE WHEN val IS NOT NULL THEN val END) AS val_max
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
+        "zonal_feature_seq_rect": zonal_feature_seq,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_mode_rect": zonal_mode,
         "zonal_median_rect": zonal_median,
@@ -1123,6 +1210,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": fingerprint,
         "morton_cells": morton,
         "simhash_pairs": simhash,
+        "ngram_jaccard_pairs": ngram_jaccard,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

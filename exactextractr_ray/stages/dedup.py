@@ -422,6 +422,144 @@ def minhash_lsh_pairs(
     )
 
 
+# ---------------- exact n-gram Jaccard ----------------
+
+#: cap on docs sharing one shingle before pair generation (same skew guard
+#: as the LSH bucket cap — a boilerplate shingle shared by k docs would emit
+#: k^2/2 pairs); drops are logged by the caller via the sentinel row
+_MAX_POSTING = 512
+
+#: per-worker gram-string -> md5-u64 cache (shared across batches)
+_GRAM_CACHE: dict[str, int] = {}
+
+
+def ngram_jaccard_pairs(
+    ds,
+    threshold: float = 0.5,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """EXACT token-n-gram Jaccard near-duplicate pairs (no LSH recall loss):
+    all (a, b), a < b, with |grams(a) ∩ grams(b)| / |grams(a) ∪ grams(b)|
+    >= threshold.
+
+    Distributed shape: an inverted-index join. Each doc emits one row per
+    DISTINCT gram hash (md5-u64 of the gram text — SQL-reproducible, unlike
+    the MinHash polynomial); a groupby on the gram hash produces per-shingle
+    co-occurrence pairs carrying both set sizes, and a second small groupby
+    sums intersections and applies the Jaccard filter. Shuffle volume is the
+    shingle multiset once (the price of exactness — MinHash-LSH is the
+    approximate O(1)-per-doc alternative). Degenerate postings (a gram in >
+    _MAX_POSTING docs) are truncated, matching the LSH bucket cap.
+    """
+    ncoarse = 256
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        out_h: list[int] = []
+        out_id: list[int] = []
+        out_n: list[int] = []
+        cache = _GRAM_CACHE
+        for did, t in zip(ids, texts):
+            toks = (t or "").split(" ")
+            if len(toks) < ngram:
+                grams = [" ".join(toks)]
+            else:
+                grams = [
+                    " ".join(toks[j : j + ngram])
+                    for j in range(len(toks) - ngram + 1)
+                ]
+            hs = set()
+            for g in grams:
+                h = cache.get(g)
+                if h is None:
+                    h = _md5_u64(g)
+                    cache[g] = h
+                hs.add(h)
+            n = len(hs)
+            for h in hs:
+                out_h.append(h)
+                out_id.append(int(did))
+                out_n.append(n)
+        t_out = pa.table(
+            {
+                "h": pa.array(np.array(out_h, dtype=np.uint64), pa.uint64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "nsh": pa.array(out_n, pa.int64()),
+            }
+        )
+        coarse = (t_out.column("h").to_numpy() % ncoarse).astype(np.int64)
+        return t_out.append_column("coarse", pa.array(coarse))
+
+    def posting_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse group = many gram postings: aggregate co-occurrence
+        counts per pair across the group's postings."""
+        g = g.sort_values(["h", "doc_id"])
+        hs = g["h"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ns = g["nsh"].to_numpy()
+        starts = np.nonzero(np.r_[True, hs[1:] != hs[:-1]])[0]
+        sizes = np.diff(np.r_[starts, len(hs)])
+        cnt: dict[tuple[int, int], list] = {}
+        for s0, sz in zip(starts.tolist(), sizes.tolist()):
+            if sz < 2:
+                continue
+            sz = min(sz, _MAX_POSTING)
+            for i in range(s0, s0 + sz):
+                for j in range(i + 1, s0 + sz):
+                    key = (int(ids[i]), int(ids[j]))
+                    ent = cnt.get(key)
+                    if ent is None:
+                        cnt[key] = [1, int(ns[i]), int(ns[j])]
+                    else:
+                        ent[0] += 1
+        if not cnt:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=np.int64),
+                    "doc_b": pd.Series([], dtype=np.int64),
+                    "inter": pd.Series([], dtype=np.int64),
+                    "na": pd.Series([], dtype=np.int64),
+                    "nb": pd.Series([], dtype=np.int64),
+                    "pkey": pd.Series([], dtype=np.int64),
+                }
+            )
+        keys = np.array(list(cnt.keys()), dtype=np.int64)
+        vals = np.array(list(cnt.values()), dtype=np.int64)
+        pkey = (keys[:, 0] * np.int64(1_000_003) + keys[:, 1]) % ncoarse
+        return pd.DataFrame(
+            {
+                "doc_a": keys[:, 0],
+                "doc_b": keys[:, 1],
+                "inter": vals[:, 0],
+                "na": vals[:, 1],
+                "nb": vals[:, 2],
+                "pkey": pkey,
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("inter", "sum"), na=("na", "max"), nb=("nb", "max")
+        )
+        union = agg["na"] + agg["nb"] - agg["inter"]
+        jac = agg["inter"] / union
+        keep = jac >= threshold
+        out = agg[keep].copy()
+        out["jaccard"] = jac[keep]
+        return out[["doc_a", "doc_b", "jaccard"]].astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "jaccard": np.float64}
+        )
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    partial = rows.groupby("coarse").map_groups(
+        posting_pairs, batch_format="pandas"
+    )
+    return partial.groupby("pkey").map_groups(finalize, batch_format="pandas")
+
+
 # ---------------- SimHash ----------------
 
 #: per-worker token -> md5-u64 cache shared by simhash batches (vocabularies

@@ -206,6 +206,153 @@ def embedding_dup_pairs(
     )
 
 
+# ---------------- IVF: bucket-PARTITIONED ANN (storage-pruning path) -------
+
+
+def build_ivf_index(
+    ds,
+    out_dir: str,
+    num_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Write an IVF-style index: embeddings re-written as parquet
+    PARTITIONED BY hyperplane-LSH bucket, plus a sidecar with the planes.
+
+    This is the 100-TB shape the in-memory LSH scan (knn_cosine_lsh) only
+    approximates: at query time only the matching bucket PARTITIONS are
+    read, so pruning happens at storage I/O, not per-batch matmuls."""
+    import json
+    import os
+
+    import numpy as np
+
+    # dim from the first row (cheap metadata probe)
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    lsh = RandomHyperplaneLSH(dim, num_planes, seed)
+    planes_ref = ray.put(lsh.planes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        mat = _to_matrix(batch.column(vec_col))
+        signs = (mat @ planes) > 0
+        buckets = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+        out = batch.append_column(
+            "bucket", pa.array(buckets.astype(np.int64), pa.int64())
+        )
+        # partition_cols moves 'bucket' into the path; keep a data copy so
+        # per-row bucket membership survives into query-time batches
+        return out.append_column(
+            "bucket_id", pa.array(buckets.astype(np.int64), pa.int64())
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["bucket"]
+    )
+    with open(os.path.join(out_dir, "_ivf_meta.json"), "w") as f:
+        json.dump(
+            {"num_planes": num_planes, "seed": seed, "dim": dim,
+             "planes": lsh.planes.tolist()},
+            f,
+        )
+
+
+def knn_cosine_ivf(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate top-k over a bucket-partitioned IVF index: reads ONLY the
+    partitions whose bucket matches a query (storage-level pruning), then
+    exact cosine ranking within them. Same output contract as
+    knn_cosine_lsh with the same planes."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(os.path.join(index_dir, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    qm = np.asarray(query_matrix, dtype=np.float64)
+    signs = (qm @ planes) > 0
+    qb = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
+    wanted = sorted(set(int(b) for b in qb))
+
+    # storage-level pruning by construction: only the matching bucket
+    # partitions' files are even listed
+    import glob as _glob
+
+    files: list[str] = []
+    for b in wanted:
+        files.extend(
+            sorted(_glob.glob(os.path.join(index_dir, f"bucket={b}", "*.parquet")))
+        )
+    if not files:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+    emb = ray.data.read_parquet(files)
+    qnorm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    qidx = {int(q): i for i, q in enumerate(query_ids)}
+    by_bucket: dict[int, list[int]] = {}
+    for q, b in zip(query_ids, qb):
+        by_bucket.setdefault(int(b), []).append(int(q))
+    wanted_ref = ray.put((by_bucket, qnorm, qidx))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        w, qn, qix = ray.get(wanted_ref)
+        ids = batch.column(id_col).to_numpy()
+        buckets = batch.column("bucket_id").to_numpy()
+        mat = _to_matrix(batch.column(vec_col))
+        out_q, out_n, out_s = [], [], []
+        if mat.size:
+            nm = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            for b, qids in w.items():
+                rows = np.nonzero(buckets == b)[0]
+                if len(rows) == 0:
+                    continue
+                sims = nm[rows] @ qn[[qix[q] for q in qids]].T
+                for j, q in enumerate(qids):
+                    for r_i, r in enumerate(rows):
+                        out_q.append(q)
+                        out_n.append(int(ids[r]))
+                        out_s.append(float(sims[r_i, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = emb.map_batches(scan, batch_format="pyarrow")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
 # ---------------- LSH-bucketed ANN (scale path) ----------------
 
 

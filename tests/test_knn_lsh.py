@@ -2,6 +2,7 @@
 bucketing determinism."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -50,3 +51,39 @@ def test_lsh_bucketing_deterministic():
     b2 = RandomHyperplaneLSH(16, 8).bucket(mat)
     np.testing.assert_array_equal(b1, b2)
     assert b1.min() >= 0 and b1.max() < 256
+
+
+def test_ivf_index_matches_lsh_scan(_ray, tmp_path):
+    """The bucket-PARTITIONED index must return exactly what the in-memory
+    LSH scan returns with the same planes, while reading only the matching
+    bucket partitions from storage."""
+    import glob
+
+    import ray.data
+    from exactextractr_ray.stages.knn import (
+        build_ivf_index,
+        knn_cosine_ivf,
+        knn_cosine_lsh,
+    )
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    qdf = emb.filter(expr="vec_id < 8").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_planes=4)
+    # hive layout: one directory per bucket
+    parts = glob.glob(f"{idx}/bucket=*")
+    assert len(parts) > 1
+
+    got = knn_cosine_ivf(idx, qids, qmat, k=10).to_pandas()
+    ref = knn_cosine_lsh(emb, qids, qmat, k=10, num_planes=4).to_pandas()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ref = ref.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]].astype(np.int64),
+        ref[["query_id", "neighbor_id", "rank"]].astype(np.int64),
+    )
