@@ -80,6 +80,108 @@ def winding_number(px: np.ndarray, py: np.ndarray, parts: list[dict]) -> np.ndar
     return w
 
 
+class EdgeIndex:
+    """Y-banded edge index for HIGH-VERTEX polygons (coastlines): the
+    even-odd test touches only edges whose y-span overlaps the point's band
+    instead of all edges — O(points/band x edges/band) per band rather than
+    O(points x edges). Crossing counts are integer sums over a PARTITION of
+    the edge set, so results are bit-identical to the unindexed test."""
+
+    def __init__(self, parts: list[dict], nbands: int = 128):
+        xs0, ys0, xs1, ys1 = [], [], [], []
+        for part in parts:
+            if part["type"] != "Polygon":
+                continue
+            for ring in part["rings"]:
+                x0, y0 = ring[:-1, 0], ring[:-1, 1]
+                x1, y1 = ring[1:, 0], ring[1:, 1]
+                m = (y1 - y0) != 0.0
+                xs0.append(x0[m])
+                ys0.append(y0[m])
+                xs1.append(x1[m])
+                ys1.append(y1[m])
+        if xs0:
+            self.x0 = np.concatenate(xs0)
+            self.y0 = np.concatenate(ys0)
+            self.x1 = np.concatenate(xs1)
+            self.y1 = np.concatenate(ys1)
+        else:
+            self.x0 = self.y0 = self.x1 = self.y1 = np.empty(0)
+        self.n_edges = len(self.x0)
+        self.dy = self.y1 - self.y0
+        ymin_e = np.minimum(self.y0, self.y1)
+        ymax_e = np.maximum(self.y0, self.y1)
+        self.ylo = float(ymin_e.min()) if self.n_edges else 0.0
+        self.yhi = float(ymax_e.max()) if self.n_edges else 1.0
+        self.nb = nbands
+        self.sy = (self.yhi - self.ylo) / nbands or 1.0
+        b0 = np.clip(((ymin_e - self.ylo) / self.sy).astype(np.int64), 0, nbands - 1)
+        b1 = np.clip(((ymax_e - self.ylo) / self.sy).astype(np.int64), 0, nbands - 1)
+        self.band_edges = [
+            np.nonzero((b0 <= b) & (b1 >= b))[0] for b in range(nbands)
+        ]
+
+    def _bands_of(self, py: np.ndarray):
+        """Group point indices by band; out-of-range points never cross."""
+        inb = (py >= self.ylo) & (py <= self.yhi)
+        bp = np.clip(((py - self.ylo) / self.sy).astype(np.int64), 0, self.nb - 1)
+        bp = np.where(inb, bp, -1)
+        order = np.argsort(bp, kind="stable")
+        sb = bp[order]
+        uniq = np.unique(sb[sb >= 0])
+        starts = np.searchsorted(sb, uniq, side="left")
+        ends = np.searchsorted(sb, uniq, side="right")
+        for b, s, t in zip(uniq.tolist(), starts.tolist(), ends.tolist()):
+            yield int(b), order[s:t]
+
+    def point_in(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Even-odd containment, bit-identical to point_in_parts."""
+        cross = np.zeros(len(px), dtype=np.int64)
+        for b, pts in self._bands_of(py):
+            e = self.band_edges[b]
+            if len(e) == 0:
+                continue
+            x0, y0 = self.x0[e], self.y0[e]
+            x1, y1 = self.x1[e], self.y1[e]
+            dy = self.dy[e]
+            pyb = py[pts][:, None]
+            cond = (y0[None, :] > pyb) != (y1[None, :] > pyb)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xint = x0[None, :] + (pyb - y0[None, :]) * (
+                    x1[None, :] - x0[None, :]
+                ) / dy[None, :]
+            cross[pts] += (cond & (px[pts][:, None] < xint)).sum(axis=1)
+        return (cross % 2).astype(bool)
+
+    def winding(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Signed winding number, bit-identical to winding_number."""
+        w = np.zeros(len(px), dtype=np.int64)
+        for b, pts in self._bands_of(py):
+            e = self.band_edges[b]
+            if len(e) == 0:
+                continue
+            x0, y0 = self.x0[e], self.y0[e]
+            x1, y1 = self.x1[e], self.y1[e]
+            dy = self.dy[e]
+            up = dy > 0
+            pyb = py[pts][:, None]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                xint = x0[None, :] + (pyb - y0[None, :]) * (
+                    x1[None, :] - x0[None, :]
+                ) / dy[None, :]
+            left = px[pts][:, None] < xint
+            upcross = (y0[None, :] <= pyb) & (pyb < y1[None, :])
+            dncross = (y1[None, :] <= pyb) & (pyb < y0[None, :])
+            w[pts] += (upcross & up[None, :] & left).sum(axis=1)
+            w[pts] -= (dncross & ~up[None, :] & left).sum(axis=1)
+        return w
+
+
+#: build an EdgeIndex for zones with at least this many edges; below it the
+#: flat vectorized test is faster (no banding overhead)
+_EDGE_INDEX_MIN_EDGES = 256
+
+
 class _BucketIndex:
     """Coarse uniform-grid envelope index over a ZoneSet (per-actor state)."""
 
@@ -136,6 +238,18 @@ class PIPJoinZones:
         self.zones = zones
         self.lon_col = lon_col
         self.lat_col = lat_col
+        # per-zone edge indexes for high-vertex polygons (coastlines): built
+        # once per actor; small zones keep the flat test
+        self.edge_index: dict[int, EdgeIndex] = {}
+        for zi in range(len(zones)):
+            n_edges = sum(
+                len(r) - 1
+                for p in zones.parts[zi]
+                if p["type"] == "Polygon"
+                for r in p["rings"]
+            )
+            if n_edges >= _EDGE_INDEX_MIN_EDGES:
+                self.edge_index[zi] = EdgeIndex(zones.parts[zi])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         px = batch.column(self.lon_col).to_numpy().astype(np.float64)
@@ -150,7 +264,11 @@ class PIPJoinZones:
             pts = pts[m]
             if len(pts) == 0:
                 continue
-            hit = point_in_parts(px[pts], py[pts], self.zones.parts[zi])
+            eidx = self.edge_index.get(zi)
+            if eidx is not None:
+                hit = eidx.point_in(px[pts], py[pts])
+            else:
+                hit = point_in_parts(px[pts], py[pts], self.zones.parts[zi])
             pts = pts[hit]
             if len(pts) == 0:
                 continue

@@ -432,3 +432,50 @@ def test_resample_apply_arity_error(_ray):
     g = synth.synth_grid(4)
     with pytest.raises(ValueError, match="does not appear to be of the form"):
         exact_resample_apply(rd, g, lambda v: v.sum())
+
+
+def test_edge_index_high_vertex_polygon(_ray):
+    """Coastline-scale polygons: the y-banded EdgeIndex must agree with the
+    flat even-odd / winding tests bit-for-bit, and the PIP join must use it
+    transparently for >=256-edge zones."""
+    import ray.data
+    from exactextractr_ray.stages.pip_join import (
+        EdgeIndex,
+        PIPJoinZones,
+        pip_join,
+        point_in_parts,
+        winding_number,
+    )
+    from exactextractr_ray.sources.zones import parse_zone_table, zone_table
+
+    # a 5000-vertex wiggly "coastline" ring around (0, 0)
+    rng = np.random.default_rng(17)
+    th = np.linspace(0, 2 * np.pi, 5001)[:-1]
+    r = 10.0 + np.cumsum(rng.normal(0, 0.05, len(th)))
+    r -= np.linspace(0, r[-1] - r[0], len(r))  # close smoothly
+    r = np.clip(r, 5.0, 15.0)
+    ring = np.column_stack([r * np.cos(th), r * np.sin(th)])
+    ring = np.vstack([ring, ring[:1]])
+    wkb = wkbio.polygon_wkb(ring, [])
+    parts = wkbio.parse_wkb(wkb)
+
+    pts_x = rng.uniform(-16, 16, 4000)
+    pts_y = rng.uniform(-16, 16, 4000)
+    idx = EdgeIndex(parts)
+    np.testing.assert_array_equal(
+        idx.point_in(pts_x, pts_y), point_in_parts(pts_x, pts_y, parts)
+    )
+    np.testing.assert_array_equal(
+        idx.winding(pts_x, pts_y), winding_number(pts_x, pts_y, parts)
+    )
+
+    # end-to-end: join rows identical whether or not the index kicks in
+    zones = zone_table([(0, "coast", wkb)])
+    pdf = pd.DataFrame({"pid": np.arange(4000), "lon": pts_x, "lat": pts_y})
+    joined = pip_join(ray.data.from_pandas(pdf), zones).to_pandas()
+    inside = point_in_parts(pts_x, pts_y, parts)
+    assert set(joined["pid"]) == set(pdf["pid"][inside])
+    # the stage actually built an index for this zone
+    from exactextractr_ray.sources.zones import parse_zone_table as _p
+    stage = PIPJoinZones(_p(zones))
+    assert 0 in stage.edge_index
