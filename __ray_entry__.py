@@ -422,6 +422,46 @@ def _q_event_windows(sf_dir: str):
     return df.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
+def _q_sliding_windows(sf_dir: str):
+    import ray.data
+    from exactextractr_ray.stages.sessions import sliding_window
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    df = sliding_window(ev, window_seconds=3600, hop_seconds=900).to_pandas()
+    df = df[["window_start", "event_type", "n_events"]]
+    df["window_start"] = df["window_start"].astype(np.int64)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return df.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def _q_asof_join(sf_dir: str):
+    """Custom operator the Dataset API lacks: AS-OF join — each click gets
+    the latest prior view of the same user (composed from tag -> union ->
+    coarse groupby -> vectorized searchsorted merge)."""
+    import ray.data
+    from exactextractr_ray.stages.sessions import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'")
+    views = ev.filter(expr="event_type == 'view'")
+    out = asof_join(clicks, views, value_cols=("event_id", "value")).to_pandas()
+    df = pd.DataFrame(
+        {
+            "event_id": out["event_id"].astype(np.int64),
+            "user_id": out["user_id"].astype(np.int64),
+            "ts_us": out["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            "view_event_id": out["event_id_r"].astype(np.float64),
+            "view_value": out["value_r"].astype(np.float64),
+        }
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_dedup_exact(sf_dir: str):
     from exactextractr_ray.stages.dedup import exact_dedup
 
@@ -636,6 +676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_assign_counts": _q_cell_assign,
         "sessionize": _q_sessionize,
         "event_windows": _q_event_windows,
+        "sliding_windows": _q_sliding_windows,
+        "asof_join_events": _q_asof_join,
         "dedup_exact": _q_dedup_exact,
         "token_stats_lang": _q_token_stats,
         "quality_scores": _q_quality,
@@ -952,6 +994,29 @@ def oracle_sql() -> dict[str, str]:
     FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
     """
 
+    sliding_windows_sql = """
+    WITH e AS (SELECT epoch_us(ts) // 1000000 AS t, event_type FROM events),
+    w AS (
+      SELECT ((t // 900) - j) * 900 AS window_start, event_type
+      FROM e CROSS JOIN range(0, 4) r(j)
+      WHERE t < ((t // 900) - j) * 900 + 3600
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM w GROUP BY 1, 2 ORDER BY window_start, event_type
+    """
+
+    asof_join_sql = """
+    SELECT CAST(l.event_id AS BIGINT) AS event_id,
+           CAST(l.user_id AS BIGINT) AS user_id,
+           epoch_us(l.ts) AS ts_us,
+           CAST(r.event_id AS DOUBLE) AS view_event_id,
+           CAST(r.value AS DOUBLE) AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY event_id
+    """
+
     event_windows = """
     SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
       event_type, CAST(COUNT(*) AS BIGINT) AS n_events
@@ -1202,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_assign_counts": cell_assign,
         "sessionize": sessionize_sql,
         "event_windows": event_windows,
+        "sliding_windows": sliding_windows_sql,
+        "asof_join_events": asof_join_sql,
         "dedup_exact": dedup_exact,
         "token_stats_lang": token_stats,
         "quality_scores": quality,

@@ -130,6 +130,123 @@ def sessionize(ds, gap_seconds: float = 1800.0):
     return day_sessions.groupby("skey").map_groups(stitch, batch_format="pandas")
 
 
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    value_cols: tuple[str, ...] = ("event_id", "value"),
+    suffix: str = "_r",
+):
+    """AS-OF join: for each left row, attach the LATEST right row of the
+    same key with right.time <= left.time (NULL columns when none exists).
+
+    Ray Data has no asof operator; this composes one from primitives
+    (map_batches tag -> coarse-key groupby -> vectorized per-key
+    searchsorted merge). Partitioning assumption: both sides of one key
+    co-locate in a group — keys hash across ``ngroups`` coarse groups so a
+    hot key costs one group, not the cluster. Ties on (time) pick the
+    right row with the greatest ``event_id`` sort position (deterministic:
+    rows sort by (time, *value_cols) before the merge).
+    """
+    ngroups = 256
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_numpy()
+            out = batch.append_column("_side", pa.array(np.full(len(keys), side, dtype=np.int64)))
+            ck = (keys.astype(np.int64) * np.int64(0x9E3779B1)) % ngroups
+            return out.append_column("_ck", pa.array(ck.astype(np.int64)))
+
+        return fn
+
+    left = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    right = right_ds.map_batches(tag(1), batch_format="pyarrow")
+    both = left.union(right)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [key_col, "ts_us_sort"] + [
+            c for c in value_cols if c in g.columns
+        ]
+        g = g.sort_values(sort_cols, kind="mergesort")
+        out_frames = []
+        for key, sub in g.groupby(key_col, sort=True):
+            lm = sub["_side"].to_numpy() == 0
+            lsub = sub[lm]
+            rsub = sub[~lm]
+            if len(lsub) == 0:
+                continue
+            lt = lsub["ts_us_sort"].to_numpy()
+            rt = rsub["ts_us_sort"].to_numpy()
+            # latest right index with rt <= lt
+            pos = np.searchsorted(rt, lt, side="right") - 1
+            res = lsub.drop(
+                columns=["_side", "_ck", "ts_us_sort"]
+            ).reset_index(drop=True)
+            for vc in value_cols:
+                col = np.full(len(lt), np.nan)
+                valid = pos >= 0
+                if valid.any() and len(rsub):
+                    col[valid] = rsub[vc].to_numpy()[pos[valid]]
+                res[f"{vc}{suffix}"] = col
+            out_frames.append(res)
+        if not out_frames:
+            cols = [c for c in g.columns if c not in ("_side", "_ck", "ts_us_sort")]
+            empty = pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in cols})
+            for vc in value_cols:
+                empty[f"{vc}{suffix}"] = pd.Series([], dtype=np.float64)
+            return empty
+        return pd.concat(out_frames, ignore_index=True)
+
+    def add_sort_ts(batch: pa.Table) -> pa.Table:
+        ts = batch.column(time_col).cast(pa.int64()).to_numpy()
+        return batch.append_column("ts_us_sort", pa.array(ts, pa.int64()))
+
+    both = both.map_batches(add_sort_ts, batch_format="pyarrow")
+    return both.groupby("_ck").map_groups(merge, batch_format="pandas")
+
+
+def sliding_window(ds, window_seconds: int = 3600, hop_seconds: int = 900):
+    """Sliding/hopping-window aggregate: windows of ``window_seconds`` start
+    every ``hop_seconds``; an event belongs to every window covering its
+    timestamp (window/hop of them). Same scale shape as tumbling_window:
+    vectorized flat-map assignment + per-batch partial aggregation, so the
+    shuffle moves (window, type, partial) rows — each event contributes to
+    window/hop partials but partials collapse per batch before moving."""
+    if window_seconds % hop_seconds != 0:
+        raise ValueError("window_seconds must be a multiple of hop_seconds")
+    k = window_seconds // hop_seconds
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy() // 1_000_000
+        base = (ts // hop_seconds) * hop_seconds
+        n = len(ts)
+        starts = (
+            base[:, None] - np.arange(k, dtype=np.int64)[None, :] * hop_seconds
+        ).ravel()
+        ev = np.repeat(batch.column("event_type").to_numpy(zero_copy_only=False), k)
+        val = np.repeat(batch.column("value").to_numpy(), k)
+        df = pd.DataFrame(
+            {"window_start": starts, "event_type": ev, "value": val}
+        )
+        agg = df.groupby(["window_start", "event_type"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(assign, batch_format="pyarrow")
+    # builtin sum aggregate: no per-group Python call for the (many) windows
+    out = partials.groupby(["window_start", "event_type"]).sum(
+        ["n_events", "sum_value"]
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["window_start", "event_type", "n_events", "sum_value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def tumbling_window(ds, window_seconds: int = 3600):
     """Events -> per (window, event_type) aggregate:
     (window_start, event_type, n_events, sum_value).
@@ -150,17 +267,12 @@ def tumbling_window(ds, window_seconds: int = 3600):
         return pa.Table.from_pandas(agg, preserve_index=False)
 
     partials = ds.map_batches(assign, batch_format="pyarrow")
-
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "window_start": [int(g["window_start"].iloc[0])],
-                "event_type": [g["event_type"].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "sum_value": [float(g["sum_value"].sum())],
-            }
-        )
-
-    return partials.groupby(["window_start", "event_type"]).map_groups(
-        combine, batch_format="pandas"
+    out = partials.groupby(["window_start", "event_type"]).sum(
+        ["n_events", "sum_value"]
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["window_start", "event_type", "n_events", "sum_value"]
+        ),
+        batch_format="pyarrow",
     )

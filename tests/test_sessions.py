@@ -120,3 +120,81 @@ def test_sessionize_hot_user_split(_ray):
     # the midnight-straddling pair landed in ONE session
     hot = out[out.user_id == 7]
     assert ((hot["start_us"] <= mid - 90_000_000) & (hot["end_us"] >= mid + 90_000_000)).any()
+
+
+def test_asof_join_matches_pandas(_ray):
+    """asof_join vs pandas merge_asof per user on synthetic streams."""
+    import ray.data
+    from exactextractr_ray.stages.sessions import asof_join
+
+    rng = np.random.default_rng(3)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_l),
+            "user_id": rng.integers(0, 12, n_l),
+            "ts": (1_700_000_000_000_000 + rng.integers(0, 10**9, n_l)).astype(
+                "datetime64[us]"
+            ),
+            "value": rng.normal(size=n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "event_id": np.arange(1000, 1000 + n_r),
+            "user_id": rng.integers(0, 12, n_r),
+            "ts": (1_700_000_000_000_000 + rng.integers(0, 10**9, n_r)).astype(
+                "datetime64[us]"
+            ),
+            "value": rng.normal(size=n_r),
+        }
+    )
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        value_cols=("event_id", "value"),
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(
+            columns={"event_id": "event_id_r", "value": "value_r"}
+        )[["user_id", "ts", "event_id_r", "value_r"]],
+        on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == n_l
+    np.testing.assert_array_equal(
+        got["event_id"].to_numpy(), exp["event_id"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        np.nan_to_num(got["event_id_r"].to_numpy(), nan=-1),
+        np.nan_to_num(exp["event_id_r"].to_numpy(dtype=np.float64), nan=-1),
+    )
+    np.testing.assert_allclose(
+        got["value_r"].to_numpy(), exp["value_r"].to_numpy(), equal_nan=True
+    )
+
+
+def test_sliding_window_covers_tumbling(_ray):
+    """hop == window degenerates to the tumbling window exactly."""
+    import ray.data
+    from exactextractr_ray.stages.sessions import sliding_window, tumbling_window
+
+    ev = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    a = sliding_window(ev, 3600, 3600).to_pandas().sort_values(
+        ["window_start", "event_type"]
+    ).reset_index(drop=True)
+    ev2 = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet")
+    b = tumbling_window(ev2, 3600).to_pandas().sort_values(
+        ["window_start", "event_type"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["window_start", "event_type", "n_events"]].astype(
+            {"window_start": np.int64, "n_events": np.int64}
+        ),
+        b[["window_start", "event_type", "n_events"]].astype(
+            {"window_start": np.int64, "n_events": np.int64}
+        ),
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_window(ev, 3600, 1000)
