@@ -422,6 +422,32 @@ def _q_event_windows(sf_dir: str):
     return df.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
+def _q_interval_join(sf_dir: str):
+    """Range join: each event joins the session interval containing it
+    (sessions = the small broadcast side; events stream, no shuffle)."""
+    import ray
+
+    import ray.data
+    from exactextractr_ray.stages.sessions import interval_join, sessionize
+
+    ev_cols = ["user_id", "event_id", "ts", "value"]
+    sessions = sessionize(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=ev_cols),
+        gap_seconds=1800,
+    ).to_pandas()
+    ivref = ray.put(sessions)
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=ev_cols)
+    out = interval_join(ev, ivref, attach_cols=("session_seq",)).to_pandas()
+    df = pd.DataFrame(
+        {
+            "event_id": out["event_id"].astype(np.int64),
+            "user_id": out["user_id"].astype(np.int64),
+            "session_seq": out["session_seq"].astype(np.int64),
+        }
+    )
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_sliding_windows(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.sessions import sliding_window
@@ -678,6 +704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": _q_event_windows,
         "sliding_windows": _q_sliding_windows,
         "asof_join_events": _q_asof_join,
+        "interval_join_sessions": _q_interval_join,
         "dedup_exact": _q_dedup_exact,
         "token_stats_lang": _q_token_stats,
         "quality_scores": _q_quality,
@@ -994,6 +1021,23 @@ def oracle_sql() -> dict[str, str]:
     FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
     """
 
+    # every event belongs to exactly one session, so the interval join is
+    # just the sessionization's window assignment re-expressed
+    interval_join_sql = """
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+    o AS (
+      SELECT user_id, event_id, t,
+        CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM e
+    )
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id,
+           CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY t, brk
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+    FROM o ORDER BY event_id
+    """
+
     sliding_windows_sql = """
     WITH e AS (SELECT epoch_us(ts) // 1000000 AS t, event_type FROM events),
     w AS (
@@ -1269,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "event_windows": event_windows,
         "sliding_windows": sliding_windows_sql,
         "asof_join_events": asof_join_sql,
+        "interval_join_sessions": interval_join_sql,
         "dedup_exact": dedup_exact,
         "token_stats_lang": token_stats,
         "quality_scores": quality,

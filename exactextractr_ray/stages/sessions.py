@@ -206,6 +206,98 @@ def asof_join(
     return both.groupby("_ck").map_groups(merge, batch_format="pandas")
 
 
+def interval_join(
+    ds,
+    intervals_ref,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    attach_cols: tuple[str, ...] = ("session_seq",),
+):
+    """Range join: each row joins the interval (of its key) containing its
+    timestamp — inner, rows with no containing interval drop.
+
+    Scale shape: the interval table is the SMALL side (e.g. sessions:
+    orders of magnitude fewer rows than events), broadcast once via
+    ``ray.put`` as per-key sorted arrays; each map task binary-searches its
+    batch vectorized (searchsorted over the key's interval starts, then a
+    containment check). No shuffle at all — the big side streams.
+
+    ``intervals_ref``: ray.ObjectRef to a pandas DataFrame with
+    (key, start, end, *attach_cols); intervals per key must be disjoint
+    (sessions are, by construction)."""
+    from ..util import cached_stage
+
+    stage = cached_stage(
+        _IntervalJoin, intervals_ref, key_col, time_col, start_col, end_col,
+        attach_cols,
+    )
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+class _IntervalJoin:
+    """Per-worker state: the broadcast interval table parsed once into
+    per-key sorted arrays."""
+
+    def __init__(self, intervals_ref, key_col, time_col, start_col, end_col,
+                 attach_cols):
+        import ray as _ray
+
+        idf = _ray.get(intervals_ref) if not hasattr(intervals_ref, "groupby") \
+            else intervals_ref
+        self.key_col = key_col
+        self.time_col = time_col
+        self.attach_cols = tuple(attach_cols)
+        self.per_key: dict[int, tuple] = {}
+        for k, sub in idf.groupby(key_col):
+            sub = sub.sort_values(start_col)
+            self.per_key[int(k)] = (
+                sub[start_col].to_numpy(),
+                sub[end_col].to_numpy(),
+                {c: sub[c].to_numpy() for c in self.attach_cols},
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key_col, time_col = self.key_col, self.time_col
+        attach_cols = self.attach_cols
+        per_key = self.per_key
+        keys = batch.column(key_col).to_numpy()
+        ts = batch.column(time_col).cast(pa.int64()).to_numpy()
+        take: list[int] = []
+        attached: dict[str, list] = {c: [] for c in attach_cols}
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        bounds = np.nonzero(np.r_[True, sk[1:] != sk[:-1]])[0]
+        ends_ = np.r_[bounds[1:], len(sk)]
+        for b0, b1 in zip(bounds.tolist(), ends_.tolist()):
+            k = int(sk[b0])
+            ent = per_key.get(k)
+            if ent is None:
+                continue
+            starts, iends, cols = ent
+            rows = order[b0:b1]
+            t = ts[rows]
+            pos = np.searchsorted(starts, t, side="right") - 1
+            ok = (pos >= 0) & (t <= iends[np.maximum(pos, 0)])
+            hit = rows[ok]
+            hp = pos[ok]
+            take.extend(hit.tolist())
+            for c in attach_cols:
+                attached[c].extend(cols[c][hp].tolist())
+        if not take:
+            empty = batch.slice(0, 0)
+            for c in attach_cols:
+                empty = empty.append_column(c, pa.array([], pa.int64()))
+            return empty
+        out = batch.take(pa.array(np.array(take, dtype=np.int64)))
+        for c in attach_cols:
+            out = out.append_column(
+                c, pa.array(np.array(attached[c]))
+            )
+        return out
+
+
 def sliding_window(ds, window_seconds: int = 3600, hop_seconds: int = 900):
     """Sliding/hopping-window aggregate: windows of ``window_seconds`` start
     every ``hop_seconds``; an event belongs to every window covering its

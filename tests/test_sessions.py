@@ -198,3 +198,36 @@ def test_sliding_window_covers_tumbling(_ray):
     )
     with pytest.raises(ValueError, match="multiple"):
         sliding_window(ev, 3600, 1000)
+
+
+def test_interval_join_drops_uncovered(_ray):
+    """Rows outside every interval of their key (or with unknown keys) drop;
+    covered rows attach the right interval's columns."""
+    import ray
+    import ray.data
+    from exactextractr_ray.stages.sessions import interval_join
+
+    intervals = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "start_us": [100, 500, 0],
+            "end_us": [200, 600, 50],
+            "session_seq": [0, 1, 0],
+        }
+    )
+    events = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 3],
+            "event_id": [10, 11, 12, 13, 14],
+            "ts": pd.Series(
+                np.array([150, 300, 600, 25, 10], dtype="datetime64[us]")
+            ),
+        }
+    )
+    out = interval_join(
+        ray.data.from_pandas(events), ray.put(intervals)
+    ).to_pandas().sort_values("event_id")
+    # 150 -> session 0; 300 uncovered; 600 -> session 1 (inclusive end);
+    # user 2 at 25 -> session 0; user 3 unknown -> dropped
+    assert list(out["event_id"]) == [10, 12, 13]
+    assert list(out["session_seq"]) == [0, 1, 0]
