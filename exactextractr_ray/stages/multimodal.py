@@ -138,3 +138,207 @@ def synth_image_table(n: int, payload_kb: int = 4) -> pa.Table:
             "height": pa.array([64] * n, pa.int32()),
         }
     )
+
+
+# ---------------- video: frame sampling ----------------
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "video/fake", ...
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.float32()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame-sample stage: decode ``k`` evenly spaced frames per
+    video to ``target_hw`` tensors. The codec itself is the same stub
+    contract as images — ``decode_frame`` raises until a real decoder is
+    wired in; ``fake=True`` uses a payload+frame-index-seeded pure function
+    so the plumbing (even-index selection, tensor layout, per-frame rows)
+    is bit-stable and testable at any parallelism."""
+
+    def __init__(self, k: int = 4, target_hw=(16, 16), fake: bool = True):
+        self.k = k
+        self.target_hw = target_hw
+        self.fake = fake
+
+    def decode_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "no video codec in this environment; use fake=True"
+            )
+        seed = int(hashlib.md5(payload + frame_idx.to_bytes(4, "little")).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed)
+        h, w = self.target_hw
+        return rng.integers(0, 256, size=(h, w), dtype=np.uint8).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """One output row PER SAMPLED FRAME: (media_id, frame_idx, t_sec,
+        pixels) — downstream image stages apply unchanged."""
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        n_frames = batch.column("n_frames").to_numpy()
+        fps = batch.column("fps").to_numpy()
+        out_id, out_fi, out_t, tensors = [], [], [], []
+        for mid, p, nf, f in zip(ids, payloads, n_frames, fps):
+            nf = int(nf)
+            take = np.unique(
+                np.linspace(0, max(nf - 1, 0), min(self.k, nf)).astype(np.int64)
+            )
+            for fi in take.tolist():
+                out_id.append(int(mid))
+                out_fi.append(fi)
+                out_t.append(fi / float(f) if f else 0.0)
+                tensors.append(self.decode_frame(p, fi))
+        h, w = self.target_hw
+        flat = (
+            np.concatenate([t.ravel() for t in tensors])
+            if tensors
+            else np.empty(0, dtype=np.float32)
+        )
+        offsets = pa.array(
+            np.arange(len(tensors) + 1, dtype=np.int32) * (h * w), pa.int32()
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_idx": pa.array(out_fi, pa.int64()),
+                "t_sec": pa.array(out_t, pa.float64()),
+                "pixels": pa.ListArray.from_arrays(
+                    offsets, pa.array(flat, pa.float32())
+                ),
+                "pix_h": pa.array([h] * len(tensors), pa.int32()),
+                "pix_w": pa.array([w] * len(tensors), pa.int32()),
+            }
+        )
+
+
+def sample_frames(ds, k: int = 4, target_hw=(16, 16), fake: bool = True,
+                  concurrency=(1, 8), batch_size: int = 16):
+    """Video Dataset -> per-sampled-frame Dataset (actor pool, small
+    batches: video payloads are the largest media)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_args=(k, target_hw, fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_video_table(n: int, payload_kb: int = 16) -> pa.Table:
+    rng = np.random.default_rng(43)
+    payloads = [
+        rng.integers(0, 256, payload_kb * 1024, dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["video/fake"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([64] * n, pa.int32()),
+            "height": pa.array([48] * n, pa.int32()),
+            "n_frames": pa.array(
+                rng.integers(1, 240, n).astype(np.int32), pa.int32()
+            ),
+            "fps": pa.array(np.full(n, 24.0, dtype=np.float32), pa.float32()),
+        }
+    )
+
+
+# ---------------- audio: waveform features ----------------
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),  # "audio/fake", ...
+        ("payload", pa.binary()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int32()),
+    ]
+)
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage: decode (stubbed/fake) to a waveform,
+    then vectorized windowed features — per-window RMS + zero-crossing rate
+    — as the embedding. Window count fixed so embeddings are fixed-length
+    regardless of duration (list<float> ready for the kNN stages)."""
+
+    def __init__(self, n_windows: int = 8, fake: bool = True):
+        self.n_windows = n_windows
+        self.fake = fake
+
+    def decode_waveform(self, payload: bytes, n_samples: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "no audio codec in this environment; use fake=True"
+            )
+        seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal(n_samples).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        ns = batch.column("n_samples").to_numpy()
+        W = self.n_windows
+        feats = np.empty((len(ids), 2 * W), dtype=np.float32)
+        for i, (p, n) in enumerate(zip(payloads, ns)):
+            wav = self.decode_waveform(p, int(n))
+            edges = np.linspace(0, len(wav), W + 1).astype(np.int64)
+            for j in range(W):
+                seg = wav[edges[j] : edges[j + 1]]
+                if len(seg) == 0:
+                    feats[i, j] = 0.0
+                    feats[i, W + j] = 0.0
+                    continue
+                feats[i, j] = float(np.sqrt(np.mean(seg * seg)))
+                feats[i, W + j] = float(
+                    np.mean(np.signbit(seg[1:]) != np.signbit(seg[:-1]))
+                ) if len(seg) > 1 else 0.0
+        offsets = pa.array(
+            np.arange(len(ids) + 1, dtype=np.int32) * (2 * W), pa.int32()
+        )
+        out = batch.drop_columns(["payload"])
+        return out.append_column(
+            "embedding",
+            pa.ListArray.from_arrays(offsets, pa.array(feats.ravel(), pa.float32())),
+        )
+
+
+def audio_features(ds, n_windows: int = 8, fake: bool = True,
+                   concurrency=(1, 8), batch_size: int = 64):
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_args=(n_windows, fake),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_audio_table(n: int, payload_kb: int = 8) -> pa.Table:
+    rng = np.random.default_rng(44)
+    payloads = [
+        rng.integers(0, 256, payload_kb * 1024, dtype=np.uint8).tobytes()
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["audio/fake"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "n_samples": pa.array(
+                rng.integers(8000, 64000, n).astype(np.int32), pa.int32()
+            ),
+        }
+    )

@@ -153,3 +153,64 @@ def test_cli_cross_raster_weights(ray_session, tmp_path):
     res = pq.read_table(out).to_pandas()
     expect = float((vals * wts).sum() / wts.sum())
     assert res["wm"].iloc[0] == pytest.approx(expect, rel=1e-12)
+
+
+def test_video_frame_sampling(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.multimodal import (
+        FrameSampler,
+        image_features_batch,
+        sample_frames,
+        synth_video_table,
+    )
+
+    tbl = synth_video_table(20)
+    frames = sample_frames(ray.data.from_arrow(tbl), k=4, target_hw=(16, 16))
+    df = frames.to_pandas()
+    nf = tbl.column("n_frames").to_numpy()
+    # each video yields min(k, n_frames) distinct frames, first at idx 0
+    expect = int(np.minimum(nf, 4).sum())
+    assert len(df) == expect
+    assert (df.groupby("media_id")["frame_idx"].min() == 0).all()
+    assert all(len(p) == 256 for p in df["pixels"])
+    # frame tensors feed the image feature stage unchanged
+    feats = frames.map_batches(image_features_batch, batch_format="pyarrow")
+    fdf = feats.to_pandas()
+    assert len(fdf) == expect and all(len(e) == 18 for e in fdf["embedding"])
+    # determinism across parallelism
+    df2 = sample_frames(
+        ray.data.from_arrow(tbl).repartition(7), k=4, target_hw=(16, 16),
+        batch_size=3,
+    ).to_pandas()
+    a = df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    b = df2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(a["pixels"], b["pixels"]))
+    # the real-codec path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        FrameSampler(fake=False).decode_frame(b"x", 0)
+
+
+def test_audio_features(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.multimodal import (
+        AudioFeatures,
+        audio_features,
+        synth_audio_table,
+    )
+
+    tbl = synth_audio_table(30)
+    out = audio_features(ray.data.from_arrow(tbl), n_windows=8).to_pandas()
+    assert len(out) == 30
+    assert all(len(e) == 16 for e in out["embedding"])
+    emb = np.stack(out.sort_values("media_id")["embedding"].to_numpy())
+    # RMS of unit-normal fake waveforms ~ 1; zero-crossing rate ~ 0.5
+    assert np.allclose(emb[:, :8].mean(), 1.0, atol=0.05)
+    assert np.allclose(emb[:, 8:].mean(), 0.5, atol=0.05)
+    # determinism across parallelism
+    out2 = audio_features(
+        ray.data.from_arrow(tbl).repartition(5), n_windows=8, batch_size=7
+    ).to_pandas()
+    emb2 = np.stack(out2.sort_values("media_id")["embedding"].to_numpy())
+    assert np.array_equal(emb, emb2)
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(fake=False).decode_waveform(b"x", 10)
