@@ -993,23 +993,71 @@ def exact_extract_apply(
 
     if stack_apply:
         layers = [value_layer] if isinstance(value_layer, str) else list(value_layer)
-        merged = None
-        for lay in layers:
-            part = exact_extract_apply(
+        if len(layers) == 1:
+            return exact_extract_apply(
                 raster, zones, fn,
-                value_layer=lay, weight_layer=weight_layer,
+                value_layer=layers[0], weight_layer=weight_layer,
                 include_xy=include_xy, include_cell=include_cell,
                 stack_apply=False, summarize_df=summarize_df,
                 fn_kwargs=fn_kwargs, **kwargs,
-            ).to_pandas()
-            if len(layers) > 1:
-                part = part.rename(
-                    columns={c: f"{c}.{lay}" for c in part.columns if c != "zone_id"}
-                )
-            merged = part if merged is None else merged.merge(part, on="zone_id")
+            )
+        # ONE execution: per-layer cell extractions union into a single
+        # stream, the UDF runs per (zone, layer) group in one shuffle, and
+        # only the tiny UDF RESULT rows (zones x layers) pivot on the driver
         import ray.data
 
-        return ray.data.from_pandas(merged)
+        cov_name_s = (
+            "coverage_area" if kwargs.get("coverage_area") else "coverage_fraction"
+        )
+        fkw_s = fn_kwargs or {}
+        parts_ds = []
+        for lay in layers:
+            cells = extract_cells(
+                raster, zones, value_layer=lay, weight_layer=weight_layer,
+                include_xy=include_xy, include_cell=include_cell, **kwargs,
+            )
+            parts_ds.append(
+                cells.map_batches(
+                    lambda b, lay=lay: b.append_column(
+                        "layer", pa.array([lay] * b.num_rows, pa.string())
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+        allcells = parts_ds[0].union(*parts_ds[1:])
+
+        def run_layer(group: pd.DataFrame) -> pd.DataFrame:
+            zone_id = int(group["zone_id"].iloc[0])
+            lay = group["layer"].iloc[0]
+            df = group.drop(columns=["zone_id", "layer"]).rename(
+                columns={"cov": cov_name_s}
+            )
+            if summarize_df:
+                out = fn(df, **fkw_s)
+            elif weight_layer is None:
+                out = fn(df["value"], df[cov_name_s], **fkw_s)
+            else:
+                out = fn(df["value"], df[cov_name_s], df["weight"], **fkw_s)
+            if np.isscalar(out):
+                out = pd.DataFrame({"result": [out]})
+            out = out.copy()
+            out.insert(0, "zone_id", zone_id)
+            out.insert(1, "layer", lay)
+            return out
+
+        res = (
+            allcells.groupby(["zone_id", "layer"])
+            .map_groups(run_layer, batch_format="pandas")
+            .to_pandas()  # zones x layers UDF results: small by design
+        )
+        merged = None
+        for lay in layers:
+            part = res[res["layer"] == lay].drop(columns=["layer"])
+            part = part.rename(
+                columns={c: f"{c}.{lay}" for c in part.columns if c != "zone_id"}
+            )
+            merged = part if merged is None else merged.merge(part, on="zone_id")
+        return ray.data.from_pandas(merged.reset_index(drop=True))
 
     cells = extract_cells(
         raster,
