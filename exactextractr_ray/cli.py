@@ -122,12 +122,11 @@ def main(argv=None) -> int:
         t = t.rename(columns={stat_col: sd.name})
         result = t if result is None else result.merge(t, on="zone_id")
 
-    if args.output.endswith(".csv"):
-        result.to_csv(args.output, index=False)
-    else:
-        import pyarrow as pa
+    from .sources.sinks import write_result
 
-        pq.write_table(pa.Table.from_pandas(result, preserve_index=False), args.output)
+    # .parquet / .csv / .dbf (shapefile attribute table) / .nc (NetCDF-3) —
+    # the GDALWriter sink set representable without GDAL
+    write_result(result, args.output)
     print(f"wrote {len(result)} rows to {args.output}", file=sys.stderr)
     if owns_ray:
         ray.shutdown()

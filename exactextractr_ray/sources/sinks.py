@@ -1,0 +1,254 @@
+"""Result-table sinks beyond parquet/CSV: dBase DBF (the attribute table of
+an ESRI Shapefile) and NetCDF-3 classic — the two GDALWriter targets
+(/root/reference/src/exactextract/src/gdal_writer.cpp:26-143) that are
+representable without GDAL. Both formats are simple public specifications
+(dBase III header+records; NetCDF classic CDF-1), written here directly.
+
+Scale contract: these are RESULT sinks — one row per zone — so the tables
+are small by design (the per-cell/streaming outputs stay on parquet). The
+writers take a pandas DataFrame; ``write_result`` dispatches on extension
+so the CLI's ``-o`` accepts .parquet/.csv/.dbf/.nc uniformly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+
+def write_dbf(df: pd.DataFrame, path: str) -> None:
+    """dBase III DBF: numeric columns as 'N' (width 18, 6 decimals for
+    floats, 0 for ints), everything else as 'C' strings (width <= 254)."""
+    n = len(df)
+    fields = []  # (name, type, width, decimals)
+    encoders = []
+    for col in df.columns:
+        name = str(col)[:10]
+        s = df[col]
+        if pd.api.types.is_integer_dtype(s):
+            fields.append((name, b"N", 18, 0))
+            encoders.append(lambda v: b"" if pd.isna(v) else f"{int(v):18d}".encode())
+        elif pd.api.types.is_float_dtype(s):
+            fields.append((name, b"N", 18, 6))
+            encoders.append(
+                lambda v: b" " * 18 if pd.isna(v) else f"{float(v):18.6f}".encode()
+            )
+        else:
+            width = max(1, min(254, int(s.astype(str).str.len().max() or 1)))
+            fields.append((name, b"C", width, 0))
+            encoders.append(
+                lambda v, w=width: str(v)[:w].ljust(w).encode("ascii", "replace")
+            )
+    header_len = 32 + 32 * len(fields) + 1
+    record_len = 1 + sum(f[2] for f in fields)
+    with open(path, "wb") as f:
+        f.write(
+            struct.pack(
+                "<BBBBIHH20x",
+                0x03, 124, 1, 1,  # dBase III, fake date 2024-01-01
+                n, header_len, record_len,
+            )
+        )
+        for (name, typ, width, dec) in fields:
+            f.write(
+                struct.pack(
+                    "<11sc4xBB14x",
+                    name.encode("ascii", "replace")[:11],
+                    typ,
+                    width,
+                    dec,
+                )
+            )
+        f.write(b"\x0d")
+        for i in range(n):
+            f.write(b" ")  # not deleted
+            for j, (fld, enc) in enumerate(zip(fields, encoders)):
+                cell = enc(df.iloc[i, j])
+                f.write(cell.rjust(fld[2]) if fld[1] == b"N" else cell)
+        f.write(b"\x1a")
+
+
+def read_dbf(path: str) -> pd.DataFrame:
+    """Minimal DBF reader (round-trip validation)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    n, header_len, record_len = struct.unpack("<IHH", data[4:12])
+    fields = []
+    off = 32
+    while data[off] != 0x0D:
+        name = data[off : off + 11].split(b"\x00")[0].decode()
+        typ = chr(data[off + 11])
+        width = data[off + 16]
+        dec = data[off + 17]
+        fields.append((name, typ, width, dec))
+        off += 32
+    rows = []
+    p = header_len
+    for _ in range(n):
+        rec = data[p : p + record_len]
+        p += record_len
+        vals = []
+        q = 1
+        for (name, typ, width, dec) in fields:
+            raw = rec[q : q + width].decode("ascii", "replace")
+            q += width
+            if typ == "N":
+                raw = raw.strip()
+                vals.append(
+                    (float(raw) if dec else int(raw)) if raw else np.nan
+                )
+            else:
+                vals.append(raw.rstrip())
+        rows.append(vals)
+    return pd.DataFrame(rows, columns=[f[0] for f in fields])
+
+
+def write_netcdf3(df: pd.DataFrame, path: str) -> None:
+    """NetCDF-3 classic (CDF-1): one unlimited-free dimension ``row`` of
+    len(df); numeric columns as double/int variables, strings as char
+    arrays with a per-column ``strN`` dimension."""
+    n = len(df)
+    NC_DIMENSION, NC_VARIABLE = 10, 11
+    NC_INT, NC_DOUBLE, NC_CHAR = 4, 6, 2
+
+    def pad4(b: bytes) -> bytes:
+        return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+    def nc_string(s: str) -> bytes:
+        e = s.encode()
+        return struct.pack(">I", len(e)) + pad4(e)
+
+    dims = [("row", n)]
+    cols = []
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_integer_dtype(s):
+            cols.append((str(col), NC_INT, None, s.to_numpy(np.int32)))
+        elif pd.api.types.is_float_dtype(s):
+            cols.append((str(col), NC_DOUBLE, None, s.to_numpy(np.float64)))
+        else:
+            vals = s.astype(str).to_numpy()
+            width = max(1, int(max((len(v) for v in vals), default=1)))
+            dim_name = f"str_{col}"
+            dims.append((dim_name, width))
+            cols.append((str(col), NC_CHAR, len(dims) - 1, vals))
+
+    # variable layout: vsize then offsets after the header
+    header = b"CDF\x01" + struct.pack(">I", 0)  # numrecs = 0 (no record dim)
+    header += struct.pack(">II", NC_DIMENSION, len(dims))
+    for name, size in dims:
+        header += nc_string(name) + struct.pack(">I", size)
+    header += struct.pack(">II", 0, 0)  # no global attributes (NC_ABSENT)
+    # first pass to compute sizes
+    var_entries = []
+    for name, typ, extra_dim, vals in cols:
+        if typ == NC_CHAR:
+            vsize = n * dims[extra_dim][1]
+        elif typ == NC_INT:
+            vsize = n * 4
+        else:
+            vsize = n * 8
+        vsize += (4 - vsize % 4) % 4
+        var_entries.append((name, typ, extra_dim, vals, vsize))
+
+    def var_header(name, typ, extra_dim, vsize, offset):
+        b = nc_string(name)
+        dimids = [0] + ([extra_dim] if extra_dim is not None else [])
+        b += struct.pack(">I", len(dimids))
+        for d in dimids:
+            b += struct.pack(">I", d)
+        b += struct.pack(">II", 0, 0)  # no attributes
+        b += struct.pack(">III", typ, vsize, offset)
+        return b
+
+    # compute header length with a placeholder pass
+    base = len(header) + struct.pack(">II", NC_VARIABLE, len(var_entries)).__len__()
+    hlen = base
+    for name, typ, extra_dim, vals, vsize in var_entries:
+        hlen += len(var_header(name, typ, extra_dim, vsize, 0))
+    offset = hlen
+    body = struct.pack(">II", NC_VARIABLE, len(var_entries))
+    payloads = []
+    for name, typ, extra_dim, vals, vsize in var_entries:
+        body += var_header(name, typ, extra_dim, vsize, offset)
+        if typ == NC_CHAR:
+            width = dims[extra_dim][1]
+            raw = b"".join(
+                v.encode("ascii", "replace")[:width].ljust(width, b"\x00")
+                for v in vals
+            )
+        elif typ == NC_INT:
+            raw = np.asarray(vals, dtype=">i4").tobytes()
+        else:
+            raw = np.asarray(vals, dtype=">f8").tobytes()
+        payloads.append(pad4(raw))
+        offset += vsize
+    with open(path, "wb") as f:
+        f.write(header + body)
+        for p in payloads:
+            f.write(p)
+
+
+def read_netcdf3(path: str) -> pd.DataFrame:
+    """Minimal CDF-1 reader (round-trip validation)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    assert data[:4] == b"CDF\x01"
+    pos = 8
+
+    def u32():
+        nonlocal pos
+        v = struct.unpack(">I", data[pos : pos + 4])[0]
+        pos += 4
+        return v
+
+    def s_():
+        nonlocal pos
+        ln = u32()
+        v = data[pos : pos + ln].decode()
+        pos += ln + ((4 - ln % 4) % 4)
+        return v
+
+    tag, ndims = u32(), u32()
+    dims = [(s_(), u32()) for _ in range(ndims)]
+    u32(), u32()  # gatt absent
+    tag, nvars = u32(), u32()
+    out = {}
+    n = dims[0][1]
+    for _ in range(nvars):
+        name = s_()
+        nd = u32()
+        dimids = [u32() for _ in range(nd)]
+        u32(), u32()  # attrs absent
+        typ, vsize, off = u32(), u32(), u32()
+        if typ == 2:  # char
+            width = dims[dimids[1]][1]
+            raw = data[off : off + n * width]
+            out[name] = [
+                raw[i * width : (i + 1) * width].split(b"\x00")[0].decode()
+                for i in range(n)
+            ]
+        elif typ == 4:
+            out[name] = np.frombuffer(data, dtype=">i4", count=n, offset=off).astype(
+                np.int64
+            )
+        else:
+            out[name] = np.frombuffer(data, dtype=">f8", count=n, offset=off)
+    return pd.DataFrame(out)
+
+
+def write_result(df: pd.DataFrame, path: str) -> None:
+    """Extension-dispatched result sink: .parquet / .csv / .dbf / .nc."""
+    if path.endswith(".csv"):
+        df.to_csv(path, index=False)
+    elif path.endswith(".dbf"):
+        write_dbf(df, path)
+    elif path.endswith(".nc"):
+        write_netcdf3(df, path)
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)

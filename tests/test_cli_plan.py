@@ -214,3 +214,59 @@ def test_audio_features(ray_session):
     assert np.array_equal(emb, emb2)
     with pytest.raises(NotImplementedError):
         AudioFeatures(fake=False).decode_waveform(b"x", 10)
+
+
+def test_result_sinks_dbf_netcdf(ray_session, tmp_path):
+    """GDALWriter sink analogs: .dbf and .nc outputs round-trip the result
+    table exactly (ints, floats incl. NaN, strings)."""
+    from exactextractr_ray.sources.sinks import (
+        read_dbf,
+        read_netcdf3,
+        write_result,
+    )
+
+    df = pd.DataFrame(
+        {
+            "zone_id": np.arange(4, dtype=np.int64),
+            "mean": np.array([0.5, np.nan, -3.75, 2.0e5]),
+            "name": ["a", "bb", "ccc", "dddd"],
+        }
+    )
+    p_dbf = str(tmp_path / "out.dbf")
+    write_result(df, p_dbf)
+    back = read_dbf(p_dbf)
+    assert list(back["zone_id"]) == [0, 1, 2, 3]
+    assert back["mean"][0] == 0.5 and np.isnan(back["mean"][1])
+    assert list(back["name"]) == list(df["name"])
+
+    p_nc = str(tmp_path / "out.nc")
+    write_result(df, p_nc)
+    nb = read_netcdf3(p_nc)
+    np.testing.assert_allclose(
+        nb["mean"].to_numpy(), df["mean"].to_numpy(), equal_nan=True
+    )
+    assert list(nb["name"]) == list(df["name"])
+
+
+def test_cli_dbf_output(ray_session, tmp_path):
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.sources.raster import (
+        raster_from_array,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.sinks import read_dbf
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    tiles_dir = str(tmp_path / "tiles")
+    write_raster_parquet(raster_from_array(vals, g, tile=4), tiles_dir)
+    zpath = str(tmp_path / "zones.parquet")
+    pq.write_table(
+        zone_table([(0, "a", wkbio.rect_wkb(0, 0, 4, 4))]), zpath
+    )
+    out = str(tmp_path / "out.dbf")
+    rc = main(["-p", zpath, "-r", f"values:{tiles_dir}", "-s", "mean", "-o", out])
+    assert rc == 0
+    res = read_dbf(out)
+    assert res["mean"].iloc[0] == vals[4:, :4].mean()
