@@ -23,6 +23,15 @@ QUERIES = [
     "sessionize",
     "knn_cosine",
     "minhash_pairs",
+    # round-2 operators
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_dups",
+    "zonal_feature_seq_rect",
+    "asof_join_events",
+    "interval_join_sessions",
+    "sliding_windows",
+    "doc_rolling_fingerprint",
 ]
 
 _CHILD = r"""
