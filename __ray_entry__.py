@@ -488,6 +488,33 @@ def _q_asof_join(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_pricing_summary(sf_dir: str):
+    from exactextractr_ray.pipelines.relational import pricing_summary
+
+    df = pricing_summary(sf_dir).to_pandas()
+    for c in ["sum_qty", "sum_base_cents", "sum_disc_cents_bp", "n_rows"]:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def _q_orders_by_nation(sf_dir: str):
+    from exactextractr_ray.pipelines.relational import orders_by_nation
+
+    df = orders_by_nation(sf_dir).to_pandas()
+    for c in ["n_orders", "sum_total_cents"]:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
+def _q_revenue_by_priority(sf_dir: str):
+    from exactextractr_ray.pipelines.relational import revenue_by_priority
+
+    df = revenue_by_priority(sf_dir).to_pandas()
+    for c in ["revenue_cents_bp", "n_items"]:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _q_dedup_exact(sf_dir: str):
     from exactextractr_ray.stages.dedup import exact_dedup
 
@@ -705,6 +732,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_windows": _q_sliding_windows,
         "asof_join_events": _q_asof_join,
         "interval_join_sessions": _q_interval_join,
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_nation": _q_orders_by_nation,
+        "revenue_by_priority": _q_revenue_by_priority,
         "dedup_exact": _q_dedup_exact,
         "token_stats_lang": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1021,6 +1051,42 @@ def oracle_sql() -> dict[str, str]:
     FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
     """
 
+    # relational pipelines: money in INTEGER cents / cent*basis-point
+    # products so sums are order-independent and hash-exact
+    pricing_summary_sql = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        AS sum_base_cents,
+      CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+               * CAST(ROUND((1-l_discount)*100) AS BIGINT)) AS BIGINT)
+        AS sum_disc_cents_bp,
+      CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem WHERE l_shipdate <= DATE '1998-09-01'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    orders_by_nation_sql = """
+    SELECT n.n_name,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+        AS sum_total_cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1 ORDER BY n_name
+    """
+
+    revenue_by_priority_sql = """
+    SELECT o.o_orderpriority,
+      CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents_bp,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY o_orderpriority
+    """
+
     # every event belongs to exactly one session, so the interval join is
     # just the sessionization's window assignment re-expressed
     interval_join_sql = """
@@ -1314,6 +1380,9 @@ def oracle_sql() -> dict[str, str]:
         "sliding_windows": sliding_windows_sql,
         "asof_join_events": asof_join_sql,
         "interval_join_sessions": interval_join_sql,
+        "pricing_summary": pricing_summary_sql,
+        "orders_by_nation": orders_by_nation_sql,
+        "revenue_by_priority": revenue_by_priority_sql,
         "dedup_exact": dedup_exact,
         "token_stats_lang": token_stats,
         "quality_scores": quality,

@@ -1,0 +1,186 @@
+"""Relational pipelines over the TPC-H-style tables: the canonical Ray Data
+shapes for wide aggregation and joins, with integer-exact money math.
+
+These are not reference operators (exactextractr has no relational layer);
+they demonstrate that the engine's building blocks — partial aggregation
+inside ``map_batches`` before a tiny groupby, broadcast hash joins for small
+dimensions, Ray's distributed hash join for fact-fact joins — compose into
+ordinary analytics at scale. Money is aggregated in INTEGER cents (and
+cent×basis-point products), so sums are exact in any order and every query
+hash-matches its DuckDB oracle bit-for-bit despite float inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_CUTOFF = np.datetime64("1998-09-01")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filter by ship date, aggregate per
+    (returnflag, linestatus). Per-batch partial aggregation (vectorized
+    pandas groupby inside the map task) means only ~8 partial rows per
+    block enter the shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_shipdate",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy()
+        keep = ship <= _CUTOFF
+        if not keep.any():
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_cents": pa.array([], pa.int64()),
+                    "sum_disc_cents_bp": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        qty = batch.column("l_quantity").to_numpy()[keep].astype(np.int64)
+        cents = np.round(
+            batch.column("l_extendedprice").to_numpy()[keep] * 100.0
+        ).astype(np.int64)
+        pct = np.round(
+            (1.0 - batch.column("l_discount").to_numpy()[keep]) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "l_linestatus": batch.column("l_linestatus").to_numpy(
+                    zero_copy_only=False
+                )[keep],
+                "sum_qty": qty,
+                "sum_base_cents": cents,
+                "sum_disc_cents_bp": cents * pct,
+                "n_rows": np.ones(len(qty), dtype=np.int64),
+            }
+        )
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["sum_qty", "sum_base_cents", "sum_disc_cents_bp", "n_rows"]
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+             "sum_disc_cents_bp", "n_rows"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def orders_by_nation(sf_dir: str):
+    """Broadcast dimension join: orders (fact, streams) x customer x nation
+    (dimensions, broadcast once via ray.put as a custkey -> nation-name
+    map), then per-batch partial aggregation per nation."""
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    # dense lookup arrays: custkey -> nation name index
+    max_ck = int(cust["c_custkey"].max())
+    ck2n = np.full(max_ck + 1, -1, dtype=np.int32)
+    ck2n[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+    names = np.array([nmap.get(i, "?") for i in range(ck2n.max() + 1)], dtype=object)
+    ref = ray.put((ck2n, names))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck2n_, names_ = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy()
+        nk = ck2n_[ck]
+        cents = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "n_name": names_[nk],
+                "n_orders": np.ones(len(ck), dtype=np.int64),
+                "sum_total_cents": cents,
+            }
+        )
+        agg = df.groupby("n_name", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("n_name").sum(["n_orders", "sum_total_cents"])
+    return out.map_batches(
+        lambda b: b.rename_columns(["n_name", "n_orders", "sum_total_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def revenue_by_priority(sf_dir: str, num_partitions: int | None = None):
+    """Fact-fact distributed hash join (Ray Dataset.join): lineitem x orders
+    on orderkey, then discounted revenue (integer cents x basis points) per
+    order priority. The join shuffles both sides by key — the all-to-all
+    shape; the aggregation afterwards is per-batch partial + tiny groupby."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions or ncpu,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch.column("l_extendedprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        pct = np.round(
+            (1.0 - batch.column("l_discount").to_numpy()) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch.column("o_orderpriority").to_numpy(
+                    zero_copy_only=False
+                ),
+                "revenue_cents_bp": cents * pct,
+                "n_items": np.ones(batch.num_rows, dtype=np.int64),
+            }
+        )
+        agg = df.groupby("o_orderpriority", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = joined.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("o_orderpriority").sum(
+        ["revenue_cents_bp", "n_items"]
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderpriority", "revenue_cents_bp", "n_items"]
+        ),
+        batch_format="pyarrow",
+    )
