@@ -488,6 +488,32 @@ def _q_asof_join(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_sample_docs(sf_dir: str):
+    """Deterministic Bernoulli sample (md5-keyed): same rows survive at any
+    parallelism; the SQL oracle reproduces the hash exactly."""
+    from exactextractr_ray.stages.text import sample_batch
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda b: sample_batch(b, 0.2), batch_format="pyarrow"
+    )
+    df = ds.to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_stratified_sample(sf_dir: str):
+    """Per-language rates: downsample the dominant language."""
+    from exactextractr_ray.stages.text import stratified_sample_batch
+
+    rates = {"en": 0.1, "de": 0.5, "fr": 0.5, "es": 0.5, "pt": 0.5, "zh": 1.0}
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda b: stratified_sample_batch(b, rates), batch_format="pyarrow"
+    )
+    df = ds.to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_pricing_summary(sf_dir: str):
     from exactextractr_ray.pipelines.relational import pricing_summary
 
@@ -735,6 +761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "orders_by_nation": _q_orders_by_nation,
         "revenue_by_priority": _q_revenue_by_priority,
+        "sample_docs": _q_sample_docs,
+        "stratified_sample": _q_stratified_sample,
         "dedup_exact": _q_dedup_exact,
         "token_stats_lang": _q_token_stats,
         "quality_scores": _q_quality,
@@ -1049,6 +1077,25 @@ def oracle_sql() -> dict[str, str]:
       MIN(t) AS start_us, MAX(t) AS end_us,
       MAX(t) - MIN(t) AS duration_us
     FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+    """
+
+    def _sample_frac_sql(salt: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            " AS UBIGINT) / 4294967296.0"
+        )
+
+    sample_docs_sql = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_sample_frac_sql("sample")} < 0.2 ORDER BY doc_id
+    """
+
+    strat_rate = (
+        "CASE lang WHEN 'en' THEN 0.1 WHEN 'zh' THEN 1.0 ELSE 0.5 END"
+    )
+    stratified_sample_sql = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_sample_frac_sql("strata")} < {strat_rate} ORDER BY doc_id
     """
 
     # relational pipelines: money in INTEGER cents / cent*basis-point
@@ -1383,6 +1430,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": pricing_summary_sql,
         "orders_by_nation": orders_by_nation_sql,
         "revenue_by_priority": revenue_by_priority_sql,
+        "sample_docs": sample_docs_sql,
+        "stratified_sample": stratified_sample_sql,
         "dedup_exact": dedup_exact,
         "token_stats_lang": token_stats,
         "quality_scores": quality,

@@ -312,3 +312,46 @@ def rolling_fingerprint_batch(
     )
     fps[:] = np.minimum.reduceat(hv, np.concatenate([[0], np.cumsum(ngrams)[:-1]]))
     return batch.append_column("doc_fp", pa.array(fps, type=pa.uint64()))
+
+
+# ---------------- deterministic sampling ----------------
+
+
+def _sample_frac(keys: np.ndarray, salt: str) -> np.ndarray:
+    """Deterministic per-key uniform fraction: first 8 md5 hex digits of
+    '{salt}:{key}' / 2^32 — reproducible at any parallelism and exactly
+    expressible in SQL (the Morton/geocode hex-cast trick)."""
+    out = np.empty(len(keys), dtype=np.float64)
+    for i, k in enumerate(keys):
+        h = int(hashlib.md5(f"{salt}:{int(k)}".encode()).hexdigest()[:8], 16)
+        out[i] = h / 4294967296.0
+    return out
+
+
+def sample_batch(
+    batch: pa.Table, rate: float, id_col: str = "doc_id", salt: str = "sample"
+) -> pa.Table:
+    """Bernoulli(rate) sample keyed on a deterministic id hash — the
+    distributed-sampling shape: a pure per-row filter, no coordination, the
+    SAME rows survive at any parallelism or retry (unlike rng-based
+    Dataset.random_sample)."""
+    keys = batch.column(id_col).to_numpy()
+    keep = _sample_frac(keys, salt) < rate
+    return batch.filter(pa.array(keep))
+
+
+def stratified_sample_batch(
+    batch: pa.Table,
+    rates: dict,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> pa.Table:
+    """Per-stratum Bernoulli rates (e.g. downsample dominant languages):
+    same deterministic hash, rate chosen by the stratum column."""
+    keys = batch.column(id_col).to_numpy()
+    strata = batch.column(strata_col).to_numpy(zero_copy_only=False)
+    frac = _sample_frac(keys, salt)
+    rate_arr = np.array([rates.get(s, default_rate) for s in strata])
+    return batch.filter(pa.array(frac < rate_arr))
