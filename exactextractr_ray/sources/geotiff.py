@@ -134,7 +134,10 @@ def _decode_lzw(data: bytes) -> bytes:
                 table.append(entry)
             out.extend(entry)
             prev = entry
-            if len(table) >= (1 << width) - 1 and width < 12:
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by ONE pending entry, so it must widen one entry
+            # earlier (at 2^w - 2, not 2^w - 1)
+            if len(table) >= (1 << width) - 2 and width < 12:
                 width += 1
     return bytes(out)
 

@@ -208,3 +208,71 @@ def test_tiff_predictor2_uint16(tmp_path):
     _write_tiff(p, arr, compression=8, predictor=2)
     got, _ = read_geotiff(p)
     np.testing.assert_array_equal(got, arr.astype(np.float64))
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Minimal TIFF LZW encoder (MSB-first, early-change) for decoder tests."""
+    CLEAR, EOI = 256, 257
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits.append((CLEAR, width))
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        out_bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        # TIFF early change: widen when next_code reaches 2^width - 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:  # table nearly full: emit CLEAR, reset
+            out_bits.append((CLEAR, width))
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((EOI, width))
+    acc = 0
+    bits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        bits += wd
+        while bits >= 8:
+            out.append((acc >> (bits - 8)) & 0xFF)
+            bits -= 8
+    if bits:
+        out.append((acc << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Naive PackBits: literal runs only (valid encoding)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out.extend(chunk)
+        i += len(chunk)
+    return bytes(out)
+
+
+def test_lzw_and_packbits_decoders():
+    from exactextractr_ray.sources.geotiff import _decode_lzw, _decode_packbits
+
+    rng = np.random.default_rng(9)
+    for n in (1, 17, 1000, 20000):
+        # compressible data (small alphabet) exercises table growth + CLEAR
+        data = bytes(rng.integers(0, 7, n, dtype=np.uint8))
+        assert _decode_lzw(_lzw_encode(data)) == data
+        assert _decode_packbits(_packbits_encode(data)) == data
+    # repeated-run packbits form
+    assert _decode_packbits(bytes([257 - 5, 42])) == bytes([42] * 5)
