@@ -543,6 +543,15 @@ def exact_extract(
     """
     if append_cols:
         include_cols = list(dict.fromkeys((include_cols or []) + append_cols))
+    # reference contract: 'Invalid value of max_cells_in_memory'
+    # (R/exact_extract.R max_cells validation, test_exact_extract_errors.R:241)
+    if max_cells_per_item is not None:
+        if not isinstance(max_cells_per_item, (int, np.integer)) or isinstance(
+            max_cells_per_item, bool
+        ):
+            raise ValueError("max_cells_per_item must be a single integer")
+        if max_cells_per_item <= 0:
+            raise ValueError(f"Invalid max_cells_per_item: {max_cells_per_item}")
     value_names = [value_layer] if isinstance(value_layer, str) else list(value_layer)
     if weight_layer is None:
         weight_names: list[str] = []

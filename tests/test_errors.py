@@ -79,3 +79,35 @@ def test_missing_weight_layer_in_block(_ray):
 
     with pytest.raises(Exception, match="layer|weight"):
         exact_extract(_rd(), _zones(), ["weighted_mean"], weight_layer="nope")
+
+
+def test_max_cells_validation(_ray):
+    """Transcribed: test_exact_extract_errors.R:241-258 (Invalid max_cells /
+    must be a single numeric)."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    zones = synth_rect_zones(2, 16)
+    with pytest.raises(ValueError, match="Invalid max_cells"):
+        exact_extract(rd, zones, ["mean"], max_cells_per_item=-123)
+    with pytest.raises(ValueError, match="single integer"):
+        exact_extract(rd, zones, ["mean"], max_cells_per_item=1.5)
+
+
+def test_incompatible_weight_grid(_ray):
+    """Transcribed: test_exact_extract_errors.R:172 (Incompatible extents /
+    non-multiple resolutions between value and weight rasters)."""
+    import numpy as np
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.mixed import exact_extract_mixed
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    g1 = Grid(0, 0, 16, 16, 1, 1)
+    g2 = Grid(0.3, 0, 16.3, 16, 1.7, 1.7)  # misaligned, non-multiple
+    v = raster_from_array(np.ones((16, 16)), g1, tile=8)
+    w = raster_from_array(np.ones((10, 10)), g2, tile=8)
+    with pytest.raises(ValueError, match="not compatible"):
+        exact_extract_mixed(v, w, synth_rect_zones(2, 16), ["weighted_mean"])
