@@ -276,3 +276,36 @@ def test_lzw_and_packbits_decoders():
         assert _decode_packbits(_packbits_encode(data)) == data
     # repeated-run packbits form
     assert _decode_packbits(bytes([257 - 5, 42])) == bytes([42] * 5)
+
+
+def test_geotiff_to_cli_end_to_end(_ray, tmp_path):
+    """Full ingestion seam: real GeoTIFF -> tile-parquet, real GPKG zones ->
+    parquet, then the CLI computes the same means as the library path."""
+    import pyarrow.parquet as pq
+
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.geotiff import (
+        geotiff_raster_dataset,
+        geotiff_to_tile_parquet,
+    )
+    from exactextractr_ray.sources.gpkg import read_gpkg_zones
+    from exactextractr_ray.sources.sinks import read_dbf
+
+    tiles = str(tmp_path / "dem_tiles")
+    geotiff_to_tile_parquet(f"{SM}/eu_dem_v11.tif", tiles, tile=64)
+    zones = read_gpkg_zones(f"{SM}/concelhos.gpkg")
+    zpath = str(tmp_path / "zones.parquet")
+    pq.write_table(zones, zpath)
+
+    out = str(tmp_path / "elev.dbf")
+    rc = main(["-p", zpath, "-r", f"dem:{tiles}", "-s", "mean", "-o", out])
+    assert rc == 0
+    got = read_dbf(out).sort_values("zone_id").reset_index(drop=True)
+
+    ref = exact_extract(
+        geotiff_raster_dataset(f"{SM}/eu_dem_v11.tif", tile=64), zones, ["mean"]
+    ).to_pandas().sort_values("zone_id").reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["mean"].to_numpy(), ref["mean"].to_numpy(), rtol=1e-6
+    )  # DBF carries 6 decimals
