@@ -953,6 +953,7 @@ def exact_extract_apply(
     stack_apply: bool = False,
     summarize_df: bool = False,
     fn_kwargs: dict | None = None,
+    append_cols: list[str] | None = None,
     **kwargs,
 ):
     """The user-summary-function path (fun=... in the reference,
@@ -1013,7 +1014,7 @@ def exact_extract_apply(
         # ONE execution: per-layer cell extractions union into a single
         # stream, the UDF runs per (zone, layer) group in one shuffle, and
         # only the tiny UDF RESULT rows (zones x layers) pivot on the driver
-        import ray.data
+        import ray.data as _rd
 
         cov_name_s = (
             "coverage_area" if kwargs.get("coverage_area") else "coverage_fraction"
@@ -1047,8 +1048,8 @@ def exact_extract_apply(
                 out = fn(df["value"], df[cov_name_s], **fkw_s)
             else:
                 out = fn(df["value"], df[cov_name_s], df["weight"], **fkw_s)
-            if np.isscalar(out):
-                out = pd.DataFrame({"result": [out]})
+            if not isinstance(out, pd.DataFrame):
+                out = pd.DataFrame({"result": np.atleast_1d(np.asarray(out))})
             out = out.copy()
             out.insert(0, "zone_id", zone_id)
             out.insert(1, "layer", lay)
@@ -1066,7 +1067,7 @@ def exact_extract_apply(
                 columns={c: f"{c}.{lay}" for c in part.columns if c != "zone_id"}
             )
             merged = part if merged is None else merged.merge(part, on="zone_id")
-        return ray.data.from_pandas(merged.reset_index(drop=True))
+        return _rd.from_pandas(merged.reset_index(drop=True))
 
     cells = extract_cells(
         raster,
@@ -1089,10 +1090,26 @@ def exact_extract_apply(
             out = fn(df["value"], df[cov_name], **fkw)
         else:
             out = fn(df["value"], df[cov_name], df["weight"], **fkw)
-        if np.isscalar(out):
-            out = pd.DataFrame({"result": [out]})
+        if not isinstance(out, pd.DataFrame):
+            # scalar OR vector return (the reference wraps both as 'result';
+            # a length-k vector becomes k rows r-bound per zone)
+            out = pd.DataFrame({"result": np.atleast_1d(np.asarray(out))})
         out = out.copy()
         out.insert(0, "zone_id", zone_id)
         return out
 
-    return cells.groupby("zone_id").map_groups(run, batch_format="pandas")
+    out_ds = cells.groupby("zone_id").map_groups(run, batch_format="pandas")
+    if append_cols:
+        # the reference's append_cols on the fun path: source attribute
+        # columns lead the result, repeated for multi-row UDF frames
+        zdf = zones.select(["zone_id"] + list(append_cols)).to_pandas()
+        aref = ray.put(zdf)
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            z = ray.get(aref)
+            m = b.merge(z, on="zone_id", how="left")
+            lead = list(append_cols)
+            return m[lead + [c for c in m.columns if c not in lead]]
+
+        out_ds = out_ds.map_batches(attach, batch_format="pandas")
+    return out_ds

@@ -485,3 +485,40 @@ def test_append_cols_carries_attributes(_ray):
     ).to_pandas()
     assert list(res["name"]) == ["alpha", "beta"]
     assert "mean" in res.columns
+
+
+def test_apply_udf_append_cols_multirow(_ray):
+    """Transcribed: test_exact_extract.R:1169-1240 — append_cols with UDFs
+    returning multi-row frames, length-k vectors, and zero-row frames."""
+    rd = _two_layer_raster()
+    zones = zone_table(
+        [
+            (0, "a", wkbio.rect_wkb(0, 0, 4, 4)),
+            (1, "b", wkbio.rect_wkb(4, 4, 8, 8)),
+        ]
+    )
+
+    # multi-row data frame
+    out = exact_extract_apply(
+        rd, zones,
+        lambda v, c: pd.DataFrame({"x": [1, 2, 3], "x2": [4, 5, 6]}),
+        value_layer="a", append_cols=["name"],
+    ).to_pandas().sort_values(["name", "x"]).reset_index(drop=True)
+    assert list(out.columns)[0] == "name"
+    assert list(out["name"]) == ["a"] * 3 + ["b"] * 3
+    assert list(out["x"]) == [1, 2, 3, 1, 2, 3]
+
+    # length-k vector -> 'result' rows
+    out2 = exact_extract_apply(
+        rd, zones, lambda v, c: np.array([1, 2, 3]),
+        value_layer="a", append_cols=["name"],
+    ).to_pandas().sort_values(["name", "result"]).reset_index(drop=True)
+    assert list(out2["result"]) == [1, 2, 3, 1, 2, 3]
+
+    # zero-row frame -> zone contributes no rows (names preserved)
+    out3 = exact_extract_apply(
+        rd, zones,
+        lambda v, c: pd.DataFrame({"x": pd.Series([], dtype=np.float64)}),
+        value_layer="a", append_cols=["name"],
+    ).to_pandas()
+    assert len(out3) == 0
