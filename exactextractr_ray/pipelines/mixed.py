@@ -79,6 +79,10 @@ class MixedResPartialStats:
             self.vg.xmin, self.vg.ymin, self.vg.xmax, self.vg.ymax,
             common_dx, common_dy,
         )
+        # aligned-but-offset weight grids: origin shift in common cells
+        # (compatible_with guarantees these are integers within tol)
+        self.off_x = int(round((self.vg.xmin - self.wg.xmin) / common_dx))
+        self.off_y = int(round((self.wg.ymax - self.vg.ymax) / common_dy))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         layers = batch.column("layer").to_pylist()
@@ -103,12 +107,18 @@ class MixedResPartialStats:
                 continue
             vals = np.asarray(values_col[i].values, dtype=np.float64).reshape(th, tw)
             vals_c = np.repeat(np.repeat(vals, self.fv_y, axis=0), self.fv_x, axis=1)
-            # weight window on the common grid via integer index mapping
-            crows = (crow0 + np.arange(cth)) // self.fw_y
-            ccols = (ccol0 + np.arange(ctw)) // self.fw_x
-            np.clip(crows, 0, self.weights.shape[0] - 1, out=crows)
-            np.clip(ccols, 0, self.weights.shape[1] - 1, out=ccols)
-            w_c = self.weights[np.ix_(crows, ccols)]
+            # weight window on the common grid via integer index mapping,
+            # honoring an offset weight origin; cells OUTSIDE the weight
+            # raster's extent are NODATA (NaN), which poisons weighted sums
+            # exactly like the reference's raster get() outside-extent
+            # behavior (test_exact_extract.R:626-641) — never edge-clamped
+            wr = (crow0 + np.arange(cth) + self.off_y) // self.fw_y
+            wc = (ccol0 + np.arange(ctw) + self.off_x) // self.fw_x
+            vr = (wr >= 0) & (wr < self.weights.shape[0])
+            vc = (wc >= 0) & (wc < self.weights.shape[1])
+            w_c = np.full((cth, ctw), np.nan)
+            if vr.any() and vc.any():
+                w_c[np.ix_(vr, vc)] = self.weights[np.ix_(wr[vr], wc[vc])]
 
             for zi in zidx:
                 e = self.zones.envelopes[zi]

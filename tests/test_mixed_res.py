@@ -66,3 +66,81 @@ def test_incompatible_grids_rejected(_ray):
     zones = zone_table([(0, "z", wkbio.rect_wkb(1, 1, 4, 4))])
     with pytest.raises(ValueError, match="not compatible"):
         exact_extract_mixed(vrd, wrd, zones, ["mean"])
+
+
+def test_weight_raster_partial_extent(_ray):
+    """Transcribed semantics: test_exact_extract.R:606-641 — a polygon
+    partly OUTSIDE the weight raster gets NaN weighted stats (NODATA
+    poisoning), never edge-clamped weights; a polygon fully inside computes
+    normally. Unweighted stats are unaffected either way."""
+    import numpy as np
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.mixed import exact_extract_mixed
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import zone_table
+    from exactextractr_ray import wkbio
+
+    vg = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    v = raster_from_array(vals, vg, tile=4)
+    # weight raster covers only the LEFT half (x in [0, 4)), same resolution
+    wgrid = Grid(0, 0, 4, 8, 1, 1)
+    wts = np.full((8, 4), 2.0)
+    w = raster_from_array(wts, wgrid, tile=4)
+
+    zones = zone_table(
+        [
+            (0, "inside", wkbio.rect_wkb(0, 0, 4, 8)),     # fully in weights
+            (1, "straddle", wkbio.rect_wkb(2, 0, 6, 8)),   # half outside
+        ]
+    )
+    res = exact_extract_mixed(
+        v, w, zones, ["weighted_mean", "mean"]
+    ).to_pandas().sort_values("zone_id").reset_index(drop=True)
+    # constant weights inside -> weighted_mean == mean for the inside zone
+    assert res["weighted_mean"].iloc[0] == pytest.approx(res["mean"].iloc[0])
+    # straddling zone: NaN weights poison the weighted stat...
+    assert np.isnan(res["weighted_mean"].iloc[1])
+    # ...but not the unweighted one
+    assert np.isfinite(res["mean"].iloc[1])
+
+
+def test_weight_raster_offset_origin(_ray):
+    """Aligned-but-offset weight grid (origin shifted by whole cells) maps
+    to the correct weight cells — regression for the origin-shared
+    assumption."""
+    import numpy as np
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.mixed import exact_extract_mixed
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import zone_table
+    from exactextractr_ray import wkbio
+
+    vg = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.ones((8, 8))
+    v = raster_from_array(vals, vg, tile=4)
+    # weight grid shifted by (+2, +2), covering x,y in [2, 10); weights
+    # equal their GLOBAL x-column so the mapping is observable
+    wgrid = Grid(2, 2, 10, 10, 1, 1)
+    wcols = np.broadcast_to(np.arange(2, 10, dtype=float)[None, :], (8, 8)).copy()
+    w = raster_from_array(wcols, wgrid, tile=4)
+
+    zones = zone_table([(0, "z", wkbio.rect_wkb(3, 3, 6, 6))])  # inside both
+    res = exact_extract_mixed(v, w, zones, ["weighted_mean"]).to_pandas()
+    # values are all 1 -> weighted_mean of value = 1 regardless, so check
+    # via weighted_sum-like identity: use weighted_frac of the single value
+    # instead assert the weight sum implicitly: weighted_mean of CONSTANT
+    # values is exact 1.0 only if weights mapped to finite cells
+    assert res["weighted_mean"].iloc[0] == pytest.approx(1.0)
+
+    # make it sensitive: values = global column index too; weighted mean of
+    # x-coord with weight x over x in {3,4,5} = sum(x^2)/sum(x) = 50/12
+    vals2 = np.broadcast_to(np.arange(0.5, 8, dtype=float)[None, :], (8, 8)).copy()
+    vals2 = np.floor(vals2) + 0.5  # cell-center x
+    v2 = raster_from_array(vals2, vg, tile=4)
+    res2 = exact_extract_mixed(v2, w, zones, ["weighted_mean"]).to_pandas()
+    # zone covers columns 3,4,5 (centers 3.5, 4.5, 5.5); weight at center
+    # x=3.5 is wcol floor(3.5)=3 etc -> weights 3,4,5 per column
+    num = sum(x * wt for x, wt in [(3.5, 3), (4.5, 4), (5.5, 5)])
+    den = 3 + 4 + 5
+    assert res2["weighted_mean"].iloc[0] == pytest.approx(num / den, rel=1e-12)
