@@ -179,6 +179,12 @@ def exact_extract_feature_seq(
 
     from ..util import cached_stage
 
+    if {"frac", "weighted_frac"} & set(stats):
+        raise ValueError(
+            "frac/weighted_frac need the global value union across zones — "
+            "use the raster-sequential plan (exact_extract)"
+        )
+
     with open(posixpath.join(parquet_path, "_raster_meta.json")) as f:
         meta = json.load(f)
     zds = ray.data.from_arrow(zones)
