@@ -30,9 +30,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # throughput numbers are comparable across sf; document tables come from sf).
 # sized so parallel compute dominates fixed per-pipeline overhead — the
 # regime the scaling criterion is about
-ZONAL_N = int(os.environ.get("GRAFT_ZONAL_N", "32768"))  # raster side
+# steady-state sizing by default: at 4096 tiles a 32-cpu zonal run lasts
+# ~3 s and measures plan/ramp cost, not throughput (measured: 835 vs 1590+
+# tiles/s on the SAME 16 cpus at 4096 vs 16384 tiles) — see BASELINE.md
+ZONAL_N = int(os.environ.get("GRAFT_ZONAL_N", "65536"))  # raster side
 ZONAL_TILE = 512  # tiles of 262k cells (1 MiB float32 each)
 ZONAL_ZONES = 64
+# join default stays at 40M for round-over-round comparability (the
+# steady-state 120M size is used by --scaling children at 4/16 cpus, where
+# it is validated; at 32 cpus + 120M the host shows object-store pressure
+# on top of its usual noise)
 JOIN_POINTS = int(os.environ.get("GRAFT_JOIN_POINTS", "40000000"))
 JOIN_ZONES = 64
 
