@@ -109,6 +109,40 @@ def cell_area_matrix(grid: Grid, row0: int, nrows: int, ncols: int, method: str)
     return np.full((nrows, ncols), grid.dx * grid.dy)
 
 
+def _prune_tiles_to_zones(raster, zset: ZoneSet):
+    """Expression-filter the tile Dataset to the zones' union envelope:
+    only (row0, col0) ranges that can intersect ANY zone stream onward.
+    Returns raster.ds unchanged when the zones cover the whole grid."""
+    g = raster.grid
+    e = zset.envelopes
+    if len(e) == 0:
+        return raster.ds.filter(expr="row0 < 0")  # nothing can match
+    xmin = float(e[:, 0].min())
+    ymin = float(e[:, 1].min())
+    xmax = float(e[:, 2].max())
+    ymax = float(e[:, 3].max())
+    if (
+        xmin <= g.xmin and ymin <= g.ymin
+        and xmax >= g.xmax and ymax >= g.ymax
+    ):
+        return raster.ds
+    # grid rows count from the top (y = ymax at row 0)
+    rmin = int(np.floor((g.ymax - ymax) / g.dy))
+    rmax = int(np.ceil((g.ymax - ymin) / g.dy)) - 1
+    cmin = int(np.floor((xmin - g.xmin) / g.dx))
+    cmax = int(np.ceil((xmax - g.xmin) / g.dx)) - 1
+    if rmax < 0 or cmax < 0 or rmin >= g.nrow or cmin >= g.ncol:
+        return raster.ds.filter(expr="row0 < 0")
+    # a tile [row0, row0+tile_h) overlaps [rmin, rmax] iff
+    # row0 <= rmax and row0 > rmin - tile_h (row0 is a tile_h multiple)
+    return raster.ds.filter(
+        expr=(
+            f"row0 <= {max(rmax, 0)} and row0 > {rmin - raster.tile_h} and "
+            f"col0 <= {max(cmax, 0)} and col0 > {cmin - raster.tile_w}"
+        )
+    )
+
+
 def value_weight_indexes(num_values: int, num_weights: int):
     """Layer recycling (.valueWeightIndexes, exact_extract_helpers.R:133-152)."""
     if num_weights == 0:
@@ -571,6 +605,13 @@ def exact_extract(
     zones_ref = ray.put(zset)
     store_values = bool(STORED_VALUE_STATS & set(stats))
 
+    # prune the TILE STREAM to the zones' union envelope before the map
+    # stage: tiles that cannot intersect any zone never generate / leave
+    # storage (an expression filter, pushed into the parquet scan for
+    # parquet-backed rasters). Correctness-neutral — dropped tiles
+    # contribute nothing; missing zones become NaN rows as usual.
+    tiles_ds = _prune_tiles_to_zones(raster, zset)
+
     stage_args = (
         zones_ref,
         raster.grid.to_dict(),
@@ -584,7 +625,7 @@ def exact_extract(
         max_cells_per_item,
     )
     if actors:
-        partials = raster.ds.map_batches(
+        partials = tiles_ds.map_batches(
             ZonalPartialStats,
             fn_constructor_args=stage_args,
             batch_format="pyarrow",
@@ -592,7 +633,7 @@ def exact_extract(
             concurrency=concurrency or (1, 8),
         )
     else:
-        partials = raster.ds.map_batches(
+        partials = tiles_ds.map_batches(
             cached_stage(ZonalPartialStats, *stage_args),
             batch_format="pyarrow",
             batch_size=None,

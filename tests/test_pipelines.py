@@ -519,3 +519,27 @@ def test_random_polygons_pipeline_vs_kernel(_ray):
             assert got["min"] == st.min and got["max"] == st.max, k
         else:
             assert np.isnan(got["min"]), k
+
+
+def test_tile_pruning_to_zone_envelope(_ray):
+    """Tiles outside the zones' union envelope never stream: a corner zone
+    on a 64x64 raster (16 tiles) keeps only its 2x2 tile neighborhood, and
+    the stats are unchanged."""
+    from exactextractr_ray.pipelines.zonal import (
+        _prune_tiles_to_zones,
+        exact_extract,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import parse_zone_table, zone_table
+
+    rd = synthetic_raster_dataset(n=64, tile=16)
+    zones = zone_table([(0, "corner", wkbio.rect_wkb(1.0, 1.0, 20.0, 20.0))])
+    zset = parse_zone_table(zones)
+    pruned = _prune_tiles_to_zones(rd, zset)
+    # zone spans x,y in [1,20] -> columns 0..19, rows 44..62 -> tiles with
+    # col0 in {0,16} and row0 in {32,48}: 4 of 16 tiles survive
+    assert pruned.count() == 4
+    res = exact_extract(rd, zones, ["count", "sum"]).to_pandas()
+    st = _truth_stats(64, (1.0, 1.0, 20.0, 20.0))
+    assert res["count"].iloc[0] == pytest.approx(st.count(), rel=1e-12)
+    assert res["sum"].iloc[0] == pytest.approx(st.sum(), rel=1e-12)
