@@ -948,7 +948,7 @@ def extract_cells(
     /root/reference/R/exact_extract.R:608-765)."""
     zset = parse_zone_table(zones)
     zones_ref = ray.put(zset)
-    return raster.ds.map_batches(
+    return _prune_tiles_to_zones(raster, zset).map_batches(
         cached_stage(
             ZonalCellExtract,
             zones_ref,
