@@ -908,23 +908,39 @@ class ZonalCellExtract:
                 chunks.append(chunk)
 
         if not chunks:
-            cols = {
-                "zone_id": pa.array([], pa.int64()),
-                "value": pa.array([], pa.float64()),
-                cov_name: pa.array([], pa.float64()),
-            }
-            if self.weight_layer is not None:
-                cols["weight"] = pa.array([], pa.float64())
-            if self.include_xy:
-                cols["x"] = pa.array([], pa.float64())
-                cols["y"] = pa.array([], pa.float64())
-            if self.include_cell:
-                cols["cell"] = pa.array([], pa.int64())
-            if self.include_area:
-                cols["area"] = pa.array([], pa.float64())
-            return pa.table(cols)
+            return _empty_cells_table(
+                cov_name,
+                self.weight_layer is not None,
+                self.include_xy,
+                self.include_cell,
+                self.include_area,
+            )
         merged = {k: np.concatenate([c[k] for c in chunks]) for k in chunks[0]}
         return pa.table(merged)
+
+
+def _empty_cells_table(
+    cov_name: str, has_weight: bool, include_xy: bool,
+    include_cell: bool, include_area: bool,
+) -> pa.Table:
+    """Zero-row cell-extraction table with the full output schema — the
+    reference returns a schema'd empty frame even for polygons disjoint
+    from the raster (test_exact_extract_include_args.R:177-201, issue #68)."""
+    cols = {
+        "zone_id": pa.array([], pa.int64()),
+        "value": pa.array([], pa.float64()),
+        cov_name: pa.array([], pa.float64()),
+    }
+    if has_weight:
+        cols["weight"] = pa.array([], pa.float64())
+    if include_xy:
+        cols["x"] = pa.array([], pa.float64())
+        cols["y"] = pa.array([], pa.float64())
+    if include_cell:
+        cols["cell"] = pa.array([], pa.int64())
+    if include_area:
+        cols["area"] = pa.array([], pa.float64())
+    return pa.table(cols)
 
 
 def extract_cells(
@@ -948,7 +964,7 @@ def extract_cells(
     /root/reference/R/exact_extract.R:608-765)."""
     zset = parse_zone_table(zones)
     zones_ref = ray.put(zset)
-    return _prune_tiles_to_zones(raster, zset).map_batches(
+    mapped = _prune_tiles_to_zones(raster, zset).map_batches(
         cached_stage(
             ZonalCellExtract,
             zones_ref,
@@ -966,6 +982,19 @@ def extract_cells(
         batch_format="pyarrow",
         batch_size=None,
     )
+    # a zero-row schema seed: with every tile pruned away (zones disjoint
+    # from the raster) the mapped stream has no blocks, but the reference
+    # still returns the full column set (issue #68)
+    seed = ray.data.from_arrow(
+        _empty_cells_table(
+            "coverage_area" if coverage_area else "cov",
+            weight_layer is not None,
+            include_xy,
+            include_cell,
+            include_area,
+        )
+    )
+    return mapped.union(seed)
 
 
 def _num_expected_args(fn) -> int:
@@ -983,6 +1012,52 @@ def _num_expected_args(fn) -> int:
     return n
 
 
+#: include_* columns the extraction stage can emit, in the reference's
+#: positional-frame order (value, include_cols..., x, y, cell, area).
+_INCLUDE_ORDER = ("x", "y", "cell", "area")
+
+
+def _zone_attr_ref(zones: pa.Table, include_cols):
+    """Broadcast {col: {zone_id: value}} for include_cols (tiny, once)."""
+    if not include_cols:
+        return None
+    zdf = zones.select(["zone_id"] + list(include_cols)).to_pandas()
+    amap = {
+        c: dict(zip(zdf["zone_id"].to_numpy(), zdf[c].to_numpy()))
+        for c in include_cols
+    }
+    return ray.put(amap)
+
+
+def _udf_values_arg(df: pd.DataFrame, zone_id: int, include_cols, attr_ref):
+    """Positional `values` argument for the UDF: a plain Series normally, a
+    data frame (value, include_cols..., x, y, cell, area) when any include_*
+    argument was requested (test_exact_extract_include_args.R:146-175)."""
+    extras = [c for c in _INCLUDE_ORDER if c in df.columns]
+    if not include_cols and not extras:
+        return df["value"]
+    cols = {"value": df["value"]}
+    if include_cols:
+        amap = ray.get(attr_ref)
+        for c in include_cols:
+            cols[c] = np.repeat(amap[c][zone_id], len(df))
+    for c in extras:
+        cols[c] = df[c]
+    return pd.DataFrame(cols)
+
+
+def _udf_df_form(df: pd.DataFrame, zone_id: int, include_cols, attr_ref):
+    """summarize_df=True frame: include_cols inserted right after `value`."""
+    if not include_cols:
+        return df
+    amap = ray.get(attr_ref)
+    df = df.copy()
+    at = df.columns.get_loc("value") + 1
+    for i, c in enumerate(include_cols):
+        df.insert(at + i, c, np.repeat(amap[c][zone_id], len(df)))
+    return df
+
+
 def exact_extract_apply(
     raster,
     zones: pa.Table,
@@ -995,6 +1070,7 @@ def exact_extract_apply(
     summarize_df: bool = False,
     fn_kwargs: dict | None = None,
     append_cols: list[str] | None = None,
+    include_cols: list[str] | None = None,
     **kwargs,
 ):
     """The user-summary-function path (fun=... in the reference,
@@ -1005,6 +1081,12 @@ def exact_extract_apply(
       coverage_fractions[, weights], **fn_kwargs)`` — positional vectors
       (pandas Series). fn must accept >= 2 (no weights) / >= 3 (weights)
       non-default args or a ValueError mirrors the reference's message.
+      When any ``include_xy`` / ``include_cell`` / ``include_area`` /
+      ``include_cols`` is requested, the positional ``values`` argument
+      becomes a DATA FRAME with columns ``value``, *include_cols*, ``x``,
+      ``y``, ``cell``, ``area`` (the reference's documented behavior —
+      tests/testthat/test_exact_extract_include_args.R:146-175); coverage
+      fractions and weights remain numeric vectors.
     * ``summarize_df=True``: ``fn(df, **fn_kwargs)`` — one frame per zone
       with the reference's column names: the value column is ``value`` for a
       single layer (multi-layer frames keep layer names via stack_apply),
@@ -1050,7 +1132,7 @@ def exact_extract_apply(
                 value_layer=layers[0], weight_layer=weight_layer,
                 include_xy=include_xy, include_cell=include_cell,
                 stack_apply=False, summarize_df=summarize_df,
-                fn_kwargs=fn_kwargs, **kwargs,
+                fn_kwargs=fn_kwargs, include_cols=include_cols, **kwargs,
             )
         # ONE execution: per-layer cell extractions union into a single
         # stream, the UDF runs per (zone, layer) group in one shuffle, and
@@ -1077,18 +1159,21 @@ def exact_extract_apply(
             )
         allcells = parts_ds[0].union(*parts_ds[1:])
 
+        attr_ref_s = _zone_attr_ref(zones, include_cols)
+
         def run_layer(group: pd.DataFrame) -> pd.DataFrame:
             zone_id = int(group["zone_id"].iloc[0])
             lay = group["layer"].iloc[0]
             df = group.drop(columns=["zone_id", "layer"]).rename(
                 columns={"cov": cov_name_s}
             )
+            vals = _udf_values_arg(df, zone_id, include_cols, attr_ref_s)
             if summarize_df:
-                out = fn(df, **fkw_s)
+                out = fn(_udf_df_form(df, zone_id, include_cols, attr_ref_s), **fkw_s)
             elif weight_layer is None:
-                out = fn(df["value"], df[cov_name_s], **fkw_s)
+                out = fn(vals, df[cov_name_s], **fkw_s)
             else:
-                out = fn(df["value"], df[cov_name_s], df["weight"], **fkw_s)
+                out = fn(vals, df[cov_name_s], df["weight"], **fkw_s)
             if not isinstance(out, pd.DataFrame):
                 out = pd.DataFrame({"result": np.atleast_1d(np.asarray(out))})
             out = out.copy()
@@ -1122,15 +1207,18 @@ def exact_extract_apply(
     cov_name = "coverage_area" if kwargs.get("coverage_area") else "coverage_fraction"
     fkw = fn_kwargs or {}
 
+    attr_ref = _zone_attr_ref(zones, include_cols)
+
     def run(group: pd.DataFrame) -> pd.DataFrame:
         zone_id = int(group["zone_id"].iloc[0])
         df = group.drop(columns=["zone_id"]).rename(columns={"cov": cov_name})
+        vals = _udf_values_arg(df, zone_id, include_cols, attr_ref)
         if summarize_df:
-            out = fn(df, **fkw)
+            out = fn(_udf_df_form(df, zone_id, include_cols, attr_ref), **fkw)
         elif weight_layer is None:
-            out = fn(df["value"], df[cov_name], **fkw)
+            out = fn(vals, df[cov_name], **fkw)
         else:
-            out = fn(df["value"], df[cov_name], df["weight"], **fkw)
+            out = fn(vals, df[cov_name], df["weight"], **fkw)
         if not isinstance(out, pd.DataFrame):
             # scalar OR vector return (the reference wraps both as 'result';
             # a length-k vector becomes k rows r-bound per zone)
