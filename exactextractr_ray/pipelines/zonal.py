@@ -564,6 +564,7 @@ def exact_extract(
     materialize_partials: bool = True,
     max_cells_per_item: int | None = None,
     append_cols: list[str] | None = None,
+    stats_sink: dict | None = None,
 ) -> pa.Table:
     """Named-stats zonal statistics; one row per zone in input order.
 
@@ -676,6 +677,9 @@ def exact_extract(
 
     agg = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
     result = agg.to_pandas()  # one row per zone: small by design
+    if stats_sink is not None:
+        # executor-level per-stage timings for perf writeups (PERF.md)
+        stats_sink["stats"] = agg.stats()
 
     # fully-disjoint input (NO zone touches the raster): the aggregation is
     # an empty frame with no stat columns, so build the expected
