@@ -186,9 +186,17 @@ class Grid:
             self.dy,
         )
 
+    @staticmethod
+    def make_empty() -> "Grid":
+        """Zero-size grid (the reference's Grid::make_empty)."""
+        return Grid(0.0, 0.0, 0.0, 0.0, 1.0, 1.0)
+
     def compatible_with(self, other: "Grid", tol: float = 1e-3) -> bool:
         """True if resolutions are integer multiples and origins align —
-        semantics of grid.h compatible_with (reference grid.h:130-217)."""
+        semantics of grid.h compatible_with (reference grid.h:130-217).
+        An empty grid is compatible with everything (test_grid.cpp:229-237)."""
+        if self.empty() or other.empty():
+            return True
         for a, b in ((self.dx, other.dx), (self.dy, other.dy)):
             big, small = (a, b) if a >= b else (b, a)
             ratio = big / small
@@ -204,6 +212,36 @@ class Grid:
             if abs(diff - round(diff)) > tol:
                 return False
         return True
+
+    def common_grid(self, other: "Grid") -> "Grid":
+        """Union extent at the finer resolution (reference grid.h
+        common_grid): requires compatible grids; an empty argument returns
+        self unchanged (test_grid.cpp:239-253)."""
+        if other.empty():
+            return self
+        if self.empty():
+            return other
+        return Grid(
+            min(self.xmin, other.xmin),
+            min(self.ymin, other.ymin),
+            max(self.xmax, other.xmax),
+            max(self.ymax, other.ymax),
+            min(self.dx, other.dx),
+            min(self.dy, other.dy),
+        )
+
+    def overlapping_grid(self, other: "Grid") -> "Grid":
+        """Intersection extent at the finer resolution (reference grid.h
+        overlapping_grid); empty if the extents are disjoint."""
+        if self.empty() or other.empty():
+            return Grid.make_empty()
+        b = self.extent.intersection(other.extent)
+        if b.xmax < b.xmin or b.ymax < b.ymin:
+            return Grid.make_empty()
+        return Grid(
+            b.xmin, b.ymin, b.xmax, b.ymax,
+            min(self.dx, other.dx), min(self.dy, other.dy),
+        )
 
     def subdivide(self, max_cells: int) -> Iterator["Grid"]:
         """Split into row-block subgrids of at most ``max_cells`` cells each —
