@@ -173,3 +173,157 @@ def test_serialization_roundtrip():
     assert st2.median() == st.median()
     assert st2.weighted_mean() == st.weighted_mean()
     assert st2.frac() == st.frac()
+
+
+# ---- test_stats.cpp transcriptions (C++ accumulator goldens) ----
+
+def test_west_variance_equal_weights():
+    # test_stats.cpp:390-402 — all observations weighted 3.0
+    v = np.array([3.4, 2.9, 1.7, 8.8, -12.7, 100.4, 8.4, 11.3])
+    st = RasterStats(store_values=False)
+    st.process(v, np.ones(len(v)), np.full(len(v), 3.0))
+    assert st.weighted_stdev() == pytest.approx(32.80967, rel=1e-6)
+    assert st.weighted_variance() == pytest.approx(1076.474, rel=1e-6)
+    assert st.weighted_stdev() / st.weighted_mean() == pytest.approx(
+        2.113344, rel=1e-6
+    )
+
+
+def test_west_variance_unequal_weights():
+    # test_stats.cpp:403-416 — goldens from Weighted.Desc.Stat::w.sd / w.var
+    v = np.array([3.4, 2.9, 1.7, 8.8, -12.7, 100.4, 8.4, 11.3, 50])
+    w = np.array([1.0, 0.1, 1.0, 0.2, 0.44, 0.3, 0.3, 0.83, 0])
+    st = RasterStats(store_values=False)
+    st.process(v, np.ones(len(v)), w)
+    assert st.weighted_stdev() == pytest.approx(25.90092, rel=1e-6)
+    assert st.weighted_variance() == pytest.approx(670.8578, rel=1e-6)
+    assert st.weighted_stdev() / st.weighted_mean() == pytest.approx(
+        2.478301, rel=1e-6
+    )
+
+
+def test_west_variance_initial_zeros():
+    # test_stats.cpp:417-430 — leading zero weights must not corrupt state
+    v = np.arange(1.0, 10.0)
+    w = np.array([0, 0, 0, 0, 0, 0, 0.25, 0.5, 0.25])
+    st = RasterStats(store_values=False)
+    st.process(v, np.ones(9), w)
+    assert st.weighted_stdev() == pytest.approx(0.7071068, rel=1e-6)
+    assert st.weighted_variance() == pytest.approx(0.5, rel=1e-6)
+    assert st.weighted_stdev() / st.weighted_mean() == pytest.approx(
+        0.7071068 / 8, rel=1e-6
+    )
+
+
+def test_weighted_quantile_equal_weights_golden():
+    # test_stats.cpp:431-446 — every value weighted 1.7; matches R
+    # stats::quantile. (The reference feeds its quantile accumulator from
+    # the distinct-value coverage map, raster_stats.h:225 — same design as
+    # here, so the goldens carry over exactly.)
+    v = np.array([3.4, 2.9, 1.7, 8.8, -12.7, 100.4, 8.4, 11.3])
+    st = RasterStats(store_values=True)
+    st.process(v, np.full(len(v), 1.7))
+    assert st.quantile(0) == -12.7
+    assert st.quantile(0.25) == pytest.approx(2.6)
+    assert st.quantile(0.50) == pytest.approx(5.9)
+    assert st.quantile(0.75) == pytest.approx(9.425)
+    assert st.quantile(1.0) == pytest.approx(100.4)
+
+
+def test_weighted_quantile_invalid_q():
+    # test_stats.cpp:471-481 — invalid quantile raises
+    st = RasterStats(store_values=True)
+    st.process(np.array([1.0, 2.0]), np.ones(2))
+    with pytest.raises(ValueError, match="Quantile"):
+        st.quantile(-0.1)
+    with pytest.raises(ValueError, match="Quantile"):
+        st.quantile(1.1)
+
+
+def test_category_subsets():
+    # test_stats.cpp:314-340 — per-category count/frac/weighted variants
+    landcov = np.array([1, 1, 1, 2, 2, 2], dtype=float)
+    cov = np.array([0.5, 0.4, 0, 0.3, 0.3, 0.2])
+    weight = np.array([0.3, 0.4, 1, 4.0, 3.0, 0])
+    st = RasterStats(store_values=True)
+    st.process(landcov, cov, weight)
+
+    frac = st.frac()
+    assert frac[1] == pytest.approx(0.9 / st.count())
+    assert frac[2] == pytest.approx(0.8 / st.count())
+    assert 3 not in frac
+
+    wfrac = st.weighted_frac()
+    assert wfrac[1] == pytest.approx((0.5 * 0.3 + 0.4 * 0.4) / st.sum_ciwi)
+    assert wfrac[2] == pytest.approx((0.3 * 4.0 + 0.3 * 3.0) / st.sum_ciwi)
+    assert 3 not in wfrac
+
+
+def test_missing_data_matrix():
+    # test_stats.cpp:131-314 — the full NODATA combination matrix on a 2x2
+    # grid where the polygon covers 25% of each cell
+    cov = np.full(4, 0.25)
+    NA = float("nan")
+    all_missing = np.full(4, NA)
+    all_defined = np.array([1.0, 2.0, 3.0, 4.0])
+    some_defined = np.array([1.0, 2.0, NA, NA])
+
+    # all values missing, no weights
+    st = RasterStats(store_values=True)
+    st.process(all_missing, cov)
+    assert st.count() == 0 and st.sum() == 0
+    assert math.isnan(st.stat_min()) and math.isnan(st.stat_max())
+    assert math.isnan(st.mean()) and math.isnan(st.weighted_mean())
+    assert math.isnan(st.coefficient_of_variation())
+    assert math.isnan(st.mode()) and math.isnan(st.minority())
+    assert st.variety() == 0
+    assert st.sum_ciwi == st.count() and st.weighted_sum() == st.sum()
+
+    # all values defined, no weights
+    st = RasterStats(store_values=True)
+    st.process(all_defined, cov)
+    assert st.count() == 1.0 and st.sum() == 2.5
+    assert st.stat_min() == 1.0 and st.stat_max() == 4.0
+    assert st.mean() == 2.5
+    assert st.mode() == 4.0 and st.minority() == 1.0
+    assert st.variance() == pytest.approx(1.25)
+    assert st.stdev() == pytest.approx(1.118034)
+    assert st.weighted_variance() == pytest.approx(st.variance())
+    assert st.coefficient_of_variation() == pytest.approx(0.4472136)
+    assert st.weighted_sum() == st.sum() and st.weighted_mean() == st.mean()
+
+    # some values defined, no weights
+    st = RasterStats(store_values=True)
+    st.process(some_defined, cov)
+    assert st.count() == 0.5 and st.sum() == 0.75
+    assert st.stat_min() == 1.0 and st.stat_max() == 2.0
+    assert st.mean() == 1.5
+    assert st.mode() == 2.0 and st.minority() == 1.0
+    assert st.variance() == pytest.approx(0.25)
+    assert st.stdev() == pytest.approx(0.5)
+    assert st.coefficient_of_variation() == pytest.approx(0.333333, rel=1e-5)
+
+    # no values defined, all weights defined
+    st = RasterStats(store_values=True)
+    st.process(all_missing, cov, all_defined)
+    assert st.count() == 0 and st.sum() == 0
+    assert math.isnan(st.mean()) and math.isnan(st.weighted_mean())
+    assert st.weighted_sum() == 0
+
+    # all values defined, NO weights defined (all-NaN weights poison)
+    st = RasterStats(store_values=True)
+    st.process(all_defined, cov, all_missing)
+    assert st.count() == 1.0 and st.sum() == 2.5
+    assert st.mean() == 2.5
+    assert st.variance() == pytest.approx(1.25)
+    assert math.isnan(st.sum_ciwi) and math.isnan(st.weighted_sum())
+    assert math.isnan(st.weighted_mean())
+    assert math.isnan(st.weighted_variance())
+    assert math.isnan(st.weighted_stdev())
+
+    # all values defined, SOME weights defined (any NaN weight poisons)
+    st = RasterStats(store_values=True)
+    st.process(all_defined, cov, some_defined)
+    assert st.count() == 1.0 and st.sum() == 2.5
+    assert st.variance() == pytest.approx(1.25)
+    assert math.isnan(st.weighted_sum()) and math.isnan(st.weighted_mean())
