@@ -327,3 +327,52 @@ def test_missing_data_matrix():
     assert st.count() == 1.0 and st.sum() == 2.5
     assert st.variance() == pytest.approx(1.25)
     assert math.isnan(st.weighted_sum()) and math.isnan(st.weighted_mean())
+
+
+def test_unweighted_stats_offset_grid_golden():
+    # test_stats.cpp:55-99 — 5x5 grid at (-1,-1), NA cell inside the square
+    g = Grid(-1, -1, 4, 4, 1, 1)
+    cov = coverage_fraction_wkb(g, wkbio.rect_wkb(0.5, 0.5, 2.5, 2.5))
+    NA = float("nan")
+    values = np.array(
+        [
+            [1, 1, 1, 1, 1],
+            [1, 1, 2, 3, 1],
+            [1, 4, 5, 6, 1],
+            [1, 0, NA, 7, 1],
+            [1, 1, 1, 1, 1],
+        ],
+        dtype=float,
+    )
+    st = RasterStats(store_values=True)
+    st.process(values, cov)
+    assert st.count() == pytest.approx(3.5)
+    assert st.sum() == pytest.approx(13.75)
+    assert st.mean() == pytest.approx(13.75 / 3.5)
+    assert st.mode() == 5 and st.minority() == 0
+    assert st.stat_min() == 0 and st.stat_max() == 7
+    assert st.variety() == 8
+
+
+def test_weighted_multiresolution_stats_golden():
+    # test_stats.cpp:101-129 — 1-degree values, 2-degree weights, both
+    # disaggregated onto the common grid (np.kron is the RasterView analog)
+    g = Grid(0, 0, 8, 6, 1, 1)
+    cov = coverage_fraction_wkb(g, wkbio.rect_wkb(3.5, 1.5, 6.5, 2.5))
+    values = (1.0 + np.arange(48)).reshape(6, 8)
+    weights2 = (5.0 + 5.0 * np.arange(12)).reshape(3, 4)
+    weights = np.kron(weights2, np.ones((2, 2)))
+    st = RasterStats(store_values=False)
+    st.process(values, cov, weights)
+
+    cv = np.array([28, 29, 30, 31, 36, 37, 38, 39], dtype=float)
+    cw = np.array([30, 35, 35, 40, 50, 55, 55, 60], dtype=float)
+    cf = np.array([0.25, 0.5, 0.5, 0.25, 0.25, 0.5, 0.5, 0.25])
+    assert st.weighted_mean() == pytest.approx(
+        (cv * cw * cf).sum() / (cw * cf).sum()
+    )
+    assert st.mean() == pytest.approx((cv * cf).sum() / cf.sum())
+    # weighted_fraction = weighted_sum / sum
+    assert st.weighted_sum() / st.sum() == pytest.approx(
+        (cv * cw * cf).sum() / (cv * cf).sum()
+    )
