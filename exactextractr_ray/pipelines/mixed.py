@@ -204,6 +204,19 @@ def exact_extract_mixed(
 
     res = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
     df = res.to_pandas()
+    if len(df) == 0:
+        # fully-disjoint input: build the expected stat-column skeleton so
+        # the NA padding below fills every zone (reference returns NA rows,
+        # test_exact_extract.R:642-653) — same fix as exact_extract
+        skeleton: dict[str, list] = {"zone_id": []}
+        for s in stats:
+            if s == "quantile":
+                for q in quantiles:
+                    skeleton[f"q{int(100*q):02d}"] = []
+            else:
+                skeleton[s] = []
+        df = pd.DataFrame(skeleton)
+        df["zone_id"] = df["zone_id"].astype(np.int64)
     have = set(df["zone_id"]) if len(df) else set()
     missing = [int(z) for z in zset.zone_ids if int(z) not in have]
     if missing:

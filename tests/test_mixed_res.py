@@ -144,3 +144,54 @@ def test_weight_raster_offset_origin(_ray):
     num = sum(x * wt for x, wt in [(3.5, 3), (4.5, 4), (5.5, 5)])
     den = 3 + 4 + 5
     assert res2["weighted_mean"].iloc[0] == pytest.approx(num / den, rel=1e-12)
+
+
+def test_polygon_outside_values_inside_weights_returns_na(_ray):
+    # test_exact_extract.R:642-653 — polygon entirely outside the value
+    # raster but inside the weighting raster: NA, not an exception
+    import math
+
+    from exactextractr_ray import wkbio
+    from exactextractr_ray.pipelines.mixed import exact_extract_mixed
+    from exactextractr_ray.sources.zones import zone_table
+
+    values = raster_from_array(
+        (1.0 + np.arange(25)).reshape(5, 5), Grid(5, 5, 10, 10, 1, 1), tile=5
+    )
+    weights = raster_from_array(
+        np.tile(1.0 + np.arange(10), (10, 1)).T, Grid(0, 0, 10, 10, 1, 1),
+        tile=5,
+    )
+    zones = zone_table([(1, "z", wkbio.circle_wkb(2.1, 2.1, 1, segments=60))])
+    res = exact_extract_mixed(
+        values, weights, zones, ["weighted_mean"]
+    ).to_pandas()
+    assert len(res) == 1
+    assert math.isnan(res["weighted_mean"].iloc[0])
+
+
+def test_fractional_cellsize_weighted_extraction(_ray):
+    # test_exact_extract.R:1158-1168 — 0.1-degree cells with a polygon whose
+    # edges land near cell boundaries; float noise must not desync the
+    # value/weight/cell columns
+    from exactextractr_ray import wkbio
+    from exactextractr_ray.pipelines.zonal import extract_cells
+    from exactextractr_ray.sources.zones import zone_table
+
+    n = 10
+    r = np.arange(n).reshape(n, 1)
+    c = np.arange(n).reshape(1, n)
+    vals = ((r + 1) + c * n).astype(float)  # matrix(1:100, nrow=10) col-major
+    g = Grid(0, 0, 1, 1, 0.1, 0.1)
+    rd = raster_from_array(
+        vals, g, tile=5, extra_layers={"w": vals}
+    )
+    zones = zone_table([(1, "z", wkbio.rect_wkb(0.4, 0.7, 0.5, 0.8))])
+    df = extract_cells(
+        rd, zones, weight_layer="w", include_cell=True
+    ).to_pandas()
+    assert len(df) > 0
+    cell0 = df["cell"].to_numpy() - 1
+    flat = vals.ravel()  # row-major from the top = cell-number order
+    np.testing.assert_allclose(df["value"], flat[cell0])
+    np.testing.assert_allclose(df["weight"], flat[cell0])
