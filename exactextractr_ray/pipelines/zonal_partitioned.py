@@ -142,6 +142,19 @@ def exact_extract_partitioned(
     assignments = zone_tile_assignments(
         zones_ds, raster.grid, raster.tile_h, raster.tile_w
     )
+    # sentinel row (tile_id=-1 matches no tile): with every zone disjoint
+    # from the raster the assignments stream would otherwise be all-empty
+    # and Ray's hash join loses the key schema (ArrowInvalid); the inner
+    # join drops the sentinel
+    sentinel = pa.table(
+        {
+            "tile_id": pa.array([-1], pa.int64()),
+            "zone_id": pa.array([-1], pa.int64()),
+            "zone_seq": pa.array([-1], pa.int64()),
+            "geom_wkb": pa.array([b""], pa.binary()),
+        }
+    )
+    assignments = assignments.union(ray.data.from_arrow(sentinel))
 
     def pack_values(b: pa.Table) -> pa.Table:
         # Arrow's hash join rejects list columns as payload; carry the tile
@@ -185,5 +198,31 @@ def exact_extract_partitioned(
         return pd.DataFrame(out)
 
     res = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
-    df = res.to_pandas().sort_values("zone_id").reset_index(drop=True)
+    df = res.to_pandas()
+    # zones with no raster intersection -> NaN rows, like the broadcast plan
+    # (reference returns NA for disjoint polygons). Only (zone_id) ids are
+    # collected here — same order of magnitude as the result itself.
+    all_ids = [
+        int(z)
+        for z in zones_ds.select_columns(["zone_id"]).to_pandas()["zone_id"]
+    ]
+    if len(df) == 0:
+        skeleton: dict[str, list] = {"zone_id": []}
+        for s in stats:
+            if s == "quantile":
+                for q in quantiles:
+                    skeleton[f"q{int(100*q):02d}"] = []
+            else:
+                skeleton[s] = []
+        df = pd.DataFrame(skeleton)
+        df["zone_id"] = df["zone_id"].astype(np.int64)
+    have = set(df["zone_id"])
+    missing = [z for z in all_ids if z not in have]
+    if missing:
+        pad = {"zone_id": missing}
+        for col in df.columns:
+            if col != "zone_id":
+                pad[col] = [float("nan")] * len(missing)
+        df = pd.concat([df, pd.DataFrame(pad)], ignore_index=True)
+    df = df.sort_values("zone_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

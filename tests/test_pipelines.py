@@ -543,3 +543,46 @@ def test_tile_pruning_to_zone_envelope(_ray):
     st = _truth_stats(64, (1.0, 1.0, 20.0, 20.0))
     assert res["count"].iloc[0] == pytest.approx(st.count(), rel=1e-12)
     assert res["sum"].iloc[0] == pytest.approx(st.sum(), rel=1e-12)
+
+
+def test_partitioned_disjoint_zones_na_rows(_ray):
+    """Partitioned plan with zones disjoint from the raster: NA rows, not a
+    hash-join schema crash (parity with the broadcast plan and the
+    reference's NA-for-disjoint-polygons contract)."""
+    import math
+
+    import ray.data
+    from exactextractr_ray import wkbio
+    from exactextractr_ray.pipelines.zonal_partitioned import (
+        exact_extract_partitioned,
+    )
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import zone_table
+
+    rd = raster_from_array(np.ones((8, 8)), Grid(0, 0, 8, 8, 1, 1), tile=4)
+    # every zone disjoint
+    t = exact_extract_partitioned(
+        rd,
+        ray.data.from_arrow(
+            zone_table([(1, "far", wkbio.rect_wkb(100, 100, 110, 110))])
+        ),
+        ["mean", "sum"],
+    ).to_pandas()
+    assert list(t["zone_id"]) == [1]
+    assert math.isnan(t["mean"].iloc[0]) and math.isnan(t["sum"].iloc[0])
+
+    # mixed: one covered, one disjoint
+    t2 = exact_extract_partitioned(
+        rd,
+        ray.data.from_arrow(
+            zone_table(
+                [
+                    (1, "in", wkbio.rect_wkb(0.2, 0.2, 1.8, 1.8)),
+                    (2, "out", wkbio.rect_wkb(100, 100, 110, 110)),
+                ]
+            )
+        ),
+        ["mean", "sum"],
+    ).to_pandas()
+    assert list(t2["zone_id"]) == [1, 2]
+    assert t2["mean"].iloc[0] == 1.0 and math.isnan(t2["mean"].iloc[1])
