@@ -220,10 +220,16 @@ def exact_extract_mixed(
     have = set(df["zone_id"]) if len(df) else set()
     missing = [int(z) for z in zset.zone_ids if int(z) not in have]
     if missing:
+        # disjoint-zone defaults match the reference: count/sum/variety 0,
+        # the rest NA (test_exact_extract.R:433-485)
         pad = {"zone_id": missing}
         for col in df.columns:
             if col != "zone_id":
-                pad[col] = [math.nan] * len(missing)
+                pad[col] = [
+                    0.0
+                    if col in ("count", "sum", "weighted_sum", "variety")
+                    else math.nan
+                ] * len(missing)
         df = pd.concat([df, pd.DataFrame(pad)], ignore_index=True)
     seq = {int(z): int(s) for z, s in zip(zset.zone_ids, zset.zone_seq)}
     df["__seq"] = df["zone_id"].map(seq)

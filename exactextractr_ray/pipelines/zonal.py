@@ -1021,6 +1021,31 @@ def _num_expected_args(fn) -> int:
 _INCLUDE_ORDER = ("x", "y", "cell", "area")
 
 
+def _seed_marker_table(
+    zset: ZoneSet, raw_cov: str, has_weight: bool, include_xy: bool,
+    include_cell: bool, include_area: bool,
+) -> pa.Table:
+    """One marker row per zone with cov = -1 (no real cell can have negative
+    coverage): guarantees a groupby group per zone on the UDF path."""
+    n = len(zset.zone_ids)
+    nan = [float("nan")] * n
+    cols = {
+        "zone_id": pa.array([int(z) for z in zset.zone_ids], pa.int64()),
+        "value": pa.array(nan, pa.float64()),
+        raw_cov: pa.array([-1.0] * n, pa.float64()),
+    }
+    if has_weight:
+        cols["weight"] = pa.array(nan, pa.float64())
+    if include_xy:
+        cols["x"] = pa.array(nan, pa.float64())
+        cols["y"] = pa.array(nan, pa.float64())
+    if include_cell:
+        cols["cell"] = pa.array([-1] * n, pa.int64())
+    if include_area:
+        cols["area"] = pa.array(nan, pa.float64())
+    return pa.table(cols)
+
+
 def _zone_attr_ref(zones: pa.Table, include_cols):
     """Broadcast {col: {zone_id: value}} for include_cols (tiny, once)."""
     if not include_cols:
@@ -1161,6 +1186,18 @@ def exact_extract_apply(
                     batch_format="pyarrow",
                 )
             )
+        # per-(zone, layer) marker rows: fn sees a zero-row frame for zones
+        # with no covered cells (same contract as the non-stack path)
+        raw_cov_s = "coverage_area" if kwargs.get("coverage_area") else "cov"
+        zset_s = parse_zone_table(zones)
+        for lay in layers:
+            seed = _seed_marker_table(
+                zset_s, raw_cov_s, weight_layer is not None, include_xy,
+                include_cell, bool(kwargs.get("include_area")),
+            ).append_column(
+                "layer", pa.array([lay] * len(zset_s.zone_ids), pa.string())
+            )
+            parts_ds.append(ray.data.from_arrow(seed))
         allcells = parts_ds[0].union(*parts_ds[1:])
 
         attr_ref_s = _zone_attr_ref(zones, include_cols)
@@ -1168,6 +1205,7 @@ def exact_extract_apply(
         def run_layer(group: pd.DataFrame) -> pd.DataFrame:
             zone_id = int(group["zone_id"].iloc[0])
             lay = group["layer"].iloc[0]
+            group = group[group[raw_cov_s] != -1.0]
             df = group.drop(columns=["zone_id", "layer"]).rename(
                 columns={"cov": cov_name_s}
             )
@@ -1209,12 +1247,29 @@ def exact_extract_apply(
         **kwargs,
     )
     cov_name = "coverage_area" if kwargs.get("coverage_area") else "coverage_fraction"
+    raw_cov = "coverage_area" if kwargs.get("coverage_area") else "cov"
     fkw = fn_kwargs or {}
 
     attr_ref = _zone_attr_ref(zones, include_cols)
+    zset_ids = parse_zone_table(zones)
+
+    # one marker row per zone (cov = -1, impossible for real cells): ensures
+    # EVERY zone forms a group, so fn is called with a zero-row frame for
+    # polygons with no covered cells — the reference's contract
+    # (test_exact_extract.R:433-485: fun=sum returns 0 for a disjoint
+    # polygon). run() strips the markers before calling fn.
+    cells = cells.union(
+        ray.data.from_arrow(
+            _seed_marker_table(
+                zset_ids, raw_cov, weight_layer is not None, include_xy,
+                include_cell, bool(kwargs.get("include_area")),
+            )
+        )
+    )
 
     def run(group: pd.DataFrame) -> pd.DataFrame:
         zone_id = int(group["zone_id"].iloc[0])
+        group = group[group[raw_cov] != -1.0]
         df = group.drop(columns=["zone_id"]).rename(columns={"cov": cov_name})
         vals = _udf_values_arg(df, zone_id, include_cols, attr_ref)
         if summarize_df:
@@ -1232,17 +1287,34 @@ def exact_extract_apply(
         return out
 
     out_ds = cells.groupby("zone_id").map_groups(run, batch_format="pandas")
+
+    # the per-zone result table is small by design; materialize to restore
+    # input order and attach append_cols
+    res = out_ds.to_pandas()
+    if "zone_id" not in res.columns:
+        # every zone's fn returned a zero-row frame: a schema'd empty result
+        res = pd.DataFrame({"zone_id": pd.Series(dtype=np.int64)})
+
+    # input (zone_seq) order, like the reference's per-feature list
+    seq = {
+        int(z): int(s)
+        for z, s in zip(zset_ids.zone_ids, zset_ids.zone_seq)
+    }
+    res["__seq"] = res["zone_id"].map(seq)
+    res = (
+        res.sort_values(["__seq"], kind="stable")
+        .drop(columns="__seq")
+        .reset_index(drop=True)
+    )
+
     if append_cols:
         # the reference's append_cols on the fun path: source attribute
         # columns lead the result, repeated for multi-row UDF frames
         zdf = zones.select(["zone_id"] + list(append_cols)).to_pandas()
-        aref = ray.put(zdf)
+        m = res.merge(zdf, on="zone_id", how="left")
+        lead = list(append_cols)
+        res = m[lead + [c for c in m.columns if c not in lead]]
 
-        def attach(b: pd.DataFrame) -> pd.DataFrame:
-            z = ray.get(aref)
-            m = b.merge(z, on="zone_id", how="left")
-            lead = list(append_cols)
-            return m[lead + [c for c in m.columns if c not in lead]]
+    import ray.data as _rd
 
-        out_ds = out_ds.map_batches(attach, batch_format="pandas")
-    return out_ds
+    return _rd.from_pandas(res)

@@ -219,10 +219,16 @@ def exact_extract_partitioned(
     have = set(df["zone_id"])
     missing = [z for z in all_ids if z not in have]
     if missing:
+        # disjoint-zone defaults match the reference: count/sum/variety 0,
+        # the rest NA (test_exact_extract.R:433-485)
         pad = {"zone_id": missing}
         for col in df.columns:
             if col != "zone_id":
-                pad[col] = [float("nan")] * len(missing)
+                pad[col] = [
+                    0.0
+                    if col in ("count", "sum", "weighted_sum", "variety")
+                    else float("nan")
+                ] * len(missing)
         df = pd.concat([df, pd.DataFrame(pad)], ignore_index=True)
     df = df.sort_values("zone_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

@@ -259,3 +259,45 @@ def test_nonintersecting_polygon_zero_rows(_ray):
         ds = extract_cells(rd, zones, **kwargs)
         assert ds.count() == 0, kwargs
         assert ds.schema().names == ["zone_id", "value", "cov"] + extra, kwargs
+
+
+def test_disjoint_polygon_udf_called_with_empty_frame(_ray):
+    # test_exact_extract.R:433-485 — fn is CALLED with a zero-row frame for
+    # a polygon that does not intersect the raster: fun=sum returns 0;
+    # named count/sum/variety return 0 and mean/min/max NA (covered by the
+    # NaN-row padding tests); per-cell extraction returns 0 rows
+    rd = _square_raster(np.arange(1, 101))
+    zones = zone_table(
+        [(1, "far", wkbio.rect_wkb(500, 500, 510, 510))]
+    )
+
+    out = exact_extract_apply(
+        rd, zones, lambda x, c: float(np.sum(x))
+    ).to_pandas()
+    assert list(out["zone_id"]) == [1]
+    assert out["result"].iloc[0] == 0.0
+
+    # mixed covered + disjoint, input order preserved
+    zones2 = zone_table(
+        [
+            (7, "far", wkbio.rect_wkb(500, 500, 510, 510)),
+            (3, "in", wkbio.rect_wkb(2, 2, 6, 6)),
+        ]
+    )
+    out2 = exact_extract_apply(
+        rd, zones2, lambda x, c: float(np.sum(x * c))
+    ).to_pandas()
+    assert list(out2["zone_id"]) == [7, 3]
+    assert out2["result"].iloc[0] == 0.0 and out2["result"].iloc[1] > 0
+
+    # summarize_df form sees the empty frame with reference column names
+    def probe(df):
+        return pd.DataFrame(
+            {"names": [",".join(df.columns)], "n": [len(df)]}
+        )
+
+    out3 = exact_extract_apply(
+        rd, zones, probe, summarize_df=True
+    ).to_pandas()
+    assert out3["names"].iloc[0] == "value,coverage_fraction"
+    assert out3["n"].iloc[0] == 0

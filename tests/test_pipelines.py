@@ -569,7 +569,9 @@ def test_partitioned_disjoint_zones_na_rows(_ray):
         ["mean", "sum"],
     ).to_pandas()
     assert list(t["zone_id"]) == [1]
-    assert math.isnan(t["mean"].iloc[0]) and math.isnan(t["sum"].iloc[0])
+    # reference defaults for a disjoint polygon: sum 0, mean NA
+    # (test_exact_extract.R:433-485)
+    assert math.isnan(t["mean"].iloc[0]) and t["sum"].iloc[0] == 0.0
 
     # mixed: one covered, one disjoint
     t2 = exact_extract_partitioned(
