@@ -267,6 +267,16 @@ def exact_resample(
     for uncovered cells)."""
     from ..util import cached_stage
 
+    # reference contract (R/exact_resample.R + test_exact_resample.R:45-66):
+    # exactly one stat, and weighted stats are meaningless with no weight
+    # raster in the resample path
+    if not isinstance(stat, str) or not stat:
+        raise ValueError("Only a single stat may be used for resampling")
+    from .zonal import WEIGHTED_STATS
+
+    if stat in WEIGHTED_STATS:
+        raise ValueError(f"'{stat}' cannot be used for resampling")
+
     store_values = stat in STORED_VALUE_STATS
     partials = src_raster.ds.map_batches(
         cached_stage(

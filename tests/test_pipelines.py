@@ -588,3 +588,38 @@ def test_partitioned_disjoint_zones_na_rows(_ray):
     ).to_pandas()
     assert list(t2["zone_id"]) == [1, 2]
     assert t2["mean"].iloc[0] == 1.0 and math.isnan(t2["mean"].iloc[1])
+
+
+def test_resample_stat_validation(_ray):
+    """Transcribed test_exact_resample.R:45-66 — single-stat contract and
+    the weighted-stat rejection."""
+    from exactextractr_ray.pipelines.resample import exact_resample
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    dst = Grid(0.0, 0.0, 16.0, 16.0, 8.0, 8.0)
+    with pytest.raises(ValueError, match="single"):
+        exact_resample(rd, dst, stat=["sum", "mean"])
+    with pytest.raises(ValueError, match="single"):
+        exact_resample(rd, dst, stat="")
+    with pytest.raises(ValueError, match="cannot be used for resampling"):
+        exact_resample(rd, dst, stat="weighted_mean")
+
+
+def test_resample_shifted_grid_mode(_ray):
+    """Transcribed test_exact_resample.R:92-113 (issue #47): stored-value
+    stats work on a target grid shifted off the source lattice; every mode
+    is one of the source's values."""
+    from exactextractr_ray.pipelines.resample import exact_resample
+    from exactextractr_ray.sources.raster import raster_from_array
+
+    rng = np.random.RandomState(1111)
+    vals = np.round(rng.normal(0, 1, (16, 16)))
+    rd = raster_from_array(vals, Grid(0, 0, 32, 32, 2, 2), tile=8)
+    # target: same resolution, shifted by (2.5, 1) like raster::shift
+    dst = Grid(2.5, 1.0, 34.5, 33.0, 2.0, 2.0)
+    out = exact_resample(rd, dst, stat="mode").to_pandas()
+    assert len(out) > 1
+    got = set(out["value"].unique())
+    assert got <= set(np.unique(vals))
+    assert len(got) > 1
