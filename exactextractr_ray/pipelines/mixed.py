@@ -167,6 +167,15 @@ def exact_extract_mixed(
             "Cannot compute 'count' or 'sum' when value raster is "
             "disaggregated to resolution of weights."
         )
+    if value_disaggregated:
+        # test_exact_extract_errors.R:355-372
+        import warnings
+
+        warnings.warn(
+            "value raster implicitly disaggregated to match resolution of "
+            "weighting raster",
+            stacklevel=2,
+        )
 
     zset = parse_zone_table(zones)
     zones_ref = ray.put(zset)

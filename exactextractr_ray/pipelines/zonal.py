@@ -587,6 +587,32 @@ def exact_extract(
             raise ValueError("max_cells_per_item must be a single integer")
         if max_cells_per_item <= 0:
             raise ValueError(f"Invalid max_cells_per_item: {max_cells_per_item}")
+    # stats argument contract (test_exact_extract_errors.R:214-222, 473-494)
+    if isinstance(stats, str):
+        stats = [stats]
+    if not stats:
+        raise ValueError("No summary operations provided.")
+    if not all(isinstance(s, str) for s in stats):
+        raise ValueError(
+            "summary operations must be a character vector, function, or "
+            "list of functions"
+        )
+    # quantile contract (test_exact_extract_errors.R:338-354)
+    if "quantile" in stats:
+        if not quantiles:
+            raise ValueError("Quantiles not specified")
+        qarr = np.asarray(quantiles, dtype=float)
+        if np.isnan(qarr).any() or (qarr < 0).any() or (qarr > 1).any():
+            raise ValueError("Quantiles must be between 0 and 1")
+    # scalar defaults (test_exact_extract_errors.R:495-520)
+    for arg_name, arg in (
+        ("default_value", default_value),
+        ("default_weight", default_weight),
+    ):
+        if arg is not None and (
+            isinstance(arg, bool) or not isinstance(arg, (int, float, np.number))
+        ):
+            raise ValueError(f"{arg_name} must be a single numeric value")
     value_names = [value_layer] if isinstance(value_layer, str) else list(value_layer)
     if weight_layer is None:
         weight_names: list[str] = []
@@ -596,6 +622,14 @@ def exact_extract(
         weight_names = list(weight_layer)
     if any(s in WEIGHTED_STATS for s in stats) and not weight_names:
         raise ValueError("weighted stat requested but no weight layer given")
+    if weight_names and not any(s in WEIGHTED_STATS for s in stats):
+        # test_exact_extract_errors.R:28-37
+        import warnings
+
+        warnings.warn(
+            "Weights provided but no requested operations use them.",
+            stacklevel=2,
+        )
     vi, wi = value_weight_indexes(len(value_names), len(weight_names))
     pairs = [
         (value_names[a], (weight_names[b] if b is not None else None))
@@ -1129,6 +1163,11 @@ def exact_extract_apply(
 
     ``stack_apply=True`` with a list of value layers applies the UDF to each
     layer independently and suffixes result columns with ``.{layer}``."""
+    # fun type contract (test_exact_extract_errors.R:483-494)
+    if not callable(fn):
+        raise ValueError(
+            "fun must be a character vector, function, or list of functions"
+        )
     # arity validation (exact_extract.R:413-430)
     if summarize_df:
         if _num_expected_args(fn) < 1:

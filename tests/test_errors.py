@@ -111,3 +111,105 @@ def test_incompatible_weight_grid(_ray):
     w = raster_from_array(np.ones((10, 10)), g2, tile=8)
     with pytest.raises(ValueError, match="not compatible"):
         exact_extract_mixed(v, w, synth_rect_zones(2, 16), ["weighted_mean"])
+
+
+def test_quantile_argument_contract(_ray):
+    # test_exact_extract_errors.R:338-354
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    zones = synth_rect_zones(1, 16)
+    with pytest.raises(ValueError, match="Quantiles not specified"):
+        exact_extract(rd, zones, ["quantile"])
+    with pytest.raises(ValueError, match="Quantiles not specified"):
+        exact_extract(rd, zones, ["quantile"], quantiles=[])
+    with pytest.raises(ValueError, match="between 0 and 1"):
+        exact_extract(rd, zones, ["quantile"], quantiles=[float("nan")])
+    with pytest.raises(ValueError, match="between 0 and 1"):
+        exact_extract(rd, zones, ["quantile"], quantiles=[0.5, 1.1])
+
+
+def test_stats_argument_contract(_ray):
+    # test_exact_extract_errors.R:214-222, 473-494
+    from exactextractr_ray.pipelines.zonal import (
+        exact_extract,
+        exact_extract_apply,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    zones = synth_rect_zones(1, 16)
+    with pytest.raises(ValueError, match="No summary operations"):
+        exact_extract(rd, zones, [])
+    with pytest.raises(ValueError, match="character vector, function"):
+        exact_extract(rd, zones, [44])
+    with pytest.raises(ValueError, match="character vector, function"):
+        exact_extract_apply(rd, zones, 44)
+    # a bare string stat is accepted as a single op (R vector semantics)
+    out = exact_extract(rd, zones, "count").to_pandas() if hasattr(
+        exact_extract(rd, zones, "count"), "to_pandas"
+    ) else exact_extract(rd, zones, "count")
+    assert "count" in out.columns
+
+
+def test_unused_weights_warning(_ray):
+    # test_exact_extract_errors.R:28-37
+    import warnings
+
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=16, tile=8, layers=("value", "weight"))
+    zones = synth_rect_zones(1, 16)
+    with pytest.warns(UserWarning, match="Weights provided but no"):
+        exact_extract(rd, zones, ["count", "sum"], weight_layer="weight")
+    # no warning when a weighted stat uses them
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        exact_extract(rd, zones, ["weighted_mean"], weight_layer="weight")
+
+
+def test_scalar_default_value_contract(_ray):
+    # test_exact_extract_errors.R:495-520
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    rd = synthetic_raster_dataset(n=16, tile=8)
+    zones = synth_rect_zones(1, 16)
+    with pytest.raises(ValueError, match="single numeric"):
+        exact_extract(rd, zones, ["sum"], default_value=[1.0, 2.0])
+    with pytest.raises(ValueError, match="single numeric"):
+        exact_extract(rd, zones, ["sum"], default_value=True)
+
+
+def test_disaggregation_warning(_ray):
+    # test_exact_extract_errors.R:355-372 — warn only when the VALUE raster
+    # must be disaggregated to the weights' finer resolution
+    import warnings
+
+    import numpy as np
+
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.mixed import exact_extract_mixed
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import zone_table
+    from exactextractr_ray import wkbio
+
+    coarse = raster_from_array(
+        np.arange(16.0).reshape(4, 4), Grid(0, 0, 8, 8, 2, 2), tile=4
+    )
+    fine = raster_from_array(
+        np.arange(64.0).reshape(8, 8), Grid(0, 0, 8, 8, 1, 1), tile=4
+    )
+    zones = zone_table([(1, "z", wkbio.rect_wkb(1, 1, 7, 7))])
+
+    with pytest.warns(UserWarning, match="disaggregated"):
+        exact_extract_mixed(coarse, fine, zones, ["weighted_mean"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        exact_extract_mixed(fine, coarse, zones, ["weighted_mean"])
