@@ -235,8 +235,14 @@ def run_scaling():
     pair = [
         int(x) for x in os.environ.get("GRAFT_SCALE_CPUS", "4,16").split(",")
     ]
-    results = {}
-    for cpus in pair:
+    # GRAFT_SCALE_REPEATS > 1 runs each leg N times INTERLEAVED and keeps
+    # the best throughput per leg: this host throttles unpredictably (see
+    # BASELINE.md "variance observation" — identical legs swing +-30%), and
+    # best-of-N per leg is the standard way to approximate the noise-free
+    # machine. Single-shot (N=1) remains the default.
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "1"))
+
+    def run_child(cpus):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = SF_DIR
@@ -255,8 +261,23 @@ def run_scaling():
             timeout=3600,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        return json.loads(line)
 
+    runs = {cpus: [] for cpus in pair}
+    for _ in range(repeats):
+        for cpus in pair:  # interleaved so both legs see similar host state
+            runs[cpus].append(run_child(cpus))
+
+    def best(cpus):
+        rs = runs[cpus]
+        return {
+            "tiles_per_sec": max(r["tiles_per_sec"] for r in rs),
+            "joined_rows_per_sec": max(r["joined_rows_per_sec"] for r in rs),
+            "all_tiles_per_sec": [r["tiles_per_sec"] for r in rs],
+            "all_joined_rows_per_sec": [r["joined_rows_per_sec"] for r in rs],
+        }
+
+    results = {cpus: best(cpus) for cpus in pair}
     r8, r32 = results[pair[0]], results[pair[1]]
     ratio = pair[1] / pair[0]
     # throughput scaling on the two headline numbers
@@ -276,8 +297,13 @@ def run_scaling():
         },
         "efficiency_tiles": round(eff_tiles, 3),
         "efficiency_join": round(eff_join, 3),
+        "repeats": repeats,
         "sf": SF_DIR,
     }
+    if repeats > 1:
+        out["per_run"] = {
+            f"cpus{c}": results[c]["all_tiles_per_sec"] for c in pair
+        }
     print(json.dumps(out))
 
 
