@@ -626,7 +626,9 @@ def _q_knn_lsh(sf_dir: str):
     qdf = emb.filter(expr=f"vec_id < {KNN_Q}").to_pandas()
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
-    out = knn_cosine_lsh(emb, qids, qmat, k=KNN_K, num_planes=4).to_pandas()
+    out = knn_cosine_lsh(
+        emb, qids, qmat, k=KNN_K, num_planes=4, probe_hamming=1
+    ).to_pandas()
     out = out[["query_id", "neighbor_id", "rank"]]
     for c in out.columns:
         out[c] = out[c].astype(np.int64)

@@ -266,11 +266,14 @@ def knn_cosine_ivf(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ):
     """Approximate top-k over a bucket-partitioned IVF index: reads ONLY the
     partitions whose bucket matches a query (storage-level pruning), then
     exact cosine ranking within them. Same output contract as
-    knn_cosine_lsh with the same planes."""
+    knn_cosine_lsh with the same planes; ``probe_hamming`` is multi-probe
+    like knn_cosine_lsh (the extra probed buckets' partitions are read too
+    — the pruning stays at the file-list level)."""
     import json
     import os
 
@@ -279,10 +282,24 @@ def knn_cosine_ivf(
     with open(os.path.join(index_dir, "_ivf_meta.json")) as f:
         meta = json.load(f)
     planes = np.asarray(meta["planes"], dtype=np.float64)
+    num_planes = planes.shape[1]
     qm = np.asarray(query_matrix, dtype=np.float64)
     signs = (qm @ planes) > 0
     qb = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
-    wanted = sorted(set(int(b) for b in qb))
+
+    def probes(b: int) -> list[int]:
+        out = [b]
+        if probe_hamming >= 1:
+            out += [b ^ (1 << i) for i in range(num_planes)]
+        if probe_hamming >= 2:
+            out += [
+                b ^ (1 << i) ^ (1 << j)
+                for i in range(num_planes)
+                for j in range(i + 1, num_planes)
+            ]
+        return out
+
+    wanted = sorted({pb for b in qb for pb in probes(int(b))})
 
     # storage-level pruning by construction: only the matching bucket
     # partitions' files are even listed
@@ -309,7 +326,10 @@ def knn_cosine_ivf(
     qidx = {int(q): i for i, q in enumerate(query_ids)}
     by_bucket: dict[int, list[int]] = {}
     for q, b in zip(query_ids, qb):
-        by_bucket.setdefault(int(b), []).append(int(q))
+        for pb in probes(int(b)):
+            lst = by_bucket.setdefault(pb, [])
+            if int(q) not in lst:
+                lst.append(int(q))
     wanted_ref = ray.put((by_bucket, qnorm, qidx))
 
     def scan(batch: pa.Table) -> pa.Table:
@@ -378,15 +398,39 @@ def knn_cosine_lsh(
     num_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ):
     """Approximate top-k: only vectors in a query's hyperplane-LSH bucket are
-    scanned. Recall < 1.0 by design; same output schema as knn_cosine."""
+    scanned. Recall < 1.0 by design; same output schema as knn_cosine.
+
+    ``probe_hamming`` enables multi-probe LSH (Lv et al., VLDB'07): each
+    query also scans buckets within the given Hamming distance of its own
+    — flipping h of ``num_planes`` sign bits. probe_hamming=1 scans
+    (1 + num_planes) of the 2^num_planes buckets and typically multiplies
+    recall severalfold for a proportional scan-cost increase; candidate
+    generation stays bucket-pruned, so the 100-TB path (partition by
+    bucket, prune at the file list) is unchanged."""
     dim = query_matrix.shape[1]
     lsh = RandomHyperplaneLSH(dim, num_planes)
     qb = lsh.bucket(np.asarray(query_matrix, dtype=np.float64))
+
+    def probes(b: int) -> list[int]:
+        out = [b]
+        if probe_hamming >= 1:
+            for i in range(num_planes):
+                out.append(b ^ (1 << i))
+        if probe_hamming >= 2:
+            for i in range(num_planes):
+                for j in range(i + 1, num_planes):
+                    out.append(b ^ (1 << i) ^ (1 << j))
+        return out
+
     wanted = {}
     for qid, b in zip(query_ids, qb):
-        wanted.setdefault(int(b), []).append(int(qid))
+        for pb in probes(int(b)):
+            lst = wanted.setdefault(pb, [])
+            if int(qid) not in lst:
+                lst.append(int(qid))
     qnorm = query_matrix / np.maximum(
         np.linalg.norm(query_matrix, axis=1, keepdims=True), 1e-12
     )

@@ -87,3 +87,71 @@ def test_ivf_index_matches_lsh_scan(_ray, tmp_path):
         got[["query_id", "neighbor_id", "rank"]].astype(np.int64),
         ref[["query_id", "neighbor_id", "rank"]].astype(np.int64),
     )
+
+
+def test_multiprobe_improves_recall(_ray):
+    """probe_hamming=1 scans the query bucket plus its Hamming-1 neighbors:
+    recall must be >= the single-bucket scan and the results a superset
+    that still ranks exactly by (-sim, neighbor_id)."""
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine, knn_cosine_lsh
+
+    rng = np.random.default_rng(21)
+    n, d = 800, 32
+    centers = rng.standard_normal((8, d)) * 3
+    mat = centers[rng.integers(0, 8, n)] + rng.standard_normal((n, d)) * 0.5
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64)})
+    df["embedding"] = [r.tolist() for r in mat]
+
+    qids = np.arange(10)
+    exact = knn_cosine(
+        ray.data.from_pandas(df), qids, mat[:10], k=10
+    ).to_pandas()
+
+    def recall(approx):
+        rs = []
+        for q in qids:
+            e = set(exact[exact.query_id == q]["neighbor_id"])
+            a = set(approx[approx.query_id == q]["neighbor_id"])
+            rs.append(len(e & a) / max(1, len(e)))
+        return float(np.mean(rs))
+
+    single = knn_cosine_lsh(
+        ray.data.from_pandas(df), qids, mat[:10], k=10, num_planes=6
+    ).to_pandas()
+    multi = knn_cosine_lsh(
+        ray.data.from_pandas(df), qids, mat[:10], k=10, num_planes=6,
+        probe_hamming=1,
+    ).to_pandas()
+    r1, r2 = recall(single), recall(multi)
+    assert r2 >= r1
+    assert r2 > 0.8
+
+
+def test_ivf_multiprobe_matches_lsh(_ray, tmp_path):
+    """IVF with probe_hamming must equal the in-memory LSH scan with the
+    same probes (same planes, file-list pruning only widens)."""
+    import ray.data
+    from exactextractr_ray.stages.knn import (
+        build_ivf_index,
+        knn_cosine_ivf,
+        knn_cosine_lsh,
+    )
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf = emb.filter(expr="vec_id < 8").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, num_planes=4)
+    got = knn_cosine_ivf(idx, qids, qmat, k=10, probe_hamming=1).to_pandas()
+    ref = knn_cosine_lsh(
+        emb, qids, qmat, k=10, num_planes=4, probe_hamming=1
+    ).to_pandas()
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    ref = ref.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]].astype(np.int64),
+        ref[["query_id", "neighbor_id", "rank"]].astype(np.int64),
+    )
