@@ -584,6 +584,21 @@ def _q_quality(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_doc_chunks(sf_dir: str):
+    from exactextractr_ray.stages.text import chunk_documents
+
+    ds = chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), size=512, overlap=64
+    )
+    df = ds.to_pandas()
+    df["chunk_len"] = df["chunk"].str.len().astype(np.int64)
+    return (
+        df[["doc_id", "chunk_idx", "char_start", "chunk", "chunk_len"]]
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_knn(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.knn import knn_cosine
@@ -771,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn,
         "extract_text_identity": _q_extract_text,
         "doc_fingerprint": _q_fingerprint,
+        "doc_chunks": _q_doc_chunks,
         "langid": _q_langid,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -1393,6 +1409,24 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, md5(text) AS fingerprint FROM documents ORDER BY doc_id
     """
 
+    # fixed-size chunking with overlap: chunk starts at i*(512-64); substr is
+    # 1-based; empty documents emit no chunks (generate_series upper bound
+    # length-1 < 0). Texts are ASCII at every sf, so character == byte
+    # offsets and the Python slicing matches substr exactly.
+    doc_chunks = """
+    WITH starts AS (
+      SELECT UNNEST(range(0, (SELECT COALESCE(MAX(length(text)), 0) + 1
+                              FROM documents), 448)) AS gs
+    )
+    SELECT d.doc_id,
+           s.gs / 448 AS chunk_idx,
+           s.gs AS char_start,
+           substr(d.text, s.gs + 1, 512) AS chunk,
+           length(substr(d.text, s.gs + 1, 512)) AS chunk_len
+    FROM documents d JOIN starts s ON s.gs < length(d.text)
+    ORDER BY doc_id, chunk_idx
+    """
+
     zonal_feature_seq = f"""
     WITH cov AS ({cov})
     SELECT zone_id,
@@ -1440,6 +1474,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": knn,
         "extract_text_identity": extract_text,
         "doc_fingerprint": fingerprint,
+        "doc_chunks": doc_chunks,
         "morton_cells": morton,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,

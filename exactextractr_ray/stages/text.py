@@ -355,3 +355,55 @@ def stratified_sample_batch(
     frac = _sample_frac(keys, salt)
     rate_arr = np.array([rates.get(s, default_rate) for s in strata])
     return batch.filter(pa.array(frac < rate_arr))
+
+
+def chunk_batch(
+    batch: pa.Table,
+    size: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Fixed-size character chunking with overlap — the standard
+    training-data prep step before tokenization. Chunk i starts at
+    ``i * (size - overlap)``; starts are generated while start < len(text),
+    so the last chunk may be shorter and empty documents emit no chunks.
+    A flat_map-shaped batch transform: one input row fans out to
+    ceil(len / step) rows.
+
+    Chunk boundaries are deterministic and SQL-expressible
+    (generate_series + substr), so the operator carries a bit-exact
+    DuckDB oracle."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    ids = batch.column(id_col).to_numpy()
+    texts = batch.column(text_col).to_pylist()
+    out_id: list[int] = []
+    out_idx: list[int] = []
+    out_start: list[int] = []
+    out_text: list[str] = []
+    for did, t in zip(ids, texts):
+        n = len(t)
+        for i, s in enumerate(range(0, n, step)):
+            out_id.append(int(did))
+            out_idx.append(i)
+            out_start.append(s)
+            out_text.append(t[s : s + size])
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_idx, pa.int64()),
+            "char_start": pa.array(out_start, pa.int64()),
+            "chunk": pa.array(out_text, pa.string()),
+        }
+    )
+
+
+def chunk_documents(ds, size: int = 512, overlap: int = 64,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset of (doc_id, chunk_idx, char_start, chunk) rows."""
+    return ds.map_batches(
+        lambda b: chunk_batch(b, size, overlap, text_col, id_col),
+        batch_format="pyarrow",
+    )

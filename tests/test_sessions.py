@@ -231,3 +231,50 @@ def test_interval_join_drops_uncovered(_ray):
     # user 2 at 25 -> session 0; user 3 unknown -> dropped
     assert list(out["event_id"]) == [10, 12, 13]
     assert list(out["session_seq"]) == [0, 1, 0]
+
+
+def test_chunk_documents(_ray):
+    """Fixed-size overlap chunking: boundaries, overlap bytes, reassembly."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.text import chunk_batch, chunk_documents
+
+    texts = ["a" * 1000, "b" * 512, "c" * 100, "", "d" * 513]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = chunk_documents(
+        ray.data.from_arrow(tbl), size=512, overlap=64
+    ).to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    # doc 0: 1000 chars, step 448 -> starts 0, 448, 896 -> 3 chunks
+    d0 = out[out.doc_id == 0]
+    assert list(d0["char_start"]) == [0, 448, 896]
+    assert list(d0["chunk"].str.len()) == [512, 512, 104]
+    # consecutive chunks overlap by 64 chars
+    assert d0["chunk"].iloc[0][-64:] == d0["chunk"].iloc[1][:64]
+    # doc 1: exactly one full chunk + the 64-char tail chunk
+    d1 = out[out.doc_id == 1]
+    assert list(d1["chunk"].str.len()) == [512, 64]
+    # doc 2: single short chunk; doc 3 (empty): no chunks
+    assert list(out[out.doc_id == 2]["chunk"].str.len()) == [100]
+    assert len(out[out.doc_id == 3]) == 0
+    # doc 4: 513 chars -> second chunk is the 65-char tail
+    assert list(out[out.doc_id == 4]["chunk"].str.len()) == [512, 65]
+
+    # reassembly: dropping the overlap prefix of every later chunk
+    # reconstructs the document
+    for did, t in zip(range(5), texts):
+        chunks = out[out.doc_id == did]["chunk"].tolist()
+        rebuilt = "".join(
+            [chunks[0]] + [c[64:] for c in chunks[1:]]
+        ) if chunks else ""
+        assert rebuilt == t, did
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_batch(tbl, size=64, overlap=64)
