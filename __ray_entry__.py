@@ -599,6 +599,14 @@ def _q_doc_chunks(sf_dir: str):
     )
 
 
+def _q_ngram_counts(sf_dir: str):
+    from exactextractr_ray.stages.text import ngram_counts
+
+    df = ngram_counts(_docs(sf_dir, ["text"]), n=2).to_pandas()
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return df.sort_values("ngram").reset_index(drop=True)
+
+
 def _q_knn(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.knn import knn_cosine
@@ -787,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text_identity": _q_extract_text,
         "doc_fingerprint": _q_fingerprint,
         "doc_chunks": _q_doc_chunks,
+        "ngram_counts": _q_ngram_counts,
         "langid": _q_langid,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -1427,6 +1436,21 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id, chunk_idx
     """
 
+    ngram_counts_sql = """
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             AS w
+      FROM documents
+    ), idx AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks)))
+             AS i
+    ), grams AS (
+      SELECT t.w[ix.i] || ' ' || t.w[ix.i + 1] AS ngram
+      FROM toks t JOIN idx ix ON ix.i <= len(t.w) - 1
+    )
+    SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram ORDER BY ngram
+    """
+
     zonal_feature_seq = f"""
     WITH cov AS ({cov})
     SELECT zone_id,
@@ -1475,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text_identity": extract_text,
         "doc_fingerprint": fingerprint,
         "doc_chunks": doc_chunks,
+        "ngram_counts": ngram_counts_sql,
         "morton_cells": morton,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,

@@ -407,3 +407,37 @@ def chunk_documents(ds, size: int = 512, overlap: int = 64,
         lambda b: chunk_batch(b, size, overlap, text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+def ngram_count_batch(
+    batch: pa.Table, n: int = 2, text_col: str = "text"
+) -> pa.Table:
+    """Per-batch PARTIAL n-gram counts (whitespace tokens joined by a single
+    space). This is the combiner half of the corpus-level count: each batch
+    pre-aggregates locally so the shuffle moves one row per distinct n-gram
+    per batch instead of one per occurrence — the
+    partial-aggregate-before-groupby pattern (SURVEY.md §4)."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = t.split()
+        for i in range(len(toks) - n + 1):
+            counts[" ".join(toks[i : i + n])] += 1
+    return pa.table(
+        {
+            "ngram": pa.array(list(counts.keys()), pa.string()),
+            "cnt": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def ngram_counts(ds, n: int = 2, text_col: str = "text"):
+    """Corpus-level n-gram frequency table: Dataset of (ngram, cnt)."""
+    partial = ds.map_batches(
+        lambda b: ngram_count_batch(b, n, text_col), batch_format="pyarrow"
+    )
+    agg = partial.groupby("ngram").sum("cnt")
+    return agg.map_batches(
+        lambda b: b.rename_columns(["ngram", "cnt"]), batch_format="pyarrow"
+    )

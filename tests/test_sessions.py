@@ -278,3 +278,41 @@ def test_chunk_documents(_ray):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_batch(tbl, size=64, overlap=64)
+
+
+def test_ngram_counts(_ray):
+    """Corpus bigram counts: partial in-batch combining + groupby sum."""
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.text import ngram_counts
+
+    docs = [
+        "the cat sat",
+        "the cat  ran",   # double space: whitespace-run tokenization
+        " the dog sat ",  # leading/trailing space dropped
+        "single",
+        "",
+    ]
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+    out = (
+        ngram_counts(ray.data.from_arrow(tbl), n=2)
+        .to_pandas()
+        .set_index("ngram")["cnt"]
+        .to_dict()
+    )
+    assert out == {
+        "the cat": 2,
+        "cat sat": 1,
+        "cat ran": 1,
+        "the dog": 1,
+        "dog sat": 1,
+    }
+
+    tri = (
+        ngram_counts(ray.data.from_arrow(tbl), n=3)
+        .to_pandas()
+        .set_index("ngram")["cnt"]
+        .to_dict()
+    )
+    assert tri == {"the cat sat": 1, "the cat ran": 1, "the dog sat": 1}
