@@ -607,6 +607,26 @@ def _q_ngram_counts(sf_dir: str):
     return df.sort_values("ngram").reset_index(drop=True)
 
 
+def _q_contamination(sf_dir: str):
+    from exactextractr_ray.stages.text import _doc_ngrams, contamination_counts
+
+    # held-out "test set": the distinct bigrams of docs 0-4 (small by
+    # construction — collected driver-side once, then broadcast)
+    test_docs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .filter(expr="doc_id < 5")
+        .to_pandas()
+    )
+    tset = set()
+    for t in test_docs["text"]:
+        tset |= _doc_ngrams(t, 2)
+    out = contamination_counts(
+        _docs(sf_dir, ["doc_id", "text"]), tset, n=2
+    ).to_pandas()
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_knn(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.knn import knn_cosine
@@ -796,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_fingerprint,
         "doc_chunks": _q_doc_chunks,
         "ngram_counts": _q_ngram_counts,
+        "contamination": _q_contamination,
         "langid": _q_langid,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -1451,6 +1472,32 @@ def oracle_sql() -> dict[str, str]:
     SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram ORDER BY ngram
     """
 
+    contamination_sql = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+             AS w
+      FROM documents
+    ), idx AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks)))
+             AS i
+    ), grams AS (
+      SELECT DISTINCT t.doc_id, t.w[ix.i] || ' ' || t.w[ix.i + 1] AS ngram
+      FROM toks t JOIN idx ix ON ix.i <= len(t.w) - 1
+    ), test AS (
+      SELECT DISTINCT ngram FROM grams WHERE doc_id < 5
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits
+    FROM documents d
+    LEFT JOIN (
+      SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM grams g JOIN test t USING (ngram)
+      GROUP BY g.doc_id
+    ) h USING (doc_id)
+    ORDER BY doc_id
+    """
+
     zonal_feature_seq = f"""
     WITH cov AS ({cov})
     SELECT zone_id,
@@ -1500,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": fingerprint,
         "doc_chunks": doc_chunks,
         "ngram_counts": ngram_counts_sql,
+        "contamination": contamination_sql,
         "morton_cells": morton,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,

@@ -441,3 +441,41 @@ def ngram_counts(ds, n: int = 2, text_col: str = "text"):
     return agg.map_batches(
         lambda b: b.rename_columns(["ngram", "cnt"]), batch_format="pyarrow"
     )
+
+
+def _doc_ngrams(text: str, n: int) -> set:
+    toks = text.split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def contamination_counts(
+    ds,
+    test_ngrams,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Test-set decontamination: per document, how many DISTINCT n-grams it
+    shares with a held-out test set. The test set is broadcast once via
+    ray.put and probed inside map_batches — a broadcast semi-join, no
+    shuffle (SURVEY.md §4: broadcast small sides). Output: (doc_id, n_hits)
+    for every document, 0 when clean; filter n_hits > 0 to decontaminate."""
+    import ray as _ray
+
+    ref = _ray.put(frozenset(test_ngrams))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        tset = _ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        hits = [
+            len(_doc_ngrams(t, n) & tset)
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([int(i) for i in ids], pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

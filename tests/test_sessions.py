@@ -316,3 +316,31 @@ def test_ngram_counts(_ray):
         .to_dict()
     )
     assert tri == {"the cat sat": 1, "the cat ran": 1, "the dog sat": 1}
+
+
+def test_contamination_counts(_ray):
+    """Broadcast decontamination semi-join: distinct shared-bigram counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.text import contamination_counts
+
+    docs = [
+        "alpha beta gamma",       # shares 'alpha beta' and 'beta gamma'
+        "alpha beta alpha beta",  # distinct hits: 1 ('alpha beta')
+        "delta epsilon",          # clean
+        "",                       # clean
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    test_set = {"alpha beta", "beta gamma", "unseen gram"}
+    out = (
+        contamination_counts(ray.data.from_arrow(tbl), test_set, n=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["n_hits"]) == [2, 1, 0, 0]
