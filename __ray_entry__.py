@@ -627,6 +627,20 @@ def _q_contamination(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_shuffle(sf_dir: str):
+    from exactextractr_ray.stages.shuffle import deterministic_shuffle
+
+    out = deterministic_shuffle(
+        _docs(sf_dir, ["doc_id"]), key_col="doc_id", salt="epoch0"
+    ).to_pandas()
+    out["shuffle_pos"] = out["shuffle_pos"].astype(np.int64)
+    return (
+        out[["doc_id", "shuffle_pos"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_knn(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.knn import knn_cosine
@@ -817,6 +831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
+        "seeded_shuffle": _q_shuffle,
         "langid": _q_langid,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -1498,6 +1513,14 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id
     """
 
+    seeded_shuffle_sql = """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
+             - 1 AS shuffle_pos
+    FROM documents
+    ORDER BY doc_id
+    """
+
     zonal_feature_seq = f"""
     WITH cov AS ({cov})
     SELECT zone_id,
@@ -1548,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": doc_chunks,
         "ngram_counts": ngram_counts_sql,
         "contamination": contamination_sql,
+        "seeded_shuffle": seeded_shuffle_sql,
         "morton_cells": morton,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,

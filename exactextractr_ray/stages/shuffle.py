@@ -1,0 +1,89 @@
+"""Deterministic seeded shuffle + distributed global indexing.
+
+Training pipelines need a REPRODUCIBLE global shuffle of documents/chunks
+before epoch streaming: same seed -> same order, regardless of block count
+or parallelism (Ray's ``random_shuffle`` is seeded per-run but its output
+depends on the physical block layout). The trick is to make the shuffle a
+deterministic SORT: order by ``md5(salt:key)``. That keys the order to data
+identity alone, so it is parallelism-invariant by construction and
+SQL-expressible (ROW_NUMBER() OVER (ORDER BY md5(...))), giving a bit-exact
+oracle.
+
+Assigning the global position is the zipWithIndex primitive Ray Data lacks.
+Doing it scalably (no driver materialization of rows):
+
+1. map: attach ``h = md5(salt:key)`` and a RANGE bucket (the top 16 bits of
+   the hash divided into ``num_buckets`` contiguous ranges, so bucket order
+   equals hash order);
+2. a tiny ``groupby(bucket).count()`` -> driver (``num_buckets`` rows) ->
+   exclusive prefix sums = each bucket's starting position, broadcast;
+3. ``groupby(bucket).map_groups``: sort the group by hash and assign
+   ``pos = offset[bucket] + arange(len)``.
+
+Only the bucket histogram touches the driver; rows shuffle once (the
+groupby), same cost as any global sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _hash_hex(keys, salt: str) -> list[str]:
+    return [
+        hashlib.md5(f"{salt}:{k}".encode()).hexdigest() for k in keys
+    ]
+
+
+def deterministic_shuffle(
+    ds,
+    key_col: str = "doc_id",
+    salt: str = "seed",
+    num_buckets: int = 256,
+    pos_col: str = "shuffle_pos",
+):
+    """Rows with a global ``pos_col`` giving the seeded shuffle order.
+
+    Output columns: original columns + ``pos_col``. Same salt -> identical
+    order at any parallelism; different salt -> an independent permutation.
+    """
+    num_buckets = max(1, min(int(num_buckets), 65536))
+    width = 65536 // num_buckets + (1 if 65536 % num_buckets else 0)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        hh = _hash_hex(keys, salt)
+        buckets = [int(h[:4], 16) // width for h in hh]
+        return batch.append_column(
+            "__h", pa.array(hh, pa.string())
+        ).append_column("__bucket", pa.array(buckets, pa.int32()))
+
+    hashed = ds.map_batches(attach, batch_format="pyarrow")
+
+    # tiny histogram: num_buckets rows to the driver, prefix-summed
+    counts = hashed.groupby("__bucket").count().to_pandas()
+    counts = counts.sort_values("__bucket")
+    offsets = dict(
+        zip(
+            counts["__bucket"].astype(int),
+            np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]]),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def index_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        b = int(g["__bucket"].iloc[0])
+        g = g.sort_values("__h", kind="mergesort").reset_index(drop=True)
+        g[pos_col] = int(off[b]) + np.arange(len(g), dtype=np.int64)
+        return g.drop(columns=["__h", "__bucket"])
+
+    return hashed.groupby("__bucket").map_groups(
+        index_group, batch_format="pandas"
+    )

@@ -344,3 +344,30 @@ def test_contamination_counts(_ray):
         .sort_values("doc_id")
     )
     assert list(out["n_hits"]) == [2, 1, 0, 0]
+
+
+def test_deterministic_shuffle(_ray):
+    """Seeded shuffle: a valid permutation, stable across block layouts,
+    and salt-sensitive."""
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.shuffle import deterministic_shuffle
+
+    n = 300
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+
+    def run(blocks, salt):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        out = deterministic_shuffle(ds, salt=salt).to_pandas()
+        return out.sort_values("doc_id")["shuffle_pos"].to_numpy()
+
+    a = run(1, "s1")
+    b = run(7, "s1")
+    # valid permutation of 0..n-1, invariant to the physical block layout
+    assert sorted(a) == list(range(n))
+    np.testing.assert_array_equal(a, b)
+    # a different salt gives an (almost surely) different permutation
+    c = run(4, "s2")
+    assert sorted(c) == list(range(n))
+    assert not np.array_equal(a, c)

@@ -32,6 +32,11 @@ QUERIES = [
     "interval_join_sessions",
     "sliding_windows",
     "doc_rolling_fingerprint",
+    # late round-2 operators
+    "doc_chunks",
+    "ngram_counts",
+    "contamination",
+    "seeded_shuffle",
 ]
 
 _CHILD = r"""
