@@ -212,34 +212,9 @@ def exact_extract_mixed(
         return pd.DataFrame(out)
 
     res = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
-    df = res.to_pandas()
-    if len(df) == 0:
-        # fully-disjoint input: build the expected stat-column skeleton so
-        # the NA padding below fills every zone (reference returns NA rows,
-        # test_exact_extract.R:642-653) — same fix as exact_extract
-        skeleton: dict[str, list] = {"zone_id": []}
-        for s in stats:
-            if s == "quantile":
-                for q in quantiles:
-                    skeleton[f"q{int(100*q):02d}"] = []
-            else:
-                skeleton[s] = []
-        df = pd.DataFrame(skeleton)
-        df["zone_id"] = df["zone_id"].astype(np.int64)
-    have = set(df["zone_id"]) if len(df) else set()
-    missing = [int(z) for z in zset.zone_ids if int(z) not in have]
-    if missing:
-        # disjoint-zone defaults match the reference: count/sum/variety 0,
-        # the rest NA (test_exact_extract.R:433-485)
-        pad = {"zone_id": missing}
-        for col in df.columns:
-            if col != "zone_id":
-                pad[col] = [
-                    0.0
-                    if col in ("count", "sum", "weighted_sum", "variety")
-                    else math.nan
-                ] * len(missing)
-        df = pd.concat([df, pd.DataFrame(pad)], ignore_index=True)
+    from .zonal import pad_missing_zones
+
+    df = pad_missing_zones(res.to_pandas(), stats, quantiles, zset.zone_ids)
     seq = {int(z): int(s) for z, s in zip(zset.zone_ids, zset.zone_seq)}
     df["__seq"] = df["zone_id"].map(seq)
     df = df.sort_values("__seq").drop(columns="__seq").reset_index(drop=True)

@@ -1050,6 +1050,41 @@ def _num_expected_args(fn) -> int:
     return n
 
 
+def pad_missing_zones(
+    df: pd.DataFrame,
+    stats: list[str],
+    quantiles: list[float],
+    zone_ids,
+) -> pd.DataFrame:
+    """Disjoint-zone skeleton + the reference's defaults (count/sum/variety
+    0, the rest NA — test_exact_extract.R:433-485) for plans whose result
+    columns are PLAIN stat names (mixed, partitioned; the broadcast plan
+    has per-pair '__{pi}__{stat}' columns and its own variant)."""
+    if len(df) == 0:
+        skeleton: dict[str, list] = {"zone_id": []}
+        for s in stats:
+            if s == "quantile":
+                for q in quantiles:
+                    skeleton[f"q{int(100*q):02d}"] = []
+            else:
+                skeleton[s] = []
+        df = pd.DataFrame(skeleton)
+        df["zone_id"] = df["zone_id"].astype(np.int64)
+    have = set(df["zone_id"])
+    missing = [int(z) for z in zone_ids if int(z) not in have]
+    if missing:
+        pad: dict[str, list] = {"zone_id": missing}
+        for col in df.columns:
+            if col != "zone_id":
+                pad[col] = [
+                    0.0
+                    if col in ("count", "sum", "weighted_sum", "variety")
+                    else math.nan
+                ] * len(missing)
+        df = pd.concat([df, pd.DataFrame(pad)], ignore_index=True)
+    return df
+
+
 #: include_* columns the extraction stage can emit, in the reference's
 #: positional-frame order (value, include_cols..., x, y, cell, area).
 _INCLUDE_ORDER = ("x", "y", "cell", "area")
@@ -1200,7 +1235,8 @@ def exact_extract_apply(
                 value_layer=layers[0], weight_layer=weight_layer,
                 include_xy=include_xy, include_cell=include_cell,
                 stack_apply=False, summarize_df=summarize_df,
-                fn_kwargs=fn_kwargs, include_cols=include_cols, **kwargs,
+                fn_kwargs=fn_kwargs, include_cols=include_cols,
+                append_cols=append_cols, **kwargs,
             )
         # ONE execution: per-layer cell extractions union into a single
         # stream, the UDF runs per (zone, layer) group in one shuffle, and
@@ -1273,7 +1309,28 @@ def exact_extract_apply(
             part = part.rename(
                 columns={c: f"{c}.{lay}" for c in part.columns if c != "zone_id"}
             )
-            merged = part if merged is None else merged.merge(part, on="zone_id")
+            # outer: a zone whose fn returned a zero-row frame for ONE layer
+            # keeps its other layers' results (NaN for the missing layer)
+            merged = (
+                part if merged is None
+                else merged.merge(part, on="zone_id", how="outer")
+            )
+        # input (zone_seq) order, like the non-stack path
+        seq_s = {
+            int(z): int(s)
+            for z, s in zip(zset_s.zone_ids, zset_s.zone_seq)
+        }
+        merged["__seq"] = merged["zone_id"].map(seq_s)
+        merged = (
+            merged.sort_values("__seq", kind="stable")
+            .drop(columns="__seq")
+            .reset_index(drop=True)
+        )
+        if append_cols:
+            zdf_s = zones.select(["zone_id"] + list(append_cols)).to_pandas()
+            m = merged.merge(zdf_s, on="zone_id", how="left")
+            lead = list(append_cols)
+            merged = m[lead + [c for c in m.columns if c not in lead]]
         return _rd.from_pandas(merged.reset_index(drop=True))
 
     cells = extract_cells(

@@ -198,37 +198,15 @@ def exact_extract_partitioned(
         return pd.DataFrame(out)
 
     res = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
-    df = res.to_pandas()
-    # zones with no raster intersection -> NaN rows, like the broadcast plan
-    # (reference returns NA for disjoint polygons). Only (zone_id) ids are
-    # collected here — same order of magnitude as the result itself.
+    # zones with no raster intersection -> reference-default rows, like the
+    # broadcast plan. Only (zone_id) ids are collected here — same order of
+    # magnitude as the result itself.
+    from .zonal import pad_missing_zones
+
     all_ids = [
         int(z)
         for z in zones_ds.select_columns(["zone_id"]).to_pandas()["zone_id"]
     ]
-    if len(df) == 0:
-        skeleton: dict[str, list] = {"zone_id": []}
-        for s in stats:
-            if s == "quantile":
-                for q in quantiles:
-                    skeleton[f"q{int(100*q):02d}"] = []
-            else:
-                skeleton[s] = []
-        df = pd.DataFrame(skeleton)
-        df["zone_id"] = df["zone_id"].astype(np.int64)
-    have = set(df["zone_id"])
-    missing = [z for z in all_ids if z not in have]
-    if missing:
-        # disjoint-zone defaults match the reference: count/sum/variety 0,
-        # the rest NA (test_exact_extract.R:433-485)
-        pad = {"zone_id": missing}
-        for col in df.columns:
-            if col != "zone_id":
-                pad[col] = [
-                    0.0
-                    if col in ("count", "sum", "weighted_sum", "variety")
-                    else float("nan")
-                ] * len(missing)
-        df = pd.concat([df, pd.DataFrame(pad)], ignore_index=True)
+    df = pad_missing_zones(res.to_pandas(), stats, quantiles, all_ids)
     df = df.sort_values("zone_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)

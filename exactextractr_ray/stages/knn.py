@@ -287,19 +287,9 @@ def knn_cosine_ivf(
     signs = (qm @ planes) > 0
     qb = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
 
-    def probes(b: int) -> list[int]:
-        out = [b]
-        if probe_hamming >= 1:
-            out += [b ^ (1 << i) for i in range(num_planes)]
-        if probe_hamming >= 2:
-            out += [
-                b ^ (1 << i) ^ (1 << j)
-                for i in range(num_planes)
-                for j in range(i + 1, num_planes)
-            ]
-        return out
-
-    wanted = sorted({pb for b in qb for pb in probes(int(b))})
+    wanted = sorted({
+        pb for b in qb for pb in hamming_probes(int(b), num_planes, probe_hamming)
+    })
 
     # storage-level pruning by construction: only the matching bucket
     # partitions' files are even listed
@@ -326,10 +316,8 @@ def knn_cosine_ivf(
     qidx = {int(q): i for i, q in enumerate(query_ids)}
     by_bucket: dict[int, list[int]] = {}
     for q, b in zip(query_ids, qb):
-        for pb in probes(int(b)):
-            lst = by_bucket.setdefault(pb, [])
-            if int(q) not in lst:
-                lst.append(int(q))
+        for pb in hamming_probes(int(b), num_planes, probe_hamming):
+            by_bucket.setdefault(pb, []).append(int(q))
     wanted_ref = ray.put((by_bucket, qnorm, qidx))
 
     def scan(batch: pa.Table) -> pa.Table:
@@ -390,6 +378,25 @@ class RandomHyperplaneLSH:
         return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
 
 
+def hamming_probes(b: int, num_planes: int, h: int) -> list[int]:
+    """The bucket ``b`` plus every bucket within Hamming distance ``h`` of
+    it (multi-probe LSH, Lv et al. VLDB'07). Probes are DISTINCT by
+    construction (single and pairwise bit flips never collide), shared by
+    the in-memory scan, the IVF path, and the oracle re-derivation."""
+    if h > 2:
+        raise ValueError("probe_hamming > 2 not supported")
+    out = [b]
+    if h >= 1:
+        out += [b ^ (1 << i) for i in range(num_planes)]
+    if h >= 2:
+        out += [
+            b ^ (1 << i) ^ (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        ]
+    return out
+
+
 def knn_cosine_lsh(
     ds,
     query_ids: np.ndarray,
@@ -414,23 +421,10 @@ def knn_cosine_lsh(
     lsh = RandomHyperplaneLSH(dim, num_planes)
     qb = lsh.bucket(np.asarray(query_matrix, dtype=np.float64))
 
-    def probes(b: int) -> list[int]:
-        out = [b]
-        if probe_hamming >= 1:
-            for i in range(num_planes):
-                out.append(b ^ (1 << i))
-        if probe_hamming >= 2:
-            for i in range(num_planes):
-                for j in range(i + 1, num_planes):
-                    out.append(b ^ (1 << i) ^ (1 << j))
-        return out
-
     wanted = {}
     for qid, b in zip(query_ids, qb):
-        for pb in probes(int(b)):
-            lst = wanted.setdefault(pb, [])
-            if int(qid) not in lst:
-                lst.append(int(qid))
+        for pb in hamming_probes(int(b), num_planes, probe_hamming):
+            wanted.setdefault(pb, []).append(int(qid))
     qnorm = query_matrix / np.maximum(
         np.linalg.norm(query_matrix, axis=1, keepdims=True), 1e-12
     )

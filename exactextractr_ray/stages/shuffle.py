@@ -64,15 +64,35 @@ def deterministic_shuffle(
             "__h", pa.array(hh, pa.string())
         ).append_column("__bucket", pa.array(buckets, pa.int32()))
 
-    hashed = ds.map_batches(attach, batch_format="pyarrow")
+    # materialize once: both the histogram pass and the indexing groupby
+    # read the hashed rows, and recomputing the source + per-row md5 twice
+    # would double the operator's cost (the object store spills at scale)
+    hashed = ds.map_batches(attach, batch_format="pyarrow").materialize()
 
-    # tiny histogram: num_buckets rows to the driver, prefix-summed
-    counts = hashed.groupby("__bucket").count().to_pandas()
-    counts = counts.sort_values("__bucket")
+    # histogram WITHOUT a shuffle: per-batch partial bucket counts (at most
+    # num_buckets rows per block) merged on the driver, prefix-summed
+    def _bucket_hist(batch: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(
+            batch.column("__bucket").to_numpy(), return_counts=True
+        )
+        return pa.table(
+            {
+                "__bucket": pa.array(vals.astype(np.int32), pa.int32()),
+                "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        hashed.map_batches(_bucket_hist, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("__bucket")["n"]
+        .sum()
+        .sort_index()
+    )
     offsets = dict(
         zip(
-            counts["__bucket"].astype(int),
-            np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]]),
+            hist.index.astype(int),
+            np.concatenate([[0], np.cumsum(hist.to_numpy())[:-1]]),
         )
     )
     off_ref = ray.put(offsets)

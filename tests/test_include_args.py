@@ -301,3 +301,42 @@ def test_disjoint_polygon_udf_called_with_empty_frame(_ray):
     ).to_pandas()
     assert out3["names"].iloc[0] == "value,coverage_fraction"
     assert out3["n"].iloc[0] == 0
+
+
+def test_stack_apply_append_cols_and_order(_ray):
+    """Regression: stack_apply must honor append_cols (attribute columns
+    lead) and return rows in INPUT order like the non-stack path."""
+    n = 8
+    a = np.arange(n * n, dtype=float).reshape(n, n)
+    rd = raster_from_array(
+        a, Grid(0, 0, n, n, 1, 1), tile=4, layer="a",
+        extra_layers={"b": a * 2.0},
+    )
+    # input order [5, 2]: zone 5 first
+    zones = zone_table(
+        [
+            (5, "south", wkbio.rect_wkb(0, 0, 8, 4)),
+            (2, "north", wkbio.rect_wkb(0, 4, 8, 8)),
+        ]
+    )
+
+    def wmean(values, cov):
+        return float(np.sum(values * cov) / np.sum(cov))
+
+    out = exact_extract_apply(
+        rd, zones, wmean, value_layer=["a", "b"], stack_apply=True,
+        append_cols=["name"],
+    ).to_pandas()
+    assert list(out.columns) == ["name", "zone_id", "result.a", "result.b"]
+    assert list(out["zone_id"]) == [5, 2]
+    assert list(out["name"]) == ["south", "north"]
+    # layer b is exactly 2x layer a
+    np.testing.assert_allclose(out["result.b"], 2.0 * out["result.a"])
+
+    # single-layer stack recursion must also forward append_cols
+    out1 = exact_extract_apply(
+        rd, zones, wmean, value_layer=["a"], stack_apply=True,
+        append_cols=["name"],
+    ).to_pandas()
+    assert "name" in out1.columns
+    assert list(out1["zone_id"]) == [5, 2]

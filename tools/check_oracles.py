@@ -119,7 +119,7 @@ def check_knn_lsh_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
     brute-force recall@k is reported for context."""
     import pyarrow.parquet as pq
 
-    from exactextractr_ray.stages.knn import RandomHyperplaneLSH
+    from exactextractr_ray.stages.knn import RandomHyperplaneLSH, hamming_probes
 
     KNN_Q, KNN_K, NUM_PLANES, PROBE_H = 8, 10, 4, 1  # must match _q_knn_lsh
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
@@ -136,12 +136,9 @@ def check_knn_lsh_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
     recalls = []
     full_sims = qn @ nm.T
     for qi, (q, b) in enumerate(zip(qids, qb)):
-        # multi-probe: the query's bucket plus all buckets within
-        # Hamming distance PROBE_H (must mirror knn_cosine_lsh.probes)
-        pbs = {int(b)}
-        if PROBE_H >= 1:
-            pbs |= {int(b) ^ (1 << i) for i in range(NUM_PLANES)}
-        cand = np.nonzero(np.isin(vb, list(pbs)))[0]
+        # multi-probe: SAME probe enumeration as the pipeline (shared fn)
+        pbs = hamming_probes(int(b), NUM_PLANES, PROBE_H)
+        cand = np.nonzero(np.isin(vb, pbs))[0]
         cand = cand[ids[cand] != q]
         sims = nm[cand] @ qn[qi]
         order = np.lexsort((ids[cand], -sims))[:KNN_K]
