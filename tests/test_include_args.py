@@ -340,3 +340,43 @@ def test_stack_apply_append_cols_and_order(_ray):
     ).to_pandas()
     assert "name" in out1.columns
     assert list(out1["zone_id"]) == [5, 2]
+
+
+def test_categorical_summary_udf(_ray):
+    # test_exact_extract.R:713-754 — custom function returning a per-class
+    # coverage-sum frame
+    rng = np.random.RandomState(456)
+    classes = [1, 2, 3, 5]
+    vals = np.array(classes)[rng.randint(0, 4, 100)].astype(float).reshape(10, 10)
+    rd = raster_from_array(vals, Grid(0, 0, 10, 10, 1, 1), tile=5)
+    zones = zone_table(
+        [
+            (1, "big", wkbio.circle_wkb(5, 4, 2, segments=120)),
+            (2, "small", wkbio.circle_wkb(3, 1, 1, segments=120)),
+        ]
+    )
+
+    def class_sums(x, c):
+        return pd.DataFrame(
+            {f"sum_{cls}": [float(np.sum(c[x == cls]))] for cls in classes}
+        )
+
+    res = exact_extract_apply(rd, zones, class_sums).to_pandas()
+    assert list(res.columns) == ["zone_id", "sum_1", "sum_2", "sum_3", "sum_5"]
+
+    # cross-check one value against a scalar-returning fn on one zone
+    one = exact_extract_apply(
+        rd,
+        zone_table([(2, "small", wkbio.circle_wkb(3, 1, 1, segments=120))]),
+        lambda x, c: float(np.sum(c[x == 3])),
+    ).to_pandas()
+    assert res.loc[res["zone_id"] == 2, "sum_3"].iloc[0] == pytest.approx(
+        one["result"].iloc[0]
+    )
+    # total coverage partitions across classes
+    total = exact_extract_apply(
+        rd, zones, lambda x, c: float(np.sum(c))
+    ).to_pandas()
+    np.testing.assert_allclose(
+        res[[f"sum_{c}" for c in classes]].sum(axis=1), total["result"]
+    )
