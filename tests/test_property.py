@@ -144,3 +144,81 @@ def test_kernel_matches_bruteforce_on_lattice(points):
     fast = coverage_matrix(g, parts)
     slow = brute_force_coverage(g, parts[0]["rings"][0])
     np.testing.assert_allclose(fast, slow, atol=1e-9)
+
+
+# ---- text-operator properties (hypothesis over the pure batch kernels) ----
+
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=2000),
+        min_size=1, max_size=8,
+    ),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=0, max_value=32),
+)
+@settings(max_examples=60, deadline=None)
+def test_chunking_reassembles(texts, size, overlap):
+    """For any texts and any (size, overlap<size): chunks reassemble the
+    document exactly, every chunk except the last is full-size, and
+    consecutive chunks share exactly `overlap` characters."""
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.text import chunk_batch
+
+    if overlap >= size:
+        overlap = size - 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = chunk_batch(tbl, size=size, overlap=overlap).to_pandas()
+    step = size - overlap
+    for did, t in enumerate(texts):
+        sub = out[out.doc_id == did].sort_values("chunk_idx")
+        chunks = sub["chunk"].tolist()
+        starts = sub["char_start"].tolist()
+        if not t:
+            assert chunks == []
+            continue
+        # the complete spec: chunk i is exactly t[i*step : i*step+size]
+        assert starts == list(range(0, len(t), step))
+        for s, c in zip(starts, chunks):
+            assert c == t[s : s + size]
+        rebuilt = "".join([chunks[0]] + [c[overlap:] for c in chunks[1:]])
+        assert rebuilt == t
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab "), max_size=60),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_ngram_counts_match_bruteforce(texts, n):
+    """Partial-count batches merged any way equal the naive corpus count."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.text import ngram_count_batch
+
+    truth: Counter = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks) - n + 1):
+            truth[" ".join(toks[i : i + n])] += 1
+
+    # split the corpus into two arbitrary batches; sums must agree
+    mid = len(texts) // 2
+    got: Counter = Counter()
+    for part in (texts[:mid], texts[mid:]):
+        tbl = pa.table({"text": pa.array(part, pa.string())})
+        b = ngram_count_batch(tbl, n=n)
+        got.update(dict(zip(b.column("ngram").to_pylist(),
+                            b.column("cnt").to_pylist())))
+    assert got == truth
