@@ -44,7 +44,20 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--max-cells", type=int, default=None, help="(parity only)")
     ap.add_argument("--num-cpus", type=int, default=None)
+    # reference parity (exactextract.cpp:57-59): rename/retype the id column
+    ap.add_argument("--id-name", default=None,
+                    help="override name of id field in output")
+    ap.add_argument("--id-type", default=None,
+                    choices=["int32", "int64", "float64", "string"],
+                    help="override type of id field in output")
+    ap.add_argument("--progress", action="store_true",
+                    help="show Ray Data progress bars")
     args = ap.parse_args(argv)
+
+    # the reference requires both or neither (exactextract.cpp:68-71)
+    if (args.id_name is None) != (args.id_type is None):
+        print("Must specify both --id-type and --id-name", file=sys.stderr)
+        return 1
 
     import ray
 
@@ -54,6 +67,10 @@ def main(argv=None) -> int:
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
+
+    import ray.data as _rd
+
+    _rd.DataContext.get_current().enable_progress_bars = bool(args.progress)
 
     import pyarrow.parquet as pq
 
@@ -121,6 +138,16 @@ def main(argv=None) -> int:
         stat_col = [c for c in t.columns if c != "zone_id"][0]
         t = t.rename(columns={stat_col: sd.name})
         result = t if result is None else result.merge(t, on="zone_id")
+
+    if args.id_name is not None:
+        import numpy as _np
+
+        caster = {
+            "int32": _np.int32, "int64": _np.int64,
+            "float64": _np.float64, "string": str,
+        }[args.id_type]
+        result = result.rename(columns={"zone_id": args.id_name})
+        result[args.id_name] = result[args.id_name].map(caster)
 
     from .sources.sinks import write_result
 

@@ -270,3 +270,44 @@ def test_cli_dbf_output(ray_session, tmp_path):
     assert rc == 0
     res = read_dbf(out)
     assert res["mean"].iloc[0] == vals[4:, :4].mean()
+
+
+def test_cli_id_name_type(ray_session, tmp_path):
+    """--id-name/--id-type rename and retype the id column
+    (exactextract.cpp:57-59, 68-71: both-or-neither contract)."""
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.sources.raster import (
+        raster_from_array,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    rd = raster_from_array(np.ones((8, 8)), g, tile=4)
+    tiles_dir = str(tmp_path / "tiles")
+    write_raster_parquet(rd, tiles_dir)
+    zpath = str(tmp_path / "zones.parquet")
+    pq.write_table(
+        zone_table([(7, "z", wkbio.rect_wkb(0, 0, 8, 8))]), zpath
+    )
+
+    out = str(tmp_path / "out.parquet")
+    rc = main(
+        [
+            "-p", zpath, "-r", f"values:{tiles_dir}", "-s", "mean",
+            "-o", out, "--id-name", "fid", "--id-type", "string",
+        ]
+    )
+    assert rc in (0, None)
+    t = pq.read_table(out).to_pandas()
+    assert list(t.columns)[0:1] == ["fid"] or "fid" in t.columns
+    assert t["fid"].iloc[0] == "7"
+
+    # one without the other -> error exit, like the reference
+    rc2 = main(
+        [
+            "-p", zpath, "-r", f"values:{tiles_dir}", "-s", "mean",
+            "-o", out, "--id-name", "fid",
+        ]
+    )
+    assert rc2 == 1
