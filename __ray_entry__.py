@@ -584,6 +584,16 @@ def _q_quality(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_variety_kmv(sf_dir: str):
+    from exactextractr_ray.pipelines.sketch import zonal_variety_approx
+
+    out = zonal_variety_approx(
+        _raster(), _rect_zones(), k=256, hasher="md5i"
+    )
+    out["exact"] = out["exact"].astype(np.int64)
+    return out[["zone_id", "variety_est", "exact"]].reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     from exactextractr_ray.stages.text import chunk_documents
 
@@ -832,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "seeded_shuffle": _q_shuffle,
+        "zonal_variety_kmv": _q_variety_kmv,
         "langid": _q_langid,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -1513,6 +1524,34 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id
     """
 
+    # KMV sketch oracle: identical md5-derived 64-bit hashes, identical
+    # float64 estimator arithmetic -> bit-exact (same trick as the Morton /
+    # simhash oracles: custom integer math re-expressed in SQL)
+    KMV_K = 256
+    variety_kmv = f"""
+    WITH cov AS ({cov}),
+    h AS (
+      SELECT DISTINCT zone_id,
+        CAST(('0x' || substr(md5(CAST(CAST(val AS BIGINT) AS VARCHAR)), 1, 16))
+             AS UBIGINT) AS hv
+      FROM cov WHERE cov > 0 AND val IS NOT NULL
+    ),
+    ranked AS (
+      SELECT zone_id, hv,
+             ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY hv) AS rn,
+             COUNT(*) OVER (PARTITION BY zone_id) AS cnt
+      FROM h
+    )
+    SELECT zone_id,
+      CASE WHEN cnt < {{KMV_K}} THEN CAST(cnt AS DOUBLE)
+           ELSE ({{KMV_K}} - 1) * 18446744073709551616.0
+                / (CAST(hv AS DOUBLE) + 1.0) END AS variety_est,
+      CAST(cnt < {{KMV_K}} AS BIGINT) AS exact
+    FROM ranked
+    WHERE rn = CASE WHEN cnt < {{KMV_K}} THEN cnt ELSE {{KMV_K}} END
+    ORDER BY zone_id
+    """.replace("{KMV_K}", str(KMV_K))
+
     seeded_shuffle_sql = """
     SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
@@ -1572,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": ngram_counts_sql,
         "contamination": contamination_sql,
         "seeded_shuffle": seeded_shuffle_sql,
+        "zonal_variety_kmv": variety_kmv,
         "morton_cells": morton,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,

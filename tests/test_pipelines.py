@@ -623,3 +623,48 @@ def test_resample_shifted_grid_mode(_ray):
     got = set(out["value"].unique())
     assert got <= set(np.unique(vals))
     assert len(got) > 1
+
+
+def test_zonal_variety_kmv(_ray):
+    """KMV approximate variety: exact below k, ~1/sqrt(k) relative error
+    above k, merge-order invariant across tilings."""
+    from exactextractr_ray.pipelines.sketch import zonal_variety_approx
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import zone_table
+
+    n = 128
+    rng = np.random.RandomState(9)
+    # continuous values: ~16k distinct in the zone, far above k
+    vals = rng.rand(n, n)
+    g = Grid(0, 0, n, n, 1, 1)
+    zones = zone_table(
+        [
+            (1, "big", wkbio.rect_wkb(0.5, 0.5, 120.5, 120.5)),
+            (2, "small", wkbio.rect_wkb(2.25, 2.25, 10.25, 10.25)),
+        ]
+    )
+
+    exact = exact_extract(
+        raster_from_array(vals, g, tile=32), zones, ["variety"]
+    ).to_pandas().set_index("zone_id")["variety"]
+
+    approx = zonal_variety_approx(
+        raster_from_array(vals, g, tile=32), zones, k=1024
+    ).set_index("zone_id")
+
+    # small zone: fewer than k distinct -> exact, flagged exact
+    assert bool(approx.loc[2, "exact"])
+    assert approx.loc[2, "variety_est"] == exact.loc[2]
+    # big zone: estimate within 10% (expected error ~ 3% at k=1024)
+    assert not bool(approx.loc[1, "exact"])
+    rel = abs(approx.loc[1, "variety_est"] - exact.loc[1]) / exact.loc[1]
+    assert rel < 0.10, rel
+
+    # tiling invariance: different tile size, same merged sketch result
+    approx2 = zonal_variety_approx(
+        raster_from_array(vals, g, tile=16), zones, k=1024
+    ).set_index("zone_id")
+    np.testing.assert_allclose(
+        approx["variety_est"], approx2["variety_est"], rtol=0
+    )

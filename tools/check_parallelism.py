@@ -37,6 +37,7 @@ QUERIES = [
     "ngram_counts",
     "contamination",
     "seeded_shuffle",
+    "zonal_variety_kmv",
 ]
 
 _CHILD = r"""
