@@ -594,6 +594,16 @@ def _q_variety_kmv(sf_dir: str):
     return out[["zone_id", "variety_est", "exact"]].reset_index(drop=True)
 
 
+def _q_quantile_hist(sf_dir: str):
+    from exactextractr_ray.pipelines.sketch import zonal_quantile_hist
+
+    out = zonal_quantile_hist(
+        _raster(), _rect_zones(), quantiles=[0.5, 0.9],
+        bins=256, vmin=0.0, vmax=1024.0,
+    )
+    return out[["zone_id", "q50", "q90"]].reset_index(drop=True)
+
+
 def _q_doc_chunks(sf_dir: str):
     from exactextractr_ray.stages.text import chunk_documents
 
@@ -843,6 +853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "seeded_shuffle": _q_shuffle,
         "zonal_variety_kmv": _q_variety_kmv,
+        "zonal_quantile_hist": _q_quantile_hist,
         "langid": _q_langid,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -1552,6 +1563,40 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY zone_id
     """.replace("{KMV_K}", str(KMV_K))
 
+    # histogram-quantile sketch oracle: same binning, same cumulative-pick,
+    # same float64 interpolation arithmetic as the pipeline
+    def _hist_pick(q):
+        return f"""
+      SELECT zone_id,
+             0.0 + 4.0 * (b + ({q} * total - (c - w)) / w) AS est
+      FROM (
+        SELECT zone_id, b, w, c, total,
+               ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY b) AS rn
+        FROM cum WHERE c >= {q} * total
+      ) WHERE rn = 1
+    """
+
+    quantile_hist = f"""
+    WITH cov AS ({cov}),
+    binned AS (
+      SELECT zone_id,
+             CAST(LEAST(GREATEST(FLOOR((val - 0.0) / 4.0), 0), 255) AS BIGINT)
+               AS b,
+             SUM(cov) AS w
+      FROM cov WHERE cov > 0 AND val IS NOT NULL GROUP BY zone_id, 2
+    ),
+    cum AS (
+      SELECT zone_id, b, w,
+        SUM(w) OVER (PARTITION BY zone_id ORDER BY b) AS c,
+        SUM(w) OVER (PARTITION BY zone_id) AS total
+      FROM binned
+    ),
+    p50 AS ({_hist_pick(0.5)}),
+    p90 AS ({_hist_pick(0.9)})
+    SELECT p50.zone_id, p50.est AS q50, p90.est AS q90
+    FROM p50 JOIN p90 USING (zone_id) ORDER BY zone_id
+    """
+
     seeded_shuffle_sql = """
     SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
@@ -1612,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": contamination_sql,
         "seeded_shuffle": seeded_shuffle_sql,
         "zonal_variety_kmv": variety_kmv,
+        "zonal_quantile_hist": quantile_hist,
         "morton_cells": morton,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,

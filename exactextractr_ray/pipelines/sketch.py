@@ -181,3 +181,130 @@ def zonal_variety_approx(
         .to_pandas()
     )
     return res.sort_values("zone_id").reset_index(drop=True)
+
+
+class ZonalHistPartial:
+    """Tile -> per-zone fixed-bin coverage histogram (bounded state).
+
+    The bounded-state companion to the KMV sketch for the OTHER unbounded
+    exact-freq-map consumer: median/quantile on continuous rasters. State is
+    exactly ``bins`` float64s per (zone, tile) regardless of distinct
+    values; histograms merge by addition; quantiles interpolate uniformly
+    within the selected bin (error <= bin width)."""
+
+    def __init__(
+        self, zones_ref, grid_dict: dict, value_layer: str,
+        bins: int, vmin: float, vmax: float,
+    ):
+        zones = ray.get(zones_ref) if not isinstance(zones_ref, ZoneSet) else zones_ref
+        self.zones = zones
+        self.grid = Grid.from_dict(grid_dict)
+        self.value_layer = value_layer
+        self.bins = bins
+        self.vmin = float(vmin)
+        self.vmax = float(vmax)
+        self.binw = (self.vmax - self.vmin) / bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        layers = batch.column("layer").to_pylist()
+        row0s = batch.column("row0").to_numpy()
+        col0s = batch.column("col0").to_numpy()
+        ths = batch.column("th").to_numpy()
+        tws = batch.column("tw").to_numpy()
+        values_col = batch.column("values")
+
+        out_zone: list[int] = []
+        out_hist: list[list[float]] = []
+        for i, lay in enumerate(layers):
+            if lay != self.value_layer:
+                continue
+            row0, col0 = int(row0s[i]), int(col0s[i])
+            th, tw = int(ths[i]), int(tws[i])
+            tile_grid = self.grid.subgrid(row0, col0, th, tw)
+            zidx = self.zones.intersecting(tile_grid.extent)
+            if len(zidx) == 0:
+                continue
+            vals = np.asarray(values_col[i].values, dtype=np.float64).reshape(
+                th, tw
+            )
+            for zi in zidx:
+                e = self.zones.envelopes[zi]
+                sub = tile_grid.crop_to_box(Box(e[0], e[1], e[2], e[3]))
+                if sub.empty():
+                    continue
+                cov = zone_coverage(sub, self.zones.parts[zi])
+                m = cov > 0.0
+                r0 = sub.row_offset(tile_grid)
+                c0 = sub.col_offset(tile_grid)
+                v = vals[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol][m]
+                c = cov[m]
+                keep = ~np.isnan(v)
+                v, c = v[keep], c[keep]
+                if len(v) == 0:
+                    continue
+                idx = np.floor((v - self.vmin) / self.binw).astype(np.int64)
+                idx = np.clip(idx, 0, self.bins - 1)
+                hist = np.bincount(idx, weights=c, minlength=self.bins)
+                out_zone.append(int(self.zones.zone_ids[zi]))
+                out_hist.append(hist.tolist())
+        return pa.table(
+            {
+                "zone_id": pa.array(out_zone, pa.int64()),
+                "hist": pa.array(out_hist, pa.list_(pa.float64())),
+            }
+        )
+
+
+def zonal_quantile_hist(
+    raster,
+    zones: pa.Table,
+    quantiles: list[float],
+    bins: int = 512,
+    vmin: float = 0.0,
+    vmax: float = 1.0,
+    value_layer: str = "value",
+) -> pd.DataFrame:
+    """Approximate coverage-weighted quantiles from fixed-bin histograms.
+
+    One row per zone with a ``q{pct}`` column per requested quantile:
+    est = vmin + binw * (j + (target - cum_before_j) / hist_j) where j is
+    the first bin whose cumulative weight reaches target = q * total.
+    Error is bounded by one bin width — choose bins from the value range,
+    not the data size. Values outside [vmin, vmax] clamp into edge bins."""
+    zset = parse_zone_table(zones)
+    zones_ref = ray.put(zset)
+    partials = _prune_tiles_to_zones(raster, zset).map_batches(
+        cached_stage(
+            ZonalHistPartial, zones_ref, raster.grid.to_dict(), value_layer,
+            bins, vmin, vmax,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    binw = (float(vmax) - float(vmin)) / bins
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        hist = np.zeros(bins)
+        for h in g["hist"]:
+            hist += np.asarray(h)
+        total = float(hist.sum())
+        out = {"zone_id": [int(g["zone_id"].iloc[0])]}
+        cum = np.cumsum(hist)
+        for q in quantiles:
+            target = q * total
+            j = int(np.searchsorted(cum, target, side="left"))
+            j = min(j, bins - 1)
+            cum_before = float(cum[j - 1]) if j > 0 else 0.0
+            hj = float(hist[j])
+            frac = (target - cum_before) / hj if hj > 0 else 0.0
+            out[f"q{int(round(100 * q)):02d}"] = [
+                float(vmin) + binw * (j + frac)
+            ]
+        return pd.DataFrame(out)
+
+    res = (
+        partials.groupby("zone_id")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values("zone_id").reset_index(drop=True)

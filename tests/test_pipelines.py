@@ -668,3 +668,41 @@ def test_zonal_variety_kmv(_ray):
     np.testing.assert_allclose(
         approx["variety_est"], approx2["variety_est"], rtol=0
     )
+
+
+def test_zonal_quantile_hist(_ray):
+    """Histogram-quantile sketch: within one bin width of the exact
+    coverage-weighted median, tiling-invariant."""
+    from exactextractr_ray.pipelines.sketch import zonal_quantile_hist
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import zone_table
+
+    n = 64
+    rng = np.random.RandomState(4)
+    vals = rng.rand(n, n)  # continuous in [0, 1)
+    g = Grid(0, 0, n, n, 1, 1)
+    zones = zone_table(
+        [
+            (1, "a", wkbio.rect_wkb(0.5, 0.5, 40.5, 40.5)),
+            (2, "b", wkbio.circle_wkb(50, 20, 10, segments=90)),
+        ]
+    )
+    bins = 512
+    binw = 1.0 / bins
+
+    exact = exact_extract(
+        raster_from_array(vals, g, tile=16), zones, ["median"]
+    ).to_pandas().set_index("zone_id")["median"]
+    approx = zonal_quantile_hist(
+        raster_from_array(vals, g, tile=16), zones, quantiles=[0.5],
+        bins=bins, vmin=0.0, vmax=1.0,
+    ).set_index("zone_id")["q50"]
+    for z in (1, 2):
+        assert abs(approx.loc[z] - exact.loc[z]) <= binw, z
+
+    approx2 = zonal_quantile_hist(
+        raster_from_array(vals, g, tile=32), zones, quantiles=[0.5],
+        bins=bins, vmin=0.0, vmax=1.0,
+    ).set_index("zone_id")["q50"]
+    np.testing.assert_allclose(approx, approx2, rtol=0)

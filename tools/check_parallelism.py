@@ -38,6 +38,7 @@ QUERIES = [
     "contamination",
     "seeded_shuffle",
     "zonal_variety_kmv",
+    "zonal_quantile_hist",
 ]
 
 _CHILD = r"""
