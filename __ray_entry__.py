@@ -1486,7 +1486,7 @@ def oracle_sql() -> dict[str, str]:
                               FROM documents), 448)) AS gs
     )
     SELECT d.doc_id,
-           s.gs / 448 AS chunk_idx,
+           CAST(s.gs // 448 AS BIGINT) AS chunk_idx,
            s.gs AS char_start,
            substr(d.text, s.gs + 1, 512) AS chunk,
            length(substr(d.text, s.gs + 1, 512)) AS chunk_len

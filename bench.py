@@ -220,6 +220,13 @@ def run_all(full: bool = True, repeats: int = 1):
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        # suite config, emitted so round-over-round totals are only compared
+        # at identical configs (r01 ran zonal_n=16384/4096 tiles, r02+ run
+        # zonal_n=65536/16384 tiles — see BASELINE.md "canonical config")
+        "zonal_n": ZONAL_N,
+        "zonal_tiles": (ZONAL_N // ZONAL_TILE) ** 2,
+        "join_points": JOIN_POINTS,
+        "repeats": repeats,
         **extras,
     }
     ray.shutdown()

@@ -34,6 +34,18 @@ def compare(name: str, ray_df: pd.DataFrame, ora_df: pd.DataFrame) -> str:
     issues = []
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # dtype-strict: the driver's value hash is dtype-sensitive, so an
+        # int64-vs-float64 mismatch fails there even when values are equal.
+        # Only object columns (strings/lists) are exempt from kind matching.
+        if av.dtype.kind != bv.dtype.kind and "O" not in (
+            av.dtype.kind,
+            bv.dtype.kind,
+        ):
+            issues.append(
+                f"{c}: DTYPE MISMATCH ray={av.dtype} ora={bv.dtype} "
+                "(driver hash is dtype-sensitive)"
+            )
+            continue
         if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
