@@ -42,7 +42,13 @@ def main(argv=None) -> int:
         "--strategy", default="raster-sequential",
         choices=["raster-sequential", "feature-sequential"],
     )
-    ap.add_argument("--max-cells", type=int, default=None, help="(parity only)")
+    ap.add_argument(
+        "--max-cells", type=int, default=None,
+        help="max raster cells held in memory per work item (the reference's "
+        "max_cells_in_memory; maps to MAX_CELLS_PER_ITEM — oversized "
+        "zone/tile crops recursively split until bounded). Applies to the "
+        "raster-sequential strategy; results are bit-identical at any value.",
+    )
     ap.add_argument("--num-cpus", type=int, default=None)
     # reference parity (exactextract.cpp:57-59): rename/retype the id column
     ap.add_argument("--id-name", default=None,
@@ -134,10 +140,23 @@ def main(argv=None) -> int:
                     [sd.stat],
                     value_layer=value_layer,
                     weight_layer=weight_layer,
+                    max_cells_per_item=args.max_cells,
                 ).to_pandas()
         stat_col = [c for c in t.columns if c != "zone_id"][0]
         t = t.rename(columns={stat_col: sd.name})
         result = t if result is None else result.merge(t, on="zone_id")
+
+    # .shp output: align one zone geometry per result row (before any id
+    # rename) — the shapefile carries geometry + the DBF attribute table
+    geoms = None
+    if args.output.endswith(".shp"):
+        gmap = dict(
+            zip(
+                zones.column("zone_id").to_pylist(),
+                zones.column("geom_wkb").to_pylist(),
+            )
+        )
+        geoms = [gmap.get(z) for z in result["zone_id"]]
 
     if args.id_name is not None:
         import numpy as _np
@@ -151,9 +170,9 @@ def main(argv=None) -> int:
 
     from .sources.sinks import write_result
 
-    # .parquet / .csv / .dbf (shapefile attribute table) / .nc (NetCDF-3) —
-    # the GDALWriter sink set representable without GDAL
-    write_result(result, args.output)
+    # .parquet / .csv / .dbf (attribute table only) / .shp (+.shx+.dbf full
+    # shapefile) / .nc (NetCDF-3) — the GDALWriter sink set without GDAL
+    write_result(result, args.output, geoms)
     print(f"wrote {len(result)} rows to {args.output}", file=sys.stderr)
     if owns_ray:
         ray.shutdown()

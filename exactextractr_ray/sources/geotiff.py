@@ -4,8 +4,9 @@ The reference's raster source is a GDAL band wrapper
 (/root/reference/src/exactextract/src/gdal_raster_wrapper.cpp:22-95); this
 module is its ingestion analog for the subset of GeoTIFF every real-world
 test asset in the reference uses (and the common wild formats): baseline
-TIFF, little/big endian, strip- or tile-organized, compression none /
-Deflate (zlib) / PackBits / LZW, horizontal-differencing predictor,
+TIFF and BigTIFF containers, little/big endian, strip- or tile-organized,
+compression none / Deflate (zlib) / PackBits / LZW, horizontal-differencing
+predictor 2 and floating-point predictor 3 (TIFF Technical Note 3),
 uint8/16/32, int8/16/32, float32/64, ModelPixelScale + ModelTiepoint
 georeferencing, and GDAL's ASCII NODATA tag.
 
@@ -54,9 +55,9 @@ _TAGS = {
 }
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
-              11: 4, 12: 8, 16: 8, 17: 8}
+              11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 _TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 6: "b", 7: "B", 8: "h", 9: "i",
-             11: "f", 12: "d", 16: "Q", 17: "q"}
+             11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 @dataclass
@@ -68,19 +69,30 @@ class GeoTiffMeta:
     grid: Grid
 
 
-def _read_ifd(data: bytes, endian: str, off: int) -> dict:
-    n = struct.unpack(endian + "H", data[off : off + 2])[0]
+def _read_ifd(data: bytes, endian: str, off: int, big: bool = False) -> dict:
+    """Classic-TIFF (12-byte entries, u32 offsets) or BigTIFF (20-byte
+    entries, u64 counts/offsets — the public BigTIFF spec) IFD."""
+    if big:
+        n = struct.unpack(endian + "Q", data[off : off + 8])[0]
+        ebase, esize, inline = off + 8, 20, 8
+    else:
+        n = struct.unpack(endian + "H", data[off : off + 2])[0]
+        ebase, esize, inline = off + 2, 12, 4
     tags = {}
     for i in range(n):
-        e = data[off + 2 + i * 12 : off + 14 + i * 12]
-        tag, typ, cnt = struct.unpack(endian + "HHI", e[:8])
+        e = data[ebase + i * esize : ebase + (i + 1) * esize]
+        if big:
+            tag, typ, cnt = struct.unpack(endian + "HHQ", e[:12])
+        else:
+            tag, typ, cnt = struct.unpack(endian + "HHI", e[:8])
         size = _TYPE_SIZE.get(typ)
         if size is None:
             continue
         total = size * cnt
-        raw = e[8:12] if total <= 4 else None
+        vfield = e[esize - inline : esize]
+        raw = vfield if total <= inline else None
         if raw is None:
-            o = struct.unpack(endian + "I", e[8:12])[0]
+            o = struct.unpack(endian + ("Q" if big else "I"), vfield)[0]
             raw = data[o : o + total]
         if typ == 2:  # ASCII
             tags[tag] = raw[:cnt].rstrip(b"\x00").decode("ascii", "replace")
@@ -181,6 +193,25 @@ def _undo_predictor2(block: np.ndarray, dt: np.dtype, bps: int,
     return rec.view(np.dtype(f"{dt.kind}{bps // 8}"))
 
 
+def _undo_predictor3(raw: bytes, rows: int, cols: int, bps: int) -> np.ndarray:
+    """Floating-point predictor (TIFF Technical Note 3, predictor 3): the
+    encoder splits each row's values into byte planes (most significant
+    first, endian-independent), then byte-level horizontal differencing.
+    Decode = byte cumsum per row, then re-interleave planes into big-endian
+    values. Fully vectorized."""
+    s = bps // 8
+    b = np.frombuffer(raw, np.uint8, count=rows * cols * s).reshape(
+        rows, cols * s
+    )
+    b = np.cumsum(b, axis=1, dtype=np.uint64).astype(np.uint8)
+    planes = b.reshape(rows, s, cols)  # (row, byte-plane, col)
+    be = np.transpose(planes, (0, 2, 1)).reshape(rows, cols, s)
+    return (
+        np.frombuffer(np.ascontiguousarray(be).tobytes(), dtype=f">f{s}")
+        .reshape(rows, cols)
+    )
+
+
 def _np_dtype(bps: int, fmt: int, endian: str) -> np.dtype:
     kind = {1: "u", 2: "i", 3: "f"}.get(fmt, "u")
     return np.dtype(f"{endian}{kind}{bps // 8}")
@@ -196,10 +227,18 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
         endian = ">"
     else:
         raise ValueError("not a TIFF file")
-    magic, ifd_off = struct.unpack(endian + "HI", data[2:8])
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    t = _read_ifd(data, endian, ifd_off)
+    (magic,) = struct.unpack(endian + "H", data[2:4])
+    if magic == 42:  # classic TIFF
+        big = False
+        (ifd_off,) = struct.unpack(endian + "I", data[4:8])
+    elif magic == 43:  # BigTIFF
+        big = True
+        osize, zero, ifd_off = struct.unpack(endian + "HHQ", data[4:16])
+        if osize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+    else:
+        raise ValueError(f"unknown TIFF magic {magic}")
+    t = _read_ifd(data, endian, ifd_off, big=big)
 
     width = t[_TAGS["width"]][0]
     height = t[_TAGS["height"]][0]
@@ -222,9 +261,14 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
         for k, (o, c) in enumerate(zip(offs, cnts)):
             ty, tx = k // tiles_x, k % tiles_x
             raw = _decompress(data[o : o + c], comp)
-            block = np.frombuffer(raw, dtype=dt, count=tw * tl).reshape(tl, tw)
-            if predictor == 2:
-                block = _undo_predictor2(block, dt, bps, endian)
+            if predictor == 3:
+                block = _undo_predictor3(raw, tl, tw, bps)
+            else:
+                block = np.frombuffer(raw, dtype=dt, count=tw * tl).reshape(
+                    tl, tw
+                )
+                if predictor == 2:
+                    block = _undo_predictor2(block, dt, bps, endian)
             h = min(tl, height - ty * tl)
             w = min(tw, width - tx * tw)
             arr[ty * tl : ty * tl + h, tx * tw : tx * tw + w] = block[:h, :w]
@@ -236,9 +280,14 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
         for o, c in zip(offs, cnts):
             raw = _decompress(data[o : o + c], comp)
             h = min(rps, height - row)
-            block = np.frombuffer(raw, dtype=dt, count=h * width).reshape(h, width)
-            if predictor == 2:
-                block = _undo_predictor2(block, dt, bps, endian)
+            if predictor == 3:
+                block = _undo_predictor3(raw, h, width, bps)
+            else:
+                block = np.frombuffer(raw, dtype=dt, count=h * width).reshape(
+                    h, width
+                )
+                if predictor == 2:
+                    block = _undo_predictor2(block, dt, bps, endian)
             arr[row : row + h] = block
             row += h
 

@@ -239,14 +239,123 @@ def read_netcdf3(path: str) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def write_result(df: pd.DataFrame, path: str) -> None:
-    """Extension-dispatched result sink: .parquet / .csv / .dbf / .nc."""
+def _shp_rings(wkb: bytes) -> list[np.ndarray]:
+    """WKB -> shapefile ring list: shells CW, holes CCW (the ESRI
+    convention — our parser normalizes the opposite way, so every ring
+    reverses), multipolygon parts flattened into one Polygon record."""
+    from .. import wkbio
+
+    rings: list[np.ndarray] = []
+    for part in wkbio.polygon_parts(wkbio.parse_wkb(wkb)):
+        for ring in part["rings"]:
+            rings.append(np.ascontiguousarray(ring[::-1], dtype=np.float64))
+    return rings
+
+
+def write_shp(df: pd.DataFrame, path: str, geoms: list[bytes | None]) -> None:
+    """ESRI Shapefile (.shp + .shx + .dbf), pure struct — the GDALWriter
+    '-o out.shp' target (/root/reference/src/exactextract/src/
+    gdal_writer.cpp:26-143) without GDAL. One Polygon record per row
+    (multipolygons become multi-part records; None -> Null Shape), plus the
+    attribute table via :func:`write_dbf`.
+
+    Spec: the public ESRI Shapefile Technical Description (July 1998) —
+    100-byte headers, big-endian record framing, little-endian geometry.
+    """
+    assert path.endswith(".shp")
+    if len(geoms) != len(df):
+        raise ValueError("geoms must align 1:1 with df rows")
+
+    records = []  # (content bytes,)
+    gxmin = gymin = np.inf
+    gxmax = gymax = -np.inf
+    for wkb in geoms:
+        rings = _shp_rings(wkb) if wkb is not None else []
+        if not rings:
+            records.append(struct.pack("<i", 0))  # Null Shape
+            continue
+        pts = np.concatenate(rings)
+        xmin, ymin = pts.min(axis=0)
+        xmax, ymax = pts.max(axis=0)
+        gxmin, gymin = min(gxmin, xmin), min(gymin, ymin)
+        gxmax, gymax = max(gxmax, xmax), max(gymax, ymax)
+        parts = np.zeros(len(rings), dtype=np.int64)
+        np.cumsum([len(r) for r in rings[:-1]], out=parts[1:])
+        content = struct.pack("<i4dii", 5, xmin, ymin, xmax, ymax,
+                              len(rings), len(pts))
+        content += parts.astype("<i4").tobytes()
+        content += pts.astype("<f8").tobytes()
+        records.append(content)
+
+    if not np.isfinite(gxmin):
+        gxmin = gymin = gxmax = gymax = 0.0
+
+    def header(file_words: int) -> bytes:
+        return (
+            struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, file_words)
+            + struct.pack("<ii4d", 1000, 5, gxmin, gymin, gxmax, gymax)
+            + struct.pack("<4d", 0, 0, 0, 0)
+        )
+
+    shp_words = 50 + sum(4 + len(c) // 2 for c in records)
+    shx_words = 50 + 4 * len(records)
+    with open(path, "wb") as fshp, open(path[:-4] + ".shx", "wb") as fshx:
+        fshp.write(header(shp_words))
+        fshx.write(header(shx_words))
+        offset = 50
+        for i, content in enumerate(records, 1):
+            clen = len(content) // 2
+            fshx.write(struct.pack(">ii", offset, clen))
+            fshp.write(struct.pack(">ii", i, clen))
+            fshp.write(content)
+            offset += 4 + clen
+    write_dbf(df, path[:-4] + ".dbf")
+
+
+def read_shp(path: str) -> list[list[np.ndarray]]:
+    """Minimal .shp reader (round-trip validation): list of ring lists per
+    record, Null Shapes as empty lists."""
+    with open(path, "rb") as f:
+        data = f.read()
+    (file_words,) = struct.unpack(">i", data[24:28])
+    assert struct.unpack(">i", data[:4])[0] == 9994
+    assert struct.unpack("<i", data[32:36])[0] == 5
+    out: list[list[np.ndarray]] = []
+    pos = 100
+    while pos < file_words * 2:
+        _, clen = struct.unpack(">ii", data[pos : pos + 8])
+        pos += 8
+        (stype,) = struct.unpack("<i", data[pos : pos + 4])
+        if stype == 0:
+            out.append([])
+        else:
+            assert stype == 5
+            nparts, npoints = struct.unpack("<ii", data[pos + 36 : pos + 44])
+            parts = np.frombuffer(data, "<i4", nparts, pos + 44)
+            pts = np.frombuffer(
+                data, "<f8", npoints * 2, pos + 44 + 4 * nparts
+            ).reshape(npoints, 2)
+            bounds = np.append(parts, npoints)
+            out.append(
+                [pts[bounds[i] : bounds[i + 1]].copy() for i in range(nparts)]
+            )
+        pos += clen * 2
+    return out
+
+
+def write_result(df: pd.DataFrame, path: str, geoms=None) -> None:
+    """Extension-dispatched result sink: .parquet / .csv / .dbf / .nc /
+    .shp (requires ``geoms``: one WKB per row)."""
     if path.endswith(".csv"):
         df.to_csv(path, index=False)
     elif path.endswith(".dbf"):
         write_dbf(df, path)
     elif path.endswith(".nc"):
         write_netcdf3(df, path)
+    elif path.endswith(".shp"):
+        if geoms is None:
+            raise ValueError(".shp output needs zone geometries")
+        write_shp(df, path, geoms)
     else:
         import pyarrow as pa
         import pyarrow.parquet as pq

@@ -206,6 +206,56 @@ def embedding_dup_pairs(
     )
 
 
+def _scan_emit(
+    ids: np.ndarray,
+    nm: np.ndarray,
+    buckets: np.ndarray,
+    w: dict,
+    qn: np.ndarray,
+    qix: dict,
+    k: int,
+) -> pa.Table:
+    """Shared LSH/IVF bucket-scan kernel, vectorized: per probed bucket,
+    one matmul; per query, a deterministic (-sim, neighbor_id) top-k cut
+    (identical to the finalize ordering, so capping per batch never changes
+    the global result — the same argument as BruteForceTopK). No
+    per-candidate Python appends."""
+    parts_q: list[np.ndarray] = []
+    parts_n: list[np.ndarray] = []
+    parts_s: list[np.ndarray] = []
+    for b, qids in w.items():
+        rows = np.nonzero(buckets == b)[0]
+        if len(rows) == 0:
+            continue
+        sims = nm[rows] @ qn[[qix[q] for q in qids]].T  # (R, J)
+        rid = ids[rows].astype(np.int64)
+        kk = min(k, len(rows))
+        for j, q in enumerate(qids):
+            col = sims[:, j]
+            if kk < len(rows):
+                ord_ = np.lexsort((rid, -col))[:kk]
+            else:
+                ord_ = np.arange(len(rows))
+            parts_q.append(np.full(len(ord_), int(q), np.int64))
+            parts_n.append(rid[ord_])
+            parts_s.append(col[ord_])
+    if not parts_q:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(parts_q), pa.int64()),
+            "neighbor_id": pa.array(np.concatenate(parts_n), pa.int64()),
+            "sim": pa.array(np.concatenate(parts_s), pa.float64()),
+        }
+    )
+
+
 # ---------------- IVF: bucket-PARTITIONED ANN (storage-pruning path) -------
 
 
@@ -325,28 +375,13 @@ def knn_cosine_ivf(
         ids = batch.column(id_col).to_numpy()
         buckets = batch.column("bucket_id").to_numpy()
         mat = _to_matrix(batch.column(vec_col))
-        out_q, out_n, out_s = [], [], []
-        if mat.size:
-            nm = mat / np.maximum(
-                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-            )
-            for b, qids in w.items():
-                rows = np.nonzero(buckets == b)[0]
-                if len(rows) == 0:
-                    continue
-                sims = nm[rows] @ qn[[qix[q] for q in qids]].T
-                for j, q in enumerate(qids):
-                    for r_i, r in enumerate(rows):
-                        out_q.append(q)
-                        out_n.append(int(ids[r]))
-                        out_s.append(float(sims[r_i, j]))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
+        if mat.size == 0:
+            return _scan_emit(ids, mat, buckets, {}, qn, qix, k + 1)
+        nm = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
+        # k+1 candidates per (query, batch): finalize drops the self match
+        return _scan_emit(ids, nm, buckets, w, qn, qix, k + 1)
 
     cand = emb.map_batches(scan, batch_format="pyarrow")
 
@@ -443,24 +478,8 @@ def knn_cosine_lsh(
         buckets = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1).astype(np.int64)
         norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         nm = mat / norms
-        out_q, out_n, out_s = [], [], []
-        for b, qids in w.items():
-            rows = np.nonzero(buckets == b)[0]
-            if len(rows) == 0:
-                continue
-            sims = nm[rows] @ qn[[qix[q] for q in qids]].T
-            for j, q in enumerate(qids):
-                for r_i, r in enumerate(rows):
-                    out_q.append(q)
-                    out_n.append(int(ids[r]))
-                    out_s.append(float(sims[r_i, j]))
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+        # k+1 candidates per (query, batch): finalize drops the self match
+        return _scan_emit(ids, nm, buckets, w, qn, qix, k + 1)
 
     cand = ds.map_batches(scan, batch_format="pyarrow")
 

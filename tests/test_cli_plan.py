@@ -88,6 +88,27 @@ def test_cli_end_to_end(ray_session, tmp_path):
         res.reset_index(drop=True), res2.reset_index(drop=True)
     )
 
+    # --max-cells 1: the reference's max_cells_in_memory=1 equivalence
+    # (tests/testthat/test_exact_extract.R:598-604) at the CLI level — every
+    # zone-tile crop recursively splits down to single cells, result must be
+    # bit-identical to the default bound
+    out3 = str(tmp_path / "out3.parquet")
+    rc = main(
+        [
+            "-p", zpath,
+            "-r", f"values:{tiles_dir}",
+            "-s", "mean",
+            "-s", "total=sum(values)",
+            "-o", out3,
+            "--max-cells", "1",
+        ]
+    )
+    assert rc == 0
+    res3 = pq.read_table(out3).to_pandas().sort_values("zone_id")
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True), res3.reset_index(drop=True)
+    )
+
 
 def test_multimodal_pipeline(ray_session):
     import ray.data
@@ -246,6 +267,85 @@ def test_result_sinks_dbf_netcdf(ray_session, tmp_path):
         nb["mean"].to_numpy(), df["mean"].to_numpy(), equal_nan=True
     )
     assert list(nb["name"]) == list(df["name"])
+
+
+def test_shp_round_trip(tmp_path):
+    """.shp/.shx writer round-trip (gdal_writer.cpp:26-143 analog): write a
+    shapefile from WKB zones, read it back with our own .shp reader, and
+    require geometric equality (ESRI ring orientation: shells CW, holes
+    CCW; multipolygons flatten to multi-part records; None -> Null Shape)."""
+    from exactextractr_ray.sources.sinks import read_dbf, read_shp, write_shp
+    from exactextractr_ray.wkbio import (
+        multipolygon_wkb,
+        parse_wkb,
+        polygon_wkb,
+        rect_wkb,
+    )
+
+    hole = polygon_wkb(
+        [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+        holes=[[(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)]],
+    )
+    geoms = [rect_wkb(0, 0, 4, 4), hole, None]
+    df = pd.DataFrame(
+        {"zone_id": np.arange(3, dtype=np.int64), "mean": [1.5, 2.5, np.nan]}
+    )
+    p = str(tmp_path / "zones_out.shp")
+    write_shp(df, p, geoms)
+
+    recs = read_shp(p)
+    assert len(recs) == 3 and recs[2] == []
+    # record 0: single CW ring equal to the rect (parser gives CCW shells)
+    [part] = parse_wkb(geoms[0])
+    np.testing.assert_array_equal(recs[0][0], part["rings"][0][::-1])
+    # record 1: shell CW + hole CCW
+    [part] = parse_wkb(geoms[1])
+    assert len(recs[1]) == 2
+    np.testing.assert_array_equal(recs[1][0], part["rings"][0][::-1])
+    np.testing.assert_array_equal(recs[1][1], part["rings"][1][::-1])
+    # sidecar files exist and the DBF carries the attributes
+    assert (tmp_path / "zones_out.shx").exists()
+    back = read_dbf(str(tmp_path / "zones_out.dbf"))
+    assert list(back["zone_id"]) == [0, 1, 2]
+    # header bbox covers both real shapes
+    import struct as _struct
+
+    with open(p, "rb") as f:
+        hdr = f.read(100)
+    xmin, ymin, xmax, ymax = _struct.unpack("<4d", hdr[36:68])
+    assert (xmin, ymin, xmax, ymax) == (0.0, 0.0, 10.0, 10.0)
+
+
+def test_cli_shp_output(ray_session, tmp_path):
+    """CLI -o out.shp writes a complete shapefile (.shp/.shx/.dbf) whose
+    geometry matches the input zones and whose DBF carries the stats."""
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.sources.raster import (
+        raster_from_array,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.sinks import read_dbf, read_shp
+    from exactextractr_ray.sources.zones import zone_table
+    from exactextractr_ray.wkbio import parse_wkb
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    tiles_dir = str(tmp_path / "tiles")
+    write_raster_parquet(raster_from_array(vals, g, tile=4), tiles_dir)
+    zwkb = [wkbio.rect_wkb(0, 0, 4, 4), wkbio.rect_wkb(4, 4, 8, 8)]
+    zpath = str(tmp_path / "zones.parquet")
+    pq.write_table(
+        zone_table([(0, "a", zwkb[0]), (1, "b", zwkb[1])]), zpath
+    )
+    out = str(tmp_path / "out.shp")
+    rc = main(["-p", zpath, "-r", f"values:{tiles_dir}", "-s", "mean", "-o", out])
+    assert rc == 0
+    res = read_dbf(str(tmp_path / "out.dbf"))
+    assert res["mean"].iloc[0] == vals[4:, :4].mean()
+    recs = read_shp(out)
+    for rec, wkb in zip(recs, zwkb):
+        [part] = parse_wkb(wkb)
+        np.testing.assert_array_equal(rec[0], part["rings"][0][::-1])
 
 
 def test_cli_dbf_output(ray_session, tmp_path):

@@ -115,23 +115,39 @@ def test_sao_miguel_mean_elevation(_ray):
 
 
 def _write_tiff(path, arr, *, tiled=False, compression=1, predictor=1,
-                endian="<"):
+                endian="<", bigtiff=False):
     """Minimal single-band TIFF writer for decoder tests (uncompressed /
-    deflate, strip / tile, optional horizontal predictor)."""
+    deflate, strip / tile, horizontal or floating-point predictor, classic
+    or BigTIFF container)."""
     h, w = arr.shape
     dt = arr.dtype
     fmt_code = {"u": 1, "i": 2, "f": 3}[dt.kind]
-    payload = arr
     if predictor == 2:
         p = arr.view(f"u{dt.itemsize}").astype(np.int64)
         d = np.diff(p, axis=1)
         payload = np.concatenate([p[:, :1], d], axis=1).astype(
             f"u{dt.itemsize}"
         ).view(dt)
-    body = payload.astype(dt.newbyteorder(endian)).tobytes()
+        body = payload.astype(dt.newbyteorder(endian)).tobytes()
+    elif predictor == 3:
+        # TIFF TN3: big-endian byte planes per row (msb plane first), then
+        # byte-level differencing — independent of container endianness
+        s = dt.itemsize
+        be = np.frombuffer(
+            arr.astype(f">f{s}").tobytes(), np.uint8
+        ).reshape(h, w, s)
+        planes = np.transpose(be, (0, 2, 1)).reshape(h, w * s)
+        d = np.diff(planes.astype(np.int64), axis=1)
+        body = (
+            np.concatenate([planes[:, :1].astype(np.int64), d], axis=1)
+            .astype(np.uint8)
+            .tobytes()
+        )
+    else:
+        body = arr.astype(dt.newbyteorder(endian)).tobytes()
     if compression == 8:
         body = zlib.compress(body)
-    data_off = 8
+    data_off = 16 if bigtiff else 8
     tags = []
 
     def tag(tid, typ, cnt, val):
@@ -148,16 +164,19 @@ def _write_tiff(path, arr, *, tiled=False, compression=1, predictor=1,
     if tiled:
         tag(322, 4, 1, w)
         tag(323, 4, 1, h)
-        tag(324, 4, 1, data_off)
+        tag(324, 16 if bigtiff else 4, 1, data_off)
         tag(325, 4, 1, len(body))
     else:
-        tag(273, 4, 1, data_off)
+        tag(273, 16 if bigtiff else 4, 1, data_off)
         tag(278, 4, 1, h)
         tag(279, 4, 1, len(body))
     # georeferencing: unit grid at origin
     extra = b""
     ifd_off = data_off + len(body)
-    extra_off = ifd_off + 2 + 12 * (len(tags) + 2) + 4
+    if bigtiff:
+        extra_off = ifd_off + 8 + 20 * (len(tags) + 2) + 8
+    else:
+        extra_off = ifd_off + 2 + 12 * (len(tags) + 2) + 4
     scale = struct.pack(endian + "ddd", 1.0, 1.0, 0.0)
     tie = struct.pack(endian + "dddddd", 0, 0, 0, 0.0, float(h), 0.0)
     tag(33550, 12, 3, extra_off)
@@ -166,19 +185,31 @@ def _write_tiff(path, arr, *, tiled=False, compression=1, predictor=1,
     extra += tie
     out = bytearray()
     out += (b"II" if endian == "<" else b"MM")
-    out += struct.pack(endian + "HI", 42, ifd_off)
+    if bigtiff:
+        out += struct.pack(endian + "HHHQ", 43, 8, 0, ifd_off)
+    else:
+        out += struct.pack(endian + "HI", 42, ifd_off)
     out += body
-    out += struct.pack(endian + "H", len(tags))
+    inline = 8 if bigtiff else 4
+    if bigtiff:
+        out += struct.pack(endian + "Q", len(tags))
+    else:
+        out += struct.pack(endian + "H", len(tags))
     for tid, typ, cnt, val in sorted(tags):
-        sz = {3: 2, 4: 4, 12: 8}[typ] * cnt
-        if sz <= 4:
-            raw = struct.pack(endian + {3: "H", 4: "I"}[typ] * cnt, *(
-                [val] if cnt == 1 else val))
-            raw = raw.ljust(4, b"\x00")
+        sz = {3: 2, 4: 4, 12: 8, 16: 8}[typ] * cnt
+        if sz <= inline:
+            raw = struct.pack(
+                endian + {3: "H", 4: "I", 12: "d", 16: "Q"}[typ] * cnt,
+                *([val] if cnt == 1 else val),
+            )
+            raw = raw.ljust(inline, b"\x00")
         else:
-            raw = struct.pack(endian + "I", val)
-        out += struct.pack(endian + "HHI", tid, typ, cnt) + raw
-    out += struct.pack(endian + "I", 0)
+            raw = struct.pack(endian + ("Q" if bigtiff else "I"), val)
+        if bigtiff:
+            out += struct.pack(endian + "HHQ", tid, typ, cnt) + raw
+        else:
+            out += struct.pack(endian + "HHI", tid, typ, cnt) + raw
+    out += struct.pack(endian + ("Q" if bigtiff else "I"), 0)
     out += extra
     with open(path, "wb") as f:
         f.write(out)
@@ -206,6 +237,48 @@ def test_tiff_predictor2_uint16(tmp_path):
     arr = rng.integers(0, 60000, (9, 21)).astype(np.uint16)
     p = str(tmp_path / "p.tif")
     _write_tiff(p, arr, compression=8, predictor=2)
+    got, _ = read_geotiff(p)
+    np.testing.assert_array_equal(got, arr.astype(np.float64))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_tiff_predictor3_float(tmp_path, dtype, tiled):
+    """Floating-point predictor (TIFF TN3, predictor 3): byte-plane split +
+    byte differencing, bit-exact round trip for f32 and f64."""
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    rng = np.random.default_rng(7)
+    arr = (rng.normal(0, 1e6, (11, 19))).astype(dtype)
+    p = str(tmp_path / "p3.tif")
+    _write_tiff(p, arr, compression=8, predictor=3, tiled=tiled)
+    got, _ = read_geotiff(p)
+    np.testing.assert_array_equal(got, arr.astype(np.float64))
+
+
+@pytest.mark.parametrize("endian", ["<", ">"])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_bigtiff_round_trip(tmp_path, endian, tiled):
+    """BigTIFF container (magic 43, 8-byte offsets, 20-byte IFD entries)
+    reads identically to classic TIFF."""
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 1000, (13, 17)).astype(np.float32)
+    p = str(tmp_path / "big.tif")
+    _write_tiff(p, arr, tiled=tiled, endian=endian, bigtiff=True)
+    got, meta = read_geotiff(p)
+    np.testing.assert_array_equal(got, arr.astype(np.float64))
+    assert meta.grid.dx == 1.0 and meta.grid.ymax == 13.0
+
+
+def test_bigtiff_predictor3_combined(tmp_path):
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    rng = np.random.default_rng(9)
+    arr = rng.normal(size=(8, 12)).astype(np.float32)
+    p = str(tmp_path / "bp3.tif")
+    _write_tiff(p, arr, compression=8, predictor=3, bigtiff=True)
     got, _ = read_geotiff(p)
     np.testing.assert_array_equal(got, arr.astype(np.float64))
 

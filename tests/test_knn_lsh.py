@@ -155,3 +155,28 @@ def test_ivf_multiprobe_matches_lsh(_ray, tmp_path):
         got[["query_id", "neighbor_id", "rank"]].astype(np.int64),
         ref[["query_id", "neighbor_id", "rank"]].astype(np.int64),
     )
+
+
+def test_default_recall_floor(_ray):
+    """Recall assertion at the chosen default (num_planes=4,
+    probe_hamming=1) vs brute-force truth on the sf0.01 embeddings — the
+    frontier behind this choice is documented in PERF.md ("LSH-ANN
+    recall/cost frontier"). Deterministic: fixed seed, fixed data."""
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine, knn_cosine_lsh
+
+    emb = ray.data.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qdf = emb.filter(expr="vec_id < 16").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+
+    approx = knn_cosine_lsh(
+        emb, qids, qmat, k=10, num_planes=4, probe_hamming=1
+    ).to_pandas()
+    exact = knn_cosine(emb, qids, qmat, k=10).to_pandas()
+    recalls = []
+    for q in qids:
+        got = set(approx.loc[approx["query_id"] == q, "neighbor_id"])
+        truth = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
+        recalls.append(len(got & truth) / len(truth))
+    assert np.mean(recalls) >= 0.35, np.mean(recalls)
