@@ -661,6 +661,54 @@ def _q_shuffle(sf_dir: str):
     )
 
 
+def _q_token_pack(sf_dir: str):
+    from exactextractr_ray.stages.pack import pack_sequences
+
+    out = pack_sequences(
+        _docs(sf_dir, ["doc_id", "text"]), budget=256
+    ).to_pandas()
+    for c in ["doc_id", "example_id", "tok_start", "tok_end"]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["doc_id", "example_id"]).reset_index(drop=True)
+
+
+def _q_repetition(sf_dir: str):
+    from exactextractr_ray.stages.text import repetition_stats_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(repetition_stats_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out["n_words"] = out["n_words"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TFIDF_TERMS = ["spark", "join", "window"]
+
+
+def _q_tfidf(sf_dir: str):
+    from exactextractr_ray.stages.text import tfidf_topk
+
+    out = tfidf_topk(
+        _docs(sf_dir, ["doc_id", "text"]), _TFIDF_TERMS, k=20
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(["score", "doc_id"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+
+
+def _q_domain_stats(sf_dir: str):
+    from exactextractr_ray.sources.pages import read_pages
+    from exactextractr_ray.stages.web import domain_stats
+
+    out = domain_stats(read_pages(sf_dir)).to_pandas()
+    out["n_pages"] = out["n_pages"].astype(np.int64)
+    out["total_chars"] = out["total_chars"].astype(np.int64)
+    return out.sort_values("domain").reset_index(drop=True)
+
+
 def _q_knn(sf_dir: str):
     import ray.data
     from exactextractr_ray.stages.knn import knn_cosine
@@ -852,6 +900,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _q_ngram_counts,
         "contamination": _q_contamination,
         "seeded_shuffle": _q_shuffle,
+        "token_pack": _q_token_pack,
+        "repetition_stats": _q_repetition,
+        "tfidf_topk": _q_tfidf,
+        "domain_stats": _q_domain_stats,
         "zonal_variety_kmv": _q_variety_kmv,
         "zonal_quantile_hist": _q_quantile_hist,
         "langid": _q_langid,
@@ -1597,6 +1649,127 @@ def oracle_sql() -> dict[str, str]:
     FROM p50 JOIN p90 USING (zone_id) ORDER BY zone_id
     """
 
+    # concat-and-chunk packing: prefix sum over doc-id-ordered token counts,
+    # example spans via a range join (budget 256; matches stages/pack.py)
+    token_pack_sql = """
+    WITH tc AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      FROM documents
+    ), pre AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - n AS BIGINT) AS st
+      FROM tc
+    ), ex AS (
+      SELECT UNNEST(range(0,
+        (SELECT CAST((SUM(n) + 255) // 256 AS BIGINT) FROM tc))) AS e
+    )
+    SELECT p.doc_id,
+           CAST(x.e AS BIGINT) AS example_id,
+           CAST(GREATEST(0, x.e * 256 - p.st) AS BIGINT) AS tok_start,
+           CAST(LEAST(p.n, (x.e + 1) * 256 - p.st) AS BIGINT) AS tok_end
+    FROM pre p JOIN ex x
+      ON x.e >= p.st // 256 AND x.e <= (p.st + p.n - 1) // 256
+    WHERE p.n > 0
+    ORDER BY doc_id, example_id
+    """
+
+    # Gopher-style repetition gates; the two fractions are single IEEE
+    # divisions so numpy and DuckDB agree bitwise
+    repetition_sql = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, UNNEST(w) AS tok FROM toks
+    ), wc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM flat GROUP BY 1, 2
+    ), words AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mx,
+             CAST(SUM(c) AS BIGINT) AS nw
+      FROM wc GROUP BY 1
+    ), idx AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks)))
+             AS i
+    ), grams AS (
+      SELECT t.doc_id, t.w[ix.i] || ' ' || t.w[ix.i + 1] AS g
+      FROM toks t JOIN idx ix ON ix.i <= len(t.w) - 1
+    ), gs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS dst
+      FROM grams GROUP BY 1
+    ), scored AS (
+      SELECT d.doc_id,
+        COALESCE(w.nw, 0) AS n_words,
+        CASE WHEN COALESCE(w.nw, 0) > 0
+             THEN w.mx / CAST(w.nw AS DOUBLE) ELSE 0.0 END AS top_word_frac,
+        CASE WHEN COALESCE(g.tot, 0) > 0
+             THEN (g.tot - g.dst) / CAST(g.tot AS DOUBLE)
+             ELSE 0.0 END AS dup_2gram_frac
+      FROM documents d
+      LEFT JOIN words w USING (doc_id) LEFT JOIN gs g USING (doc_id)
+    )
+    SELECT doc_id, n_words, top_word_frac, dup_2gram_frac,
+           (top_word_frac <= 0.3 AND dup_2gram_frac <= 0.2) AS keep
+    FROM scored ORDER BY doc_id
+    """
+
+    # rational idf N/df (no ln -> bit-exact); score sums terms in the fixed
+    # order spark, join, window — matching tfidf_topk's accumulation order
+    tfidf_sql = """
+    WITH flat AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM flat WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), per AS (
+      SELECT doc_id,
+        COALESCE(MAX(CASE WHEN tok = 'spark'  THEN c END), 0) AS t1,
+        COALESCE(MAX(CASE WHEN tok = 'join'   THEN c END), 0) AS t2,
+        COALESCE(MAX(CASE WHEN tok = 'window' THEN c END), 0) AS t3
+      FROM tf GROUP BY 1
+    ), dfs AS (
+      SELECT
+        COALESCE(MAX(CASE WHEN tok = 'spark'  THEN d END), 0) AS d1,
+        COALESCE(MAX(CASE WHEN tok = 'join'   THEN d END), 0) AS d2,
+        COALESCE(MAX(CASE WHEN tok = 'window' THEN d END), 0) AS d3
+      FROM (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+            FROM tf GROUP BY 1)
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents)
+    SELECT doc_id,
+           t1 * (CASE WHEN d1 > 0 THEN nn / CAST(d1 AS DOUBLE) ELSE 0.0 END)
+         + t2 * (CASE WHEN d2 > 0 THEN nn / CAST(d2 AS DOUBLE) ELSE 0.0 END)
+         + t3 * (CASE WHEN d3 > 0 THEN nn / CAST(d3 AS DOUBLE) ELSE 0.0 END)
+           AS score
+    FROM per, dfs, n
+    WHERE t1 * (CASE WHEN d1 > 0 THEN nn / CAST(d1 AS DOUBLE) ELSE 0.0 END)
+        + t2 * (CASE WHEN d2 > 0 THEN nn / CAST(d2 AS DOUBLE) ELSE 0.0 END)
+        + t3 * (CASE WHEN d3 > 0 THEN nn / CAST(d3 AS DOUBLE) ELSE 0.0 END)
+        > 0.0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # pages are synthesized deterministically from documents (sources/pages
+    # url recipe), so the oracle rebuilds the url and parses the host
+    domain_stats_sql = """
+    WITH pages AS (
+      SELECT doc_id,
+             'https://site' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+               || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+             text
+      FROM documents
+    )
+    SELECT string_split(url, '/')[3] AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM pages GROUP BY 1 ORDER BY domain
+    """
+
     seeded_shuffle_sql = """
     SELECT doc_id,
            ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
@@ -1656,6 +1829,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": ngram_counts_sql,
         "contamination": contamination_sql,
         "seeded_shuffle": seeded_shuffle_sql,
+        "token_pack": token_pack_sql,
+        "repetition_stats": repetition_sql,
+        "tfidf_topk": tfidf_sql,
+        "domain_stats": domain_stats_sql,
         "zonal_variety_kmv": variety_kmv,
         "zonal_quantile_hist": quantile_hist,
         "morton_cells": morton,

@@ -479,3 +479,137 @@ def contamination_counts(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+# ---------------- repetition / Gopher-style quality gates ----------------
+
+
+def repetition_stats_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    style): ``top_word_frac`` (most frequent word's share of all words) and
+    ``dup_2gram_frac`` (share of 2-gram occurrences that are repeats), plus
+    a ``keep`` gate (top_word_frac <= 0.3 AND dup_2gram_frac <= 0.2).
+    Exact integer counts; the two fractions are single IEEE divisions, so
+    the DuckDB oracle hash-matches bit-for-bit."""
+    ids = batch.column(id_col).to_numpy()
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    n_words = np.zeros(n, dtype=np.int64)
+    top_frac = np.zeros(n, dtype=np.float64)
+    dup_frac = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = [w for w in (t or "").split(" ") if w]
+        nw = len(toks)
+        n_words[i] = nw
+        if nw == 0:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        _, counts = np.unique(arr, return_counts=True)
+        top_frac[i] = int(counts.max()) / nw
+        if nw >= 2:
+            grams = np.asarray(
+                [" ".join(toks[j : j + 2]) for j in range(nw - 1)],
+                dtype=object,
+            )
+            tot = nw - 1
+            dst = len(np.unique(grams))
+            dup_frac[i] = (tot - dst) / tot
+    keep = (top_frac <= 0.3) & (dup_frac <= 0.2)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "top_word_frac": pa.array(top_frac, pa.float64()),
+            "dup_2gram_frac": pa.array(dup_frac, pa.float64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+# ---------------- TF-IDF scoring (rational idf; bit-exact oracle) --------
+
+
+def tfidf_topk(
+    ds,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k documents by a bag-of-terms TF-IDF score.
+
+    idf is the RATIONAL form N/df (no transcendental ln, so DuckDB and
+    numpy produce bit-identical doubles); score = sum over the given terms
+    IN ORDER of tf * (N / df) — the summation order is part of the
+    contract. Two corpus passes: (1) a tiny (N, df per term) aggregate,
+    (2) per-batch scoring + per-batch deterministic top-k partials, with a
+    single-group finalize. Docs with score 0 are excluded."""
+    import ray
+
+    terms = list(terms)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        dfs = np.zeros(len(terms), dtype=np.int64)
+        for t in texts:
+            toks = set((t or "").split(" "))
+            for ti, term in enumerate(terms):
+                if term in toks:
+                    dfs[ti] += 1
+        return pa.table(
+            {
+                "ti": pa.array(np.arange(len(terms) + 1), pa.int64()),
+                "cnt": pa.array(np.append(dfs, len(texts)), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("ti")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("ti")
+    )
+    counts = agg["sum(cnt)"].to_numpy(np.int64)
+    dfs, n_docs = counts[:-1], int(counts[-1])
+    weights = np.where(dfs > 0, n_docs / np.maximum(dfs, 1), 0.0)
+    w_ref = ray.put(weights)
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        w = ray.get(w_ref)
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        toklists = [(t or "").split(" ") for t in texts]  # tokenize once
+        score = np.zeros(len(texts), dtype=np.float64)
+        for ti, term in enumerate(terms):
+            tf = np.fromiter(
+                (toks.count(term) for toks in toklists),
+                dtype=np.int64,
+                count=len(toklists),
+            )
+            # fixed term order: score accumulates term-by-term (IEEE order
+            # matches the SQL oracle's explicit left-to-right sum)
+            score = score + tf * w[ti]
+        pos = score > 0.0
+        ids, score = ids[pos], score[pos]
+        kk = min(k, len(ids))
+        ord_ = np.lexsort((ids, -score))[:kk]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(kk, np.int64), pa.int64()),
+                id_col: pa.array(ids[ord_], pa.int64()),
+                "score": pa.array(score[ord_], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(score_partial, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+        return g[[id_col, "score"]].reset_index(drop=True)
+
+    return cand.groupby("g").map_groups(finalize, batch_format="pandas")

@@ -39,6 +39,11 @@ QUERIES = [
     "seeded_shuffle",
     "zonal_variety_kmv",
     "zonal_quantile_hist",
+    # round-3 operators
+    "token_pack",
+    "repetition_stats",
+    "tfidf_topk",
+    "domain_stats",
 ]
 
 _CHILD = r"""
