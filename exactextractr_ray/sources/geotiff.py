@@ -329,3 +329,81 @@ def geotiff_to_tile_parquet(path: str, out_dir: str, tile: int = 256) -> None:
     from .raster import write_raster_parquet
 
     write_raster_parquet(geotiff_raster_dataset(path, tile), out_dir)
+
+
+# ---------------- GeoTIFF writer (raster result sink) ----------------
+
+_FMT_CODE = {"u": 1, "i": 2, "f": 3}
+
+
+def write_geotiff(
+    arr: np.ndarray,
+    grid: Grid,
+    path: str,
+    nodata: float | None = None,
+    compression: int = 8,
+) -> None:
+    """Single-band strip-organized GeoTIFF writer (pure struct, classic
+    little-endian container, Deflate by default) — the raster-output sink
+    the reference gets from GDAL (rasterize / resample results become
+    real-world rasters). NaNs are written as ``nodata`` when given.
+    Round-trips bit-exactly through :func:`read_geotiff` (tested)."""
+    import struct as _s
+
+    a = np.asarray(arr)
+    h, w = a.shape
+    dt = a.dtype
+    if dt.kind not in _FMT_CODE:
+        raise ValueError(f"unsupported dtype {dt}")
+    if nodata is not None and dt.kind == "f":
+        a = np.where(np.isnan(a), dt.type(nodata), a)
+    body = np.ascontiguousarray(a, dtype=dt.newbyteorder("<")).tobytes()
+    if compression == 8:
+        body = zlib.compress(body)
+    elif compression != 1:
+        raise ValueError("writer supports compression 1 (none) or 8 (deflate)")
+
+    data_off = 8
+    ifd_off = data_off + len(body)
+    tags = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, dt.itemsize * 8),
+        (259, 3, 1, compression),
+        (262, 3, 1, 1),
+        (273, 4, 1, data_off),
+        (277, 3, 1, 1),
+        (278, 4, 1, h),
+        (279, 4, 1, len(body)),
+        (339, 3, 1, _FMT_CODE[dt.kind]),
+    ]
+    extra = b""
+    extra_items = []  # (tag, typ, cnt, payload bytes)
+    scale = _s.pack("<3d", grid.dx, grid.dy, 0.0)
+    extra_items.append((33550, 12, 3, scale))
+    tie = _s.pack("<6d", 0, 0, 0, grid.xmin, grid.ymax, 0.0)
+    extra_items.append((33922, 12, 6, tie))
+    if nodata is not None:
+        nd = f"{nodata:.17g}".encode() + b"\x00"
+        extra_items.append((42113, 2, len(nd), nd))
+
+    n_entries = len(tags) + len(extra_items)
+    extra_off = ifd_off + 2 + 12 * n_entries + 4
+    for tag, typ, cnt, payload in extra_items:
+        size = {2: 1, 12: 8}[typ] * cnt
+        if size <= 4:
+            tags.append((tag, typ, cnt, int.from_bytes(payload.ljust(4, b"\x00"), "little")))
+        else:
+            tags.append((tag, typ, cnt, extra_off + len(extra)))
+            extra += payload
+
+    out = bytearray(b"II" + _s.pack("<HI", 42, ifd_off))
+    out += body
+    out += _s.pack("<H", n_entries)
+    for tag, typ, cnt, val in sorted(tags):
+        out += _s.pack("<HHI", tag, typ, cnt)
+        out += _s.pack("<I", val)
+    out += _s.pack("<I", 0)
+    out += extra
+    with open(path, "wb") as f:
+        f.write(out)

@@ -252,7 +252,20 @@ def _shp_rings(wkb: bytes) -> list[np.ndarray]:
     return rings
 
 
-def write_shp(df: pd.DataFrame, path: str, geoms: list[bytes | None]) -> None:
+#: ESRI WKT for WGS84 geographic coordinates (the .prj sidecar default)
+_WGS84_PRJ = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",'
+    '6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+    'UNIT["Degree",0.0174532925199433]]'
+)
+
+
+def write_shp(
+    df: pd.DataFrame,
+    path: str,
+    geoms: list[bytes | None],
+    prj_wkt: str | None = _WGS84_PRJ,
+) -> None:
     """ESRI Shapefile (.shp + .shx + .dbf), pure struct — the GDALWriter
     '-o out.shp' target (/root/reference/src/exactextract/src/
     gdal_writer.cpp:26-143) without GDAL. One Polygon record per row
@@ -310,6 +323,9 @@ def write_shp(df: pd.DataFrame, path: str, geoms: list[bytes | None]) -> None:
             fshp.write(content)
             offset += 4 + clen
     write_dbf(df, path[:-4] + ".dbf")
+    if prj_wkt:
+        with open(path[:-4] + ".prj", "w") as fprj:
+            fprj.write(prj_wkt)
 
 
 def read_shp(path: str) -> list[list[np.ndarray]]:

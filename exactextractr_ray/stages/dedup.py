@@ -441,20 +441,6 @@ def minhash_lsh_pairs(
         .materialize()
     )
 
-    n_dropped = (
-        pairs.map_batches(
-            lambda b: b.filter(pc.less(b.column("doc_a"), 0)),
-            batch_format="pyarrow",
-        ).sum("doc_b")
-        or 0
-    )
-    if n_dropped:
-        logging.getLogger(__name__).warning(
-            "minhash_lsh_pairs: %d docs dropped from over-cap LSH buckets "
-            "(cap=%d); recall may be reduced on boilerplate-heavy corpora",
-            int(n_dropped),
-            _MAX_BUCKET,
-        )
     pairs_clean = pairs.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("doc_a"), 0)),
         batch_format="pyarrow",
@@ -467,35 +453,56 @@ def minhash_lsh_pairs(
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    npairs = pairs_clean.count()
-    if npairs == 0:
-        return ray.data.from_arrow(empty)
 
     # ---- candidate-membership Bloom filter: the ONLY broadcast state, and
     # it is FIXED-SIZE (sized ~16 bits/candidate doc, capped at 32 MiB) —
     # worker memory no longer scales with the pair set the way the round-2
-    # dict broadcast did. FPs just waste one shingle computation.
-    bits = 1 << int(np.clip(np.ceil(np.log2(max(npairs, 1) * 2 * 16)), 16, 28))
+    # dict broadcast did. FPs just waste one shingle computation. One pass
+    # over the materialized pair blocks also yields the clean-pair count and
+    # the sentinel drop total (no extra executions). Sizing uses the
+    # materialized row count (pairs + sentinels — an upper bound, which only
+    # makes the filter sparser).
+    bits = 1 << int(
+        np.clip(np.ceil(np.log2(max(pairs.count(), 1) * 2 * 16)), 16, 28)
+    )
     nbytes = bits // 8
 
     def _bloom_batch(b: pa.Table) -> pa.Table:
-        ids = np.unique(
-            np.concatenate(
-                [b.column("doc_a").to_numpy(), b.column("doc_b").to_numpy()]
-            )
-        ).astype(np.int64)
+        a = b.column("doc_a").to_numpy()
+        bb = b.column("doc_b").to_numpy()
+        real = a >= 0
+        ids = np.unique(np.concatenate([a[real], bb[real]])).astype(np.int64)
         bm = np.zeros(nbytes, dtype=np.uint8)
         for pos in _bloom_positions(ids, bits):
             np.bitwise_or.at(
                 bm, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8))
             )
-        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+        return pa.table(
+            {
+                "bm": pa.array([bm.tobytes()], pa.binary()),
+                "n_clean": pa.array([int(real.sum())], pa.int64()),
+                "n_dropped": pa.array([int(bb[~real].sum())], pa.int64()),
+            }
+        )
 
     bloom = np.zeros(nbytes, dtype=np.uint8)
-    for row in pairs_clean.map_batches(
+    npairs = 0
+    n_dropped = 0
+    for row in pairs.map_batches(
         _bloom_batch, batch_format="pyarrow"
     ).take_all():  # one fixed-size bitmap per block of the small pair set
         bloom |= np.frombuffer(row["bm"], dtype=np.uint8)
+        npairs += row["n_clean"]
+        n_dropped += row["n_dropped"]
+    if n_dropped:
+        logging.getLogger(__name__).warning(
+            "minhash_lsh_pairs: %d docs dropped from over-cap LSH buckets "
+            "(cap=%d); recall may be reduced on boilerplate-heavy corpora",
+            int(n_dropped),
+            _MAX_BUCKET,
+        )
+    if npairs == 0:
+        return ray.data.from_arrow(empty)
     bloom_ref = ray.put((bloom, bits))
 
     # ---- routing rows: each pair contributes two (doc -> verify-group)

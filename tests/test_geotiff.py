@@ -382,3 +382,60 @@ def test_geotiff_to_cli_end_to_end(_ray, tmp_path):
     np.testing.assert_allclose(
         got["mean"].to_numpy(), ref["mean"].to_numpy(), rtol=1e-6
     )  # DBF carries 6 decimals
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64, np.int32, np.uint16])
+@pytest.mark.parametrize("compression", [1, 8])
+def test_geotiff_writer_round_trip(tmp_path, dtype, compression):
+    """write_geotiff -> read_geotiff is bit-exact (values, grid, nodata)."""
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(11)
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.normal(0, 100, (9, 14)).astype(dtype)
+        arr[2, 3] = np.nan
+        nodata = -9999.0
+    else:
+        arr = rng.integers(1, 1000, (9, 14)).astype(dtype)
+        nodata = 0.0
+    g = Grid(10.0, -5.0, 10.0 + 14 * 0.5, -5.0 + 9 * 0.25, 0.5, 0.25)
+    p = str(tmp_path / "w.tif")
+    write_geotiff(arr, g, p, nodata=nodata, compression=compression)
+    got, meta = read_geotiff(p)
+    exp = arr.astype(np.float64)
+    if np.issubdtype(dtype, np.floating):
+        exp = np.where(np.isnan(arr), np.nan, exp)  # nodata -> NaN again
+    np.testing.assert_array_equal(got, exp)
+    assert meta.nodata == nodata
+    assert (meta.grid.xmin, meta.grid.ymax) == (g.xmin, g.ymax)
+    assert (meta.grid.dx, meta.grid.dy) == (g.dx, g.dy)
+
+
+def test_geotiff_writer_rasterize_output(_ray, tmp_path):
+    """A pipeline raster result (rasterize) lands in a real GeoTIFF and
+    reads back identically — the GDAL raster-output sink analog."""
+    from exactextractr_ray import wkbio
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.rasterize import rasterize_polygons
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    zones = zone_table(
+        [
+            (1, "a", wkbio.rect_wkb(0, 0, 4, 8)),
+            (2, "b", wkbio.rect_wkb(4, 0, 8, 8)),
+        ]
+    )
+    zone_ids = np.array([1, 2], dtype=np.int32)
+    arr = np.full((8, 8), np.nan)
+    for r in rasterize_polygons(zones, g, tile=4).to_pandas().itertuples():
+        zi = np.asarray(r.zone_index, dtype=np.int32).reshape(r.th, r.tw)
+        block = np.where(zi >= 0, zone_ids[np.clip(zi, 0, None)], np.nan)
+        arr[r.row0 : r.row0 + r.th, r.col0 : r.col0 + r.tw] = block
+    p = str(tmp_path / "rasterized.tif")
+    write_geotiff(arr, g, p, nodata=-1.0)
+    got, meta = read_geotiff(p)
+    np.testing.assert_array_equal(got, arr)
+    assert meta.nodata == -1.0
