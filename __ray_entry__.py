@@ -798,6 +798,66 @@ def _q_ngram_jaccard(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Connected components over the exact n-gram-Jaccard pair list: one
+    (doc_id, cluster_id) row per doc in any near-dup pair, cluster_id = the
+    component's smallest doc_id (the canonical keeper)."""
+    from exactextractr_ray.stages.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.35)
+    df = dup_clusters(pairs).to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "cluster_id": pd.Series([], dtype=np.int64),
+            }
+        )
+    df = df.astype({"doc_id": np.int64, "cluster_id": np.int64})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _aug_pii_batch(batch):
+    """Deterministically append synthetic PII (email/phone/IP derived from
+    doc_id) so the redaction patterns have real matches to hit; the oracle
+    applies the identical string construction in SQL."""
+    import pyarrow as _pa
+
+    ids = batch.column("doc_id").to_numpy()
+    aug = [
+        f"{t} contact user{i}@ex{i % 7}.org or 555-{(i * 7) % 1000:03d}-"
+        f"{i % 10000:04d} from 10.{i % 256}.0.{i % 100}."
+        for i, t in zip(ids, batch.column("text").to_pylist())
+    ]
+    return _pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": _pa.array(aug, _pa.string()),
+        }
+    )
+
+
+def _q_pii_redact(sf_dir: str):
+    from exactextractr_ray.stages.text import pii_redact_batch
+
+    ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_aug_pii_batch, batch_format="pyarrow")
+        .map_batches(pii_redact_batch, batch_format="pyarrow")
+    )
+    return ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_token_rarity(sf_dir: str):
+    from exactextractr_ray.stages.text import token_rarity
+
+    df = token_rarity(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_zonal_feature_seq(sf_dir: str):
     """The feature-sequential plan (zones-parallel, on-demand tile-parquet
     window reads) over the same synthetic raster/zones as zonal_stats_rect —
@@ -914,6 +974,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "morton_cells": _q_morton,
         "zonal_feature_seq_rect": _q_zonal_feature_seq,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dup_clusters": _q_dup_clusters,
+        "pii_redact": _q_pii_redact,
+        "token_rarity": _q_token_rarity,
     }
 
 
@@ -1520,6 +1583,72 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_a, doc_b
     """
 
+    # connected components over the ngram-Jaccard pair list: transitive
+    # closure (reach = which start-node r can reach id), then min per node
+    dup_clusters_sql = (
+        "WITH RECURSIVE pairs AS ("
+        + ngram_jaccard
+        + """),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ORDER BY doc_id
+    """
+    )
+
+    from exactextractr_ray.stages.text import PII_PATTERNS
+
+    # identical synthetic-PII augmentation to _aug_pii_batch, then the same
+    # RE2 patterns (DuckDB and Arrow both compile RE2 -> bit-exact)
+    _aug = (
+        "text || ' contact user' || doc_id || '@ex' || (doc_id % 7) || "
+        "'.org or 555-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')"
+        " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+        "' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) || '.'"
+    )
+    _e, _p, _i = (p[1] for p in PII_PATTERNS)
+    pii_redact_sql = f"""
+    WITH aug AS (SELECT doc_id, {_aug} AS t FROM documents),
+    s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_e}')) AS n_email,
+                  regexp_replace(t, '{_e}', '<EMAIL>', 'g') AS t FROM aug),
+    s2 AS (SELECT doc_id, n_email,
+                  len(regexp_extract_all(t, '{_p}')) AS n_phone,
+                  regexp_replace(t, '{_p}', '<PHONE>', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_phone,
+                  len(regexp_extract_all(t, '{_i}')) AS n_ip,
+                  regexp_replace(t, '{_i}', '<IP>', 'g') AS t FROM s2)
+    SELECT doc_id, n_email, n_phone, n_ip, t AS clean_text FROM s3
+    ORDER BY doc_id
+    """
+
+    token_rarity_sql = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(list_filter(regexp_split_to_array(text, '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    per AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(c.c) AS fs
+      FROM toks t JOIN cnt c USING (tok) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(p.fs, 0) AS BIGINT) AS freq_sum,
+           CAST(p.fs AS DOUBLE) / p.n_tokens AS mean_tok_freq
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY doc_id
+    """
+
     extract_text = """
     SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """
@@ -1838,6 +1967,9 @@ def oracle_sql() -> dict[str, str]:
         "morton_cells": morton,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,
+        "dup_clusters": dup_clusters_sql,
+        "pii_redact": pii_redact_sql,
+        "token_rarity": token_rarity_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

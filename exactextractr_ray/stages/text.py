@@ -613,3 +613,101 @@ def tfidf_topk(
         return g[[id_col, "score"]].reset_index(drop=True)
 
     return cand.groupby("g").map_groups(finalize, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+#: (name, RE2 pattern, replacement) — applied IN ORDER; both pyarrow and
+#: DuckDB compile these with RE2, so redaction is bit-reproducible in SQL.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Redact emails, phone numbers and IPv4 addresses from a text column,
+    entirely with Arrow RE2 kernels (no Python loop): per pattern, count the
+    matches then globally replace, in a fixed order (so a phone number never
+    half-matches the IP rule after '<PHONE>' substitution). Output:
+    (doc_id, n_email, n_phone, n_ip, clean_text). A training-data scrub
+    stage the reference has no analog for; per-doc counts feed audit stats.
+    """
+    txt = batch.column(text_col)
+    cols: dict = {id_col: batch.column(id_col)}
+    for name, pat, repl in PII_PATTERNS:
+        cols[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(txt, pat), pa.int64()
+        )
+        txt = pc.replace_substring_regex(txt, pat, repl)
+    cols["clean_text"] = txt
+    return pa.table(cols)
+
+
+# --------------------------------------------------------------------------
+# token-rarity scoring (corpus-frequency LM proxy)
+# --------------------------------------------------------------------------
+
+
+def token_rarity(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = None,
+):
+    """Score each document by the mean corpus frequency of its tokens — the
+    classic cheap proxy for a unigram-LM quality filter (docs full of rare
+    garbage tokens score low, boilerplate scores high). Two-phase shape:
+
+    1. corpus unigram counts via :func:`ngram_counts` (per-batch Counter
+       partials, then one small groupby — the combiner pattern);
+    2. the frequency table is the SMALL side: broadcast once via ``ray.put``
+       and probed inside ``map_batches`` — no second shuffle of the corpus.
+
+    ``max_vocab`` bounds broadcast memory at web scale: only the most
+    frequent ``max_vocab`` tokens keep their true counts (ties broken by
+    token text for determinism); everything else probes as count 1 — a
+    documented floor, exact when ``max_vocab=None``. Output per doc:
+    (doc_id, n_tokens, freq_sum, mean_tok_freq); zero-token docs keep a row
+    with NULL mean.
+    """
+    import ray as _ray
+
+    counts = ngram_counts(ds, n=1, text_col=text_col)
+    vocab: dict = {}
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        vocab.update(
+            zip(b.column("ngram").to_pylist(), b.column("cnt").to_pylist())
+        )
+    if max_vocab is not None and len(vocab) > max_vocab:
+        keep = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+        vocab = dict(keep[:max_vocab])
+    ref = _ray.put(vocab)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        v = _ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        n_toks: list[int] = []
+        sums: list[int] = []
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            n_toks.append(len(toks))
+            sums.append(sum(v.get(tok, 1) for tok in toks))
+        means = [
+            (float(s) / n if n else None) for s, n in zip(sums, n_toks)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "freq_sum": pa.array(sums, pa.int64()),
+                "mean_tok_freq": pa.array(means, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

@@ -44,6 +44,9 @@ QUERIES = [
     "repetition_stats",
     "tfidf_topk",
     "domain_stats",
+    "dup_clusters",
+    "pii_redact",
+    "token_rarity",
 ]
 
 _CHILD = r"""
