@@ -858,6 +858,15 @@ def _q_token_rarity(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_curate(sf_dir: str):
+    """Flagship corpus-curation composition: langid -> repetition gates ->
+    exact dedup -> near-dup cluster pruning, end to end."""
+    from exactextractr_ray.pipelines.curate import curate_corpus
+
+    df = curate_corpus(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_zonal_feature_seq(sf_dir: str):
     """The feature-sequential plan (zones-parallel, on-demand tile-parquet
     window reads) over the same synthetic raster/zones as zonal_stats_rect —
@@ -977,6 +986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "pii_redact": _q_pii_redact,
         "token_rarity": _q_token_rarity,
+        "curate_corpus": _q_curate,
     }
 
 
@@ -1918,6 +1928,134 @@ def oracle_sql() -> dict[str, str]:
     FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
     """
 
+    # flagship curation composition: each block reproduces the matching
+    # single-stage oracle (langid / repetition / quality / dedup_exact /
+    # ngram_jaccard + dup_clusters closure) over the progressively filtered
+    # survivor set
+    curate_sql = f"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    ),
+    hits AS (
+      SELECT tok.doc_id, l.lang,
+         SUM(CASE WHEN list_contains(l.words, tk) THEN 1 ELSE 0 END) AS h,
+         COUNT(*) AS ntok
+      FROM tok CROSS JOIN (VALUES {lang_vals}) l(lang, words)
+      GROUP BY tok.doc_id, l.lang
+    ),
+    best AS (
+      SELECT doc_id, lang,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY h*1.0/GREATEST(ntok,1) DESC, lang ASC) AS r
+      FROM hits
+    ),
+    pred AS (
+      SELECT d.doc_id,
+        CASE WHEN regexp_matches(substr(d.text,1,200), '[一-鿿]') THEN 'zh'
+             ELSE b.lang END AS pred_lang
+      FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.r = 1
+    ),
+    rtoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    rflat AS (SELECT doc_id, UNNEST(w) AS tok2 FROM rtoks),
+    rwc AS (SELECT doc_id, tok2, COUNT(*) AS c FROM rflat GROUP BY 1, 2),
+    rwords AS (
+      SELECT doc_id, CAST(MAX(c) AS BIGINT) AS mx,
+             CAST(SUM(c) AS BIGINT) AS nw
+      FROM rwc GROUP BY 1
+    ),
+    ridx AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM rtoks)))
+             AS i
+    ),
+    rgrams AS (
+      SELECT t.doc_id, t.w[ix.i] || ' ' || t.w[ix.i + 1] AS g
+      FROM rtoks t JOIN ridx ix ON ix.i <= len(t.w) - 1
+    ),
+    rgs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tot,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS dst
+      FROM rgrams GROUP BY 1
+    ),
+    rep AS (
+      SELECT d.doc_id, COALESCE(w.nw, 0) AS n_words,
+        CASE WHEN COALESCE(w.nw, 0) > 0
+             THEN w.mx / CAST(w.nw AS DOUBLE) ELSE 0.0 END AS twf,
+        CASE WHEN COALESCE(g.tot, 0) > 0
+             THEN (g.tot - g.dst) / CAST(g.tot AS DOUBLE)
+             ELSE 0.0 END AS dgf
+      FROM documents d
+      LEFT JOIN rwords w USING (doc_id) LEFT JOIN rgs g USING (doc_id)
+    ),
+    qual AS (
+      SELECT doc_id,
+        0.5 * (len(list_distinct(string_split(text, ' '))) /
+               CAST(len(string_split(text, ' ')) AS DOUBLE))
+        + 0.5 * (1.0 - (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE)) AS quality_score
+      FROM documents
+    ),
+    surv AS (
+      SELECT d.doc_id, d.text, p.pred_lang, r.n_words, q.quality_score
+      FROM documents d
+      JOIN pred p USING (doc_id)
+      JOIN rep r USING (doc_id)
+      JOIN qual q USING (doc_id)
+      WHERE p.pred_lang = 'en' AND r.twf <= 0.3 AND r.dgf <= 0.2
+    ),
+    kept1 AS (
+      SELECT doc_id, text, pred_lang, n_words, quality_score FROM (
+        SELECT s.*, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM surv s
+      ) WHERE doc_id = keeper
+    ),
+    jt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM kept1),
+    jg AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE [array_to_string(tk[j+1:j+3], ' ') FOR j IN range(len(tk)-2)]
+        END AS gs
+      FROM jt
+    ),
+    jsh AS (
+      SELECT DISTINCT doc_id,
+        CAST(('0x' || substr(md5(unnest(gs)), 1, 16)) AS UBIGINT) AS hh
+      FROM jg
+    ),
+    jsz AS (SELECT doc_id, COUNT(*) AS n FROM jsh GROUP BY doc_id),
+    jin AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM jsh a JOIN jsh b ON a.hh = b.hh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b
+      FROM jin
+      JOIN jsz sa ON sa.doc_id = da
+      JOIN jsz sb ON sb.doc_id = db
+      WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.35
+    ),
+    jedges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jp
+      UNION SELECT doc_b, doc_a FROM jp
+    ),
+    jnodes AS (SELECT DISTINCT a AS id FROM jedges),
+    jreach(id, rt) AS (
+      SELECT id, id FROM jnodes
+      UNION
+      SELECT e.b, jreach.rt FROM jreach JOIN jedges e ON e.a = jreach.id
+    ),
+    jclus AS (SELECT id AS doc_id, MIN(rt) AS cluster_id FROM jreach GROUP BY id)
+    SELECT k.doc_id, k.pred_lang, k.n_words, k.quality_score
+    FROM kept1 k LEFT JOIN jclus c USING (doc_id)
+    WHERE c.doc_id IS NULL OR c.cluster_id = k.doc_id
+    ORDER BY k.doc_id
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
@@ -1970,6 +2108,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dup_clusters_sql,
         "pii_redact": pii_redact_sql,
         "token_rarity": token_rarity_sql,
+        "curate_corpus": curate_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -175,3 +175,46 @@ def test_queries_registered():
     o = e.oracle_sql()
     for name in ("dup_clusters", "pii_redact", "token_rarity"):
         assert name in q and name in o
+
+
+def test_curate_corpus_composition(_ray):
+    """End-to-end: non-English and repetitive docs drop, exact dups keep
+    min-id, transitive near-dups keep one representative."""
+    import ray.data
+
+    from exactextractr_ray.pipelines.curate import curate_corpus
+
+    en = "the cat and the dog sat on to in is that it for on a mat"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "text": pa.array(
+                    [
+                        en + " one",
+                        en + " one",          # exact dup of 1 -> dropped
+                        en + " two",          # near-dup of 1 -> clustered
+                        "der die das und ist nicht ein mit zu den",  # de
+                        "spam spam spam spam spam spam",  # repetition gate
+                        "the sun is bright and the moon is dim for it sat"
+                        " high in that sky tonight okay",
+                    ]
+                ),
+            }
+        )
+    )
+    df = (
+        curate_corpus(docs, jaccard_threshold=0.5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    kept = set(df["doc_id"].astype(int))
+    assert 2 not in kept            # exact dup loses to doc 1
+    assert 4 not in kept            # language gate
+    assert 5 not in kept            # repetition gate
+    assert 1 in kept and 6 in kept
+    assert 3 not in kept            # near-dup cluster keeps only doc 1
+    assert list(df.columns) == [
+        "doc_id", "pred_lang", "n_words", "quality_score",
+    ]

@@ -47,6 +47,7 @@ QUERIES = [
     "dup_clusters",
     "pii_redact",
     "token_rarity",
+    "curate_corpus",
 ]
 
 _CHILD = r"""
