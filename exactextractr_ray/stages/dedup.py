@@ -404,42 +404,16 @@ def minhash_lsh_pairs(
 
     import pyarrow.compute as pc
 
-    # ---- distributed candidate dedup (pairs can surface from several
-    # coarse groups): route each pair to a deterministic hash group; the
-    # same pair always lands in the same group, so an in-group vectorized
-    # drop_duplicates is a GLOBAL dedup. Sentinel drop-count rows (doc_a=-1)
-    # are summed per group, never deduped. No driver materialization.
-    def _add_dkey(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a").to_numpy()
-        bb = b.column("doc_b").to_numpy()
-        dk = (a * _PAIR_MIX + bb) % _NUM_COARSE_GROUPS
-        return b.append_column("dkey", pa.array(dk.astype(np.int64)))
-
-    def _dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-        sent = g[g["doc_a"] < 0]
-        real = g[g["doc_a"] >= 0].drop_duplicates(subset=["doc_a", "doc_b"])
-        out = real[["doc_a", "doc_b"]]
-        if len(sent):
-            out = pd.concat(
-                [
-                    out,
-                    pd.DataFrame(
-                        {"doc_a": [-1], "doc_b": [int(sent["doc_b"].sum())]}
-                    ),
-                ]
-            )
-        return out.astype({"doc_a": np.int64, "doc_b": np.int64})
-
-    # materialize the PAIR SET (the operator's small side / output-sized
-    # state) in the distributed object store — spillable, never on the
-    # driver — so the bloom build, routing, and verify stages don't re-run
-    # the banding pipeline
-    pairs = (
-        cand.map_batches(_add_dkey, batch_format="pyarrow")
-        .groupby("dkey")
-        .map_groups(_dedup_group, batch_format="pandas")
-        .materialize()
-    )
+    # materialize the CANDIDATE-PAIR SET (the operator's small side /
+    # output-sized state) in the distributed object store — spillable, never
+    # on the driver — so the bloom build, routing, and verify stages don't
+    # re-run the banding pipeline. Pairs surfacing from several coarse
+    # groups are NOT globally deduped here: a pair's verify group ``vg`` is
+    # a deterministic hash of (doc_a, doc_b), so duplicates always land in
+    # the same verify group and one in-group ``drop_duplicates`` there is a
+    # GLOBAL dedup — saving a whole extra all-to-all (measured: the dedup
+    # groupby cost ~2-3 s of fixed shuffle overhead per call at 32 CPUs).
+    pairs = cand.materialize()
 
     pairs_clean = pairs.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("doc_a"), 0)),
@@ -460,8 +434,8 @@ def minhash_lsh_pairs(
     # dict broadcast did. FPs just waste one shingle computation. One pass
     # over the materialized pair blocks also yields the clean-pair count and
     # the sentinel drop total (no extra executions). Sizing uses the
-    # materialized row count (pairs + sentinels — an upper bound, which only
-    # makes the filter sparser).
+    # materialized row count (pairs incl. cross-group duplicates and
+    # sentinels — an upper bound, which only makes the filter sparser).
     bits = 1 << int(
         np.clip(np.ceil(np.log2(max(pairs.count(), 1) * 2 * 16)), 16, 28)
     )
@@ -591,7 +565,9 @@ def minhash_lsh_pairs(
                 g.loc[g["doc_id"] >= 0, "shingles"].to_numpy(),
             )
         }
-        prs = g[g["doc_id"] < 0]
+        # global pair dedup happens HERE: vg is a deterministic function of
+        # (doc_a, doc_b), so every duplicate of a pair is in this group
+        prs = g[g["doc_id"] < 0].drop_duplicates(subset=["doc_a", "doc_b"])
         out_a: list[int] = []
         out_b: list[int] = []
         out_j: list[float] = []
