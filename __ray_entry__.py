@@ -858,6 +858,13 @@ def _q_token_rarity(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_dup_spans(sf_dir: str):
+    from exactextractr_ray.stages.dedup import dup_span_dedup
+
+    df = dup_span_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_curate(sf_dir: str):
     """Flagship corpus-curation composition: langid -> repetition gates ->
     exact dedup -> near-dup cluster pruning, end to end."""
@@ -986,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "pii_redact": _q_pii_redact,
         "token_rarity": _q_token_rarity,
+        "dup_spans": _q_dup_spans,
         "curate_corpus": _q_curate,
     }
 
@@ -1659,6 +1667,40 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id
     """
 
+    # corpus-level duplicate-span removal (C4 line-dedup rule at window=8
+    # words; last window shorter). string_split(text,' ') == Python
+    # split(' ') incl. empties; list_slice is 1-based-inclusive and clamps
+    # at the tail exactly like Python slicing. range() can't take lateral
+    # column args in DuckDB -> range to the corpus max + JOIN filter.
+    dup_spans_sql = r"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    idx AS (
+      SELECT UNNEST(range(0, (SELECT MAX(CAST(ceil(len(toks) / 8.0) AS BIGINT))
+                              FROM w))) AS i
+    ),
+    spans AS (
+      SELECT w.doc_id, idx.i AS span_idx,
+             array_to_string(list_slice(w.toks, idx.i * 8 + 1, idx.i * 8 + 8),
+                             ' ') AS span
+      FROM w JOIN idx ON idx.i < CAST(ceil(len(w.toks) / 8.0) AS BIGINT)
+    ),
+    df AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS ndocs FROM spans GROUP BY span
+    ),
+    marked AS (
+      SELECT s.doc_id, s.span_idx, s.span, (f.ndocs >= 2) AS dup
+      FROM spans s JOIN df f USING (span)
+    )
+    SELECT doc_id,
+      COALESCE(STRING_AGG(span, ' ' ORDER BY span_idx)
+                 FILTER (WHERE NOT dup), '') AS clean_text,
+      COUNT(*) AS n_spans,
+      CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+
     extract_text = """
     SELECT doc_id, text AS extracted_text FROM documents ORDER BY doc_id
     """
@@ -2108,6 +2150,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": dup_clusters_sql,
         "pii_redact": pii_redact_sql,
         "token_rarity": token_rarity_sql,
+        "dup_spans": dup_spans_sql,
         "curate_corpus": curate_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,

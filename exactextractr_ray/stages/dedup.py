@@ -996,3 +996,110 @@ def dup_clusters(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------- corpus-level duplicate-span removal ----------------
+
+
+def dup_span_dedup(
+    ds,
+    window: int = 8,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_spans: int | None = None,
+):
+    """Corpus-level exact duplicate-SPAN removal — the C4 "discard any
+    line seen more than once" rule (C4 / Raffel et al. 2020 §2.2) at a
+    fixed word-window granularity, as in exact-substring training-data
+    dedup (Lee et al. 2022).
+
+    Each document is split into CONSECUTIVE, NON-OVERLAPPING windows of
+    ``window`` whitespace tokens (the final window may be shorter). A span
+    whose exact text occurs in >= ``min_df`` DISTINCT documents is dropped
+    from EVERY document; the cleaned text is the surviving spans rejoined
+    in order with single spaces.
+
+    Distributed shape (two passes, document bodies NEVER shuffle):
+
+    1. span document-frequency: each batch emits one (digest, n_docs) row
+       per distinct span digest — a per-batch partial of COUNT(DISTINCT
+       doc) that is exact because a document's spans all live in its own
+       batch — then one small ``groupby(digest).sum`` over digests only;
+    2. the duplicate-span digest set (corpus boilerplate — tiny relative
+       to the corpus, like the token_rarity vocabulary) is broadcast once
+       via ``ray.put`` and probed inside a pure ``map_batches`` that
+       recomputes spans locally and rebuilds the text. ``max_spans``
+       bounds broadcast memory at web scale (most-frequent spans kept,
+       ties by digest; exact when None). The uncapped alternative is the
+       union + coarse-groupby join used by :func:`dup_clusters`.
+
+    Digests are full 16-byte md5 of the span text (process-stable; no
+    Python ``hash()``), so results are identical at any parallelism.
+    Output: (doc_id, clean_text, n_spans, n_dropped) — one row per input
+    document, clean_text '' when every span was dropped.
+    """
+    import ray as _ray
+
+    def _spans(text: str) -> list[str]:
+        toks = (text or "").split(" ")
+        return [
+            " ".join(toks[i : i + window]) for i in range(0, len(toks), window)
+        ]
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[bytes, int] = {}
+        for t in batch.column(text_col).to_pylist():
+            seen = {hashlib.md5(s.encode()).digest() for s in _spans(t)}
+            for d in seen:
+                counts[d] = counts.get(d, 0) + 1
+        return pa.table(
+            {
+                "digest": pa.array(list(counts.keys()), pa.binary(16)),
+                "n_docs": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    df = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("digest")
+        .sum("n_docs")
+    )
+    dup: dict[bytes, int] = {}
+    for b in df.iter_batches(batch_format="pyarrow"):
+        digs = b.column("digest").to_pylist()
+        cnts = b.column("sum(n_docs)").to_pylist()
+        for d, c in zip(digs, cnts):
+            if c >= min_df:
+                dup[d] = c
+    if max_spans is not None and len(dup) > max_spans:
+        keep = sorted(dup.items(), key=lambda kv: (-kv[1], kv[0]))
+        dup = dict(keep[:max_spans])
+    dup_ref = _ray.put(frozenset(dup))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        dups = _ray.get(dup_ref)
+        ids = batch.column(id_col).to_numpy()
+        clean: list[str] = []
+        n_spans = np.empty(len(ids), dtype=np.int64)
+        n_drop = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            spans = _spans(t)
+            kept = [
+                s
+                for s in spans
+                if hashlib.md5(s.encode()).digest() not in dups
+            ]
+            n_spans[i] = len(spans)
+            n_drop[i] = len(spans) - len(kept)
+            clean.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "clean_text": pa.array(clean, pa.string()),
+                "n_spans": pa.array(n_spans),
+                "n_dropped": pa.array(n_drop),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
