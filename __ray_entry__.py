@@ -874,6 +874,74 @@ def _q_curate(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_semdedup(sf_dir: str):
+    import ray.data
+    from exactextractr_ray.stages.knn import semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    df = semdedup(emb, k_clusters=8, threshold=0.4).to_pandas()
+    df["vec_id"] = df["vec_id"].astype(np.int64)
+    df["cluster_id"] = df["cluster_id"].astype(np.int64)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def _q_bigram_coherence(sf_dir: str):
+    from exactextractr_ray.stages.text import bigram_coherence
+
+    df = bigram_coherence(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+N_URL_GROUPS = 200
+
+
+def _aug_url_batch(batch):
+    """Deterministic messy-URL + fetch_ts synthesis from doc_id: five
+    variants (uppercase host, explicit :443, utm tracking params, #fragment,
+    trailing slash) that all canonicalize to the same URL within a collision
+    group g = doc_id % N_URL_GROUPS. Groups g < 100 get identical fetch_ts
+    (exercises the min-id tie-break); the rest get distinct ts (exercises
+    latest-fetch-wins). The oracle mirrors the construction in SQL."""
+    import pyarrow as _pa
+
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    urls = []
+    for i in ids:
+        i = int(i)
+        g = i % N_URL_GROUPS
+        v = i % 5
+        base = f"site{g:04d}.example"
+        if v == 0:
+            u = f"https://S{base[1:]}/page/{g}"
+        elif v == 1:
+            u = f"https://{base}:443/page/{g}"
+        elif v == 2:
+            u = f"https://{base}/page/{g}?utm_source=feed{i}&utm_campaign=c{i}"
+        elif v == 3:
+            u = f"https://{base}/page/{g}#sec{i}"
+        else:
+            u = f"https://{base}/page/{g}/"
+        urls.append(u)
+    ts = np.where(ids % N_URL_GROUPS < 100, 777, ids % 400).astype(np.int64)
+    return _pa.table(
+        {
+            "doc_id": _pa.array(ids, _pa.int64()),
+            "url": _pa.array(urls, _pa.string()),
+            "fetch_ts": _pa.array(ts, _pa.int64()),
+        }
+    )
+
+
+def _q_url_dedup(sf_dir: str):
+    from exactextractr_ray.stages.web import url_dedup
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_url_batch, batch_format="pyarrow"
+    )
+    df = url_dedup(ds).to_pandas()
+    return df.sort_values("canonical_url").reset_index(drop=True)
+
+
 def _q_zonal_feature_seq(sf_dir: str):
     """The feature-sequential plan (zones-parallel, on-demand tile-parquet
     window reads) over the same synthetic raster/zones as zonal_stats_rect —
@@ -995,6 +1063,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_rarity": _q_token_rarity,
         "dup_spans": _q_dup_spans,
         "curate_corpus": _q_curate,
+        "semdedup": _q_semdedup,
+        "bigram_coherence": _q_bigram_coherence,
+        "url_dedup": _q_url_dedup,
     }
 
 
@@ -2098,6 +2169,151 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY k.doc_id
     """
 
+    # SemDeDup: centroids = lowest-id k vectors; argmax-cosine assignment
+    # (numpy argmax takes the FIRST max == ORDER BY sim DESC, cid ASC);
+    # within-cluster drop iff some lower-id member has cosine >= threshold.
+    # Discrete outputs only, so list_cosine_similarity's float rounding vs
+    # the pipeline's normalized matmul cannot leak into the hash (same
+    # argument as embedding_dups).
+    semdedup_sql = """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+    ),
+    sims AS (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(e.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]) AS sim
+      FROM embeddings e CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid ASC) AS rn
+      FROM sims
+    ),
+    a AS (SELECT vec_id, cid AS cluster_id FROM assign WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT a1.vec_id
+      FROM a a1
+      JOIN a a2 ON a1.cluster_id = a2.cluster_id AND a2.vec_id < a1.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+      JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+      WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                                   e2.embedding::DOUBLE[]) >= 0.4
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           (d.vec_id IS NULL) AS keep
+    FROM a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id
+    """
+
+    # bigram coherence: ratios are exact int/int double divisions summed in
+    # STRICT position order (list_reduce left fold == np.cumsum), then one
+    # division by the bigram count — bit-exact, the tfidf_topk discipline.
+    bigram_coherence_sql = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+             AS w
+      FROM documents
+    ),
+    idx AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM toks)))
+             AS i
+    ),
+    pos AS (
+      SELECT t.doc_id, ix.i, t.w[ix.i] AS w1,
+             t.w[ix.i] || ' ' || t.w[ix.i + 1] AS bg
+      FROM toks t JOIN idx ix ON ix.i <= len(t.w) - 1
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT UNNEST(w) AS tok FROM toks) GROUP BY tok
+    ),
+    bi AS (SELECT bg, COUNT(*) AS c FROM pos GROUP BY bg),
+    ratios AS (
+      SELECT p.doc_id,
+             list(CAST(b.c AS DOUBLE) / CAST(u.c AS DOUBLE)
+                  ORDER BY p.i) AS rl
+      FROM pos p JOIN uni u ON u.tok = p.w1 JOIN bi b ON b.bg = p.bg
+      GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(len(r.rl), 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN r.rl IS NULL THEN NULL
+                ELSE list_reduce(r.rl, (a, b) -> a + b) / len(r.rl)
+           END AS coherence
+    FROM documents d LEFT JOIN ratios r USING (doc_id)
+    ORDER BY d.doc_id
+    """
+
+    # url_dedup: the oracle rebuilds the same messy URLs (_aug_url_batch)
+    # and canonicalizes them with the IDENTICAL RE2 patterns — DuckDB
+    # regexp_replace(..., 'g') and Arrow replace_substring_regex are both
+    # RE2 with the same leftmost/global semantics (the pii_redact trick).
+    url_dedup_sql = r"""
+    WITH p AS (
+      SELECT doc_id, doc_id % 200 AS g, doc_id % 5 AS v,
+             CASE WHEN doc_id % 200 < 100 THEN 777
+                  ELSE doc_id % 400 END AS fetch_ts
+      FROM documents
+    ),
+    u0 AS (
+      SELECT doc_id, fetch_ts,
+        CASE v
+          WHEN 0 THEN 'https://S' || substr(h, 2) || '/page/' || gs
+          WHEN 1 THEN 'https://' || h || ':443/page/' || gs
+          WHEN 2 THEN 'https://' || h || '/page/' || gs
+                      || '?utm_source=feed' || CAST(doc_id AS VARCHAR)
+                      || '&utm_campaign=c' || CAST(doc_id AS VARCHAR)
+          WHEN 3 THEN 'https://' || h || '/page/' || gs
+                      || '#sec' || CAST(doc_id AS VARCHAR)
+          ELSE 'https://' || h || '/page/' || gs || '/'
+        END AS url
+      FROM (SELECT *,
+                   'site' || lpad(CAST(g AS VARCHAR), 4, '0') || '.example'
+                     AS h,
+                   CAST(g AS VARCHAR) AS gs
+            FROM p)
+    ),
+    c1 AS (
+      SELECT doc_id, fetch_ts,
+        regexp_replace(regexp_replace(regexp_replace(url,
+            '#.*$', '', 'g'),
+            'utm_[a-z]+=[^&#]*&', '', 'g'),
+            '[?&]utm_[a-z]+=[^&#]*$', '', 'g') AS u
+      FROM u0
+    ),
+    c2 AS (
+      SELECT doc_id, fetch_ts,
+        regexp_replace(regexp_replace(
+            lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')),
+            '^(https://[^/?#]*):443$', '\1', 'g'),
+            '^(http://[^/?#]*):80$', '\1', 'g')
+        || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '', 'g')
+        AS u
+      FROM c1
+    ),
+    canon AS (
+      SELECT doc_id, fetch_ts,
+             regexp_replace(u, '/$', '', 'g') AS canonical_url
+      FROM c2
+    ),
+    ranked AS (
+      SELECT canonical_url, doc_id, fetch_ts,
+        ROW_NUMBER() OVER (PARTITION BY canonical_url
+                           ORDER BY fetch_ts DESC, doc_id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY canonical_url) AS n
+      FROM canon
+    )
+    SELECT canonical_url,
+           CAST(doc_id AS BIGINT) AS keeper_doc_id,
+           CAST(fetch_ts AS BIGINT) AS last_ts,
+           CAST(n AS BIGINT) AS n_urls
+    FROM ranked WHERE rn = 1 ORDER BY canonical_url
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
@@ -2152,6 +2368,9 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": token_rarity_sql,
         "dup_spans": dup_spans_sql,
         "curate_corpus": curate_sql,
+        "semdedup": semdedup_sql,
+        "bigram_coherence": bigram_coherence_sql,
+        "url_dedup": url_dedup_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

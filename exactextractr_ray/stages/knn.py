@@ -492,3 +492,84 @@ def knn_cosine_lsh(
         return g[["query_id", "neighbor_id", "rank", "sim"]]
 
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def semdedup(
+    ds,
+    k_clusters: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding
+    space, then drop semantic duplicates WITHIN each cluster — pairwise
+    cosine is only ever computed inside a cluster, so the all-pairs cost
+    falls from O(N^2) to O(N^2 / k) and each cluster's work is one local
+    matmul. Keep rule: a vector is dropped iff some LOWER-id vector in its
+    cluster has cosine >= threshold (deterministic stand-in for the paper's
+    keep-farthest-from-centroid; same dedup set size).
+
+    Clustering here is deterministic assignment to the ``k_clusters``
+    lowest-id vectors as centroids (argmax cosine, ties to the lowest
+    centroid id) — the paper's k-means is interchangeable and at 100 TB you
+    would run k-means|| offline and broadcast the centroids the same way.
+
+    Distributed shape: centroids broadcast once via ``ray.put``; assignment
+    is a per-batch matmul in ``map_batches``; the ONLY shuffle moves each
+    embedding once, keyed by cluster; per-cluster dedup is one vectorized
+    Gram matmul in ``map_groups`` (k groups, so group count — not document
+    count — bounds the Python overhead). Cluster size ~ N/k bounds the local
+    matmul; scale k with N. Output: (vec_id, cluster_id, keep).
+    """
+    cdf = (
+        ds.filter(expr=f"{id_col} < {k_clusters}")
+        .select_columns([id_col, vec_col])
+        .to_pandas()
+        .sort_values(id_col)
+    )
+    cmat = np.stack(cdf[vec_col].to_numpy()).astype(np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cref = ray.put((cmat / cnorm).T)  # (dim, k)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cT = ray.get(cref)
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        mat = _to_matrix(batch.column(vec_col))
+        if mat.size == 0:
+            cl = np.empty(0, dtype=np.int64)
+        else:
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            # argmax takes the FIRST max -> ties resolve to the lowest
+            # centroid id, matching the oracle's ORDER BY sim DESC, cid ASC
+            cl = np.argmax((mat / norms) @ cT, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cl, pa.int64()),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def within(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        Mn = M / norms
+        gram = Mn @ Mn.T
+        dup = np.tril(gram >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(np.int64),
+                "cluster_id": g["cluster_id"].to_numpy(np.int64),
+                "keep": ~dup,
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(within, batch_format="pandas")
+    )

@@ -711,3 +711,89 @@ def token_rarity(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def bigram_coherence(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int | None = None,
+):
+    """Corpus-bigram-LM coherence score — the cheap stand-in for the CCNet /
+    Gopher LM-perplexity quality filter (Wenzek et al. 2020 train a 5-gram
+    LM; here the corpus itself is the LM). Per document:
+
+        coherence = mean over positions i of
+                    count(w_i w_{i+1}) / count(w_i)
+
+    i.e. the average empirical conditional probability of each next word.
+    Incoherent/shuffled text scores near 1/vocab; boilerplate scores high.
+
+    All arithmetic is RATIONAL count ratios (no log), each ratio a single
+    int64/int64 float division, summed in STRICT position order (np.cumsum's
+    left fold == DuckDB list_reduce's left fold) then one division by the
+    bigram count — so the SQL oracle is bit-exact, the same discipline as
+    tfidf_topk.
+
+    Distributed shape: two small count tables (unigrams, bigrams) built with
+    the per-batch-Counter + groupby-sum combiner, broadcast once via
+    ``ray.put``, probed inside one ``map_batches`` pass — document text
+    never shuffles. ``max_vocab`` bounds the broadcast for web-scale corpora
+    (most-frequent entries kept, ties by text; unseen probes floor at count
+    1 — exact when None, like token_rarity). Output per doc: (doc_id,
+    n_bigrams, coherence); docs with <2 tokens keep a row with NULL score.
+    """
+    import ray as _ray
+
+    def _collect(counts_ds) -> dict:
+        out: dict = {}
+        for b in counts_ds.iter_batches(batch_format="pyarrow"):
+            out.update(
+                zip(b.column("ngram").to_pylist(), b.column("cnt").to_pylist())
+            )
+        if max_vocab is not None and len(out) > max_vocab:
+            keep = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+            out = dict(keep[:max_vocab])
+        return out
+
+    uni_ref = _ray.put(_collect(ngram_counts(ds, n=1, text_col=text_col)))
+    bi_ref = _ray.put(_collect(ngram_counts(ds, n=2, text_col=text_col)))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        uni = _ray.get(uni_ref)
+        bi = _ray.get(bi_ref)
+        ids = batch.column(id_col).to_numpy()
+        n_bg = np.empty(len(ids), dtype=np.int64)
+        scores: list[float | None] = []
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            m = len(toks) - 1
+            n_bg[i] = max(m, 0)
+            if m <= 0:
+                scores.append(None)
+                continue
+            c2 = np.fromiter(
+                (
+                    bi.get(toks[j] + " " + toks[j + 1], 1)
+                    for j in range(m)
+                ),
+                dtype=np.float64,
+                count=m,
+            )
+            c1 = np.fromiter(
+                (uni.get(toks[j], 1) for j in range(m)),
+                dtype=np.float64,
+                count=m,
+            )
+            # strict left-to-right fold, then one division: bit-matches the
+            # oracle's list_reduce((a,b)->a+b) / len
+            scores.append(float(np.cumsum(c2 / c1)[-1]) / m)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "n_bigrams": pa.array(n_bg),
+                "coherence": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

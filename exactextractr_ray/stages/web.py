@@ -30,6 +30,129 @@ def extract_domain_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     return batch.append_column("domain", pa.array(doms, pa.string()))
 
 
+_UTM_MID = r"utm_[a-z]+=[^&#]*&"  # tracking param followed by another param
+_UTM_LAST = r"[?&]utm_[a-z]+=[^&#]*$"  # tracking param at the end of the query
+_SCHEME_HOST = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str = "canonical_url"
+) -> pa.Table:
+    """Append the canonical form of each URL — the normalization a crawl
+    dedup runs before keying (cf. crawler frontier normalization; the rule
+    set here is fixed and documented so the oracle can mirror it):
+
+    1. drop the ``#fragment``;
+    2. drop ``utm_*`` tracking query parameters (other params keep their
+       original order); a now-empty query loses its ``?``;
+    3. lowercase the scheme and host (path/query case is significant and
+       kept);
+    4. drop the default port (``:443`` for https, ``:80`` for http);
+    5. drop one trailing slash.
+
+    Fully vectorized Arrow RE2 kernels (DuckDB's regexp_replace is also RE2
+    with identical leftmost/global semantics, so the oracle is bit-exact —
+    same trick as stages.text PII redaction)."""
+    import pyarrow.compute as pc
+
+    u = batch.column(url_col)
+    u = pc.replace_substring_regex(u, pattern=r"#.*$", replacement="")
+    u = pc.replace_substring_regex(u, pattern=_UTM_MID, replacement="")
+    u = pc.replace_substring_regex(u, pattern=_UTM_LAST, replacement="")
+    # split scheme://host[:port] off, lowercase it, strip the default port
+    sh = pc.extract_regex(u, pattern=f"(?P<sh>{_SCHEME_HOST})")
+    sh = pc.utf8_lower(pc.struct_field(sh, "sh"))
+    sh = pc.replace_substring_regex(
+        sh, pattern=r"^(https://[^/?#]*):443$", replacement=r"\1"
+    )
+    sh = pc.replace_substring_regex(
+        sh, pattern=r"^(http://[^/?#]*):80$", replacement=r"\1"
+    )
+    rest = pc.replace_substring_regex(u, pattern=_SCHEME_HOST, replacement="")
+    u = pc.binary_join_element_wise(sh, rest, "")
+    u = pc.replace_substring_regex(u, pattern=r"/$", replacement="")
+    return batch.append_column(out_col, u)
+
+
+def url_dedup(
+    ds,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    ts_col: str = "fetch_ts",
+):
+    """URL-level dedup after canonicalization: one keeper per canonical URL —
+    the LATEST fetch wins (max ts, ties to the smallest id), the classic
+    recrawl-collapse rule.
+
+    Same 100-TB shape as :func:`~..dedup.exact_dedup`: a per-block PARTIAL
+    (canonical_url, best_ts, best_id, count) row per distinct URL leaves the
+    map stage — page bodies never shuffle — then 256 coarse md5-prefix
+    groups finalize with vectorized pandas groupbys (no per-URL Python
+    call). Returns (canonical_url, keeper_doc_id, last_ts, n_urls).
+    """
+    import hashlib
+
+    ncoarse = 256
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = canonicalize_url_batch(b, url_col)
+        df = pd.DataFrame(
+            {
+                "canonical_url": t.column("canonical_url").to_pylist(),
+                "_id": t.column(id_col).to_numpy(),
+                "_ts": t.column(ts_col).to_numpy(),
+            }
+        )
+        # best row per URL inside the block: max ts, then min id — a sort
+        # then first() keeps the argmax pair together (vectorized)
+        df = df.sort_values(["canonical_url", "_ts", "_id"],
+                            ascending=[True, False, True])
+        agg = df.groupby("canonical_url", as_index=False).agg(
+            last_ts=("_ts", "first"),
+            keeper_doc_id=("_id", "first"),
+            n_urls=("_id", "size"),
+        )
+        ck = np.array(
+            [
+                int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % ncoarse
+                for s in agg["canonical_url"]
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "canonical_url": pa.array(agg["canonical_url"], pa.string()),
+                "last_ts": pa.array(agg["last_ts"].to_numpy(np.int64)),
+                "keeper_doc_id": pa.array(
+                    agg["keeper_doc_id"].to_numpy(np.int64)
+                ),
+                "n_urls": pa.array(agg["n_urls"].to_numpy(np.int64)),
+                "ckey": pa.array(ck, pa.int64()),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["canonical_url", "last_ts", "keeper_doc_id"],
+            ascending=[True, False, True],
+        )
+        out = g.groupby("canonical_url", as_index=False).agg(
+            keeper_doc_id=("keeper_doc_id", "first"),
+            last_ts=("last_ts", "first"),
+            n_urls=("n_urls", "sum"),
+        )
+        return out.astype(
+            {"keeper_doc_id": np.int64, "last_ts": np.int64,
+             "n_urls": np.int64}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 def domain_stats(ds, url_col: str = "url", text_col: str = "text"):
     """Per-domain page count and total extracted-text characters.
 

@@ -48,6 +48,9 @@ QUERIES = [
     "pii_redact",
     "token_rarity",
     "curate_corpus",
+    "semdedup",
+    "bigram_coherence",
+    "url_dedup",
 ]
 
 _CHILD = r"""
