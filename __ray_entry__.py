@@ -942,6 +942,43 @@ def _q_url_dedup(sf_dir: str):
     return df.sort_values("canonical_url").reset_index(drop=True)
 
 
+def _q_pagerank(sf_dir: str):
+    """Damped PageRank (5 rounds, fixed-point int64) over a deterministic
+    synthetic link graph: doc i links to (7i+1)%n, (13i+2)%n, (29i+5)%n
+    (self-loops removed, per-source duplicates collapsed). The oracle
+    unrolls the same integer iteration in SQL."""
+    from exactextractr_ray.stages.graph import pagerank
+
+    docs = _docs(sf_dir, ["doc_id"])
+    n = docs.count()
+
+    def mk_edges(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        src = np.repeat(ids, 3)
+        dst = np.column_stack(
+            [(ids * 7 + 1) % n, (ids * 13 + 2) % n, (ids * 29 + 5) % n]
+        ).ravel()
+        keep = src != dst
+        # all edges of a given src live in its own row -> per-batch unique
+        # IS the global DISTINCT
+        e = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+        return pa.table(
+            {
+                "src": pa.array(e[:, 0], pa.int64()),
+                "dst": pa.array(e[:, 1], pa.int64()),
+            }
+        )
+
+    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    df = pagerank(edges, n, iters=5).to_pandas()
+    df["node"] = df["node"].astype(np.int64)
+    df["pr_int"] = df["pr_int"].astype(np.int64)
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def _q_zonal_feature_seq(sf_dir: str):
     """The feature-sequential plan (zones-parallel, on-demand tile-parquet
     window reads) over the same synthetic raster/zones as zonal_stats_rect —
@@ -1066,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "bigram_coherence": _q_bigram_coherence,
         "url_dedup": _q_url_dedup,
+        "pagerank": _q_pagerank,
     }
 
 
@@ -2314,6 +2352,49 @@ def oracle_sql() -> dict[str, str]:
     FROM ranked WHERE rn = 1 ORDER BY canonical_url
     """
 
+    # pagerank: the same 5 fixed-point iterations unrolled as chained CTEs.
+    # DuckDB SUM(BIGINT) yields HUGEINT, so each iteration CASTs back to
+    # BIGINT; '//' keeps every division integral (DuckDB '/' -> DOUBLE).
+    pr_scale = 10**12
+    pr_cte = [
+        "n AS (SELECT COUNT(*) AS n FROM documents)",
+        f"""params AS (
+          SELECT CAST({pr_scale} // n AS BIGINT) AS r0,
+                 CAST((15 * ({pr_scale} // n)) // 100 AS BIGINT) AS base
+          FROM n)""",
+        """edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src,
+                   (doc_id * 7 + 1) % (SELECT n FROM n) AS dst FROM documents
+            UNION ALL SELECT doc_id,
+                   (doc_id * 13 + 2) % (SELECT n FROM n) FROM documents
+            UNION ALL SELECT doc_id,
+                   (doc_id * 29 + 5) % (SELECT n FROM n) FROM documents
+          ) WHERE src <> dst)""",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT doc_id AS node FROM documents)",
+        "r0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM nodes)",
+    ]
+    pr_prev = "r0"
+    for k in range(1, 6):
+        pr_cte.append(f"""it{k} AS (
+          SELECT nd.node,
+            CAST((SELECT base FROM params)
+                 + (85 * COALESCE(SUM(p.r // d.outdeg), 0)) // 100
+                 AS BIGINT) AS r
+          FROM nodes nd
+          LEFT JOIN edges e ON e.dst = nd.node
+          LEFT JOIN deg d ON d.src = e.src
+          LEFT JOIN {pr_prev} p ON p.node = e.src
+          GROUP BY nd.node)""")
+        pr_prev = f"it{k}"
+    pagerank_sql = (
+        "WITH " + ",\n".join(pr_cte)
+        + f"""
+    SELECT node, r AS pr_int, CAST(r AS DOUBLE) / {float(pr_scale)!r} AS pr
+    FROM {pr_prev} ORDER BY node"""
+    )
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
@@ -2371,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": semdedup_sql,
         "bigram_coherence": bigram_coherence_sql,
         "url_dedup": url_dedup_sql,
+        "pagerank": pagerank_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

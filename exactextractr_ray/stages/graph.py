@@ -1,0 +1,154 @@
+"""Link-graph operators over a (src, dst) edge table — the web-graph side of
+a crawl-curation pipeline (PageRank for document quality weighting, degree
+stats for spam heuristics).
+
+PageRank here is the classic distributed iteration expressed Ray-Data-first:
+
+* the EDGE table (the 100-TB side) streams through one hash join + one
+  groupby per iteration and is NEVER materialized;
+* the RANK vector (16 B/node — the minimal state an iterative algorithm
+  must persist) is checkpointed with ``materialize()`` once per iteration,
+  exactly the iteration-frontier pattern;
+* all arithmetic is FIXED-POINT int64 (rank mass scaled to ``scale``), so
+  every distributed sum is order-independent and the DuckDB oracle matches
+  bit-for-bit — the same determinism trick as the integer-cents money
+  columns in pipelines/relational.py.
+
+Update rule (integer form of the damped PageRank step, d = 85/100):
+
+    r0(v)   = scale // n
+    base    = (15 * (scale // n)) // 100
+    r'(v)   = base + (85 * S(v)) // 100,
+    S(v)    = sum over in-edges (u -> v) of  r(u) // outdeg(u)
+
+Total rank mass stays <= scale, so 85 * S(v) < 2^63 for scale <= 10^15.
+Dangling nodes (no out-edges) leak mass — the standard simplification;
+nodes with no IN-edges are kept at ``base`` via a zero-contribution union
+(cheaper than a per-iteration left join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def out_degree(edges, src_col: str = "src"):
+    """(src, outdeg) — one groupby-count over the edge stream."""
+    agg = edges.groupby(src_col).count()
+    return agg.map_batches(
+        lambda b: b.rename_columns([src_col, "outdeg"]),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank(
+    edges,
+    num_nodes: int,
+    iters: int = 5,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 8,
+):
+    """Damped PageRank over an int64 (src, dst) edge Dataset.
+
+    Returns a Dataset of (node, pr_int, pr): the fixed-point rank and its
+    float projection ``pr_int / scale`` (one exact division, bit-stable).
+
+    Node ids must lie in [0, num_nodes); every node gets a row even with no
+    edges. Per iteration: edges ⋈ ranks (hash join on src), a vectorized
+    ``r // outdeg`` map, and one groupby-sum keyed by dst — two exchanges
+    of the edge stream, none of the corpus. ``iters`` is fixed (PageRank
+    converges geometrically; production crawls use 10-20 rounds — the
+    shape is identical, only the loop count grows).
+    """
+    import ray.data
+
+    if num_nodes <= 0:
+        raise ValueError("num_nodes must be positive")
+    r0 = scale // num_nodes
+    base = (15 * r0) // 100
+
+    deg = out_degree(edges, src_col)
+    edges_deg = edges.join(
+        deg, join_type="inner", num_partitions=num_partitions,
+        on=(src_col,),
+    )
+
+    # Ray's hash join chokes on empty-schema blocks (range() emits empty
+    # residual blocks that lose their schema through map_batches) — build
+    # the init vector with exactly min(num_partitions, n) non-empty blocks
+    # and coalesce each iteration's output the same way before it becomes
+    # a join side.
+    n_blocks = max(1, min(num_partitions, num_nodes))
+    ranks = (
+        ray.data.range(num_nodes, override_num_blocks=n_blocks)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("id").cast(pa.int64()),
+                    "r": pa.array(
+                        np.full(len(b), r0, dtype=np.int64), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(n_blocks)
+        .materialize()
+    )
+
+    def _contrib(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy()
+        od = b.column("outdeg").to_numpy()
+        return pa.table(
+            {
+                "dst": b.column(dst_col).cast(pa.int64()),
+                "c": pa.array(r // od, pa.int64()),
+            }
+        )
+
+    def _zero(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dst": b.column("node"),
+                "c": pa.array(np.zeros(len(b), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def _apply(b: pa.Table) -> pa.Table:
+        s = b.column("sum(c)").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node": b.column("dst").cast(pa.int64()),
+                "r": pa.array(base + (85 * s) // 100, pa.int64()),
+            }
+        )
+
+    for _ in range(iters):
+        joined = edges_deg.join(
+            ranks, join_type="inner", num_partitions=num_partitions,
+            on=(src_col,), right_on=("node",),
+        )
+        contrib = joined.map_batches(_contrib, batch_format="pyarrow")
+        zeros = ranks.map_batches(_zero, batch_format="pyarrow")
+        s = contrib.union(zeros).groupby("dst").sum("c")
+        # checkpoint ONLY the frontier: num_nodes * 16 B, never the edges
+        ranks = (
+            s.map_batches(_apply, batch_format="pyarrow")
+            .repartition(n_blocks)
+            .materialize()
+        )
+
+    def _project(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "pr_int": b.column("r"),
+                "pr": pa.array(r / float(scale), pa.float64()),
+            }
+        )
+
+    return ranks.map_batches(_project, batch_format="pyarrow")

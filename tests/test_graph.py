@@ -1,0 +1,133 @@
+"""Link-graph operators (stages/graph.py): fixed-point PageRank.
+
+The reference engine has no graph side; this is part of the web-corpus
+curation surface (document quality weighting over a crawl link graph).
+Checked against an independent in-process numpy implementation of the same
+integer iteration, plus structural invariants.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture
+def _ray(ray_session):
+    yield
+
+
+def _edges_ds(pairs, parallelism=1):
+    import ray.data
+
+    src = [p[0] for p in pairs]
+    dst = [p[1] for p in pairs]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+    return ds.repartition(parallelism) if parallelism > 1 else ds
+
+
+def _pagerank_numpy(pairs, n, iters=5, scale=10**12):
+    """The same integer update rule, single-threaded numpy."""
+    src = np.array([p[0] for p in pairs], dtype=np.int64)
+    dst = np.array([p[1] for p in pairs], dtype=np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.int64)
+    r = np.full(n, scale // n, dtype=np.int64)
+    base = (15 * (scale // n)) // 100
+    for _ in range(iters):
+        contrib = r[src] // outdeg[src]
+        s = np.bincount(dst, weights=None, minlength=n).astype(np.int64)
+        s[:] = 0
+        np.add.at(s, dst, contrib)
+        r = base + (85 * s) // 100
+    return r
+
+
+def _run(pairs, n, iters=5, **kw):
+    from exactextractr_ray.stages.graph import pagerank
+
+    df = (
+        pagerank(_edges_ds(pairs, **kw), n, iters=iters)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return df
+
+
+def test_pagerank_matches_numpy_reference(_ray):
+    rng = np.random.default_rng(3)
+    n = 40
+    pairs = set()
+    for _ in range(150):
+        a, b = rng.integers(0, n, size=2)
+        if a != b:
+            pairs.add((int(a), int(b)))
+    pairs = sorted(pairs)
+    # make sure every node has at least one out-edge (no dangling leak in
+    # the reference comparison)
+    for i in range(n):
+        if not any(p[0] == i for p in pairs):
+            pairs.append((i, (i + 1) % n))
+    df = _run(pairs, n)
+    expect = _pagerank_numpy(pairs, n)
+    assert df["node"].tolist() == list(range(n))
+    np.testing.assert_array_equal(df["pr_int"].to_numpy(), expect)
+    np.testing.assert_array_equal(
+        df["pr"].to_numpy(), expect / float(10**12)
+    )
+
+
+def test_pagerank_star_sink_accumulates(_ray):
+    # star: everyone points at node 0; node 0 points at node 1
+    n = 6
+    pairs = [(i, 0) for i in range(1, n)] + [(0, 1)]
+    df = _run(pairs, n)
+    pr = df["pr_int"].to_numpy()
+    assert pr[0] == pr.max()           # the sink hub dominates
+    assert pr[1] > pr[2]               # fed by the hub
+    assert (pr[2:] == pr[2]).all()     # leaves identical by symmetry
+
+
+def test_pagerank_no_in_edges_gets_base(_ray):
+    n = 4
+    scale = 10**12
+    base = (15 * (scale // n)) // 100
+    # node 3 has out-edges but NO in-edges
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 0)]
+    df = _run(pairs, n)
+    assert df.loc[3, "pr_int"] == base
+
+
+def test_pagerank_parallelism_invariant(_ray):
+    rng = np.random.default_rng(11)
+    n = 50
+    pairs = sorted(
+        {
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(300, 2))
+            if a != b
+        }
+    )
+    a = _run(pairs, n)
+    b = _run(pairs, n, parallelism=7)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_out_degree(_ray):
+    from exactextractr_ray.stages.graph import out_degree
+
+    deg = (
+        out_degree(_edges_ds([(0, 1), (0, 2), (2, 1)]))
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    assert deg["src"].tolist() == [0, 2]
+    assert deg["outdeg"].tolist() == [2, 1]

@@ -51,6 +51,7 @@ QUERIES = [
     "semdedup",
     "bigram_coherence",
     "url_dedup",
+    "pagerank",
 ]
 
 _CHILD = r"""
