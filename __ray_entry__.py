@@ -979,6 +979,22 @@ def _q_pagerank(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_topk_per_source(sf_dir: str):
+    """Top-3 longest documents per source (ties -> smaller doc_id), via the
+    distributed partial-combiner top-k (stages/rank.py). Oracle is the SQL
+    window ROW_NUMBER() <= 3."""
+    from exactextractr_ray.stages.rank import top_k_per_group
+
+    docs = _docs(sf_dir, ["source", "doc_id", "n_chars"])
+    out = top_k_per_group(
+        docs, "source", "n_chars", 3, tie_col="doc_id"
+    ).to_pandas()
+    out = out[["source", "doc_id", "n_chars", "rnk"]]
+    for c in ("doc_id", "n_chars", "rnk"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
 def _q_zonal_feature_seq(sf_dir: str):
     """The feature-sequential plan (zones-parallel, on-demand tile-parquet
     window reads) over the same synthetic raster/zones as zonal_stats_rect —
@@ -1104,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_coherence": _q_bigram_coherence,
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
+        "topk_per_source": _q_topk_per_source,
     }
 
 
@@ -2395,6 +2412,17 @@ def oracle_sql() -> dict[str, str]:
     FROM {pr_prev} ORDER BY node"""
     )
 
+    topk_per_source_sql = """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rnk
+      FROM documents)
+    SELECT source, doc_id, n_chars, rnk
+    FROM r WHERE rnk <= 3 ORDER BY source, rnk
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
@@ -2453,6 +2481,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_coherence": bigram_coherence_sql,
         "url_dedup": url_dedup_sql,
         "pagerank": pagerank_sql,
+        "topk_per_source": topk_per_source_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -1,0 +1,121 @@
+"""Group-wise ranking operators.
+
+``top_k_per_group`` is the distributed TOP-K-PER-KEY every corpus pipeline
+needs (best page per host, longest docs per source, highest-scoring sample
+per stratum). The reference engine has no analog; the SQL semantics are
+``ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC, tie ASC) <= k``.
+
+Scale shape (the point of the design):
+
+* a **per-batch partial top-k combiner** runs BEFORE the shuffle, so each
+  upstream block contributes at most ``k`` rows per group it has seen —
+  the exchange volume is O(groups x k x blocks), independent of corpus
+  size (the same partial-before-shuffle trick as stats partials in
+  pipelines/zonal.py);
+* the final reduction shuffles only those survivors, hashed into a fixed
+  number of COARSE groups (many keys per group, the repo-wide pattern for
+  bounding task count), and applies the identical vectorized selection
+  per coarse group.
+
+The selection key ``(v desc|asc, tie asc)`` is a TOTAL order per group, so
+the result is independent of partitioning/batching — byte-identical at any
+parallelism and bit-exact against the SQL window oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _group_codes(arr: np.ndarray) -> np.ndarray:
+    """Dense int codes for an arbitrary-dtype group column."""
+    _, codes = np.unique(arr, return_inverse=True)
+    return codes
+
+
+def _select_topk(
+    b: pa.Table,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    k: int,
+    ascending: bool,
+    emit_rank: bool,
+) -> pa.Table:
+    """Vectorized top-k-per-group over one in-memory table.
+
+    lexsort with keys (tie, +/-v, group): group is the primary key (runs
+    of equal groups), then order value, then the tie-breaker — one sort,
+    then a segmented rank via run starts.
+    """
+    if b.num_rows == 0:
+        return b.append_column("rnk", pa.array([], pa.int64())) if emit_rank else b
+    g = _group_codes(b.column(group_col).to_numpy(zero_copy_only=False))
+    v = b.column(order_col).to_numpy(zero_copy_only=False)
+    t = b.column(tie_col).to_numpy(zero_copy_only=False)
+    vkey = v if ascending else -v.astype(np.float64) if v.dtype.kind == "f" else -v
+    order = np.lexsort((t, vkey, g))
+    gs = g[order]
+    run_start = np.r_[0, 1 + np.flatnonzero(gs[1:] != gs[:-1])]
+    run_len = np.diff(np.r_[run_start, len(gs)])
+    rank = np.arange(len(gs)) - np.repeat(run_start, run_len)
+    keep = rank < k
+    out = b.take(pa.array(order[keep], pa.int64()))
+    if emit_rank:
+        out = out.append_column(
+            "rnk", pa.array(rank[keep] + 1, pa.int64())
+        )
+    return out
+
+
+def top_k_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str,
+    ascending: bool = False,
+    num_coarse_groups: int = 64,
+):
+    """Exact distributed top-k rows per group, with a 1-based ``rnk`` column.
+
+    (group_col, order_col, tie_col) must totally order rows within a group
+    (tie_col unique per group suffices). Partial combiner -> coarse-group
+    exact finalize; see module docstring for the scale argument.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        return _select_topk(
+            b, group_col, order_col, tie_col, k, ascending, emit_rank=False
+        )
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        vals = b.column(group_col).to_pylist()
+        uniq = {}
+        cg = np.empty(len(vals), dtype=np.int64)
+        for i, s in enumerate(vals):
+            c = uniq.get(s)
+            if c is None:
+                c = (
+                    int.from_bytes(
+                        hashlib.md5(str(s).encode()).digest()[:8], "big"
+                    )
+                    % num_coarse_groups
+                )
+                uniq[s] = c
+            cg[i] = c
+        return b.append_column("__cg", pa.array(cg, pa.int64()))
+
+    def final(b: pa.Table) -> pa.Table:
+        out = _select_topk(
+            b, group_col, order_col, tie_col, k, ascending, emit_rank=True
+        )
+        return out.drop_columns(["__cg"])
+
+    reduced = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        add_coarse, batch_format="pyarrow"
+    )
+    return reduced.groupby("__cg").map_groups(final, batch_format="pyarrow")

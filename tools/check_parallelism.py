@@ -52,6 +52,7 @@ QUERIES = [
     "bigram_coherence",
     "url_dedup",
     "pagerank",
+    "topk_per_source",
 ]
 
 _CHILD = r"""
