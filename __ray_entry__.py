@@ -995,6 +995,21 @@ def _q_topk_per_source(sf_dir: str):
     return out.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_cms_heavy_hitters(sf_dir: str):
+    """Count-min-sketch heavy hitters over the document token stream
+    (d=4, w=32 — small width so collisions are real and the min-over-rows
+    estimator actually matters). Bit-exact oracle: the SQL reproduces the
+    bucket hash (md5 top-16-hex mod w), bucket sums, and min estimate."""
+    from exactextractr_ray.stages.cms import cms_heavy_hitters
+
+    out = cms_heavy_hitters(
+        _docs(sf_dir, ["text"]), d=4, w=32, denom=200
+    ).to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out["est"] = out["est"].astype(np.int64)
+    return out.sort_values("tk").reset_index(drop=True)
+
+
 def _q_zonal_feature_seq(sf_dir: str):
     """The feature-sequential plan (zones-parallel, on-demand tile-parquet
     window reads) over the same synthetic raster/zones as zonal_stats_rect —
@@ -1121,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
         "topk_per_source": _q_topk_per_source,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
     }
 
 
@@ -2423,6 +2439,36 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rnk <= 3 ORDER BY source, rnk
     """
 
+    # cms_heavy_hitters: reproduce the sketch in SQL — same md5-mod-w
+    # bucket hash per row, integer bucket sums (CAST: SUM(BIGINT)->HUGEINT),
+    # min over rows, threshold total//200 ('//' keeps it integral).
+    cms_sql = """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    tc AS (SELECT tk, COUNT(*) AS cnt FROM tok GROUP BY tk),
+    dd AS (SELECT CAST(r.range AS BIGINT) AS ri FROM range(4) r),
+    tb AS (
+      SELECT tc.tk, tc.cnt, dd.ri,
+             CAST(CAST(('0x' || substr(
+               md5(CAST(dd.ri AS VARCHAR) || ':' || tc.tk), 1, 16))
+               AS UBIGINT) % 32 AS BIGINT) AS bkt
+      FROM tc CROSS JOIN dd
+    ),
+    bs AS (
+      SELECT ri, bkt, CAST(SUM(cnt) AS BIGINT) AS bsum
+      FROM tb GROUP BY ri, bkt
+    ),
+    est AS (
+      SELECT tb.tk, tb.cnt, MIN(bs.bsum) AS est
+      FROM tb JOIN bs ON bs.ri = tb.ri AND bs.bkt = tb.bkt
+      GROUP BY tb.tk, tb.cnt
+    )
+    SELECT tk, cnt, est FROM est
+    WHERE est >= (SELECT COUNT(*) FROM tok) // 200
+    ORDER BY tk
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
@@ -2482,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": url_dedup_sql,
         "pagerank": pagerank_sql,
         "topk_per_source": topk_per_source_sql,
+        "cms_heavy_hitters": cms_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

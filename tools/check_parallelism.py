@@ -53,6 +53,7 @@ QUERIES = [
     "url_dedup",
     "pagerank",
     "topk_per_source",
+    "cms_heavy_hitters",
 ]
 
 _CHILD = r"""
