@@ -942,13 +942,10 @@ def _q_url_dedup(sf_dir: str):
     return df.sort_values("canonical_url").reset_index(drop=True)
 
 
-def _q_pagerank(sf_dir: str):
-    """Damped PageRank (5 rounds, fixed-point int64) over a deterministic
-    synthetic link graph: doc i links to (7i+1)%n, (13i+2)%n, (29i+5)%n
-    (self-loops removed, per-source duplicates collapsed). The oracle
-    unrolls the same integer iteration in SQL."""
-    from exactextractr_ray.stages.graph import pagerank
-
+def _synth_edges(sf_dir: str):
+    """Deterministic synthetic link graph over doc ids: doc i links to
+    (7i+1)%n, (13i+2)%n, (29i+5)%n (self-loops removed, per-source
+    duplicates collapsed). Returns (edges Dataset, n)."""
     docs = _docs(sf_dir, ["doc_id"])
     n = docs.count()
 
@@ -972,10 +969,43 @@ def _q_pagerank(sf_dir: str):
             }
         )
 
-    edges = docs.map_batches(mk_edges, batch_format="pyarrow")
+    return docs.map_batches(mk_edges, batch_format="pyarrow"), n
+
+
+# the same graph in SQL, shared by the pagerank / degree oracles
+_SYNTH_EDGES_SQL = """edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src,
+               (doc_id * 7 + 1) % (SELECT n FROM n) AS dst FROM documents
+        UNION ALL SELECT doc_id,
+               (doc_id * 13 + 2) % (SELECT n FROM n) FROM documents
+        UNION ALL SELECT doc_id,
+               (doc_id * 29 + 5) % (SELECT n FROM n) FROM documents
+      ) WHERE src <> dst)"""
+
+
+def _q_pagerank(sf_dir: str):
+    """Damped PageRank (5 rounds, fixed-point int64) over the synthetic
+    link graph (_synth_edges). The oracle unrolls the same integer
+    iteration in SQL."""
+    from exactextractr_ray.stages.graph import pagerank
+
+    edges, n = _synth_edges(sf_dir)
     df = pagerank(edges, n, iters=5).to_pandas()
     df["node"] = df["node"].astype(np.int64)
     df["pr_int"] = df["pr_int"].astype(np.int64)
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def _q_degree_stats(sf_dir: str):
+    """Per-node (outdeg, indeg) over the synthetic link graph — one
+    union+groupby-sum shuffle, no join (stages/graph.py degree_table)."""
+    from exactextractr_ray.stages.graph import degree_table
+
+    edges, n = _synth_edges(sf_dir)
+    df = degree_table(edges, n).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
     return df.sort_values("node").reset_index(drop=True)
 
 
@@ -1137,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "topk_per_source": _q_topk_per_source,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "degree_stats": _q_degree_stats,
     }
 
 
@@ -2395,15 +2426,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT CAST({pr_scale} // n AS BIGINT) AS r0,
                  CAST((15 * ({pr_scale} // n)) // 100 AS BIGINT) AS base
           FROM n)""",
-        """edges AS (
-          SELECT DISTINCT src, dst FROM (
-            SELECT doc_id AS src,
-                   (doc_id * 7 + 1) % (SELECT n FROM n) AS dst FROM documents
-            UNION ALL SELECT doc_id,
-                   (doc_id * 13 + 2) % (SELECT n FROM n) FROM documents
-            UNION ALL SELECT doc_id,
-                   (doc_id * 29 + 5) % (SELECT n FROM n) FROM documents
-          ) WHERE src <> dst)""",
+        _SYNTH_EDGES_SQL,
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         "nodes AS (SELECT doc_id AS node FROM documents)",
         "r0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM nodes)",
@@ -2437,6 +2460,20 @@ def oracle_sql() -> dict[str, str]:
       FROM documents)
     SELECT source, doc_id, n_chars, rnk
     FROM r WHERE rnk <= 3 ORDER BY source, rnk
+    """
+
+    degree_sql = f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    {_SYNTH_EDGES_SQL},
+    o AS (SELECT src AS node, COUNT(*) AS c FROM edges GROUP BY src),
+    i AS (SELECT dst AS node, COUNT(*) AS c FROM edges GROUP BY dst)
+    SELECT d.doc_id AS node,
+           COALESCE(o.c, 0) AS outdeg,
+           COALESCE(i.c, 0) AS indeg
+    FROM documents d
+    LEFT JOIN o ON o.node = d.doc_id
+    LEFT JOIN i ON i.node = d.doc_id
+    ORDER BY node
     """
 
     # cms_heavy_hitters: reproduce the sketch in SQL — same md5-mod-w
@@ -2529,6 +2566,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_sql,
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
+        "degree_stats": degree_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -42,6 +42,51 @@ def out_degree(edges, src_col: str = "src"):
     )
 
 
+def degree_table(edges, num_nodes: int, src_col: str = "src", dst_col: str = "dst"):
+    """(node, outdeg, indeg) for every node in [0, num_nodes).
+
+    One shuffle total: out-count rows, in-count rows and a zero row per
+    node are tagged into a common (node, o, i) shape, unioned, and summed
+    in a single groupby — no join, and nodes with no edges still appear.
+    """
+    import ray.data
+
+    def _o(b: pa.Table) -> pa.Table:
+        c = b.column("count()").cast(pa.int64())
+        return pa.table(
+            {
+                "node": b.column(src_col).cast(pa.int64()),
+                "o": c,
+                "i": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    def _i(b: pa.Table) -> pa.Table:
+        c = b.column("count()").cast(pa.int64())
+        return pa.table(
+            {
+                "node": b.column(dst_col).cast(pa.int64()),
+                "o": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+                "i": c,
+            }
+        )
+
+    def _z(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(b), np.int64), pa.int64())
+        return pa.table(
+            {"node": b.column("id").cast(pa.int64()), "o": z, "i": z}
+        )
+
+    out_c = edges.groupby(src_col).count().map_batches(_o, batch_format="pyarrow")
+    in_c = edges.groupby(dst_col).count().map_batches(_i, batch_format="pyarrow")
+    zeros = ray.data.range(num_nodes).map_batches(_z, batch_format="pyarrow")
+    merged = out_c.union(in_c).union(zeros).groupby("node").sum(["o", "i"])
+    return merged.map_batches(
+        lambda b: b.rename_columns(["node", "outdeg", "indeg"]),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank(
     edges,
     num_nodes: int,
@@ -70,11 +115,15 @@ def pagerank(
     r0 = scale // num_nodes
     base = (15 * r0) // 100
 
+    # Checkpoint the degree-annotated edge list ONCE: a lazy join here
+    # would re-derive the graph + degree shuffle every iteration. One
+    # object-store copy (spillable) traded against iters x recomputes —
+    # the standard cached-edges pattern for iterative graph algorithms.
     deg = out_degree(edges, src_col)
     edges_deg = edges.join(
         deg, join_type="inner", num_partitions=num_partitions,
         on=(src_col,),
-    )
+    ).materialize()
 
     # Ray's hash join chokes on empty-schema blocks (range() emits empty
     # residual blocks that lose their schema through map_batches) — build

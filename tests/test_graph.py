@@ -120,6 +120,22 @@ def test_pagerank_parallelism_invariant(_ray):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_degree_table(_ray):
+    from exactextractr_ray.stages.graph import degree_table
+
+    # node 3 isolated; node 0 hub
+    pairs = [(0, 1), (0, 2), (1, 0), (2, 0), (4, 0)]
+    df = (
+        degree_table(_edges_ds(pairs), 5)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert df["node"].tolist() == [0, 1, 2, 3, 4]
+    assert df["outdeg"].tolist() == [2, 1, 1, 0, 1]
+    assert df["indeg"].tolist() == [3, 1, 1, 0, 0]
+
+
 def test_out_degree(_ray):
     from exactextractr_ray.stages.graph import out_degree
 
