@@ -54,6 +54,7 @@ QUERIES = [
     "pagerank",
     "topk_per_source",
     "cms_heavy_hitters",
+    "degree_stats",
 ]
 
 _CHILD = r"""
