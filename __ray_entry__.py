@@ -1025,6 +1025,18 @@ def _q_topk_per_source(sf_dir: str):
     return out.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_source_quantiles(sf_dir: str):
+    """Per-source n_chars quantiles (0.25/0.5/0.75), exact over the
+    compressed (group, value, count) frequency map; bit-exact vs DuckDB
+    quantile_cont (same q*(n-1) interpolation in float64)."""
+    from exactextractr_ray.stages.rank import group_quantiles
+
+    docs = _docs(sf_dir, ["source", "n_chars"])
+    out = group_quantiles(docs, "source", "n_chars").to_pandas()
+    out = out[["source", "q25", "q50", "q75"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def _q_cms_heavy_hitters(sf_dir: str):
     """Count-min-sketch heavy hitters over the document token stream
     (d=4, w=32 — small width so collisions are real and the min-over-rows
@@ -1168,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_source": _q_topk_per_source,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "degree_stats": _q_degree_stats,
+        "source_quantiles": _q_source_quantiles,
     }
 
 
@@ -2462,6 +2475,14 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rnk <= 3 ORDER BY source, rnk
     """
 
+    source_quantiles_sql = """
+    SELECT source,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.5)  AS q50,
+           quantile_cont(n_chars, 0.75) AS q75
+    FROM documents GROUP BY source ORDER BY source
+    """
+
     degree_sql = f"""
     WITH n AS (SELECT COUNT(*) AS n FROM documents),
     {_SYNTH_EDGES_SQL},
@@ -2567,6 +2588,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,
+        "source_quantiles": source_quantiles_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -77,6 +77,49 @@ def test_topk_parallelism_invariant(_ray):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_group_quantiles_matches_duckdb(_ray):
+    import duckdb
+    import ray.data
+
+    from exactextractr_ray.stages.rank import group_quantiles
+
+    df = _mk(n=500, groups=7, seed=13)
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (
+        group_quantiles(ds, "g", "v", qs=(0.25, 0.5, 0.75))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)[["g", "q25", "q50", "q75"]]
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """SELECT g, quantile_cont(v, 0.25) AS q25,
+                  quantile_cont(v, 0.5) AS q50,
+                  quantile_cont(v, 0.75) AS q75
+           FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    pd.testing.assert_frame_equal(got, exp, check_exact=True)
+
+
+def test_group_quantiles_single_value_group(_ray):
+    import ray.data
+
+    from exactextractr_ray.stages.rank import group_quantiles
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b"], "v": np.array([4, 8, 3], np.int64)}
+    )
+    got = (
+        group_quantiles(ray.data.from_arrow(pa.Table.from_pandas(df)), "g", "v")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert got.loc[0, "q50"] == 6.0
+    assert got.loc[1, "q25"] == 3.0 and got.loc[1, "q75"] == 3.0
+
+
 def test_topk_float_order_col(_ray):
     rng = np.random.default_rng(3)
     df = pd.DataFrame(

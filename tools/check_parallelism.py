@@ -55,6 +55,7 @@ QUERIES = [
     "topk_per_source",
     "cms_heavy_hitters",
     "degree_stats",
+    "source_quantiles",
 ]
 
 _CHILD = r"""
