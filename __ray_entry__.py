@@ -1025,6 +1025,45 @@ def _q_topk_per_source(sf_dir: str):
     return out.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_crawl_diff(sf_dir: str):
+    """Crawl-snapshot diff: old = docs with doc_id%10 != 0, new = docs with
+    doc_id%10 != 5 whose text gains '!' when doc_id%7 == 3. Classifies each
+    doc_id added/removed/changed/unchanged via snapshot_diff (one tagged
+    union + coarse-group shuffle; md5 content hashes). Oracle: FULL OUTER
+    JOIN + CASE."""
+    import hashlib
+
+    from exactextractr_ray.stages.web import snapshot_diff
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def snap(pred_mod: int, mutate: bool):
+        def f(b):
+            import pyarrow as pa
+
+            ids = b.column("doc_id").to_numpy()
+            keep = (ids % 10) != pred_mod
+            texts = b.column("text").to_pylist()
+            hs = []
+            for i, t in zip(ids[keep], [t for t, k in zip(texts, keep) if k]):
+                s = t + "!" if (mutate and int(i) % 7 == 3) else t
+                hs.append(hashlib.md5(s.encode()).hexdigest())
+            return pa.table(
+                {
+                    "key": pa.array(ids[keep], pa.int64()),
+                    "h": pa.array(hs, pa.string()),
+                }
+            )
+
+        return f
+
+    old = docs.map_batches(snap(0, False), batch_format="pyarrow")
+    new = docs.map_batches(snap(5, True), batch_format="pyarrow")
+    df = snapshot_diff(old, new, "key", "h").to_pandas()
+    df["key"] = df["key"].astype(np.int64)
+    return df.sort_values("key").reset_index(drop=True)
+
+
 def _q_source_quantiles(sf_dir: str):
     """Per-source n_chars quantiles (0.25/0.5/0.75), exact over the
     compressed (group, value, count) frequency map; bit-exact vs DuckDB
@@ -1181,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "degree_stats": _q_degree_stats,
         "source_quantiles": _q_source_quantiles,
+        "crawl_diff": _q_crawl_diff,
     }
 
 
@@ -2475,6 +2515,27 @@ def oracle_sql() -> dict[str, str]:
     FROM r WHERE rnk <= 3 ORDER BY source, rnk
     """
 
+    crawl_diff_sql = """
+    WITH old AS (
+      SELECT doc_id AS key, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    new AS (
+      SELECT doc_id AS key,
+             md5(text || CASE WHEN doc_id % 7 = 3 THEN '!' ELSE '' END) AS h
+      FROM documents WHERE doc_id % 10 <> 5
+    ),
+    j AS (
+      SELECT COALESCE(o.key, n.key) AS key, o.h AS oh, n.h AS nh
+      FROM old o FULL OUTER JOIN new n ON o.key = n.key
+    )
+    SELECT key,
+           CASE WHEN oh IS NULL THEN 'added'
+                WHEN nh IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM j ORDER BY key
+    """
+
     source_quantiles_sql = """
     SELECT source,
            quantile_cont(n_chars, 0.25) AS q25,
@@ -2589,6 +2650,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,
         "source_quantiles": source_quantiles_sql,
+        "crawl_diff": crawl_diff_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -186,3 +186,81 @@ def domain_stats(ds, url_col: str = "url", text_col: str = "text"):
             Sum("total_chars", alias_name="total_chars"),
         )
     )
+
+
+def snapshot_diff(
+    old,
+    new,
+    key_col: str = "key",
+    hash_col: str = "h",
+    num_coarse_groups: int = 64,
+):
+    """Diff two crawl snapshots by key: FULL-OUTER-JOIN semantics without a
+    join. Returns (key_col, status) with status in
+    {added, removed, changed, unchanged}.
+
+    Both sides are tagged and unioned, then ONE shuffle into a fixed number
+    of coarse key-hash groups classifies every key vectorized (a key's two
+    rows always land in the same coarse group). Keys must be unique within
+    each snapshot. The corpus content never moves — callers pass
+    (key, content_hash) projections, so the exchange is ~50 B/row however
+    large the pages are.
+    """
+    import hashlib
+
+    def _tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            keys = b.column(key_col).to_pylist()
+            cg = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.md5(str(k).encode()).digest()[:8], "big"
+                    )
+                    % num_coarse_groups
+                    for k in keys
+                ),
+                dtype=np.int64,
+                count=len(keys),
+            )
+            return pa.table(
+                {
+                    key_col: b.column(key_col),
+                    "__h": b.column(hash_col),
+                    "__side": pa.array(
+                        np.full(len(keys), side, np.int64), pa.int64()
+                    ),
+                    "__cg": pa.array(cg, pa.int64()),
+                }
+            )
+
+        return f
+
+    def classify(b: pa.Table) -> pa.Table:
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        h = np.asarray(b.column("__h").to_pylist(), dtype=object)
+        side = b.column("__side").to_numpy()
+        uniq, inv = np.unique(k, return_inverse=True)
+        oh = np.full(len(uniq), None, dtype=object)
+        nh = np.full(len(uniq), None, dtype=object)
+        oh[inv[side == 0]] = h[side == 0]
+        nh[inv[side == 1]] = h[side == 1]
+        status = np.where(
+            np.equal(oh, None),
+            "added",
+            np.where(
+                np.equal(nh, None),
+                "removed",
+                np.where(oh != nh, "changed", "unchanged"),
+            ),
+        )
+        return pa.table(
+            {
+                key_col: pa.array(uniq),
+                "status": pa.array(status.astype(str), pa.string()),
+            }
+        )
+
+    tagged = old.map_batches(_tag(0), batch_format="pyarrow").union(
+        new.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("__cg").map_groups(classify, batch_format="pyarrow")

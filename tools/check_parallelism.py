@@ -56,6 +56,7 @@ QUERIES = [
     "cms_heavy_hitters",
     "degree_stats",
     "source_quantiles",
+    "crawl_diff",
 ]
 
 _CHILD = r"""
