@@ -95,7 +95,10 @@ def run_level(cpus: int, sf_dir: str) -> dict:
 
 
 def main():
+    global QUERIES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    if len(sys.argv) > 2:  # optional subset of query names
+        QUERIES = [q for q in QUERIES if q in set(sys.argv[2:])]
     a = run_level(4, sf_dir)
     b = run_level(16, sf_dir)
     bad = 0
