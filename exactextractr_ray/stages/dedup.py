@@ -354,6 +354,103 @@ class _BloomShingles:
         )
 
 
+#: max candidate-pair rows collected for the broadcast-routing fast path
+#: (rows x 16 B => ~64 MiB driver/broadcast budget); larger pair sets use
+#: the fully distributed routing join
+_ROUTING_COLLECT_CAP = 4_000_000
+
+
+def _minhash_verify(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Exact in-group Jaccard verification over one verify group: shingle
+    rows (doc_id >= 0) + pair rows (doc_id < 0). Global pair dedup happens
+    HERE: vg is a deterministic function of (doc_a, doc_b), so every
+    duplicate of a pair lands in this group."""
+    sets = {
+        int(d): np.asarray(s, dtype=np.uint64)
+        for d, s in zip(
+            g.loc[g["doc_id"] >= 0, "doc_id"].to_numpy(),
+            g.loc[g["doc_id"] >= 0, "shingles"].to_numpy(),
+        )
+    }
+    prs = g[g["doc_id"] < 0].drop_duplicates(subset=["doc_a", "doc_b"])
+    out_a: list[int] = []
+    out_b: list[int] = []
+    out_j: list[float] = []
+    for a, b in zip(prs["doc_a"].to_numpy(), prs["doc_b"].to_numpy()):
+        si, sj = sets[int(a)], sets[int(b)]
+        inter = len(np.intersect1d(si, sj, assume_unique=True))
+        union = len(si) + len(sj) - inter
+        jac = inter / union if union else 0.0
+        if jac >= threshold:
+            out_a.append(int(a))
+            out_b.append(int(b))
+            out_j.append(jac)
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(out_a, dtype=np.int64),
+            "doc_b": pd.Series(out_b, dtype=np.int64),
+            "jaccard": pd.Series(out_j, dtype=np.float64),
+        }
+    )
+
+
+def _minhash_pair_rows(b: pa.Table) -> pa.Table:
+    """Pair rows keyed by verify group (doc_id = -1 marks a pair row)."""
+    a = b.column("doc_a").to_numpy()
+    bb = b.column("doc_b").to_numpy()
+    vg = ((a * _PAIR_MIX + bb) % _VERIFY_GROUPS).astype(np.int64)
+    n = len(a)
+    return pa.table(
+        {
+            "vg": pa.array(vg, pa.int64()),
+            "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "doc_a": pa.array(a.astype(np.int64), pa.int64()),
+            "doc_b": pa.array(bb.astype(np.int64), pa.int64()),
+            "shingles": pa.array([[]] * n, pa.list_(pa.uint64())),
+        }
+    )
+
+
+class _RoutedShingles:
+    """Small-pairset variant of _BloomShingles: the doc -> verify-groups
+    routing table is broadcast (bounded by _ROUTING_COLLECT_CAP), so each
+    candidate doc's shingle set is emitted DIRECTLY into its verify groups
+    — no Bloom filter and no routing join (the routing lookup is exact):
+    two fewer executions than the distributed path."""
+
+    def __init__(self, routing_ref, hasher: MinHasher):
+        import ray
+
+        self.routing = ray.get(routing_ref)
+        self.hasher = hasher
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.hasher.id_col).to_numpy()
+        texts = batch.column(self.hasher.text_col).to_pylist()
+        out_vg: list[int] = []
+        out_id: list[int] = []
+        out_sh: list[list[int]] = []
+        for did, t in zip(ids, texts):
+            vgs = self.routing.get(int(did))
+            if vgs is None:  # not a candidate
+                continue
+            sh = self.hasher.shingle_hashes(t).tolist()
+            for v in vgs:
+                out_vg.append(int(v))
+                out_id.append(int(did))
+                out_sh.append(sh)
+        n = len(out_vg)
+        return pa.table(
+            {
+                "vg": pa.array(out_vg, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "doc_a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "doc_b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "shingles": pa.array(out_sh, pa.list_(pa.uint64())),
+            }
+        )
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",
@@ -428,6 +525,70 @@ def minhash_lsh_pairs(
         }
     )
 
+    total_rows = pairs.count()  # metadata read on the materialized set
+
+    # ---- small-pairset fast path: when the candidate-pair set fits a
+    # BOUNDED budget (_ROUTING_COLLECT_CAP rows x 16 B ~ 64 MiB — the
+    # explicit cap the round-2 unbounded collect lacked), collect just
+    # (doc_a, doc_b), build the doc -> verify-groups routing table, and
+    # broadcast it once. The routing lookup is exact, so no Bloom filter
+    # and no routing join are needed — two fewer executions, whose fixed
+    # shuffle cost dominates at benchmark scale. Above the cap
+    # (duplicate-heavy corpora where near-dup pairs are O(N)) the fully
+    # distributed Bloom + routing-join path below runs instead; output is
+    # identical either way (same vg assignment, same in-group dedup, same
+    # verify) — asserted by test_minhash_paths_identical.
+    if total_rows <= _ROUTING_COLLECT_CAP:
+        pdf = pairs.to_pandas()
+        real = pdf["doc_a"].to_numpy() >= 0
+        n_dropped = int(pdf.loc[~real, "doc_b"].sum())
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: %d docs dropped from over-cap LSH "
+                "buckets (cap=%d); recall may be reduced on "
+                "boilerplate-heavy corpora",
+                n_dropped,
+                _MAX_BUCKET,
+            )
+        pdf = pdf[real]
+        if len(pdf) == 0:
+            return ray.data.from_arrow(empty)
+        a_ids = pdf["doc_a"].to_numpy().astype(np.int64)
+        b_ids = pdf["doc_b"].to_numpy().astype(np.int64)
+        vg = ((a_ids * _PAIR_MIX + b_ids) % _VERIFY_GROUPS).astype(np.int64)
+        dv = np.unique(
+            np.stack(
+                [np.concatenate([a_ids, b_ids]), np.concatenate([vg, vg])],
+                axis=1,
+            ),
+            axis=0,
+        )
+        starts = np.r_[0, 1 + np.flatnonzero(dv[1:, 0] != dv[:-1, 0])]
+        routing = {
+            int(dv[s, 0]): dv[s:e, 1].copy()
+            for s, e in zip(starts, np.r_[starts[1:], len(dv)])
+        }
+        routing_ref = ray.put(routing)
+
+        def _verify_fast(g: pd.DataFrame) -> pd.DataFrame:
+            return _minhash_verify(g, threshold)
+
+        shingle_routed = ds.map_batches(
+            cached_stage(_RoutedShingles, routing_ref, hasher),
+            batch_format="pyarrow",
+        )
+        pair_rows_fast = pairs.map_batches(
+            lambda b: _minhash_pair_rows(
+                b.filter(pc.greater_equal(b.column("doc_a"), 0))
+            ),
+            batch_format="pyarrow",
+        )
+        return (
+            shingle_routed.union(pair_rows_fast)
+            .groupby("vg")
+            .map_groups(_verify_fast, batch_format="pandas")
+        )
+
     # ---- candidate-membership Bloom filter: the ONLY broadcast state, and
     # it is FIXED-SIZE (sized ~16 bits/candidate doc, capped at 32 MiB) —
     # worker memory no longer scales with the pair set the way the round-2
@@ -437,7 +598,7 @@ def minhash_lsh_pairs(
     # materialized row count (pairs incl. cross-group duplicates and
     # sentinels — an upper bound, which only makes the filter sparser).
     bits = 1 << int(
-        np.clip(np.ceil(np.log2(max(pairs.count(), 1) * 2 * 16)), 16, 28)
+        np.clip(np.ceil(np.log2(max(total_rows, 1) * 2 * 16)), 16, 28)
     )
     nbytes = bits // 8
 
@@ -479,6 +640,13 @@ def minhash_lsh_pairs(
         return ray.data.from_arrow(empty)
     bloom_ref = ray.put((bloom, bits))
 
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        return _minhash_verify(g, threshold)
+
+    pair_rows = pairs_clean.map_batches(
+        _minhash_pair_rows, batch_format="pyarrow"
+    )
+
     # ---- routing rows: each pair contributes two (doc -> verify-group)
     # requests keyed by doc_id hash, plus one pair row keyed by its verify
     # group. vg is a deterministic function of the pair, so a doc's shingle
@@ -495,21 +663,6 @@ def minhash_lsh_pairs(
                 "jkey": pa.array(jdoc % _NUM_COARSE_GROUPS, pa.int64()),
                 "vg": pa.array(jvg, pa.int64()),
                 "doc_id": pa.array(jdoc, pa.int64()),
-                "shingles": pa.array([[]] * n, pa.list_(pa.uint64())),
-            }
-        )
-
-    def _pair_rows(b: pa.Table) -> pa.Table:
-        a = b.column("doc_a").to_numpy()
-        bb = b.column("doc_b").to_numpy()
-        vg = ((a * _PAIR_MIX + bb) % _VERIFY_GROUPS).astype(np.int64)
-        n = len(a)
-        return pa.table(
-            {
-                "vg": pa.array(vg, pa.int64()),
-                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
-                "doc_a": pa.array(a.astype(np.int64), pa.int64()),
-                "doc_b": pa.array(bb.astype(np.int64), pa.int64()),
                 "shingles": pa.array([[]] * n, pa.list_(pa.uint64())),
             }
         )
@@ -557,38 +710,6 @@ def minhash_lsh_pairs(
 
     # ---- verify: each vg group holds its pair rows AND both shingle sets
     # of every routed pair — exact Jaccard in-group, nothing on the driver
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        sets = {
-            int(d): np.asarray(s, dtype=np.uint64)
-            for d, s in zip(
-                g.loc[g["doc_id"] >= 0, "doc_id"].to_numpy(),
-                g.loc[g["doc_id"] >= 0, "shingles"].to_numpy(),
-            )
-        }
-        # global pair dedup happens HERE: vg is a deterministic function of
-        # (doc_a, doc_b), so every duplicate of a pair is in this group
-        prs = g[g["doc_id"] < 0].drop_duplicates(subset=["doc_a", "doc_b"])
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_j: list[float] = []
-        for a, b in zip(prs["doc_a"].to_numpy(), prs["doc_b"].to_numpy()):
-            si, sj = sets[int(a)], sets[int(b)]
-            inter = len(np.intersect1d(si, sj, assume_unique=True))
-            union = len(si) + len(sj) - inter
-            jac = inter / union if union else 0.0
-            if jac >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(jac)
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(out_a, dtype=np.int64),
-                "doc_b": pd.Series(out_b, dtype=np.int64),
-                "jaccard": pd.Series(out_j, dtype=np.float64),
-            }
-        )
-
-    pair_rows = pairs_clean.map_batches(_pair_rows, batch_format="pyarrow")
     return (
         joined.union(pair_rows)
         .groupby("vg")

@@ -271,6 +271,43 @@ def test_minhash_finds_near_dups(_ray):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_paths_identical(_ray, monkeypatch):
+    """The broadcast-routing fast path and the distributed routing join
+    must emit byte-identical pair sets."""
+    import ray.data
+
+    import exactextractr_ray.stages.dedup as dd
+
+    rng = np.random.default_rng(8)
+    words = [f"w{i}" for i in range(80)]
+    texts = []
+    for i in range(40):
+        toks = list(rng.choice(words, size=30))
+        texts.append(" ".join(toks))
+        if i % 4 == 0:  # near-dup: mutate two tokens
+            mut = toks.copy()
+            mut[3], mut[7] = "zz", "yy"
+            texts.append(" ".join(mut))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    )
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    def run():
+        return (
+            dd.minhash_lsh_pairs(ds, threshold=0.5)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    fast = run()
+    monkeypatch.setattr(dd, "_ROUTING_COLLECT_CAP", 0)  # force distributed
+    dist = run()
+    assert len(fast) > 0
+    pd.testing.assert_frame_equal(fast, dist)
+
+
 def test_knn_matches_numpy(_ray):
     import ray.data
     from exactextractr_ray.stages.knn import knn_cosine
