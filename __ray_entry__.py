@@ -1153,6 +1153,51 @@ def _q_simhash(sf_dir: str):
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _q_retention(sf_dir: str):
+    """Cohort-retention table over events: users active N days after their
+    first-ever event day."""
+    import ray.data
+    from exactextractr_ray.stages.events import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    df = retention_cohorts(ev).to_pandas()
+    df.columns = ["cohort_day", "day_offset", "n_users"]
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered funnel view -> click -> purchase (strictly-increasing
+    timestamp chain per user)."""
+    import ray.data
+    from exactextractr_ray.stages.events import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    df = funnel_counts(ev, steps=("view", "click", "purchase")).to_pandas()
+    df.columns = ["step", "step_name", "n_users"]
+    df["step"] = df["step"].astype(np.int64)
+    df["n_users"] = df["n_users"].astype(np.int64)
+    return df.sort_values("step").reset_index(drop=True)
+
+
+def _q_orders_return_split(sf_dir: str):
+    """One-pass semi/anti-join classification: orders with vs without a
+    returned lineitem, aggregated per priority."""
+    from exactextractr_ray.pipelines.relational import orders_return_split
+
+    df = orders_return_split(sf_dir).to_pandas()
+    for c in ("has_return", "n_orders", "total_cents"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["o_orderpriority", "has_return"]).reset_index(
+        drop=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1221,6 +1266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_stats": _q_degree_stats,
         "source_quantiles": _q_source_quantiles,
         "crawl_diff": _q_crawl_diff,
+        "retention_cohorts": _q_retention,
+        "funnel_counts": _q_funnel,
+        "orders_return_split": _q_orders_return_split,
     }
 
 
@@ -2588,6 +2636,62 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY tk
     """
 
+    # retention: distinct (user, day) pairs -> first day per user -> count
+    # per (cohort, offset). Integer day arithmetic on both sides.
+    retention_sql = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT f.cohort_day, ud.d - f.cohort_day AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ud JOIN f USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # funnel: step i = min event time of type i STRICTLY after the user's
+    # earliest completion of step i-1 (integer microseconds both sides)
+    funnel_sql = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    s1 AS (SELECT user_id, MIN(t) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.t) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.t > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.t) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.t > s2.t2
+           GROUP BY e.user_id)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click',
+             CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase',
+             CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    ) ORDER BY step
+    """
+
+    # semi/anti split: LEFT JOIN against distinct returned orderkeys
+    orders_return_split_sql = """
+    WITH r AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT o.o_orderpriority,
+           CAST(CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS has_return,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders o LEFT JOIN r ON o.o_orderkey = r.l_orderkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
@@ -2651,6 +2755,9 @@ def oracle_sql() -> dict[str, str]:
         "degree_stats": degree_sql,
         "source_quantiles": source_quantiles_sql,
         "crawl_diff": crawl_diff_sql,
+        "retention_cohorts": retention_sql,
+        "funnel_counts": funnel_sql,
+        "orders_return_split": orders_return_split_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -184,3 +184,91 @@ def revenue_by_priority(sf_dir: str, num_partitions: int | None = None):
         ),
         batch_format="pyarrow",
     )
+
+
+def orders_return_split(sf_dir: str):
+    """Semi/anti-join classification in ONE pass: split orders by whether
+    any of their lineitems was returned (l_returnflag = 'R') and aggregate
+    (n_orders, total cents) per (o_orderpriority, has_return).
+
+    Scale shape — the tagged-union trick (same as crawl_diff): instead of a
+    distributed semi-join PLUS an anti-join (two shuffles of the fact
+    table), the returned-orderkey side reduces to per-batch DISTINCT keys,
+    both sides tag and union, and one coarse-group shuffle classifies every
+    order. Order payloads cross the wire once; lineitem contributes only
+    distinct keys per block.
+    """
+    ngroups = 256
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def returned_keys(b: pa.Table) -> pa.Table:
+        keys = b.column("l_orderkey").to_numpy()[
+            b.column("l_returnflag").to_numpy(zero_copy_only=False) == "R"
+        ]
+        keys = np.unique(keys)
+        n = len(keys)
+        return pa.table(
+            {
+                "ckey": pa.array(keys % ngroups, pa.int64()),
+                "okey": pa.array(keys, pa.int64()),
+                "tag": pa.array(np.ones(n, np.int64), pa.int64()),
+                "o_orderpriority": pa.array([""] * n, pa.string()),
+                "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_numpy()
+        cents = np.round(b.column("o_totalprice").to_numpy() * 100.0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "ckey": pa.array(keys % ngroups, pa.int64()),
+                "okey": pa.array(keys, pa.int64()),
+                "tag": pa.array(np.zeros(len(keys), np.int64), pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    tagged = li.map_batches(returned_keys, batch_format="pyarrow").union(
+        orders.map_batches(order_rows, batch_format="pyarrow")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        tag = g["tag"].to_numpy()
+        ret = np.unique(g["okey"].to_numpy()[tag == 1])
+        o = g[tag == 0]
+        has = np.isin(o["okey"].to_numpy(), ret, assume_unique=False)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": o["o_orderpriority"].to_numpy(),
+                "has_return": has.astype(np.int64),
+                "n_orders": np.ones(len(o), dtype=np.int64),
+                "total_cents": o["cents"].to_numpy(),
+            }
+        )
+        return df.groupby(
+            ["o_orderpriority", "has_return"], as_index=False
+        ).sum()
+
+    partials = tagged.groupby("ckey").map_groups(
+        classify, batch_format="pandas"
+    )
+    out = partials.groupby(["o_orderpriority", "has_return"]).sum(
+        ["n_orders", "total_cents"]
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderpriority", "has_return", "n_orders", "total_cents"]
+        ),
+        batch_format="pyarrow",
+    )

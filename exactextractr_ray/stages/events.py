@@ -1,0 +1,159 @@
+"""Event-stream analytics: retention cohorts and ordered-funnel counts.
+
+Not present in the reference (no event/streaming surface — SURVEY.md §7.5);
+added as first-class training-data / product-analytics operators over the
+events table. Both follow the repo-wide skew-safe shape:
+
+* a **per-batch distinct/partial combiner** runs before the shuffle, so
+  the exchange carries distinct (user, day) pairs or per-step survivor
+  rows — never raw events;
+* the shuffle lands in a fixed number of COARSE groups keyed by
+  ``user_id`` (every user fully co-located, many users per group), and the
+  per-group work is one vectorized numpy pass — no per-user Python calls;
+* the final reduction is a tiny ``groupby().sum()`` over partial counts.
+
+Integer day/microsecond arithmetic throughout, so both operators are
+bit-exact against their DuckDB SQL oracles and parallelism-invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_DAY_US = 86_400_000_000
+_NGROUPS = 256
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Classic cohort-retention table: one row per
+    (cohort_day, day_offset) with the number of users from that cohort
+    active ``day_offset`` days after their first-ever event.
+
+    ``cohort_day`` is the user's first active day (integer days since
+    epoch); a user contributes one count per DISTINCT active day.
+
+    Scale shape: batches reduce to distinct (user, day) pairs before the
+    shuffle; users hash into coarse groups (a user's whole history is tiny
+    — bounded by days, not events); per-group numpy computes first-day +
+    offsets + partial (cohort, offset) counts; a final small groupby sums
+    partials.
+    """
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy()
+        uid = b.column(user_col).to_numpy()
+        day = ts // _DAY_US
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        return pa.table(
+            {
+                "ckey": pa.array(pairs[:, 0] % _NGROUPS, pa.int64()),
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        # cross-block dedup of (user, day), then first-day per user via
+        # run starts on the sorted pair list
+        pairs = np.unique(
+            np.stack([g["user_id"].to_numpy(), g["day"].to_numpy()], axis=1),
+            axis=0,
+        )
+        uid, day = pairs[:, 0], pairs[:, 1]
+        starts = np.r_[0, 1 + np.flatnonzero(uid[1:] != uid[:-1])]
+        counts = np.diff(np.r_[starts, len(uid)])
+        cohort = np.repeat(day[starts], counts)
+        co = np.unique(
+            np.stack([cohort, day - cohort], axis=1),
+            axis=0,
+            return_counts=True,
+        )
+        return pd.DataFrame(
+            {
+                "cohort_day": co[0][:, 0],
+                "day_offset": co[0][:, 1],
+                "n_users": co[1].astype(np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(per_group, batch_format="pandas")
+    )
+    return partials.groupby(["cohort_day", "day_offset"]).sum("n_users")
+
+
+def funnel_counts(
+    ds,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+):
+    """Ordered-funnel conversion: for each step i, the number of users with
+    a strictly-increasing timestamp chain ``t_1 < t_2 < ... < t_i`` through
+    the first i step event types (the standard product-analytics funnel:
+    each step must happen strictly AFTER the user's earliest completion of
+    the previous step).
+
+    Returns one row per step: (step 1-based, step_name, n_users).
+
+    Scale shape: only events of the funnel's types leave the read (3 of N
+    event types); rows shuffle once into user-keyed coarse groups; the
+    per-group pass is a fixed small loop over steps with
+    ``np.minimum.at`` per-user mins — no per-user Python.
+    """
+    steps = tuple(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def project(b: pa.Table) -> pa.Table:
+        et = b.column(type_col).to_numpy(zero_copy_only=False)
+        sel = np.isin(et, list(steps))
+        uid = b.column(user_col).to_numpy()[sel]
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy()[sel]
+        si = np.array([step_idx[s] for s in et[sel]], dtype=np.int64)
+        return pa.table(
+            {
+                "ckey": pa.array(uid % _NGROUPS, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "si": pa.array(si, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+            }
+        )
+
+    nsteps = len(steps)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        uid = g["user_id"].to_numpy()
+        si = g["si"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        uniq, u = np.unique(uid, return_inverse=True)
+        nu = len(uniq)
+        prev = np.full(nu, -np.inf)
+        out = np.zeros(nsteps, dtype=np.int64)
+        for i in range(nsteps):
+            sel = si == i
+            cur = np.full(nu, np.inf)
+            tt = ts[sel].astype(np.float64)
+            us = u[sel]
+            ok = tt > prev[us]
+            np.minimum.at(cur, us[ok], tt[ok])
+            out[i] = int(np.isfinite(cur).sum())
+            prev = cur
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, nsteps + 1, dtype=np.int64),
+                "step_name": list(steps),
+                "n_users": out,
+            }
+        )
+
+    partials = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(per_group, batch_format="pandas")
+    )
+    return partials.groupby(["step", "step_name"]).sum("n_users")

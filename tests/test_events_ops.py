@@ -1,0 +1,175 @@
+"""Events-table analytics: retention cohorts, ordered funnels, and the
+one-pass semi/anti order classification."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+_DAY_US = 86_400_000_000
+
+
+@pytest.fixture
+def _ray(ray_session):
+    yield
+
+
+def _events_ds(rows):
+    """rows = [(user_id, day_float, event_type), ...] — day_float in days
+    since epoch (fractions = time of day)."""
+    import ray.data
+
+    uid = [r[0] for r in rows]
+    ts = [int(r[1] * _DAY_US) for r in rows]
+    et = [r[2] for r in rows]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "event_type": pa.array(et, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def test_retention_basic(_ray):
+    from exactextractr_ray.stages.events import retention_cohorts
+
+    # user 1: first day 10, active 10, 11, 13; user 2: first day 10,
+    # active 10 only; user 3: first day 11, active 11, 13
+    rows = [
+        (1, 10.1, "view"),
+        (1, 10.7, "view"),  # same day: counted once
+        (1, 11.2, "view"),
+        (1, 13.9, "view"),
+        (2, 10.5, "view"),
+        (3, 11.1, "view"),
+        (3, 13.2, "view"),
+    ]
+    df = retention_cohorts(_events_ds(rows)).to_pandas()
+    df.columns = ["cohort_day", "day_offset", "n_users"]
+    got = {
+        (int(r.cohort_day), int(r.day_offset)): int(r.n_users)
+        for r in df.itertuples()
+    }
+    assert got == {
+        (10, 0): 2,
+        (10, 1): 1,
+        (10, 3): 1,
+        (11, 0): 1,
+        (11, 2): 1,
+    }
+
+
+def test_funnel_strict_order(_ray):
+    from exactextractr_ray.stages.events import funnel_counts
+
+    rows = [
+        # user 1: full funnel in order
+        (1, 1.0, "view"),
+        (1, 1.1, "click"),
+        (1, 1.2, "purchase"),
+        # user 2: click BEFORE first view -> stops at view
+        (2, 2.1, "click"),
+        (2, 2.2, "view"),
+        # user 3: view then purchase without click -> stops after view
+        (3, 3.0, "view"),
+        (3, 3.1, "purchase"),
+        # user 4: never viewed -> not even step 1
+        (4, 4.0, "purchase"),
+        # user 5: out-of-order then recovered (view, click, view, purchase):
+        # purchase counts (after first click)
+        (5, 5.0, "view"),
+        (5, 5.1, "click"),
+        (5, 5.3, "purchase"),
+    ]
+    df = funnel_counts(_events_ds(rows)).to_pandas()
+    df.columns = ["step", "step_name", "n_users"]
+    got = dict(zip(df["step_name"], df["n_users"].astype(int)))
+    assert got == {"view": 4, "click": 2, "purchase": 2}
+
+
+def test_funnel_equal_ts_not_counted(_ray):
+    from exactextractr_ray.stages.events import funnel_counts
+
+    rows = [(1, 1.0, "view"), (1, 1.0, "click")]
+    df = funnel_counts(_events_ds(rows)).to_pandas()
+    df.columns = ["step", "step_name", "n_users"]
+    got = dict(zip(df["step_name"], df["n_users"].astype(int)))
+    assert got == {"view": 1, "click": 0, "purchase": 0}
+
+
+def test_retention_parallelism_invariant(_ray):
+    from exactextractr_ray.stages.events import retention_cohorts
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(rng.integers(0, 20)), float(rng.uniform(0, 15)), "view")
+        for _ in range(300)
+    ]
+
+    def run(nparts):
+        ds = _events_ds(rows).repartition(nparts)
+        df = retention_cohorts(ds).to_pandas()
+        df.columns = ["cohort_day", "day_offset", "n_users"]
+        return (
+            df.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+
+    pd.testing.assert_frame_equal(run(2), run(13))
+
+
+def test_orders_return_split_matches_pandas(_ray, tmp_path):
+    from exactextractr_ray.pipelines.relational import orders_return_split
+
+    rng = np.random.default_rng(7)
+    n_orders = 200
+    okey = np.arange(n_orders, dtype=np.int64)
+    prio = np.array([f"P{i%3}" for i in range(n_orders)])
+    price = np.round(rng.uniform(10, 500, n_orders), 2)
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "o_orderkey": okey,
+                "o_orderpriority": prio,
+                "o_totalprice": price,
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    li_ok = rng.integers(0, n_orders, 600).astype(np.int64)
+    flags = rng.choice(["N", "R", "A"], 600, p=[0.6, 0.2, 0.2])
+    pa.parquet.write_table(
+        pa.table({"l_orderkey": li_ok, "l_returnflag": flags}),
+        tmp_path / "lineitem.parquet",
+    )
+
+    df = orders_return_split(str(tmp_path)).to_pandas()
+    df = df.sort_values(["o_orderpriority", "has_return"]).reset_index(
+        drop=True
+    )
+
+    ret = set(li_ok[flags == "R"].tolist())
+    exp = (
+        pd.DataFrame(
+            {
+                "o_orderpriority": prio,
+                "has_return": np.array(
+                    [1 if k in ret else 0 for k in okey], dtype=np.int64
+                ),
+                "n_orders": np.ones(n_orders, dtype=np.int64),
+                "total_cents": np.round(price * 100).astype(np.int64),
+            }
+        )
+        .groupby(["o_orderpriority", "has_return"], as_index=False)
+        .sum()
+    )
+    exp = exp.sort_values(["o_orderpriority", "has_return"]).reset_index(
+        drop=True
+    )
+    for c in ("has_return", "n_orders", "total_cents"):
+        df[c] = df[c].astype(np.int64)
+    pd.testing.assert_frame_equal(df, exp)
