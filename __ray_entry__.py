@@ -1198,6 +1198,34 @@ def _q_orders_return_split(sf_dir: str):
     )
 
 
+def _q_bm25(sf_dir: str):
+    """BM25 retrieval top-20 for the fixed term bag (rational idf — bit
+    exact vs the SQL expression)."""
+    from exactextractr_ray.stages.text import bm25_topk
+
+    out = bm25_topk(
+        _docs(sf_dir, ["doc_id", "text"]), _TFIDF_TERMS, k=20
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+def _q_kmeans(sf_dir: str):
+    """Fixed-point k-means assignment over the embeddings table."""
+    import ray.data
+    from exactextractr_ray.stages.cluster import kmeans_fixed
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = kmeans_fixed(emb, k=8, iters=4).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1269,6 +1297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention,
         "funnel_counts": _q_funnel,
         "orders_return_split": _q_orders_return_split,
+        "bm25_topk": _q_bm25,
+        "kmeans_clusters": _q_kmeans,
     }
 
 
@@ -2677,6 +2707,110 @@ def oracle_sql() -> dict[str, str]:
     ) ORDER BY step
     """
 
+    # bm25: same shape as tfidf_sql plus dl/avgdl; every arithmetic step
+    # written in the implementation's exact left-to-right IEEE order.
+    # NOTE: bare `2.2`-style literals are DECIMAL in DuckDB (decimal
+    # arithmetic then differs from IEEE by 1 ulp) — the e0 suffix forces
+    # DOUBLE literals.
+    _bm25_term = (
+        "(CASE WHEN {d} > 0 THEN ((nn - {d}) + 0.5e0) / ({d} + 0.5e0) "
+        "ELSE 0.0e0 END) * ({t} * 2.2e0) "
+        "/ ({t} + 1.2e0 * (0.25e0 + 0.75e0 * (dl / avgdl)))"
+    )
+    _bm25_score = " + ".join(
+        _bm25_term.format(d=f"d{i}", t=f"t{i}") for i in (1, 2, 3)
+    )
+    bm25_sql = f"""
+    WITH flat AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ), dls AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS dl
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM flat WHERE tok IN ('spark', 'join', 'window') GROUP BY 1, 2
+    ), per AS (
+      SELECT doc_id,
+        COALESCE(MAX(CASE WHEN tok = 'spark'  THEN c END), 0) AS t1,
+        COALESCE(MAX(CASE WHEN tok = 'join'   THEN c END), 0) AS t2,
+        COALESCE(MAX(CASE WHEN tok = 'window' THEN c END), 0) AS t3
+      FROM tf GROUP BY 1
+    ), dfs AS (
+      SELECT
+        COALESCE(MAX(CASE WHEN tok = 'spark'  THEN d END), 0) AS d1,
+        COALESCE(MAX(CASE WHEN tok = 'join'   THEN d END), 0) AS d2,
+        COALESCE(MAX(CASE WHEN tok = 'window' THEN d END), 0) AS d3
+      FROM (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+            FROM tf GROUP BY 1)
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    avg AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+              AS avgdl FROM dls),
+    scored AS (
+      SELECT per.doc_id, {_bm25_score} AS score
+      FROM per JOIN dls ON per.doc_id = dls.doc_id, dfs, n, avg
+    )
+    SELECT doc_id, score FROM scored WHERE score > 0.0
+    ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # kmeans: the full fixed-point Lloyd iteration unrolled as integer
+    # CTEs (same scheme as pagerank_sql). floor(x*2^20 + 0.5) quantize;
+    # argmin = ROW_NUMBER (dist, cid); centroid = FLOOR(sum/count);
+    # empty clusters keep the previous centroid via COALESCE.
+    _km_k, _km_iters, _km_d = 8, 4, 64
+    _km = [
+        f"""
+    WITH q AS (
+      SELECT vec_id, d.ri AS dim,
+             CAST(FLOOR(CAST(embedding[d.ri + 1] AS DOUBLE) * 1048576.0
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings,
+           (SELECT CAST(range AS BIGINT) AS ri FROM range({_km_d})) d
+    ), c0 AS (
+      SELECT CAST(rn - 1 AS BIGINT) AS cid, dim, qv AS cv FROM (
+        SELECT q.*, DENSE_RANK() OVER (ORDER BY vec_id) AS rn FROM q
+      ) WHERE rn <= {_km_k}
+    )"""
+    ]
+    for i in range(1, _km_iters + 2):
+        _km.append(
+            f""", d{i} AS (
+      SELECT q.vec_id, c.cid,
+             CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+      FROM q JOIN c{i-1} c ON q.dim = c.dim GROUP BY 1, 2
+    ), a{i} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    )"""
+        )
+        if i <= _km_iters:
+            _km.append(
+                f""", s{i} AS (
+      SELECT a.cid, q.dim,
+             CAST(FLOOR(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS cv
+      FROM a{i} a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2
+    ), c{i} AS (
+      SELECT p.cid, p.dim, COALESCE(s.cv, p.cv) AS cv
+      FROM c{i-1} p LEFT JOIN s{i} s ON s.cid = p.cid AND s.dim = p.dim
+    )"""
+            )
+    _km.append(
+        f"""
+    SELECT vec_id, cid AS cluster_id, dist AS dist_q
+    FROM a{_km_iters + 1} ORDER BY vec_id
+    """
+    )
+    kmeans_sql = "".join(_km)
+
     # semi/anti split: LEFT JOIN against distinct returned orderkeys
     orders_return_split_sql = """
     WITH r AS (
@@ -2758,6 +2892,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": retention_sql,
         "funnel_counts": funnel_sql,
         "orders_return_split": orders_return_split_sql,
+        "bm25_topk": bm25_sql,
+        "kmeans_clusters": kmeans_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -1,0 +1,179 @@
+"""Distributed k-means over an embedding column, in FIXED-POINT integer
+arithmetic so every iteration is bit-reproducible and SQL-oracle-checkable
+(the same trick as stages/graph.py pagerank).
+
+Embeddings quantize once to int64 at 2^20 ulps (``floor(x * 2^20 + 0.5)``
+— floor(+0.5) rather than round() because numpy rounds half-to-even while
+SQL ROUND rounds half-away); squared L2 distances, cluster argmin
+(ties -> smallest cluster id) and centroid updates (elementwise floor
+division) are then exact integer math — independent of summation order,
+partitioning and parallelism.
+
+Scale shape:
+
+* the quantized (vec_id, q) projection is checkpointed ONCE and re-read
+  per iteration (the cached-edges pattern; at petabyte scale this would be
+  a partitioned parquet checkpoint instead of an object-store one);
+* per iteration the ONLY broadcast is the k x d int64 centroid matrix
+  (ray.put, read per batch), and the only shuffle is k partial rows per
+  block -> a k-group combine; vectors never move;
+* assignment is one numpy matmul-shaped pass per batch
+  (|q - c|^2 = q.q - 2 q.c + c.c, computed in exact int64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+_SCALE = 1 << 20
+
+
+def _quantize(x: np.ndarray) -> np.ndarray:
+    return np.floor(x.astype(np.float64) * _SCALE + 0.5).astype(np.int64)
+
+
+def kmeans_fixed(
+    ds,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means, ``iters`` update rounds + one final assignment.
+
+    Initial centroids are the ``k`` smallest-``id_col`` vectors (cluster
+    ids 0..k-1 in id order — fully deterministic, no RNG). Empty clusters
+    keep their previous centroid. Returns one row per vector:
+    (vec_id, cluster_id, dist_q) where dist_q is the exact integer squared
+    distance to the final centroid.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        emb = np.stack(b.column(vec_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "q": pa.array(list(_quantize(emb)), pa.list_(pa.int64())),
+            }
+        )
+
+    q = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    # ---- initial centroids: k smallest vec_ids (per-batch partial top-k,
+    # single tiny finalize — only k rows per block reach the driver)
+    def min_k(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy()
+        keep = np.argsort(ids, kind="stable")[:k]
+        return b.take(keep).append_column(
+            "g", pa.array(np.zeros(len(keep), np.int64), pa.int64())
+        )
+
+    seed = (
+        q.map_batches(min_k, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(
+            lambda g: g.sort_values("vec_id").head(k).reset_index(drop=True),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    cent = np.stack(seed.sort_values("vec_id")["q"].to_numpy()).astype(
+        np.int64
+    )  # (k, d)
+
+    def assign(qm: np.ndarray, c: np.ndarray):
+        # exact int64: |q-c|^2 = q.q - 2 q.c + c.c per (row, cluster)
+        d2 = (
+            (qm * qm).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (qm @ c.T)
+            + (c * c).sum(axis=1, dtype=np.int64)[None, :]
+        )
+        cid = np.argmin(d2, axis=1)  # first min -> smallest cluster id
+        return cid.astype(np.int64), d2[np.arange(len(cid)), cid]
+
+    for _ in range(iters):
+        c_ref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "cid": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.list_(pa.int64())),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            qm = np.stack(b.column("q").to_numpy(zero_copy_only=False))
+            cid, _ = assign(qm, c)
+            sums = np.zeros_like(c)
+            np.add.at(sums, cid, qm)
+            cnt = np.bincount(cid, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(len(c)), pa.int64()),
+                    "s": pa.array(list(sums), pa.list_(pa.int64())),
+                    "n": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        def combine(g: pd.DataFrame) -> pd.DataFrame:
+            s = np.stack(g["s"].to_numpy()).sum(axis=0, dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "cid": [int(g["cid"].iloc[0])],
+                    "s": [s],
+                    "n": [int(g["n"].sum())],
+                }
+            )
+
+        red = (
+            q.map_batches(partial, batch_format="pyarrow")
+            .groupby("cid")
+            .map_groups(combine, batch_format="pandas")
+            .to_pandas()
+            .sort_values("cid")
+        )
+        new = cent.copy()
+        for r in red.itertuples():
+            if r.n > 0:
+                new[int(r.cid)] = np.floor_divide(
+                    np.asarray(r.s, dtype=np.int64), np.int64(r.n)
+                )
+        cent = new
+
+    c_ref = ray.put(cent)
+
+    def final(b: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "dist_q": pa.array([], pa.int64()),
+                }
+            )
+        qm = np.stack(b.column("q").to_numpy(zero_copy_only=False))
+        cid, dist = assign(qm, c)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "cluster_id": pa.array(cid, pa.int64()),
+                "dist_q": pa.array(dist.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return q.map_batches(final, batch_format="pyarrow")

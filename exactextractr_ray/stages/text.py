@@ -797,3 +797,108 @@ def bigram_coherence(
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds,
+    terms: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-k documents by BM25 (k1 = 1.2, b = 0.75) over a bag of query
+    terms — the retrieval companion to ``tfidf_topk``.
+
+    idf is the RATIONAL Robertson form without the log:
+    ``(N - df + 0.5) / (df + 0.5)`` — every arithmetic step is a plain
+    IEEE double op written identically in the SQL oracle, so scores are
+    bit-exact. Per-term contribution (fixed left-to-right order):
+
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+
+    ``dl`` = non-empty whitespace token count; ``avgdl`` = corpus mean.
+
+    Scale shape (same as tfidf_topk): pass 1 is a tiny (df per term, N,
+    sum dl) aggregate — per-batch partials, a few rows per block; pass 2
+    scores per batch and keeps a deterministic per-batch top-k partial, so
+    the finalize group sees at most k rows per block.
+    """
+    import ray
+
+    terms = list(terms)
+    nt = len(terms)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        dfs = np.zeros(nt, dtype=np.int64)
+        dl_sum = 0
+        for t in texts:
+            toks = [x for x in (t or "").split(" ") if x]
+            dl_sum += len(toks)
+            st = set(toks)
+            for ti, term in enumerate(terms):
+                if term in st:
+                    dfs[ti] += 1
+        return pa.table(
+            {
+                "ti": pa.array(np.arange(nt + 2), pa.int64()),
+                "cnt": pa.array(
+                    np.append(dfs, [len(texts), dl_sum]), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("ti")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("ti")
+    )
+    counts = agg["sum(cnt)"].to_numpy(np.int64)
+    dfs, n_docs, sum_dl = counts[:-2], int(counts[-2]), int(counts[-1])
+    avgdl = float(sum_dl) / float(n_docs) if n_docs else 1.0
+    idf = np.where(
+        dfs > 0, ((n_docs - dfs) + 0.5) / (dfs + 0.5), 0.0
+    )
+    w_ref = ray.put((idf, avgdl))
+
+    def score_partial(b: pa.Table) -> pa.Table:
+        idf_w, avg = ray.get(w_ref)
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        toklists = [[x for x in (t or "").split(" ") if x] for t in texts]
+        dl = np.fromiter(
+            (len(t) for t in toklists), dtype=np.int64, count=len(toklists)
+        )
+        score = np.zeros(len(texts), dtype=np.float64)
+        for ti, term in enumerate(terms):
+            tf = np.fromiter(
+                (toks.count(term) for toks in toklists),
+                dtype=np.int64,
+                count=len(toklists),
+            )
+            # expression order is the contract (matches the SQL oracle):
+            # ((idf * (tf*2.2)) / (tf + 1.2*(0.25 + 0.75*(dl/avgdl))))
+            score = score + idf_w[ti] * (tf * 2.2) / (
+                tf + 1.2 * (0.25 + 0.75 * (dl / avg))
+            )
+        pos = score > 0.0
+        ids, score = ids[pos], score[pos]
+        kk = min(k, len(ids))
+        ord_ = np.lexsort((ids, -score))[:kk]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(kk, np.int64), pa.int64()),
+                id_col: pa.array(ids[ord_], pa.int64()),
+                "score": pa.array(score[ord_], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(score_partial, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        return g[[id_col, "score"]].reset_index(drop=True)
+
+    return cand.groupby("g").map_groups(finalize, batch_format="pandas")

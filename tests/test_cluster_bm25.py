@@ -1,0 +1,155 @@
+"""Fixed-point k-means and BM25 retrieval."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture
+def _ray(ray_session):
+    yield
+
+
+def _emb_ds(vecs, ids=None, nparts=3):
+    import ray.data
+
+    vecs = np.asarray(vecs, dtype=np.float32)
+    ids = (
+        np.arange(len(vecs), dtype=np.int64)
+        if ids is None
+        else np.asarray(ids, dtype=np.int64)
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(nparts)
+
+
+def test_kmeans_recovers_separated_clusters(_ray):
+    from exactextractr_ray.stages.cluster import kmeans_fixed
+
+    rng = np.random.default_rng(5)
+    centers = np.array([[5.0, 0.0], [-5.0, 0.0], [0.0, 8.0]])
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.1, (30, 2)) for c in centers]
+    )
+    df = kmeans_fixed(_emb_ds(vecs), k=3, iters=5).to_pandas()
+    df = df.sort_values("vec_id").reset_index(drop=True)
+    lab = df["cluster_id"].to_numpy()
+    # each true cluster maps to exactly one label
+    for i in range(3):
+        assert len(set(lab[i * 30 : (i + 1) * 30])) == 1
+    assert len(set(lab[::30])) == 3
+
+
+def test_kmeans_parallelism_invariant(_ray):
+    from exactextractr_ray.stages.cluster import kmeans_fixed
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(0, 1, (120, 8))
+
+    def run(nparts):
+        return (
+            kmeans_fixed(_emb_ds(vecs, nparts=nparts), k=4, iters=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(2), run(11))
+
+
+def test_kmeans_empty_cluster_keeps_centroid(_ray):
+    from exactextractr_ray.stages.cluster import kmeans_fixed
+
+    # two far-apart groups, k=3: one seed centroid (among the 3 smallest
+    # vec_ids, all in group A) ends up empty after reassignment — the run
+    # must not crash and must still produce a total assignment
+    vecs = np.array(
+        [[0.0, 0.0], [0.01, 0.0], [0.0, 0.01], [10.0, 10.0], [10.01, 10.0]]
+    )
+    df = kmeans_fixed(_emb_ds(vecs), k=3, iters=4).to_pandas()
+    assert len(df) == 5
+    assert set(df["cluster_id"]) <= {0, 1, 2}
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64), pa.int64()
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+
+
+def test_bm25_ranking_and_values(_ray):
+    from exactextractr_ray.stages.text import bm25_topk
+
+    texts = [
+        "spark spark spark pad pad pad pad pad pad pad",  # high tf, long
+        "spark",  # tf 1, very short doc -> length norm boosts it
+        "join window",  # different terms
+        "pad pad pad",  # no terms -> excluded
+    ]
+    out = (
+        bm25_topk(_docs_ds(texts), ["spark", "join", "window"], k=10)
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert set(out["doc_id"]) == {0, 1, 2}  # doc 3 has score 0
+
+    # manual reference (same IEEE order)
+    toklists = [t.split(" ") for t in texts]
+    n = 4
+    dl = np.array([len(t) for t in toklists], dtype=np.int64)
+    avg = float(dl.sum()) / float(n)
+    exp = np.zeros(n)
+    for term in ["spark", "join", "window"]:
+        df_ = sum(1 for t in toklists if term in set(t))
+        idf = ((n - df_) + 0.5) / (df_ + 0.5)
+        tf = np.array([t.count(term) for t in toklists], dtype=np.int64)
+        exp = exp + idf * (tf * 2.2) / (
+            tf + 1.2 * (0.25 + 0.75 * (dl / avg))
+        )
+    got = dict(zip(out["doc_id"], out["score"]))
+    for d in (0, 1, 2):
+        assert got[d] == exp[d]
+
+
+def test_bm25_parallelism_invariant(_ray):
+    from exactextractr_ray.stages.text import bm25_topk
+
+    rng = np.random.default_rng(2)
+    words = ["spark", "join", "window", "a", "b", "c", "d"]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 30)))
+        for _ in range(100)
+    ]
+
+    def run(nparts):
+        return (
+            bm25_topk(
+                _docs_ds(texts).repartition(nparts),
+                ["spark", "join", "window"],
+                k=15,
+            )
+            .to_pandas()
+            .sort_values(["score", "doc_id"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(2), run(9))
