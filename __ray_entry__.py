@@ -1226,6 +1226,28 @@ def _q_kmeans(sf_dir: str):
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_sample_exact_k(sf_dir: str):
+    """Deterministic exactly-k sample (k smallest salted md5)."""
+    from exactextractr_ray.stages.shuffle import sample_exact_k
+
+    df = sample_exact_k(_docs(sf_dir, ["doc_id"]), k=40).to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df.sort_values(["h", "doc_id"]).reset_index(drop=True)
+
+
+def _q_quantile_gate(sf_dir: str):
+    """Corpus-relative quality gate: keep docs at/above the exact p25 of
+    n_chars."""
+    from exactextractr_ray.stages.rank import quantile_gate
+
+    out = quantile_gate(
+        _docs(sf_dir, ["doc_id", "n_chars"]), "n_chars", q=0.25, keep="ge"
+    ).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1299,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_return_split": _q_orders_return_split,
         "bm25_topk": _q_bm25,
         "kmeans_clusters": _q_kmeans,
+        "sample_exact_k": _q_sample_exact_k,
+        "quantile_gate": _q_quantile_gate,
     }
 
 
@@ -2811,6 +2835,17 @@ def oracle_sql() -> dict[str, str]:
     )
     kmeans_sql = "".join(_km)
 
+    sample_exact_k_sql = """
+    SELECT doc_id, md5('sample:' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents ORDER BY h, doc_id LIMIT 40
+    """
+
+    quantile_gate_sql = """
+    WITH t AS (SELECT quantile_cont(n_chars, 0.25e0) AS thr FROM documents)
+    SELECT doc_id, n_chars FROM documents, t
+    WHERE n_chars >= thr ORDER BY doc_id
+    """
+
     # semi/anti split: LEFT JOIN against distinct returned orderkeys
     orders_return_split_sql = """
     WITH r AS (
@@ -2894,6 +2929,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_return_split": orders_return_split_sql,
         "bm25_topk": bm25_sql,
         "kmeans_clusters": kmeans_sql,
+        "sample_exact_k": sample_exact_k_sql,
+        "quantile_gate": quantile_gate_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

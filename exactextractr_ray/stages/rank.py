@@ -212,3 +212,54 @@ def top_k_per_group(
         add_coarse, batch_format="pyarrow"
     )
     return reduced.groupby("__cg").map_groups(final, batch_format="pyarrow")
+
+
+def quantile_gate(
+    ds,
+    value_col: str,
+    q: float = 0.25,
+    keep: str = "ge",
+    num_coarse_groups: int = 64,
+):
+    """Filter rows by a GLOBAL exact quantile of ``value_col`` — the
+    corpus-relative quality gate ("drop the bottom quartile by score")
+    every curation pipeline needs.
+
+    Two phases: (1) the exact corpus quantile via the compressed
+    (value, count) frequency-map path of ``group_quantiles`` (one constant
+    group — exchange bounded by distinct values per block); (2) the scalar
+    threshold broadcasts and the corpus streams through a vectorized
+    filter — no second shuffle. ``keep``: 'ge' keeps values >= threshold,
+    'le' keeps <= .
+    """
+    import ray
+
+    import ray.data as _rd
+
+    qcol = f"q{q * 100:g}"
+
+    def tag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                value_col: b.column(value_col),
+            }
+        )
+
+    thr_df = group_quantiles(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        "g",
+        value_col,
+        qs=(q,),
+        num_coarse_groups=num_coarse_groups,
+    ).to_pandas()
+    thr = float(thr_df[qcol].iloc[0])
+    thr_ref = ray.put(thr)
+
+    def filt(b: pa.Table) -> pa.Table:
+        t = ray.get(thr_ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False)
+        m = v >= t if keep == "ge" else v <= t
+        return b.filter(pa.array(m))
+
+    return ds.map_batches(filt, batch_format="pyarrow")

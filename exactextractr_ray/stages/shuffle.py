@@ -143,3 +143,42 @@ def deterministic_shuffle(
         num_partitions=int(join_partitions),
         on=(key_col,),
     )
+
+
+def sample_exact_k(
+    ds,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+):
+    """Deterministic EXACTLY-k uniform sample: the k rows with the
+    smallest ``md5('salt:key')`` — the order-statistics counterpart of the
+    Bernoulli sampler (which gives a binomial, not exact, size).
+
+    Scale shape: a per-batch partial top-k (k smallest hashes per block)
+    runs before the single tiny finalize group — the exchange is
+    min(k, block_rows) rows per block, corpus-size-independent; the corpus
+    itself never shuffles. SQL oracle: ``ORDER BY md5(...), key LIMIT k``.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        h = np.array(_hash_hex(keys, salt), dtype=object)
+        order = np.lexsort((keys, h))[:k]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), np.int64), pa.int64()),
+                key_col: pa.array(keys[order]),
+                "h": pa.array([str(x) for x in h[order]], pa.string()),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", key_col], kind="mergesort").head(k)
+        return g[[key_col, "h"]].reset_index(drop=True)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finalize, batch_format="pandas")
+    )

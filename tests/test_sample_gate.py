@@ -1,0 +1,80 @@
+"""sample_exact_k (deterministic order-statistics sample) and
+quantile_gate (global-quantile quality filter)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture
+def _ray(ray_session):
+    yield
+
+
+def _ids_ds(n, nparts=4):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    ).repartition(nparts)
+
+
+def test_sample_exact_k_matches_bruteforce(_ray):
+    from exactextractr_ray.stages.shuffle import sample_exact_k
+
+    n, k = 200, 17
+    df = sample_exact_k(_ids_ds(n), k=k, salt="s9").to_pandas()
+    assert len(df) == k
+    exp = sorted(
+        (hashlib.md5(f"s9:{i}".encode()).hexdigest(), i) for i in range(n)
+    )[:k]
+    got = list(zip(df["h"], df["doc_id"].astype(int)))
+    assert sorted(got) == exp
+
+
+def test_sample_exact_k_parallelism_invariant(_ray):
+    from exactextractr_ray.stages.shuffle import sample_exact_k
+
+    def run(nparts):
+        return (
+            sample_exact_k(_ids_ds(300, nparts), k=25)
+            .to_pandas()
+            .sort_values("h")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(2), run(11))
+
+
+def test_sample_exact_k_small_corpus(_ray):
+    from exactextractr_ray.stages.shuffle import sample_exact_k
+
+    df = sample_exact_k(_ids_ds(5), k=50).to_pandas()
+    assert len(df) == 5  # k > n returns everything
+
+
+def test_quantile_gate_ge_le(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import quantile_gate
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 1000, 400).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                "score": pa.array(vals),
+            }
+        )
+    ).repartition(5)
+
+    thr = np.quantile(vals, 0.25)  # numpy 'linear' == q*(n-1) interpolation
+    kept = quantile_gate(ds, "score", q=0.25, keep="ge").to_pandas()
+    exp = set(np.flatnonzero(vals >= thr).tolist())
+    assert set(kept["doc_id"]) == exp
+
+    low = quantile_gate(ds, "score", q=0.25, keep="le").to_pandas()
+    assert set(low["doc_id"]) == set(np.flatnonzero(vals <= thr).tolist())

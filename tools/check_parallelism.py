@@ -57,6 +57,14 @@ QUERIES = [
     "degree_stats",
     "source_quantiles",
     "crawl_diff",
+    # round-3 second wave
+    "retention_cohorts",
+    "funnel_counts",
+    "orders_return_split",
+    "bm25_topk",
+    "kmeans_clusters",
+    "sample_exact_k",
+    "quantile_gate",
 ]
 
 _CHILD = r"""
