@@ -1248,6 +1248,50 @@ def _q_quantile_gate(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_stratified_exact_k(sf_dir: str):
+    """Exactly-5-per-source deterministic sample."""
+    from exactextractr_ray.stages.shuffle import stratified_exact_k
+
+    df = stratified_exact_k(
+        _docs(sf_dir, ["source", "doc_id"]), "source", k=5
+    ).to_pandas()
+    df = df[["source", "doc_id", "h", "rnk"]]
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["rnk"] = df["rnk"].astype(np.int64)
+    return df.sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
+def _q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics (integer microseconds)."""
+    import ray.data
+    from exactextractr_ray.stages.events import event_gaps
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    df = event_gaps(ev).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 orders by discounted revenue."""
+    from exactextractr_ray.pipelines.relational import shipping_priority
+
+    df = shipping_priority(sf_dir).to_pandas()
+    df["o_orderdate_us"] = (
+        df["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+    )
+    df = df[
+        ["l_orderkey", "revenue_cents_bp", "o_orderdate_us",
+         "o_orderpriority"]
+    ]
+    for c in ("l_orderkey", "revenue_cents_bp"):
+        df[c] = df[c].astype(np.int64)
+    return df.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1323,6 +1367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "sample_exact_k": _q_sample_exact_k,
         "quantile_gate": _q_quantile_gate,
+        "stratified_exact_k": _q_stratified_exact_k,
+        "event_gaps": _q_event_gaps,
+        "shipping_priority": _q_shipping_priority,
     }
 
 
@@ -2846,6 +2893,53 @@ def oracle_sql() -> dict[str, str]:
     WHERE n_chars >= thr ORDER BY doc_id
     """
 
+    stratified_exact_k_sql = """
+    WITH h AS (
+      SELECT source, doc_id,
+             md5('sample:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY h, doc_id) AS rnk
+      FROM h
+    )
+    SELECT source, doc_id, h, rnk FROM r WHERE rnk <= 5
+    ORDER BY source, rnk
+    """
+
+    event_gaps_sql = """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+    g AS (
+      SELECT user_id,
+             t - LAG(t) OVER (PARTITION BY user_id
+                              ORDER BY t, event_id) AS gap
+      FROM e
+    )
+    SELECT user_id,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_us
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id
+    """
+
+    shipping_priority_sql = """
+    SELECT l.l_orderkey,
+      CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents_bp,
+      epoch_us(o.o_orderdate) AS o_orderdate_us,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue_cents_bp DESC, o_orderdate_us, l_orderkey LIMIT 10
+    """
+
     # semi/anti split: LEFT JOIN against distinct returned orderkeys
     orders_return_split_sql = """
     WITH r AS (
@@ -2931,6 +3025,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": kmeans_sql,
         "sample_exact_k": sample_exact_k_sql,
         "quantile_gate": quantile_gate_sql,
+        "stratified_exact_k": stratified_exact_k_sql,
+        "event_gaps": event_gaps_sql,
+        "shipping_priority": shipping_priority_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

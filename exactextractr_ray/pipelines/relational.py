@@ -272,3 +272,158 @@ def orders_return_split(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-03-15",
+    k: int = 10,
+):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date filters,
+    revenue per order, top-k by (revenue DESC, o_orderdate, o_orderkey).
+
+    Scale shape: the two dimension-ish sides reduce BEFORE touching
+    lineitem — customers filter to one segment and broadcast only the
+    custkey set; orders filter by date + segment-membership inside
+    map_batches (no shuffle) and broadcast a (orderkey -> date, priority)
+    table. Lineitem (the fact table) streams: date filter at the read via
+    an expression, broadcast probe, per-batch partial revenue sums per
+    orderkey, ONE shuffle of partial rows, then the repo's partial top-k
+    finalize. Money in integer cents x basis points (exact, order-free).
+
+    The broadcast assumption (filtered orders fit worker memory) is the
+    standard TPC-H Q3 regime — orders/customer are ~1/10 the fact table
+    and both filters are selective; the no-broadcast fallback is
+    Dataset.join as in revenue_by_priority.
+    """
+    cut = np.datetime64(cutoff)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def cust_keys(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy()[
+            b.column("c_mktsegment").to_numpy(zero_copy_only=False)
+            == segment
+        ]
+        return pa.table({"c_custkey": pa.array(keys, pa.int64())})
+
+    ckeys = np.sort(
+        cust.map_batches(cust_keys, batch_format="pyarrow")
+        .to_pandas()["c_custkey"]
+        .to_numpy()
+    )
+    ckeys_ref = ray.put(ckeys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        od = b.column("o_orderdate").to_numpy()
+        keep = od < cut
+        oc = b.column("o_custkey").to_numpy()[keep]
+        idx = np.searchsorted(ck, oc)
+        idx[idx >= len(ck)] = 0
+        member = len(ck) > 0
+        sel = (ck[idx] == oc) if member else np.zeros(len(oc), bool)
+        t = b.filter(pa.array(keep))
+        return t.filter(pa.array(sel)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    odf = orders.map_batches(order_rows, batch_format="pyarrow").to_pandas()
+    omap_ref = ray.put(
+        (
+            np.sort(odf["o_orderkey"].to_numpy().astype(np.int64)),
+            odf.sort_values("o_orderkey"),
+        )
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        okeys_sorted, _ = ray.get(omap_ref)
+        sd = b.column("l_shipdate").to_numpy()
+        keep = sd > cut
+        ok = b.column("l_orderkey").to_numpy()[keep].astype(np.int64)
+        if len(okeys_sorted) == 0 or len(ok) == 0:
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "revenue_cents_bp": pa.array([], pa.int64()),
+                }
+            )
+        idx = np.searchsorted(okeys_sorted, ok)
+        idx[idx >= len(okeys_sorted)] = 0
+        sel = okeys_sorted[idx] == ok
+        ok = ok[sel]
+        cents = np.round(
+            b.column("l_extendedprice").to_numpy()[keep][sel] * 100.0
+        ).astype(np.int64)
+        pct = np.round(
+            (1.0 - b.column("l_discount").to_numpy()[keep][sel]) * 100.0
+        ).astype(np.int64)
+        rev = cents * pct
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, rev)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "revenue_cents_bp": pa.array(sums, pa.int64()),
+            }
+        )
+
+    rev = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("revenue_cents_bp")
+        .map_batches(
+            lambda b: b.rename_columns(["l_orderkey", "revenue_cents_bp"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def topk(b: pa.Table) -> pa.Table:
+        okeys_sorted, odf_sorted = ray.get(omap_ref)
+        ok = b.column("l_orderkey").to_numpy().astype(np.int64)
+        r = b.column("revenue_cents_bp").to_numpy().astype(np.int64)
+        idx = np.searchsorted(okeys_sorted, ok)
+        od = odf_sorted["o_orderdate"].to_numpy()[idx]
+        op = odf_sorted["o_orderpriority"].to_numpy()[idx]
+        order = np.lexsort((ok, od, -r))[:k]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), np.int64), pa.int64()),
+                "l_orderkey": pa.array(ok[order], pa.int64()),
+                "revenue_cents_bp": pa.array(r[order], pa.int64()),
+                "o_orderdate": pa.array(od[order].astype("datetime64[us]")),
+                "o_orderpriority": pa.array(op[order], pa.string()),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["revenue_cents_bp", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return g[
+            ["l_orderkey", "revenue_cents_bp", "o_orderdate",
+             "o_orderpriority"]
+        ].reset_index(drop=True)
+
+    return (
+        rev.map_batches(topk, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finalize, batch_format="pandas")
+    )

@@ -157,3 +157,68 @@ def funnel_counts(
         .map_groups(per_group, batch_format="pandas")
     )
     return partials.groupby(["step", "step_name"]).sum("n_users")
+
+
+def event_gaps(ds, user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id"):
+    """Inter-event-gap statistics per user: (user_id, n_gaps, sum_gap_us,
+    max_gap_us, min_gap_us) over consecutive events in (ts, event_id)
+    order. Users with fewer than two events are omitted (they have no
+    gaps). Integer microseconds — bit-exact vs the SQL LAG oracle.
+
+    Scale shape: the shuffle carries (user, ts, id) triples into user-keyed
+    coarse groups (one hot user still lands in one group — bounded by that
+    user's event count, the same exposure as SQL's PARTITION BY; the
+    sessionize (user, day) subkey trick is the mitigation when per-user
+    history exceeds a group); the per-group pass is one sort + one diff
+    with reduceat segment reductions.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        uid = b.column(user_col).to_numpy()
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy()
+        eid = b.column(id_col).to_numpy()
+        return pa.table(
+            {
+                "ckey": pa.array(uid % _NGROUPS, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "eid": pa.array(eid, pa.int64()),
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "eid"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
+        newu = np.r_[True, uid[1:] != uid[:-1]]
+        valid = ~newu  # a gap exists only within a user run
+        vu = uid[valid]
+        vg = gaps[valid]
+        if len(vu) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_gaps": pd.Series([], dtype=np.int64),
+                    "sum_gap_us": pd.Series([], dtype=np.int64),
+                    "max_gap_us": pd.Series([], dtype=np.int64),
+                    "min_gap_us": pd.Series([], dtype=np.int64),
+                }
+            )
+        starts = np.r_[0, 1 + np.flatnonzero(vu[1:] != vu[:-1])]
+        return pd.DataFrame(
+            {
+                "user_id": vu[starts],
+                "n_gaps": np.diff(np.r_[starts, len(vu)]).astype(np.int64),
+                "sum_gap_us": np.add.reduceat(vg, starts),
+                "max_gap_us": np.maximum.reduceat(vg, starts),
+                "min_gap_us": np.minimum.reduceat(vg, starts),
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(per_group, batch_format="pandas")
+    )

@@ -182,3 +182,29 @@ def sample_exact_k(
         .groupby("g")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def stratified_exact_k(
+    ds,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+):
+    """Exactly-k-per-group deterministic sample: within each group, the k
+    rows with the smallest ``md5('salt:key')``. Composes ``_hash_hex`` with
+    the partial-combiner ``top_k_per_group`` (ascending over the hash), so
+    the exchange is ≤ k rows per group per block — the stratified
+    counterpart of ``sample_exact_k``."""
+    from .rank import top_k_per_group
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "h", pa.array(_hash_hex(keys, salt), pa.string())
+        )
+
+    hds = ds.map_batches(add_hash, batch_format="pyarrow")
+    return top_k_per_group(
+        hds, group_col, "h", k, tie_col=key_col, ascending=True
+    )

@@ -173,3 +173,36 @@ def test_orders_return_split_matches_pandas(_ray, tmp_path):
     for c in ("has_return", "n_orders", "total_cents"):
         df[c] = df[c].astype(np.int64)
     pd.testing.assert_frame_equal(df, exp)
+
+
+def test_event_gaps_values(_ray):
+    from exactextractr_ray.stages.events import event_gaps
+
+    import ray.data
+
+    rows = [
+        (1, 100, 1),
+        (1, 250, 2),
+        (1, 400, 3),  # gaps 150, 150
+        (2, 50, 4),  # single event -> omitted
+        (3, 10, 6),
+        (3, 10, 5),  # same ts: order by event_id -> gap 0
+        (3, 30, 7),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    df = event_gaps(ds).to_pandas().sort_values("user_id")
+    assert df["user_id"].tolist() == [1, 3]
+    assert df["n_gaps"].tolist() == [2, 2]
+    assert df["sum_gap_us"].tolist() == [300, 20]
+    assert df["max_gap_us"].tolist() == [150, 20]
+    assert df["min_gap_us"].tolist() == [150, 0]

@@ -3,6 +3,7 @@ broadcast dimension join, distributed fact-fact hash join — verified
 against in-process pandas on the same parquet."""
 
 import numpy as np
+import pyarrow as pa
 import pandas as pd
 import pytest
 
@@ -68,3 +69,90 @@ def test_revenue_join_matches_pandas(_ray):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got.astype(ref.dtypes.to_dict()), ref)
+
+
+def test_shipping_priority_matches_duckdb(_ray, tmp_path):
+    import duckdb
+
+    from exactextractr_ray.pipelines.relational import shipping_priority
+
+    rng = np.random.default_rng(9)
+    nc, no, nl = 40, 200, 800
+    ck = np.arange(nc, dtype=np.int64)
+    seg = np.array(["BUILDING" if i % 2 else "OTHER" for i in range(nc)])
+    pa.parquet.write_table(
+        pa.table({"c_custkey": ck, "c_mktsegment": seg}),
+        tmp_path / "customer.parquet",
+    )
+    od = (
+        np.datetime64("1997-01-01")
+        + rng.integers(0, 900, no).astype("timedelta64[D]")
+    ).astype("datetime64[us]")
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "o_orderkey": np.arange(no, dtype=np.int64),
+                "o_custkey": rng.integers(0, nc, no).astype(np.int64),
+                "o_orderdate": od,
+                "o_orderpriority": np.array(
+                    [f"{i%5}-PRI" for i in range(no)]
+                ),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    sd = (
+        np.datetime64("1997-06-01")
+        + rng.integers(0, 600, nl).astype("timedelta64[D]")
+    ).astype("datetime64[us]")
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "l_orderkey": rng.integers(0, no, nl).astype(np.int64),
+                "l_extendedprice": np.round(
+                    rng.uniform(100, 9000, nl), 2
+                ),
+                "l_discount": np.round(rng.uniform(0, 0.1, nl), 2),
+                "l_shipdate": sd,
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+
+    got = shipping_priority(str(tmp_path)).to_pandas()
+    got["o_orderdate_us"] = (
+        got["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+    )
+    got = got[
+        ["l_orderkey", "revenue_cents_bp", "o_orderdate_us",
+         "o_orderpriority"]
+    ].reset_index(drop=True)
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    exp = con.execute(
+        """
+        SELECT l.l_orderkey,
+          CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * CAST(ROUND((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents_bp,
+          epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue_cents_bp DESC, o_orderdate_us, l_orderkey
+        LIMIT 10
+        """
+    ).df()
+    for c in ("l_orderkey", "revenue_cents_bp", "o_orderdate_us"):
+        exp[c] = exp[c].astype(np.int64)
+        got[c] = got[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)

@@ -78,3 +78,28 @@ def test_quantile_gate_ge_le(_ray):
 
     low = quantile_gate(ds, "score", q=0.25, keep="le").to_pandas()
     assert set(low["doc_id"]) == set(np.flatnonzero(vals <= thr).tolist())
+
+
+def test_stratified_exact_k_per_group(_ray):
+    import ray.data
+    from exactextractr_ray.stages.shuffle import stratified_exact_k
+
+    n = 120
+    src = np.array([f"s{i % 3}" for i in range(n)])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(src),
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+    ).repartition(5)
+    df = stratified_exact_k(ds, "source", k=7).to_pandas()
+    assert df.groupby("source").size().tolist() == [7, 7, 7]
+    # within a group, rows are the k smallest hashes
+    exp = sorted(
+        (hashlib.md5(f"sample:{i}".encode()).hexdigest(), i)
+        for i in range(0, n, 3)
+    )[:7]
+    g0 = df[df["source"] == "s0"].sort_values("rnk")
+    assert list(zip(g0["h"], g0["doc_id"].astype(int))) == exp

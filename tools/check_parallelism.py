@@ -65,6 +65,9 @@ QUERIES = [
     "kmeans_clusters",
     "sample_exact_k",
     "quantile_gate",
+    "stratified_exact_k",
+    "event_gaps",
+    "shipping_priority",
 ]
 
 _CHILD = r"""
