@@ -1292,6 +1292,63 @@ def _q_shipping_priority(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_percent_rank(sf_dir: str):
+    """PERCENT_RANK of n_chars attached to every document (broadcast
+    cumulative frequency map, zero row shuffle)."""
+    from exactextractr_ray.stages.rank import percent_rank
+
+    df = percent_rank(_docs(sf_dir, ["doc_id", "n_chars"]), "n_chars").to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["n_chars"] = df["n_chars"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_normalize_text(sf_dir: str):
+    """Whitespace normalization over deterministically-dirtied text (the
+    same construction in SQL, so the RE2 rules are oracle-checked)."""
+    from exactextractr_ray.stages.text import normalize_text_batch
+
+    def dirty(b):
+        import pyarrow as _pa
+
+        ids = b.column("doc_id").to_numpy()
+        txt = np.asarray(b.column("text").to_pylist(), dtype=object)
+        odd = ids % 2 == 1
+        out = np.where(
+            odd,
+            [t.replace(" ", "  ") for t in txt],
+            ["\t" + t + " " for t in txt],
+        )
+        return _pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": _pa.array(list(out), _pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        dirty, batch_format="pyarrow"
+    )
+    df = (
+        ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "norm_text", "n_changed"]]
+    )
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["n_changed"] = df["n_changed"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_cooccurrence(sf_dir: str):
+    """Top-vocab document co-occurrence with rational PMI."""
+    from exactextractr_ray.stages.text import cooccurrence_pmi
+
+    df = cooccurrence_pmi(
+        _docs(sf_dir, ["doc_id", "text"]), vocab_k=50, min_pair_count=5
+    ).to_pandas()
+    df["c_ab"] = df["c_ab"].astype(np.int64)
+    return df.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1370,6 +1427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_exact_k": _q_stratified_exact_k,
         "event_gaps": _q_event_gaps,
         "shipping_priority": _q_shipping_priority,
+        "percent_rank": _q_percent_rank,
+        "normalize_text": _q_normalize_text,
+        "cooccurrence_pmi": _q_cooccurrence,
     }
 
 
@@ -2940,6 +3000,72 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY revenue_cents_bp DESC, o_orderdate_us, l_orderkey LIMIT 10
     """
 
+    # percent_rank: explicit (RANK()-1)/(n-1) — the PERCENT_RANK()
+    # definition spelled out so the division is a controlled BIGINT/DOUBLE
+    # op matching the numpy cumulative-count arithmetic
+    percent_rank_sql = """
+    SELECT doc_id, n_chars,
+           (RANK() OVER (ORDER BY n_chars) - 1)
+             / CAST((SELECT COUNT(*) FROM documents) - 1 AS DOUBLE) AS pr
+    FROM documents ORDER BY doc_id
+    """
+
+    # normalize_text: the same deterministic dirtying (odd doc_id: double
+    # every space; even: leading tab + trailing space), then the frozen
+    # NORMALIZE_RULES applied in order — RE2 on both sides
+    normalize_text_sql = r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN replace(text, ' ', '  ')
+                  ELSE chr(9) || text || ' ' END AS t
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, t,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, '[\t\r\f\v]+', ' ', 'g'),
+              ' {2,}', ' ', 'g'),
+            '^ +', '', 'g'),
+          ' +$', '', 'g') AS norm_text
+      FROM dirty
+    )
+    SELECT doc_id, norm_text,
+           CAST(norm_text <> t AS BIGINT) AS n_changed
+    FROM norm ORDER BY doc_id
+    """
+
+    # cooccurrence: top-50 document-frequency vocab (ties -> smaller
+    # token), unordered pair doc-counts, rational PMI N*c_ab/(c_a*c_b)
+    cooccurrence_sql = """
+    WITH dt AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                 AS tok
+        FROM documents
+      )
+    ),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM dt GROUP BY tok),
+    voc AS (SELECT tok, c FROM dfq ORDER BY c DESC, tok LIMIT 50),
+    dv AS (SELECT dt.doc_id, dt.tok FROM dt JOIN voc USING (tok)),
+    prs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    )
+    SELECT p.tok_a, p.tok_b, p.c_ab,
+           ((SELECT COUNT(*) FROM documents) * p.c_ab)
+             / (va.c * vb.c) AS pmi_ratio
+    FROM prs p
+    JOIN voc va ON va.tok = p.tok_a
+    JOIN voc vb ON vb.tok = p.tok_b
+    WHERE p.c_ab >= 5
+    ORDER BY p.tok_a, p.tok_b
+    """
+
     # semi/anti split: LEFT JOIN against distinct returned orderkeys
     orders_return_split_sql = """
     WITH r AS (
@@ -3028,6 +3154,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_exact_k": stratified_exact_k_sql,
         "event_gaps": event_gaps_sql,
         "shipping_priority": shipping_priority_sql,
+        "percent_rank": percent_rank_sql,
+        "normalize_text": normalize_text_sql,
+        "cooccurrence_pmi": cooccurrence_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

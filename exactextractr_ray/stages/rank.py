@@ -263,3 +263,59 @@ def quantile_gate(
         return b.filter(pa.array(m))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def percent_rank(ds, value_col: str, out_col: str = "pr"):
+    """Attach the SQL ``PERCENT_RANK()`` of ``value_col`` to every row:
+    ``(rank - 1) / (n - 1)`` where rank is the first-peer position — the
+    standard corpus-relative score normalization.
+
+    Scale shape: pass 1 reduces to a COMPRESSED (value, count) frequency
+    map (per-batch np.unique partials, groupby-sum — exchange bounded by
+    distinct values per block); the sorted values + cumulative counts
+    broadcast once and pass 2 streams with a vectorized searchsorted — no
+    row shuffle at all. Broadcast state is O(distinct values) — the
+    documented bound (use the histogram-sketch path for unbounded
+    continuous domains).
+    """
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "__v": pa.array(vals, pa.float64()),
+                "__c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__v")
+        .sum("__c")
+        .to_pandas()
+        .sort_values("__v")
+    )
+    vals = freq["__v"].to_numpy()
+    cnt = freq["sum(__c)"].to_numpy(np.int64)
+    below = np.r_[0, np.cumsum(cnt)[:-1]]
+    n = int(cnt.sum())
+    ref = ray.put((vals, below, n))
+
+    def attach(b: pa.Table) -> pa.Table:
+        v_sorted, cb, total = ray.get(ref)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        idx = np.searchsorted(v_sorted, v)
+        pr = (
+            cb[idx] / np.float64(total - 1)
+            if total > 1
+            else np.zeros(len(v))
+        )
+        return b.append_column(out_col, pa.array(pr, pa.float64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -902,3 +902,138 @@ def bm25_topk(
         return g[[id_col, "score"]].reset_index(drop=True)
 
     return cand.groupby("g").map_groups(finalize, batch_format="pandas")
+
+
+#: (RE2 pattern, replacement) — applied IN ORDER, global; identical
+#: semantics in pyarrow and DuckDB (both RE2), so normalization is
+#: SQL-reproducible like PII_PATTERNS.
+NORMALIZE_RULES = (
+    (r"[\t\r\f\v]+", " "),   # control whitespace -> single space
+    (r" {2,}", " "),         # collapse space runs
+    (r"^ +", ""),            # leading spaces
+    (r" +$", ""),            # trailing spaces
+)
+
+
+def normalize_text_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "norm_text"
+) -> pa.Table:
+    """Whitespace normalization with Arrow RE2 kernels (no Python loop):
+    the frozen rule list above, applied in order. Emits the normalized
+    text plus ``n_changed`` (0/1 whether any rule fired) for audit."""
+    s = batch.column(text_col)
+    orig = s
+    for pat, rep in NORMALIZE_RULES:
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=rep)
+    changed = pc.cast(pc.not_equal(s, orig), pa.int64())
+    out = batch.append_column(out_col, s)
+    return out.append_column("n_changed", changed)
+
+
+def cooccurrence_pmi(
+    ds,
+    vocab_k: int = 50,
+    min_pair_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Document-level token co-occurrence with a rational PMI score.
+
+    Vocabulary = the ``vocab_k`` most frequent whitespace tokens (ties ->
+    lexicographically smaller token). For every unordered vocab pair
+    (a < b), ``c_ab`` = number of documents containing BOTH, and the
+    rational PMI ratio ``(N * c_ab) / (c_a * c_b)`` (no log — every value
+    is one exact int product and one IEEE division, so the score is
+    bit-exact in SQL). Pairs with ``c_ab >= min_pair_count`` are returned.
+
+    Scale shape: pass 1 is the existing n-gram-counts combiner (tiny);
+    the vocab broadcasts once; pass 2 emits per-batch PAIR-COUNT partials
+    (Counter over <= vocab_k²/2 keys per batch — bounded by the vocab,
+    not the corpus), and one small groupby-sum finalizes. Document text
+    never shuffles.
+
+    c_a / c_b are DOCUMENT frequencies (distinct docs containing the
+    token), consistent with c_ab.
+    """
+    import ray
+    from collections import Counter
+
+    # pass 1: document frequency per token (per-batch distinct + Counter)
+    def df_partial(b: pa.Table) -> pa.Table:
+        cnt = Counter()
+        ndocs = 0
+        for t in b.column(text_col).to_pylist():
+            ndocs += 1
+            cnt.update(set((t or "").split(" ")) - {""})
+        toks = list(cnt.keys())
+        return pa.table(
+            {
+                "tok": pa.array(toks + ["\x00__N__"], pa.string()),
+                "c": pa.array(
+                    [cnt[t] for t in toks] + [ndocs], pa.int64()
+                ),
+            }
+        )
+
+    dfreq = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("c")
+        .to_pandas()
+    )
+    dfreq.columns = ["tok", "c"]
+    n_docs = int(dfreq.loc[dfreq["tok"] == "\x00__N__", "c"].iloc[0])
+    dfreq = dfreq[dfreq["tok"] != "\x00__N__"]
+    dfreq = dfreq.sort_values(
+        ["c", "tok"], ascending=[False, True], kind="mergesort"
+    ).head(vocab_k)
+    vocab = sorted(dfreq["tok"].tolist())
+    dfc = dict(zip(dfreq["tok"], dfreq["c"].astype(int)))
+    vref = ray.put((vocab, dfc, n_docs))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        voc, _, _ = ray.get(vref)
+        vset = set(voc)
+        cnt = Counter()
+        for t in b.column(text_col).to_pylist():
+            present = sorted(set((t or "").split(" ")) & vset)
+            for i in range(len(present)):
+                for j in range(i + 1, len(present)):
+                    cnt[(present[i], present[j])] += 1
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "tok_a": pa.array([k[0] for k in keys], pa.string()),
+                "tok_b": pa.array([k[1] for k in keys], pa.string()),
+                "c_ab": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .sum("c_ab")
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        _, dc, n = ray.get(vref)
+        ta = b.column("tok_a").to_pylist()
+        tb = b.column("tok_b").to_pylist()
+        cab = b.column("sum(c_ab)").to_numpy().astype(np.int64)
+        keep = cab >= min_pair_count
+        ta = [t for t, k in zip(ta, keep) if k]
+        tb = [t for t, k in zip(tb, keep) if k]
+        cab = cab[keep]
+        ca = np.array([dc[t] for t in ta], dtype=np.int64)
+        cb = np.array([dc[t] for t in tb], dtype=np.int64)
+        pmi = (n * cab) / (ca * cb)
+        return pa.table(
+            {
+                "tok_a": pa.array(ta, pa.string()),
+                "tok_b": pa.array(tb, pa.string()),
+                "c_ab": pa.array(cab, pa.int64()),
+                "pmi_ratio": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(finalize, batch_format="pyarrow")

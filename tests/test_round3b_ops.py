@@ -311,3 +311,68 @@ def test_semdedup_parallelism_invariant(_ray):
     )
     pd.testing.assert_frame_equal(a, b)
     assert not a.loc[30, "keep"] and a.loc[5, "keep"]
+
+
+def test_normalize_text_rules(_ray):
+    import ray.data
+    from exactextractr_ray.stages.text import normalize_text_batch
+
+    texts = [
+        "a  b\tc",          # run + tab
+        "  lead and trail  ",
+        "clean text",
+        "x\r\n\ty",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(texts), dtype=np.int64)
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    df = (
+        ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # \n is NOT in the control class (newlines are document structure);
+    # \r and \t each become one space
+    assert df["norm_text"].tolist() == [
+        "a b c",
+        "lead and trail",
+        "clean text",
+        "x \n y",
+    ]
+    assert df["n_changed"].tolist() == [1, 1, 0, 1]
+
+
+def test_cooccurrence_pmi_counts(_ray):
+    import ray.data
+    from exactextractr_ray.stages.text import cooccurrence_pmi
+
+    docs = ["a b", "a b", "a b c", "a c", "b", "a"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    ).repartition(3)
+    df = (
+        cooccurrence_pmi(ds, vocab_k=3, min_pair_count=1)
+        .to_pandas()
+        .sort_values(["tok_a", "tok_b"])
+        .reset_index(drop=True)
+    )
+    got = {
+        (r.tok_a, r.tok_b): (int(r.c_ab), r.pmi_ratio)
+        for r in df.itertuples()
+    }
+    # df: a=5, b=4, c=2; pairs: (a,b)=3, (a,c)=2, (b,c)=1; N=6
+    assert got[("a", "b")] == (3, (6 * 3) / (5 * 4))
+    assert got[("a", "c")] == (2, (6 * 2) / (5 * 2))
+    assert got[("b", "c")] == (1, (6 * 1) / (4 * 2))

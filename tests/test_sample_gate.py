@@ -103,3 +103,33 @@ def test_stratified_exact_k_per_group(_ray):
     )[:7]
     g0 = df[df["source"] == "s0"].sort_values("rnk")
     assert list(zip(g0["h"], g0["doc_id"].astype(int))) == exp
+
+
+def test_percent_rank_matches_scipy_style(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import percent_rank
+
+    vals = np.array([10, 20, 20, 30, 40], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                "v": pa.array(vals),
+            }
+        )
+    ).repartition(2)
+    df = percent_rank(ds, "v").to_pandas().sort_values("doc_id")
+    # ranks: 1, 2, 2, 4, 5 -> pr = 0, .25, .25, .75, 1
+    assert df["pr"].tolist() == [0.0, 0.25, 0.25, 0.75, 1.0]
+
+
+def test_percent_rank_single_row(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import percent_rank
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "v": pa.array([7], pa.int64())})
+    )
+    df = percent_rank(ds, "v").to_pandas()
+    assert df["pr"].tolist() == [0.0]

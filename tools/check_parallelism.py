@@ -68,6 +68,9 @@ QUERIES = [
     "stratified_exact_k",
     "event_gaps",
     "shipping_priority",
+    "percent_rank",
+    "normalize_text",
+    "cooccurrence_pmi",
 ]
 
 _CHILD = r"""
