@@ -1349,6 +1349,15 @@ def _q_cooccurrence(sf_dir: str):
     return df.sort_values(["tok_a", "tok_b"]).reset_index(drop=True)
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Two-stage retrieval: BM25 top-20 + PRF-centroid cosine rerank."""
+    from exactextractr_ray.pipelines.search import hybrid_search
+
+    df = hybrid_search(sf_dir, _TFIDF_TERMS, k=20, feedback=3)
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1430,6 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank": _q_percent_rank,
         "normalize_text": _q_normalize_text,
         "cooccurrence_pmi": _q_cooccurrence,
+        "hybrid_search": _q_hybrid_search,
     }
 
 
@@ -2889,6 +2899,51 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY score DESC, doc_id LIMIT 20
     """
 
+    # hybrid search: BM25 top-20 as a nested CTE, PRF centroid =
+    # ((e1 + e2) + e3)/3 in rank order, every dim reduction a strict left
+    # fold (list_reduce == np.cumsum), cosine = dot/(ne * nc)
+    hybrid_sql = f"""
+    WITH b20 AS ({bm25_sql}),
+    top3 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM b20 QUALIFY rn <= 3
+    ),
+    dims AS (SELECT CAST(range AS BIGINT) AS j FROM range(64)),
+    cent AS (
+      SELECT d.j,
+        (((SELECT CAST(e.embedding[d.j + 1] AS DOUBLE) FROM embeddings e
+           WHERE e.vec_id = (SELECT doc_id FROM top3 WHERE rn = 1))
+         + (SELECT CAST(e.embedding[d.j + 1] AS DOUBLE) FROM embeddings e
+            WHERE e.vec_id = (SELECT doc_id FROM top3 WHERE rn = 2)))
+         + (SELECT CAST(e.embedding[d.j + 1] AS DOUBLE) FROM embeddings e
+            WHERE e.vec_id = (SELECT doc_id FROM top3 WHERE rn = 3)))
+        / 3.0e0 AS cv
+      FROM dims d
+    ),
+    ncc AS (
+      SELECT sqrt(list_reduce(list(cv * cv ORDER BY j),
+                              (x, y) -> x + y)) AS nc
+      FROM cent
+    ),
+    er AS (
+      SELECT b.doc_id, b.score,
+        list_reduce(list(CAST(e.embedding[d.j + 1] AS DOUBLE) * c.cv
+                         ORDER BY d.j), (x, y) -> x + y) AS dot,
+        sqrt(list_reduce(list(CAST(e.embedding[d.j + 1] AS DOUBLE)
+                              * CAST(e.embedding[d.j + 1] AS DOUBLE)
+                              ORDER BY d.j), (x, y) -> x + y)) AS ne
+      FROM b20 b
+      JOIN embeddings e ON e.vec_id = b.doc_id
+      CROSS JOIN dims d
+      JOIN cent c ON c.j = d.j
+      GROUP BY b.doc_id, b.score
+    )
+    SELECT doc_id, score AS bm25,
+           dot / (ne * (SELECT nc FROM ncc)) AS cosine
+    FROM er ORDER BY cosine DESC, doc_id
+    """
+
     # kmeans: the full fixed-point Lloyd iteration unrolled as integer
     # CTEs (same scheme as pagerank_sql). floor(x*2^20 + 0.5) quantize;
     # argmin = ROW_NUMBER (dist, cid); centroid = FLOOR(sum/count);
@@ -3157,6 +3212,7 @@ def oracle_sql() -> dict[str, str]:
         "percent_rank": percent_rank_sql,
         "normalize_text": normalize_text_sql,
         "cooccurrence_pmi": cooccurrence_sql,
+        "hybrid_search": hybrid_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -153,3 +153,17 @@ def test_bm25_parallelism_invariant(_ray):
         )
 
     pd.testing.assert_frame_equal(run(2), run(9))
+
+
+def test_hybrid_search_reranks(_ray):
+    from exactextractr_ray.pipelines.search import hybrid_search
+
+    df = hybrid_search(
+        "/root/testdata/sf0.001", ["spark", "join", "window"], k=10,
+        feedback=3,
+    )
+    assert len(df) == 10
+    cos = df["cosine"].to_numpy()
+    assert np.all(cos[:-1] >= cos[1:])  # sorted desc
+    assert np.all(np.abs(cos) <= 1.0 + 1e-12)
+    assert df["bm25"].min() > 0.0

@@ -71,6 +71,7 @@ QUERIES = [
     "percent_rank",
     "normalize_text",
     "cooccurrence_pmi",
+    "hybrid_search",
 ]
 
 _CHILD = r"""
