@@ -51,6 +51,10 @@ def kmeans_fixed(
     (vec_id, cluster_id, dist_q) where dist_q is the exact integer squared
     distance to the final centroid.
     """
+    if k < 1:
+        raise ValueError("kmeans_fixed: k must be >= 1")
+    if iters < 0:
+        raise ValueError("kmeans_fixed: iters must be >= 0")
 
     def project(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy().astype(np.int64)
@@ -89,6 +93,10 @@ def kmeans_fixed(
         )
         .to_pandas()
     )
+    if len(seed) < k:
+        raise ValueError(
+            f"kmeans_fixed: k={k} but only {len(seed)} vectors exist"
+        )
     cent = np.stack(seed.sort_values("vec_id")["q"].to_numpy()).astype(
         np.int64
     )  # (k, d)

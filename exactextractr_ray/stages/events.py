@@ -107,6 +107,10 @@ def funnel_counts(
     ``np.minimum.at`` per-user mins — no per-user Python.
     """
     steps = tuple(steps)
+    if len(steps) < 1:
+        raise ValueError("funnel_counts: need at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_counts: steps must be distinct")
     step_idx = {s: i for i, s in enumerate(steps)}
 
     def project(b: pa.Table) -> pa.Table:

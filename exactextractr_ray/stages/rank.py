@@ -236,6 +236,10 @@ def quantile_gate(
 
     import ray.data as _rd
 
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile_gate: q must be in [0, 1], got {q}")
+    if keep not in ("ge", "le"):
+        raise ValueError(f"quantile_gate: keep must be 'ge' or 'le', got {keep!r}")
     qcol = f"q{q * 100:g}"
 
     def tag(b: pa.Table) -> pa.Table:

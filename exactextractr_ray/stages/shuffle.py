@@ -160,6 +160,8 @@ def sample_exact_k(
     min(k, block_rows) rows per block, corpus-size-independent; the corpus
     itself never shuffles. SQL oracle: ``ORDER BY md5(...), key LIMIT k``.
     """
+    if k < 1:
+        raise ValueError("sample_exact_k: k must be >= 1")
 
     def partial(b: pa.Table) -> pa.Table:
         keys = b.column(key_col).to_numpy(zero_copy_only=False)

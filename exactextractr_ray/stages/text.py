@@ -826,6 +826,10 @@ def bm25_topk(
     import ray
 
     terms = list(terms)
+    if not terms:
+        raise ValueError("bm25_topk: need at least one query term")
+    if k < 1:
+        raise ValueError("bm25_topk: k must be >= 1")
     nt = len(terms)
 
     def df_partial(b: pa.Table) -> pa.Table:

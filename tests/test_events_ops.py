@@ -206,3 +206,98 @@ def test_event_gaps_values(_ray):
     assert df["sum_gap_us"].tolist() == [300, 20]
     assert df["max_gap_us"].tolist() == [150, 20]
     assert df["min_gap_us"].tolist() == [150, 0]
+
+
+def test_new_op_error_contracts(_ray):
+    import ray.data
+    from exactextractr_ray.stages.cluster import kmeans_fixed
+    from exactextractr_ray.stages.events import funnel_counts
+    from exactextractr_ray.stages.rank import quantile_gate
+    from exactextractr_ray.stages.shuffle import sample_exact_k
+    from exactextractr_ray.stages.text import bm25_topk
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64())})
+    )
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_counts(ds, steps=())
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts(ds, steps=("view", "view"))
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_fixed(ds, k=0)
+    with pytest.raises(ValueError, match="iters"):
+        kmeans_fixed(ds, k=2, iters=-1)
+    with pytest.raises(ValueError, match="q must be"):
+        quantile_gate(ds, "doc_id", q=1.5)
+    with pytest.raises(ValueError, match="keep must be"):
+        quantile_gate(ds, "doc_id", keep="gt")
+    with pytest.raises(ValueError, match="k must be"):
+        sample_exact_k(ds, k=0)
+    with pytest.raises(ValueError, match="query term"):
+        bm25_topk(ds, [])
+
+
+def test_kmeans_k_exceeds_corpus(_ray):
+    import ray.data
+    from exactextractr_ray.stages.cluster import kmeans_fixed
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [[0.1, 0.2], [0.3, 0.4]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        kmeans_fixed(ds, k=5, iters=1)
+
+
+def test_retention_and_gaps_hot_user(_ray):
+    """One user with 80% of all events: the coarse-group design must not
+    change results (hot user lands in one group, bounded by its own
+    history)."""
+    import ray.data
+    from exactextractr_ray.stages.events import event_gaps, retention_cohorts
+
+    rng = np.random.default_rng(6)
+    rows = []
+    eid = 0
+    for _ in range(400):
+        rows.append((7, float(rng.uniform(0, 10)), eid)); eid += 1
+    for _ in range(100):
+        rows.append((int(rng.integers(100, 120)), float(rng.uniform(0, 10)), eid)); eid += 1
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [int(r[1] * _DAY_US) for r in rows], pa.int64()
+                ).cast(pa.timestamp("us")),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+    def run_gaps(nparts):
+        return (
+            event_gaps(ds.repartition(nparts))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run_gaps(2), run_gaps(17))
+
+    def run_ret(nparts):
+        df = retention_cohorts(ds.repartition(nparts)).to_pandas()
+        df.columns = ["cohort_day", "day_offset", "n_users"]
+        return (
+            df.sort_values(["cohort_day", "day_offset"])
+            .reset_index(drop=True)
+            .astype(np.int64)
+        )
+
+    pd.testing.assert_frame_equal(run_ret(2), run_ret(17))
