@@ -2905,9 +2905,12 @@ def oracle_sql() -> dict[str, str]:
     hybrid_sql = f"""
     WITH b20 AS ({bm25_sql}),
     top3 AS (
-      SELECT doc_id,
-             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
-      FROM b20 QUALIFY rn <= 3
+      -- PRF feedback docs rank among EMBEDDED candidates only (the
+      -- implementation drops candidates without an embedding row)
+      SELECT b.doc_id,
+             ROW_NUMBER() OVER (ORDER BY b.score DESC, b.doc_id) AS rn
+      FROM b20 b JOIN embeddings e ON e.vec_id = b.doc_id
+      QUALIFY rn <= 3
     ),
     dims AS (SELECT CAST(range AS BIGINT) AS j FROM range(64)),
     cent AS (

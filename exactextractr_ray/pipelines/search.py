@@ -40,8 +40,13 @@ def hybrid_search(
     k: int = 20,
     feedback: int = 3,
 ):
-    """Returns (doc_id, bm25, cosine) for the BM25 top-k, reranked by
-    cosine to the PRF centroid; ordered by (cosine DESC, doc_id)."""
+    """Returns (doc_id, bm25, cosine) for the BM25 top-k candidates THAT
+    HAVE an embedding row, reranked by cosine to the PRF centroid of the
+    first ``feedback`` embedded candidates (in BM25 rank order); ordered
+    by (cosine DESC, doc_id). Candidates without embeddings cannot be
+    semantically reranked and are dropped — the same semantics as the
+    oracle's inner JOIN against the embedding table. Empty result if no
+    candidate has an embedding."""
     from exactextractr_ray.stages.text import bm25_topk
 
     docs = ray.data.read_parquet(
@@ -52,7 +57,6 @@ def hybrid_search(
         ["score", "doc_id"], ascending=[False, True]
     ).reset_index(drop=True)
     top_ids = cand["doc_id"].to_numpy(np.int64)
-    fb_ids = top_ids[:feedback]
 
     def _id_filter(ids_arr):
         ids_sorted = np.sort(np.asarray(ids_arr, dtype=np.int64))
@@ -63,18 +67,35 @@ def hybrid_search(
 
         return f
 
-    fb = (
+    embp = (
         ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
-        .map_batches(_id_filter(fb_ids), batch_format="pyarrow")
+        .map_batches(_id_filter(top_ids), batch_format="pyarrow")
         .to_pandas()
-        .set_index("vec_id")
     )
-    # centroid = ((e1 + e2) + e3) / 3.0 in BM25 rank order (left fold)
-    acc = np.asarray(fb.loc[fb_ids[0], "embedding"], dtype=np.float64)
+    # Ray to_pandas drops columns when every block is empty (repo-wide
+    # gotcha) — treat that as "no candidate has an embedding"
+    if "vec_id" not in embp.columns or len(embp) == 0:
+        embp = pd.DataFrame(
+            {"vec_id": pd.Series([], dtype=np.int64), "embedding": []}
+        )
+    embf = embp.set_index("vec_id")
+    present = [int(i) for i in top_ids if int(i) in embf.index]
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype=np.int64),
+            "bm25": pd.Series([], dtype=np.float64),
+            "cosine": pd.Series([], dtype=np.float64),
+        }
+    )
+    if not present:
+        return empty
+    fb_ids = present[:feedback]
+    # centroid = ((e1 + e2) + e3) / n_fb in BM25 rank order (left fold)
+    acc = np.asarray(embf.loc[fb_ids[0], "embedding"], dtype=np.float64)
     for i in fb_ids[1:]:
-        acc = acc + np.asarray(fb.loc[i, "embedding"], dtype=np.float64)
+        acc = acc + np.asarray(embf.loc[i, "embedding"], dtype=np.float64)
     cent = acc / np.float64(len(fb_ids))
     nc = np.sqrt(np.cumsum(cent * cent)[-1])
     score_map = dict(zip(cand["doc_id"].astype(int), cand["score"]))
@@ -82,7 +103,7 @@ def hybrid_search(
 
     emb = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).map_batches(_id_filter(top_ids), batch_format="pyarrow")
+    ).map_batches(_id_filter(present), batch_format="pyarrow")
 
     def rerank(b: pa.Table) -> pa.Table:
         c, ncn, smap = ray.get(bref)

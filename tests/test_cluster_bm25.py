@@ -167,3 +167,50 @@ def test_hybrid_search_reranks(_ray):
     assert np.all(cos[:-1] >= cos[1:])  # sorted desc
     assert np.all(np.abs(cos) <= 1.0 + 1e-12)
     assert df["bm25"].min() > 0.0
+
+
+def test_hybrid_search_missing_embeddings(_ray, tmp_path):
+    """Candidates without embedding rows are dropped (sf0.1 regression:
+    the embedding table covers only a prefix of doc_ids)."""
+    from exactextractr_ray.pipelines.search import hybrid_search
+
+    texts = [f"spark doc {i} filler words here" for i in range(6)]
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rng = np.random.default_rng(3)
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 2, 4], pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, rng.normal(0, 1, 8))) for _ in range(3)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    df = hybrid_search(str(tmp_path), ["spark"], k=6, feedback=3)
+    assert sorted(df["doc_id"]) == [0, 2, 4]
+    assert np.all(np.isfinite(df["cosine"]))
+
+    # no embeddings at all -> empty with stable schema
+    pa.parquet.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    df2 = hybrid_search(str(tmp_path), ["spark"], k=6, feedback=3)
+    assert len(df2) == 0
+    assert list(df2.columns) == ["doc_id", "bm25", "cosine"]
