@@ -1358,6 +1358,20 @@ def _q_hybrid_search(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def _q_fuzzy_pairs(sf_dir: str):
+    """Distinct part names within Levenshtein distance 2 (record
+    linkage: distinct -> lossless length blocking -> vectorized DP)."""
+    import ray.data
+    from exactextractr_ray.stages.fuzzy import edit_distance_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    df = edit_distance_pairs(parts, "p_name", max_dist=2).to_pandas()
+    df["dist"] = df["dist"].astype(np.int64)
+    return df.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1440,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "cooccurrence_pmi": _q_cooccurrence,
         "hybrid_search": _q_hybrid_search,
+        "fuzzy_name_pairs": _q_fuzzy_pairs,
     }
 
 
@@ -2947,6 +2962,15 @@ def oracle_sql() -> dict[str, str]:
     FROM er ORDER BY cosine DESC, doc_id
     """
 
+    fuzzy_pairs_sql = """
+    WITH dn AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM dn a JOIN dn b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    ORDER BY 1, 2
+    """
+
     # kmeans: the full fixed-point Lloyd iteration unrolled as integer
     # CTEs (same scheme as pagerank_sql). floor(x*2^20 + 0.5) quantize;
     # argmin = ROW_NUMBER (dist, cid); centroid = FLOOR(sum/count);
@@ -3216,6 +3240,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": normalize_text_sql,
         "cooccurrence_pmi": cooccurrence_sql,
         "hybrid_search": hybrid_sql,
+        "fuzzy_name_pairs": fuzzy_pairs_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -72,6 +72,7 @@ QUERIES = [
     "normalize_text",
     "cooccurrence_pmi",
     "hybrid_search",
+    "fuzzy_name_pairs",
 ]
 
 _CHILD = r"""
