@@ -1372,6 +1372,16 @@ def _q_fuzzy_pairs(sf_dir: str):
     return df.sort_values(["name_a", "name_b"]).reset_index(drop=True)
 
 
+def _q_keywords(sf_dir: str):
+    """Per-document top-3 TF-IDF keywords (shuffle-free scoring)."""
+    from exactextractr_ray.stages.text import keyword_topk
+
+    df = keyword_topk(_docs(sf_dir, ["doc_id", "text"]), m=3).to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["rnk"] = df["rnk"].astype(np.int64)
+    return df.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1455,6 +1465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_pmi": _q_cooccurrence,
         "hybrid_search": _q_hybrid_search,
         "fuzzy_name_pairs": _q_fuzzy_pairs,
+        "doc_keywords": _q_keywords,
     }
 
 
@@ -2962,6 +2973,45 @@ def oracle_sql() -> dict[str, str]:
     FROM er ORDER BY cosine DESC, doc_id
     """
 
+    # keywords: rational idf tf * (N / df); per-doc ROW_NUMBER top-3
+    # (ties -> lexicographically smaller term)
+    keywords_sql = """
+    WITH flat AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM flat GROUP BY 1, 2
+    ),
+    dfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM (
+        SELECT DISTINCT doc_id, tok FROM flat
+      ) GROUP BY tok
+    ),
+    voc AS (
+      SELECT tok, df FROM (
+        SELECT tok, df, ROW_NUMBER() OVER (ORDER BY df DESC, tok) AS rn
+        FROM dfq
+      ) WHERE rn <= 50000
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             tf.c * (n.nn / CAST(voc.df AS DOUBLE)) AS score
+      FROM tf JOIN voc USING (tok), n
+    ),
+    rk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok AS term, score, rnk FROM rk WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """
+
     fuzzy_pairs_sql = """
     WITH dn AS (SELECT DISTINCT p_name AS name FROM part)
     SELECT a.name AS name_a, b.name AS name_b,
@@ -3241,6 +3291,7 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence_pmi": cooccurrence_sql,
         "hybrid_search": hybrid_sql,
         "fuzzy_name_pairs": fuzzy_pairs_sql,
+        "doc_keywords": keywords_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

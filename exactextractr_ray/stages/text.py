@@ -1041,3 +1041,89 @@ def cooccurrence_pmi(
         )
 
     return pairs.map_batches(finalize, batch_format="pyarrow")
+
+
+def keyword_topk(
+    ds,
+    m: int = 3,
+    max_vocab: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document keyword extraction: the top-m tokens by TF-IDF with
+    the rational idf N/df (doc tagging / faceting for curation UIs).
+
+    Shape: pass 1 aggregates the corpus document-frequency table (per-batch
+    distinct-token Counter partials -> one small groupby) and broadcasts
+    the top ``max_vocab`` tokens (ties -> lexicographically smaller) once;
+    pass 2 scores each document against its OWN tokens inside map_batches
+    and emits its top-m rows — NO shuffle at all after the df aggregate.
+    Tokens outside the capped vocabulary are not scored (the cap bounds
+    broadcast memory at web scale, same contract as token_rarity).
+
+    Output: (doc_id, term, score, rnk) with rnk 1..m per doc, ordered by
+    (score DESC, term) within a doc.
+    """
+    import ray
+    from collections import Counter
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        cnt = Counter()
+        ndocs = 0
+        for t in b.column(text_col).to_pylist():
+            ndocs += 1
+            cnt.update(set((t or "").split(" ")) - {""})
+        toks = list(cnt.keys())
+        return pa.table(
+            {
+                "tok": pa.array(toks + ["\x00__N__"], pa.string()),
+                "c": pa.array([cnt[t] for t in toks] + [ndocs], pa.int64()),
+            }
+        )
+
+    dfreq = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .sum("c")
+        .to_pandas()
+    )
+    dfreq.columns = ["tok", "c"]
+    n_docs = int(dfreq.loc[dfreq["tok"] == "\x00__N__", "c"].iloc[0])
+    dfreq = dfreq[dfreq["tok"] != "\x00__N__"]
+    dfreq = dfreq.sort_values(
+        ["c", "tok"], ascending=[False, True], kind="mergesort"
+    ).head(max_vocab)
+    dfc = dict(zip(dfreq["tok"], dfreq["c"].astype(int)))
+    vref = ray.put((dfc, n_docs))
+
+    def score(b: pa.Table) -> pa.Table:
+        dc, n = ray.get(vref)
+        out_id: list[int] = []
+        out_t: list[str] = []
+        out_s: list[float] = []
+        out_r: list[int] = []
+        ids = b.column(id_col).to_numpy()
+        for did, t in zip(ids, b.column(text_col).to_pylist()):
+            cnt = Counter(x for x in (t or "").split(" ") if x in dc)
+            if not cnt:
+                continue
+            terms = sorted(cnt.keys())
+            tf = np.array([cnt[x] for x in terms], dtype=np.int64)
+            df_ = np.array([dc[x] for x in terms], dtype=np.int64)
+            sc = tf * (n / df_.astype(np.float64))
+            order = np.lexsort((np.array(terms, dtype=object), -sc))[:m]
+            for r, oi in enumerate(order, 1):
+                out_id.append(int(did))
+                out_t.append(terms[oi])
+                out_s.append(float(sc[oi]))
+                out_r.append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "score": pa.array(out_s, pa.float64()),
+                "rnk": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -376,3 +376,55 @@ def test_cooccurrence_pmi_counts(_ray):
     assert got[("a", "b")] == (3, (6 * 3) / (5 * 4))
     assert got[("a", "c")] == (2, (6 * 2) / (5 * 2))
     assert got[("b", "c")] == (1, (6 * 1) / (4 * 2))
+
+
+def test_keyword_topk_values(_ray):
+    import ray.data
+    from exactextractr_ray.stages.text import keyword_topk
+
+    docs = [
+        "rare common common",     # rare df=1, common df=3
+        "common unique1 unique1",
+        "common other",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    ).repartition(2)
+    df = (
+        keyword_topk(ds, m=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    # doc 0: rare tf=1 df=1 -> 3.0; common tf=2 df=3 -> 2.0
+    d0 = df[df["doc_id"] == 0]
+    assert d0["term"].tolist() == ["rare", "common"]
+    assert d0["score"].tolist() == [1 * (3 / 1.0), 2 * (3 / 3.0)]
+    # doc 1: unique1 tf=2 df=1 -> 6.0 first
+    d1 = df[df["doc_id"] == 1]
+    assert d1["term"].tolist()[0] == "unique1"
+
+
+def test_keyword_topk_vocab_cap(_ray):
+    import ray.data
+    from exactextractr_ray.stages.text import keyword_topk
+
+    # cap=1 keeps only the highest-df token ('a'); docs with only other
+    # tokens produce no rows
+    docs = ["a b", "a c", "b c", "zzz"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    df = keyword_topk(ds, m=3, max_vocab=1).to_pandas()
+    assert set(df["term"]) == {"a"}
+    assert set(df["doc_id"]) == {0, 1}

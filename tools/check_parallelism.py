@@ -73,6 +73,7 @@ QUERIES = [
     "cooccurrence_pmi",
     "hybrid_search",
     "fuzzy_name_pairs",
+    "doc_keywords",
 ]
 
 _CHILD = r"""
