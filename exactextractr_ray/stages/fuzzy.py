@@ -120,21 +120,21 @@ def edit_distance_pairs(
         lens = np.array([len(s) for s in names], dtype=np.int64)
         long_i = np.flatnonzero(lens == gl)
         # candidates: (x of length g) x (y of length in [g-t, g]); for
-        # equal lengths require x < y so each pair verifies exactly once
-        ai: list[int] = []
-        bi: list[int] = []
-        for x in long_i:
-            for y in range(len(names)):
-                if y == x:
-                    continue
-                if lens[y] == gl:
-                    if names[x] < names[y]:
-                        ai.append(x)
-                        bi.append(y)
-                elif gl - t <= lens[y] < gl:
-                    ai.append(x)
-                    bi.append(y)
-        if not ai:
+        # equal lengths require x < y so each pair verifies exactly once.
+        # Vectorized cross product + masks — no per-pair Python.
+        yy = np.arange(len(names))
+        X, Y = np.meshgrid(long_i, yy, indexing="ij")
+        X, Y = X.ravel(), Y.ravel()
+        ly = lens[Y]
+        names_arr = np.asarray(names, dtype=object)
+        eq = ly == gl
+        keep_pairs = (X != Y) & (
+            (eq & (names_arr[X] < names_arr[Y]))
+            | (~eq & (ly >= gl - t) & (ly < gl))
+        )
+        ai = X[keep_pairs]
+        bi = Y[keep_pairs]
+        if len(ai) == 0:
             return pd.DataFrame(
                 {
                     "name_a": pd.Series([], dtype=object),
