@@ -1382,6 +1382,35 @@ def _q_keywords(sf_dir: str):
     return df.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
 
 
+def _q_pearson(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extendedprice
+    (exact integer moments, one float conversion at the end)."""
+    import ray.data
+    from exactextractr_ray.stages.rank import group_pearson
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    df = group_pearson(li, "l_returnflag", "l_quantity", "l_extendedprice")
+    return df.reset_index(drop=True)
+
+
+def _q_mad_outliers(sf_dir: str):
+    """Robust per-event-type outliers: |value - median| > 3 * MAD."""
+    import ray.data
+    from exactextractr_ray.stages.rank import mad_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    df = mad_outliers(ev, "event_type", "value", k=3.0).to_pandas()
+    df = df[["event_id", "event_type", "value"]]
+    df["event_id"] = df["event_id"].astype(np.int64)
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1466,6 +1495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _q_hybrid_search,
         "fuzzy_name_pairs": _q_fuzzy_pairs,
         "doc_keywords": _q_keywords,
+        "pearson_by_flag": _q_pearson,
+        "mad_outliers": _q_mad_outliers,
     }
 
 
@@ -3012,6 +3043,47 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_id, rnk
     """
 
+    # pearson: SUM(BIGINT) -> HUGEINT keeps the moments exact; the single
+    # HUGEINT -> DOUBLE cast rounds identically to Python float(int)
+    pearson_sql = """
+    WITH q AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS xi,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS yi
+      FROM lineitem
+    ), s AS (
+      SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(xi) AS sx, SUM(yi) AS sy,
+             SUM(xi * xi) AS sxx, SUM(yi * yi) AS syy,
+             SUM(xi * yi) AS sxy
+      FROM q GROUP BY flag
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+    FROM s ORDER BY 1
+    """
+
+    mad_outliers_sql = """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5e0) AS m
+      FROM events GROUP BY event_type
+    ),
+    a AS (
+      SELECT e.event_id, e.event_type, e.value,
+             ABS(e.value - med.m) AS ad
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ad, 0.5e0) AS d
+      FROM a GROUP BY event_type
+    )
+    SELECT a.event_id, a.event_type, a.value
+    FROM a JOIN mad USING (event_type)
+    WHERE a.ad > 3.0e0 * mad.d ORDER BY a.event_id
+    """
+
     fuzzy_pairs_sql = """
     WITH dn AS (SELECT DISTINCT p_name AS name FROM part)
     SELECT a.name AS name_a, b.name AS name_b,
@@ -3292,6 +3364,8 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": hybrid_sql,
         "fuzzy_name_pairs": fuzzy_pairs_sql,
         "doc_keywords": keywords_sql,
+        "pearson_by_flag": pearson_sql,
+        "mad_outliers": mad_outliers_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -323,3 +323,175 @@ def percent_rank(ds, value_col: str, out_col: str = "pr"):
         return b.append_column(out_col, pa.array(pr, pa.float64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def group_pearson(
+    ds,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_cents: bool = True,
+    y_cents: bool = True,
+):
+    """Exact per-group Pearson correlation of two numeric columns.
+
+    Inputs quantize to integer cents (``round(v*100)``, the repo's money
+    contract) so every moment sum is EXACT int64 and order-free; the only
+    float ops are the final closed form
+
+        r = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    evaluated on the driver in arbitrary-precision Python ints, converted
+    once to double — the identical rounding as the oracle's HUGEINT ->
+    DOUBLE cast. Squared-cents sums can exceed int64 on large blocks, so
+    per-batch totals accumulate chunk-wise into Python ints and travel as
+    DECIMAL STRINGS (one row per group per block — the groupby combine
+    re-sums them exactly). Finalize is O(groups) on the driver. Groups
+    with zero variance in either column emit NaN."""
+
+    _CHUNK = 8192  # per-chunk int64 sums stay far from overflow; totals
+    # accumulate in arbitrary-precision Python ints and travel as strings
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        xi = (
+            np.round(x * 100.0).astype(np.int64)
+            if x_cents
+            else x.astype(np.int64)
+        )
+        yi = (
+            np.round(y * 100.0).astype(np.int64)
+            if y_cents
+            else y.astype(np.int64)
+        )
+        uniq, codes = np.unique(g, return_inverse=True)
+        nuq = len(uniq)
+        n = np.bincount(codes, minlength=nuq).astype(np.int64)
+        arrs = {
+            "sx": xi,
+            "sy": yi,
+            "sxx": xi * xi,
+            "syy": yi * yi,
+            "sxy": xi * yi,
+        }
+        totals = {k: [0] * nuq for k in arrs}
+        for s in range(0, len(codes), _CHUNK):
+            sl = slice(s, s + _CHUNK)
+            for k, arr in arrs.items():
+                acc = np.zeros(nuq, dtype=np.int64)
+                np.add.at(acc, codes[sl], arr[sl])
+                tk = totals[k]
+                for gi in range(nuq):
+                    if acc[gi]:
+                        tk[gi] += int(acc[gi])
+        return pa.table(
+            {
+                group_col: pa.array(uniq),
+                "n": pa.array(n, pa.int64()),
+                **{
+                    k: pa.array([str(v) for v in totals[k]], pa.string())
+                    for k in arrs
+                },
+            }
+        )
+
+    def combine(gdf):
+        import pandas as _pd
+
+        return _pd.DataFrame(
+            {
+                group_col: [gdf[group_col].iloc[0]],
+                "n": [int(gdf["n"].sum())],
+                **{
+                    k: [str(sum(int(s) for s in gdf[k]))]
+                    for k in ("sx", "sy", "sxx", "syy", "sxy")
+                },
+            }
+        )
+
+    red = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    rs = []
+    for row in red.itertuples(index=False):
+        n, sx, sy = int(row.n), int(row.sx), int(row.sy)
+        sxx, syy, sxy = int(row.sxx), int(row.syy), int(row.sxy)
+        # exact Python-int moments; one correctly-rounded double per term
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            rs.append(float("nan"))
+        else:
+            rs.append(
+                float(num) / (np.sqrt(float(dx)) * np.sqrt(float(dy)))
+            )
+    out = red[[group_col]].copy()
+    out["r"] = np.array(rs, dtype=np.float64)
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def mad_outliers(
+    ds,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    num_coarse_groups: int = 64,
+):
+    """Robust per-group outlier flagging: |x - median| > k * MAD, where
+    MAD is the median absolute deviation (both medians exact, DuckDB
+    ``quantile_cont(0.5)`` interpolation).
+
+    Three passes, ZERO row shuffle: (1) group medians via the compressed
+    freq-map ``group_quantiles``; (2) medians broadcast, |x - med| feeds a
+    second ``group_quantiles`` for the MAD; (3) both broadcast, rows
+    stream through the flag filter. Exchange volume in passes 1-2 is
+    bounded by distinct (group, value) pairs per block."""
+    import ray
+
+    def med_of(d, col):
+        m = group_quantiles(
+            d, group_col, col, qs=(0.5,), num_coarse_groups=num_coarse_groups
+        ).to_pandas()
+        m.columns = [group_col, "med"]
+        return dict(zip(m[group_col], m["med"]))
+
+    med = med_of(ds, value_col)
+    med_ref = ray.put(med)
+
+    def absdev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        mm = np.array([m[x] for x in g], dtype=np.float64)
+        return pa.table(
+            {
+                group_col: b.column(group_col),
+                "absdev": pa.array(np.abs(v - mm), pa.float64()),
+            }
+        )
+
+    mad = med_of(
+        ds.map_batches(absdev, batch_format="pyarrow"), "absdev"
+    )
+    both_ref = ray.put((med, mad))
+
+    def flag(b: pa.Table) -> pa.Table:
+        m, d = ray.get(both_ref)
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        mm = np.array([m[x] for x in g], dtype=np.float64)
+        dd = np.array([d[x] for x in g], dtype=np.float64)
+        keep = np.abs(v - mm) > k * dd
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -133,3 +133,94 @@ def test_percent_rank_single_row(_ray):
     )
     df = percent_rank(ds, "v").to_pandas()
     assert df["pr"].tolist() == [0.0]
+
+
+def test_group_pearson_matches_numpy(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import group_pearson
+
+    rng = np.random.default_rng(8)
+    n = 500
+    g = np.array([f"g{i % 3}" for i in range(n)])
+    x = np.round(rng.uniform(1, 50, n), 2)
+    y = np.round(x * 3.0 + rng.normal(0, 5, n), 2)
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(g), "x": pa.array(x), "y": pa.array(y)})
+    ).repartition(7)
+    df = group_pearson(ds, "grp", "x", "y")
+    for gi in ("g0", "g1", "g2"):
+        m = g == gi
+        xi = np.round(x[m] * 100).astype(object)  # python ints via object
+        yi = np.round(y[m] * 100).astype(object)
+        xi = np.array([int(v) for v in xi], dtype=object)
+        yi = np.array([int(v) for v in yi], dtype=object)
+        nn = int(m.sum())
+        sx, sy = sum(xi), sum(yi)
+        sxx = sum(a * a for a in xi)
+        syy = sum(b * b for b in yi)
+        sxy = sum(a * b for a, b in zip(xi, yi))
+        exp = float(nn * sxy - sx * sy) / (
+            np.sqrt(float(nn * sxx - sx * sx))
+            * np.sqrt(float(nn * syy - sy * sy))
+        )
+        got = float(df.loc[df["grp"] == gi, "r"].iloc[0])
+        assert got == exp
+        # sanity: strong positive correlation by construction
+        assert got > 0.9
+
+
+def test_group_pearson_zero_variance_nan(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import group_pearson
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array(["a"] * 4),
+                "x": pa.array([5.0, 5.0, 5.0, 5.0]),
+                "y": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+    )
+    df = group_pearson(ds, "grp", "x", "y")
+    assert np.isnan(df["r"].iloc[0])
+
+
+def test_group_pearson_parallelism_invariant(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import group_pearson
+
+    rng = np.random.default_rng(12)
+    n = 300
+    tbl = pa.table(
+        {
+            "grp": pa.array([f"s{i % 4}" for i in range(n)]),
+            "x": pa.array(np.round(rng.uniform(0, 9, n), 2)),
+            "y": pa.array(np.round(rng.uniform(0, 9, n), 2)),
+        }
+    )
+
+    def run(nparts):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        return group_pearson(ds, "grp", "x", "y").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(run(2), run(11))
+
+
+def test_mad_outliers_flags(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import mad_outliers
+
+    vals = np.array([10.0] * 20 + [10.5] * 20 + [100.0, -50.0])
+    ids = np.arange(len(vals), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(ids),
+                "event_type": pa.array(["t"] * len(vals)),
+                "value": pa.array(vals),
+            }
+        )
+    ).repartition(3)
+    out = mad_outliers(ds, "event_type", "value", k=3.0).to_pandas()
+    assert sorted(out["event_id"]) == [40, 41]  # only the two wild points

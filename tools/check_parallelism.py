@@ -74,6 +74,8 @@ QUERIES = [
     "hybrid_search",
     "fuzzy_name_pairs",
     "doc_keywords",
+    "pearson_by_flag",
+    "mad_outliers",
 ]
 
 _CHILD = r"""
