@@ -1411,6 +1411,36 @@ def _q_mad_outliers(sf_dir: str):
     return df.sort_values("event_id").reset_index(drop=True)
 
 
+def _q_gram(sf_dir: str):
+    """Exact fixed-point Gram matrix of the embeddings (+ dim sums and
+    count aux rows)."""
+    import ray.data
+    from exactextractr_ray.stages.cluster import embedding_gram
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = embedding_gram(emb).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def _q_transitions(sf_dir: str):
+    """Markov transition counts between consecutive event types."""
+    import ray.data
+    from exactextractr_ray.stages.events import event_transitions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    df = event_transitions(ev).to_pandas()
+    df.columns = ["prev_type", "next_type", "n"]
+    df["n"] = df["n"].astype(np.int64)
+    return df.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1497,6 +1527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_keywords,
         "pearson_by_flag": _q_pearson,
         "mad_outliers": _q_mad_outliers,
+        "embedding_gram": _q_gram,
+        "event_transitions": _q_transitions,
     }
 
 
@@ -3084,6 +3116,53 @@ def oracle_sql() -> dict[str, str]:
     WHERE a.ad > 3.0e0 * mad.d ORDER BY a.event_id
     """
 
+    # gram: same floor(x*2^20+0.5) quantize as kmeans; exact integer
+    # upper-triangle sums via a self-join on vec_id
+    gram_sql = """
+    WITH q AS (
+      SELECT vec_id, d.ri AS dim,
+             CAST(FLOOR(CAST(embedding[d.ri + 1] AS DOUBLE) * 1048576.0
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings,
+           (SELECT CAST(range AS BIGINT) AS ri FROM range(64)) d
+    ),
+    gram AS (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(SUM(a.qv * b.qv) AS BIGINT) AS v
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2
+    ),
+    aux AS (
+      SELECT CAST(-1 AS BIGINT) AS i, dim AS j,
+             CAST(SUM(qv) AS BIGINT) AS v
+      FROM q GROUP BY dim
+    ),
+    cnt AS (
+      SELECT CAST(-2 AS BIGINT) AS i, CAST(0 AS BIGINT) AS j,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS v
+      FROM q
+    )
+    SELECT i, j, v FROM gram
+    UNION ALL SELECT i, j, v FROM aux
+    UNION ALL SELECT i, j, v FROM cnt
+    ORDER BY i, j
+    """
+
+    transitions_sql = """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+    ),
+    p AS (
+      SELECT user_id, event_type AS next_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_id) AS prev_type
+      FROM e
+    )
+    SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     fuzzy_pairs_sql = """
     WITH dn AS (SELECT DISTINCT p_name AS name FROM part)
     SELECT a.name AS name_a, b.name AS name_b,
@@ -3366,6 +3445,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": keywords_sql,
         "pearson_by_flag": pearson_sql,
         "mad_outliers": mad_outliers_sql,
+        "embedding_gram": gram_sql,
+        "event_transitions": transitions_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -185,3 +185,58 @@ def kmeans_fixed(
         )
 
     return q.map_batches(final, batch_format="pyarrow")
+
+
+def embedding_gram(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact d x d Gram matrix (sum over vectors of q qᵀ) of the
+    fixed-point-quantized embedding column — the building block for
+    covariance/PCA/whitening at corpus scale.
+
+    Quantization is the shared ``floor(x * 2^20 + 0.5)`` int64 contract
+    (see kmeans_fixed), so each per-batch contribution is ONE int64
+    matmul and the global reduction is an exact integer groupby-sum of
+    d² cells per block — order-free, parallelism-invariant, bit-exact in
+    SQL. Also emits the per-dimension sums (row i = -1) and the vector
+    count (i = -2, j = 0), so a caller can form the centered covariance
+    on the driver. int64 headroom: |q| <= 2^21 ⇒ a cell overflows only
+    past ~2^21 vectors per block and ~2^63 total — chunk like
+    group_pearson if embeddings ever exceed that.
+
+    Output rows: (i, j, v) for 0 <= i <= j < d (upper triangle), plus
+    the auxiliary rows above.
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "v": pa.array([], pa.int64()),
+                }
+            )
+        emb = np.stack(b.column(vec_col).to_numpy(zero_copy_only=False))
+        q = _quantize(emb)
+        d = q.shape[1]
+        gram = q.T @ q  # (d, d) int64, exact
+        iu, ju = np.triu_indices(d)
+        sums = q.sum(axis=0, dtype=np.int64)
+        i = np.concatenate([iu, np.full(d, -1, np.int64), [-2]])
+        j = np.concatenate([ju, np.arange(d), [0]])
+        v = np.concatenate([gram[iu, ju], sums, [np.int64(len(q))]])
+        return pa.table(
+            {
+                "i": pa.array(i, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .sum("v")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["i", "j", "v"]), batch_format="pyarrow"
+    )

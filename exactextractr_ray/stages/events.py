@@ -226,3 +226,65 @@ def event_gaps(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby("ckey")
         .map_groups(per_group, batch_format="pandas")
     )
+
+
+def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      type_col: str = "event_type"):
+    """Markov transition counts between consecutive event types per user:
+    one row per (prev_type, next_type) with the total count over all
+    users — the sequence-statistics primitive behind session modeling.
+
+    Order within a user is (ts, event_id). Scale shape = event_gaps: one
+    user-keyed coarse-group shuffle of (user, ts, id, type) rows, then a
+    vectorized sort + shift per group, per-group pair-count partials, and
+    a tiny final groupby-sum."""
+
+    def project(b: pa.Table) -> pa.Table:
+        uid = b.column(user_col).to_numpy()
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy()
+        eid = b.column(id_col).to_numpy()
+        return pa.table(
+            {
+                "ckey": pa.array(uid % _NGROUPS, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "eid": pa.array(eid, pa.int64()),
+                "etype": b.column(type_col),
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "eid"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        et = g["etype"].to_numpy()
+        if len(uid) == 0:
+            same = np.zeros(0, dtype=bool)
+        else:
+            same = np.r_[False, uid[1:] == uid[:-1]]
+        prev = np.r_[[""], et[:-1]][same]
+        nxt = et[same]
+        if len(nxt) == 0:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=object),
+                    "next_type": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        pairs = np.stack([prev.astype(str), nxt.astype(str)], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "prev_type": uniq[:, 0],
+                "next_type": uniq[:, 1],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(per_group, batch_format="pandas")
+    )
+    return partials.groupby(["prev_type", "next_type"]).sum("n")

@@ -214,3 +214,27 @@ def test_hybrid_search_missing_embeddings(_ray, tmp_path):
     df2 = hybrid_search(str(tmp_path), ["spark"], k=6, feedback=3)
     assert len(df2) == 0
     assert list(df2.columns) == ["doc_id", "bm25", "cosine"]
+
+
+def test_embedding_gram_matches_numpy(_ray):
+    from exactextractr_ray.stages.cluster import _quantize, embedding_gram
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 0.3, (50, 6)).astype(np.float32)
+    df = (
+        embedding_gram(_emb_ds(vecs, nparts=4))
+        .to_pandas()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+    q = _quantize(vecs.astype(np.float64))
+    gram = q.T @ q
+    for r in df.itertuples():
+        if r.i == -2:
+            assert r.v == 50
+        elif r.i == -1:
+            assert r.v == q[:, int(r.j)].sum()
+        else:
+            assert r.v == gram[int(r.i), int(r.j)]
+    iu, ju = np.triu_indices(6)
+    assert len(df) == len(iu) + 6 + 1

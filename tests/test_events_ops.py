@@ -301,3 +301,35 @@ def test_retention_and_gaps_hot_user(_ray):
         )
 
     pd.testing.assert_frame_equal(run_ret(2), run_ret(17))
+
+
+def test_event_transitions_counts(_ray):
+    import ray.data
+    from exactextractr_ray.stages.events import event_transitions
+
+    rows = [  # (user, ts, eid, type)
+        (1, 10, 1, "view"),
+        (1, 20, 2, "click"),
+        (1, 30, 3, "view"),
+        (2, 10, 4, "view"),
+        (2, 20, 5, "click"),
+        (3, 5, 6, "purchase"),  # single event: no transition
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(3)
+    df = event_transitions(ds).to_pandas()
+    df.columns = ["prev_type", "next_type", "n"]
+    got = {
+        (r.prev_type, r.next_type): int(r.n) for r in df.itertuples()
+    }
+    assert got == {("view", "click"): 2, ("click", "view"): 1}

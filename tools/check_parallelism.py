@@ -76,6 +76,8 @@ QUERIES = [
     "doc_keywords",
     "pearson_by_flag",
     "mad_outliers",
+    "embedding_gram",
+    "event_transitions",
 ]
 
 _CHILD = r"""
