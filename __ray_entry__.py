@@ -1441,6 +1441,45 @@ def _q_transitions(sf_dir: str):
     return df.sort_values(["prev_type", "next_type"]).reset_index(drop=True)
 
 
+def _q_running_revenue(sf_dir: str):
+    """Daily revenue per priority with a running cumulative total."""
+    import ray.data
+    from exactextractr_ray.stages.rank import grouped_running_total
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def project(b):
+        import pyarrow as _pa
+
+        day = (
+            b.column("o_orderdate").cast(_pa.int64()).to_numpy()
+            // 86_400_000_000
+        )
+        cents = np.round(
+            b.column("o_totalprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        return _pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "day": _pa.array(day, _pa.int64()),
+                "cents": _pa.array(cents, _pa.int64()),
+            }
+        )
+
+    df = grouped_running_total(
+        orders.map_batches(project, batch_format="pyarrow"),
+        "o_orderpriority",
+        "day",
+        "cents",
+    ).to_pandas()
+    for c in ("day", "period_value", "running_total"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["o_orderpriority", "day"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
@@ -1529,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers": _q_mad_outliers,
         "embedding_gram": _q_gram,
         "event_transitions": _q_transitions,
+        "running_revenue": _q_running_revenue,
     }
 
 
@@ -3163,6 +3203,21 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2 ORDER BY 1, 2
     """
 
+    running_revenue_sql = """
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS period_value
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, day, period_value,
+           CAST(SUM(period_value) OVER (PARTITION BY o_orderpriority
+                                        ORDER BY day) AS BIGINT)
+             AS running_total
+    FROM d ORDER BY o_orderpriority, day
+    """
+
     fuzzy_pairs_sql = """
     WITH dn AS (SELECT DISTINCT p_name AS name FROM part)
     SELECT a.name AS name_a, b.name AS name_b,
@@ -3447,6 +3502,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": mad_outliers_sql,
         "embedding_gram": gram_sql,
         "event_transitions": transitions_sql,
+        "running_revenue": running_revenue_sql,
         "langid": langid,
         "doc_rolling_fingerprint": rolling_fp,
         # minhash_pairs, knn_cosine_lsh: approximate/probabilistic by design

@@ -495,3 +495,93 @@ def mad_outliers(
         return b.filter(pa.array(keep))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def grouped_running_total(
+    ds,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    num_coarse_groups: int = 64,
+):
+    """Per-group running total: one row per (group, order) with the
+    period value and its cumulative sum in order — the windowed
+    ``SUM() OVER (PARTITION BY g ORDER BY o)`` at scale.
+
+    Phase 1 collapses rows to one (group, order) partial per block
+    (per-batch np.unique + add.at combiner) and a small groupby-sum —
+    the exchange is periods, not rows. Phase 2 hashes groups into coarse
+    buckets and runs one vectorized sort + segmented cumsum per bucket.
+    Integer values stay exact int64."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        gu, gc = np.unique(g, return_inverse=True)
+        pairs, inv = np.unique(
+            np.stack([gc.astype(np.int64), o], axis=1),
+            axis=0,
+            return_inverse=True,
+        )
+        acc = np.zeros(len(pairs), dtype=np.int64)
+        np.add.at(acc, inv, v)
+        return pa.table(
+            {
+                group_col: pa.array(gu[pairs[:, 0]]),
+                order_col: pa.array(pairs[:, 1], pa.int64()),
+                "pv": pa.array(acc, pa.int64()),
+            }
+        )
+
+    reduced = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, order_col])
+        .sum("pv")
+    )
+
+    def add_coarse(b: pa.Table) -> pa.Table:
+        vals = b.column(group_col).to_pylist()
+        cg = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(str(s).encode()).digest()[:8], "big"
+                )
+                % num_coarse_groups
+                for s in vals
+            ],
+            dtype=np.int64,
+        )
+        return b.append_column("__cg", pa.array(cg, pa.int64()))
+
+    def final(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        o = b.column(order_col).to_numpy()
+        v = b.column("sum(pv)").to_numpy().astype(np.int64)
+        codes = _group_codes(g)
+        order = np.lexsort((o, codes))
+        gs, os_, vs = codes[order], o[order], v[order]
+        cum = np.cumsum(vs)
+        starts = np.r_[0, 1 + np.flatnonzero(gs[1:] != gs[:-1])]
+        # subtract the cumulative total before each group's first row
+        base = np.repeat(np.r_[0, cum[starts[1:] - 1]], np.diff(
+            np.r_[starts, len(gs)]
+        ))
+        return pa.table(
+            {
+                group_col: pa.array(g[order]),
+                order_col: pa.array(os_, pa.int64()),
+                "period_value": pa.array(vs, pa.int64()),
+                "running_total": pa.array(cum - base, pa.int64()),
+            }
+        )
+
+    return (
+        reduced.map_batches(add_coarse, batch_format="pyarrow")
+        .groupby("__cg")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -224,3 +224,32 @@ def test_mad_outliers_flags(_ray):
     ).repartition(3)
     out = mad_outliers(ds, "event_type", "value", k=3.0).to_pandas()
     assert sorted(out["event_id"]) == [40, 41]  # only the two wild points
+
+
+def test_grouped_running_total(_ray):
+    import ray.data
+    from exactextractr_ray.stages.rank import grouped_running_total
+
+    rows = [  # (grp, day, v)
+        ("a", 3, 5), ("a", 1, 2), ("a", 1, 3), ("a", 2, 1),
+        ("b", 1, 10), ("b", 5, 1),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "grp": pa.array([r[0] for r in rows]),
+                "day": pa.array([r[1] for r in rows], pa.int64()),
+                "v": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    df = (
+        grouped_running_total(ds, "grp", "day", "v")
+        .to_pandas()
+        .sort_values(["grp", "day"])
+        .reset_index(drop=True)
+    )
+    assert df["grp"].tolist() == ["a", "a", "a", "b", "b"]
+    assert df["day"].tolist() == [1, 2, 3, 1, 5]
+    assert df["period_value"].tolist() == [5, 1, 5, 10, 1]
+    assert df["running_total"].tolist() == [5, 6, 11, 10, 11]

@@ -78,6 +78,7 @@ QUERIES = [
     "mad_outliers",
     "embedding_gram",
     "event_transitions",
+    "running_revenue",
 ]
 
 _CHILD = r"""
