@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -301,8 +302,10 @@ def percent_rank(ds, value_col: str, out_col: str = "pr"):
         .groupby("__v")
         .sum("__c")
         .to_pandas()
-        .sort_values("__v")
     )
+    if len(freq) == 0:  # empty input (to_pandas drops columns on empty)
+        freq = pd.DataFrame({"__v": [], "sum(__c)": []})
+    freq = freq.sort_values("__v")
     vals = freq["__v"].to_numpy()
     cnt = freq["sum(__c)"].to_numpy(np.int64)
     below = np.r_[0, np.cumsum(cnt)[:-1]]

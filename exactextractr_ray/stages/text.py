@@ -985,6 +985,19 @@ def cooccurrence_pmi(
         .sum("c")
         .to_pandas()
     )
+    if len(dfreq) == 0:  # empty corpus (to_pandas drops columns on empty)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "c_ab": pa.array([], pa.int64()),
+                    "pmi_ratio": pa.array([], pa.float64()),
+                }
+            )
+        )
     dfreq.columns = ["tok", "c"]
     n_docs = int(dfreq.loc[dfreq["tok"] == "\x00__N__", "c"].iloc[0])
     dfreq = dfreq[dfreq["tok"] != "\x00__N__"]
@@ -1087,6 +1100,19 @@ def keyword_topk(
         .sum("c")
         .to_pandas()
     )
+    if len(dfreq) == 0:  # empty corpus (to_pandas drops columns on empty)
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                    "rnk": pa.array([], pa.int64()),
+                }
+            )
+        )
     dfreq.columns = ["tok", "c"]
     n_docs = int(dfreq.loc[dfreq["tok"] == "\x00__N__", "c"].iloc[0])
     dfreq = dfreq[dfreq["tok"] != "\x00__N__"]
