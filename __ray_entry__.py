@@ -785,6 +785,91 @@ def _q_morton(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_hilbert(sf_dir: str):
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import assign_hilbert_batch
+
+    geo = _docs(sf_dir, ["doc_id"]).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    geo = geo.map_batches(lambda b: assign_hilbert_batch(b, 8), batch_format="pyarrow")
+    df = geo.select_columns(["doc_id", "hilbert_cell"]).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_hex(sf_dir: str):
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import assign_hex_batch
+
+    geo = _docs(sf_dir, ["doc_id"]).map_batches(geocode_doc_batch, batch_format="pyarrow")
+    geo = geo.map_batches(lambda b: assign_hex_batch(b, 4.0), batch_format="pyarrow")
+    df = geo.select_columns(["doc_id", "hex_cell"]).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_spatial_knn(sf_dir: str):
+    from exactextractr_ray import synth
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import spatial_knn
+
+    qids = 11 + 37 * np.arange(KNN_Q, dtype=np.int64)
+    qlon, qlat = synth.geocode_ids(qids)
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+    out = spatial_knn(docs, qids, qlon, qlat, k=5).to_pandas()
+    for c in ("query_id", "neighbor_id", "rank"):
+        out[c] = out[c].astype(np.int64)
+    out["dist2"] = out["dist2"].astype(np.float64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _q_zone_cover(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+    from exactextractr_ray import synth
+    from exactextractr_ray.stages.spatial import zone_cell_cover
+
+    bounds = [synth.synth_geo_zone_bounds(k) for k in range(N_GEO_ZONES)]
+    tbl = pa.table(
+        {
+            "zone_id": pa.array(range(N_GEO_ZONES), pa.int64()),
+            "xmin": pa.array([b[0] for b in bounds], pa.float64()),
+            "ymin": pa.array([b[1] for b in bounds], pa.float64()),
+            "xmax": pa.array([b[2] for b in bounds], pa.float64()),
+            "ymax": pa.array([b[3] for b in bounds], pa.float64()),
+        }
+    )
+    out = zone_cell_cover(ray.data.from_arrow(tbl), 3.0).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["zone_id", "cell"]).reset_index(drop=True)
+
+
+def _q_cell_kring(sf_dir: str):
+    from exactextractr_ray.stages.geocode import geocode_documents
+    from exactextractr_ray.stages.spatial import cell_kring_counts
+
+    geo = geocode_documents(_docs(sf_dir, ["doc_id"]))
+    out = cell_kring_counts(geo).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("cell").reset_index(drop=True)
+
+
+def _q_raster_runs(sf_dir: str):
+    from exactextractr_ray.pipelines.polygonize import raster_runs
+
+    out = raster_runs(_raster()).to_pandas()
+    out = out[["row", "col_start", "col_end", "val", "run_len"]]
+    for c in ("row", "col_start", "col_end", "run_len"):
+        out[c] = out[c].astype(np.int64)
+    out["val"] = out["val"].astype(np.float64)
+    return out.sort_values(["row", "col_start"]).reset_index(drop=True)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     from exactextractr_ray.stages.dedup import ngram_jaccard_pairs
 
@@ -1532,6 +1617,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": _q_knn_lsh,  # approximate by design -> rows-only
         "doc_rolling_fingerprint": _q_rolling_fp,
         "morton_cells": _q_morton,
+        "hilbert_cells": _q_hilbert,
+        "hex_cells": _q_hex,
+        "spatial_knn": _q_spatial_knn,
+        "zone_tile_cover": _q_zone_cover,
+        "cell_kring": _q_cell_kring,
+        "raster_runs": _q_raster_runs,
         "zonal_feature_seq_rect": _q_zonal_feature_seq,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "dup_clusters": _q_dup_clusters,
@@ -2047,6 +2138,102 @@ def oracle_sql() -> dict[str, str]:
     xy AS (SELECT doc_id, {xexpr} AS mx, {yexpr} AS my FROM geo)
     SELECT doc_id, CAST({terms} AS BIGINT) AS morton_cell
     FROM xy ORDER BY doc_id
+    """
+
+    # Hilbert-curve (S2-style) key: the xy2d bit transform unrolled as one
+    # CTE per level (synth.hilbert_cell_sql), bit-identical to the numpy
+    # loop in stages/spatial.py:hilbert_cell.
+    hilbert = f"""
+    WITH geo AS ({geo}),
+    {synth.hilbert_cell_sql(8)}
+    ORDER BY doc_id
+    """
+
+    # Hexagonal (H3-style) bin: nearest hex center over the 9 lattice
+    # candidates; float constants embedded via repr() so DuckDB parses the
+    # exact doubles numpy computes (stages/spatial.py:hex_cell).
+    hexcells = f"""
+    WITH geo AS ({geo}),
+    {synth.hex_cell_sql(4.0)}
+    ORDER BY doc_id
+    """
+
+    # Spatial kNN join: query points derive from the same Knuth hash as the
+    # documents' geocode; planar squared distance, ties by neighbor_id.
+    qlon_expr = synth.GEOCODE_LON_SQL.replace("doc_id", "qid")
+    qlat_expr = synth.GEOCODE_LAT_SQL.replace("doc_id", "qid")
+    spatial_knn_sql = f"""
+    WITH geo AS ({geo}),
+    q0 AS (SELECT CAST(11 + 37 * k AS BIGINT) AS qid FROM range(0, {KNN_Q}) t(k)),
+    q AS (SELECT qid, {qlon_expr} AS qlon, {qlat_expr} AS qlat FROM q0),
+    d AS (
+      SELECT q.qid AS query_id, geo.doc_id AS neighbor_id,
+        (geo.lon - q.qlon) * (geo.lon - q.qlon)
+          + (geo.lat - q.qlat) * (geo.lat - q.qlat) AS dist2
+      FROM geo, q WHERE geo.doc_id != q.qid
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, dist2,
+        ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY dist2, neighbor_id) AS rank
+      FROM d
+    )
+    SELECT query_id, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(rank AS BIGINT) AS rank, dist2
+    FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # Polygon cell cover (H3-polyfill analog): every 3-degree cell whose
+    # rectangle intersects the zone rectangle, via inclusive generate_series
+    # over floor/ceil bounds — identical float ops to zone_cell_cover_batch.
+    zone_cover = f"""
+    WITH z AS ({synth.synth_geo_zones_sql(N_GEO_ZONES)}),
+    cy AS (
+      SELECT zone_id, xmin, xmax,
+        unnest(generate_series(CAST(FLOOR((ymin + 90.0) / 3.0) AS BIGINT),
+                               CAST(CEIL((ymax + 90.0) / 3.0) AS BIGINT) - 1)) AS cy
+      FROM z),
+    cells AS (
+      SELECT zone_id,
+        cy * 120 + unnest(generate_series(CAST(FLOOR((xmin + 180.0) / 3.0) AS BIGINT),
+                                          CAST(CEIL((xmax + 180.0) / 3.0) AS BIGINT) - 1)) AS cell
+      FROM cy)
+    SELECT zone_id, cell FROM cells ORDER BY zone_id, cell
+    """
+
+    # k-ring (3x3 neighborhood) cell aggregation: occupied cells self-joined
+    # on integer adjacency; kring includes the center cell's own count.
+    cell_kring = f"""
+    WITH geo AS ({geo}),
+    pts AS (
+      SELECT CAST(FLOOR((lat + 90.0) / 3.0) AS BIGINT) AS cy,
+             CAST(FLOOR((lon + 180.0) / 3.0) AS BIGINT) AS cx
+      FROM geo),
+    counts AS (
+      SELECT cy, cx, cy * 120 + cx AS cell, COUNT(*) AS n
+      FROM pts GROUP BY cy, cx)
+    SELECT b.cell, CAST(b.n AS BIGINT) AS n_docs,
+           CAST(SUM(a.n) AS BIGINT) AS kring_docs
+    FROM counts b JOIN counts a
+      ON a.cy BETWEEN b.cy - 1 AND b.cy + 1
+     AND a.cx BETWEEN b.cx - 1 AND b.cx + 1
+    GROUP BY b.cell, b.n ORDER BY b.cell
+    """
+
+    # Raster run polygonize: classic gaps-and-islands (c - ROW_NUMBER within
+    # (row, val) partitions) over the synthetic raster's non-NODATA cells.
+    raster_runs_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    v AS (SELECT r, c, val FROM cells WHERE val IS NOT NULL),
+    isl AS (
+      SELECT r, c, val,
+        c - ROW_NUMBER() OVER (PARTITION BY r, val ORDER BY c) AS grp
+      FROM v)
+    SELECT CAST(r AS BIGINT) AS row,
+           CAST(MIN(c) AS BIGINT) AS col_start,
+           CAST(MAX(c) AS BIGINT) AS col_end,
+           val, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY r, val, grp ORDER BY row, col_start
     """
 
     # SimHash pairs — bit-exact: DuckDB's hex-cast of md5's first 16 hex
@@ -3466,6 +3653,12 @@ def oracle_sql() -> dict[str, str]:
         "zonal_variety_kmv": variety_kmv,
         "zonal_quantile_hist": quantile_hist,
         "morton_cells": morton,
+        "hilbert_cells": hilbert,
+        "hex_cells": hexcells,
+        "spatial_knn": spatial_knn_sql,
+        "zone_tile_cover": zone_cover,
+        "cell_kring": cell_kring,
+        "raster_runs": raster_runs_sql,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,
         "dup_clusters": dup_clusters_sql,

@@ -1,0 +1,347 @@
+"""Spatial indexing + search operators beyond point-in-polygon: hierarchical
+space-filling-curve keys (Hilbert — the S2-style locality index), hexagonal
+binning (the H3-style cell shape), spatial k-nearest-neighbor join, polygon
+cell cover (polyfill), and k-ring neighborhood aggregation.
+
+These complete the north-rule surface ("H3/S2 index, point-in-polygon, kNN")
+next to stages/geocode.py (flat cells + Morton) and stages/pip_join.py. All
+are Ray-Data-first:
+
+* key assignment is a stateless vectorized ``map_batches`` over zero-copy
+  Arrow (pure integer/float numpy, bit-identical at any parallelism);
+* spatial kNN is the broadcast pattern (queries ``ray.put`` once, per-batch
+  vectorized distances + deterministic partial top-k, tiny finalize) — the
+  same shuffle shape as stages/knn.py: O(Q * k * num_batches) rows move,
+  never the corpus;
+* polyfill fans out zones (the SMALL side) to (zone_id, cell) rows with a
+  fully vectorized multi-range expansion — at 100 TB this is the build step
+  for a cell->zone broadcast join that replaces a geometry shuffle;
+* k-ring aggregation is a tagged self-union + ONE groupby over cell keys
+  (counts rows only — bounded by distinct occupied cells, never documents).
+
+Reference surface: exactextractr has no spatial-index analog (it reads
+zones feature-by-feature, /root/reference/src/exactextract/src/
+gdal_dataset_wrapper.cpp:22-76); these operators are the web-scale
+tiling/partitioning machinery BASELINE.json's north star adds on top.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+# ---------------- Hilbert-curve key (S2-style) ----------------
+
+
+def hilbert_cell(lon: np.ndarray, lat: np.ndarray, level: int = 8) -> np.ndarray:
+    """Hilbert-curve index of the 2^level x 2^level cell containing each
+    point — the S2-style spatial key: unlike Morton (geocode.morton_cell),
+    consecutive indexes are always edge-adjacent cells, so range-partitioning
+    by key gives compact (low-perimeter) worker regions. Parent cell at
+    level-1 is ``id >> 2`` (same prefix-coarsening contract as Morton).
+
+    Classic xy2d bit transform (public domain, en.wikipedia.org/wiki/
+    Hilbert_curve), vectorized: one numpy pass per level, no Python per row.
+    Bit-identical to synth.hilbert_cell_sql's unrolled-CTE oracle.
+    """
+    n = np.int64(1) << level
+    x = np.clip(
+        np.floor((np.asarray(lon) + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1
+    )
+    y = np.clip(
+        np.floor((np.asarray(lat) + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1
+    )
+    d = np.zeros(len(x), dtype=np.int64)
+    s = np.int64(n >> 1)
+    while s > 0:
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate/flip the quadrant frame (ry==0: swap axes, rx==1: also flip)
+        x_new = np.where(ry == 1, x, np.where(rx == 1, n - 1 - y, y))
+        y_new = np.where(ry == 1, y, np.where(rx == 1, n - 1 - x, x))
+        x, y = x_new, y_new
+        s >>= 1
+    return d
+
+
+def assign_hilbert_batch(batch: pa.Table, level: int = 8) -> pa.Table:
+    lon = batch.column("lon").to_numpy()
+    lat = batch.column("lat").to_numpy()
+    return batch.append_column(
+        "hilbert_cell", pa.array(hilbert_cell(lon, lat, level), type=pa.int64())
+    )
+
+
+# ---------------- hexagonal binning (H3-style) ----------------
+
+
+def hex_cell(lon: np.ndarray, lat: np.ndarray, size: float = 4.0) -> np.ndarray:
+    """Pointy-top hexagon id containing each point (H3-style bin; flat
+    lon/lat plane — no icosahedron projection in this env, FIXTURES.md §1).
+
+    Assignment is nearest-hex-center over the 9 lattice candidates around
+    the point's bounding rectangle — the Voronoi diagram of the hex lattice
+    IS the hex grid, so this is exact by definition, needs no irrational
+    axial transform, and every float op mirrors hex_cell_sql term-for-term
+    (ties broken by smallest (row, col), matching the oracle's ROW_NUMBER).
+    Lattice: row r centers at y = r*1.5*size; col c centers at
+    x = c*w + (r odd)*w/2 with w = sqrt(3)*size. id = r * 2^20 + c.
+    """
+    w = np.sqrt(3.0) * size
+    halfw = np.sqrt(3.0) * size * 0.5
+    ystep = 1.5 * size
+    x = np.asarray(lon, dtype=np.float64) + 180.0
+    y = np.asarray(lat, dtype=np.float64) + 90.0
+    r0 = np.floor(y / ystep).astype(np.int64)
+    c0 = np.floor(x / w).astype(np.int64)
+    best_d2 = np.full(len(x), np.inf)
+    best_r = np.zeros(len(x), dtype=np.int64)
+    best_c = np.zeros(len(x), dtype=np.int64)
+    # candidate order (r asc, c asc) + strict < keeps the first minimum:
+    # identical tie-break to the oracle's ORDER BY d2, r, c
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            r = r0 + dr
+            c = c0 + dc
+            parity = np.mod(r, 2).astype(np.float64)
+            cx = c.astype(np.float64) * w + parity * halfw
+            cy = r.astype(np.float64) * ystep
+            ddx = x - cx
+            ddy = y - cy
+            d2 = ddx * ddx + ddy * ddy
+            take = d2 < best_d2
+            best_d2 = np.where(take, d2, best_d2)
+            best_r = np.where(take, r, best_r)
+            best_c = np.where(take, c, best_c)
+    return best_r * 1048576 + best_c
+
+
+def assign_hex_batch(batch: pa.Table, size: float = 4.0) -> pa.Table:
+    lon = batch.column("lon").to_numpy()
+    lat = batch.column("lat").to_numpy()
+    return batch.append_column(
+        "hex_cell", pa.array(hex_cell(lon, lat, size), type=pa.int64())
+    )
+
+
+# ---------------- spatial kNN join ----------------
+
+
+class _SpatialTopK:
+    """Actor stage: batch points x broadcast query points -> candidate rows.
+    Same broadcast/partial-top-k shape as knn.BruteForceTopK, with planar
+    squared euclidean distance (bit-exact in SQL: the synthetic lon/lat
+    plane is the distance space; no great-circle transcendentals)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.query_ids, self.qlon, self.qlat = q
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy().astype(np.int64)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "dist2": pa.array([], pa.float64()),
+                }
+            )
+        dx = lon[:, None] - self.qlon[None, :]
+        dy = lat[:, None] - self.qlat[None, :]
+        d2 = dx * dx + dy * dy  # (B, Q)
+        kk = min(self.k, d2.shape[0])
+        parts_q, parts_n, parts_d = [], [], []
+        for qi in range(d2.shape[1]):
+            col = d2[:, qi]
+            if kk < len(col):
+                # deterministic cut: (dist2 asc, neighbor_id asc) — identical
+                # to the finalize ordering, so per-batch capping never changes
+                # the global top-k
+                ord_ = np.lexsort((ids, col))[:kk]
+            else:
+                ord_ = np.arange(len(col))
+            parts_q.append(np.full(len(ord_), int(self.query_ids[qi]), np.int64))
+            parts_n.append(ids[ord_])
+            parts_d.append(col[ord_])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(parts_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(parts_n), pa.int64()),
+                "dist2": pa.array(np.concatenate(parts_d), pa.float64()),
+            }
+        )
+
+
+def spatial_knn(
+    ds,
+    query_ids: np.ndarray,
+    query_lon: np.ndarray,
+    query_lat: np.ndarray,
+    k: int = 5,
+    id_col: str = "doc_id",
+    exclude_self: bool = True,
+):
+    """k nearest points (planar squared distance on the lon/lat plane) for
+    each query point — the spatial-join companion of knn.knn_cosine.
+
+    Query points are broadcast once via ``ray.put``; the point corpus
+    streams; each batch emits at most Q*(k+1) candidate rows; a tiny
+    groupby(query_id) finalizes. Returns (query_id, neighbor_id, rank,
+    dist2) ranked by (dist2 asc, neighbor_id asc).
+    """
+    from ..util import cached_stage
+
+    queries_ref = ray.put(
+        (
+            np.asarray(query_ids, dtype=np.int64),
+            np.asarray(query_lon, dtype=np.float64),
+            np.asarray(query_lat, dtype=np.float64),
+        )
+    )
+    cand = ds.map_batches(
+        cached_stage(
+            _SpatialTopK, queries_ref, k + (1 if exclude_self else 0), id_col
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["dist2", "neighbor_id"], ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "dist2"]]
+
+    return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# ---------------- polygon cell cover (polyfill) ----------------
+
+
+def zone_cell_cover_batch(batch: pa.Table, res_deg: float = 3.0) -> pa.Table:
+    """(zone_id, xmin, ymin, xmax, ymax) rows -> (zone_id, cell) rows for
+    every res_deg cell whose rectangle intersects the (open) zone rectangle
+    — the H3-polyfill analog over the flat cell grid (geocode.assign_cell).
+
+    Fully vectorized multi-range expansion: no Python loop over zones. At
+    scale this is the build side of a cell->zones broadcast/hash join: the
+    cover (bounded by zone area / cell area) shuffles instead of geometry.
+    """
+    ncols = int(round(360.0 / res_deg))
+    zid = batch.column("zone_id").to_numpy().astype(np.int64)
+    xmin = batch.column("xmin").to_numpy()
+    ymin = batch.column("ymin").to_numpy()
+    xmax = batch.column("xmax").to_numpy()
+    ymax = batch.column("ymax").to_numpy()
+    cx0 = np.floor((xmin + 180.0) / res_deg).astype(np.int64)
+    cx1 = np.ceil((xmax + 180.0) / res_deg).astype(np.int64) - 1
+    cy0 = np.floor((ymin + 90.0) / res_deg).astype(np.int64)
+    cy1 = np.ceil((ymax + 90.0) / res_deg).astype(np.int64) - 1
+    ncx = np.maximum(cx1 - cx0 + 1, 0)
+    ncy = np.maximum(cy1 - cy0 + 1, 0)
+    counts = ncx * ncy
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table(
+            {"zone_id": pa.array([], pa.int64()), "cell": pa.array([], pa.int64())}
+        )
+    rep = np.repeat(np.arange(len(zid)), counts)
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    within = np.arange(total) - starts[rep]
+    cy = cy0[rep] + within // ncx[rep]
+    cx = cx0[rep] + within % ncx[rep]
+    return pa.table(
+        {
+            "zone_id": pa.array(zid[rep], pa.int64()),
+            "cell": pa.array(cy * ncols + cx, pa.int64()),
+        }
+    )
+
+
+def zone_cell_cover(zones_bounds_ds, res_deg: float = 3.0):
+    """Dataset of zone bounds -> Dataset of (zone_id, cell) cover rows."""
+    return zones_bounds_ds.map_batches(
+        lambda b: zone_cell_cover_batch(b, res_deg), batch_format="pyarrow"
+    )
+
+
+# ---------------- k-ring neighborhood aggregation ----------------
+
+
+def cell_kring_counts(geo_ds, res_deg: float = 3.0, coarse: int = 64):
+    """Per-cell doc counts plus the ring-1 (3x3 neighborhood) total — the
+    k-ring smoothing primitive of hex-grid systems, over the flat cell grid.
+
+    Shape: corpus -> groupby(cell).count() (rows bounded by occupied cells,
+    not documents) -> each count row fans out to its 9 neighbors tagged
+    kind=0 plus itself tagged kind=1 -> ONE coarse-keyed groupby with a
+    vectorized segmented-sum finalize. No wrap at the antimeridian (grid
+    edges clamp, matching the oracle's plain integer adjacency).
+    Returns (cell, n_docs, kring_docs) for every occupied cell.
+    """
+    ncols = int(round(360.0 / res_deg))
+    counts = geo_ds.groupby("cell").count()
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy().astype(np.int64)
+        n = batch.column("count()").to_numpy().astype(np.int64)
+        cy = cell // ncols
+        cx = cell % ncols
+        offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        tgt, val, kind = [], [], []
+        for dy, dx in offs:
+            ty = cy + dy
+            tx = cx + dx
+            ok = (ty >= 0) & (tx >= 0) & (tx < ncols)
+            tgt.append((ty[ok] * ncols + tx[ok]))
+            val.append(n[ok])
+            kind.append(np.zeros(int(ok.sum()), dtype=np.int64))
+        tgt.append(cell)
+        val.append(n)
+        kind.append(np.ones(len(cell), dtype=np.int64))
+        t = np.concatenate(tgt)
+        return pa.table(
+            {
+                "cell": pa.array(t, pa.int64()),
+                "n": pa.array(np.concatenate(val), pa.int64()),
+                "kind": pa.array(np.concatenate(kind), pa.int64()),
+                "ckey": pa.array(t % coarse, pa.int64()),
+            }
+        )
+
+    tagged = counts.map_batches(fan_out, batch_format="pyarrow")
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].to_numpy()
+        n = g["n"].to_numpy()
+        kind = g["kind"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell, n, kind = cell[order], n[order], kind[order]
+        uniq, starts = np.unique(cell, return_index=True)
+        ring = np.add.reduceat(np.where(kind == 0, n, 0), starts)
+        center = np.add.reduceat(np.where(kind == 1, n, 0), starts)
+        has_center = np.add.reduceat(kind, starts) > 0
+        return pd.DataFrame(
+            {
+                "cell": uniq[has_center],
+                "n_docs": center[has_center].astype(np.int64),
+                # kind=0 fan-out covers all 9 offsets incl. (0,0), so the
+                # ring sum already contains the center cell's own count
+                "kring_docs": ring[has_center].astype(np.int64),
+            }
+        )
+
+    return tagged.groupby("ckey").map_groups(finalize, batch_format="pandas")

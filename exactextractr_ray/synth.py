@@ -224,6 +224,82 @@ def cell_sql(res_deg: float = 3.0) -> str:
     )
 
 
+# ---------------- hierarchical / hexagonal spatial keys ------------------
+
+
+def hilbert_cell_sql(level: int = 8, from_rel: str = "geo") -> str:
+    """SQL computing the Hilbert-curve index (S2-style locality key) for
+    (doc_id, lon, lat) rows in ``from_rel`` — the xy2d loop unrolled as one
+    chained CTE per level, bit-identical to stages.spatial.hilbert_cell.
+    Returns a relation (doc_id, hilbert_cell)."""
+    n = 1 << level
+    parts = [
+        f"""h0 AS (
+      SELECT doc_id,
+        LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT), 0), {n - 1}) AS x,
+        LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 180.0 * {n}) AS BIGINT), 0), {n - 1}) AS y,
+        CAST(0 AS BIGINT) AS d
+      FROM {from_rel})"""
+    ]
+    s = n >> 1
+    i = 0
+    while s > 0:
+        i += 1
+        parts.append(
+            f"""h{i} AS (
+      SELECT doc_id,
+        CASE WHEN (y // {s}) % 2 = 1 THEN x
+             WHEN (x // {s}) % 2 = 1 THEN {n - 1} - y
+             ELSE y END AS x,
+        CASE WHEN (y // {s}) % 2 = 1 THEN y
+             WHEN (x // {s}) % 2 = 1 THEN {n - 1} - x
+             ELSE x END AS y,
+        d + {s * s} * (CASE WHEN (x // {s}) % 2 = 1 AND (y // {s}) % 2 = 0 THEN 3
+                            WHEN (x // {s}) % 2 = 1 THEN 2
+                            WHEN (y // {s}) % 2 = 1 THEN 1
+                            ELSE 0 END) AS d
+      FROM h{i - 1})"""
+        )
+        s >>= 1
+    ctes = ",\n    ".join(parts)
+    return f"{ctes}\n    SELECT doc_id, d AS hilbert_cell FROM h{i}"
+
+
+def hex_cell_sql(size: float = 4.0, from_rel: str = "geo") -> str:
+    """SQL computing the pointy-top hexagon id (H3-style bin) for
+    (doc_id, lon, lat) rows in ``from_rel`` via the 9-candidate
+    nearest-center rule, bit-identical to stages.spatial.hex_cell.
+    Float constants are embedded with repr() (shortest round-trip decimal),
+    so DuckDB parses the exact same doubles numpy computes."""
+    w = repr(float(np.sqrt(3.0) * size))
+    halfw = repr(float(np.sqrt(3.0) * size * 0.5))
+    ystep = repr(float(1.5 * size))
+    return f"""xy AS (
+      SELECT doc_id, lon + 180.0 AS x, lat + 90.0 AS y FROM {from_rel}),
+    base AS (
+      SELECT doc_id, x, y,
+        CAST(FLOOR(y / {ystep}) AS BIGINT) AS r0,
+        CAST(FLOOR(x / {w}) AS BIGINT) AS c0
+      FROM xy),
+    cand AS (
+      SELECT doc_id, x, y, r0 + dr.d AS r, c0 + dc.d AS c
+      FROM base, (VALUES (-1), (0), (1)) dr(d), (VALUES (-1), (0), (1)) dc(d)),
+    ctr AS (
+      SELECT doc_id, x, y, r, c,
+        c * {w} + ((r % 2 + 2) % 2) * {halfw} AS cx,
+        r * {ystep} AS cy
+      FROM cand),
+    scored AS (
+      SELECT doc_id, r, c,
+        (x - cx) * (x - cx) + (y - cy) * (y - cy) AS d2
+      FROM ctr),
+    pick AS (
+      SELECT doc_id, r, c,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2, r, c) AS rn
+      FROM scored)
+    SELECT doc_id, r * 1048576 + c AS hex_cell FROM pick WHERE rn = 1"""
+
+
 # ---------------- geo zones in lon/lat space (for the PIP join) ----------
 
 

@@ -1,0 +1,211 @@
+"""Spatial-index operator tests: Hilbert key, hex binning, spatial kNN,
+polygon cell cover, k-ring aggregation, raster run polygonize."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from exactextractr_ray import synth
+from exactextractr_ray.stages.spatial import (
+    hex_cell,
+    hilbert_cell,
+    zone_cell_cover_batch,
+)
+
+
+def _grid_lonlat(level: int):
+    """One point in the middle of every 2^level x 2^level cell."""
+    n = 1 << level
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    lon = -180.0 + (xs.ravel() + 0.5) / n * 360.0
+    lat = -90.0 + (ys.ravel() + 0.5) / n * 180.0
+    return lon, lat, xs.ravel(), ys.ravel()
+
+
+def test_hilbert_bijection_and_range():
+    level = 4
+    lon, lat, _, _ = _grid_lonlat(level)
+    d = hilbert_cell(lon, lat, level)
+    n2 = (1 << level) ** 2
+    assert sorted(d.tolist()) == list(range(n2))
+
+
+def test_hilbert_consecutive_cells_are_edge_adjacent():
+    """The defining Hilbert property: walking d=0,1,2,... visits
+    edge-adjacent cells (Morton does NOT satisfy this)."""
+    level = 4
+    lon, lat, xs, ys = _grid_lonlat(level)
+    d = hilbert_cell(lon, lat, level)
+    order = np.argsort(d)
+    dx = np.abs(np.diff(xs[order]))
+    dy = np.abs(np.diff(ys[order]))
+    assert ((dx + dy) == 1).all()
+
+
+def test_hilbert_prefix_coarsening():
+    """Parent cell id at level-1 is d >> 2 (same contract as Morton)."""
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    d8 = hilbert_cell(lon, lat, 8)
+    d7 = hilbert_cell(lon, lat, 7)
+    assert (d8 >> 2 == d7).all()
+
+
+def test_hex_nearest_center_is_exact():
+    """The 9-candidate argmin equals a brute-force 7x7 nearest-center
+    search: the window is sufficient, the Voronoi assignment exact."""
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179, 179, 2000)
+    lat = rng.uniform(-89, 89, 2000)
+    size = 4.0
+    got = hex_cell(lon, lat, size)
+    w = np.sqrt(3.0) * size
+    ystep = 1.5 * size
+    x = lon + 180.0
+    y = lat + 90.0
+    r0 = np.floor(y / ystep).astype(np.int64)
+    c0 = np.floor(x / w).astype(np.int64)
+    best_d2 = np.full(len(x), np.inf)
+    best_id = np.zeros(len(x), dtype=np.int64)
+    for dr in range(-3, 4):
+        for dc in range(-3, 4):
+            r = r0 + dr
+            c = c0 + dc
+            cx = c * w + np.mod(r, 2) * (w * 0.5)
+            cy = r * ystep
+            d2 = (x - cx) ** 2 + (y - cy) ** 2
+            take = d2 < best_d2
+            best_d2 = np.where(take, d2, best_d2)
+            best_id = np.where(take, r * 1048576 + c, best_id)
+    assert (got == best_id).all()
+
+
+def test_hex_cells_partition_points():
+    """Points inside one hexagon (sampled near a center) share its id."""
+    size = 4.0
+    w = np.sqrt(3.0) * size
+    # center of hex (r=10, c=20)
+    cx = 20 * w + 0 * (w * 0.5)
+    cy = 10 * 1.5 * size
+    rng = np.random.default_rng(3)
+    # inradius = w/2; sample strictly inside the incircle
+    rad = rng.uniform(0, 0.49 * w, 200)
+    ang = rng.uniform(0, 2 * np.pi, 200)
+    lon = cx + rad * np.cos(ang) - 180.0
+    lat = cy + rad * np.sin(ang) - 90.0
+    ids = hex_cell(lon, lat, size)
+    assert (ids == 10 * 1048576 + 20).all()
+
+
+def test_zone_cell_cover_matches_bruteforce():
+    res = 3.0
+    bounds = [synth.synth_geo_zone_bounds(k) for k in range(24)]
+    tbl = pa.table(
+        {
+            "zone_id": pa.array(range(24), pa.int64()),
+            "xmin": pa.array([b[0] for b in bounds], pa.float64()),
+            "ymin": pa.array([b[1] for b in bounds], pa.float64()),
+            "xmax": pa.array([b[2] for b in bounds], pa.float64()),
+            "ymax": pa.array([b[3] for b in bounds], pa.float64()),
+        }
+    )
+    out = zone_cell_cover_batch(tbl, res)
+    got = set(zip(out["zone_id"].to_pylist(), out["cell"].to_pylist()))
+    want = set()
+    for k, (xmin, ymin, xmax, ymax) in enumerate(bounds):
+        for cy in range(60):
+            for cx in range(120):
+                x0, x1 = cx * res - 180.0, (cx + 1) * res - 180.0
+                y0, y1 = cy * res - 90.0, (cy + 1) * res - 90.0
+                if x0 < xmax and x1 > xmin and y0 < ymax and y1 > ymin:
+                    want.add((k, cy * 120 + cx))
+    assert got == want
+
+
+def test_spatial_knn_matches_bruteforce(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.spatial import spatial_knn
+
+    ids = np.arange(300, dtype=np.int64)
+    lon, lat = synth.geocode_ids(ids)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+    ).repartition(7)
+    qids = 11 + 37 * np.arange(4, dtype=np.int64)
+    qlon, qlat = synth.geocode_ids(qids)
+    out = spatial_knn(ds, qids, qlon, qlat, k=5).to_pandas()
+    for qi, q in enumerate(qids):
+        d2 = (lon - qlon[qi]) ** 2 + (lat - qlat[qi]) ** 2
+        mask = ids != q
+        order = np.lexsort((ids[mask], d2[mask]))[:5]
+        want_ids = ids[mask][order]
+        got = out[out["query_id"] == q].sort_values("rank")
+        assert got["neighbor_id"].tolist() == want_ids.tolist()
+        assert np.array_equal(got["dist2"].to_numpy(), d2[mask][order])
+
+
+def test_cell_kring_bruteforce(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.spatial import cell_kring_counts
+
+    ids = np.arange(400, dtype=np.int64)
+    lon, lat = synth.geocode_ids(ids)
+    cells = synth.cell_for_lonlat(lon, lat, 3.0)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cells, pa.int64()),
+            }
+        )
+    ).repartition(5)
+    out = cell_kring_counts(ds, 3.0).to_pandas().sort_values("cell")
+    from collections import Counter
+
+    counts = Counter(cells.tolist())
+    for _, row in out.iterrows():
+        cell = int(row["cell"])
+        cy, cx = cell // 120, cell % 120
+        assert row["n_docs"] == counts[cell]
+        want = sum(
+            counts.get((cy + dy) * 120 + (cx + dx), 0)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        )
+        assert row["kring_docs"] == want
+    assert set(out["cell"]) == set(counts)
+
+
+def test_raster_runs_reconstruct_and_maximal(ray_session):
+    from exactextractr_ray.pipelines.polygonize import raster_runs
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n, tile = 64, 16
+    rds = synthetic_raster_dataset(n=n, tile=tile)
+    out = raster_runs(rds).to_pandas().sort_values(["row", "col_start"])
+    rows = np.arange(n)
+    full = synth.synth_values(*np.meshgrid(rows, rows, indexing="ij"))
+    # reconstruct: every run paints its value; NaN cells stay NaN
+    recon = np.full((n, n), np.nan)
+    for _, r in out.iterrows():
+        recon[int(r["row"]), int(r["col_start"]) : int(r["col_end"]) + 1] = r["val"]
+    want = full
+    assert np.array_equal(np.isnan(recon), np.isnan(want))
+    assert np.array_equal(recon[~np.isnan(want)], want[~np.isnan(want)])
+    # maximality: no two adjacent same-value runs in one row
+    prev = None
+    for _, r in out.iterrows():
+        cur = (int(r["row"]), int(r["col_start"]), int(r["col_end"]), r["val"])
+        if prev and prev[0] == cur[0] and prev[2] + 1 == cur[1]:
+            assert prev[3] != cur[3]
+        prev = cur
+    assert (out["run_len"] == out["col_end"] - out["col_start"] + 1).all()
