@@ -565,6 +565,8 @@ def exact_extract(
     max_cells_per_item: int | None = None,
     append_cols: list[str] | None = None,
     stats_sink: dict | None = None,
+    return_partials: bool = False,
+    partials_source=None,
 ) -> pa.Table:
     """Named-stats zonal statistics; one row per zone in input order.
 
@@ -637,57 +639,71 @@ def exact_extract(
     ]
 
     zset = parse_zone_table(zones)
-    zones_ref = ray.put(zset)
     store_values = bool(STORED_VALUE_STATS & set(stats))
-
-    # prune the TILE STREAM to the zones' union envelope before the map
-    # stage: tiles that cannot intersect any zone never generate / leave
-    # storage (an expression filter, pushed into the parquet scan for
-    # parquet-backed rasters). Correctness-neutral — dropped tiles
-    # contribute nothing; missing zones become NaN rows as usual.
-    tiles_ds = _prune_tiles_to_zones(raster, zset)
-
-    stage_args = (
-        zones_ref,
-        raster.grid.to_dict(),
-        store_values,
-        pairs,
-        coverage_area,
-        area_method,
-        default_value,
-        default_weight,
-        bool({"min", "max"} & set(stats)),
-        max_cells_per_item,
-    )
-    if actors:
-        partials = tiles_ds.map_batches(
-            ZonalPartialStats,
-            fn_constructor_args=stage_args,
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=concurrency or (1, 8),
-        )
-    else:
-        partials = tiles_ds.map_batches(
-            cached_stage(ZonalPartialStats, *stage_args),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-
-    # Materialize the partial-stats rows, then coalesce before the groupby.
-    # Both are safe by design — partials are ~250-byte aggregation states,
-    # orders of magnitude smaller than the tile stream — and both matter:
-    # materializing detaches the map stage from the all-to-all (the streaming
-    # executor throttles map tasks feeding a pending shuffle: 3.4x slower
-    # measured), and coalescing to a CPU-count of blocks keeps the sort
-    # shuffle out of the tiny-object regime.
-    # (set materialize_partials=False for continuous-valued rasters with
-    # store-values stats, where freq maps make partial rows large enough
-    # that holding them all is undesirable — the shuffle then streams)
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    if materialize_partials:
-        partials = partials.materialize()
-    partials = partials.repartition(ncpu)
+
+    if partials_source is not None:
+        # checkpoint/resume path (pipelines/resumable_zonal.py): the partial
+        # rows were written per tile band by a previous (possibly crashed)
+        # run; merge determinism is unaffected because merge_partial_group
+        # sorts by (tile_id, piece) regardless of arrival order.
+        partials = partials_source.repartition(ncpu)
+    else:
+        zones_ref = ray.put(zset)
+
+        # prune the TILE STREAM to the zones' union envelope before the map
+        # stage: tiles that cannot intersect any zone never generate / leave
+        # storage (an expression filter, pushed into the parquet scan for
+        # parquet-backed rasters). Correctness-neutral — dropped tiles
+        # contribute nothing; missing zones become NaN rows as usual.
+        tiles_ds = _prune_tiles_to_zones(raster, zset)
+
+        stage_args = (
+            zones_ref,
+            raster.grid.to_dict(),
+            store_values,
+            pairs,
+            coverage_area,
+            area_method,
+            default_value,
+            default_weight,
+            bool({"min", "max"} & set(stats)),
+            max_cells_per_item,
+        )
+        if actors:
+            partials = tiles_ds.map_batches(
+                ZonalPartialStats,
+                fn_constructor_args=stage_args,
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=concurrency or (1, 8),
+            )
+        else:
+            partials = tiles_ds.map_batches(
+                cached_stage(ZonalPartialStats, *stage_args),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+
+        if return_partials:
+            # checkpoint path: hand the raw partial-row Dataset to the caller
+            # (resumable_zonal writes it as one parquet partition per band)
+            return partials
+
+        # Materialize the partial-stats rows, then coalesce before the
+        # groupby. Both are safe by design — partials are ~250-byte
+        # aggregation states, orders of magnitude smaller than the tile
+        # stream — and both matter: materializing detaches the map stage from
+        # the all-to-all (the streaming executor throttles map tasks feeding
+        # a pending shuffle: 3.4x slower measured), and coalescing to a
+        # CPU-count of blocks keeps the sort shuffle out of the tiny-object
+        # regime.
+        # (set materialize_partials=False for continuous-valued rasters with
+        # store-values stats, where freq maps make partial rows large enough
+        # that holding them all is undesirable — the shuffle then streams)
+        if materialize_partials:
+            partials = partials.materialize()
+        partials = partials.repartition(ncpu)
 
     quantiles = quantiles or [0.5]
     npairs = len(pairs)
