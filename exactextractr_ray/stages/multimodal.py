@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) column stages.
 
 Media travel as opaque ``binary`` columns with typed metadata columns
-(media_type, width/height or sample_rate/duration). The decode step is
-STUBBED — no image/audio codecs exist in this container — behind
-``DeterministicFakeDecoder`` (a seeded pure function of the bytes, so the
-whole pipeline is testable end-to-end) or ``CodecDecoder`` which raises
-NotImplementedError until a real codec is wired in. Everything Ray-side —
+(media_type, width/height or sample_rate/duration). Decode is REAL for the
+formats stdlib can handle — PNG and BMP images, PCM16 WAV audio
+(functions/codecs.py: zlib inflate + the five PNG filters, BI_RGB, wave) —
+and stubbed only where a native codec would be required (JPEG, video
+containers): those raise NotImplementedError, with
+``DeterministicFakeDecoder`` (a seeded pure function of the bytes) keeping
+the full pipeline testable end-to-end. Everything Ray-side —
 schemas, actor-pool stage shape, batch sizing, output layout — is real:
 
 * decode: actor-pool ``map_batches`` class (codec init is per-actor state);
@@ -36,18 +38,31 @@ IMAGE_SCHEMA = pa.schema(
 
 
 class CodecDecoder:
-    """Real-codec decode stage: NOT IMPLEMENTED in this environment (no
-    PIL/ffmpeg in the container). The stage exists so the pipeline shape is
-    complete; swap in a codec by implementing decode_one."""
+    """Real-codec decode stage. PNG and BMP decode with the pure-stdlib
+    codecs in functions/codecs.py (zlib inflate + PNG filters / BI_RGB);
+    formats needing native libraries (JPEG, video) raise NotImplementedError
+    — the container has no PIL/ffmpeg. Decoded images are converted to
+    integer luma and nearest-neighbor-resampled to ``target_hw`` (both
+    exact integer ops: bit-stable at any parallelism)."""
 
     def __init__(self, target_hw: tuple[int, int] = (32, 32)):
         self.target_hw = target_hw
 
     def decode_one(self, payload: bytes, width: int, height: int) -> np.ndarray:
-        raise NotImplementedError(
-            "no image codec available in this environment; use "
-            "DeterministicFakeDecoder for pipeline testing"
-        )
+        from ..functions import codecs
+
+        kind = codecs.sniff_media(payload)
+        if kind == "image/png":
+            img = codecs.decode_png(payload)
+        elif kind == "image/bmp":
+            img = codecs.decode_bmp(payload)
+        else:
+            raise NotImplementedError(
+                f"no codec for {kind} in this environment (PNG/BMP decode "
+                "natively; use DeterministicFakeDecoder for other formats)"
+            )
+        gray = codecs.to_grayscale(img)
+        return codecs.resize_nearest(gray, self.target_hw).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -136,6 +151,31 @@ def synth_image_table(n: int, payload_kb: int = 4) -> pa.Table:
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array([64] * n, pa.int32()),
             "height": pa.array([64] * n, pa.int32()),
+        }
+    )
+
+
+def synth_png_table(n: int, hw: tuple[int, int] = (24, 24)) -> pa.Table:
+    """Deterministic REAL-PNG image rows (encoded with functions/codecs.py):
+    the fake=False decode path runs end-to-end on these."""
+    from ..functions.codecs import encode_png
+
+    rng = np.random.default_rng(45)
+    h, w = hw
+    payloads = []
+    for i in range(n):
+        if i % 2 == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)  # gray
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)  # RGB
+        payloads.append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
         }
     )
 
@@ -278,8 +318,14 @@ class AudioFeatures:
 
     def decode_waveform(self, payload: bytes, n_samples: int) -> np.ndarray:
         if not self.fake:
+            from ..functions import codecs
+
+            if codecs.sniff_media(payload) == "audio/wav":
+                wav, _rate = codecs.decode_wav(payload)
+                return wav
             raise NotImplementedError(
-                "no audio codec in this environment; use fake=True"
+                "only PCM16 WAV decodes natively in this environment; "
+                "use fake=True for other formats"
             )
         seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)
