@@ -826,6 +826,33 @@ def _q_spatial_knn(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_spatial_knn_cells(sf_dir: str):
+    """Same result as spatial_knn, through the cell-partitioned index with
+    metadata-only ring pruning (the scale path; exact by the ring proof)."""
+    import shutil
+    import tempfile
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import build_cell_index, spatial_knn_cells
+
+    qids = 11 + 37 * np.arange(KNN_Q, dtype=np.int64)
+    qlon, qlat = synth.geocode_ids(qids)
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+    tmp = tempfile.mkdtemp(prefix="cellknn_", dir="/tmp")
+    try:
+        build_cell_index(docs, tmp, res_deg=3.0)
+        out = spatial_knn_cells(tmp, qids, qlon, qlat, k=5, res_deg=3.0).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for c in ("query_id", "neighbor_id", "rank"):
+        out[c] = out[c].astype(np.int64)
+    out["dist2"] = out["dist2"].astype(np.float64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_zone_cover(sf_dir: str):
     import pyarrow as pa
     import ray.data
@@ -1620,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_cells": _q_hilbert,
         "hex_cells": _q_hex,
         "spatial_knn": _q_spatial_knn,
+        "spatial_knn_cells": _q_spatial_knn_cells,
         "zone_tile_cover": _q_zone_cover,
         "cell_kring": _q_cell_kring,
         "raster_runs": _q_raster_runs,
@@ -3656,6 +3684,9 @@ def oracle_sql() -> dict[str, str]:
         "hilbert_cells": hilbert,
         "hex_cells": hexcells,
         "spatial_knn": spatial_knn_sql,
+        # the pruned-index path is EXACT (ring proof in stages/spatial.py),
+        # so it shares the brute-force oracle verbatim
+        "spatial_knn_cells": spatial_knn_sql,
         "zone_tile_cover": zone_cover,
         "cell_kring": cell_kring,
         "raster_runs": raster_runs_sql,

@@ -124,14 +124,24 @@ def image_features_batch(batch: pa.Table, n_bins: int = 16) -> pa.Table:
     flat = np.asarray(
         batch.column("pixels").combine_chunks().values, dtype=np.float32
     ).reshape(n, ph * pw) if n else np.empty((0, 0), dtype=np.float32)
-    feats = []
-    for i in range(n):
-        hist, _ = np.histogram(flat[i], bins=n_bins, range=(0, 256))
-        hist = hist / max(1, flat.shape[1])
-        feats.append(
-            np.concatenate([hist, [flat[i].mean() / 255.0, flat[i].std() / 255.0]])
-        )
-    mat = np.asarray(feats, dtype=np.float32) if feats else np.empty((0, n_bins + 2))
+    if n:
+        npix = flat.shape[1]
+        # one add.at pass builds every row's histogram (no per-image loop)
+        bins = np.clip((flat * (n_bins / 256.0)).astype(np.int64), 0, n_bins - 1)
+        hist = np.zeros((n, n_bins), dtype=np.float64)
+        rows = np.repeat(np.arange(n), npix)
+        np.add.at(hist, (rows, bins.ravel()), 1.0)
+        hist /= max(1, npix)
+        mat = np.concatenate(
+            [
+                hist,
+                flat.mean(axis=1, keepdims=True) / 255.0,
+                flat.std(axis=1, keepdims=True) / 255.0,
+            ],
+            axis=1,
+        ).astype(np.float32)
+    else:
+        mat = np.empty((0, n_bins + 2), dtype=np.float32)
     offsets = pa.array(
         np.arange(n + 1, dtype=np.int32) * (n_bins + 2), type=pa.int32()
     )

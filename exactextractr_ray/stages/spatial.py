@@ -228,6 +228,124 @@ def spatial_knn(
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+# ---------------- cell-partitioned spatial kNN (scale path) --------------
+
+
+def build_cell_index(
+    ds, out_dir: str, res_deg: float = 3.0, id_col: str = "doc_id"
+) -> None:
+    """Write the point corpus as parquet PARTITIONED BY flat cell id — the
+    spatial analog of knn.build_ivf_index: queries later prune at the file
+    list, so an exact kNN touches only the partitions its ring proof needs."""
+    from .geocode import assign_cell_batch
+
+    ds.map_batches(
+        lambda b: assign_cell_batch(b, res_deg), batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["cell"])
+
+
+def spatial_knn_cells(
+    index_dir: str,
+    query_ids: np.ndarray,
+    query_lon: np.ndarray,
+    query_lat: np.ndarray,
+    k: int = 5,
+    res_deg: float = 3.0,
+    id_col: str = "doc_id",
+    exclude_self: bool = True,
+):
+    """EXACT k nearest neighbors over a cell-partitioned index, scanning only
+    a proven-sufficient ring of partitions per query (storage-level pruning;
+    the 100-TB path for spatial_knn).
+
+    Ring proof: per-partition row counts come from parquet FOOTERS only (no
+    data read). If the Chebyshev cell ring of radius r around a query holds
+    >= k+1 points, every kNN distance is <= (r+1)*res*sqrt(2) (block
+    diagonal), and any point OUTSIDE Chebyshev ring R is farther than R*res
+    from the query (the scanned block contains the axis-aligned square of
+    half-width R*res around it). Scanning R = ceil((r+1)*sqrt(2)) + 1 is
+    therefore sufficient for exactness; the result equals spatial_knn's
+    brute force bit-for-bit. One Ray scan reads the UNION of all queries'
+    rings, so shared partitions are read once.
+    """
+    import glob as _glob
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    ncols = int(round(360.0 / res_deg))
+    nrows = int(round(180.0 / res_deg))
+
+    # metadata-only per-cell counts (footers, not data)
+    cell_counts: dict[int, int] = {}
+    cell_files: dict[int, list[str]] = {}
+    for d in sorted(_glob.glob(os.path.join(index_dir, "cell=*"))):
+        cell = int(os.path.basename(d).split("=", 1)[1])
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        cell_files[cell] = files
+        cell_counts[cell] = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in files
+        )
+    total = sum(cell_counts.values())
+    need = k + (1 if exclude_self else 0)
+
+    qlon = np.asarray(query_lon, dtype=np.float64)
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    qcx = np.floor((qlon + 180.0) / res_deg).astype(np.int64)
+    qcy = np.floor((qlat + 90.0) / res_deg).astype(np.int64)
+
+    def ring_cells(cy: int, cx: int, r: int) -> list[int]:
+        out = []
+        for y in range(max(cy - r, 0), min(cy + r, nrows - 1) + 1):
+            for x in range(max(cx - r, 0), min(cx + r, ncols - 1) + 1):
+                c = y * ncols + x
+                if c in cell_files:
+                    out.append(c)
+        return out
+
+    wanted: set[int] = set()
+    max_r = max(nrows, ncols)
+    for cy, cx in zip(qcy, qcx):
+        if total <= need:
+            wanted.update(cell_files)
+            continue
+        r = 0
+        while r < max_r:
+            cnt = sum(cell_counts[c] for c in ring_cells(int(cy), int(cx), r))
+            if cnt >= need:
+                break
+            r += 1
+        R = int(math.ceil((r + 1) * math.sqrt(2.0))) + 1
+        wanted.update(ring_cells(int(cy), int(cx), R))
+
+    files = [f for c in sorted(wanted) for f in cell_files[c]]
+    if not files:
+        import pandas as _pd
+
+        return ray.data.from_pandas(
+            _pd.DataFrame(
+                {
+                    "query_id": _pd.Series([], dtype=np.int64),
+                    "neighbor_id": _pd.Series([], dtype=np.int64),
+                    "rank": _pd.Series([], dtype=np.int64),
+                    "dist2": _pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    pruned = ray.data.read_parquet(files, columns=[id_col, "lon", "lat"])
+    return spatial_knn(
+        pruned,
+        np.asarray(query_ids, dtype=np.int64),
+        qlon,
+        qlat,
+        k=k,
+        id_col=id_col,
+        exclude_self=exclude_self,
+    )
+
+
 # ---------------- polygon cell cover (polyfill) ----------------
 
 

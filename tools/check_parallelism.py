@@ -79,6 +79,14 @@ QUERIES = [
     "embedding_gram",
     "event_transitions",
     "running_revenue",
+    # late round-3 spatial wave
+    "hilbert_cells",
+    "hex_cells",
+    "spatial_knn",
+    "spatial_knn_cells",
+    "zone_tile_cover",
+    "cell_kring",
+    "raster_runs",
 ]
 
 _CHILD = r"""
