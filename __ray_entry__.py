@@ -1121,6 +1121,36 @@ def _q_degree_stats(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_triangles(sf_dir: str):
+    """Per-node triangle counts over the synthetic link graph — wedge
+    generation at the smallest vertex + a wedge/edge co-group probe
+    (stages/graph.py triangle_counts); oracle is the three-way self-join."""
+    from exactextractr_ray.stages.graph import triangle_counts
+
+    edges, _n = _synth_edges(sf_dir)
+    df = triangle_counts(edges).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("node").reset_index(drop=True)
+
+
+def _q_moving_avg(sf_dir: str):
+    """Per-user 3-row moving average of event values (integer-cents
+    quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
+    import ray.data
+    from exactextractr_ray.stages.events import moving_avg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    df = moving_avg(ev, window=3).to_pandas()
+    for c in ("event_id", "user_id", "ts_us"):
+        df[c] = df[c].astype(np.int64)
+    df["mavg"] = df["mavg"].astype(np.float64)
+    return df.sort_values("event_id").reset_index(drop=True)
+
+
 def _q_topk_per_source(sf_dir: str):
     """Top-3 longest documents per source (ties -> smaller doc_id), via the
     distributed partial-combiner top-k (stages/rank.py). Oracle is the SQL
@@ -1665,6 +1695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_source": _q_topk_per_source,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "degree_stats": _q_degree_stats,
+        "triangle_counts": _q_triangles,
+        "moving_avg": _q_moving_avg,
         "source_quantiles": _q_source_quantiles,
         "crawl_diff": _q_crawl_diff,
         "retention_cohorts": _q_retention,
@@ -3067,6 +3099,45 @@ def oracle_sql() -> dict[str, str]:
     FROM {pr_prev} ORDER BY node"""
     )
 
+    # per-node triangle counts: canonical undirected edges, wedges at the
+    # smallest vertex (u < v < w) closed by a third edge — the same
+    # exactly-once enumeration as stages/graph.py triangle_counts
+    triangles_sql = f"""
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    {_SYNTH_EDGES_SQL},
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges),
+    tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+      JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY node ORDER BY node
+    """
+
+    # ROWS-window moving average; cents quantization via floor(v*100 + 0.5)
+    # (numpy and DuckDB agree, unlike ROUND's half-away vs half-even), one
+    # final double division in the same order as the pipeline
+    moving_avg_sql = """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT event_id, user_id, ts_us,
+           (SUM(cents) OVER w / 100.0) / (COUNT(*) OVER w) AS mavg
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """
+
     topk_per_source_sql = """
     WITH r AS (
       SELECT source, doc_id, n_chars,
@@ -3704,6 +3775,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,
+        "triangle_counts": triangles_sql,
+        "moving_avg": moving_avg_sql,
         "source_quantiles": source_quantiles_sql,
         "crawl_diff": crawl_diff_sql,
         "retention_cohorts": retention_sql,

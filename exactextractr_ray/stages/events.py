@@ -288,3 +288,79 @@ def event_transitions(ds, user_col: str = "user_id", ts_col: str = "ts",
         .map_groups(per_group, batch_format="pandas")
     )
     return partials.groupby(["prev_type", "next_type"]).sum("n")
+
+def moving_avg(ds, window: int = 3, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id",
+               value_col: str = "value"):
+    """Per-user ROWS-window moving average: for each event, the mean of the
+    current and the previous ``window - 1`` values in (ts, event_id) order
+    — the ``AVG(...) OVER (PARTITION BY user ORDER BY ts ROWS BETWEEN k
+    PRECEDING AND CURRENT ROW)`` shape.
+
+    Bit-exactness: values quantize to integer cents (floor(v*100 + 0.5) —
+    the same expression the oracle uses, avoiding the numpy-banker's vs
+    SQL-away-from-zero ROUND divergence); window sums are exact int64; the
+    single final division by the window count is one IEEE op both sides.
+
+    Scale shape: ONE shuffle of (user, ts, id, cents) rows into user-keyed
+    coarse groups; per group one mergesort + a windowed prefix-sum
+    difference (no per-row Python). Same hot-user exposure as SQL's
+    PARTITION BY; the sessionize (user, day) subkey trick applies if a
+    single user's history outgrows a group.
+    """
+
+    def project(b: pa.Table) -> pa.Table:
+        uid = b.column(user_col).to_numpy()
+        ts = b.column(ts_col).cast(pa.int64()).to_numpy()
+        eid = b.column(id_col).to_numpy()
+        val = b.column(value_col).to_numpy()
+        cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "ckey": pa.array(uid % _NGROUPS, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "ts_us": pd.Series([], dtype=np.int64),
+                    "mavg": pd.Series([], dtype=np.float64),
+                }
+            )
+        seg_start = np.zeros(n, dtype=np.int64)
+        new = np.r_[True, uid[1:] != uid[:-1]]
+        seg_start[new] = np.flatnonzero(new)
+        seg_start = np.maximum.accumulate(seg_start)
+        idx = np.arange(n)
+        lo = np.maximum(seg_start, idx - (window - 1))
+        cs = np.concatenate(([0], np.cumsum(cents)))
+        wsum = cs[idx + 1] - cs[lo]
+        wcnt = idx + 1 - lo
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": uid,
+                "ts_us": ts,
+                "mavg": (wsum / 100.0) / wcnt,
+            }
+        )
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(per_group, batch_format="pandas")
+    )

@@ -201,3 +201,171 @@ def pagerank(
         )
 
     return ranks.map_batches(_project, batch_format="pyarrow")
+
+
+# ---------------- triangle counting ----------------
+
+
+def triangle_counts(edges, coarse: int = 64, src_col: str = "src",
+                    dst_col: str = "dst"):
+    """Per-node triangle participation counts over the UNDIRECTED graph of
+    the edge table — the classic two-round distributed algorithm (wedge
+    generation at the lowest-ID vertex, then a wedge↔edge co-group probe;
+    Cohen, "Graph twiddling in a MapReduce world", 2009):
+
+    1. canonicalize (a=min, b=max); group edges by ``a`` (coarse-keyed) and
+       enumerate each node's neighbor PAIRS (v, w), v < w — every candidate
+       triangle is generated exactly once, at its smallest vertex. Pair
+       enumeration is one vectorized triu-index expansion per group, with
+       in-group dedup (no global DISTINCT shuffle needed: duplicates of an
+       (a, *) edge always land in a's group).
+    2. tag wedges (kind=1, carrying u) and canonical edges (kind=0) with a
+       shared (v, w)-hash key; ONE coarse groupby co-locates them; a
+       vectorized sorted-membership probe keeps wedges whose closing edge
+       exists -> triangles (u < v < w), each exactly once.
+    3. every triangle fans out to its 3 corners; a final groupby-sum yields
+       (node, n_triangles) for nodes in >= 1 triangle.
+
+    Shuffle volume: round 1 moves the edge list, round 2 moves edges +
+    wedges (the wedge count = sum over nodes of C(d+, 2) — the algorithm's
+    intrinsic cost; orienting at the smallest ID keeps d+ bounded for
+    skewed hubs with large IDs, and a degree-ordered orientation is the
+    documented upgrade for adversarial skew).
+    """
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).to_numpy().astype(np.int64)
+        d = b.column(dst_col).to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        bb = np.maximum(s, d)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(bb, pa.int64()),
+                "ga": pa.array(a % coarse, pa.int64()),
+            }
+        )
+
+    und = edges.map_batches(canon, batch_format="pyarrow")
+
+    def wedges(g):
+        import pandas as pd
+
+        a = g["a"].to_numpy()
+        b = g["b"].to_numpy()
+        # in-group dedup (duplicates of (a, b) are always co-grouped)
+        ab = np.unique(np.stack([a, b], axis=1), axis=0)
+        a, b = ab[:, 0], ab[:, 1]
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        uniq, starts = np.unique(a, return_index=True)
+        ends = np.append(starts[1:], len(a))
+        out_u, out_v, out_w = [], [], []
+        for s0, e0, u in zip(starts, ends, uniq):
+            nb = b[s0:e0]  # sorted, unique
+            if len(nb) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nb), k=1)
+            out_u.append(np.full(len(iu), u, np.int64))
+            out_v.append(nb[iu])
+            out_w.append(nb[ju])
+        if not out_u:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=np.int64),
+                    "v": pd.Series([], dtype=np.int64),
+                    "w": pd.Series([], dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(out_u),
+                "v": np.concatenate(out_v),
+                "w": np.concatenate(out_w),
+            }
+        )
+
+    wedge_ds = und.groupby("ga").map_groups(wedges, batch_format="pandas")
+
+    # round 2: co-group wedges (kind=1) and edges (kind=0) on a (v, w) hash
+    P = np.int64(1_000_003)
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy()
+        bb = b.column("b").to_numpy()
+        return pa.table(
+            {
+                "v": pa.array(a, pa.int64()),
+                "w": pa.array(bb, pa.int64()),
+                "u": pa.array(np.full(len(a), -1, np.int64), pa.int64()),
+                "kind": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "gk": pa.array((a * P + bb) % coarse, pa.int64()),
+            }
+        )
+
+    def tag_wedge(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy()
+        w = b.column("w").to_numpy()
+        return pa.table(
+            {
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(w, pa.int64()),
+                "u": b.column("u"),
+                "kind": pa.array(np.ones(len(v), np.int64), pa.int64()),
+                "gk": pa.array((v * P + w) % coarse, pa.int64()),
+            }
+        )
+
+    tagged = und.map_batches(tag_edge, batch_format="pyarrow").union(
+        wedge_ds.map_batches(tag_wedge, batch_format="pyarrow")
+    )
+
+    def probe(g):
+        import pandas as pd
+
+        kind = g["kind"].to_numpy()
+        v = g["v"].to_numpy()
+        w = g["w"].to_numpy()
+        u = g["u"].to_numpy()
+        # collision-free pair key (node ids < 2^31: (v << 31) | w is exact)
+        ek = (v[kind == 0] << np.int64(31)) + w[kind == 0]
+        ek = np.unique(ek)
+        wv, ww, wu = v[kind == 1], w[kind == 1], u[kind == 1]
+        if len(wv) == 0 or len(ek) == 0:
+            return pd.DataFrame(
+                {
+                    "u": pd.Series([], dtype=np.int64),
+                    "v": pd.Series([], dtype=np.int64),
+                    "w": pd.Series([], dtype=np.int64),
+                }
+            )
+        wk = (wv << np.int64(31)) + ww
+        pos = np.searchsorted(ek, wk)
+        pos = np.clip(pos, 0, len(ek) - 1)
+        hit = ek[pos] == wk
+        return pd.DataFrame({"u": wu[hit], "v": wv[hit], "w": ww[hit]})
+
+    tris = tagged.groupby("gk").map_groups(probe, batch_format="pandas")
+
+    def corners(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
+        w = b.column("w").to_numpy()
+        return pa.table(
+            {"node": pa.array(np.concatenate([u, v, w]), pa.int64())}
+        )
+
+    counts = tris.map_batches(corners, batch_format="pyarrow").groupby(
+        "node"
+    ).count()
+    return counts.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("node").cast(pa.int64()),
+                "n_triangles": b.column("count()").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -412,3 +412,67 @@ def test_new_ops_empty_inputs(_ray):
         )
     )
     assert embedding_gram(emb).count() == 0
+
+
+def test_moving_avg_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.events import moving_avg
+
+    rng = np.random.default_rng(11)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 20, n),
+            "ts": pd.to_datetime(rng.integers(0, 10**9, n), unit="us"),
+            "value": rng.uniform(-50, 50, n),
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(7)
+    got = (
+        moving_avg(ds, window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # plain reference: per user, sorted by (ts, event_id), window of 3
+    cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    want = np.empty(n, dtype=np.float64)
+    for u in np.unique(df["user_id"]):
+        sub = df[df["user_id"] == u].sort_values(["ts", "event_id"])
+        idxs = sub.index.to_numpy()
+        cs = cents[idxs]
+        for j, global_i in enumerate(idxs):
+            lo = max(0, j - 2)
+            want[global_i] = (cs[lo : j + 1].sum() / 100.0) / (j + 1 - lo)
+    assert np.array_equal(got["mavg"].to_numpy(), want)
+
+
+def test_moving_avg_hot_user(ray_session):
+    """One user owns 90% of events: still one group, exact result."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.events import moving_avg
+
+    n = 1000
+    uid = np.where(np.arange(n) % 10 == 0, np.arange(n) % 7 + 1, 0)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": uid.astype(np.int64),
+            "ts": pd.to_datetime(np.arange(n) * 1000, unit="us"),
+            "value": np.ones(n) * 2.5,
+        }
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = moving_avg(ds, window=3).to_pandas()
+    assert len(got) == n
+    # constant values -> moving average equals the value everywhere
+    assert np.allclose(got["mavg"].to_numpy(), 2.5)

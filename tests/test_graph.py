@@ -147,3 +147,50 @@ def test_out_degree(_ray):
     )
     assert deg["src"].tolist() == [0, 2]
     assert deg["outdeg"].tolist() == [2, 1]
+
+
+def test_triangle_counts_bruteforce(ray_session):
+    """Per-node triangle participation matches a set-based brute force on a
+    random directed multigraph (duplicates + both directions present)."""
+    import itertools
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(9)
+    n = 40
+    src = rng.integers(0, n, 300)
+    dst = rng.integers(0, n, 300)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(5)
+    got = triangle_counts(ds).to_pandas().set_index("node")["n_triangles"].to_dict()
+
+    und = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    want: dict[int, int] = {}
+    for u, v, w in itertools.combinations(range(n), 3):
+        if (u, v) in und and (v, w) in und and (u, w) in und:
+            for x in (u, v, w):
+                want[x] = want.get(x, 0) + 1
+    assert got == want
+
+
+def test_triangle_counts_empty(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.graph import triangle_counts
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1], pa.int64()),
+                "dst": pa.array([1, 2], pa.int64()),  # a path: no triangle
+            }
+        )
+    )
+    assert triangle_counts(ds).count() == 0

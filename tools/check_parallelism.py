@@ -87,6 +87,8 @@ QUERIES = [
     "zone_tile_cover",
     "cell_kring",
     "raster_runs",
+    "triangle_counts",
+    "moving_avg",
 ]
 
 _CHILD = r"""
