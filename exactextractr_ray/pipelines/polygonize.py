@@ -108,7 +108,9 @@ def _stitch_band(g: pd.DataFrame) -> pd.DataFrame:
 def raster_runs(rds: RasterDataset, layer: str = "value", band_rows: int = 16):
     """Tiled raster -> Dataset of maximal same-value horizontal runs:
     (row, col_start, col_end, val, run_len)."""
-    tiles = rds.ds.filter(lambda r: r["layer"] == layer)
+    # expression filter: vectorized + pushed into parquet scans (the lambda
+    # form routes every row through Python)
+    tiles = rds.ds.filter(expr=f"layer == '{layer}'")
     runs = tiles.map_batches(_tile_runs, batch_format="pyarrow")
     banded = runs.add_column(
         "band", lambda df: (df["row"] // band_rows).astype(np.int64)

@@ -66,7 +66,7 @@ def resumable_zonal_stats(
         row_lo = ty0 * raster.tile_h
         row_hi = ty1 * raster.tile_h
         band_ds = raster.ds.filter(
-            lambda r, lo=row_lo, hi=row_hi: lo <= r["row0"] < hi
+            expr=f"row0 >= {row_lo} and row0 < {row_hi}"
         )
         band_raster = RasterDataset(
             ds=band_ds,
