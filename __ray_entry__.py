@@ -853,6 +853,43 @@ def _q_spatial_knn_cells(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _zone_bounds_table():
+    import pyarrow as pa
+    from exactextractr_ray import synth
+
+    bounds = [synth.synth_geo_zone_bounds(k) for k in range(N_GEO_ZONES)]
+    return pa.table(
+        {
+            "zone_id": pa.array(range(N_GEO_ZONES), pa.int64()),
+            "xmin": pa.array([b[0] for b in bounds], pa.float64()),
+            "ymin": pa.array([b[1] for b in bounds], pa.float64()),
+            "xmax": pa.array([b[2] for b in bounds], pa.float64()),
+            "ymax": pa.array([b[3] for b in bounds], pa.float64()),
+        }
+    )
+
+
+def _q_pip_join_cells(sf_dir: str):
+    """Same result as pip_join_counts, through the cell-cover index (the
+    zone_tile_cover consumer; shares pip_join's oracle verbatim)."""
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import pip_join_cells
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+    joined = pip_join_cells(docs, _zone_bounds_table())
+    df = (
+        joined.select_columns(["zone_id", "doc_id", "n_chars"])
+        .to_pandas()
+        .groupby("zone_id", as_index=False)
+        .agg(n_docs=("doc_id", "count"), sum_chars=("n_chars", "sum"))
+    )
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["sum_chars"] = df["sum_chars"].astype(np.int64)
+    return df.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_zone_cover(sf_dir: str):
     import pyarrow as pa
     import ray.data
@@ -1679,6 +1716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_knn": _q_spatial_knn,
         "spatial_knn_cells": _q_spatial_knn_cells,
         "zone_tile_cover": _q_zone_cover,
+        "pip_join_cells": _q_pip_join_cells,
         "cell_kring": _q_cell_kring,
         "raster_runs": _q_raster_runs,
         "zonal_feature_seq_rect": _q_zonal_feature_seq,
@@ -3723,6 +3761,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stack_rect": zonal_stack,
         "embedding_dups": embedding_dups,
         "pip_join_counts": pip_join,
+        # the cell-cover join is exact over rectangle zones: same oracle
+        "pip_join_cells": pip_join,
         "top_docs_per_zone": top_docs,
         "cell_assign_counts": cell_assign,
         "sessionize": sessionize_sql,

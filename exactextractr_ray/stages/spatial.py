@@ -396,6 +396,94 @@ def zone_cell_cover(zones_bounds_ds, res_deg: float = 3.0):
     )
 
 
+# ---------------- cover-join: the zone_cell_cover consumer ----------------
+
+
+def pip_join_cells(
+    ds,
+    zones_bounds: pa.Table,
+    res_deg: float = 3.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """Point-in-rectangle join through a CELL-COVER index: the polyfill
+    (zone_cell_cover) of the zone envelopes becomes a CSR cell->zones index,
+    broadcast once; each point probes only the zones covering ITS OWN cell
+    (instead of envelope-testing every zone, pip_join's shape). Exact
+    strict-interior semantics (lon > xmin and lon < xmax, same for lat),
+    identical output to pip_join over rectangle zones.
+
+    Scale shape: the index is bounded by the COVER size (zone area / cell
+    area), not zones x points; candidates per point are the zones overlapping
+    one cell — the same storage-pruning idea as spatial_knn_cells, applied
+    to the join side. For non-rectangle zones the cover still prunes and an
+    exact geometry test (stages/pip_join.py ray casting) takes over per
+    candidate; rectangle bounds keep this variant fully vectorized.
+    """
+    from .. import synth
+
+    cover = zone_cell_cover_batch(zones_bounds, res_deg)
+    cells = cover.column("cell").to_numpy()
+    zidx_of_cover = cover.column("zone_id").to_numpy()  # == zone INDEX here
+    zid = zones_bounds.column("zone_id").to_numpy().astype(np.int64)
+    # cover rows carry zone_id values; map them back to positional indices
+    pos_of_id = {int(z): i for i, z in enumerate(zid)}
+    zpos = np.array([pos_of_id[int(z)] for z in zidx_of_cover], dtype=np.int64)
+    order = np.argsort(cells, kind="stable")
+    cells_sorted = cells[order]
+    zpos_sorted = zpos[order]
+    uc, starts = np.unique(cells_sorted, return_index=True)
+    ends = np.append(starts[1:], len(cells_sorted))
+    xmin = zones_bounds.column("xmin").to_numpy()
+    ymin = zones_bounds.column("ymin").to_numpy()
+    xmax = zones_bounds.column("xmax").to_numpy()
+    ymax = zones_bounds.column("ymax").to_numpy()
+    index_ref = ray.put(
+        (uc, starts, ends, zpos_sorted, xmin, ymin, xmax, ymax, zid, res_deg)
+    )
+
+    def probe(batch: pa.Table) -> pa.Table:
+        uc_, s_, e_, zp_, x0, y0, x1, y1, ids, res = ray.get(index_ref)
+        lon = batch.column(lon_col).to_numpy()
+        lat = batch.column(lat_col).to_numpy()
+        pc = synth.cell_for_lonlat(lon, lat, res)
+        if len(uc_) == 0:
+            empty = batch.take(pa.array([], pa.int64()))
+            return empty.append_column("zone_id", pa.array([], pa.int64()))
+        loc = np.clip(np.searchsorted(uc_, pc), 0, len(uc_) - 1)
+        found = uc_[loc] == pc
+        pts = np.nonzero(found)[0]
+        if len(pts) == 0:
+            empty = batch.take(pa.array([], pa.int64()))
+            return empty.append_column("zone_id", pa.array([], pa.int64()))
+        cs = s_[loc[pts]]
+        ce = e_[loc[pts]]
+        counts = ce - cs
+        rows = np.repeat(pts, counts)
+        # multi-range gather of candidate zone positions
+        total = int(counts.sum())
+        flat_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        within = np.arange(total) - flat_start[np.repeat(
+            np.arange(len(pts)), counts
+        )]
+        zc = zp_[np.repeat(cs, counts) + within]
+        m = (
+            (lon[rows] > x0[zc])
+            & (lon[rows] < x1[zc])
+            & (lat[rows] > y0[zc])
+            & (lat[rows] < y1[zc])
+        )
+        rows = rows[m]
+        zones_hit = ids[zc[m]]
+        ordr = np.lexsort((zones_hit, rows))
+        out = batch.take(pa.array(rows[ordr]))
+        return out.append_column(
+            "zone_id", pa.array(zones_hit[ordr], pa.int64())
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------- k-ring neighborhood aggregation ----------------
 
 

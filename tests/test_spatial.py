@@ -225,6 +225,50 @@ def test_spatial_knn_cells_small_corpus(ray_session, tmp_path):
     assert out["neighbor_id"].nunique() == 3  # all points returned, ranked
 
 
+def test_pip_join_cells_equals_bruteforce(ray_session):
+    """Cover-join output equals a direct strict-interior test over every
+    (point, zone) pair."""
+    import ray.data
+    from exactextractr_ray.stages.spatial import pip_join_cells
+
+    ids = np.arange(400, dtype=np.int64)
+    lon, lat = synth.geocode_ids(ids)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+    ).repartition(5)
+    nz = 24
+    bounds = [synth.synth_geo_zone_bounds(k) for k in range(nz)]
+    tbl = pa.table(
+        {
+            "zone_id": pa.array(range(nz), pa.int64()),
+            "xmin": pa.array([b[0] for b in bounds], pa.float64()),
+            "ymin": pa.array([b[1] for b in bounds], pa.float64()),
+            "xmax": pa.array([b[2] for b in bounds], pa.float64()),
+            "ymax": pa.array([b[3] for b in bounds], pa.float64()),
+        }
+    )
+    got = (
+        pip_join_cells(ds, tbl)
+        .select_columns(["doc_id", "zone_id"])
+        .to_pandas()
+        .sort_values(["doc_id", "zone_id"])
+        .reset_index(drop=True)
+    )
+    want = []
+    for k, (x0, y0, x1, y1) in enumerate(bounds):
+        m = (lon > x0) & (lon < x1) & (lat > y0) & (lat < y1)
+        for d in ids[m]:
+            want.append((int(d), k))
+    want = sorted(want)
+    assert list(zip(got["doc_id"], got["zone_id"])) == want
+
+
 def test_cell_kring_bruteforce(ray_session):
     import ray.data
     from exactextractr_ray.stages.spatial import cell_kring_counts

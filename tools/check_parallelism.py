@@ -89,6 +89,7 @@ QUERIES = [
     "raster_runs",
     "triangle_counts",
     "moving_avg",
+    "pip_join_cells",
 ]
 
 _CHILD = r"""
