@@ -29,3 +29,16 @@ def test_foreign_cwd_driver():
         [sys.executable, "-c", _CHILD], capture_output=True, text=True, timeout=600
     )
     assert "DRIVER_CONTRACT_OK" in proc.stdout, proc.stderr[-3000:]
+
+
+def test_every_query_has_oracle_or_is_known_approximate():
+    """Drift guard: each queries() entry must carry a DuckDB oracle, except
+    the two approximate-by-design ones (verified by tools/check_oracles.py
+    against brute force / exact re-derivation instead)."""
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    APPROX = {"minhash_pairs", "knn_cosine_lsh"}
+    q, o = set(e.queries()), set(e.oracle_sql())
+    assert o <= q, o - q  # no orphan oracles
+    assert q - o == APPROX, q - o
