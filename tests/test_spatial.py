@@ -301,6 +301,68 @@ def test_cell_kring_bruteforce(ray_session):
     assert set(out["cell"]) == set(counts)
 
 
+def test_spatial_ops_empty_inputs(ray_session):
+    """Every spatial/window/graph operator added this wave must survive a
+    0-row input — empty partitions are routine at scale."""
+    import pandas as pd
+    import ray.data
+    from exactextractr_ray.stages.events import moving_avg
+    from exactextractr_ray.stages.graph import triangle_counts
+    from exactextractr_ray.stages.spatial import (
+        cell_kring_counts,
+        pip_join_cells,
+        spatial_knn,
+        zone_cell_cover,
+    )
+
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lon": pa.array([], pa.float64()),
+                "lat": pa.array([], pa.float64()),
+            }
+        )
+    )
+    qids = np.array([1, 2], dtype=np.int64)
+    qlon, qlat = synth.geocode_ids(qids)
+    assert spatial_knn(pts, qids, qlon, qlat, k=3).count() == 0
+
+    cells = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "cell": pa.array([], pa.int64())})
+    )
+    assert cell_kring_counts(cells).count() == 0
+
+    zb = pa.table(
+        {
+            "zone_id": pa.array([], pa.int64()),
+            "xmin": pa.array([], pa.float64()),
+            "ymin": pa.array([], pa.float64()),
+            "xmax": pa.array([], pa.float64()),
+            "ymax": pa.array([], pa.float64()),
+        }
+    )
+    assert zone_cell_cover(ray.data.from_arrow(zb)).count() == 0
+    assert pip_join_cells(pts, zb).count() == 0  # empty zones AND points
+
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    assert triangle_counts(edges).count() == 0
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "user_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    )
+    assert moving_avg(ev).count() == 0
+
+
 def test_raster_runs_reconstruct_and_maximal(ray_session):
     from exactextractr_ray.pipelines.polygonize import raster_runs
     from exactextractr_ray.sources.raster import synthetic_raster_dataset
