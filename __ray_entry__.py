@@ -1158,6 +1158,22 @@ def _q_degree_stats(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_hll(sf_dir: str):
+    """Per-source HyperLogLog registers over md5(text) — the bounded-state
+    distinct-count sketch (pipelines/sketch.py hll_registers); registers are
+    pure integers so the SQL oracle is bit-exact (the float estimator is
+    test-side only)."""
+    from exactextractr_ray.pipelines.sketch import hll_registers
+
+    out = hll_registers(
+        _docs(sf_dir, ["source", "text"]), group_col="source", value_col="text"
+    ).to_pandas()
+    out = out[["source", "bucket", "register"]]
+    out["bucket"] = out["bucket"].astype(np.int64)
+    out["register"] = out["register"].astype(np.int64)
+    return out.sort_values(["source", "bucket"]).reset_index(drop=True)
+
+
 def _q_triangles(sf_dir: str):
     """Per-node triangle counts over the synthetic link graph — wedge
     generation at the smallest vertex + a wedge/edge co-group probe
@@ -1735,6 +1751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_stats": _q_degree_stats,
         "triangle_counts": _q_triangles,
         "moving_avg": _q_moving_avg,
+        "hll_registers": _q_hll,
         "source_quantiles": _q_source_quantiles,
         "crawl_diff": _q_crawl_diff,
         "retention_cohorts": _q_retention,
@@ -3160,6 +3177,27 @@ def oracle_sql() -> dict[str, str]:
     FROM corners GROUP BY node ORDER BY node
     """
 
+    # HyperLogLog registers: md5-u64 hash split into (top-6-bit bucket,
+    # 58-bit word); rho = 59 - bitlen(w), bitlen as an exact CASE chain
+    _hll_wmod = 1 << 58
+    _hll_cases = " ".join(
+        f"WHEN w >= {1 << (b - 1)} THEN {b}" for b in range(58, 0, -1)
+    )
+    hll_sql = f"""
+    WITH h AS (
+      SELECT source, ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h
+      FROM documents),
+    parts AS (
+      SELECT source, CAST(h // {_hll_wmod} AS BIGINT) AS bucket,
+             CAST(h % {_hll_wmod} AS BIGINT) AS w
+      FROM h),
+    r AS (
+      SELECT source, bucket, 59 - (CASE {_hll_cases} ELSE 0 END) AS rho
+      FROM parts)
+    SELECT source, bucket, CAST(MAX(rho) AS BIGINT) AS register
+    FROM r GROUP BY source, bucket ORDER BY source, bucket
+    """
+
     # ROWS-window moving average; cents quantization via floor(v*100 + 0.5)
     # (numpy and DuckDB agree, unlike ROUND's half-away vs half-even), one
     # final double division in the same order as the pipeline
@@ -3817,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_stats": degree_sql,
         "triangle_counts": triangles_sql,
         "moving_avg": moving_avg_sql,
+        "hll_registers": hll_sql,
         "source_quantiles": source_quantiles_sql,
         "crawl_diff": crawl_diff_sql,
         "retention_cohorts": retention_sql,

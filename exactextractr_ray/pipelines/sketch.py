@@ -308,3 +308,98 @@ def zonal_quantile_hist(
         .to_pandas()
     )
     return res.sort_values("zone_id").reset_index(drop=True)
+
+
+# ---------------- HyperLogLog registers (bounded-state distinct) ----------
+
+
+HLL_P = 6  # 2^6 = 64 registers per group
+HLL_M = 1 << HLL_P
+_HLL_WBITS = 64 - HLL_P  # 58 low bits feed the leading-zero rank
+_HLL_WMOD = 1 << _HLL_WBITS
+
+
+def _bitlen_u(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit length of non-negative int64 values < 2^58
+    (binary-search shifts — no float log)."""
+    v = v.copy()
+    bl = np.zeros(len(v), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.int64(1) << s)
+        bl[big] += s
+        v[big] >>= s
+    return bl + (v > 0)
+
+
+def hll_rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """64-bit hashes -> (bucket, rho): bucket = top p bits, rho = 1 + count
+    of leading zeros in the low 58-bit word (w == 0 -> 59). Flajolet et al.
+    2007 (public algorithm); pure integer ops, identical in SQL."""
+    hu = h.astype(np.uint64)
+    bucket = (hu >> np.uint64(_HLL_WBITS)).astype(np.int64)
+    w = (hu % np.uint64(_HLL_WMOD)).astype(np.int64)
+    rho = _HLL_WBITS + 1 - _bitlen_u(w)
+    return bucket, rho
+
+
+def hll_registers(ds, group_col: str = "source", value_col: str = "url",
+                  coarse: int = 64):
+    """Per-group HyperLogLog registers over the md5-u64 hash of value_col:
+    one (group, bucket, register=max rho) row per OCCUPIED bucket — pure
+    integers, bit-exact in SQL (the estimator below is float and lives in
+    tests). Ray shape: per-batch partial max (rows bounded by groups x 64
+    per block), then ONE coarse groupby with a vectorized max finalize —
+    the same additive-merge contract as the KMV and histogram sketches.
+    """
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grp = batch.column(group_col).to_pylist()
+        vals = batch.column(value_col).to_pylist()
+        h = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16) for v in vals),
+            dtype=np.uint64,
+            count=len(vals),
+        )
+        bucket, rho = hll_rho(h)
+        df = pd.DataFrame({"g": grp, "bucket": bucket, "rho": rho})
+        agg = df.groupby(["g", "bucket"], as_index=False)["rho"].max()
+        key = pd.util.hash_pandas_object(agg["g"], index=False).to_numpy()
+        return pa.table(
+            {
+                group_col: pa.array(agg["g"], pa.string()),
+                "bucket": pa.array(agg["bucket"].to_numpy(), pa.int64()),
+                "rho": pa.array(agg["rho"].to_numpy(), pa.int64()),
+                "ckey": pa.array(
+                    (key % np.uint64(coarse)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (
+            g.groupby([group_col, "bucket"], as_index=False)["rho"]
+            .max()
+            .rename(columns={"rho": "register"})
+        )
+        agg["bucket"] = agg["bucket"].astype(np.int64)
+        agg["register"] = agg["register"].astype(np.int64)
+        return agg
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ckey")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def hll_estimate(registers: np.ndarray, m: int = HLL_M) -> float:
+    """Standard HLL estimate from a group's DENSE register vector (missing
+    buckets = 0), with the small-range correction. Test-side companion of
+    hll_registers (floats, so not part of the bit-exact oracle surface)."""
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int(np.sum(registers == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(raw)

@@ -90,6 +90,7 @@ QUERIES = [
     "triangle_counts",
     "moving_avg",
     "pip_join_cells",
+    "hll_registers",
 ]
 
 _CHILD = r"""
@@ -131,7 +132,15 @@ def main():
     global QUERIES
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     if len(sys.argv) > 2:  # optional subset of query names
-        QUERIES = [q for q in QUERIES if q in set(sys.argv[2:])]
+        req = set(sys.argv[2:])
+        unknown = req - set(QUERIES)
+        if unknown:
+            # refuse to silently run nothing (an unknown name used to filter
+            # the list to [] and print FAILURES: 0)
+            print("UNKNOWN QUERIES (register them in QUERIES):",
+                  sorted(unknown))
+            sys.exit(2)
+        QUERIES = [q for q in QUERIES if q in req]
     a = run_level(4, sf_dir)
     b = run_level(16, sf_dir)
     bad = 0
