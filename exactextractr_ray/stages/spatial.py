@@ -236,12 +236,49 @@ def build_cell_index(
 ) -> None:
     """Write the point corpus as parquet PARTITIONED BY flat cell id — the
     spatial analog of knn.build_ivf_index: queries later prune at the file
-    list, so an exact kNN touches only the partitions its ring proof needs."""
+    list, so an exact kNN touches only the partitions its ring proof needs.
+
+    A ``_cell_counts.json`` sidecar (per-cell row counts, computed by a tiny
+    distributed count during the build) saves queries the per-file parquet
+    footer scan — at real scale the index has millions of files and the
+    sidecar turns query planning into one small JSON read."""
+    import json
+    import os
+
     from .geocode import assign_cell_batch
 
     ds.map_batches(
         lambda b: assign_cell_batch(b, res_deg), batch_format="pyarrow"
     ).write_parquet(out_dir, partition_cols=["cell"])
+    # one footer sweep at BUILD time (amortized over every query)
+    counts, _files = _scan_cell_partitions(out_dir)
+    sidecar = {
+        "res_deg": res_deg,
+        "counts": {str(c): int(n) for c, n in counts.items()},
+    }
+    tmp = os.path.join(out_dir, "_cell_counts.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(sidecar, f)
+    os.replace(tmp, os.path.join(out_dir, "_cell_counts.json"))
+
+
+def _scan_cell_partitions(index_dir: str):
+    """(cell -> row count, cell -> file list) from partition footers."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    cell_counts: dict[int, int] = {}
+    cell_files: dict[int, list[str]] = {}
+    for d in sorted(_glob.glob(os.path.join(index_dir, "cell=*"))):
+        cell = int(os.path.basename(d).split("=", 1)[1])
+        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+        cell_files[cell] = files
+        cell_counts[cell] = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in files
+        )
+    return cell_counts, cell_files
 
 
 def spatial_knn_cells(
@@ -269,25 +306,31 @@ def spatial_knn_cells(
     rings, so shared partitions are read once.
     """
     import glob as _glob
+    import json
     import math
     import os
 
-    import pyarrow.parquet as pq
     import ray.data
 
     ncols = int(round(360.0 / res_deg))
     nrows = int(round(180.0 / res_deg))
 
-    # metadata-only per-cell counts (footers, not data)
-    cell_counts: dict[int, int] = {}
-    cell_files: dict[int, list[str]] = {}
-    for d in sorted(_glob.glob(os.path.join(index_dir, "cell=*"))):
-        cell = int(os.path.basename(d).split("=", 1)[1])
-        files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
-        cell_files[cell] = files
-        cell_counts[cell] = sum(
-            pq.ParquetFile(f).metadata.num_rows for f in files
-        )
+    # metadata-only per-cell counts: the build-time sidecar when present
+    # (one JSON read), else a parquet-footer sweep — never the data
+    sidecar = os.path.join(index_dir, "_cell_counts.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            cell_counts = {
+                int(c): int(n) for c, n in json.load(f)["counts"].items()
+            }
+        cell_files = {
+            c: sorted(
+                _glob.glob(os.path.join(index_dir, f"cell={c}", "*.parquet"))
+            )
+            for c in cell_counts
+        }
+    else:
+        cell_counts, cell_files = _scan_cell_partitions(index_dir)
     total = sum(cell_counts.values())
     need = k + (1 if exclude_self else 0)
 

@@ -194,3 +194,34 @@ def test_triangle_counts_empty(ray_session):
         )
     )
     assert triangle_counts(ds).count() == 0
+
+
+def test_triangle_counts_hub_skew(ray_session):
+    """A hub star (one low-ID node connected to everything) maximizes wedge
+    fan-out under smallest-ID orientation; counts stay exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.graph import triangle_counts
+
+    n = 200
+    hub_src = np.zeros(n - 1, dtype=np.int64)
+    hub_dst = np.arange(1, n, dtype=np.int64)
+    # plus a chain 1-2, 2-3, ..., closing triangles (0, i, i+1)
+    chain_src = np.arange(1, n - 1, dtype=np.int64)
+    chain_dst = np.arange(2, n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.concatenate([hub_src, chain_src]), pa.int64()),
+                "dst": pa.array(np.concatenate([hub_dst, chain_dst]), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    out = triangle_counts(ds).to_pandas().set_index("node")["n_triangles"]
+    # triangles: (0, i, i+1) for i in 1..n-2 -> hub in all n-2 of them;
+    # node 1 and n-1 in one each; middle chain nodes in two each
+    assert out[0] == n - 2
+    assert out[1] == 1 and out[n - 1] == 1
+    assert (out.drop([0, 1, n - 1]) == 2).all()
