@@ -1187,6 +1187,55 @@ def _q_triangles(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_extract_links(sf_dir: str):
+    """Outlink edge list parsed from RAW HTML anchors (sources/pages.py
+    linked-pages fixture) and resolved href -> dst doc id by a distributed
+    hash join against the (url, doc_id) projection — the crawl link-graph
+    construction stage (stages/web.py link_edges). The oracle derives the
+    same edges arithmetically from the documented anchor rule."""
+    from exactextractr_ray.sources.pages import read_linked_pages
+    from exactextractr_ray.stages.web import link_edges
+
+    pages = read_linked_pages(sf_dir)
+    df = link_edges(pages).to_pandas()
+    df = df.rename(columns={"src_doc": "src_doc", "dst_doc": "dst_doc"})
+    df["src_doc"] = df["src_doc"].astype(np.int64)
+    df["dst_doc"] = df["dst_doc"].astype(np.int64)
+    df = df[["src_doc", "dst_doc", "href"]]
+    return df.sort_values(["src_doc", "dst_doc"]).reset_index(drop=True)
+
+
+def _q_link_pagerank(sf_dir: str):
+    """Damped PageRank (5 fixed-point rounds) over the edge list PARSED
+    from html — the full crawl chain html -> anchors -> url-resolve join ->
+    iterative rank. Unlike `pagerank` (synthetic 3-out-regular graph) this
+    graph has DANGLING nodes (doc_id % 4 == 0 pages carry no anchors), so
+    the mass-leak path is exercised. Oracle: same integer iteration
+    unrolled over the arithmetically-derived edges."""
+    from exactextractr_ray.sources.pages import read_linked_pages
+    from exactextractr_ray.stages.graph import pagerank
+    from exactextractr_ray.stages.web import link_edges
+
+    pages = read_linked_pages(sf_dir)
+    n = _docs(sf_dir, ["doc_id"]).count()
+
+    def to_edge(b):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "src": b.column("src_doc").cast(pa.int64()),
+                "dst": b.column("dst_doc").cast(pa.int64()),
+            }
+        )
+
+    edges = link_edges(pages).map_batches(to_edge, batch_format="pyarrow")
+    df = pagerank(edges, n, iters=5).to_pandas()
+    df["node"] = df["node"].astype(np.int64)
+    df["pr_int"] = df["pr_int"].astype(np.int64)
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -1750,6 +1799,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "degree_stats": _q_degree_stats,
         "triangle_counts": _q_triangles,
+        "extract_links": _q_extract_links,
+        "link_pagerank": _q_link_pagerank,
         "moving_avg": _q_moving_avg,
         "hll_registers": _q_hll,
         "source_quantiles": _q_source_quantiles,
@@ -3123,36 +3174,69 @@ def oracle_sql() -> dict[str, str]:
     # DuckDB SUM(BIGINT) yields HUGEINT, so each iteration CASTs back to
     # BIGINT; '//' keeps every division integral (DuckDB '/' -> DOUBLE).
     pr_scale = 10**12
-    pr_cte = [
-        "n AS (SELECT COUNT(*) AS n FROM documents)",
-        f"""params AS (
-          SELECT CAST({pr_scale} // n AS BIGINT) AS r0,
-                 CAST((15 * ({pr_scale} // n)) // 100 AS BIGINT) AS base
-          FROM n)""",
-        _SYNTH_EDGES_SQL,
-        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
-        "nodes AS (SELECT doc_id AS node FROM documents)",
-        "r0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM nodes)",
-    ]
-    pr_prev = "r0"
-    for k in range(1, 6):
-        pr_cte.append(f"""it{k} AS (
-          SELECT nd.node,
-            CAST((SELECT base FROM params)
-                 + (85 * COALESCE(SUM(p.r // d.outdeg), 0)) // 100
-                 AS BIGINT) AS r
-          FROM nodes nd
-          LEFT JOIN edges e ON e.dst = nd.node
-          LEFT JOIN deg d ON d.src = e.src
-          LEFT JOIN {pr_prev} p ON p.node = e.src
-          GROUP BY nd.node)""")
-        pr_prev = f"it{k}"
-    pagerank_sql = (
-        "WITH " + ",\n".join(pr_cte)
-        + f"""
+
+    def _pr_unrolled_sql(edges_cte: str, iters: int = 5) -> str:
+        """Unrolled integer-pagerank SQL over any CTE named ``edges``."""
+        pr_cte = [
+            "n AS (SELECT COUNT(*) AS n FROM documents)",
+            f"""params AS (
+              SELECT CAST({pr_scale} // n AS BIGINT) AS r0,
+                     CAST((15 * ({pr_scale} // n)) // 100 AS BIGINT) AS base
+              FROM n)""",
+            edges_cte,
+            "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+            "nodes AS (SELECT doc_id AS node FROM documents)",
+            "r0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM nodes)",
+        ]
+        pr_prev = "r0"
+        for k in range(1, iters + 1):
+            pr_cte.append(f"""it{k} AS (
+              SELECT nd.node,
+                CAST((SELECT base FROM params)
+                     + (85 * COALESCE(SUM(p.r // d.outdeg), 0)) // 100
+                     AS BIGINT) AS r
+              FROM nodes nd
+              LEFT JOIN edges e ON e.dst = nd.node
+              LEFT JOIN deg d ON d.src = e.src
+              LEFT JOIN {pr_prev} p ON p.node = e.src
+              GROUP BY nd.node)""")
+            pr_prev = f"it{k}"
+        return (
+            "WITH " + ",\n".join(pr_cte)
+            + f"""
     SELECT node, r AS pr_int, CAST(r AS DOUBLE) / {float(pr_scale)!r} AS pr
     FROM {pr_prev} ORDER BY node"""
+        )
+
+    pagerank_sql = _pr_unrolled_sql(_SYNTH_EDGES_SQL)
+
+    # the linked-pages anchor rule (sources/pages.py page_link_targets):
+    # page i carries anchors j = 0..(i%4)-1 at (7i + 13j + 1) % n; the
+    # parser drops self-links; hrefs resolve in-corpus by construction
+    _LINK_EDGES_SQL = """edges AS (
+      SELECT src_doc AS src, dst_doc AS dst FROM (
+        SELECT d.doc_id AS src_doc,
+               (d.doc_id * 7 + j.j * 13 + 1) % (SELECT n FROM n) AS dst_doc
+        FROM documents d CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+        WHERE j.j < d.doc_id % 4
+      ) WHERE src_doc <> dst_doc)"""
+
+    link_pagerank_sql = _pr_unrolled_sql(_LINK_EDGES_SQL)
+
+    extract_links_sql = """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+      SELECT d.doc_id AS src_doc,
+             (d.doc_id * 7 + j.j * 13 + 1) % (SELECT n FROM n) AS dst_doc
+      FROM documents d CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+      WHERE j.j < d.doc_id % 4
     )
+    SELECT src_doc, dst_doc,
+           'https://site' || lpad(CAST(dst_doc % 1000 AS VARCHAR), 4, '0')
+             || '.example/page/' || CAST(dst_doc AS VARCHAR) AS href
+    FROM links WHERE src_doc <> dst_doc
+    ORDER BY src_doc, dst_doc
+    """
 
     # per-node triangle counts: canonical undirected edges, wedges at the
     # smallest vertex (u < v < w) closed by a third edge — the same
@@ -3850,6 +3934,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_coherence": bigram_coherence_sql,
         "url_dedup": url_dedup_sql,
         "pagerank": pagerank_sql,
+        "extract_links": extract_links_sql,
+        "link_pagerank": link_pagerank_sql,
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,

@@ -48,3 +48,72 @@ def read_pages(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return docs.map_batches(pages_from_documents_batch, batch_format="pyarrow")
+
+
+def page_url(doc_id: int) -> str:
+    """The canonical page URL for a doc id (same format as read_pages)."""
+    return f"https://site{int(doc_id) % 1000:04d}.example/page/{int(doc_id)}"
+
+
+# Deterministic outlink rule for the linked-pages variant (FIXTURES.md):
+# page i carries k_i = i % 4 anchors (0..3; k=0 pages are DANGLING nodes),
+# anchor j (0 <= j < k_i) points at doc (i*7 + j*13 + 1) % n. Self-links
+# are kept in the html (realistic) and dropped by the edge parser.
+LINK_A, LINK_B, LINK_C, LINK_KMOD = 7, 13, 1, 4
+
+
+def page_link_targets(ids: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (src, dst) anchor targets for the linked-pages rule,
+    INCLUDING self-links, in per-page anchor order j = 0..k_i-1."""
+    ids = np.asarray(ids, dtype=np.int64)
+    k = ids % LINK_KMOD
+    src = np.repeat(ids, k)
+    j = np.arange(len(src), dtype=np.int64) - np.repeat(
+        np.cumsum(k) - k, k
+    )  # 0..k_i-1 within each page
+    dst = (src * LINK_A + j * LINK_B + LINK_C) % n
+    return src, dst
+
+
+def linked_pages_from_documents_batch(batch: pa.Table, n: int) -> pa.Table:
+    """Like pages_from_documents_batch but the html body ends with a
+    ``<nav>`` of anchor tags following the outlink rule. Anchor text is
+    empty, so the frozen extractor still inverts the page to ``text``
+    exactly (tags strip to nothing) — the byte-identical-text invariant
+    holds for linked pages too (tested)."""
+    from ..stages.text import make_page_html_links
+
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    src, dst = page_link_targets(ids, n)
+    k = ids.astype(np.int64) % LINK_KMOD
+    ends = np.cumsum(k)
+    starts = ends - k
+    htmls = []
+    for row, (i, t) in enumerate(zip(ids, texts)):
+        hrefs = [page_url(d) for d in dst[starts[row] : ends[row]]]
+        htmls.append(make_page_html_links(int(i), t or "", hrefs))
+    urls = [page_url(int(i)) for i in ids]
+    ts = (EPOCH_2024 + ids.astype(np.int64)) * 1_000_000
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def read_linked_pages(sf_dir: str) -> "ray.data.Dataset":
+    """Pages Dataset with deterministic outlink anchors in the html."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    n = docs.count()  # parquet metadata count, no scan
+    return docs.map_batches(
+        linked_pages_from_documents_batch, batch_format="pyarrow", fn_kwargs={"n": n}
+    )

@@ -73,6 +73,19 @@ def make_page_html(doc_id: int, text: str) -> bytes:
     ).encode()
 
 
+def make_page_html_links(doc_id: int, text: str, hrefs: list[str]) -> bytes:
+    """make_page_html plus a trailing ``<nav>`` of empty-anchor outlinks.
+    Empty anchor text means the frozen extractor output is IDENTICAL to the
+    link-free page (every tag strips to nothing) — tested invariant."""
+    body = "".join(f"<p>{escape_html_text(ln)}</p>" for ln in text.split("\n"))
+    nav = "".join(f'<a href="{h}"></a>' for h in hrefs)
+    return (
+        f"<html><head><title>doc{doc_id}</title>"
+        f'<script>var x="ignore me";</script></head>'
+        f"<body>{body}<nav>{nav}</nav></body></html>"
+    ).encode()
+
+
 def extract_text_batch(batch: pa.Table, html_col: str = "html") -> pa.Table:
     htmls = batch.column(html_col).to_pylist()
     texts = [extract_text_bytes(h) for h in htmls]

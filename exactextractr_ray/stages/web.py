@@ -264,3 +264,69 @@ def snapshot_diff(
         new.map_batches(_tag(1), batch_format="pyarrow")
     )
     return tagged.groupby("__cg").map_groups(classify, batch_format="pyarrow")
+
+
+# ---------------- outlink extraction / link-graph construction ----------------
+
+import re as _re
+
+# href parse: anchor tags only, double-quoted value (the crawl-frozen rule —
+# documented so the oracle fixture derivation is exact)
+_HREF_RE = _re.compile(rb'<a\s[^>]*?href="([^"]*)"')
+
+
+def extract_links_batch(
+    batch: pa.Table,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    drop_self: bool = True,
+) -> pa.Table:
+    """Parse every ``<a href="...">`` out of the raw html bytes.
+
+    Emits one (src_doc, href) row per anchor, page order preserved. Pure
+    per-batch fan-out — the html column never leaves the task; only the
+    ~60-byte href strings do. ``drop_self`` removes anchors pointing at the
+    page's own URL before anything ships (cheaper than a post-join filter).
+    """
+    htmls = batch.column(html_col).to_pylist()
+    ids = batch.column(id_col).to_numpy()
+    own = batch.column(url_col).to_pylist()
+    src: list[int] = []
+    hrefs: list[bytes] = []
+    for i, h, u in zip(ids, htmls, own):
+        ub = (u or "").encode()
+        for m in _HREF_RE.findall(h or b""):
+            if drop_self and m == ub:
+                continue
+            src.append(int(i))
+            hrefs.append(m)
+    return pa.table(
+        {
+            "src_doc": pa.array(src, pa.int64()),
+            "href": pa.array([b.decode("utf-8", "replace") for b in hrefs], pa.string()),
+        }
+    )
+
+
+def link_edges(pages, num_partitions: int = 8):
+    """(src, dst, href) edge Dataset from a pages Dataset: parse anchors,
+    then resolve href -> dst doc id with a DISTRIBUTED hash join against
+    the (url, doc_id) projection of the same pages stream.
+
+    The join is the honest 100-TB shape: the url->id map is corpus-sized
+    (one row per page) so it cannot be broadcast; both sides hash-exchange
+    on the url string. Anchors pointing outside the corpus drop out of the
+    inner join (a crawl's frontier discovers those separately).
+    """
+    links = pages.map_batches(extract_links_batch, batch_format="pyarrow")
+    urlmap = pages.map_batches(
+        lambda b: pa.table(
+            {"href": b.column("url"), "dst_doc": b.column("doc_id").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = links.join(
+        urlmap, join_type="inner", num_partitions=int(num_partitions), on=("href",)
+    )
+    return joined

@@ -65,3 +65,81 @@ def test_snapshot_diff_disjoint(_ray):
         .reset_index(drop=True)
     )
     assert dict(zip(df["key"], df["status"])) == {1: "removed", 2: "added"}
+
+
+# ---------------- outlink extraction (stages/web.py link_edges) ----------------
+
+
+def test_linked_pages_extraction_invariant(_ray):
+    """The <nav> anchor block must not change the frozen extractor output:
+    byte-identical extracted text with and without links, for every page."""
+    from exactextractr_ray.sources.pages import read_linked_pages, read_pages
+    from exactextractr_ray.stages.text import extract_text_bytes
+
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        r["doc_id"]: extract_text_bytes(r["html"])
+        for r in read_pages(sf).take_all()
+    }
+    linked = read_linked_pages(sf).take_all()
+    assert len(linked) == len(plain)
+    for r in linked:
+        assert extract_text_bytes(r["html"]) == plain[r["doc_id"]]
+
+
+def test_extract_links_batch_rules():
+    """Self-links dropped, page order preserved, hrefs parsed verbatim."""
+    from exactextractr_ray.stages.web import extract_links_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "url": pa.array(["https://a/7", "https://a/8"], pa.string()),
+            "html": pa.array(
+                [
+                    b'<p>x</p><a href="https://a/8"></a><a href="https://a/7"></a>',
+                    b"<p>no links</p>",
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = extract_links_batch(batch)
+    assert out.column("src_doc").to_pylist() == [7]
+    assert out.column("href").to_pylist() == ["https://a/8"]
+
+
+def test_link_edges_resolves_and_drops_external(_ray):
+    """hrefs outside the corpus drop out of the inner url join."""
+    import ray.data
+
+    from exactextractr_ray.stages.web import link_edges
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "url": pa.array(["https://a/0", "https://a/1"], pa.string()),
+                "html": pa.array(
+                    [
+                        b'<a href="https://a/1"></a><a href="https://elsewhere/x"></a>',
+                        b'<a href="https://a/0"></a>',
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    df = link_edges(pages, num_partitions=2).to_pandas()
+    got = sorted(zip(df["src_doc"], df["dst_doc"]))
+    assert got == [(0, 1), (1, 0)]
+
+
+def test_page_link_targets_rule():
+    """k_i = i % 4 anchors at (7i + 13j + 1) % n, dangling i%4==0 pages."""
+    from exactextractr_ray.sources.pages import page_link_targets
+
+    src, dst = page_link_targets(np.arange(8), n=50)
+    # i=0,4 dangle; i=1 has 1, i=2 has 2, i=3 has 3 anchors, etc.
+    assert list(src) == [1, 2, 2, 3, 3, 3, 5, 6, 6, 7, 7, 7]
+    assert list(dst[:6]) == [8, 15, 28, 22, 35, 48]
