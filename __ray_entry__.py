@@ -1236,6 +1236,26 @@ def _q_link_pagerank(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_focal_mean(sf_dir: str):
+    """3x3 focal sum/count/mean over the synthetic tiled raster via the
+    tile HALO-EXCHANGE pattern (pipelines/focal.py): border strips fan out
+    keyed by neighbor tile id, one groupby assembles each tile + halo and
+    computes the window stats vectorized. The reference has no focal ops;
+    this is the moving-window raster primitive a production raster engine
+    needs (GRASS r.neighbors / terra::focal surface). Oracle: 9-neighbor
+    self-join over the synth cell relation."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import focal_stats_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = focal_stats_3x3(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    df["focal_cnt"] = df["focal_cnt"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -1801,6 +1821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangles,
         "extract_links": _q_extract_links,
         "link_pagerank": _q_link_pagerank,
+        "focal_mean": _q_focal_mean,
         "moving_avg": _q_moving_avg,
         "hll_registers": _q_hll,
         "source_quantiles": _q_source_quantiles,
@@ -2384,6 +2405,23 @@ def oracle_sql() -> dict[str, str]:
       ON a.cy BETWEEN b.cy - 1 AND b.cy + 1
      AND a.cx BETWEEN b.cx - 1 AND b.cx + 1
     GROUP BY b.cell, b.n ORDER BY b.cell
+    """
+
+    # 3x3 focal stats: 9-neighbor self-join over the synth cell relation.
+    # <= 9 integer-valued doubles per window -> SUM exact in any order;
+    # mean = SUM/COUNT is the same single division the pipeline performs.
+    focal_mean_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1)
+    SELECT CAST(r * {N_GRID} + c AS BIGINT) AS cell,
+           COALESCE(SUM(v), 0.0) AS focal_sum,
+           COUNT(v) AS focal_cnt,
+           SUM(v) / COUNT(v) AS focal_mean
+    FROM nb GROUP BY r, c ORDER BY cell
     """
 
     # Raster run polygonize: classic gaps-and-islands (c - ROW_NUMBER within
@@ -3923,6 +3961,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_tile_cover": zone_cover,
         "cell_kring": cell_kring,
         "raster_runs": raster_runs_sql,
+        "focal_mean": focal_mean_sql,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,
         "dup_clusters": dup_clusters_sql,

@@ -1,0 +1,157 @@
+"""Focal (moving-window) raster statistics with tile HALO EXCHANGE.
+
+The one distributed-raster pattern the zonal pipelines don't exercise: a
+3x3 focal window needs each tile's neighbors' border cells, so tiles cannot
+be processed independently. The Ray-Data-native shape is a two-stage
+exchange:
+
+1. **halo fan-out** (``map_batches``): every tile emits its full body keyed
+   by its own tile id PLUS up to 8 thin border strips keyed by each
+   neighbor's tile id (1-cell-deep rows/cols/corners). Shuffle volume is
+   the raster once + O(perimeter) per tile — the strips are ~2/tile_width
+   of the data, so the exchange stays within a few percent of a plain
+   repartition at production tile sizes (256-1024 px).
+2. **assemble + compute** (``groupby(dst_tile).map_groups``): each group
+   holds exactly one full tile plus its incoming strips; they are placed
+   into a NaN-padded (th+2, tw+2) canvas by absolute offset and the focal
+   sum/count/mean are computed with nine vectorized shifted adds. Cells
+   whose window crosses the raster edge simply see fewer valid neighbors
+   (the canvas halo outside the raster stays NaN) — the standard
+   edge-shrink convention.
+
+NODATA semantics follow the reference's NA model (NaN values are skipped,
+/root/reference/src/exactextract/src/raster.h:86-97): a NaN cell
+contributes to no window, and a window with zero valid cells yields
+count 0 / sum 0.0 / mean NaN.
+
+Determinism: synth rasters are integer-valued (< 1000), so the <= 9-term
+float64 window sums are exact in any order and the DuckDB self-join oracle
+matches bit-for-bit (mean is the single division sum/count on identical
+operands).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.raster import RasterDataset, tile_values
+
+
+def _halo_fanout(batch: pa.Table, tiles_y: int, tiles_x: int) -> pa.Table:
+    """Tile rows -> tagged fragments (dst_tile, row0, col0, h, w, values).
+
+    One full-body fragment per tile + one strip per existing neighbor.
+    Fragments carry ABSOLUTE grid offsets so assembly is pure arithmetic.
+    """
+    dst, r0s, c0s, hs, ws, vals = [], [], [], [], [], []
+    for row in batch.to_pylist():
+        ty, tx = int(row["ty"]), int(row["tx"])
+        row0, col0 = int(row["row0"]), int(row["col0"])
+        th, tw = int(row["th"]), int(row["tw"])
+        v = tile_values(row)
+
+        def emit(dty: int, dtx: int, frag: np.ndarray, fr0: int, fc0: int):
+            dst.append((ty + dty) * tiles_x + (tx + dtx))
+            r0s.append(fr0)
+            c0s.append(fc0)
+            hs.append(frag.shape[0])
+            ws.append(frag.shape[1])
+            vals.append(frag.ravel())
+
+        for dty in (-1, 0, 1):
+            if not (0 <= ty + dty < tiles_y):
+                continue
+            for dtx in (-1, 0, 1):
+                if not (0 <= tx + dtx < tiles_x):
+                    continue
+                if dty == 0 and dtx == 0:
+                    emit(0, 0, v, row0, col0)
+                    continue
+                # the 1-cell-deep slice of THIS tile adjacent to that
+                # neighbor: dty=+1 neighbor sits BELOW us -> it needs our
+                # BOTTOM row; dty=-1 (above) needs our TOP row; same for
+                # columns. Corners combine both.
+                rs = {-1: slice(0, 1), 0: slice(None), 1: slice(th - 1, th)}[dty]
+                cs = {-1: slice(0, 1), 0: slice(None), 1: slice(tw - 1, tw)}[dtx]
+                frag = v[rs, cs]
+                fr0 = row0 + (th - 1 if dty == 1 else 0)
+                fc0 = col0 + (tw - 1 if dtx == 1 else 0)
+                emit(dty, dtx, frag, fr0, fc0)
+
+    flat = (
+        np.concatenate(vals) if vals else np.empty(0, np.float64)
+    ).astype(np.float64)
+    offsets = np.zeros(len(vals) + 1, np.int32)
+    if vals:
+        np.cumsum([len(x) for x in vals], out=offsets[1:])
+    return pa.table(
+        {
+            "dst_tile": pa.array(dst, pa.int64()),
+            "row0": pa.array(r0s, pa.int32()),
+            "col0": pa.array(c0s, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "values": pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float64())),
+        }
+    )
+
+
+def focal_stats_3x3(raster: RasterDataset):
+    """Per-cell 3x3 focal sum / count / mean over a tiled raster Dataset.
+
+    Returns a Dataset of (cell:int64, focal_sum:float64, focal_cnt:int64,
+    focal_mean:float64), one row per raster cell (including NaN centers —
+    the window is about the neighborhood, not the center value).
+    """
+    g = raster.grid
+    n_cols = g.ncol
+    tiles_y, tiles_x = raster.tiles_y, raster.tiles_x
+    tile_h, tile_w = raster.tile_h, raster.tile_w
+
+    frags = raster.ds.map_batches(
+        _halo_fanout,
+        batch_format="pyarrow",
+        fn_kwargs={"tiles_y": tiles_y, "tiles_x": tiles_x},
+    )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        rows = group.to_pylist()
+        # the full-body fragment identifies the tile bounds
+        body = max(rows, key=lambda r: int(r["h"]) * int(r["w"]))
+        th, tw = int(body["h"]), int(body["w"])
+        row0, col0 = int(body["row0"]), int(body["col0"])
+        canvas = np.full((th + 2, tw + 2), np.nan, np.float64)
+        for r in rows:
+            rr = int(r["row0"]) - (row0 - 1)
+            cc = int(r["col0"]) - (col0 - 1)
+            h, w = int(r["h"]), int(r["w"])
+            canvas[rr : rr + h, cc : cc + w] = np.asarray(
+                r["values"], np.float64
+            ).reshape(h, w)
+        valid = ~np.isnan(canvas)
+        filled = np.where(valid, canvas, 0.0)
+        s = np.zeros((th, tw), np.float64)
+        c = np.zeros((th, tw), np.int64)
+        # fixed (dr, dc) accumulation order -> deterministic float sums
+        # (exact anyway for integer-valued rasters)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                s += filled[dr : dr + th, dc : dc + tw]
+                c += valid[dr : dr + th, dc : dc + tw]
+        mean = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+        rr, cc = np.meshgrid(
+            np.arange(row0, row0 + th, dtype=np.int64),
+            np.arange(col0, col0 + tw, dtype=np.int64),
+            indexing="ij",
+        )
+        return pa.table(
+            {
+                "cell": pa.array((rr * n_cols + cc).ravel(), pa.int64()),
+                "focal_sum": pa.array(s.ravel(), pa.float64()),
+                "focal_cnt": pa.array(c.ravel(), pa.int64()),
+                "focal_mean": pa.array(mean.ravel(), pa.float64()),
+            }
+        )
+
+    return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
