@@ -853,6 +853,39 @@ def _q_spatial_knn_cells(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_distance_join(sf_dir: str):
+    """All document pairs within planar radius 12deg of the probe subset
+    (doc_id % 17 == 0) — the distributed radius join (stages/spatial.py
+    distance_join): both sides stream, probe points replicate to their 3x3
+    cells, one coarse groupby co-locates candidates, pairs emerge from a
+    vectorized distance mask. Oracle: the brute cross join."""
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import distance_join
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+
+    def probes(b):
+        ids = b.column("doc_id").to_numpy()
+        f = b.filter(pa.array(ids % 17 == 0))
+        return pa.table(
+            {
+                "qid": f.column("doc_id").cast(pa.int64()),
+                "lon": f.column("lon"),
+                "lat": f.column("lat"),
+            }
+        )
+
+    b_ds = docs.map_batches(probes, batch_format="pyarrow")
+    df = distance_join(docs, b_ds, radius=12.0, res_deg=12.0).to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["qid"] = df["qid"].astype(np.int64)
+    return df.sort_values(["doc_id", "qid"]).reset_index(drop=True)
+
+
 def _zone_bounds_table():
     import pyarrow as pa
     from exactextractr_ray import synth
@@ -1822,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "link_pagerank": _q_link_pagerank,
         "focal_mean": _q_focal_mean,
+        "distance_join": _q_distance_join,
         "moving_avg": _q_moving_avg,
         "hll_registers": _q_hll,
         "source_quantiles": _q_source_quantiles,
@@ -2405,6 +2439,21 @@ def oracle_sql() -> dict[str, str]:
       ON a.cy BETWEEN b.cy - 1 AND b.cy + 1
      AND a.cx BETWEEN b.cx - 1 AND b.cx + 1
     GROUP BY b.cell, b.n ORDER BY b.cell
+    """
+
+    # radius join: brute cross join with the identical planar dist2
+    # arithmetic (multiplies/adds of bit-identical geocode doubles).
+    distance_join_sql = f"""
+    WITH geo AS ({geo}),
+    b AS (SELECT doc_id AS qid, lon, lat FROM geo WHERE doc_id % 17 = 0)
+    SELECT geo.doc_id AS doc_id, b.qid AS qid,
+      (geo.lon - b.lon) * (geo.lon - b.lon)
+        + (geo.lat - b.lat) * (geo.lat - b.lat) AS dist2
+    FROM geo, b
+    WHERE geo.doc_id != b.qid
+      AND (geo.lon - b.lon) * (geo.lon - b.lon)
+        + (geo.lat - b.lat) * (geo.lat - b.lat) <= 144.0
+    ORDER BY doc_id, qid
     """
 
     # 3x3 focal stats: 9-neighbor self-join over the synth cell relation.
@@ -3962,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_kring": cell_kring,
         "raster_runs": raster_runs_sql,
         "focal_mean": focal_mean_sql,
+        "distance_join": distance_join_sql,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,
         "dup_clusters": dup_clusters_sql,

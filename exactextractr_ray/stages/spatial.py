@@ -594,3 +594,135 @@ def cell_kring_counts(geo_ds, res_deg: float = 3.0, coarse: int = 64):
         )
 
     return tagged.groupby("ckey").map_groups(finalize, batch_format="pandas")
+
+
+def distance_join(
+    a_ds,
+    b_ds,
+    radius: float,
+    res_deg: float | None = None,
+    a_id: str = "doc_id",
+    b_id: str = "qid",
+    coarse: int = 64,
+):
+    """All (a, b) pairs within planar ``radius`` — the distributed radius
+    join, with BOTH point sets streaming (neither side is broadcast).
+
+    Shape: the A side bins once into cells of size >= radius; the B side
+    replicates each point to its 3x3 neighbor cells (a bounded 9x fan-out
+    of the SMALL columns only: id, lon, lat). One groupby on a coarse cell
+    key co-locates each cell's A points with every B point whose disc can
+    reach it; the per-cell candidate check is one vectorized (|A| x |B|)
+    distance mask. Every qualifying pair appears exactly once because an A
+    point's home cell is unique and ``radius <= cell size`` guarantees the
+    matching B replica landed there.
+
+    Skew: a hot cell costs |A_cell| x |B_ring| multiplies inside one task;
+    for city-density corpora drop ``res_deg`` (more, smaller cells) — the
+    fan-out stays 9x regardless. No antimeridian wrap (grid edges clamp),
+    consistent with the other cell operators.
+
+    Returns (a_id, b_id, dist2) with self-pairs (same id) excluded.
+    """
+    if res_deg is None:
+        res_deg = float(radius)
+    if radius > res_deg:
+        raise ValueError("radius must be <= res_deg (cell size)")
+    ncols = int(round(360.0 / res_deg))
+    r2 = float(radius) * float(radius)
+
+    def tag_a(batch: pa.Table) -> pa.Table:
+        from ..synth import cell_for_lonlat
+
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        cell = cell_for_lonlat(lon, lat, res_deg)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "ckey": pa.array(cell % coarse, pa.int64()),
+                "side": pa.array(np.zeros(len(lon), np.int8), pa.int8()),
+                "pid": batch.column(a_id).cast(pa.int64()),
+                "lon": pa.array(lon, pa.float64()),
+                "lat": pa.array(lat, pa.float64()),
+            }
+        )
+
+    def tag_b(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        ids = batch.column(b_id).to_numpy().astype(np.int64)
+        cy = np.floor((lat + 90.0) / res_deg).astype(np.int64)
+        cx = np.floor((lon + 180.0) / res_deg).astype(np.int64)
+        tcell, tid, tlon, tlat = [], [], [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ty, tx = cy + dy, cx + dx
+                ok = (ty >= 0) & (tx >= 0) & (tx < ncols)
+                tcell.append(ty[ok] * ncols + tx[ok])
+                tid.append(ids[ok])
+                tlon.append(lon[ok])
+                tlat.append(lat[ok])
+        cell = np.concatenate(tcell)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "ckey": pa.array(cell % coarse, pa.int64()),
+                "side": pa.array(np.ones(len(cell), np.int8), pa.int8()),
+                "pid": pa.array(np.concatenate(tid), pa.int64()),
+                "lon": pa.array(np.concatenate(tlon), pa.float64()),
+                "lat": pa.array(np.concatenate(tlat), pa.float64()),
+            }
+        )
+
+    tagged = a_ds.map_batches(tag_a, batch_format="pyarrow").union(
+        b_ds.map_batches(tag_b, batch_format="pyarrow")
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cell = g["cell"].to_numpy()
+        side = g["side"].to_numpy()
+        pid = g["pid"].to_numpy()
+        lon = g["lon"].to_numpy()
+        lat = g["lat"].to_numpy()
+        order = np.argsort(cell, kind="stable")
+        cell, side, pid, lon, lat = (
+            cell[order],
+            side[order],
+            pid[order],
+            lon[order],
+            lat[order],
+        )
+        out_a, out_b, out_d = [], [], []
+        uniq, starts = np.unique(cell, return_index=True)
+        bounds = np.append(starts, len(cell))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            am = side[s:e] == 0
+            bm = ~am
+            if not am.any() or not bm.any():
+                continue
+            dlon = lon[s:e][am][:, None] - lon[s:e][bm][None, :]
+            dlat = lat[s:e][am][:, None] - lat[s:e][bm][None, :]
+            d2 = dlon * dlon + dlat * dlat
+            hit = (d2 <= r2) & (pid[s:e][am][:, None] != pid[s:e][bm][None, :])
+            ai, bi = np.nonzero(hit)
+            out_a.append(pid[s:e][am][ai])
+            out_b.append(pid[s:e][bm][bi])
+            out_d.append(d2[ai, bi])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    a_id: np.empty(0, np.int64),
+                    b_id: np.empty(0, np.int64),
+                    "dist2": np.empty(0, np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                a_id: np.concatenate(out_a),
+                b_id: np.concatenate(out_b),
+                "dist2": np.concatenate(out_d),
+            }
+        )
+
+    return tagged.groupby("ckey").map_groups(pairs, batch_format="pandas")

@@ -387,3 +387,81 @@ def test_raster_runs_reconstruct_and_maximal(ray_session):
             assert prev[3] != cur[3]
         prev = cur
     assert (out["run_len"] == out["col_end"] - out["col_start"] + 1).all()
+
+
+def test_distance_join_bruteforce(ray_session):
+    """Cell-binned radius join == brute cross join, at several radii
+    including radius == cell size (the tight guarantee boundary)."""
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import distance_join
+
+    rng = np.random.default_rng(7)
+    na, nb = 300, 40
+    alon = rng.uniform(-170, 170, na)
+    alat = rng.uniform(-55, 55, na)
+    aids = np.arange(na, dtype=np.int64)
+    bsel = rng.choice(na, nb, replace=False)
+    a_ds = ray.data.from_arrow(
+        pa.table({"doc_id": aids, "lon": alon, "lat": alat})
+    )
+    b_ds = ray.data.from_arrow(
+        pa.table(
+            {"qid": aids[bsel], "lon": alon[bsel], "lat": alat[bsel]}
+        )
+    )
+    for radius, res in [(12.0, 12.0), (5.0, 8.0), (20.0, 20.0)]:
+        df = (
+            distance_join(a_ds, b_ds, radius=radius, res_deg=res)
+            .to_pandas()
+            .sort_values(["doc_id", "qid"])
+            .reset_index(drop=True)
+        )
+        dlon = alon[:, None] - alon[bsel][None, :]
+        dlat = alat[:, None] - alat[bsel][None, :]
+        d2 = dlon * dlon + dlat * dlat
+        hit = (d2 <= radius * radius) & (aids[:, None] != aids[bsel][None, :])
+        ai, bi = np.nonzero(hit)
+        exp = sorted(zip(aids[ai], aids[bsel][bi], d2[ai, bi]))
+        got = list(zip(df["doc_id"], df["qid"], df["dist2"]))
+        assert len(got) == len(exp), (radius, len(got), len(exp))
+        for (ga, gb, gd), (ea, eb, ed) in zip(got, exp):
+            assert (ga, gb) == (ea, eb)
+            assert gd == ed  # bit-exact
+    # pair uniqueness is implied by count equality vs brute force
+
+
+def test_distance_join_rejects_radius_above_cell(ray_session):
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import distance_join
+
+    t = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "lon": [0.0], "lat": [0.0]}
+    )
+    q = pa.table({"qid": pa.array([1], pa.int64()), "lon": [1.0], "lat": [1.0]})
+    with pytest.raises(ValueError):
+        distance_join(
+            ray.data.from_arrow(t), ray.data.from_arrow(q), radius=10.0, res_deg=5.0
+        )
+
+
+def test_distance_join_empty_sides(ray_session):
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import distance_join
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lon": pa.array([], pa.float64()),
+            "lat": pa.array([], pa.float64()),
+        }
+    )
+    pts = pa.table(
+        {"qid": pa.array([1], pa.int64()), "lon": [0.0], "lat": [0.0]}
+    )
+    out = distance_join(
+        ray.data.from_arrow(empty), ray.data.from_arrow(pts), radius=5.0
+    ).to_pandas()
+    assert len(out) == 0
