@@ -541,6 +541,20 @@ def _q_revenue_by_priority(sf_dir: str):
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (pipelines/relational.py local_supplier_volume):
+    two shuffle hash joins (orders x customer on custkey, lineitem x that
+    on orderkey), supplier nation via a broadcast actor-pool lookup, dims
+    reduced driver-side; customer-nation == supplier-nation filter +
+    integer-cents revenue partials before the final ~25-group sum."""
+    from exactextractr_ray.pipelines.relational import local_supplier_volume
+
+    df = local_supplier_volume(sf_dir).to_pandas()
+    for c in ["revenue_cents_bp", "n_items"]:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
 def _q_dedup_exact(sf_dir: str):
     from exactextractr_ray.stages.dedup import exact_dedup
 
@@ -1805,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "orders_by_nation": _q_orders_by_nation,
         "revenue_by_priority": _q_revenue_by_priority,
+        "local_supplier_volume": _q_local_supplier_volume,
         "sample_docs": _q_sample_docs,
         "stratified_sample": _q_stratified_sample,
         "dedup_exact": _q_dedup_exact,
@@ -2236,6 +2251,27 @@ def oracle_sql() -> dict[str, str]:
       CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY 1 ORDER BY o_orderpriority
+    """
+
+    # TPC-H Q5 shape: customer nation == supplier nation within one
+    # region/year; same integer cents x basis points revenue encoding
+    local_supplier_volume_sql = """
+    SELECT n.n_name AS n_name,
+      CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+               * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents_bp,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+                 AND s.s_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1997-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY 1 ORDER BY n_name
     """
 
     # every event belongs to exactly one session, so the interval join is
@@ -3982,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": pricing_summary_sql,
         "orders_by_nation": orders_by_nation_sql,
         "revenue_by_priority": revenue_by_priority_sql,
+        "local_supplier_volume": local_supplier_volume_sql,
         "sample_docs": sample_docs_sql,
         "stratified_sample": stratified_sample_sql,
         "dedup_exact": dedup_exact,

@@ -427,3 +427,169 @@ def shipping_priority(
         .groupby("g")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA", year: int = 1997):
+    """TPC-H Q5 shape: revenue from lineitems where the CUSTOMER's and the
+    SUPPLIER's nation coincide, within one region and one order year.
+
+    Distributed plan (the Q5 textbook shape, Ray-Data-first):
+
+    * region |><| nation reduce DRIVER-side to a ~25-entry nationkey->name
+      map (dims are O(100) rows at any scale);
+    * supplier reduces to a suppkey->nationkey int map, broadcast via
+      ``ray.put`` (supplier is ~1% of lineitem; at the scale where even
+      that map outgrows worker heaps, swap this stage for a third shuffle
+      join — the rest of the plan is unchanged);
+    * customer |><| orders: SHUFFLE hash join on custkey (both sides big),
+      emitting only (o_orderkey, cust_nation);
+    * lineitem maps supp_nation in-batch from the broadcast, then SHUFFLE
+      hash joins the order stream on orderkey — the single fact-sized
+      exchange; the nation-equality filter and the integer-cents revenue
+      partial collapse each batch before the final ~25-group sum.
+    """
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    reg = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(rkey)]
+    nation_name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    if not nation_name:
+        # dims are driver-side, so an empty region short-circuits before
+        # any fact-table work (an empty join side would also lose its
+        # schema under the hash-shuffle join)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue_cents_bp": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp_map_ref = ray.put(
+        dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int)))
+    )
+    nation_ref = ray.put(nation_name)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    t0 = np.datetime64(f"{year}-01-01")
+    t1 = np.datetime64(f"{year + 1}-01-01")
+
+    def order_year(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").to_numpy()
+        keep = (d >= t0) & (d < t1)
+        f = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": f.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": f.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ord_cust = orders.map_batches(order_year, batch_format="pyarrow").join(
+        cust,
+        join_type="inner",
+        num_partitions=ncpu,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def keep_region_cust(b: pa.Table) -> pa.Table:
+        names = ray.get(nation_ref)
+        nk = b.column("c_nationkey").to_numpy().astype(np.int64)
+        keep = np.isin(nk, np.fromiter(names.keys(), np.int64, len(names)))
+        f = b.filter(pa.array(keep))
+        return pa.table(
+            {
+                "o_orderkey": f.column("o_orderkey"),
+                "cust_nation": f.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    ord_nation = ord_cust.map_batches(keep_region_cust, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class SuppNation:
+        """Actor-pool stage: the suppkey->nationkey broadcast is fetched
+        ONCE per actor (zero-copy from the local object store), not per
+        batch."""
+
+        def __init__(self):
+            m = ray.get(supp_map_ref)
+            keys = np.fromiter(m.keys(), np.int64, len(m))
+            vals = np.fromiter(m.values(), np.int64, len(m))
+            order = np.argsort(keys)
+            self.keys = keys[order]
+            self.vals = vals[order]
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            sk = b.column("l_suppkey").to_numpy().astype(np.int64)
+            idx = np.searchsorted(self.keys, sk)
+            idx = np.clip(idx, 0, len(self.keys) - 1)
+            nk = np.where(self.keys[idx] == sk, self.vals[idx], -1)
+            t = b.append_column("supp_nation", pa.array(nk, pa.int64()))
+            return t.filter(pa.array(nk >= 0))
+
+    li_n = li.map_batches(
+        SuppNation, batch_format="pyarrow", concurrency=(1, max(2, ncpu // 2))
+    )
+
+    joined = li_n.join(
+        ord_nation,
+        join_type="inner",
+        num_partitions=ncpu,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        names = ray.get(nation_ref)
+        cn = b.column("cust_nation").to_numpy().astype(np.int64)
+        sn = b.column("supp_nation").to_numpy().astype(np.int64)
+        keep = cn == sn
+        if not keep.any():
+            return pa.table(
+                {
+                    "n_name": pa.array([], pa.string()),
+                    "revenue_cents_bp": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        cents = np.round(
+            b.column("l_extendedprice").to_numpy()[keep] * 100.0
+        ).astype(np.int64)
+        pct = np.round(
+            (1.0 - b.column("l_discount").to_numpy()[keep]) * 100.0
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "n_name": [names[k] for k in cn[keep]],
+                "revenue_cents_bp": cents * pct,
+                "n_items": np.ones(int(keep.sum()), np.int64),
+            }
+        )
+        agg = df.groupby("n_name", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = joined.map_batches(partial, batch_format="pyarrow")
+    final = out.groupby("n_name").sum(["revenue_cents_bp", "n_items"])
+    return final.map_batches(
+        lambda b: b.rename_columns(["n_name", "revenue_cents_bp", "n_items"]),
+        batch_format="pyarrow",
+    )

@@ -156,3 +156,56 @@ def test_shipping_priority_matches_duckdb(_ray, tmp_path):
         exp[c] = exp[c].astype(np.int64)
         got[c] = got[c].astype(np.int64)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_local_supplier_volume_vs_duckdb(ray_session):
+    """Q5 shape vs a direct DuckDB run on the real sf0.001 tables."""
+    import duckdb
+
+    from exactextractr_ray.pipelines.relational import local_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        local_supplier_volume(sf, region="EUROPE", year=1996)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    exp = con.execute(
+        """
+        SELECT n.n_name AS n_name,
+          CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                   * CAST(ROUND((1-l.l_discount)*100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents_bp,
+          CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+                     AND s.s_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+          AND o.o_orderdate >= DATE '1996-01-01'
+          AND o.o_orderdate < DATE '1997-01-01'
+        GROUP BY 1 ORDER BY n_name
+        """
+    ).df()
+    for c in ("revenue_cents_bp", "n_items"):
+        got[c] = got[c].astype(np.int64)
+        exp[c] = exp[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_local_supplier_volume_unknown_region(ray_session):
+    from exactextractr_ray.pipelines.relational import local_supplier_volume
+
+    out = local_supplier_volume(
+        "/root/testdata/sf0.001", region="ATLANTIS"
+    ).to_pandas()
+    assert len(out) == 0
