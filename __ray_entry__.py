@@ -1303,6 +1303,36 @@ def _q_focal_mean(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_focal_majority(sf_dir: str):
+    """3x3 majority (mode) filter with the reference's tie rule (largest
+    value wins, raster_stats.h:176-186) over the synthetic raster — the
+    categorical-raster cleanup pass, same halo exchange as focal_mean."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import focal_majority_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = focal_majority_3x3(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    df["mode_count"] = df["mode_count"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
+def _q_focal_gradient(sf_dir: str):
+    """Horn-kernel gradient numerators (gx, gy) — exact integer adds, no
+    trig; NaN wherever the 3x3 window is incomplete (edges, NODATA)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import focal_gradient_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = focal_gradient_3x3(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -1870,6 +1900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "link_pagerank": _q_link_pagerank,
         "focal_mean": _q_focal_mean,
+        "focal_majority": _q_focal_majority,
+        "focal_gradient": _q_focal_gradient,
         "distance_join": _q_distance_join,
         "moving_avg": _q_moving_avg,
         "hll_registers": _q_hll,
@@ -2506,6 +2538,51 @@ def oracle_sql() -> dict[str, str]:
            COALESCE(SUM(v), 0.0) AS focal_sum,
            COUNT(v) AS focal_cnt,
            SUM(v) / COUNT(v) AS focal_mean
+    FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    # 3x3 majority filter: per-(cell, value) window counts, argmax with the
+    # reference tie rule (count DESC, value DESC); windows with no valid
+    # neighbor keep a NULL mode and count 0.
+    focal_majority_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+      WHERE c1.val IS NOT NULL),
+    vc AS (SELECT r, c, v, COUNT(*) AS cnt FROM nb GROUP BY r, c, v),
+    best AS (
+      SELECT r, c, v, cnt,
+             ROW_NUMBER() OVER (PARTITION BY r, c
+                                ORDER BY cnt DESC, v DESC) AS rn
+      FROM vc)
+    SELECT CAST(c0.r * {N_GRID} + c0.c AS BIGINT) AS cell,
+           b.v AS focal_mode,
+           CAST(COALESCE(b.cnt, 0) AS BIGINT) AS mode_count
+    FROM cells c0 LEFT JOIN best b ON b.r = c0.r AND b.c = c0.c AND b.rn = 1
+    ORDER BY cell
+    """
+
+    # Horn gradient numerators: wx = dc * (2 if dr=0 else 1),
+    # wy = dr * (2 if dc=0 else 1); any missing/NULL window cell (edge or
+    # NODATA, center included) -> NULL, matching the NaN poisoning.
+    focal_gradient_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c,
+             c1.r - c0.r AS dr, c1.c - c0.c AS dc, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1)
+    SELECT CAST(r * {N_GRID} + c AS BIGINT) AS cell,
+      CASE WHEN COUNT(v) = 9 THEN
+        SUM(CAST(dc * (CASE WHEN dr = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+      END AS gx,
+      CASE WHEN COUNT(v) = 9 THEN
+        SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+      END AS gy
     FROM nb GROUP BY r, c ORDER BY cell
     """
 
@@ -4048,6 +4125,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_kring": cell_kring,
         "raster_runs": raster_runs_sql,
         "focal_mean": focal_mean_sql,
+        "focal_majority": focal_majority_sql,
+        "focal_gradient": focal_gradient_sql,
         "distance_join": distance_join_sql,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,

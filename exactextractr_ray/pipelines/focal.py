@@ -97,6 +97,36 @@ def _halo_fanout(batch: pa.Table, tiles_y: int, tiles_x: int) -> pa.Table:
     )
 
 
+def _assemble_canvas(group: pa.Table):
+    """Fragment group -> (NaN-padded (th+2, tw+2) canvas, row0, col0, th, tw).
+
+    The full-body fragment (the largest) fixes the tile bounds; strips land
+    by absolute offset.
+    """
+    rows = group.to_pylist()
+    body = max(rows, key=lambda r: int(r["h"]) * int(r["w"]))
+    th, tw = int(body["h"]), int(body["w"])
+    row0, col0 = int(body["row0"]), int(body["col0"])
+    canvas = np.full((th + 2, tw + 2), np.nan, np.float64)
+    for r in rows:
+        rr = int(r["row0"]) - (row0 - 1)
+        cc = int(r["col0"]) - (col0 - 1)
+        h, w = int(r["h"]), int(r["w"])
+        canvas[rr : rr + h, cc : cc + w] = np.asarray(
+            r["values"], np.float64
+        ).reshape(h, w)
+    return canvas, row0, col0, th, tw
+
+
+def _cell_ids(row0: int, col0: int, th: int, tw: int, n_cols: int) -> np.ndarray:
+    rr, cc = np.meshgrid(
+        np.arange(row0, row0 + th, dtype=np.int64),
+        np.arange(col0, col0 + tw, dtype=np.int64),
+        indexing="ij",
+    )
+    return (rr * n_cols + cc).ravel()
+
+
 def focal_stats_3x3(raster: RasterDataset):
     """Per-cell 3x3 focal sum / count / mean over a tiled raster Dataset.
 
@@ -116,19 +146,7 @@ def focal_stats_3x3(raster: RasterDataset):
     )
 
     def assemble(group: pa.Table) -> pa.Table:
-        rows = group.to_pylist()
-        # the full-body fragment identifies the tile bounds
-        body = max(rows, key=lambda r: int(r["h"]) * int(r["w"]))
-        th, tw = int(body["h"]), int(body["w"])
-        row0, col0 = int(body["row0"]), int(body["col0"])
-        canvas = np.full((th + 2, tw + 2), np.nan, np.float64)
-        for r in rows:
-            rr = int(r["row0"]) - (row0 - 1)
-            cc = int(r["col0"]) - (col0 - 1)
-            h, w = int(r["h"]), int(r["w"])
-            canvas[rr : rr + h, cc : cc + w] = np.asarray(
-                r["values"], np.float64
-            ).reshape(h, w)
+        canvas, row0, col0, th, tw = _assemble_canvas(group)
         valid = ~np.isnan(canvas)
         filled = np.where(valid, canvas, 0.0)
         s = np.zeros((th, tw), np.float64)
@@ -140,17 +158,122 @@ def focal_stats_3x3(raster: RasterDataset):
                 s += filled[dr : dr + th, dc : dc + tw]
                 c += valid[dr : dr + th, dc : dc + tw]
         mean = np.where(c > 0, s / np.maximum(c, 1), np.nan)
-        rr, cc = np.meshgrid(
-            np.arange(row0, row0 + th, dtype=np.int64),
-            np.arange(col0, col0 + tw, dtype=np.int64),
-            indexing="ij",
-        )
         return pa.table(
             {
-                "cell": pa.array((rr * n_cols + cc).ravel(), pa.int64()),
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
                 "focal_sum": pa.array(s.ravel(), pa.float64()),
                 "focal_cnt": pa.array(c.ravel(), pa.int64()),
                 "focal_mean": pa.array(mean.ravel(), pa.float64()),
+            }
+        )
+
+    return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
+
+
+def focal_majority_3x3(raster: RasterDataset):
+    """Per-cell 3x3 majority (mode) filter — the classic categorical-raster
+    cleanup pass. NaN cells are skipped; ties break to the LARGEST value,
+    the reference's mode rule (/root/reference/src/exactextract/src/
+    raster_stats.h:176-186); windows with no valid cell yield NaN.
+
+    Same halo exchange as focal_stats_3x3; the per-tile mode is computed by
+    ranking each window's 9 candidate (count, value) pairs vectorized —
+    no per-cell Python.
+    """
+    g = raster.grid
+    n_cols = g.ncol
+
+    frags = raster.ds.map_batches(
+        _halo_fanout,
+        batch_format="pyarrow",
+        fn_kwargs={"tiles_y": raster.tiles_y, "tiles_x": raster.tiles_x},
+    )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        canvas, row0, col0, th, tw = _assemble_canvas(group)
+        # stack the 9 shifted neighborhoods: (9, th, tw)
+        stack = np.stack(
+            [
+                canvas[dr : dr + th, dc : dc + tw]
+                for dr in (0, 1, 2)
+                for dc in (0, 1, 2)
+            ]
+        )
+        # count occurrences of each candidate within its own window:
+        # pairwise equality over the 9-deep axis (81 * th * tw bools — tiny
+        # per tile), NaN never equals anything
+        eq = stack[:, None, :, :] == stack[None, :, :, :]
+        counts = eq.sum(axis=1)  # (9, th, tw) occurrences of stack[i]
+        # rank by (count, value); NaN candidates get count 0 and value -inf
+        val_key = np.where(np.isnan(stack), -np.inf, stack)
+        counts = np.where(np.isnan(stack), 0, counts)
+        # argmax over candidates with lexicographic (count, value) order
+        best = np.zeros((th, tw), np.int64)
+        best_c = counts[0].copy()
+        best_v = val_key[0].copy()
+        for i in range(1, 9):
+            better = (counts[i] > best_c) | (
+                (counts[i] == best_c) & (val_key[i] > best_v)
+            )
+            best = np.where(better, i, best)
+            best_c = np.where(better, counts[i], best_c)
+            best_v = np.where(better, val_key[i], best_v)
+        mode = np.where(best_c > 0, best_v, np.nan)
+        return pa.table(
+            {
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
+                "focal_mode": pa.array(mode.ravel(), pa.float64()),
+                "mode_count": pa.array(best_c.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
+
+
+def focal_gradient_3x3(raster: RasterDataset):
+    """Horn-kernel gradient numerators — the slope/aspect building block
+    (Horn 1981, the GDAL DEM convention) kept EXACT: gx = (tr + 2*mr + br)
+    - (tl + 2*ml + bl), gy = (bl + 2*bm + br) - (tl + 2*tm + tr), pure
+    adds of integer-valued cells (no division by cell size, no trig — the
+    caller applies 1/(8*dx) and atan where float tolerance is acceptable).
+
+    Cells whose full 3x3 window contains any NaN (including off-raster
+    halo) yield NaN — the standard DEM edge convention.
+    """
+    g = raster.grid
+    n_cols = g.ncol
+
+    frags = raster.ds.map_batches(
+        _halo_fanout,
+        batch_format="pyarrow",
+        fn_kwargs={"tiles_y": raster.tiles_y, "tiles_x": raster.tiles_x},
+    )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        canvas, row0, col0, th, tw = _assemble_canvas(group)
+
+        def w(dr, dc):
+            return canvas[dr : dr + th, dc : dc + tw]
+
+        tl, tm, tr = w(0, 0), w(0, 1), w(0, 2)
+        ml, mr = w(1, 0), w(1, 2)
+        bl, bm, br = w(2, 0), w(2, 1), w(2, 2)
+        gx = (tr + 2.0 * mr + br) - (tl + 2.0 * ml + bl)
+        gy = (bl + 2.0 * bm + br) - (tl + 2.0 * tm + tr)
+        # ANY NaN among the 9 window cells poisons the result (GDAL DEM
+        # convention) — including cells a particular kernel coefficient
+        # doesn't touch (tm/bm for gx) and the center
+        window_nan = np.isnan(canvas[1 : 1 + th, 1 : 1 + tw])
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                window_nan |= np.isnan(canvas[dr : dr + th, dc : dc + tw])
+        gx = np.where(window_nan, np.nan, gx)
+        gy = np.where(window_nan, np.nan, gy)
+        return pa.table(
+            {
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
+                "gx": pa.array(gx.ravel(), pa.float64()),
+                "gy": pa.array(gy.ravel(), pa.float64()),
             }
         )
 

@@ -78,3 +78,74 @@ def test_focal_single_tile_equals_tiled(_ray):
             assert np.array_equal(av[m], bv[m])
         else:
             assert np.array_equal(av, bv)
+
+
+def test_focal_majority_brute_force(_ray):
+    """Mode filter vs a per-cell Counter with the (count, value) tie rule."""
+    from collections import Counter
+
+    from exactextractr_ray.pipelines.focal import focal_majority_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n, tile = 40, 16  # ragged
+    rd = synthetic_raster_dataset(n=n, tile=tile, dtype=np.float64)
+    df = (
+        focal_majority_3x3(rd)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    full = synth.synth_values(r, c)
+    for cell in [0, 1, n - 1, n, n + 1, 777, n * n - 1, 555, 1234]:
+        rr, cc = divmod(cell, n)
+        vals = [
+            full[rr + dr, cc + dc]
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+            if 0 <= rr + dr < n and 0 <= cc + dc < n
+            and not np.isnan(full[rr + dr, cc + dc])
+        ]
+        row = df.iloc[cell]
+        if not vals:
+            assert np.isnan(row["focal_mode"]) and row["mode_count"] == 0
+            continue
+        cnt = Counter(vals)
+        best = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+        assert row["focal_mode"] == best[0], cell
+        assert row["mode_count"] == best[1], cell
+
+
+def test_focal_gradient_constant_and_ramp(_ray):
+    """Analytic checks: constant raster -> 0 gradient; the synthetic raster
+    is (a*r + b*c) mod m, so away from wrap/NODATA gx = 8*VAL_B, gy =
+    8*VAL_A (mod arithmetic cancels in full windows without wraps)."""
+    from exactextractr_ray.pipelines.focal import focal_gradient_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n = 32
+    rd = synthetic_raster_dataset(n=n, tile=8, dtype=np.float64)
+    df = (
+        focal_gradient_3x3(rd).to_pandas().sort_values("cell").reset_index(drop=True)
+    )
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    full = synth.synth_values(r, c)
+    pad = np.full((n + 2, n + 2), np.nan)
+    pad[1:-1, 1:-1] = full
+
+    def w(dr, dc):
+        return pad[dr : dr + n, dc : dc + n]
+
+    gx = (w(0, 2) + 2 * w(1, 2) + w(2, 2)) - (w(0, 0) + 2 * w(1, 0) + w(2, 0))
+    gy = (w(2, 0) + 2 * w(2, 1) + w(2, 2)) - (w(0, 0) + 2 * w(0, 1) + w(0, 2))
+    nanmask = np.zeros((n, n), bool)
+    for dr in range(3):
+        for dc in range(3):
+            nanmask |= np.isnan(w(dr, dc))
+    gx = np.where(nanmask, np.nan, gx)
+    gy = np.where(nanmask, np.nan, gy)
+    got_gx = df["gx"].to_numpy()
+    assert np.array_equal(np.isnan(got_gx), nanmask.ravel())
+    m = ~nanmask.ravel()
+    assert np.array_equal(got_gx[m], gx.ravel()[m])
+    assert np.array_equal(df["gy"].to_numpy()[m], gy.ravel()[m])
