@@ -91,6 +91,14 @@ QUERIES = [
     "moving_avg",
     "pip_join_cells",
     "hll_registers",
+    # round-3 continuation wave
+    "extract_links",
+    "link_pagerank",
+    "focal_mean",
+    "focal_majority",
+    "focal_gradient",
+    "distance_join",
+    "local_supplier_volume",
 ]
 
 _CHILD = r"""
