@@ -1303,6 +1303,31 @@ def _q_focal_mean(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_raster_components(sf_dir: str):
+    """Connected-component labeling (4-adjacency) of the synthetic raster
+    quantized to floor(val/500) classes — run-based distributed CCL:
+    raster_runs -> banded vectorized run adjacency -> Hash-to-Min label
+    propagation (only run-id edges shuffle, never cells) -> per-component
+    aggregate. Oracle: recursive-CTE transitive closure over the same
+    gaps-and-islands runs."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.polygonize import (
+        quantize_raster,
+        raster_components,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = quantize_raster(
+        synthetic_raster_dataset(n=64, tile=16, dtype=np.float64), 500.0
+    )
+    df = raster_components(rd).to_pandas()
+    for c in ("component_id", "n_runs", "n_cells"):
+        df[c] = df[c].astype(np.int64)
+    df = df[["component_id", "val", "n_runs", "n_cells"]]
+    return df.sort_values("component_id").reset_index(drop=True)
+
+
 def _q_focal_majority(sf_dir: str):
     """3x3 majority (mode) filter with the reference's tie rule (largest
     value wins, raster_stats.h:176-186) over the synthetic raster — the
@@ -1900,6 +1925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "link_pagerank": _q_link_pagerank,
         "focal_mean": _q_focal_mean,
+        "raster_components": _q_raster_components,
         "focal_majority": _q_focal_majority,
         "focal_gradient": _q_focal_gradient,
         "distance_join": _q_distance_join,
@@ -2584,6 +2610,40 @@ def oracle_sql() -> dict[str, str]:
         SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
       END AS gy
     FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    # connected components over quantized runs: gaps-and-islands runs,
+    # vertical overlap edges, recursive-CTE closure, MIN run-id label
+    raster_components_sql = f"""
+    WITH RECURSIVE cells AS ({synth.cells_sql(N_GRID)}),
+    q AS (SELECT r, c, FLOOR(val / 500.0) AS val FROM cells
+          WHERE val IS NOT NULL),
+    isl AS (
+      SELECT r, c, val,
+        c - ROW_NUMBER() OVER (PARTITION BY r, val ORDER BY c) AS grp
+      FROM q),
+    runs AS (
+      SELECT r, MIN(c) AS cs, MAX(c) AS ce, val,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(r * {N_GRID} + MIN(c) AS BIGINT) AS rid
+      FROM isl GROUP BY r, val, grp),
+    adj AS (
+      SELECT u.rid AS a, l.rid AS b
+      FROM runs u JOIN runs l
+        ON l.r = u.r + 1 AND l.val = u.val
+       AND l.cs <= u.ce AND l.ce >= u.cs),
+    edges AS (SELECT a, b FROM adj UNION SELECT b, a FROM adj),
+    reach(id, s) AS (
+      SELECT rid, rid FROM runs
+      UNION
+      SELECT e.b, reach.s FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(s) AS component_id FROM reach GROUP BY id)
+    SELECT comp.component_id, runs.val,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(runs.len) AS BIGINT) AS n_cells
+    FROM comp JOIN runs ON runs.rid = comp.id
+    GROUP BY 1, 2 ORDER BY component_id
     """
 
     # Raster run polygonize: classic gaps-and-islands (c - ROW_NUMBER within
@@ -4125,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_kring": cell_kring,
         "raster_runs": raster_runs_sql,
         "focal_mean": focal_mean_sql,
+        "raster_components": raster_components_sql,
         "focal_majority": focal_majority_sql,
         "focal_gradient": focal_gradient_sql,
         "distance_join": distance_join_sql,

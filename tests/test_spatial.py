@@ -465,3 +465,85 @@ def test_distance_join_empty_sides(ray_session):
         ray.data.from_arrow(empty), ray.data.from_arrow(pts), radius=5.0
     ).to_pandas()
     assert len(out) == 0
+
+
+def _brute_components(full: np.ndarray):
+    """BFS 4-adjacency CCL; returns {min_run_id: (val, n_cells)}."""
+    from collections import deque
+
+    n = full.shape[0]
+    lab = np.zeros(full.shape, bool)
+    comps = {}
+    for i in range(n):
+        for j in range(full.shape[1]):
+            if np.isnan(full[i, j]) or lab[i, j]:
+                continue
+            q = deque([(i, j)])
+            lab[i, j] = True
+            cells = [(i, j)]
+            v = full[i, j]
+            while q:
+                y, x = q.popleft()
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    yy, xx = y + dy, x + dx
+                    if (
+                        0 <= yy < n
+                        and 0 <= xx < full.shape[1]
+                        and not lab[yy, xx]
+                        and full[yy, xx] == v
+                    ):
+                        lab[yy, xx] = True
+                        q.append((yy, xx))
+                        cells.append((yy, xx))
+            cellset = set(cells)
+            rids = []
+            for y, x in cells:
+                x0 = x
+                while (y, x0 - 1) in cellset:
+                    x0 -= 1
+                rids.append(y * full.shape[1] + x0)
+            comps[min(rids)] = (v, len(cells))
+    return comps
+
+
+@pytest.mark.parametrize(
+    "n,tile,band_rows,divisor",
+    [(64, 16, 16, 500.0), (50, 16, 8, 100.0), (32, 8, 4, 500.0)],
+)
+def test_raster_components_bruteforce(ray_session, n, tile, band_rows, divisor):
+    """Run-based distributed CCL == BFS, incl. ragged tiles and band sizes
+    that force cross-band label propagation."""
+    from exactextractr_ray.pipelines.polygonize import (
+        quantize_raster,
+        raster_components,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = quantize_raster(
+        synthetic_raster_dataset(n=n, tile=tile, dtype=np.float64), divisor
+    )
+    df = raster_components(rd, band_rows=band_rows).to_pandas()
+    got = {
+        int(k): (v, int(c))
+        for k, v, c in zip(df["component_id"], df["val"], df["n_cells"])
+    }
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    exp = _brute_components(np.floor(synth.synth_values(r, c) / divisor))
+    assert got == exp
+    assert int(df["n_runs"].sum()) >= len(df)
+
+
+def test_raster_components_no_vertical_merges(ray_session):
+    """Unquantized synth raster: vertical neighbors never match, so every
+    run is its own component (the zero-edge path through dup_clusters)."""
+    from exactextractr_ray.pipelines.polygonize import (
+        raster_components,
+        raster_runs,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=32, tile=8, dtype=np.float64)
+    comps = raster_components(rd).to_pandas()
+    nruns = raster_runs(rd).to_pandas()
+    assert len(comps) == len(nruns)
+    assert (comps["n_runs"] == 1).all()

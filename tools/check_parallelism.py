@@ -99,6 +99,7 @@ QUERIES = [
     "focal_gradient",
     "distance_join",
     "local_supplier_volume",
+    "raster_components",
 ]
 
 _CHILD = r"""
