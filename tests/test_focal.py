@@ -149,3 +149,31 @@ def test_focal_gradient_constant_and_ramp(_ray):
     m = ~nanmask.ravel()
     assert np.array_equal(got_gx[m], gx.ravel()[m])
     assert np.array_equal(df["gy"].to_numpy()[m], gy.ravel()[m])
+
+
+def test_focal_tiny_rasters(_ray):
+    """1x1 and 1xN rasters: windows clamp to the raster, no crash."""
+    from exactextractr_ray.pipelines.focal import focal_stats_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    df1 = (
+        focal_stats_3x3(synthetic_raster_dataset(n=1, tile=4, dtype=np.float64))
+        .to_pandas()
+    )
+    assert len(df1) == 1
+    v = synth.synth_values(np.array([0]), np.array([0]))[0]
+    if np.isnan(v):
+        assert df1["focal_cnt"][0] == 0
+    else:
+        assert df1["focal_cnt"][0] == 1 and df1["focal_mean"][0] == v
+
+    df2 = (
+        focal_stats_3x3(synthetic_raster_dataset(n=2, tile=1, dtype=np.float64))
+        .to_pandas()
+    )
+    assert len(df2) == 4  # every tile is 1x1 -> all neighbors via halo
+    r, c = np.meshgrid(np.arange(2), np.arange(2), indexing="ij")
+    full = synth.synth_values(r, c)
+    exp_cnt = np.full(4, int((~np.isnan(full)).sum()))
+    got = df2.sort_values("cell")["focal_cnt"].to_numpy()
+    assert np.array_equal(got, exp_cnt)

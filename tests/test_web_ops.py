@@ -143,3 +143,26 @@ def test_page_link_targets_rule():
     # i=0,4 dangle; i=1 has 1, i=2 has 2, i=3 has 3 anchors, etc.
     assert list(src) == [1, 2, 2, 3, 3, 3, 5, 6, 6, 7, 7, 7]
     assert list(dst[:6]) == [8, 15, 28, 22, 35, 48]
+
+
+def test_extract_links_malformed_html():
+    """Unclosed/malformed anchors never crash; only well-formed
+    double-quoted hrefs parse (the frozen crawl rule)."""
+    from exactextractr_ray.stages.web import extract_links_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "url": pa.array(["https://a/1"], pa.string()),
+            "html": pa.array(
+                [
+                    b"<a href='single-quoted'></a><a href=unquoted>"
+                    b'<a href="ok/1"></a><a data-x="y" href="ok/2"></a>'
+                    b'<a href="trunc',
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = extract_links_batch(batch)
+    assert out.column("href").to_pylist() == ["ok/1", "ok/2"]
