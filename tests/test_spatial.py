@@ -547,3 +547,56 @@ def test_raster_components_no_vertical_merges(ray_session):
     nruns = raster_runs(rd).to_pandas()
     assert len(comps) == len(nruns)
     assert (comps["n_runs"] == 1).all()
+
+
+def test_distance_join_hot_cell_skew(ray_session):
+    """Every point in ONE cell (the worst skew): correctness holds, the
+    hot group is a single |A|x|B| vectorized mask."""
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import distance_join
+
+    rng = np.random.default_rng(3)
+    na = 400
+    lon = rng.uniform(0.0, 0.9, na)
+    lat = rng.uniform(0.0, 0.9, na)
+    ids = np.arange(na, dtype=np.int64)
+    a = ray.data.from_arrow(pa.table({"doc_id": ids, "lon": lon, "lat": lat}))
+    b = ray.data.from_arrow(
+        pa.table({"qid": ids[:5], "lon": lon[:5], "lat": lat[:5]})
+    )
+    df = distance_join(a, b, radius=1.0, res_deg=1.0).to_pandas()
+    d2 = (lon[:, None] - lon[:5][None, :]) ** 2 + (
+        lat[:, None] - lat[:5][None, :]
+    ) ** 2
+    exp = int(((d2 <= 1.0) & (ids[:, None] != ids[:5][None, :])).sum())
+    assert len(df) == exp
+    assert exp > 0.9 * 5 * (na - 1)  # nearly all pairs: one hot group
+
+
+def test_raster_components_single_giant_component(ray_session):
+    """Constant-class raster: components = NaN-separated regions with
+    diameters ~2n, forcing multiple Hash-to-Min propagation rounds across
+    every band boundary."""
+    from exactextractr_ray.pipelines.polygonize import (
+        quantize_raster,
+        raster_components,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n = 48
+    rd = quantize_raster(
+        synthetic_raster_dataset(n=n, tile=8, dtype=np.float64), 1e9
+    )
+    df = raster_components(rd, band_rows=4).to_pandas()
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    exp = _brute_components(
+        np.floor(synth.synth_values(r, c) / 1e9)
+    )
+    got = {
+        int(k): (v, int(cc))
+        for k, v, cc in zip(df["component_id"], df["val"], df["n_cells"])
+    }
+    assert got == exp
+    # the dominant component must span nearly the whole raster
+    assert max(c for _, c in exp.values()) > 0.8 * n * n
