@@ -1328,6 +1328,29 @@ def _q_raster_components(sf_dir: str):
     return df.sort_values("component_id").reset_index(drop=True)
 
 
+def _q_zonal_gradient(sf_dir: str):
+    """Raster algebra -> zonal aggregation chain: Horn gradient (halo
+    exchange) then coverage-weighted per-zone means over the quarter-cell
+    rect zones — dyadic coverages x integer gradients keep every product
+    and sum exact, so the chained oracle is bit-exact."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import zonal_gradient_mean
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    rd = synthetic_raster_dataset(n=N_GRID, tile=TILE, dtype=np.float64)
+    zb = [
+        (k, *synth.synth_rect_zone_bounds(k, N_GRID)) for k in range(N_ZONES)
+    ]
+    # synth bounds are (xmin, ymin, xmax, ymax)
+    zb = [(k, x0, y0, x1, y1) for (k, x0, y0, x1, y1) in zb]
+    df = zonal_gradient_mean(rd, zb).to_pandas()
+    df["zone_id"] = df["zone_id"].astype(np.int64)
+    df = df[["zone_id", "grad_cov", "mean_gx", "mean_gy"]]
+    return df.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_focal_majority(sf_dir: str):
     """3x3 majority (mode) filter with the reference's tie rule (largest
     value wins, raster_stats.h:176-186) over the synthetic raster — the
@@ -1926,6 +1949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "focal_mean": _q_focal_mean,
         "raster_components": _q_raster_components,
+        "zonal_gradient_mean": _q_zonal_gradient,
         "focal_majority": _q_focal_majority,
         "focal_gradient": _q_focal_gradient,
         "distance_join": _q_distance_join,
@@ -2610,6 +2634,44 @@ def oracle_sql() -> dict[str, str]:
         SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
       END AS gy
     FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    # gradient -> zonal chain: the focal_gradient CTE joined back to cell
+    # boxes, coverage = exact rect overlap (dyadic), per-zone sums exact
+    zonal_gradient_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c,
+             c1.r - c0.r AS dr, c1.c - c0.c AS dc, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1),
+    g AS (
+      SELECT r, c,
+        CASE WHEN COUNT(v) = 9 THEN
+          SUM(CAST(dc * (CASE WHEN dr = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+        END AS gx,
+        CASE WHEN COUNT(v) = 9 THEN
+          SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+        END AS gy
+      FROM nb GROUP BY r, c),
+    gc AS (
+      SELECT cells.x0, cells.x1, cells.y0, cells.y1, g.gx, g.gy
+      FROM cells JOIN g ON g.r = cells.r AND g.c = cells.c
+      WHERE g.gx IS NOT NULL),
+    z AS ({synth.synth_rect_zones_sql(N_ZONES, N_GRID)}),
+    cov AS (
+      SELECT z.zone_id,
+        GREATEST(0.0, LEAST(gc.x1, z.xmax) - GREATEST(gc.x0, z.xmin)) *
+        GREATEST(0.0, LEAST(gc.y1, z.ymax) - GREATEST(gc.y0, z.ymin)) AS w,
+        gc.gx, gc.gy
+      FROM z CROSS JOIN gc
+      WHERE gc.x1 > z.xmin AND gc.x0 < z.xmax
+        AND gc.y1 > z.ymin AND gc.y0 < z.ymax)
+    SELECT zone_id, SUM(w) AS grad_cov,
+           SUM(w * gx) / SUM(w) AS mean_gx,
+           SUM(w * gy) / SUM(w) AS mean_gy
+    FROM cov WHERE w > 0 GROUP BY zone_id ORDER BY zone_id
     """
 
     # connected components over quantized runs: gaps-and-islands runs,
@@ -4186,6 +4248,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_runs": raster_runs_sql,
         "focal_mean": focal_mean_sql,
         "raster_components": raster_components_sql,
+        "zonal_gradient_mean": zonal_gradient_sql,
         "focal_majority": focal_majority_sql,
         "focal_gradient": focal_gradient_sql,
         "distance_join": distance_join_sql,

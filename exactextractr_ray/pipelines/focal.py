@@ -278,3 +278,80 @@ def focal_gradient_3x3(raster: RasterDataset):
         )
 
     return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
+
+
+def zonal_gradient_mean(raster: RasterDataset, zone_bounds):
+    """Coverage-weighted zonal mean of the Horn gradient — the raster
+    ALGEBRA -> zonal AGGREGATION chain (derive a per-cell product, then
+    aggregate it per polygon, exactextractr's `weights=` composition
+    expressed as two chained Ray stages).
+
+    ``zone_bounds`` is the small side: [(zone_id, xmin, ymin, xmax, ymax)]
+    rectangles, embedded in the task closure (at scale: ray.put + general
+    polygons through the coverage kernel — same shape as pipelines/zonal).
+    Per batch, every zone's exact cell-overlap area is computed vectorized
+    against the gradient cells; windows poisoned by NODATA (NaN gradient)
+    drop out. Returns (zone_id, grad_cov, mean_gx, mean_gy).
+
+    Determinism: quarter-cell-aligned zones give dyadic coverages, the
+    gradients are integer-valued, so every cov*g product and sum is exact
+    in float64 in ANY accumulation order — the oracle matches bit-for-bit.
+    """
+    import pandas as pd
+
+    g = raster.grid
+    n_rows, n_cols = g.nrow, g.ncol
+    zb = [(int(z), float(a), float(b), float(c), float(d))
+          for z, a, b, c, d in zone_bounds]
+
+    grads = focal_gradient_3x3(raster)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy().astype(np.int64)
+        gx = batch.column("gx").to_numpy()
+        gy = batch.column("gy").to_numpy()
+        ok = ~np.isnan(gx)
+        cell, gx, gy = cell[ok], gx[ok], gy[ok]
+        r = cell // n_cols
+        c = cell % n_cols
+        x0 = c.astype(np.float64)
+        x1 = x0 + 1.0
+        y0 = (n_rows - r - 1).astype(np.float64)
+        y1 = y0 + 1.0
+        zid, sc, sgx, sgy = [], [], [], []
+        for z, zx0, zy0, zx1, zy1 in zb:
+            cov = np.maximum(
+                0.0, np.minimum(x1, zx1) - np.maximum(x0, zx0)
+            ) * np.maximum(0.0, np.minimum(y1, zy1) - np.maximum(y0, zy0))
+            m = cov > 0.0
+            if not m.any():
+                continue
+            zid.append(z)
+            sc.append(cov[m].sum())
+            sgx.append((cov[m] * gx[m]).sum())
+            sgy.append((cov[m] * gy[m]).sum())
+        return pa.table(
+            {
+                "zone_id": pa.array(zid, pa.int64()),
+                "grad_cov": pa.array(sc, pa.float64()),
+                "s_gx": pa.array(sgx, pa.float64()),
+                "s_gy": pa.array(sgy, pa.float64()),
+            }
+        )
+
+    parts = grads.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("zone_id").sum(["grad_cov", "s_gx", "s_gy"])
+
+    def finalize(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["zone_id", "grad_cov", "s_gx", "s_gy"])
+        cov = b.column("grad_cov").to_numpy()
+        return pa.table(
+            {
+                "zone_id": b.column("zone_id").cast(pa.int64()),
+                "grad_cov": b.column("grad_cov"),
+                "mean_gx": pa.array(b.column("s_gx").to_numpy() / cov, pa.float64()),
+                "mean_gy": pa.array(b.column("s_gy").to_numpy() / cov, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

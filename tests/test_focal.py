@@ -177,3 +177,45 @@ def test_focal_tiny_rasters(_ray):
     exp_cnt = np.full(4, int((~np.isnan(full)).sum()))
     got = df2.sort_values("cell")["focal_cnt"].to_numpy()
     assert np.array_equal(got, exp_cnt)
+
+
+def test_zonal_gradient_mean_bruteforce(_ray):
+    """Gradient -> zonal chain vs a direct whole-array computation."""
+    from exactextractr_ray.pipelines.focal import zonal_gradient_mean
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n = 32
+    rd = synthetic_raster_dataset(n=n, tile=8, dtype=np.float64)
+    zb = [(k, *synth.synth_rect_zone_bounds(k, n)) for k in range(6)]
+    df = (
+        zonal_gradient_mean(rd, zb)
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    full = synth.synth_values(r, c)
+    pad = np.full((n + 2, n + 2), np.nan)
+    pad[1:-1, 1:-1] = full
+
+    def w(dr, dc):
+        return pad[dr : dr + n, dc : dc + n]
+
+    gx = (w(0, 2) + 2 * w(1, 2) + w(2, 2)) - (w(0, 0) + 2 * w(1, 0) + w(2, 0))
+    gy = (w(2, 0) + 2 * w(2, 1) + w(2, 2)) - (w(0, 0) + 2 * w(0, 1) + w(0, 2))
+    nanmask = np.zeros((n, n), bool)
+    for dr in range(3):
+        for dc in range(3):
+            nanmask |= np.isnan(w(dr, dc))
+    x0 = c.astype(float)
+    y0 = (n - r - 1).astype(float)
+    for _, row in df.iterrows():
+        k = int(row["zone_id"])
+        _, zx0, zy0, zx1, zy1 = zb[k]
+        cov = np.maximum(0, np.minimum(x0 + 1, zx1) - np.maximum(x0, zx0)) * (
+            np.maximum(0, np.minimum(y0 + 1, zy1) - np.maximum(y0, zy0))
+        )
+        m = (cov > 0) & ~nanmask
+        assert row["grad_cov"] == cov[m].sum()
+        assert row["mean_gx"] == (cov[m] * gx[m]).sum() / cov[m].sum()
+        assert row["mean_gy"] == (cov[m] * gy[m]).sum() / cov[m].sum()

@@ -100,6 +100,7 @@ QUERIES = [
     "distance_join",
     "local_supplier_volume",
     "raster_components",
+    "zonal_gradient_mean",
 ]
 
 _CHILD = r"""
