@@ -900,6 +900,24 @@ def _q_distance_join(sf_dir: str):
     return df.sort_values(["doc_id", "qid"]).reset_index(drop=True)
 
 
+def _q_nearest_zone(sf_dir: str):
+    """Snap join: every geocoded doc to its nearest lon/lat zone rectangle
+    (planar clamp distance, 0 inside; ties -> smallest zone_id) — zero
+    shuffle, zones broadcast (stages/spatial.py nearest_zone)."""
+    from exactextractr_ray import synth
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import nearest_zone
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+    zb = [(k, *synth.synth_geo_zone_bounds(k)) for k in range(N_GEO_ZONES)]
+    df = nearest_zone(docs, zb).to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["zone_id"] = df["zone_id"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _zone_bounds_table():
     import pyarrow as pa
     from exactextractr_ray import synth
@@ -1953,6 +1971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_majority": _q_focal_majority,
         "focal_gradient": _q_focal_gradient,
         "distance_join": _q_distance_join,
+        "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
         "hll_registers": _q_hll,
         "source_quantiles": _q_source_quantiles,
@@ -2557,6 +2576,24 @@ def oracle_sql() -> dict[str, str]:
       ON a.cy BETWEEN b.cy - 1 AND b.cy + 1
      AND a.cx BETWEEN b.cx - 1 AND b.cx + 1
     GROUP BY b.cell, b.n ORDER BY b.cell
+    """
+
+    # nearest-zone snap: clamp distance to each rectangle, ROW_NUMBER over
+    # (dist2, zone_id) — identical IEEE ops to the numpy kernel
+    nearest_zone_sql = f"""
+    WITH geo AS ({geo}),
+    z AS ({synth.synth_geo_zones_sql(N_GEO_ZONES)}),
+    d AS (
+      SELECT geo.doc_id, z.zone_id,
+        GREATEST(0.0, z.xmin - geo.lon, geo.lon - z.xmax) AS dx,
+        GREATEST(0.0, z.ymin - geo.lat, geo.lat - z.ymax) AS dy
+      FROM geo CROSS JOIN z),
+    r AS (
+      SELECT doc_id, zone_id, dx * dx + dy * dy AS dist2,
+        ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY dx * dx + dy * dy, zone_id) AS rn
+      FROM d)
+    SELECT doc_id, zone_id, dist2 FROM r WHERE rn = 1 ORDER BY doc_id
     """
 
     # radius join: brute cross join with the identical planar dist2
@@ -4252,6 +4289,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_majority": focal_majority_sql,
         "focal_gradient": focal_gradient_sql,
         "distance_join": distance_join_sql,
+        "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,
         "ngram_jaccard_pairs": ngram_jaccard,
         "dup_clusters": dup_clusters_sql,

@@ -726,3 +726,50 @@ def distance_join(
         )
 
     return tagged.groupby("ckey").map_groups(pairs, batch_format="pandas")
+
+
+def nearest_zone(
+    points,
+    zone_bounds,
+    id_col: str = "doc_id",
+):
+    """Snap every point to its NEAREST rectangle zone (planar clamp
+    distance; 0 inside a zone) — the point->polygon nearest-neighbor join
+    that picks up points PIP joins drop (coastal/offshore geocodes).
+
+    Zones are the small broadcast side: the per-batch kernel evaluates
+    every zone's clamp distance vectorized (dx = max(0, xmin-x, x-xmax),
+    dy likewise, d2 = dx*dx + dy*dy) and keeps the running (d2, zone_id)
+    lexicographic minimum — ties break to the smallest zone_id, matching
+    the SQL ROW_NUMBER oracle. Zero shuffle; one output row per point.
+
+    At real-polygon scale the same shape holds with bounding-box clamp
+    distance as the prune + the coverage kernel for exact distance; the
+    rectangle case here IS the exact kernel.
+    """
+    zb = [(int(z), float(a), float(b), float(c), float(d))
+          for z, a, b, c, d in zone_bounds]
+    if not zb:
+        raise ValueError("zone_bounds must be non-empty")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        best_d = np.full(len(lon), np.inf)
+        best_z = np.full(len(lon), -1, np.int64)
+        for z, x0, y0, x1, y1 in zb:
+            dx = np.maximum(0.0, np.maximum(x0 - lon, lon - x1))
+            dy = np.maximum(0.0, np.maximum(y0 - lat, lat - y1))
+            d2 = dx * dx + dy * dy
+            better = (d2 < best_d) | ((d2 == best_d) & (z < best_z))
+            best_d = np.where(better, d2, best_d)
+            best_z = np.where(better, z, best_z)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "zone_id": pa.array(best_z, pa.int64()),
+                "dist2": pa.array(best_d, pa.float64()),
+            }
+        )
+
+    return points.map_batches(assign, batch_format="pyarrow")

@@ -600,3 +600,59 @@ def test_raster_components_single_giant_component(ray_session):
     assert got == exp
     # the dominant component must span nearly the whole raster
     assert max(c for _, c in exp.values()) > 0.8 * n * n
+
+
+def test_nearest_zone_bruteforce(ray_session):
+    """Clamp-distance snap vs brute force, incl. inside-zone dist 0 and
+    tie-break to the smallest zone_id."""
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import nearest_zone
+
+    rng = np.random.default_rng(11)
+    pts = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "lon": rng.uniform(-180, 180, 200),
+            "lat": rng.uniform(-60, 60, 200),
+        }
+    )
+    # two identical zones (0, 1) force ties -> zone 0 must win
+    zb = [
+        (0, -10.0, -10.0, 10.0, 10.0),
+        (1, -10.0, -10.0, 10.0, 10.0),
+        (2, 50.0, 20.0, 80.0, 40.0),
+    ]
+    df = (
+        nearest_zone(ray.data.from_arrow(pts), zb)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    lon = pts.column("lon").to_numpy()
+    lat = pts.column("lat").to_numpy()
+    for i in range(200):
+        best = None
+        for z, x0, y0, x1, y1 in zb:
+            dx = max(0.0, x0 - lon[i], lon[i] - x1)
+            dy = max(0.0, y0 - lat[i], lat[i] - y1)
+            d2 = dx * dx + dy * dy
+            if best is None or d2 < best[0]:
+                best = (d2, z)
+        assert df["zone_id"][i] == best[1]
+        assert df["dist2"][i] == best[0]
+    inside = df["dist2"] == 0.0
+    assert inside.any()
+    assert (df.loc[inside & (df["zone_id"] < 2), "zone_id"] == 0).all()
+
+
+def test_nearest_zone_empty_zones_rejected(ray_session):
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import nearest_zone
+
+    pts = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "lon": [0.0], "lat": [0.0]})
+    )
+    with pytest.raises(ValueError):
+        nearest_zone(pts, [])

@@ -101,6 +101,7 @@ QUERIES = [
     "local_supplier_volume",
     "raster_components",
     "zonal_gradient_mean",
+    "nearest_zone",
 ]
 
 _CHILD = r"""
