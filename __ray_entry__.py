@@ -1301,6 +1301,25 @@ def _q_link_pagerank(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_zone_link_stats(sf_dir: str):
+    """Web x geo FUSION: per spatial zone, the number of geocoded docs,
+    their total parsed outdegree and total fixed-point PageRank mass —
+    the crawl chain (html -> anchors -> url join -> pagerank) meeting the
+    geo chain (geocode -> strict-interior PIP) in one integer-exact
+    aggregate (pipelines/fusion.py zone_link_stats)."""
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.fusion import zone_link_stats
+    from exactextractr_ray.sources.pages import read_linked_pages
+
+    pages = read_linked_pages(sf_dir)
+    n = _docs(sf_dir, ["doc_id"]).count()
+    zb = [(k, *synth.synth_geo_zone_bounds(k)) for k in range(N_GEO_ZONES)]
+    df = zone_link_stats(pages, n, zb).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_focal_mean(sf_dir: str):
     """3x3 focal sum/count/mean over the synthetic tiled raster via the
     tile HALO-EXCHANGE pattern (pipelines/focal.py): border strips fan out
@@ -1965,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangles,
         "extract_links": _q_extract_links,
         "link_pagerank": _q_link_pagerank,
+        "zone_link_stats": _q_zone_link_stats,
         "focal_mean": _q_focal_mean,
         "raster_components": _q_raster_components,
         "zonal_gradient_mean": _q_zonal_gradient,
@@ -3534,8 +3554,9 @@ def oracle_sql() -> dict[str, str]:
     # BIGINT; '//' keeps every division integral (DuckDB '/' -> DOUBLE).
     pr_scale = 10**12
 
-    def _pr_unrolled_sql(edges_cte: str, iters: int = 5) -> str:
-        """Unrolled integer-pagerank SQL over any CTE named ``edges``."""
+    def _pr_ctes(edges_cte: str, iters: int = 5) -> tuple[list, str]:
+        """CTE list for the unrolled integer pagerank over any CTE named
+        ``edges``; returns (ctes, final_cte_name)."""
         pr_cte = [
             "n AS (SELECT COUNT(*) AS n FROM documents)",
             f"""params AS (
@@ -3560,6 +3581,11 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN {pr_prev} p ON p.node = e.src
               GROUP BY nd.node)""")
             pr_prev = f"it{k}"
+        return pr_cte, pr_prev
+
+    def _pr_unrolled_sql(edges_cte: str, iters: int = 5) -> str:
+        """Unrolled integer-pagerank SQL over any CTE named ``edges``."""
+        pr_cte, pr_prev = _pr_ctes(edges_cte, iters)
         return (
             "WITH " + ",\n".join(pr_cte)
             + f"""
@@ -3581,6 +3607,37 @@ def oracle_sql() -> dict[str, str]:
       ) WHERE src_doc <> dst_doc)"""
 
     link_pagerank_sql = _pr_unrolled_sql(_LINK_EDGES_SQL)
+
+    # web x geo fusion: parsed-link metrics (outdegree + pagerank mass)
+    # joined to the strict-interior PIP zone assignment — all-int sums
+    _zls_ctes, _zls_last = _pr_ctes(_LINK_EDGES_SQL)
+    zone_link_stats_sql = (
+        "WITH " + ",\n".join(_zls_ctes)
+        + f""",
+    docmetrics AS (
+      SELECT nd.node AS doc_id,
+             COALESCE(d.outdeg, 0) AS outdeg,
+             {_zls_last}.r AS pr_int
+      FROM nodes nd
+      LEFT JOIN deg d ON d.src = nd.node
+      JOIN {_zls_last} ON {_zls_last}.node = nd.node),
+    geo AS (
+      SELECT doc_id,
+        {synth.GEOCODE_LON_SQL} AS lon,
+        {synth.GEOCODE_LAT_SQL} AS lat
+      FROM documents),
+    z AS ({synth.synth_geo_zones_sql(N_GEO_ZONES)})
+    SELECT z.zone_id,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(m.outdeg) AS BIGINT) AS sum_outdeg,
+      CAST(SUM(m.pr_int) AS BIGINT) AS sum_pr_int
+    FROM docmetrics m
+    JOIN geo ON geo.doc_id = m.doc_id
+    JOIN z ON geo.lon > z.xmin AND geo.lon < z.xmax
+          AND geo.lat > z.ymin AND geo.lat < z.ymax
+    GROUP BY z.zone_id ORDER BY z.zone_id
+    """
+    )
 
     extract_links_sql = """
     WITH n AS (SELECT COUNT(*) AS n FROM documents),
@@ -4303,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_sql,
         "extract_links": extract_links_sql,
         "link_pagerank": link_pagerank_sql,
+        "zone_link_stats": zone_link_stats_sql,
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,

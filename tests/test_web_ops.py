@@ -166,3 +166,57 @@ def test_extract_links_malformed_html():
     )
     out = extract_links_batch(batch)
     assert out.column("href").to_pylist() == ["ok/1", "ok/2"]
+
+
+def test_zone_link_stats_manual(_ray):
+    """Fusion aggregate vs a hand computation on sf0.001."""
+    import ray.data  # noqa: F401
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.fusion import zone_link_stats
+    from exactextractr_ray.sources.pages import (
+        page_link_targets,
+        read_linked_pages,
+    )
+    from exactextractr_ray.stages.graph import pagerank
+    from exactextractr_ray.stages.web import link_edges
+
+    sf = "/root/testdata/sf0.001"
+    n = 500
+    zb = [(k, *synth.synth_geo_zone_bounds(k)) for k in range(4)]
+    df = (
+        zone_link_stats(read_linked_pages(sf), n, zb)
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    # manual: derive edges from the fixture rule, outdeg + pagerank
+    src, dst = page_link_targets(np.arange(n), n)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    outdeg = np.bincount(src, minlength=n)
+    pr = (
+        pagerank(
+            link_edges(read_linked_pages(sf)).map_batches(
+                lambda b: pa.table(
+                    {
+                        "src": b.column("src_doc").cast(pa.int64()),
+                        "dst": b.column("dst_doc").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            n,
+        )
+        .to_pandas()
+        .sort_values("node")["pr_int"]
+        .to_numpy()
+    )
+    lon, lat = synth.geocode_ids(np.arange(n))
+    for _, row in df.iterrows():
+        k = int(row["zone_id"])
+        _, x0, y0, x1, y1 = zb[k]
+        m = (lon > x0) & (lon < x1) & (lat > y0) & (lat < y1)
+        assert row["n_docs"] == int(m.sum())
+        assert row["sum_outdeg"] == int(outdeg[m].sum())
+        assert row["sum_pr_int"] == int(pr[m].sum())

@@ -102,6 +102,7 @@ QUERIES = [
     "raster_components",
     "zonal_gradient_mean",
     "nearest_zone",
+    "zone_link_stats",
 ]
 
 _CHILD = r"""
