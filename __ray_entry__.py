@@ -1320,6 +1320,30 @@ def _q_zone_link_stats(sf_dir: str):
     return df.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_linreg_fit(sf_dir: str):
+    """Distributed OLS via exact integer normal equations: regress n_chars
+    on (1, n_tokens, n_unique). Only the 10-entry moment vector shuffles;
+    the finalize solves Cramer with Python big-int determinants and casts
+    to float64 last (stages/cluster.py linreg_fit) — bit-exact vs the
+    HUGEINT Cramer oracle."""
+    from exactextractr_ray.stages.cluster import linreg_fit
+    from exactextractr_ray.stages.text import token_stats_batch
+
+    docs = _docs(sf_dir, ["text", "n_chars"]).map_batches(
+        token_stats_batch, batch_format="pyarrow"
+    )
+    df = linreg_fit(docs, ["n_tokens", "n_unique"], "n_chars").to_pandas()
+    df["n"] = df["n"].astype(np.int64)
+    cols = ["n", "det_f"] + [
+        c
+        for pair in zip(
+            (f"num_{i}" for i in range(3)), (f"coef_{i}" for i in range(3))
+        )
+        for c in pair
+    ]
+    return df[cols].reset_index(drop=True)
+
+
 def _q_focal_mean(sf_dir: str):
     """3x3 focal sum/count/mean over the synthetic tiled raster via the
     tile HALO-EXCHANGE pattern (pipelines/focal.py): border strips fan out
@@ -1985,6 +2009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": _q_extract_links,
         "link_pagerank": _q_link_pagerank,
         "zone_link_stats": _q_zone_link_stats,
+        "linreg_fit": _q_linreg_fit,
         "focal_mean": _q_focal_mean,
         "raster_components": _q_raster_components,
         "zonal_gradient_mean": _q_zonal_gradient,
@@ -2691,6 +2716,48 @@ def oracle_sql() -> dict[str, str]:
         SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
       END AS gy
     FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    # OLS via integer normal equations: HUGEINT moment sums + Cramer
+    # determinants (identical integers to the Python big-int expansion),
+    # float64 only at the final cast/division
+    linreg_sql = """
+    WITH f AS (
+      SELECT len(string_split(text, ' ')) AS t,
+             len(list_distinct(string_split(text, ' '))) AS u,
+             n_chars AS y
+      FROM documents),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS s00,
+             CAST(SUM(t) AS HUGEINT) AS s01,
+             CAST(SUM(u) AS HUGEINT) AS s02,
+             CAST(SUM(t*t) AS HUGEINT) AS s11,
+             CAST(SUM(t*u) AS HUGEINT) AS s12,
+             CAST(SUM(u*u) AS HUGEINT) AS s22,
+             CAST(SUM(y) AS HUGEINT) AS y0,
+             CAST(SUM(t*y) AS HUGEINT) AS y1,
+             CAST(SUM(u*y) AS HUGEINT) AS y2
+      FROM f),
+    c AS (
+      SELECT s00,
+        s00*(s11*s22 - s12*s12) - s01*(s01*s22 - s12*s02)
+          + s02*(s01*s12 - s11*s02) AS D,
+        y0*(s11*s22 - s12*s12) - s01*(y1*s22 - s12*y2)
+          + s02*(y1*s12 - s11*y2) AS N0,
+        s00*(y1*s22 - s12*y2) - y0*(s01*s22 - s12*s02)
+          + s02*(s01*y2 - y1*s02) AS N1,
+        s00*(s11*y2 - y1*s12) - s01*(s01*y2 - y1*s02)
+          + y0*(s01*s12 - s11*s02) AS N2
+      FROM m)
+    SELECT CAST(s00 AS BIGINT) AS n,
+      CAST(D AS DOUBLE) AS det_f,
+      CAST(N0 AS DOUBLE) AS num_0,
+      CAST(N0 AS DOUBLE) / CAST(D AS DOUBLE) AS coef_0,
+      CAST(N1 AS DOUBLE) AS num_1,
+      CAST(N1 AS DOUBLE) / CAST(D AS DOUBLE) AS coef_1,
+      CAST(N2 AS DOUBLE) AS num_2,
+      CAST(N2 AS DOUBLE) / CAST(D AS DOUBLE) AS coef_2
+    FROM c
     """
 
     # gradient -> zonal chain: the focal_gradient CTE joined back to cell
@@ -4361,6 +4428,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": extract_links_sql,
         "link_pagerank": link_pagerank_sql,
         "zone_link_stats": zone_link_stats_sql,
+        "linreg_fit": linreg_sql,
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,

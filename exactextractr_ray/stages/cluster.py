@@ -240,3 +240,89 @@ def embedding_gram(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
     return out.map_batches(
         lambda b: b.rename_columns(["i", "j", "v"]), batch_format="pyarrow"
     )
+
+
+def linreg_fit(ds, x_cols: list[str], y_col: str):
+    """Distributed ordinary least squares via EXACT integer normal
+    equations + Cramer's rule — the closed-form regression fit a quality
+    model needs, without SGD nondeterminism.
+
+    The only exchange is the tiny moment vector: each batch collapses to
+    one row of integer sums (Sx, Sxx upper triangle, Sxy, Sy, n); one
+    groupby-sum merges them; the finalize solves the (d+1)x(d+1) system
+    with PYTHON BIG-INT Cramer determinants (exact — no float drift, no
+    conditioning concerns at these magnitudes) and projects to float64
+    only at the very end (float(num)/float(det), the same two IEEE ops
+    the SQL oracle performs — bit-exact).
+
+    Inputs must be integer-valued columns. Returns ONE row:
+    (n, det, coef_0..coef_d, det_f, num_0..num_d) where coef_i =
+    float(num_i)/float(det) and coef_0 is the intercept.
+    """
+    import pandas as pd
+
+    d = len(x_cols)
+    names = []
+    for i in range(d + 1):
+        for j in range(i, d + 1):
+            names.append(f"s_{i}_{j}")
+    ynames = [f"sy_{i}" for i in range(d + 1)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = [np.ones(b.num_rows, np.int64)] + [
+            b.column(c).to_numpy().astype(np.int64) for c in x_cols
+        ]
+        y = b.column(y_col).to_numpy().astype(np.int64)
+        out = {"g": pa.array([0], pa.int64())}
+        for i in range(d + 1):
+            for j in range(i, d + 1):
+                out[f"s_{i}_{j}"] = pa.array(
+                    [int((cols[i] * cols[j]).sum())], pa.int64()
+                )
+        for i in range(d + 1):
+            out[f"sy_{i}"] = pa.array([int((cols[i] * y).sum())], pa.int64())
+        return pa.table(out)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby("g").sum(names + ynames)
+
+    def final(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["g"] + names + ynames)
+        S = [[0] * (d + 1) for _ in range(d + 1)]
+        for i in range(d + 1):
+            for j in range(i, d + 1):
+                v = int(b.column(f"s_{i}_{j}")[0].as_py())
+                S[i][j] = v
+                S[j][i] = v
+        Y = [int(b.column(f"sy_{i}")[0].as_py()) for i in range(d + 1)]
+
+        def det(m) -> int:
+            # exact big-int determinant, Laplace on the first row
+            k = len(m)
+            if k == 1:
+                return m[0][0]
+            total = 0
+            for c in range(k):
+                minor = [row[:c] + row[c + 1 :] for row in m[1:]]
+                total += (-1) ** c * m[0][c] * det(minor)
+            return total
+
+        D = det(S)
+        nums = []
+        for i in range(d + 1):
+            M = [[Y[r] if c == i else S[r][c] for c in range(d + 1)]
+                 for r in range(d + 1)]
+            nums.append(det(M))
+        out = {
+            "n": pa.array([S[0][0]], pa.int64()),
+            "det_f": pa.array([float(D)], pa.float64()),
+        }
+        for i, nm in enumerate(nums):
+            out[f"num_{i}"] = pa.array([float(nm)], pa.float64())
+            out[f"coef_{i}"] = pa.array(
+                [float(nm) / float(D)] if D != 0 else [float("nan")],
+                pa.float64(),
+            )
+        return pa.table(out)
+
+    return agg.map_batches(final, batch_format="pyarrow")

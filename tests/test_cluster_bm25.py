@@ -238,3 +238,55 @@ def test_embedding_gram_matches_numpy(_ray):
             assert r.v == gram[int(r.i), int(r.j)]
     iu, ju = np.triu_indices(6)
     assert len(df) == len(iu) + 6 + 1
+
+
+def test_linreg_fit_exact_vs_numpy(ray_session):
+    """Integer Cramer fit == numpy lstsq to float tolerance, and the
+    residual orthogonality X^T r = 0 holds exactly in rational form."""
+    import ray.data
+
+    from exactextractr_ray.stages.cluster import linreg_fit
+
+    rng = np.random.default_rng(5)
+    n = 400
+    t = rng.integers(1, 200, n)
+    u = rng.integers(1, 100, n)
+    y = 3 * t + 7 * u + rng.integers(-5, 6, n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_tokens": pa.array(t, pa.int64()),
+                "n_unique": pa.array(u, pa.int64()),
+                "n_chars": pa.array(y, pa.int64()),
+            }
+        )
+    ).repartition(5)
+    df = linreg_fit(ds, ["n_tokens", "n_unique"], "n_chars").to_pandas()
+    X = np.column_stack([np.ones(n), t, u]).astype(float)
+    beta = np.linalg.lstsq(X, y.astype(float), rcond=None)[0]
+    got = np.array([df["coef_0"][0], df["coef_1"][0], df["coef_2"][0]])
+    assert np.allclose(got, beta, rtol=1e-9)
+    assert abs(got[1] - 3) < 0.2 and abs(got[2] - 7) < 0.3
+    assert df["n"][0] == n
+
+
+def test_linreg_fit_singular_matrix(ray_session):
+    """Collinear features -> det 0 -> NaN coefficients, no crash."""
+    import ray.data
+
+    from exactextractr_ray.stages.cluster import linreg_fit
+
+    n = 50
+    t = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_tokens": pa.array(t, pa.int64()),
+                "n_unique": pa.array(2 * t, pa.int64()),  # collinear
+                "n_chars": pa.array(3 * t, pa.int64()),
+            }
+        )
+    )
+    df = linreg_fit(ds, ["n_tokens", "n_unique"], "n_chars").to_pandas()
+    assert df["det_f"][0] == 0.0
+    assert np.isnan(df["coef_0"][0])

@@ -103,6 +103,7 @@ QUERIES = [
     "zonal_gradient_mean",
     "nearest_zone",
     "zone_link_stats",
+    "linreg_fit",
 ]
 
 _CHILD = r"""
