@@ -35,7 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..sources.raster import RasterDataset, tile_values
+from ..sources.raster import RasterDataset
 
 
 def _halo_fanout(batch: pa.Table, tiles_y: int, tiles_x: int) -> pa.Table:
@@ -45,11 +45,19 @@ def _halo_fanout(batch: pa.Table, tiles_y: int, tiles_x: int) -> pa.Table:
     Fragments carry ABSOLUTE grid offsets so assembly is pure arithmetic.
     """
     dst, r0s, c0s, hs, ws, vals = [], [], [], [], [], []
-    for row in batch.to_pylist():
-        ty, tx = int(row["ty"]), int(row["tx"])
-        row0, col0 = int(row["row0"]), int(row["col0"])
-        th, tw = int(row["th"]), int(row["tw"])
-        v = tile_values(row)
+    tys = batch.column("ty").to_numpy()
+    txs = batch.column("tx").to_numpy()
+    row0s = batch.column("row0").to_numpy()
+    col0s = batch.column("col0").to_numpy()
+    ths = batch.column("th").to_numpy()
+    tws = batch.column("tw").to_numpy()
+    values = batch.column("values").combine_chunks()
+    for i in range(batch.num_rows):
+        ty, tx = int(tys[i]), int(txs[i])
+        row0, col0 = int(row0s[i]), int(col0s[i])
+        th, tw = int(ths[i]), int(tws[i])
+        # zero-copy view of the tile body (no Python-list round trip)
+        v = np.asarray(values[i].values, dtype=np.float64).reshape(th, tw)
 
         def emit(dty: int, dtx: int, frag: np.ndarray, fr0: int, fc0: int):
             dst.append((ty + dty) * tiles_x + (tx + dtx))
@@ -103,17 +111,21 @@ def _assemble_canvas(group: pa.Table):
     The full-body fragment (the largest) fixes the tile bounds; strips land
     by absolute offset.
     """
-    rows = group.to_pylist()
-    body = max(rows, key=lambda r: int(r["h"]) * int(r["w"]))
-    th, tw = int(body["h"]), int(body["w"])
-    row0, col0 = int(body["row0"]), int(body["col0"])
+    r0s = group.column("row0").to_numpy()
+    c0s = group.column("col0").to_numpy()
+    hs = group.column("h").to_numpy()
+    ws = group.column("w").to_numpy()
+    values = group.column("values").combine_chunks()
+    body = int(np.argmax(hs.astype(np.int64) * ws.astype(np.int64)))
+    th, tw = int(hs[body]), int(ws[body])
+    row0, col0 = int(r0s[body]), int(c0s[body])
     canvas = np.full((th + 2, tw + 2), np.nan, np.float64)
-    for r in rows:
-        rr = int(r["row0"]) - (row0 - 1)
-        cc = int(r["col0"]) - (col0 - 1)
-        h, w = int(r["h"]), int(r["w"])
+    for i in range(group.num_rows):
+        rr = int(r0s[i]) - (row0 - 1)
+        cc = int(c0s[i]) - (col0 - 1)
+        h, w = int(hs[i]), int(ws[i])
         canvas[rr : rr + h, cc : cc + w] = np.asarray(
-            r["values"], np.float64
+            values[i].values, dtype=np.float64
         ).reshape(h, w)
     return canvas, row0, col0, th, tw
 
