@@ -1320,6 +1320,23 @@ def _q_zone_link_stats(sf_dir: str):
     return df.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Exact per-label embedding centroids (fixed-point segmented sums;
+    exchange = labels x dims rows, never vectors) — the class-prototype
+    builder (stages/cluster.py label_centroids)."""
+    import ray.data
+
+    from exactextractr_ray.stages.cluster import label_centroids
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    df = label_centroids(emb).to_pandas()
+    for c in ("label", "dim", "sum_q", "n"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def _q_linreg_fit(sf_dir: str):
     """Distributed OLS via exact integer normal equations: regress n_chars
     on (1, n_tokens, n_unique). Only the 10-entry moment vector shuffles;
@@ -2010,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_pagerank": _q_link_pagerank,
         "zone_link_stats": _q_zone_link_stats,
         "linreg_fit": _q_linreg_fit,
+        "label_centroids": _q_label_centroids,
         "focal_mean": _q_focal_mean,
         "raster_components": _q_raster_components,
         "zonal_gradient_mean": _q_zonal_gradient,
@@ -2716,6 +2734,24 @@ def oracle_sql() -> dict[str, str]:
         SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
       END AS gy
     FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    # per-label centroids: same fixed-point quantization as the gram
+    # oracle; centroid = one double division on identical operands
+    label_centroids_sql = """
+    WITH q AS (
+      SELECT label, d.ri AS dim,
+             CAST(FLOOR(CAST(embedding[d.ri + 1] AS DOUBLE) * 1048576.0
+                        + 0.5) AS BIGINT) AS qv
+      FROM embeddings,
+           (SELECT CAST(range AS BIGINT) AS ri FROM range(64)) d
+    )
+    SELECT CAST(label AS BIGINT) AS label, dim,
+           CAST(SUM(qv) AS BIGINT) AS sum_q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(qv) AS BIGINT) AS DOUBLE)
+             / CAST(COUNT(*) * 1048576 AS DOUBLE) AS centroid
+    FROM q GROUP BY 1, 2 ORDER BY label, dim
     """
 
     # OLS via integer normal equations: HUGEINT moment sums + Cramer
@@ -4429,6 +4465,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pagerank": link_pagerank_sql,
         "zone_link_stats": zone_link_stats_sql,
         "linreg_fit": linreg_sql,
+        "label_centroids": label_centroids_sql,
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,

@@ -326,3 +326,74 @@ def linreg_fit(ds, x_cols: list[str], y_col: str):
         return pa.table(out)
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def label_centroids(ds, group_col: str = "label", vec_col: str = "embedding"):
+    """Exact per-group embedding centroids — the class-prototype builder
+    (semdedup cluster centers, nearest-class-mean classification).
+
+    Per batch, one int64 matmul-free segmented sum collapses all vectors to
+    (group, dim, sum_q, n) rows — the exchange is groups x dims, never
+    vectors; a native groupby-sum merges. Fixed-point quantization (the
+    kmeans/_quantize scale) makes every sum order-independent; the float
+    centroid is the single division float(sum_q) / float(n * SCALE).
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        emb = np.asarray(
+            b.column(vec_col).combine_chunks().values.to_numpy(
+                zero_copy_only=False
+            ),
+            dtype=np.float64,
+        )
+        n = b.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "sum_q": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        d = len(emb) // n
+        q = _quantize(emb).reshape(n, d)
+        lab = b.column(group_col).to_numpy().astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        q_s = q[order]
+        uniq, starts = np.unique(lab_s, return_index=True)
+        sums = np.add.reduceat(q_s, starts, axis=0)  # (g, d) int64
+        cnts = np.diff(np.append(starts, n))
+        g = len(uniq)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), g), pa.int64()),
+                "sum_q": pa.array(sums.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(cnts.astype(np.int64), d), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby(["label", "dim"]).sum(["sum_q", "n"])
+
+    def final(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["label", "dim", "sum_q", "n"])
+        sq = b.column("sum_q").to_numpy().astype(np.int64)
+        n = b.column("n").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "label": b.column("label").cast(pa.int64()),
+                "dim": b.column("dim").cast(pa.int64()),
+                "sum_q": pa.array(sq, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "centroid": pa.array(
+                    sq.astype(np.float64) / (n * _SCALE).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")

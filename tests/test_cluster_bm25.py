@@ -290,3 +290,37 @@ def test_linreg_fit_singular_matrix(ray_session):
     df = linreg_fit(ds, ["n_tokens", "n_unique"], "n_chars").to_pandas()
     assert df["det_f"][0] == 0.0
     assert np.isnan(df["coef_0"][0])
+
+
+def test_label_centroids_vs_numpy(ray_session):
+    import ray.data
+
+    from exactextractr_ray.stages.cluster import _SCALE, label_centroids
+
+    rng = np.random.default_rng(2)
+    n, d = 120, 8
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    lab = rng.integers(0, 4, n)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(lab, pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(6)
+    df = (
+        label_centroids(ds)
+        .to_pandas()
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+    q = np.floor(emb.astype(np.float64) * _SCALE + 0.5).astype(np.int64)
+    for g in range(4):
+        m = lab == g
+        want_sum = q[m].sum(axis=0)
+        sub = df[df["label"] == g]
+        assert np.array_equal(sub["sum_q"].to_numpy(), want_sum)
+        assert (sub["n"] == m.sum()).all()
+        exp = want_sum.astype(np.float64) / float(m.sum() * _SCALE)
+        assert np.array_equal(sub["centroid"].to_numpy(), exp)

@@ -104,6 +104,7 @@ QUERIES = [
     "nearest_zone",
     "zone_link_stats",
     "linreg_fit",
+    "label_centroids",
 ]
 
 _CHILD = r"""
