@@ -1320,6 +1320,23 @@ def _q_zone_link_stats(sf_dir: str):
     return df.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zone_top_tokens(sf_dir: str):
+    """Geo x text fusion: top-5 tokens per spatial zone (regional
+    vocabulary) — per-batch (zone, token) Counter partials, multi-key
+    groupby-sum, exact distributed top-k with (cnt DESC, token ASC)
+    ordering (pipelines/fusion.py zone_top_tokens)."""
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.fusion import zone_top_tokens
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    zb = [(k, *synth.synth_geo_zone_bounds(k)) for k in range(N_GEO_ZONES)]
+    df = zone_top_tokens(docs, zb, m=5).to_pandas()
+    df = df[["zone_id", "token", "cnt", "rnk"]]
+    for c in ("zone_id", "cnt", "rnk"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["zone_id", "rnk"]).reset_index(drop=True)
+
+
 def _q_label_centroids(sf_dir: str):
     """Exact per-label embedding centroids (fixed-point segmented sums;
     exchange = labels x dims rows, never vectors) — the class-prototype
@@ -2028,6 +2045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_link_stats": _q_zone_link_stats,
         "linreg_fit": _q_linreg_fit,
         "label_centroids": _q_label_centroids,
+        "zone_top_tokens": _q_zone_top_tokens,
         "focal_mean": _q_focal_mean,
         "raster_components": _q_raster_components,
         "zonal_gradient_mean": _q_zonal_gradient,
@@ -2734,6 +2752,31 @@ def oracle_sql() -> dict[str, str]:
         SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
       END AS gy
     FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    # per-zone top tokens: strict-interior membership, unnested token
+    # counts, ROW_NUMBER over (cnt DESC, token ASC)
+    zone_top_tokens_sql = f"""
+    WITH geo AS ({geo}),
+    z AS ({synth.synth_geo_zones_sql(N_GEO_ZONES)}),
+    memb AS (
+      SELECT z.zone_id, geo.doc_id
+      FROM geo JOIN z
+        ON geo.lon > z.xmin AND geo.lon < z.xmax
+       AND geo.lat > z.ymin AND geo.lat < z.ymax),
+    toks AS (
+      SELECT m.zone_id, unnest(string_split(d.text, ' ')) AS token
+      FROM memb m JOIN documents d ON d.doc_id = m.doc_id),
+    cnts AS (
+      SELECT zone_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2),
+    r AS (
+      SELECT zone_id, token, cnt,
+        ROW_NUMBER() OVER (PARTITION BY zone_id
+                           ORDER BY cnt DESC, token) AS rnk
+      FROM cnts)
+    SELECT zone_id, token, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY zone_id, rnk
     """
 
     # per-label centroids: same fixed-point quantization as the gram
@@ -4466,6 +4509,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_link_stats": zone_link_stats_sql,
         "linreg_fit": linreg_sql,
         "label_centroids": label_centroids_sql,
+        "zone_top_tokens": zone_top_tokens_sql,
         "topk_per_source": topk_per_source_sql,
         "cms_heavy_hitters": cms_sql,
         "degree_stats": degree_sql,

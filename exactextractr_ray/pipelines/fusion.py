@@ -118,3 +118,54 @@ def zone_link_stats(pages, num_nodes: int, zone_bounds, pr_iters: int = 5):
         ),
         batch_format="pyarrow",
     )
+
+
+def zone_top_tokens(docs, zone_bounds, m: int = 5):
+    """Per-zone top-m tokens (regional vocabulary) — geo x text fusion.
+
+    Stage 1 collapses each batch to (zone_id, token, cnt) partials (zone
+    rects broadcast, strict interior, docs may belong to several
+    overlapping zones); stage 2 is the native multi-key groupby-sum; stage
+    3 is the exact distributed top-k (stages/rank.py partial-combiner
+    shape) ordered by (cnt DESC, token ASC). The exchange after stage 1 is
+    bounded by distinct (zone, token) pairs per batch, never documents.
+    """
+    from collections import Counter
+
+    from ..stages.rank import top_k_per_group
+    from .. import synth
+
+    zb = [(int(z), float(a), float(b), float(c), float(d))
+          for z, a, b, c, d in zone_bounds]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        texts = b.column("text").to_pylist()
+        lon, lat = synth.geocode_ids(ids)
+        toks = [(t or "").split(" ") for t in texts]
+        zid, tok, cnt = [], [], []
+        for z, x0, y0, x1, y1 in zb:
+            mask = (lon > x0) & (lon < x1) & (lat > y0) & (lat < y1)
+            if not mask.any():
+                continue
+            c = Counter()
+            for i in np.nonzero(mask)[0]:
+                c.update(toks[i])
+            zid.extend([z] * len(c))
+            tok.extend(c.keys())
+            cnt.extend(c.values())
+        return pa.table(
+            {
+                "zone_id": pa.array(np.asarray(zid, np.int64), pa.int64()),
+                "token": pa.array(tok, pa.string()),
+                "cnt": pa.array(np.asarray(cnt, np.int64), pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(partial, batch_format="pyarrow")
+    counts = parts.groupby(["zone_id", "token"]).sum("cnt")
+    counts = counts.map_batches(
+        lambda b: b.rename_columns(["zone_id", "token", "cnt"]),
+        batch_format="pyarrow",
+    )
+    return top_k_per_group(counts, "zone_id", "cnt", m, tie_col="token")

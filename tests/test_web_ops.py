@@ -220,3 +220,34 @@ def test_zone_link_stats_manual(_ray):
         assert row["n_docs"] == int(m.sum())
         assert row["sum_outdeg"] == int(outdeg[m].sum())
         assert row["sum_pr_int"] == int(pr[m].sum())
+
+
+def test_zone_top_tokens_manual(_ray):
+    """Regional vocabulary vs a hand count on one zone."""
+    from collections import Counter
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.fusion import zone_top_tokens
+
+    sf = "/root/testdata/sf0.001"
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    zb = [(k, *synth.synth_geo_zone_bounds(k)) for k in range(3)]
+    df = zone_top_tokens(docs, zb, m=4).to_pandas()
+    tbl = docs.to_pandas()
+    lon, lat = synth.geocode_ids(tbl["doc_id"].to_numpy())
+    for k, x0, y0, x1, y1 in zb:
+        m = (lon > x0) & (lon < x1) & (lat > y0) & (lat < y1)
+        c = Counter()
+        for t in tbl.loc[m, "text"]:
+            c.update(t.split(" "))
+        if not c:
+            assert (df["zone_id"] == k).sum() == 0
+            continue
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        sub = df[df["zone_id"] == k].sort_values("rnk")
+        assert list(zip(sub["token"], sub["cnt"])) == want
+        assert sub["rnk"].tolist() == list(range(1, len(want) + 1))

@@ -105,6 +105,7 @@ QUERIES = [
     "zone_link_stats",
     "linreg_fit",
     "label_centroids",
+    "zone_top_tokens",
 ]
 
 _CHILD = r"""
