@@ -327,4 +327,7 @@ if __name__ == "__main__":
     elif "--child" in sys.argv:
         print(json.dumps(run_all(full=False, repeats=3)))
     else:
-        print(json.dumps(run_all(full=True)))
+        print(json.dumps(run_all(
+            full=True,
+            repeats=int(os.environ.get("GRAFT_BENCH_REPEATS", "2")),
+        )))
