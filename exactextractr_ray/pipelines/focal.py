@@ -38,11 +38,14 @@ import pyarrow as pa
 from ..sources.raster import RasterDataset
 
 
-def _halo_fanout(batch: pa.Table, tiles_y: int, tiles_x: int) -> pa.Table:
+def _halo_fanout(
+    batch: pa.Table, tiles_y: int, tiles_x: int, include_body: bool = True
+) -> pa.Table:
     """Tile rows -> tagged fragments (dst_tile, row0, col0, h, w, values).
 
-    One full-body fragment per tile + one strip per existing neighbor.
-    Fragments carry ABSOLUTE grid offsets so assembly is pure arithmetic.
+    One full-body fragment per tile (unless ``include_body=False``) + one
+    strip per existing neighbor. Fragments carry ABSOLUTE grid offsets so
+    assembly is pure arithmetic.
     """
     dst, r0s, c0s, hs, ws, vals = [], [], [], [], [], []
     tys = batch.column("ty").to_numpy()
@@ -74,7 +77,8 @@ def _halo_fanout(batch: pa.Table, tiles_y: int, tiles_x: int) -> pa.Table:
                 if not (0 <= tx + dtx < tiles_x):
                     continue
                 if dty == 0 and dtx == 0:
-                    emit(0, 0, v, row0, col0)
+                    if include_body:
+                        emit(0, 0, v, row0, col0)
                     continue
                 # the 1-cell-deep slice of THIS tile adjacent to that
                 # neighbor: dty=+1 neighbor sits BELOW us -> it needs our
@@ -139,17 +143,93 @@ def _cell_ids(row0: int, col0: int, th: int, tw: int, n_cols: int) -> np.ndarray
     return (rr * n_cols + cc).ravel()
 
 
-def focal_stats_3x3(raster: RasterDataset):
-    """Per-cell 3x3 focal sum / count / mean over a tiled raster Dataset.
+# estimated-strip-bytes ceiling for the broadcast fast path (per-node heap
+# budget; generous 4x slack for Arrow/Python overhead is applied below)
+_BROADCAST_STRIP_CAP = 64 << 20
 
-    Returns a Dataset of (cell:int64, focal_sum:float64, focal_cnt:int64,
-    focal_mean:float64), one row per raster cell (including NaN centers —
-    the window is about the neighborhood, not the center value).
+
+def _run_focal(raster: RasterDataset, window_fn, broadcast_cap: int | None = None):
+    """Run a 3x3 window kernel over every tile with its 1-cell halo.
+
+    ``window_fn(canvas, row0, col0, th, tw) -> pa.Table`` sees the
+    NaN-padded (th+2, tw+2) canvas.
+
+    Two physical plans, chosen by a DRIVER-SIDE size estimate (pure
+    arithmetic on the grid — nothing executes to decide):
+
+    * **broadcast halo** (strips fit under ``broadcast_cap``): only the
+      border strips — ~2/tile_width of the raster — are collected once and
+      ``ray.put``; tile bodies NEVER move, each tile task reads its 8
+      strips from the local object store. This is the single-node /
+      moderate-raster fast path.
+    * **shuffle halo** (the general 100-TB path): strips AND bodies fan
+      out keyed by dst tile, one groupby co-locates each tile with its
+      halo. Chosen whenever the strip total could not sit in one heap.
+
+    Both paths run the identical kernel on identical canvases — outputs
+    are byte-identical (tested with the cap forced to 0).
     """
-    g = raster.grid
-    n_cols = g.ncol
+    import ray
+
     tiles_y, tiles_x = raster.tiles_y, raster.tiles_x
-    tile_h, tile_w = raster.tile_h, raster.tile_w
+    cap = _BROADCAST_STRIP_CAP if broadcast_cap is None else broadcast_cap
+    est_strips = (
+        tiles_y * tiles_x * (2 * (raster.tile_h + raster.tile_w) + 4) * 8 * 4
+    )
+
+    if est_strips <= cap:
+        strips = raster.ds.map_batches(
+            _halo_fanout,
+            batch_format="pyarrow",
+            fn_kwargs={
+                "tiles_y": tiles_y,
+                "tiles_x": tiles_x,
+                "include_body": False,
+            },
+        )
+        by_dst: dict = {}
+        for r in strips.take_all():  # bounded by the cap estimate
+            by_dst.setdefault(int(r["dst_tile"]), []).append(
+                (
+                    int(r["row0"]),
+                    int(r["col0"]),
+                    int(r["h"]),
+                    int(r["w"]),
+                    np.asarray(r["values"], np.float64),
+                )
+            )
+        strips_ref = ray.put(by_dst)
+
+        def per_tile(batch: pa.Table) -> pa.Table:
+            smap = ray.get(strips_ref)
+            tys = batch.column("ty").to_numpy()
+            txs = batch.column("tx").to_numpy()
+            row0s = batch.column("row0").to_numpy()
+            col0s = batch.column("col0").to_numpy()
+            ths = batch.column("th").to_numpy()
+            tws = batch.column("tw").to_numpy()
+            values = batch.column("values").combine_chunks()
+            outs = []
+            for i in range(batch.num_rows):
+                th, tw = int(ths[i]), int(tws[i])
+                row0, col0 = int(row0s[i]), int(col0s[i])
+                canvas = np.full((th + 2, tw + 2), np.nan, np.float64)
+                canvas[1 : 1 + th, 1 : 1 + tw] = np.asarray(
+                    values[i].values, dtype=np.float64
+                ).reshape(th, tw)
+                tid = int(tys[i]) * tiles_x + int(txs[i])
+                for fr0, fc0, h, w, vals in smap.get(tid, ()):
+                    rr = fr0 - (row0 - 1)
+                    cc = fc0 - (col0 - 1)
+                    canvas[rr : rr + h, cc : cc + w] = vals.reshape(h, w)
+                outs.append(window_fn(canvas, row0, col0, th, tw))
+            if not outs:
+                return window_fn(
+                    np.full((2, 2), np.nan), 0, 0, 0, 0
+                )  # typed empty
+            return pa.concat_tables(outs)
+
+        return raster.ds.map_batches(per_tile, batch_format="pyarrow")
 
     frags = raster.ds.map_batches(
         _halo_fanout,
@@ -159,6 +239,21 @@ def focal_stats_3x3(raster: RasterDataset):
 
     def assemble(group: pa.Table) -> pa.Table:
         canvas, row0, col0, th, tw = _assemble_canvas(group)
+        return window_fn(canvas, row0, col0, th, tw)
+
+    return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
+
+
+def focal_stats_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Per-cell 3x3 focal sum / count / mean over a tiled raster Dataset.
+
+    Returns a Dataset of (cell:int64, focal_sum:float64, focal_cnt:int64,
+    focal_mean:float64), one row per raster cell (including NaN centers —
+    the window is about the neighborhood, not the center value).
+    """
+    n_cols = raster.grid.ncol
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
         valid = ~np.isnan(canvas)
         filled = np.where(valid, canvas, 0.0)
         s = np.zeros((th, tw), np.float64)
@@ -179,10 +274,10 @@ def focal_stats_3x3(raster: RasterDataset):
             }
         )
 
-    return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
+    return _run_focal(raster, window, broadcast_cap)
 
 
-def focal_majority_3x3(raster: RasterDataset):
+def focal_majority_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
     """Per-cell 3x3 majority (mode) filter — the classic categorical-raster
     cleanup pass. NaN cells are skipped; ties break to the LARGEST value,
     the reference's mode rule (/root/reference/src/exactextract/src/
@@ -192,18 +287,9 @@ def focal_majority_3x3(raster: RasterDataset):
     ranking each window's 9 candidate (count, value) pairs vectorized —
     no per-cell Python.
     """
-    g = raster.grid
-    n_cols = g.ncol
+    n_cols = raster.grid.ncol
 
-    frags = raster.ds.map_batches(
-        _halo_fanout,
-        batch_format="pyarrow",
-        fn_kwargs={"tiles_y": raster.tiles_y, "tiles_x": raster.tiles_x},
-    )
-
-    def assemble(group: pa.Table) -> pa.Table:
-        canvas, row0, col0, th, tw = _assemble_canvas(group)
-        # stack the 9 shifted neighborhoods: (9, th, tw)
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
         stack = np.stack(
             [
                 canvas[dr : dr + th, dc : dc + tw]
@@ -216,18 +302,14 @@ def focal_majority_3x3(raster: RasterDataset):
         # per tile), NaN never equals anything
         eq = stack[:, None, :, :] == stack[None, :, :, :]
         counts = eq.sum(axis=1)  # (9, th, tw) occurrences of stack[i]
-        # rank by (count, value); NaN candidates get count 0 and value -inf
         val_key = np.where(np.isnan(stack), -np.inf, stack)
         counts = np.where(np.isnan(stack), 0, counts)
-        # argmax over candidates with lexicographic (count, value) order
-        best = np.zeros((th, tw), np.int64)
         best_c = counts[0].copy()
         best_v = val_key[0].copy()
         for i in range(1, 9):
             better = (counts[i] > best_c) | (
                 (counts[i] == best_c) & (val_key[i] > best_v)
             )
-            best = np.where(better, i, best)
             best_c = np.where(better, counts[i], best_c)
             best_v = np.where(better, val_key[i], best_v)
         mode = np.where(best_c > 0, best_v, np.nan)
@@ -235,14 +317,16 @@ def focal_majority_3x3(raster: RasterDataset):
             {
                 "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
                 "focal_mode": pa.array(mode.ravel(), pa.float64()),
-                "mode_count": pa.array(best_c.ravel().astype(np.int64), pa.int64()),
+                "mode_count": pa.array(
+                    np.asarray(best_c).ravel().astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
+    return _run_focal(raster, window, broadcast_cap)
 
 
-def focal_gradient_3x3(raster: RasterDataset):
+def focal_gradient_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
     """Horn-kernel gradient numerators — the slope/aspect building block
     (Horn 1981, the GDAL DEM convention) kept EXACT: gx = (tr + 2*mr + br)
     - (tl + 2*ml + bl), gy = (bl + 2*bm + br) - (tl + 2*tm + tr), pure
@@ -252,18 +336,9 @@ def focal_gradient_3x3(raster: RasterDataset):
     Cells whose full 3x3 window contains any NaN (including off-raster
     halo) yield NaN — the standard DEM edge convention.
     """
-    g = raster.grid
-    n_cols = g.ncol
+    n_cols = raster.grid.ncol
 
-    frags = raster.ds.map_batches(
-        _halo_fanout,
-        batch_format="pyarrow",
-        fn_kwargs={"tiles_y": raster.tiles_y, "tiles_x": raster.tiles_x},
-    )
-
-    def assemble(group: pa.Table) -> pa.Table:
-        canvas, row0, col0, th, tw = _assemble_canvas(group)
-
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
         def w(dr, dc):
             return canvas[dr : dr + th, dc : dc + tw]
 
@@ -289,7 +364,7 @@ def focal_gradient_3x3(raster: RasterDataset):
             }
         )
 
-    return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
+    return _run_focal(raster, window, broadcast_cap)
 
 
 def zonal_gradient_mean(raster: RasterDataset, zone_bounds):

@@ -219,3 +219,33 @@ def test_zonal_gradient_mean_bruteforce(_ray):
         assert row["grad_cov"] == cov[m].sum()
         assert row["mean_gx"] == (cov[m] * gx[m]).sum() / cov[m].sum()
         assert row["mean_gy"] == (cov[m] * gy[m]).sum() / cov[m].sum()
+
+
+def test_focal_broadcast_equals_shuffle_path(_ray):
+    """broadcast_cap=0 forces the shuffle-halo plan; outputs must be
+    byte-identical to the broadcast plan."""
+    from exactextractr_ray.pipelines.focal import (
+        focal_gradient_3x3,
+        focal_majority_3x3,
+        focal_stats_3x3,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=50, tile=16, dtype=np.float64)
+    for fn in (focal_stats_3x3, focal_majority_3x3, focal_gradient_3x3):
+        a = fn(rd).to_pandas().sort_values("cell").reset_index(drop=True)
+        b = (
+            fn(rd, broadcast_cap=0)
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert list(a.columns) == list(b.columns)
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f":
+                assert np.array_equal(np.isnan(av), np.isnan(bv))
+                m = ~np.isnan(av)
+                assert np.array_equal(av[m], bv[m]), (fn.__name__, c)
+            else:
+                assert np.array_equal(av, bv), (fn.__name__, c)
