@@ -309,24 +309,78 @@ def extract_links_batch(
     )
 
 
-def link_edges(pages, num_partitions: int = 8):
-    """(src, dst, href) edge Dataset from a pages Dataset: parse anchors,
-    then resolve href -> dst doc id with a DISTRIBUTED hash join against
-    the (url, doc_id) projection of the same pages stream.
+def link_edges(pages, num_partitions: int = 8, coarse: int = 256):
+    """(src_doc, href, dst_doc) edge Dataset from a pages Dataset: parse
+    anchors, then resolve href -> dst doc id with a DISTRIBUTED hash join
+    against the (url, doc_id) projection of the same pages stream.
 
     The join is the honest 100-TB shape: the url->id map is corpus-sized
     (one row per page) so it cannot be broadcast; both sides hash-exchange
-    on the url string. Anchors pointing outside the corpus drop out of the
-    inner join (a crawl's frontier discovers those separately).
+    on the url string. Physically it is a tagged union + coarse-keyed
+    cogroup with a vectorized pandas merge per group (robust where
+    ``Dataset.join`` loses the key schema when one side is empty — a
+    no-anchor corpus is legal). Anchors pointing outside the corpus drop
+    out of the inner merge (a crawl's frontier discovers those
+    separately). ``num_partitions`` kept for API compatibility.
     """
+    import hashlib
+
     links = pages.map_batches(extract_links_batch, batch_format="pyarrow")
-    urlmap = pages.map_batches(
-        lambda b: pa.table(
-            {"href": b.column("url"), "dst_doc": b.column("doc_id").cast(pa.int64())}
-        ),
-        batch_format="pyarrow",
+
+    def _ckeys(strs) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                % coarse
+                for s in strs
+            ),
+            np.int64,
+            len(strs),
+        )
+
+    def tag_links(b: pa.Table) -> pa.Table:
+        hrefs = b.column("href").to_pylist()
+        n = len(hrefs)
+        return pa.table(
+            {
+                "href": b.column("href"),
+                "src_doc": b.column("src_doc").cast(pa.int64()),
+                "dst_doc": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "ckey": pa.array(_ckeys(hrefs), pa.int64()),
+            }
+        )
+
+    def tag_urls(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        n = len(urls)
+        return pa.table(
+            {
+                "href": b.column("url"),
+                "src_doc": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "dst_doc": b.column("doc_id").cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "ckey": pa.array(_ckeys(urls), pa.int64()),
+            }
+        )
+
+    tagged = links.map_batches(tag_links, batch_format="pyarrow").union(
+        pages.map_batches(tag_urls, batch_format="pyarrow")
     )
-    joined = links.join(
-        urlmap, join_type="inner", num_partitions=int(num_partitions), on=("href",)
-    )
-    return joined
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        lm = g["side"].to_numpy() == 0
+        left = g.loc[lm, ["src_doc", "href"]]
+        right = g.loc[~lm, ["href", "dst_doc"]]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "src_doc": pd.Series([], dtype=np.int64),
+                    "href": pd.Series([], dtype=object),
+                    "dst_doc": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = left.merge(right, on="href", how="inner")
+        return out[["src_doc", "href", "dst_doc"]]
+
+    return tagged.groupby("ckey").map_groups(match, batch_format="pandas")

@@ -251,3 +251,62 @@ def test_zone_top_tokens_manual(_ray):
         sub = df[df["zone_id"] == k].sort_values("rnk")
         assert list(zip(sub["token"], sub["cnt"])) == want
         assert sub["rnk"].tolist() == list(range(1, len(want) + 1))
+
+
+def test_continuation_ops_empty_inputs(_ray):
+    """Empty/degenerate inputs never crash the continuation-wave ops."""
+    import ray.data
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.fusion import zone_top_tokens
+    from exactextractr_ray.stages.cluster import label_centroids, linreg_fit
+    from exactextractr_ray.stages.web import link_edges
+
+    empty_docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    zb = [(k, *synth.synth_geo_zone_bounds(k)) for k in range(3)]
+    assert len(zone_top_tokens(empty_docs, zb).to_pandas()) == 0
+
+    # pages with no anchors at all -> empty edge list
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "url": pa.array(["https://a/0"], pa.string()),
+                "html": pa.array([b"<p>x</p>"], pa.binary()),
+            }
+        )
+    )
+    assert len(link_edges(pages, num_partitions=2).to_pandas()) == 0
+
+    # zero-row regression -> singular, NaN coefficients, no crash
+    ds0 = ray.data.from_arrow(
+        pa.table(
+            {
+                "n_tokens": pa.array([], pa.int64()),
+                "n_unique": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    )
+    df = linreg_fit(ds0, ["n_tokens", "n_unique"], "n_chars").to_pandas()
+    # zero-row input: either no moment row at all (empty blocks skipped)
+    # or a degenerate n=0 / NaN-coefficient row — never a crash
+    assert len(df) == 0 or (df["n"][0] == 0 and np.isnan(df["coef_0"][0]))
+
+    # empty embedding table -> zero centroid rows
+    e0 = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    assert len(label_centroids(e0).to_pandas()) == 0
