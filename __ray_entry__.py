@@ -1378,6 +1378,22 @@ def _q_linreg_fit(sf_dir: str):
     return df[cols].reset_index(drop=True)
 
 
+def _q_focal_mean5(sf_dir: str):
+    """5x5 focal stats via the generalized k-deep halo (pipelines/focal.py
+    focal_stats, window=5) — blur-kernel shape; same exchange with 2-cell
+    strips. Oracle: 25-neighbor self-join."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import focal_stats
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = focal_stats(rd, window=5).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    df["focal_cnt"] = df["focal_cnt"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_focal_mean(sf_dir: str):
     """3x3 focal sum/count/mean over the synthetic tiled raster via the
     tile HALO-EXCHANGE pattern (pipelines/focal.py): border strips fan out
@@ -2047,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "zone_top_tokens": _q_zone_top_tokens,
         "focal_mean": _q_focal_mean,
+        "focal_mean5": _q_focal_mean5,
         "raster_components": _q_raster_components,
         "zonal_gradient_mean": _q_zonal_gradient,
         "focal_majority": _q_focal_majority,
@@ -2690,6 +2707,20 @@ def oracle_sql() -> dict[str, str]:
       AND (geo.lon - b.lon) * (geo.lon - b.lon)
         + (geo.lat - b.lat) * (geo.lat - b.lat) <= 144.0
     ORDER BY doc_id, qid
+    """
+
+    focal_mean5_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 2 AND c0.r + 2
+       AND c1.c BETWEEN c0.c - 2 AND c0.c + 2)
+    SELECT CAST(r * {N_GRID} + c AS BIGINT) AS cell,
+           COALESCE(SUM(v), 0.0) AS focal_sum,
+           COUNT(v) AS focal_cnt,
+           SUM(v) / COUNT(v) AS focal_mean
+    FROM nb GROUP BY r, c ORDER BY cell
     """
 
     # 3x3 focal stats: 9-neighbor self-join over the synth cell relation.
@@ -4487,6 +4518,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_kring": cell_kring,
         "raster_runs": raster_runs_sql,
         "focal_mean": focal_mean_sql,
+        "focal_mean5": focal_mean5_sql,
         "raster_components": raster_components_sql,
         "zonal_gradient_mean": zonal_gradient_sql,
         "focal_majority": focal_majority_sql,

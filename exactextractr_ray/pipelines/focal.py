@@ -39,13 +39,19 @@ from ..sources.raster import RasterDataset
 
 
 def _halo_fanout(
-    batch: pa.Table, tiles_y: int, tiles_x: int, include_body: bool = True
+    batch: pa.Table,
+    tiles_y: int,
+    tiles_x: int,
+    include_body: bool = True,
+    k: int = 1,
 ) -> pa.Table:
     """Tile rows -> tagged fragments (dst_tile, row0, col0, h, w, values).
 
     One full-body fragment per tile (unless ``include_body=False``) + one
-    strip per existing neighbor. Fragments carry ABSOLUTE grid offsets so
-    assembly is pure arithmetic.
+    ``k``-cell-deep strip per existing neighbor (k = window radius).
+    Fragments carry ABSOLUTE grid offsets so assembly is pure arithmetic.
+    Requires k <= tile size (one-tile-deep halo; production tiles are
+    256-1024 px, windows 3-11 px, so this never binds in practice).
     """
     dst, r0s, c0s, hs, ws, vals = [], [], [], [], [], []
     tys = batch.column("ty").to_numpy()
@@ -80,15 +86,19 @@ def _halo_fanout(
                     if include_body:
                         emit(0, 0, v, row0, col0)
                     continue
-                # the 1-cell-deep slice of THIS tile adjacent to that
+                # the k-cell-deep slice of THIS tile adjacent to that
                 # neighbor: dty=+1 neighbor sits BELOW us -> it needs our
-                # BOTTOM row; dty=-1 (above) needs our TOP row; same for
+                # BOTTOM rows; dty=-1 (above) needs our TOP rows; same for
                 # columns. Corners combine both.
-                rs = {-1: slice(0, 1), 0: slice(None), 1: slice(th - 1, th)}[dty]
-                cs = {-1: slice(0, 1), 0: slice(None), 1: slice(tw - 1, tw)}[dtx]
+                kk_r = min(k, th)
+                kk_c = min(k, tw)
+                rs = {-1: slice(0, kk_r), 0: slice(None),
+                      1: slice(th - kk_r, th)}[dty]
+                cs = {-1: slice(0, kk_c), 0: slice(None),
+                      1: slice(tw - kk_c, tw)}[dtx]
                 frag = v[rs, cs]
-                fr0 = row0 + (th - 1 if dty == 1 else 0)
-                fc0 = col0 + (tw - 1 if dtx == 1 else 0)
+                fr0 = row0 + (th - kk_r if dty == 1 else 0)
+                fc0 = col0 + (tw - kk_c if dtx == 1 else 0)
                 emit(dty, dtx, frag, fr0, fc0)
 
     flat = (
@@ -109,11 +119,13 @@ def _halo_fanout(
     )
 
 
-def _assemble_canvas(group: pa.Table):
-    """Fragment group -> (NaN-padded (th+2, tw+2) canvas, row0, col0, th, tw).
+def _assemble_canvas(group: pa.Table, k: int = 1):
+    """Fragment group -> (NaN-padded (th+2k, tw+2k) canvas, row0, col0,
+    th, tw).
 
     The full-body fragment (the largest) fixes the tile bounds; strips land
-    by absolute offset.
+    by absolute offset. Off-canvas parts of diagonal strips are clipped
+    (a corner strip from a ragged neighbor can overhang when k > 1).
     """
     r0s = group.column("row0").to_numpy()
     c0s = group.column("col0").to_numpy()
@@ -123,14 +135,22 @@ def _assemble_canvas(group: pa.Table):
     body = int(np.argmax(hs.astype(np.int64) * ws.astype(np.int64)))
     th, tw = int(hs[body]), int(ws[body])
     row0, col0 = int(r0s[body]), int(c0s[body])
-    canvas = np.full((th + 2, tw + 2), np.nan, np.float64)
+    canvas = np.full((th + 2 * k, tw + 2 * k), np.nan, np.float64)
     for i in range(group.num_rows):
-        rr = int(r0s[i]) - (row0 - 1)
-        cc = int(c0s[i]) - (col0 - 1)
+        rr = int(r0s[i]) - (row0 - k)
+        cc = int(c0s[i]) - (col0 - k)
         h, w = int(hs[i]), int(ws[i])
-        canvas[rr : rr + h, cc : cc + w] = np.asarray(
-            values[i].values, dtype=np.float64
-        ).reshape(h, w)
+        vv = np.asarray(values[i].values, dtype=np.float64).reshape(h, w)
+        # clip to the canvas (overhanging strip parts are outside the
+        # window of every cell of THIS tile)
+        r_lo, c_lo = max(rr, 0), max(cc, 0)
+        r_hi = min(rr + h, th + 2 * k)
+        c_hi = min(cc + w, tw + 2 * k)
+        if r_hi <= r_lo or c_hi <= c_lo:
+            continue
+        canvas[r_lo:r_hi, c_lo:c_hi] = vv[
+            r_lo - rr : r_hi - rr, c_lo - cc : c_hi - cc
+        ]
     return canvas, row0, col0, th, tw
 
 
@@ -148,8 +168,14 @@ def _cell_ids(row0: int, col0: int, th: int, tw: int, n_cols: int) -> np.ndarray
 _BROADCAST_STRIP_CAP = 64 << 20
 
 
-def _run_focal(raster: RasterDataset, window_fn, broadcast_cap: int | None = None):
-    """Run a 3x3 window kernel over every tile with its 1-cell halo.
+def _run_focal(
+    raster: RasterDataset,
+    window_fn,
+    broadcast_cap: int | None = None,
+    k: int = 1,
+):
+    """Run a (2k+1)x(2k+1) window kernel over every tile with its k-cell
+    halo.
 
     ``window_fn(canvas, row0, col0, th, tw) -> pa.Table`` sees the
     NaN-padded (th+2, tw+2) canvas.
@@ -174,7 +200,11 @@ def _run_focal(raster: RasterDataset, window_fn, broadcast_cap: int | None = Non
     tiles_y, tiles_x = raster.tiles_y, raster.tiles_x
     cap = _BROADCAST_STRIP_CAP if broadcast_cap is None else broadcast_cap
     est_strips = (
-        tiles_y * tiles_x * (2 * (raster.tile_h + raster.tile_w) + 4) * 8 * 4
+        tiles_y
+        * tiles_x
+        * (2 * k * (raster.tile_h + raster.tile_w) + 4 * k * k)
+        * 8
+        * 4
     )
 
     if est_strips <= cap:
@@ -185,6 +215,7 @@ def _run_focal(raster: RasterDataset, window_fn, broadcast_cap: int | None = Non
                 "tiles_y": tiles_y,
                 "tiles_x": tiles_x,
                 "include_body": False,
+                "k": k,
             },
         )
         by_dst: dict = {}
@@ -213,15 +244,23 @@ def _run_focal(raster: RasterDataset, window_fn, broadcast_cap: int | None = Non
             for i in range(batch.num_rows):
                 th, tw = int(ths[i]), int(tws[i])
                 row0, col0 = int(row0s[i]), int(col0s[i])
-                canvas = np.full((th + 2, tw + 2), np.nan, np.float64)
-                canvas[1 : 1 + th, 1 : 1 + tw] = np.asarray(
+                canvas = np.full((th + 2 * k, tw + 2 * k), np.nan, np.float64)
+                canvas[k : k + th, k : k + tw] = np.asarray(
                     values[i].values, dtype=np.float64
                 ).reshape(th, tw)
                 tid = int(tys[i]) * tiles_x + int(txs[i])
                 for fr0, fc0, h, w, vals in smap.get(tid, ()):
-                    rr = fr0 - (row0 - 1)
-                    cc = fc0 - (col0 - 1)
-                    canvas[rr : rr + h, cc : cc + w] = vals.reshape(h, w)
+                    rr = fr0 - (row0 - k)
+                    cc = fc0 - (col0 - k)
+                    vv = vals.reshape(h, w)
+                    r_lo, c_lo = max(rr, 0), max(cc, 0)
+                    r_hi = min(rr + h, th + 2 * k)
+                    c_hi = min(cc + w, tw + 2 * k)
+                    if r_hi <= r_lo or c_hi <= c_lo:
+                        continue
+                    canvas[r_lo:r_hi, c_lo:c_hi] = vv[
+                        r_lo - rr : r_hi - rr, c_lo - cc : c_hi - cc
+                    ]
                 outs.append(window_fn(canvas, row0, col0, th, tw))
             if not outs:
                 return window_fn(
@@ -234,11 +273,11 @@ def _run_focal(raster: RasterDataset, window_fn, broadcast_cap: int | None = Non
     frags = raster.ds.map_batches(
         _halo_fanout,
         batch_format="pyarrow",
-        fn_kwargs={"tiles_y": tiles_y, "tiles_x": tiles_x},
+        fn_kwargs={"tiles_y": tiles_y, "tiles_x": tiles_x, "k": k},
     )
 
     def assemble(group: pa.Table) -> pa.Table:
-        canvas, row0, col0, th, tw = _assemble_canvas(group)
+        canvas, row0, col0, th, tw = _assemble_canvas(group, k=k)
         return window_fn(canvas, row0, col0, th, tw)
 
     return frags.groupby("dst_tile").map_groups(assemble, batch_format="pyarrow")
@@ -442,3 +481,41 @@ def zonal_gradient_mean(raster: RasterDataset, zone_bounds):
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def focal_stats(
+    raster: RasterDataset, window: int = 3, broadcast_cap: int | None = None
+):
+    """General (2k+1)x(2k+1) focal sum/count/mean — `window` must be odd
+    and <= 2*min(tile_h, tile_w)+1 (one-tile-deep halo). The 3x3 case is
+    focal_stats_3x3; larger windows (5, 7, ...) are the blur /
+    neighborhood-smoothing kernels. Same two physical plans, k-cell-deep
+    strips."""
+    if window < 3 or window % 2 == 0:
+        raise ValueError("window must be an odd integer >= 3")
+    k = window // 2
+    if k > min(raster.tile_h, raster.tile_w):
+        raise ValueError("window radius exceeds tile size (halo is one tile deep)")
+    n_cols = raster.grid.ncol
+    w = window
+
+    def window_fn(canvas, row0, col0, th, tw) -> pa.Table:
+        valid = ~np.isnan(canvas)
+        filled = np.where(valid, canvas, 0.0)
+        s = np.zeros((th, tw), np.float64)
+        c = np.zeros((th, tw), np.int64)
+        for dr in range(w):
+            for dc in range(w):
+                s += filled[dr : dr + th, dc : dc + tw]
+                c += valid[dr : dr + th, dc : dc + tw]
+        mean = np.where(c > 0, s / np.maximum(c, 1), np.nan)
+        return pa.table(
+            {
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
+                "focal_sum": pa.array(s.ravel(), pa.float64()),
+                "focal_cnt": pa.array(c.ravel(), pa.int64()),
+                "focal_mean": pa.array(mean.ravel(), pa.float64()),
+            }
+        )
+
+    return _run_focal(raster, window_fn, broadcast_cap, k=k)

@@ -249,3 +249,46 @@ def test_focal_broadcast_equals_shuffle_path(_ray):
                 assert np.array_equal(av[m], bv[m]), (fn.__name__, c)
             else:
                 assert np.array_equal(av, bv), (fn.__name__, c)
+
+
+@pytest.mark.parametrize("window,tile", [(5, 16), (5, 7), (7, 10)])
+def test_focal_general_window_bruteforce(_ray, window, tile):
+    """(2k+1)-window focal == whole-array computation, both physical
+    plans, incl. ragged tiles where k-deep corner strips clip."""
+    from exactextractr_ray.pipelines.focal import focal_stats
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n, k = 40, window // 2
+    rd = synthetic_raster_dataset(n=n, tile=tile, dtype=np.float64)
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    full = synth.synth_values(r, c)
+    pad = np.full((n + 2 * k, n + 2 * k), np.nan)
+    pad[k:-k, k:-k] = full
+    valid = ~np.isnan(pad)
+    filled = np.where(valid, pad, 0.0)
+    s = np.zeros((n, n))
+    cnt = np.zeros((n, n), np.int64)
+    for dr in range(window):
+        for dc in range(window):
+            s += filled[dr : dr + n, dc : dc + n]
+            cnt += valid[dr : dr + n, dc : dc + n]
+    for cap in (None, 0):
+        df = (
+            focal_stats(rd, window=window, broadcast_cap=cap)
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(df["focal_cnt"].to_numpy(), cnt.ravel())
+        assert np.array_equal(df["focal_sum"].to_numpy(), s.ravel())
+
+
+def test_focal_window_validation(_ray):
+    from exactextractr_ray.pipelines.focal import focal_stats
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=16, tile=4, dtype=np.float64)
+    with pytest.raises(ValueError):
+        focal_stats(rd, window=4)
+    with pytest.raises(ValueError):
+        focal_stats(rd, window=11)  # radius 5 > tile 4

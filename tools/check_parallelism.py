@@ -106,6 +106,7 @@ QUERIES = [
     "linreg_fit",
     "label_centroids",
     "zone_top_tokens",
+    "focal_mean5",
 ]
 
 _CHILD = r"""
