@@ -1314,7 +1314,7 @@ def _q_zone_link_stats(sf_dir: str):
     pages = read_linked_pages(sf_dir)
     n = _docs(sf_dir, ["doc_id"]).count()
     zb = [(k, *synth.synth_geo_zone_bounds(k)) for k in range(N_GEO_ZONES)]
-    df = zone_link_stats(pages, n, zb).to_pandas()
+    df = zone_link_stats(pages, n, zb, pr_iters=3).to_pandas()
     for c in df.columns:
         df[c] = df[c].astype(np.int64)
     return df.sort_values("zone_id").reset_index(drop=True)
@@ -3787,7 +3787,7 @@ def oracle_sql() -> dict[str, str]:
 
     # web x geo fusion: parsed-link metrics (outdegree + pagerank mass)
     # joined to the strict-interior PIP zone assignment — all-int sums
-    _zls_ctes, _zls_last = _pr_ctes(_LINK_EDGES_SQL)
+    _zls_ctes, _zls_last = _pr_ctes(_LINK_EDGES_SQL, iters=3)
     zone_link_stats_sql = (
         "WITH " + ",\n".join(_zls_ctes)
         + f""",
