@@ -1462,6 +1462,23 @@ def _q_zonal_gradient(sf_dir: str):
     return df.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_focal_median(sf_dir: str):
+    """3x3 median filter (salt-and-pepper denoise): one np.sort of the
+    window stack per tile; even-count windows average the two middle
+    order statistics — identical exact value to DuckDB quantile_cont(0.5)
+    for integer-valued rasters (pipelines/focal.py focal_median_3x3)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import focal_median_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = focal_median_3x3(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    df["n_valid"] = df["n_valid"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_focal_majority(sf_dir: str):
     """3x3 majority (mode) filter with the reference's tie rule (largest
     value wins, raster_stats.h:176-186) over the synthetic raster — the
@@ -2067,6 +2084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_components": _q_raster_components,
         "zonal_gradient_mean": _q_zonal_gradient,
         "focal_majority": _q_focal_majority,
+        "focal_median": _q_focal_median,
         "focal_gradient": _q_focal_gradient,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
@@ -2738,6 +2756,25 @@ def oracle_sql() -> dict[str, str]:
            COUNT(v) AS focal_cnt,
            SUM(v) / COUNT(v) AS focal_mean
     FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    focal_median_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+      WHERE c1.val IS NOT NULL),
+    m AS (
+      SELECT r, c, MEDIAN(v) AS focal_median,
+             CAST(COUNT(*) AS BIGINT) AS n_valid
+      FROM nb GROUP BY r, c)
+    SELECT CAST(c0.r * {N_GRID} + c0.c AS BIGINT) AS cell,
+           m.focal_median,
+           COALESCE(m.n_valid, 0) AS n_valid
+    FROM cells c0 LEFT JOIN m ON m.r = c0.r AND m.c = c0.c
+    ORDER BY cell
     """
 
     # 3x3 majority filter: per-(cell, value) window counts, argmax with the
@@ -4522,6 +4559,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_components": raster_components_sql,
         "zonal_gradient_mean": zonal_gradient_sql,
         "focal_majority": focal_majority_sql,
+        "focal_median": focal_median_sql,
         "focal_gradient": focal_gradient_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,

@@ -519,3 +519,44 @@ def focal_stats(
         )
 
     return _run_focal(raster, window_fn, broadcast_cap, k=k)
+
+
+def focal_median_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Per-cell 3x3 median filter — the salt-and-pepper denoise pass.
+
+    NaN cells are skipped; an even count of valid window cells averages
+    the two middle order statistics ((lo+hi)/2 — exact for integer-valued
+    rasters, and identical to DuckDB's quantile_cont(0.5) interpolation
+    lo + (hi-lo)*0.5 because every intermediate is an exact dyadic);
+    windows with no valid cell yield NaN.
+
+    Vectorized: one np.sort of the (9, th, tw) window stack (NaN sorts
+    last), two take_along_axis gathers for the middle ranks.
+    """
+    n_cols = raster.grid.ncol
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        stack = np.stack(
+            [
+                canvas[dr : dr + th, dc : dc + tw]
+                for dr in (0, 1, 2)
+                for dc in (0, 1, 2)
+            ]
+        )
+        cnt = (~np.isnan(stack)).sum(axis=0)  # (th, tw)
+        srt = np.sort(stack, axis=0)  # NaN last
+        safe = np.maximum(cnt, 1)
+        lo = ((safe - 1) // 2)[None]
+        hi = (safe // 2)[None]
+        vlo = np.take_along_axis(srt, lo, axis=0)[0]
+        vhi = np.take_along_axis(srt, hi, axis=0)[0]
+        med = np.where(cnt > 0, (vlo + vhi) / 2.0, np.nan)
+        return pa.table(
+            {
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
+                "focal_median": pa.array(med.ravel(), pa.float64()),
+                "n_valid": pa.array(cnt.ravel().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _run_focal(raster, window, broadcast_cap)

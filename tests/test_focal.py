@@ -292,3 +292,34 @@ def test_focal_window_validation(_ray):
         focal_stats(rd, window=4)
     with pytest.raises(ValueError):
         focal_stats(rd, window=11)  # radius 5 > tile 4
+
+
+def test_focal_median_bruteforce(_ray):
+    """Median filter vs per-cell sorted order statistics (NaN filtered
+    BEFORE sorting), both physical plans."""
+    from exactextractr_ray.pipelines.focal import focal_median_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n = 40
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    full = synth.synth_values(r, c)
+    for cap in (None, 0):
+        df = (
+            focal_median_3x3(rd, broadcast_cap=cap)
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        for cell in range(0, n * n, 7):
+            rr, cc = divmod(cell, n)
+            w = full[max(0, rr - 1) : rr + 2, max(0, cc - 1) : cc + 2]
+            vals = sorted(v for v in w.ravel() if not np.isnan(v))
+            row = df.iloc[cell]
+            if not vals:
+                assert np.isnan(row["focal_median"])
+                assert row["n_valid"] == 0
+                continue
+            k = len(vals)
+            assert row["focal_median"] == (vals[(k - 1) // 2] + vals[k // 2]) / 2.0
+            assert row["n_valid"] == k

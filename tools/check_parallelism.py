@@ -107,6 +107,7 @@ QUERIES = [
     "label_centroids",
     "zone_top_tokens",
     "focal_mean5",
+    "focal_median",
 ]
 
 _CHILD = r"""
