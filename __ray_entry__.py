@@ -1270,6 +1270,28 @@ def _q_extract_links(sf_dir: str):
     return df.sort_values(["src_doc", "dst_doc"]).reset_index(drop=True)
 
 
+def _q_crawl_frontier(sf_dir: str):
+    """Crawl frontier: anchors pointing OUTSIDE the current snapshot
+    (pages with doc_id %% 5 == 0 removed), counted per target URL — the
+    anti-join side of the url-resolve cogroup (stages/web.py
+    crawl_frontier); zero extra shuffle (href hash puts every reference
+    of a url in one coarse group)."""
+    import pyarrow as pa
+
+    from exactextractr_ray.sources.pages import read_linked_pages
+    from exactextractr_ray.stages.web import crawl_frontier
+
+    pages = read_linked_pages(sf_dir)
+
+    def subset(b):
+        ids = b.column("doc_id").to_numpy()
+        return b.filter(pa.array(ids % 5 != 0))
+
+    df = crawl_frontier(pages.map_batches(subset, batch_format="pyarrow")).to_pandas()
+    df["n_refs"] = df["n_refs"].astype(np.int64)
+    return df.sort_values("href").reset_index(drop=True)
+
+
 def _q_link_pagerank(sf_dir: str):
     """Damped PageRank (5 fixed-point rounds) over the edge list PARSED
     from html — the full crawl chain html -> anchors -> url-resolve join ->
@@ -2075,6 +2097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangles,
         "extract_links": _q_extract_links,
         "link_pagerank": _q_link_pagerank,
+        "crawl_frontier": _q_crawl_frontier,
         "zone_link_stats": _q_zone_link_stats,
         "linreg_fit": _q_linreg_fit,
         "label_centroids": _q_label_centroids,
@@ -3822,6 +3845,24 @@ def oracle_sql() -> dict[str, str]:
 
     link_pagerank_sql = _pr_unrolled_sql(_LINK_EDGES_SQL)
 
+    crawl_frontier_sql = """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+      SELECT d.doc_id AS src_doc,
+             (d.doc_id * 7 + j.j * 13 + 1) % (SELECT n FROM n) AS dst_doc
+      FROM documents d CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+      WHERE j.j < d.doc_id % 4 AND d.doc_id % 5 <> 0
+    ),
+    ext AS (
+      SELECT dst_doc FROM links
+      WHERE src_doc <> dst_doc AND dst_doc % 5 = 0)
+    SELECT 'https://site' || lpad(CAST(dst_doc % 1000 AS VARCHAR), 4, '0')
+             || '.example/page/' || CAST(dst_doc AS VARCHAR) AS href,
+           CAST(COUNT(*) AS BIGINT) AS n_refs
+    FROM ext GROUP BY dst_doc
+    ORDER BY href
+    """
+
     # web x geo fusion: parsed-link metrics (outdegree + pagerank mass)
     # joined to the strict-interior PIP zone assignment — all-int sums
     _zls_ctes, _zls_last = _pr_ctes(_LINK_EDGES_SQL, iters=3)
@@ -4576,6 +4617,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": pagerank_sql,
         "extract_links": extract_links_sql,
         "link_pagerank": link_pagerank_sql,
+        "crawl_frontier": crawl_frontier_sql,
         "zone_link_stats": zone_link_stats_sql,
         "linreg_fit": linreg_sql,
         "label_centroids": label_centroids_sql,

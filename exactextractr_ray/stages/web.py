@@ -384,3 +384,72 @@ def link_edges(pages, num_partitions: int = 8, coarse: int = 256):
         return out[["src_doc", "href", "dst_doc"]]
 
     return tagged.groupby("ckey").map_groups(match, batch_format="pandas")
+
+
+def crawl_frontier(pages, coarse: int = 256):
+    """(href, n_refs) for every anchor target NOT present in the corpus —
+    the crawl FRONTIER (what gets scheduled next). The anti-join side of
+    link_edges' url-resolve cogroup: hrefs hash-exchange with the url set
+    on the same coarse key; per group, in-corpus hrefs drop and the rest
+    aggregate to (href, count). The href grouping inside one coarse group
+    is GLOBAL for that href (its hash puts every reference in the same
+    group), so per-group counts are final — no second shuffle.
+    """
+    import hashlib
+
+    links = pages.map_batches(extract_links_batch, batch_format="pyarrow")
+
+    def _ckeys(strs) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                % coarse
+                for s in strs
+            ),
+            np.int64,
+            len(strs),
+        )
+
+    def tag_links(b: pa.Table) -> pa.Table:
+        hrefs = b.column("href").to_pylist()
+        n = len(hrefs)
+        return pa.table(
+            {
+                "href": b.column("href"),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "ckey": pa.array(_ckeys(hrefs), pa.int64()),
+            }
+        )
+
+    def tag_urls(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        n = len(urls)
+        return pa.table(
+            {
+                "href": b.column("url"),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "ckey": pa.array(_ckeys(urls), pa.int64()),
+            }
+        )
+
+    tagged = links.map_batches(tag_links, batch_format="pyarrow").union(
+        pages.map_batches(tag_urls, batch_format="pyarrow")
+    )
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        known = set(g.loc[side == 1, "href"])
+        ext = g.loc[side == 0, "href"]
+        ext = ext[~ext.isin(known)]
+        if ext.empty:
+            return pd.DataFrame(
+                {
+                    "href": pd.Series([], dtype=object),
+                    "n_refs": pd.Series([], dtype=np.int64),
+                }
+            )
+        out = ext.value_counts().rename_axis("href").reset_index(name="n_refs")
+        out["n_refs"] = out["n_refs"].astype(np.int64)
+        return out[["href", "n_refs"]]
+
+    return tagged.groupby("ckey").map_groups(anti, batch_format="pandas")

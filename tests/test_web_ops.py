@@ -310,3 +310,37 @@ def test_continuation_ops_empty_inputs(_ray):
         )
     )
     assert len(label_centroids(e0).to_pandas()) == 0
+
+
+def test_crawl_frontier_manual(_ray):
+    """Frontier = anchors at URLs absent from the page set, counted."""
+    import ray.data
+
+    from exactextractr_ray.stages.web import crawl_frontier
+
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "url": pa.array(["https://a/0", "https://a/1"], pa.string()),
+                "html": pa.array(
+                    [
+                        b'<a href="https://a/1"></a><a href="https://x/9"></a>'
+                        b'<a href="https://x/9"></a>',
+                        b'<a href="https://y/7"></a>',
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    df = (
+        crawl_frontier(pages)
+        .to_pandas()
+        .sort_values("href")
+        .reset_index(drop=True)
+    )
+    assert list(zip(df["href"], df["n_refs"])) == [
+        ("https://x/9", 2),
+        ("https://y/7", 1),
+    ]

@@ -108,6 +108,7 @@ QUERIES = [
     "zone_top_tokens",
     "focal_mean5",
     "focal_median",
+    "crawl_frontier",
 ]
 
 _CHILD = r"""
