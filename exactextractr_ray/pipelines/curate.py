@@ -14,8 +14,10 @@ Scale shape (the 100 TB design point): every per-doc stage is one
 ``map_batches`` over the streaming corpus; the exact-dedup keeper check is
 a distributed hash join on (content_hash, min doc_id) — document text
 shuffles exactly once for the n-gram inverted index, hashes otherwise; the
-near-dup drop set is pair-bounded (orders of magnitude smaller than the
-corpus) and broadcast once via ``ray.put``. Each stage alone is bit-exact
+only object-store checkpoint is the NARROW per-doc metadata projection
+(text never materializes — the deterministic lineage streams once per
+consumer instead); the near-dup drop set is pair-bounded (orders of
+magnitude smaller than the corpus) and broadcast once via ``ray.put``. Each stage alone is bit-exact
 against SQL, and so is the whole composition (the `curate_corpus` oracle
 chains the same CTEs).
 """
@@ -94,7 +96,16 @@ def curate_corpus(
             pc.equal(t.column(id_col), t.column("__keeper"))
         ).drop_columns(["__keeper", "content_hash"]),
         batch_format="pyarrow",
-    ).materialize()  # consumed twice below (pair mining + final filter)
+    )
+
+    # kept1 has two consumers (pair mining needs text; the final filter only
+    # needs metadata). Checkpoint ONLY the narrow metadata projection — the
+    # corpus text never enters the object store; the deterministic
+    # annotate->join lineage simply executes once per consumer instead
+    # (one extra streaming pass beats a corpus-sized checkpoint at scale).
+    kept_meta = kept1.select_columns(
+        [id_col, "pred_lang", "n_words", "quality_score"]
+    ).materialize()
 
     # near-dup pruning: transitive clusters over the exact Jaccard pair list;
     # non-keepers (cluster_id != doc_id) form a PAIR-BOUNDED drop set
@@ -115,8 +126,6 @@ def curate_corpus(
             [int(i) not in d for i in batch.column(id_col).to_numpy()],
             pa.bool_(),
         )
-        return batch.filter(mask).select(
-            [id_col, "pred_lang", "n_words", "quality_score"]
-        )
+        return batch.filter(mask)
 
-    return kept1.map_batches(final_filter, batch_format="pyarrow")
+    return kept_meta.map_batches(final_filter, batch_format="pyarrow")

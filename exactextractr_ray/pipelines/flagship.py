@@ -39,10 +39,27 @@ def flagship(sf_dir: str, num_zones: int = 24) -> pd.DataFrame:
     geo = pages.map_batches(geocode_doc_batch, batch_format="pyarrow").map_batches(
         lambda b: assign_cell_batch(b, CELL_RES_DEG), batch_format="pyarrow"
     )
-    geo = geo.select_columns(
-        ["doc_id", "extracted_text", "text", "lang", "q_tokens", "quality_score",
-         "lon", "lat", "cell"]
-    ).materialize()
+
+    # Fold the byte-identity invariant into a 1-byte-per-row flag while the
+    # text columns are still in flight, then materialize ONLY the narrow
+    # (doc_id, lon, lat, cell, __bad) projection for the two consumers below.
+    # The corpus text itself never enters the object-store checkpoint.
+    def narrow(b):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        bad = pc.cast(
+            pc.fill_null(
+                pc.not_equal(b.column("extracted_text"), b.column("text")),
+                True,
+            ),
+            pa.int8(),
+        )
+        return b.select(["doc_id", "lon", "lat", "cell"]).append_column(
+            "__bad", bad
+        )
+
+    geo = geo.map_batches(narrow, batch_format="pyarrow").materialize()
 
     # branch 1: per-cell page density -> small counts table -> density raster
     counts = geo.groupby("cell").count().to_pandas()
@@ -74,11 +91,5 @@ def flagship(sf_dir: str, num_zones: int = 24) -> pd.DataFrame:
 
     out = zonal.merge(per_zone, on="zone_id", how="left")
     out["n_pages"] = out["n_pages"].fillna(0).astype(np.int64)
-    mismatches = geo.map_batches(
-        lambda b: pd.DataFrame(
-            {"bad": [int((b["extracted_text"] != b["text"]).sum())]}
-        ),
-        batch_format="pandas",
-    ).sum("bad")
-    out["text_extraction_mismatches"] = int(mismatches)
+    out["text_extraction_mismatches"] = int(geo.sum("__bad"))
     return out

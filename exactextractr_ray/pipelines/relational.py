@@ -283,19 +283,16 @@ def shipping_priority(
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with date filters,
     revenue per order, top-k by (revenue DESC, o_orderdate, o_orderkey).
 
-    Scale shape: the two dimension-ish sides reduce BEFORE touching
-    lineitem — customers filter to one segment and broadcast only the
-    custkey set; orders filter by date + segment-membership inside
-    map_batches (no shuffle) and broadcast a (orderkey -> date, priority)
-    table. Lineitem (the fact table) streams: date filter at the read via
-    an expression, broadcast probe, per-batch partial revenue sums per
-    orderkey, ONE shuffle of partial rows, then the repo's partial top-k
+    Scale shape: customers filter to one segment and broadcast ONLY the
+    custkey int set (the genuinely small side); orders filter by date +
+    segment-membership inside map_batches — no shuffle, never collected.
+    Lineitem (the fact table) streams: date filter, per-batch partial
+    revenue sums per orderkey, ONE groupby of ~16-byte partial rows.
+    The (date, priority) attach is a distributed hash join between that
+    per-orderkey aggregate and the filtered orders stream — nothing
+    order-sized ever reaches the driver (the round-2 version broadcast a
+    full filtered-orders table). Per-block partial top-k + single tiny
     finalize. Money in integer cents x basis points (exact, order-free).
-
-    The broadcast assumption (filtered orders fit worker memory) is the
-    standard TPC-H Q3 regime — orders/customer are ~1/10 the fact table
-    and both filters are selective; the no-broadcast fallback is
-    Dataset.join as in revenue_by_priority.
     """
     cut = np.datetime64(cutoff)
 
@@ -337,13 +334,7 @@ def shipping_priority(
             ["o_orderkey", "o_orderdate", "o_orderpriority"]
         )
 
-    odf = orders.map_batches(order_rows, batch_format="pyarrow").to_pandas()
-    omap_ref = ray.put(
-        (
-            np.sort(odf["o_orderkey"].to_numpy().astype(np.int64)),
-            odf.sort_values("o_orderkey"),
-        )
-    )
+    ords = orders.map_batches(order_rows, batch_format="pyarrow")
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -351,26 +342,21 @@ def shipping_priority(
     )
 
     def li_partial(b: pa.Table) -> pa.Table:
-        okeys_sorted, _ = ray.get(omap_ref)
         sd = b.column("l_shipdate").to_numpy()
         keep = sd > cut
         ok = b.column("l_orderkey").to_numpy()[keep].astype(np.int64)
-        if len(okeys_sorted) == 0 or len(ok) == 0:
+        if len(ok) == 0:
             return pa.table(
                 {
                     "l_orderkey": pa.array([], pa.int64()),
                     "revenue_cents_bp": pa.array([], pa.int64()),
                 }
             )
-        idx = np.searchsorted(okeys_sorted, ok)
-        idx[idx >= len(okeys_sorted)] = 0
-        sel = okeys_sorted[idx] == ok
-        ok = ok[sel]
         cents = np.round(
-            b.column("l_extendedprice").to_numpy()[keep][sel] * 100.0
+            b.column("l_extendedprice").to_numpy()[keep] * 100.0
         ).astype(np.int64)
         pct = np.round(
-            (1.0 - b.column("l_discount").to_numpy()[keep][sel]) * 100.0
+            (1.0 - b.column("l_discount").to_numpy()[keep]) * 100.0
         ).astype(np.int64)
         rev = cents * pct
         uk, inv = np.unique(ok, return_inverse=True)
@@ -383,7 +369,7 @@ def shipping_priority(
             }
         )
 
-    rev = (
+    agg = (
         li.map_batches(li_partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .sum("revenue_cents_bp")
@@ -393,13 +379,20 @@ def shipping_priority(
         )
     )
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    rev = agg.join(
+        ords,
+        join_type="inner",
+        num_partitions=ncpu,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
     def topk(b: pa.Table) -> pa.Table:
-        okeys_sorted, odf_sorted = ray.get(omap_ref)
         ok = b.column("l_orderkey").to_numpy().astype(np.int64)
         r = b.column("revenue_cents_bp").to_numpy().astype(np.int64)
-        idx = np.searchsorted(okeys_sorted, ok)
-        od = odf_sorted["o_orderdate"].to_numpy()[idx]
-        op = odf_sorted["o_orderpriority"].to_numpy()[idx]
+        od = b.column("o_orderdate").to_numpy()
+        op = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
         order = np.lexsort((ok, od, -r))[:k]
         return pa.table(
             {
