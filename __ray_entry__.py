@@ -144,6 +144,16 @@ def _q_zonal_stats(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zonal_gini(sf_dir: str):
+    """Per-zone Gini impurity of the coverage-weighted value distribution
+    (1 - sum_v (C_v/C)^2) — categorical-diversity stat over the same exact
+    coverage machinery, merged additively in the freq map."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+
+    t = exact_extract(_raster(), _rect_zones(), ["gini"]).to_pandas()
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_zonal_weighted(sf_dir: str):
     from exactextractr_ray.pipelines.zonal import exact_extract
 
@@ -1211,6 +1221,46 @@ def _q_pagerank(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def _q_resolve_redirects(sf_dir: str):
+    """Redirect-chain resolution over a deterministic functional graph:
+    doc i is terminal iff i % 16 == 0, else it redirects to
+    max(i - (1 + i % 3), 0). Chains strictly decrease, cross block
+    boundaries (step 3 from 16k+2 lands at 16k-1) and terminate at a
+    multiple of 16 or at 0. The operator is distributed pointer DOUBLING
+    (stages/graph.py:resolve_pointers) — ceil(log2 depth) self-joins of
+    the 24 B/row state; the oracle is a recursive CTE walking the same
+    rule one hop at a time."""
+    from exactextractr_ray.stages.graph import resolve_pointers
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def mk_state(b):
+        import numpy as np
+        import pyarrow as pa
+
+        import pyarrow.compute as pc
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        term = ids % 16 == 0
+        tgt = np.maximum(ids - (1 + ids % 3), 0)
+        target = pc.if_else(
+            pa.array(term),
+            pa.scalar(None, pa.int64()),
+            pa.array(tgt, pa.int64()),
+        )
+        return pa.table(
+            {"node": pa.array(ids, pa.int64()), "target": target}
+        )
+
+    state = docs.map_batches(mk_state, batch_format="pyarrow")
+    df = resolve_pointers(state).to_pandas()
+    df = df.rename(columns={"node": "doc_id", "final": "final_id",
+                            "hops": "n_hops"})
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_degree_stats(sf_dir: str):
     """Per-node (outdeg, indeg) over the synthetic link graph — one
     union+groupby-sum shuffle, no join (stages/graph.py degree_table)."""
@@ -2026,6 +2076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_mode_rect": _q_zonal_mode,
         "zonal_median_rect": _q_zonal_median,
         "zonal_frac_rect": _q_zonal_frac,
+        "zonal_gini": _q_zonal_gini,
         "extract_cells_rect": _q_extract_cells,
         "rasterize_rect": _q_rasterize,
         "resample_sum": _q_resample("sum"),
@@ -2091,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_coherence": _q_bigram_coherence,
         "url_dedup": _q_url_dedup,
         "pagerank": _q_pagerank,
+        "resolve_redirects": _q_resolve_redirects,
         "topk_per_source": _q_topk_per_source,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "degree_stats": _q_degree_stats,
@@ -2256,6 +2308,16 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT zone_id, value, w / SUM(w) OVER (PARTITION BY zone_id) AS share
     FROM agg ORDER BY zone_id, value
+    """
+
+    zonal_gini = f"""
+    WITH cov AS ({cov}),
+    agg AS (
+      SELECT zone_id, val, SUM(cov) AS w FROM cov
+      WHERE cov > 0 AND val IS NOT NULL GROUP BY zone_id, val
+    )
+    SELECT zone_id, 1.0 - SUM(w*w) / (SUM(w)*SUM(w)) AS gini
+    FROM agg GROUP BY zone_id ORDER BY zone_id
     """
 
     extract_cells = f"""
@@ -3832,6 +3894,31 @@ def oracle_sql() -> dict[str, str]:
 
     pagerank_sql = _pr_unrolled_sql(_SYNTH_EDGES_SQL)
 
+    # redirect resolution: one-hop-at-a-time recursive walk of the same
+    # functional graph the pipeline resolves with log-round pointer doubling
+    resolve_redirects_sql = """
+    WITH RECURSIVE redir AS (
+      SELECT doc_id AS node,
+             CASE WHEN doc_id % 16 = 0 THEN NULL
+                  ELSE GREATEST(doc_id - (1 + doc_id % 3), 0) END AS target
+      FROM documents
+    ),
+    walk(node, cur, hops) AS (
+      SELECT node, node, 0 FROM redir
+      UNION ALL
+      SELECT w.node, r.target, w.hops + 1
+      FROM walk w JOIN redir r ON r.node = w.cur
+      WHERE r.target IS NOT NULL
+    ),
+    last AS (
+      SELECT node, cur, hops,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY hops DESC) AS rn
+      FROM walk
+    )
+    SELECT node AS doc_id, cur AS final_id, hops AS n_hops
+    FROM last WHERE rn = 1 ORDER BY doc_id
+    """
+
     # the linked-pages anchor rule (sources/pages.py page_link_targets):
     # page i carries anchors j = 0..(i%4)-1 at (7i + 13j + 1) % n; the
     # parser drops self-links; hrefs resolve in-corpus by construction
@@ -4543,6 +4630,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_mode_rect": zonal_mode,
         "zonal_median_rect": zonal_median,
         "zonal_frac_rect": zonal_frac,
+        "zonal_gini": zonal_gini,
         "extract_cells_rect": extract_cells,
         "rasterize_rect": rasterize,
         "resample_sum": resample_sum,
@@ -4615,6 +4703,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_coherence": bigram_coherence_sql,
         "url_dedup": url_dedup_sql,
         "pagerank": pagerank_sql,
+        "resolve_redirects": resolve_redirects_sql,
         "extract_links": extract_links_sql,
         "link_pagerank": link_pagerank_sql,
         "crawl_frontier": crawl_frontier_sql,

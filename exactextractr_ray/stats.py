@@ -42,6 +42,7 @@ STORED_VALUE_STATS = {
     "quantile",
     "frac",
     "weighted_frac",
+    "gini",
 }
 
 ALL_STATS = [
@@ -65,6 +66,7 @@ ALL_STATS = [
     "weighted_stdev",
     "frac",
     "weighted_frac",
+    "gini",
 ]
 
 
@@ -364,6 +366,21 @@ class RasterStats:
             return {}
         return {v: e[1] / self.sum_ciwi for v, e in self.freq.items()}
 
+    def gini(self) -> float:
+        """Gini impurity of the coverage-weighted value distribution:
+        1 - sum_v (C_v / C)^2 with C_v the per-value coverage sum. Not a
+        reference stat — a categorical-diversity measure for curation
+        pipelines. Exact for dyadic coverages (each C_v and C_v^2 stays
+        representable in f64); keys are summed in sorted order so the
+        value is independent of partial-merge order."""
+        if self.sum_ci == 0:
+            return math.nan
+        s2 = 0.0
+        for v in sorted(self.freq):
+            w = self.freq[v][0]
+            s2 += w * w
+        return 1.0 - s2 / (self.sum_ci * self.sum_ci)
+
     def result(self, stat: str, quantiles: list[float] | None = None):
         if stat == "count":
             return self.count()
@@ -405,6 +422,8 @@ class RasterStats:
             return self.frac()
         if stat == "weighted_frac":
             return self.weighted_frac()
+        if stat == "gini":
+            return self.gini()
         raise ValueError(f"unknown stat {stat!r}")
 
     # ---------- (de)serialization for shuffling partial states ----------

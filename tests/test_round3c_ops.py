@@ -1,0 +1,131 @@
+"""Round-3 third-session operators: gini zonal stat + functional-graph
+pointer resolution (redirect chains)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------- gini ----------------
+
+
+def test_gini_brute_force():
+    from exactextractr_ray.stats import RasterStats
+
+    vals = np.array([1.0, 1.0, 2.0, 3.0, 3.0, 3.0])
+    cov = np.array([1.0, 0.5, 0.25, 1.0, 1.0, 0.5])
+    st = RasterStats(store_values=True)
+    st.process(vals, cov)
+    W = cov.sum()
+    per = {}
+    for v, c in zip(vals, cov):
+        per[v] = per.get(v, 0.0) + c
+    expect = 1.0 - sum(c * c for c in per.values()) / (W * W)
+    assert st.gini() == pytest.approx(expect, abs=0, rel=0)
+
+
+def test_gini_merge_order_independent():
+    from exactextractr_ray.stats import RasterStats
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 9, 64).astype(np.float64)
+    cov = rng.integers(1, 5, 64).astype(np.float64) / 4.0  # dyadic
+
+    def build(order):
+        whole = RasterStats(store_values=True)
+        for i in order:
+            part = RasterStats(store_values=True)
+            part.process(vals[i::4], cov[i::4])
+            whole.merge(part)
+        return whole.gini()
+
+    g1 = build([0, 1, 2, 3])
+    g2 = build([3, 1, 0, 2])
+    one = RasterStats(store_values=True)
+    one.process(vals, cov)
+    assert g1 == g2 == one.gini()
+
+
+def test_gini_degenerate():
+    from exactextractr_ray.stats import RasterStats
+
+    st = RasterStats(store_values=True)
+    assert math.isnan(st.gini())  # empty
+    st.process(np.array([5.0, 5.0]), np.array([1.0, 1.0]))
+    assert st.gini() == 0.0  # single value -> no impurity
+
+
+# ---------------- resolve_pointers ----------------
+
+
+def _state_ds(nodes, targets, blocks=4):
+    import ray.data
+
+    tgt = pa.array(
+        [None if t is None else int(t) for t in targets], pa.int64()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {"node": pa.array(np.asarray(nodes, np.int64), pa.int64()),
+             "target": tgt}
+        )
+    ).repartition(blocks)
+
+
+def test_resolve_pointers_chain(ray_session):
+    from exactextractr_ray.stages.graph import resolve_pointers
+
+    # 0 <- 1 <- 2 <- ... <- 9 (one chain), 10 terminal alone
+    nodes = list(range(11))
+    targets = [None] + [i - 1 for i in range(1, 10)] + [None]
+    df = (
+        resolve_pointers(_state_ds(nodes, targets))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert (df["final"][:10] == 0).all()
+    assert (df["hops"][:10] == df["node"][:10]).all()
+    assert df.loc[10, "final"] == 10 and df.loc[10, "hops"] == 0
+
+
+def test_resolve_pointers_deep_chain_log_rounds(ray_session):
+    """Depth-300 chain resolves under the doubling bound (<= 10 rounds,
+    enforced via max_rounds) — walking one hop per round would need 300."""
+    from exactextractr_ray.stages.graph import resolve_pointers
+
+    n = 301
+    nodes = list(range(n))
+    targets = [None] + [i - 1 for i in range(1, n)]
+    df = (
+        resolve_pointers(_state_ds(nodes, targets), max_rounds=10)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert (df["final"] == 0).all()
+    assert (df["hops"].to_numpy() == np.arange(n)).all()
+
+
+def test_resolve_pointers_cycle_raises(ray_session):
+    from exactextractr_ray.stages.graph import resolve_pointers
+
+    with pytest.raises(RuntimeError, match="cycle"):
+        resolve_pointers(
+            _state_ds([0, 1, 2], [1, 2, 0]), max_rounds=8
+        ).to_pandas()
+
+
+def test_resolve_pointers_all_terminal(ray_session):
+    from exactextractr_ray.stages.graph import resolve_pointers
+
+    df = (
+        resolve_pointers(_state_ds([4, 7, 9], [None, None, None]))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert (df["final"].to_numpy() == [4, 7, 9]).all()
+    assert (df["hops"] == 0).all()

@@ -109,6 +109,9 @@ QUERIES = [
     "focal_mean5",
     "focal_median",
     "crawl_frontier",
+    # round-3 third session
+    "zonal_gini",
+    "resolve_redirects",
 ]
 
 _CHILD = r"""
