@@ -1511,6 +1511,31 @@ def _q_raster_components(sf_dir: str):
     return df.sort_values("component_id").reset_index(drop=True)
 
 
+def _q_vectorize_raster(sf_dir: str):
+    """Raster -> vector closure: per-component run-rectangle MULTIPOLYGON
+    geometry (world coords) + exact bbox/area. The oracle derives the same
+    components via the recursive-closure CTE and checks the arithmetic
+    projection (n_rects, n_cells, bbox, area); WKB bytes are validated by
+    the coverage round-trip in tests/test_round3c_ops.py."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.polygonize import (
+        quantize_raster,
+        vectorize_components,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = quantize_raster(
+        synthetic_raster_dataset(n=64, tile=16, dtype=np.float64), 500.0
+    )
+    df = vectorize_components(rd).to_pandas()
+    for c in ("component_id", "n_rects", "n_cells"):
+        df[c] = df[c].astype(np.int64)
+    df = df[["component_id", "val", "n_rects", "n_cells",
+             "xmin", "ymin", "xmax", "ymax", "area"]]
+    return df.sort_values("component_id").reset_index(drop=True)
+
+
 def _q_zonal_gradient(sf_dir: str):
     """Raster algebra -> zonal aggregation chain: Horn gradient (halo
     exchange) then coverage-weighted per-zone means over the quarter-cell
@@ -2157,6 +2182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_mean": _q_focal_mean,
         "focal_mean5": _q_focal_mean5,
         "raster_components": _q_raster_components,
+        "vectorize_raster": _q_vectorize_raster,
         "zonal_gradient_mean": _q_zonal_gradient,
         "focal_majority": _q_focal_majority,
         "focal_median": _q_focal_median,
@@ -3060,6 +3086,46 @@ def oracle_sql() -> dict[str, str]:
     SELECT comp.component_id, runs.val,
            CAST(COUNT(*) AS BIGINT) AS n_runs,
            CAST(SUM(runs.len) AS BIGINT) AS n_cells
+    FROM comp JOIN runs ON runs.rid = comp.id
+    GROUP BY 1, 2 ORDER BY component_id
+    """
+
+    # vectorize: the components closure + per-component rectangle
+    # arithmetic in WORLD coords (unit grid, row 0 at the top: x = c..c+1,
+    # y = 64-r-1..64-r). n_rects == n_runs (each run is one rectangle).
+    vectorize_raster_sql = f"""
+    WITH RECURSIVE cells AS ({synth.cells_sql(N_GRID)}),
+    q AS (SELECT r, c, FLOOR(val / 500.0) AS val FROM cells
+          WHERE val IS NOT NULL),
+    isl AS (
+      SELECT r, c, val,
+        c - ROW_NUMBER() OVER (PARTITION BY r, val ORDER BY c) AS grp
+      FROM q),
+    runs AS (
+      SELECT r, MIN(c) AS cs, MAX(c) AS ce, val,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             CAST(r * {N_GRID} + MIN(c) AS BIGINT) AS rid
+      FROM isl GROUP BY r, val, grp),
+    adj AS (
+      SELECT u.rid AS a, l.rid AS b
+      FROM runs u JOIN runs l
+        ON l.r = u.r + 1 AND l.val = u.val
+       AND l.cs <= u.ce AND l.ce >= u.cs),
+    edges AS (SELECT a, b FROM adj UNION SELECT b, a FROM adj),
+    reach(id, s) AS (
+      SELECT rid, rid FROM runs
+      UNION
+      SELECT e.b, reach.s FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(s) AS component_id FROM reach GROUP BY id)
+    SELECT comp.component_id, runs.val,
+           CAST(COUNT(*) AS BIGINT) AS n_rects,
+           CAST(SUM(runs.len) AS BIGINT) AS n_cells,
+           MIN(CAST(runs.cs AS DOUBLE)) AS xmin,
+           MIN(CAST({N_GRID} - runs.r - 1 AS DOUBLE)) AS ymin,
+           MAX(CAST(runs.ce + 1 AS DOUBLE)) AS xmax,
+           MAX(CAST({N_GRID} - runs.r AS DOUBLE)) AS ymax,
+           CAST(SUM(runs.len) AS DOUBLE) * 1.0 AS area
     FROM comp JOIN runs ON runs.rid = comp.id
     GROUP BY 1, 2 ORDER BY component_id
     """
@@ -4686,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean": focal_mean_sql,
         "focal_mean5": focal_mean5_sql,
         "raster_components": raster_components_sql,
+        "vectorize_raster": vectorize_raster_sql,
         "zonal_gradient_mean": zonal_gradient_sql,
         "focal_majority": focal_majority_sql,
         "focal_median": focal_median_sql,

@@ -187,12 +187,11 @@ def quantize_raster(rds: RasterDataset, divisor: float) -> RasterDataset:
     return dataclasses.replace(rds, ds=rds.ds.map_batches(f, batch_format="pyarrow"))
 
 
-def raster_components(rds: RasterDataset, layer: str = "value", band_rows: int = 16):
-    """Connected-component labeling (4-adjacency, same value) of a tiled
-    raster — per-component ``(component_id, val, n_runs, n_cells)`` with
-    ``component_id`` = the smallest run id (row * ncol + col_start) in the
-    component. The distributed-raster blob-labeling primitive (GDAL
-    sieve/ccl analog; the reference has none).
+def labeled_runs(rds: RasterDataset, layer: str = "value", band_rows: int = 16):
+    """Per-run component labels — the shared core of CCL and vectorize:
+    Dataset of ``(component_id, val, row, col_start, col_end, run_len)``
+    with ``component_id`` = the smallest run id (row * ncol + col_start)
+    in the 4-adjacent same-value component.
 
     Three bounded stages on top of :func:`raster_runs` (runs, never cells,
     are the unit of exchange — the classic run-based CCL):
@@ -203,8 +202,8 @@ def raster_components(rds: RasterDataset, layer: str = "value", band_rows: int =
     2. components: Hash-to-Min label propagation over the run-id edge list
        (stages/dedup.py dup_clusters — O(log diameter) rounds, only edges
        shuffle);
-    3. aggregate: runs left-join their cluster label (isolated runs keep
-       their own id) and one groupby-sum yields per-component totals.
+    3. assignment: runs meet their cluster label in a coarse-keyed cogroup
+       (isolated runs keep their own id).
     """
     from ..stages.dedup import dup_clusters
 
@@ -246,6 +245,9 @@ def raster_components(rds: RasterDataset, layer: str = "value", band_rows: int =
             {
                 "rid": pa.array(rid, pa.int64()),
                 "val": batch.column("val").cast(pa.float64()),
+                "row": pa.array(row, pa.int64()),
+                "col_start": pa.array(cs, pa.int64()),
+                "col_end": batch.column("col_end").cast(pa.int64()),
                 "run_len": batch.column("run_len").cast(pa.int64()),
                 "cluster": pa.array(np.zeros(n, np.int64), pa.int64()),
                 "side": pa.array(np.zeros(n, np.int8), pa.int8()),
@@ -255,24 +257,32 @@ def raster_components(rds: RasterDataset, layer: str = "value", band_rows: int =
 
     def label_rows(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
+            z64 = pa.array([], pa.int64())
             return pa.table(
                 {
-                    "rid": pa.array([], pa.int64()),
+                    "rid": z64,
                     "val": pa.array([], pa.float64()),
-                    "run_len": pa.array([], pa.int64()),
-                    "cluster": pa.array([], pa.int64()),
+                    "row": z64,
+                    "col_start": z64,
+                    "col_end": z64,
+                    "run_len": z64,
+                    "cluster": z64,
                     "side": pa.array([], pa.int8()),
-                    "ckey": pa.array([], pa.int64()),
+                    "ckey": z64,
                 }
             )
         rid = batch.column("doc_id").to_numpy().astype(np.int64)
         cl = batch.column("cluster_id").to_numpy().astype(np.int64)
         n = len(rid)
+        zeros = pa.array(np.zeros(n, np.int64), pa.int64())
         return pa.table(
             {
                 "rid": pa.array(rid, pa.int64()),
                 "val": pa.array(np.full(n, np.nan), pa.float64()),
-                "run_len": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "row": zeros,
+                "col_start": zeros,
+                "col_end": zeros,
+                "run_len": zeros,
                 "cluster": pa.array(cl, pa.int64()),
                 "side": pa.array(np.ones(n, np.int8), pa.int8()),
                 "ckey": pa.array(rid % ncoarse, pa.int64()),
@@ -283,7 +293,7 @@ def raster_components(rds: RasterDataset, layer: str = "value", band_rows: int =
     tagged_lab = labels.map_batches(label_rows, batch_format="pyarrow")
     both = nodes.union(tagged_lab)
 
-    def partial(g: pd.DataFrame) -> pd.DataFrame:
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
         side = g["side"].to_numpy()
         rid = g["rid"].to_numpy()
         lm = side == 1
@@ -298,19 +308,106 @@ def raster_components(rds: RasterDataset, layer: str = "value", band_rows: int =
             comp = np.where(lrid[idx] == nrid, lcl[idx], nrid)
         else:
             comp = nrid
-        df = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "component_id": comp.astype(np.int64),
                 "val": g["val"].to_numpy()[nm],
-                "n_runs": np.ones(int(nm.sum()), np.int64),
-                "n_cells": g["run_len"].to_numpy()[nm],
+                "row": g["row"].to_numpy()[nm],
+                "col_start": g["col_start"].to_numpy()[nm],
+                "col_end": g["col_end"].to_numpy()[nm],
+                "run_len": g["run_len"].to_numpy()[nm],
             }
         )
-        return df.groupby(["component_id", "val"], as_index=False).sum()
 
-    parts = both.groupby("ckey").map_groups(partial, batch_format="pandas")
-    out = parts.groupby(["component_id", "val"]).sum(["n_runs", "n_cells"])
+    return both.groupby("ckey").map_groups(assign, batch_format="pandas")
+
+
+def raster_components(rds: RasterDataset, layer: str = "value", band_rows: int = 16):
+    """Connected-component labeling (4-adjacency, same value) of a tiled
+    raster — per-component ``(component_id, val, n_runs, n_cells)``.
+    The distributed-raster blob-labeling primitive (GDAL sieve/ccl analog;
+    the reference has none). See :func:`labeled_runs` for the three-stage
+    run-based CCL; this adds a per-batch partial combine + one tiny
+    groupby-sum over (component, val) rows."""
+    lr = labeled_runs(rds, layer=layer, band_rows=band_rows)
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "component_id": b.column("component_id").to_numpy(),
+                "val": b.column("val").to_numpy(),
+                "n_runs": np.ones(b.num_rows, np.int64),
+                "n_cells": b.column("run_len").to_numpy().astype(np.int64),
+            }
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["component_id", "val"], as_index=False).sum(),
+            preserve_index=False,
+        )
+
+    out = (
+        lr.map_batches(part, batch_format="pyarrow")
+        .groupby(["component_id", "val"])
+        .sum(["n_runs", "n_cells"])
+    )
     return out.map_batches(
         lambda b: b.rename_columns(["component_id", "val", "n_runs", "n_cells"]),
         batch_format="pyarrow",
     )
+
+
+def vectorize_components(
+    rds: RasterDataset, layer: str = "value", band_rows: int = 16
+):
+    """Full raster -> VECTOR closure: one geometry row per connected
+    same-value component — ``(component_id, val, n_rects, n_cells, xmin,
+    ymin, xmax, ymax, area, wkb)`` where ``wkb`` is a MULTIPOLYGON of the
+    component's run rectangles in WORLD coordinates (the run decomposition
+    is exact and interior-disjoint, so coverage of the multipolygon equals
+    the component's cells — round-trip-tested back through
+    coverage_fraction in tests/test_round3c_ops.py).
+
+    Scale shape: everything up to the per-component assembly is
+    :func:`labeled_runs` (runs shuffle, never cells); the final groupby
+    exchanges one ~40 B row per run and the per-group work is a vectorized
+    sort + WKB byte assembly. A continent-sized component concentrates its
+    runs in one group — the same bound as any per-key aggregation; the
+    geometry for such a component is large no matter the engine.
+    """
+    from .. import wkbio
+
+    g = rds.grid
+    x0, ymax_w = float(g.xmin), float(g.ymax)
+    dx, dy = float(g.dx), float(g.dy)
+
+    def geom(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["row", "col_start"], kind="mergesort")
+        row = df["row"].to_numpy().astype(np.int64)
+        cs = df["col_start"].to_numpy().astype(np.int64)
+        ce = df["col_end"].to_numpy().astype(np.int64)
+        rx0 = x0 + cs * dx
+        rx1 = x0 + (ce + 1) * dx
+        ry1 = ymax_w - row * dy
+        ry0 = ymax_w - (row + 1) * dy
+        polys = [
+            ([(a, b), (c, b), (c, d), (a, d), (a, b)], ())
+            for a, b, c, d in zip(rx0, ry0, rx1, ry1)
+        ]
+        n_cells = int(df["run_len"].sum())
+        return pd.DataFrame(
+            {
+                "component_id": [int(df["component_id"].iloc[0])],
+                "val": [float(df["val"].iloc[0])],
+                "n_rects": [len(df)],
+                "n_cells": [n_cells],
+                "xmin": [float(rx0.min())],
+                "ymin": [float(ry0.min())],
+                "xmax": [float(rx1.max())],
+                "ymax": [float(ry1.max())],
+                "area": [n_cells * dx * dy],
+                "wkb": [wkbio.multipolygon_wkb(polys)],
+            }
+        )
+
+    lr = labeled_runs(rds, layer=layer, band_rows=band_rows)
+    return lr.groupby("component_id").map_groups(geom, batch_format="pandas")

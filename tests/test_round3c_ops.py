@@ -129,3 +129,57 @@ def test_resolve_pointers_all_terminal(ray_session):
     )
     assert (df["final"].to_numpy() == [4, 7, 9]).all()
     assert (df["hops"] == 0).all()
+
+
+# ---------------- vectorize_components round trip ----------------
+
+
+def test_vectorize_roundtrip_coverage(ray_session):
+    """raster -> vector -> raster closure: the multipolygon WKB of every
+    component covers EXACTLY its n_cells cells of the source grid (unit
+    coverage on each; run rectangles are interior-disjoint), and all
+    covered cells hold the component's value."""
+    from exactextractr_ray.coverage import coverage_fraction_wkb
+    from exactextractr_ray.pipelines.polygonize import (
+        quantize_raster,
+        vectorize_components,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 32
+    rd = quantize_raster(
+        synthetic_raster_dataset(n=n, tile=8, dtype=np.float64), 500.0
+    )
+    df = vectorize_components(rd).to_pandas()
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = np.floor(synth.synth_values(rr, cc) / 500.0)
+    # every non-NODATA cell labeled exactly once
+    assert df["n_cells"].sum() == np.count_nonzero(~np.isnan(vals))
+
+    grid = synth.synth_grid(n)
+    for _, r in df.sort_values("n_cells").tail(5).iterrows():
+        cov = coverage_fraction_wkb(grid, r["wkb"])
+        assert cov.sum() == r["n_cells"]  # exact: unit cells, dyadic rects
+        covered = cov.reshape(n, n) > 0
+        assert (cov[cov > 0] == 1.0).all()
+        assert (vals[covered] == r["val"]).all()
+
+
+def test_vectorize_bbox_consistency(ray_session):
+    from exactextractr_ray.pipelines.polygonize import vectorize_components
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.pipelines.polygonize import quantize_raster
+    from exactextractr_ray import wkbio
+
+    rd = quantize_raster(
+        synthetic_raster_dataset(n=16, tile=8, dtype=np.float64), 500.0
+    )
+    df = vectorize_components(rd).to_pandas()
+    for _, r in df.iterrows():
+        parts = wkbio.parse_wkb(r["wkb"])
+        xmin, ymin, xmax, ymax = wkbio.parts_envelope(parts)
+        assert (xmin, ymin, xmax, ymax) == (
+            r["xmin"], r["ymin"], r["xmax"], r["ymax"]
+        )
+        assert len(parts) == r["n_rects"]

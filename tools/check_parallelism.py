@@ -112,6 +112,7 @@ QUERIES = [
     # round-3 third session
     "zonal_gini",
     "resolve_redirects",
+    "vectorize_raster",
 ]
 
 _CHILD = r"""
