@@ -247,6 +247,20 @@ def _q_resample(stat):
     return run
 
 
+def _q_raster_pyramid(sf_dir: str):
+    """Overview pyramid: exact_resample at factors 2/4/8 from the same
+    source raster, one streaming union. Aligned factors make every source
+    cell nest exactly in one destination cell (cov == 1), so level sums
+    are exact integer arithmetic and mass is conserved per level."""
+    from exactextractr_ray.pipelines.resample import raster_pyramid
+
+    ds = raster_pyramid(_raster(), factors=(2, 4, 8), stat="sum")
+    df = ds.to_pandas()[["level", "cell", "value"]]
+    for c in ("level", "cell"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["level", "cell"]).reset_index(drop=True)
+
+
 def _q_coverage_fraction(sf_dir: str):
     from exactextractr_ray.pipelines.coverage_tiles import coverage_fraction
     from exactextractr_ray import synth
@@ -1875,6 +1889,25 @@ def _q_stratified_exact_k(sf_dir: str):
     return df.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Training-mix sampler: 37 docs total across the 20 sources with
+    weights (i % 4) + 1 for src{i}, apportioned largest-remainder (exact
+    integer quotas), each group's quota filled by smallest md5(mix:doc_id).
+    The oracle reproduces the apportionment with the same integer
+    arithmetic in SQL."""
+    from exactextractr_ray.stages.shuffle import mixture_sample
+
+    weights = {f"src{i}": (i % 4) + 1 for i in range(20)}
+    df = mixture_sample(
+        _docs(sf_dir, ["source", "doc_id"]), "source",
+        weights=weights, total=37,
+    ).to_pandas()
+    df = df[["source", "doc_id", "rnk"]]
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["rnk"] = df["rnk"].astype(np.int64)
+    return df.sort_values(["source", "rnk"]).reset_index(drop=True)
+
+
 def _q_event_gaps(sf_dir: str):
     """Per-user inter-event gap statistics (integer microseconds)."""
     import ray.data
@@ -2105,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_cells_rect": _q_extract_cells,
         "rasterize_rect": _q_rasterize,
         "resample_sum": _q_resample("sum"),
+        "raster_pyramid": _q_raster_pyramid,
         "resample_mean": _q_resample("mean"),
         "coverage_fraction_rect": _q_coverage_fraction,
         "zonal_mixedres_rect": _q_zonal_mixedres,
@@ -2201,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_k": _q_sample_exact_k,
         "quantile_gate": _q_quantile_gate,
         "stratified_exact_k": _q_stratified_exact_k,
+        "mixture_sample": _q_mixture_sample,
         "event_gaps": _q_event_gaps,
         "shipping_priority": _q_shipping_priority,
         "percent_rank": _q_percent_rank,
@@ -2404,6 +2439,16 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY cell
     """
     )
+
+    raster_pyramid_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    lv AS (SELECT * FROM (VALUES (2), (4), (8)) t(f))
+    SELECT CAST(f AS BIGINT) AS level,
+           CAST((r // f) * ({N_GRID} // f) + (c // f) AS BIGINT) AS cell,
+           SUM(val) AS value
+    FROM cells, lv WHERE val IS NOT NULL
+    GROUP BY 1, 2 ORDER BY level, cell
+    """
 
     coverage_fraction_rect = f"""
     WITH cov AS ({synth.rect_cov_sql(N_GRID, 4)})
@@ -4575,6 +4620,38 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY source, rnk
     """
 
+    mixture_sample_sql = """
+    WITH w AS (
+      SELECT 'src' || CAST(i AS VARCHAR) AS g,
+             CAST(i % 4 + 1 AS BIGINT) AS wt
+      FROM range(0, 20) t(i)
+    ),
+    tot AS (SELECT SUM(wt) AS W FROM w),
+    base AS (
+      SELECT g, wt, (37 * wt) // W AS b, (37 * wt) % W AS rm
+      FROM w, tot
+    ),
+    lo AS (SELECT 37 - SUM(b) AS leftover FROM base),
+    quota AS (
+      SELECT g, b + CASE WHEN ROW_NUMBER() OVER (ORDER BY rm DESC, g ASC)
+                              <= (SELECT leftover FROM lo)
+                         THEN 1 ELSE 0 END AS q
+      FROM base
+    ),
+    ranked AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rnk
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, r.rnk
+    FROM ranked r JOIN quota ON r.source = quota.g
+    WHERE r.rnk <= quota.q
+    ORDER BY r.source, r.rnk
+    """
+
     event_gaps_sql = """
     WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
     g AS (
@@ -4700,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_cells_rect": extract_cells,
         "rasterize_rect": rasterize,
         "resample_sum": resample_sum,
+        "raster_pyramid": raster_pyramid_sql,
         "resample_mean": resample_mean,
         "coverage_fraction_rect": coverage_fraction_rect,
         "zonal_mixedres_rect": zonal_mixed,
@@ -4794,6 +4872,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_k": sample_exact_k_sql,
         "quantile_gate": quantile_gate_sql,
         "stratified_exact_k": stratified_exact_k_sql,
+        "mixture_sample": mixture_sample_sql,
         "event_gaps": event_gaps_sql,
         "shipping_priority": shipping_priority_sql,
         "percent_rank": percent_rank_sql,

@@ -316,3 +316,47 @@ def exact_resample(
         )
 
     return partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
+
+
+def raster_pyramid(
+    src_raster,
+    factors: tuple[int, ...] = (2, 4, 8),
+    stat: str = "sum",
+    concurrency=None,
+):
+    """Overview pyramid (GDAL BuildOverviews analog; the reference has no
+    pyramid op): one exact_resample per downscale factor, each from the
+    ORIGINAL source raster (no level-to-level error accumulation), tagged
+    with its factor and unioned into one Dataset of
+    (level, cell, row, col, value).
+
+    Every level streams the source tiles independently — levels execute
+    as parallel branches of one Dataset union, so the whole pyramid is a
+    single streaming job. Requires each factor to divide the source grid
+    evenly (the aligned-overview case; exact_resample itself handles
+    ragged grids if callers need them level-by-level)."""
+    import ray.data
+
+    from ..grid import Grid
+
+    g = src_raster.grid
+    out = []
+    for f in factors:
+        f = int(f)
+        if f <= 0:
+            raise ValueError(f"factor must be positive, got {f}")
+        dst = Grid(g.xmin, g.ymin, g.xmax, g.ymax, g.dx * f, g.dy * f)
+        lvl = exact_resample(src_raster, dst, stat=stat, concurrency=concurrency)
+
+        def tag(b, f=f):
+            import pyarrow as pa
+
+            return b.append_column(
+                "level", pa.array(np.full(b.num_rows, f, np.int64), pa.int64())
+            )
+
+        out.append(lvl.map_batches(tag, batch_format="pyarrow"))
+    ds = out[0]
+    for o in out[1:]:
+        ds = ds.union(o)
+    return ds

@@ -210,3 +210,79 @@ def stratified_exact_k(
     return top_k_per_group(
         hds, group_col, "h", k, tie_col=key_col, ascending=True
     )
+
+
+def mixture_sample(
+    ds,
+    group_col: str,
+    weights: dict,
+    total: int,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+):
+    """Data-mixing sampler: draw EXACTLY ``total`` rows with per-group
+    quotas proportional to ``weights``, apportioned by the largest-remainder
+    method (pure integer arithmetic: base_g = total*w_g // W, the
+    ``total - sum(base)`` leftovers go to the largest ``total*w_g % W``,
+    ties broken by group name ascending). Within a group the quota picks
+    the smallest ``md5(salt:key)`` rows — the same deterministic order as
+    ``sample_exact_k``/``stratified_exact_k``, so any engine reproduces the
+    draw bit-for-bit.
+
+    The mixture weights are the training-corpus recipe (e.g. 3 parts web,
+    2 parts books, 1 part code); quotas are computed driver-side over the
+    BOUNDED group set, the selection is the partial-combiner distributed
+    top-k (exchange <= max-quota rows per group per block). Groups absent
+    from ``weights`` contribute nothing; a quota larger than a group's
+    population returns the whole group (no redistribution — mirrors the
+    SQL ``rnk <= quota`` contract).
+    """
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    W = sum(weights.values())
+    if W == 0 or total == 0:
+        quota = {g: 0 for g in weights}
+    else:
+        quota = {g: total * w // W for g, w in weights.items()}
+        rem = {g: total * w % W for g, w in weights.items()}
+        leftover = total - sum(quota.values())
+        for g in sorted(weights, key=lambda g: (-rem[g], g))[:leftover]:
+            quota[g] += 1
+    kmax = max(quota.values(), default=0)
+    if kmax == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({group_col: pa.array([], pa.string()),
+                      key_col: pa.array([], pa.int64())})
+        )
+
+    from .rank import top_k_per_group
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__h", pa.array(_hash_hex(keys, salt), pa.string())
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    top = top_k_per_group(
+        hashed, group_col, "__h", kmax, key_col, ascending=True
+    )
+
+    import ray
+
+    quota_ref = ray.put(quota)
+
+    def cut(b: pa.Table) -> pa.Table:
+        q = ray.get(quota_ref)
+        groups = b.column(group_col).to_pylist()
+        rnk = b.column("rnk").to_numpy()
+        keep = pa.array(
+            [r <= q.get(g, 0) for g, r in zip(groups, rnk)], pa.bool_()
+        )
+        return b.filter(keep)
+
+    return top.map_batches(cut, batch_format="pyarrow")

@@ -183,3 +183,117 @@ def test_vectorize_bbox_consistency(ray_session):
             r["xmin"], r["ymin"], r["xmax"], r["ymax"]
         )
         assert len(parts) == r["n_rects"]
+
+
+# ---------------- raster_pyramid ----------------
+
+
+def test_raster_pyramid_mass_conservation(ray_session):
+    from exactextractr_ray.pipelines.resample import raster_pyramid
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 32
+    rd = synthetic_raster_dataset(n=n, tile=8, dtype=np.float64)
+    df = raster_pyramid(rd, factors=(2, 4, 8), stat="sum").to_pandas()
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(rr, cc)
+    total = np.nansum(vals)
+    for f in (2, 4, 8):
+        lvl = df[df["level"] == f]
+        assert lvl["value"].sum() == total  # exact integer mass per level
+        assert len(lvl) <= (n // f) ** 2
+
+
+def test_raster_pyramid_level_values(ray_session):
+    """Factor-2 level equals a direct 2x2 block nansum of the source."""
+    from exactextractr_ray.pipelines.resample import raster_pyramid
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 16
+    rd = synthetic_raster_dataset(n=n, tile=8, dtype=np.float64)
+    df = raster_pyramid(rd, factors=(2,), stat="sum").to_pandas()
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(rr, cc).reshape(n, n)
+    blocks = np.nansum(
+        vals.reshape(n // 2, 2, n // 2, 2), axis=(1, 3)
+    )
+    got = dict(zip(df["cell"].astype(int), df["value"]))
+    for r in range(n // 2):
+        for c in range(n // 2):
+            cell = r * (n // 2) + c
+            if np.isnan(vals.reshape(n, n)[2*r:2*r+2, 2*c:2*c+2]).all():
+                assert cell not in got
+            else:
+                assert got[cell] == blocks[r, c]
+
+
+# ---------------- mixture_sample ----------------
+
+
+def _docs_ds(groups, ids):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(groups, pa.string()),
+                "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            }
+        )
+    ).repartition(4)
+
+
+def test_mixture_sample_quotas_exact(ray_session):
+    from exactextractr_ray.stages.shuffle import mixture_sample
+
+    groups = ["a"] * 10 + ["b"] * 10 + ["c"] * 10
+    ids = list(range(30))
+    # weights 3:2:1, total 10 -> base (5, 3, 1), remainders (0, 20//6..)
+    # 10*3//6=5 r0; 10*2//6=3 r2; 10*1//6=1 r4 -> leftover 1 -> 'c' (+1)
+    out = mixture_sample(
+        _docs_ds(groups, ids), "source",
+        weights={"a": 3, "b": 2, "c": 1}, total=10,
+    ).to_pandas()
+    cnt = out.groupby("source")["doc_id"].count()
+    assert cnt["a"] == 5 and cnt["b"] == 3 and cnt["c"] == 2
+    assert len(out) == 10
+
+
+def test_mixture_sample_overflow_quota(ray_session):
+    """Quota above a group's population returns the whole group."""
+    from exactextractr_ray.stages.shuffle import mixture_sample
+
+    out = mixture_sample(
+        _docs_ds(["a"] * 2 + ["b"] * 10, range(12)), "source",
+        weights={"a": 9, "b": 1}, total=10,
+    ).to_pandas()
+    cnt = out.groupby("source")["doc_id"].count()
+    assert cnt["a"] == 2 and cnt["b"] == 1  # a capped at population
+
+
+def test_mixture_sample_zero_total(ray_session):
+    from exactextractr_ray.stages.shuffle import mixture_sample
+
+    out = mixture_sample(
+        _docs_ds(["a", "b"], [0, 1]), "source",
+        weights={"a": 1, "b": 1}, total=0,
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_mixture_sample_deterministic_membership(ray_session):
+    """Same quota -> same members regardless of partitioning."""
+    from exactextractr_ray.stages.shuffle import mixture_sample
+
+    groups = [f"g{i % 3}" for i in range(60)]
+    a = mixture_sample(
+        _docs_ds(groups, range(60)).repartition(2), "source",
+        weights={"g0": 1, "g1": 1, "g2": 1}, total=12,
+    ).to_pandas().sort_values("doc_id")["doc_id"].tolist()
+    b = mixture_sample(
+        _docs_ds(groups, range(60)).repartition(7), "source",
+        weights={"g0": 1, "g1": 1, "g2": 1}, total=12,
+    ).to_pandas().sort_values("doc_id")["doc_id"].tolist()
+    assert a == b and len(a) == 12

@@ -113,6 +113,8 @@ QUERIES = [
     "zonal_gini",
     "resolve_redirects",
     "vectorize_raster",
+    "raster_pyramid",
+    "mixture_sample",
 ]
 
 _CHILD = r"""
