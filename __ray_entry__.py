@@ -1889,6 +1889,19 @@ def _q_stratified_exact_k(sf_dir: str):
     return df.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_bpe_pair_counts(sf_dir: str):
+    """Tokenizer-training primitive: top-50 adjacent character pairs
+    across the corpus (BPE merge round 0), counted via packed-codepoint
+    np.unique partials + one groupby-sum."""
+    from exactextractr_ray.stages.text import bpe_pair_counts
+
+    df = bpe_pair_counts(_docs(sf_dir, ["text"]), k=50).to_pandas()
+    df["cnt"] = df["cnt"].astype(np.int64)
+    return df.sort_values(
+        ["cnt", "pair"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Training-mix sampler: 37 docs total across the 20 sources with
     weights (i % 4) + 1 for src{i}, apportioned largest-remainder (exact
@@ -2236,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_gate": _q_quantile_gate,
         "stratified_exact_k": _q_stratified_exact_k,
         "mixture_sample": _q_mixture_sample,
+        "bpe_pair_counts": _q_bpe_pair_counts,
         "event_gaps": _q_event_gaps,
         "shipping_priority": _q_shipping_priority,
         "percent_rank": _q_percent_rank,
@@ -4620,6 +4634,19 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY source, rnk
     """
 
+    bpe_pair_counts_sql = """
+    WITH idx AS (
+      SELECT CAST(i AS INT) AS i FROM range(1, 100000) t(i)
+      WHERE i < (SELECT MAX(length(text)) FROM documents)
+    ),
+    p AS (
+      SELECT substr(d.text, idx.i, 2) AS pair
+      FROM documents d JOIN idx ON idx.i <= length(d.text) - 1
+    ),
+    a AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt FROM a ORDER BY cnt DESC, pair ASC LIMIT 50
+    """
+
     mixture_sample_sql = """
     WITH w AS (
       SELECT 'src' || CAST(i AS VARCHAR) AS g,
@@ -4873,6 +4900,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_gate": quantile_gate_sql,
         "stratified_exact_k": stratified_exact_k_sql,
         "mixture_sample": mixture_sample_sql,
+        "bpe_pair_counts": bpe_pair_counts_sql,
         "event_gaps": event_gaps_sql,
         "shipping_priority": shipping_priority_sql,
         "percent_rank": percent_rank_sql,

@@ -1166,3 +1166,79 @@ def keyword_topk(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds, text_col: str = "text", k: int = 50):
+    """First merge round of BPE tokenizer training: corpus-wide adjacent
+    CODEPOINT pair counts, top-k by (count DESC, pair ASC).
+
+    Per batch, every text decodes to a uint32 codepoint array once
+    (utf-32-le view — matches SQL substr character semantics for any
+    unicode, not just ASCII); adjacent pairs pack into one int64
+    (hi << 21 | lo, codepoints < 2^21) and a single np.unique counts the
+    whole batch. The exchange is the distinct-pair partial table (bounded
+    by alphabet^2 in practice), then one groupby-sum and a partial top-k
+    finalize — the same combiner shape as ngram_counts. Iterating the
+    merge loop re-runs this op on re-paired symbols; round 0 is the
+    distributed-count primitive every round shares.
+    """
+    import ray.data
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        arrs = []
+        for t in texts:
+            if not t or len(t) < 2:
+                continue
+            cp = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            arrs.append((cp[:-1] << 21) | cp[1:])
+        if not arrs:
+            return pa.table(
+                {"code": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.concatenate(arrs), return_counts=True)
+        return pa.table(
+            {"code": pa.array(uniq, pa.int64()),
+             "cnt": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("code")
+        .sum("cnt")
+        .map_batches(
+            lambda b: b.rename_columns(["code", "cnt"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def topk_part(b: pa.Table) -> pa.Table:
+        code = b.column("code").to_numpy()
+        cnt = b.column("cnt").to_numpy()
+        pairs = np.array(
+            [chr(c >> 21) + chr(c & ((1 << 21) - 1)) for c in code],
+            dtype=object,
+        )
+        order = np.lexsort((pairs, -cnt))[:k]
+        return pa.table(
+            {
+                "g": pa.array(np.zeros(len(order), np.int64), pa.int64()),
+                "pair": pa.array(pairs[order], pa.string()),
+                "cnt": pa.array(cnt[order].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cnt", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g[["pair", "cnt"]].reset_index(drop=True)
+
+    return (
+        sums.map_batches(topk_part, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(finalize, batch_format="pandas")
+    )

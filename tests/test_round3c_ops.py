@@ -297,3 +297,35 @@ def test_mixture_sample_deterministic_membership(ray_session):
         weights={"g0": 1, "g1": 1, "g2": 1}, total=12,
     ).to_pandas().sort_values("doc_id")["doc_id"].tolist()
     assert a == b and len(a) == 12
+
+
+# ---------------- bpe_pair_counts ----------------
+
+
+def test_bpe_pair_counts_unicode_and_ties(ray_session):
+    import ray.data
+    from collections import Counter
+    from exactextractr_ray.stages.text import bpe_pair_counts
+
+    texts = ["abab", "héllo wörld", "日本語テキスト", "", "x"]
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(3)
+    out = bpe_pair_counts(ds, k=100).to_pandas()
+    brute = Counter()
+    for t in texts:
+        for i in range(len(t) - 1):
+            brute[t[i:i + 2]] += 1
+    expect = sorted(brute.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = list(zip(out["pair"], out["cnt"]))
+    assert got == expect
+
+
+def test_bpe_pair_counts_empty(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.text import bpe_pair_counts
+
+    ds = ray.data.from_arrow(
+        pa.table({"text": pa.array([], pa.string())})
+    )
+    assert len(bpe_pair_counts(ds).to_pandas()) == 0

@@ -115,6 +115,7 @@ QUERIES = [
     "vectorize_raster",
     "raster_pyramid",
     "mixture_sample",
+    "bpe_pair_counts",
 ]
 
 _CHILD = r"""
