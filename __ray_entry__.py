@@ -216,6 +216,52 @@ def _q_extract_cells(sf_dir: str):
     )
 
 
+def _q_zonal_centroid(sf_dir: str):
+    """Coverage×value-weighted raster centroid per zone (the GIS
+    'weighted centroid' op): (Σ x·w, Σ y·w)/Σ w with w = cov·val over
+    covered, non-NODATA cells. Cell centers are half-integers and values
+    integers, so every product/sum is exact dyadic f64 arithmetic —
+    order-independent, hence one map_batches partial + groupby-sum."""
+    from exactextractr_ray.pipelines.zonal import extract_cells
+
+    cells = extract_cells(_raster(), _rect_zones(), include_xy=True)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow as pa_
+
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        w = b.column("cov").to_numpy()[keep] * v[keep]
+        x = b.column("x").to_numpy()[keep]
+        y = b.column("y").to_numpy()[keep]
+        z = b.column("zone_id").to_numpy()[keep]
+        uz, inv = np.unique(z, return_inverse=True)
+        sw = np.bincount(inv, weights=w)
+        sx = np.bincount(inv, weights=w * x)
+        sy = np.bincount(inv, weights=w * y)
+        return pa_.table(
+            {
+                "zone_id": pa_.array(uz.astype(np.int64), pa_.int64()),
+                "sw": pa_.array(sw, pa_.float64()),
+                "sx": pa_.array(sx, pa_.float64()),
+                "sy": pa_.array(sy, pa_.float64()),
+            }
+        )
+
+    agg = (
+        cells.map_batches(partial, batch_format="pyarrow")
+        .groupby("zone_id")
+        .sum(["sw", "sx", "sy"])
+        .to_pandas()
+        .rename(columns={"sum(sw)": "sw", "sum(sx)": "sx", "sum(sy)": "sy"})
+    )
+    agg["cx"] = agg["sx"] / agg["sw"]
+    agg["cy"] = agg["sy"] / agg["sw"]
+    out = agg[["zone_id", "cx", "cy"]]
+    out["zone_id"] = out["zone_id"].astype(np.int64)
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_rasterize(sf_dir: str):
     from exactextractr_ray.pipelines.rasterize import rasterize_polygons
     from exactextractr_ray import synth
@@ -1889,6 +1935,78 @@ def _q_stratified_exact_k(sf_dir: str):
     return df.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_pareto_orders(sf_dir: str):
+    """Skyline query over orders: maximize o_totalprice, minimize
+    o_orderdate (highest-value earliest orders). Pure comparisons — no
+    arithmetic — so float prices compare bit-exactly; the distributed
+    plan is per-block local fronts + one union finalize (skyline
+    decomposition property)."""
+    import ray.data
+    from exactextractr_ray.stages.rank import pareto_front
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    df = pareto_front(
+        orders, max_col="o_totalprice", min_col="o_orderdate",
+        id_col="o_orderkey",
+    ).to_pandas()
+    df["o_orderkey"] = df["o_orderkey"].astype(np.int64)
+    df = df[["o_orderkey", "o_totalprice", "o_orderdate"]]
+    return df.reset_index(drop=True)
+
+
+def _q_rollup_counts(sf_dir: str):
+    """Grouping-sets rollup (priority, status) -> (priority, all) ->
+    (all, all): one pass emits every level's partial rows ('(all)'
+    sentinel keys), one groupby-sum — the multi-level-aggregate shape
+    OLAP cubes need without re-scanning per level."""
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def partial(b):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+
+        pr = np.asarray(b.column("o_orderpriority").to_pylist(), dtype=object)
+        st = np.asarray(b.column("o_orderstatus").to_pylist(), dtype=object)
+        cents = np.round(
+            b.column("o_totalprice").to_numpy() * 100.0
+        ).astype(np.int64)
+        alls = np.full(len(pr), "(all)", dtype=object)
+        frames = []
+        for p, s in ((pr, st), (pr, alls), (alls, alls)):
+            df = pd.DataFrame({"priority": p, "status": s, "cents": cents})
+            g = df.groupby(["priority", "status"], as_index=False).agg(
+                n=("cents", "size"), total_cents=("cents", "sum")
+            )
+            frames.append(g)
+        out = pd.concat(frames, ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["priority", "status"])
+        .sum(["n", "total_cents"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(total_cents)": "total_cents"})
+    )
+    for c in ("n", "total_cents"):
+        agg[c] = agg[c].astype(np.int64)
+    return (
+        agg[["priority", "status", "n", "total_cents"]]
+        .sort_values(["priority", "status"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_bpe_pair_counts(sf_dir: str):
     """Tokenizer-training primitive: top-50 adjacent character pairs
     across the corpus (BPE merge round 0), counted via packed-codepoint
@@ -2148,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_median_rect": _q_zonal_median,
         "zonal_frac_rect": _q_zonal_frac,
         "zonal_gini": _q_zonal_gini,
+        "zonal_centroid": _q_zonal_centroid,
         "extract_cells_rect": _q_extract_cells,
         "rasterize_rect": _q_rasterize,
         "resample_sum": _q_resample("sum"),
@@ -2250,6 +2369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_exact_k": _q_stratified_exact_k,
         "mixture_sample": _q_mixture_sample,
         "bpe_pair_counts": _q_bpe_pair_counts,
+        "pareto_orders": _q_pareto_orders,
+        "rollup_counts": _q_rollup_counts,
         "event_gaps": _q_event_gaps,
         "shipping_priority": _q_shipping_priority,
         "percent_rank": _q_percent_rank,
@@ -2383,6 +2504,15 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT zone_id, value, w / SUM(w) OVER (PARTITION BY zone_id) AS share
     FROM agg ORDER BY zone_id, value
+    """
+
+    zonal_centroid = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id,
+      SUM((c + 0.5) * val * cov) / SUM(val * cov) AS cx,
+      SUM(({N_GRID} - r - 0.5) * val * cov) / SUM(val * cov) AS cy
+    FROM cov WHERE cov > 0 AND val IS NOT NULL
+    GROUP BY zone_id ORDER BY zone_id
     """
 
     zonal_gini = f"""
@@ -4634,6 +4764,30 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY source, rnk
     """
 
+    pareto_orders_sql = """
+    SELECT a.o_orderkey, a.o_totalprice, a.o_orderdate
+    FROM orders a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders b
+      WHERE b.o_totalprice >= a.o_totalprice
+        AND b.o_orderdate <= a.o_orderdate
+        AND (b.o_totalprice > a.o_totalprice
+             OR b.o_orderdate < a.o_orderdate)
+    )
+    ORDER BY a.o_totalprice DESC, a.o_orderdate, a.o_orderkey
+    """
+
+    rollup_counts_sql = """
+    SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+           COALESCE(o_orderstatus, '(all)') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    ORDER BY priority, status
+    """
+
     bpe_pair_counts_sql = """
     WITH idx AS (
       SELECT CAST(i AS INT) AS i FROM range(1, 100000) t(i)
@@ -4801,6 +4955,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_median_rect": zonal_median,
         "zonal_frac_rect": zonal_frac,
         "zonal_gini": zonal_gini,
+        "zonal_centroid": zonal_centroid,
         "extract_cells_rect": extract_cells,
         "rasterize_rect": rasterize,
         "resample_sum": resample_sum,
@@ -4901,6 +5056,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_exact_k": stratified_exact_k_sql,
         "mixture_sample": mixture_sample_sql,
         "bpe_pair_counts": bpe_pair_counts_sql,
+        "pareto_orders": pareto_orders_sql,
+        "rollup_counts": rollup_counts_sql,
         "event_gaps": event_gaps_sql,
         "shipping_priority": shipping_priority_sql,
         "percent_rank": percent_rank_sql,

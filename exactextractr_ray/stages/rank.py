@@ -588,3 +588,80 @@ def grouped_running_total(
         .groupby("__cg")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def pareto_front(
+    ds,
+    max_col: str,
+    min_col: str,
+    id_col: str,
+):
+    """Distributed SKYLINE (pareto-front) query: rows not dominated by any
+    other row, where b dominates a iff b.max_col >= a.max_col AND
+    b.min_col <= a.min_col with at least one strict. Exact duplicates of a
+    non-dominated (max, min) pair are all kept (neither dominates).
+
+    The skyline decomposition property does the distribution: a row
+    dominated within ANY subset is dominated globally, so each block
+    reduces to its LOCAL front (vectorized sort + two prefix-min passes,
+    no pairwise loop), and one finalize group computes the front of the
+    union of local fronts. Exchange is bounded by the local front sizes —
+    for real score-like columns that is near the sqrt-law tiny fraction,
+    never the input."""
+
+    def _front(price: np.ndarray, date: np.ndarray):
+        """Boolean keep-mask of the pareto front (maximize price,
+        minimize date), any input order."""
+        n = len(price)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.lexsort((date, -price))  # price desc, date asc
+        p = price[order]
+        d = date[order]
+        # group starts: strictly lower price than the previous row
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = p[1:] != p[:-1]
+        # min date within each equal-price group = date of the group head
+        # (rows are date-ascending inside a group)
+        grp_head = np.maximum.accumulate(np.where(new_grp, np.arange(n), 0))
+        eq_min = d[grp_head]
+        # running min date over all STRICTLY-higher-price groups
+        run = np.minimum.accumulate(d)
+        strict_min = np.full(n, np.inf)
+        head_prev = grp_head - 1  # last index of the previous group
+        has_prev = head_prev >= 0
+        strict_min[has_prev] = run[head_prev[has_prev]]
+        keep_sorted = (d == eq_min) & (d < strict_min)
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = keep_sorted
+        return keep
+
+    def local(b: pa.Table) -> pa.Table:
+        price = b.column(max_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        date = b.column(min_col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keep = _front(price, date)
+        out = b.filter(pa.array(keep))
+        return out.append_column(
+            "__g", pa.array(np.zeros(out.num_rows, np.int64), pa.int64())
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        keep = _front(
+            g[max_col].to_numpy().astype(np.float64),
+            g[min_col].to_numpy().astype(np.float64),
+        )
+        out = g[keep].drop(columns="__g")
+        return out.sort_values(
+            [max_col, min_col, id_col], ascending=[False, True, True],
+            kind="mergesort",
+        ).reset_index(drop=True)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__g")
+        .map_groups(finalize, batch_format="pandas")
+    )

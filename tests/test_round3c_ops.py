@@ -329,3 +329,67 @@ def test_bpe_pair_counts_empty(ray_session):
         pa.table({"text": pa.array([], pa.string())})
     )
     assert len(bpe_pair_counts(ds).to_pandas()) == 0
+
+
+# ---------------- pareto_front ----------------
+
+
+def _brute_front(price, date):
+    keep = []
+    for i in range(len(price)):
+        dom = False
+        for j in range(len(price)):
+            if i == j:
+                continue
+            if (
+                price[j] >= price[i]
+                and date[j] <= date[i]
+                and (price[j] > price[i] or date[j] < date[i])
+            ):
+                dom = True
+                break
+        keep.append(not dom)
+    return np.array(keep)
+
+
+def test_pareto_front_vs_brute(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.rank import pareto_front
+
+    rng = np.random.default_rng(11)
+    n = 300
+    price = rng.integers(0, 40, n).astype(np.float64)  # many ties
+    date = rng.integers(0, 40, n).astype(np.float64)
+    ids = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(ids), "p": pa.array(price),
+                  "d": pa.array(date)})
+    ).repartition(5)
+    out = pareto_front(ds, max_col="p", min_col="d", id_col="id").to_pandas()
+    keep = _brute_front(price, date)
+    expect = set(ids[keep])
+    assert set(out["id"]) == expect
+    # sorted contract
+    assert (
+        out.sort_values(["p", "d", "id"], ascending=[False, True, True])
+        .reset_index(drop=True)["id"]
+        .equals(out["id"])
+    )
+
+
+def test_pareto_front_duplicates_kept(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.rank import pareto_front
+
+    # two identical optimal points -> both survive; a dominated third dies
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "p": pa.array([9.0, 9.0, 5.0]),
+                "d": pa.array([1.0, 1.0, 2.0]),
+            }
+        )
+    ).repartition(2)
+    out = pareto_front(ds, "p", "d", "id").to_pandas()
+    assert sorted(out["id"]) == [1, 2]

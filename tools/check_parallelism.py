@@ -116,6 +116,9 @@ QUERIES = [
     "raster_pyramid",
     "mixture_sample",
     "bpe_pair_counts",
+    "zonal_centroid",
+    "pareto_orders",
+    "rollup_counts",
 ]
 
 _CHILD = r"""
