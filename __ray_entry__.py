@@ -1596,6 +1596,45 @@ def _q_vectorize_raster(sf_dir: str):
     return df.sort_values("component_id").reset_index(drop=True)
 
 
+def _q_component_zonal_mean(sf_dir: str):
+    """Vector-output-as-zone-input closure: vectorize_components turns the
+    QUANTIZED raster's components into MULTIPOLYGON zones, which feed
+    straight back into exact_extract over the ORIGINAL raster — per
+    component, the count and mean of the un-quantized values. Exercises
+    multi-rectangle multipolygon zones through the full coverage kernel;
+    the oracle re-derives the component cell sets via the closure CTE and
+    aggregates the original values directly."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.polygonize import (
+        quantize_raster,
+        vectorize_components,
+    )
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray.sources.zones import zone_table
+
+    rd_q = quantize_raster(
+        synthetic_raster_dataset(n=64, tile=16, dtype=np.float64), 500.0
+    )
+    comps = vectorize_components(rd_q).to_pandas()
+    zones = zone_table(
+        [
+            (int(r["component_id"]), f"comp{int(r['component_id'])}",
+             r["wkb"])
+            for _, r in comps.sort_values("component_id").iterrows()
+        ]
+    )
+    df = exact_extract(_raster(), zones, ["count", "mean"]).to_pandas()
+    df = df.rename(columns={"count": "n_cells", "mean": "val_mean"})
+    df["zone_id"] = df["zone_id"].astype(np.int64)
+    return (
+        df[["zone_id", "n_cells", "val_mean"]]
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_zonal_gradient(sf_dir: str):
     """Raster algebra -> zonal aggregation chain: Horn gradient (halo
     exchange) then coverage-weighted per-zone means over the quarter-cell
@@ -2349,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_mean5": _q_focal_mean5,
         "raster_components": _q_raster_components,
         "vectorize_raster": _q_vectorize_raster,
+        "component_zonal_mean": _q_component_zonal_mean,
         "zonal_gradient_mean": _q_zonal_gradient,
         "focal_majority": _q_focal_majority,
         "focal_median": _q_focal_median,
@@ -3317,6 +3357,46 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(runs.len) AS DOUBLE) * 1.0 AS area
     FROM comp JOIN runs ON runs.rid = comp.id
     GROUP BY 1, 2 ORDER BY component_id
+    """
+
+    # vector-as-zones closure: component cell sets re-derived via the same
+    # closure CTE, then the ORIGINAL (un-quantized) values aggregate per
+    # component — matches exact_extract over the multipolygon zones because
+    # run rectangles are cell-aligned (coverage exactly 1 per member cell).
+    component_zonal_mean_sql = f"""
+    WITH RECURSIVE cells AS ({synth.cells_sql(N_GRID)}),
+    q AS (SELECT r, c, val AS orig, FLOOR(val / 500.0) AS val FROM cells
+          WHERE val IS NOT NULL),
+    isl AS (
+      SELECT r, c, val,
+        c - ROW_NUMBER() OVER (PARTITION BY r, val ORDER BY c) AS grp
+      FROM q),
+    runs AS (
+      SELECT r, MIN(c) AS cs, MAX(c) AS ce, val,
+             CAST(r * {N_GRID} + MIN(c) AS BIGINT) AS rid
+      FROM isl GROUP BY r, val, grp),
+    adj AS (
+      SELECT u.rid AS a, l.rid AS b
+      FROM runs u JOIN runs l
+        ON l.r = u.r + 1 AND l.val = u.val
+       AND l.cs <= u.ce AND l.ce >= u.cs),
+    edges AS (SELECT a, b FROM adj UNION SELECT b, a FROM adj),
+    reach(id, s) AS (
+      SELECT rid, rid FROM runs
+      UNION
+      SELECT e.b, reach.s FROM reach JOIN edges e ON e.a = reach.id
+    ),
+    comp AS (SELECT id, MIN(s) AS component_id FROM reach GROUP BY id),
+    cellcomp AS (
+      SELECT q.orig, comp.component_id
+      FROM q JOIN runs ON runs.r = q.r AND runs.val = q.val
+                      AND q.c BETWEEN runs.cs AND runs.ce
+           JOIN comp ON comp.id = runs.rid
+    )
+    SELECT component_id AS zone_id,
+           CAST(COUNT(*) AS DOUBLE) AS n_cells,
+           SUM(orig) / COUNT(*) AS val_mean
+    FROM cellcomp GROUP BY 1 ORDER BY 1
     """
 
     # Raster run polygonize: classic gaps-and-islands (c - ROW_NUMBER within
@@ -5013,6 +5093,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_mean5": focal_mean5_sql,
         "raster_components": raster_components_sql,
         "vectorize_raster": vectorize_raster_sql,
+        "component_zonal_mean": component_zonal_mean_sql,
         "zonal_gradient_mean": zonal_gradient_sql,
         "focal_majority": focal_majority_sql,
         "focal_median": focal_median_sql,

@@ -119,6 +119,7 @@ QUERIES = [
     "zonal_centroid",
     "pareto_orders",
     "rollup_counts",
+    "component_zonal_mean",
 ]
 
 _CHILD = r"""
