@@ -1738,6 +1738,69 @@ def _q_topk_per_source(sf_dir: str):
     return out.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_upsert_merge(sf_dir: str):
+    """CDC compaction: base = all docs at version 1 with value =
+    length(text); updates = docs with doc_id%7 == 0 at version 2 with
+    value = length(text) + 1000, PLUS docs with doc_id%13 == 0 re-emitted
+    at version 1 (tie -> updates side wins, value = -doc_id). Exactly one
+    row per doc_id survives (max version, updates on tie)."""
+    from exactextractr_ray.stages.web import upsert_merge
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def base_rows(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        ln = np.fromiter(
+            (len(t or "") for t in b.column("text").to_pylist()),
+            dtype=np.int64, count=len(ids),
+        )
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "version": pa.array(np.ones(len(ids), np.int64), pa.int64()),
+                "val": pa.array(ln, pa.int64()),
+            }
+        )
+
+    def upd_rows(b):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        ln = np.fromiter(
+            (len(t or "") for t in b.column("text").to_pylist()),
+            dtype=np.int64, count=len(ids),
+        )
+        m7 = ids % 7 == 0
+        m13 = (ids % 13 == 0) & ~m7  # keep updates unique per key
+        key = np.concatenate([ids[m7], ids[m13]])
+        ver = np.concatenate(
+            [np.full(m7.sum(), 2, np.int64), np.ones(m13.sum(), np.int64)]
+        )
+        val = np.concatenate([ln[m7] + 1000, -ids[m13]])
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "version": pa.array(ver, pa.int64()),
+                "val": pa.array(val, pa.int64()),
+            }
+        )
+
+    base = docs.map_batches(base_rows, batch_format="pyarrow")
+    upd = docs.map_batches(upd_rows, batch_format="pyarrow")
+    df = upsert_merge(base, upd, key_col="key").to_pandas()
+    for c in ("key", "version", "val"):
+        df[c] = df[c].astype(np.int64)
+    return (
+        df[["key", "version", "val"]]
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+
+
 def _q_crawl_diff(sf_dir: str):
     """Crawl-snapshot diff: old = docs with doc_id%10 != 0, new = docs with
     doc_id%10 != 5 whose text gains '!' when doc_id%7 == 3. Classifies each
@@ -2399,6 +2462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll,
         "source_quantiles": _q_source_quantiles,
         "crawl_diff": _q_crawl_diff,
+        "upsert_merge": _q_upsert_merge,
         "retention_cohorts": _q_retention,
         "funnel_counts": _q_funnel,
         "orders_return_split": _q_orders_return_split,
@@ -4881,6 +4945,29 @@ def oracle_sql() -> dict[str, str]:
     SELECT pair, cnt FROM a ORDER BY cnt DESC, pair ASC LIMIT 50
     """
 
+    upsert_merge_sql = """
+    WITH base AS (
+      SELECT doc_id AS key, 1 AS version,
+             CAST(length(text) AS BIGINT) AS val, 0 AS side
+      FROM documents
+    ),
+    upd AS (
+      SELECT doc_id, 2, CAST(length(text) + 1000 AS BIGINT), 1
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, 1, CAST(-doc_id AS BIGINT), 1
+      FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+    ),
+    u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY key ORDER BY version DESC, side DESC
+      ) AS rn FROM u
+    )
+    SELECT key, CAST(version AS BIGINT) AS version, val
+    FROM r WHERE rn = 1 ORDER BY key
+    """
+
     mixture_sample_sql = """
     WITH w AS (
       SELECT 'src' || CAST(i AS VARCHAR) AS g,
@@ -5136,6 +5223,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_gate": quantile_gate_sql,
         "stratified_exact_k": stratified_exact_k_sql,
         "mixture_sample": mixture_sample_sql,
+        "upsert_merge": upsert_merge_sql,
         "bpe_pair_counts": bpe_pair_counts_sql,
         "pareto_orders": pareto_orders_sql,
         "rollup_counts": rollup_counts_sql,

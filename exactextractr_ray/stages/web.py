@@ -453,3 +453,80 @@ def crawl_frontier(pages, coarse: int = 256):
         return out[["href", "n_refs"]]
 
     return tagged.groupby("ckey").map_groups(anti, batch_format="pandas")
+
+
+def upsert_merge(
+    base,
+    updates,
+    key_col: str = "key",
+    version_col: str = "version",
+    num_partitions: int = 8,
+):
+    """CDC compaction / upsert MERGE: union base and updates, keep exactly
+    one row per key — the highest ``version``; on a version tie the
+    UPDATES side wins (the Delta/Iceberg latest-wins rule). Keys unique
+    within each input. All payload columns pass through.
+
+    Scale shape: both inputs stream through a per-block pre-compaction
+    (vectorized lexsort keeps only each key's local winner, so a block
+    contributes at most one row per distinct key it holds), then ONE
+    key-hash shuffle co-locates the survivors and the same vectorized
+    pick runs per partition. Payload moves at most once; the winner pick
+    never runs Python per row."""
+
+    def _tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__side",
+                pa.array(np.full(b.num_rows, side, np.int64), pa.int64()),
+            )
+
+        return f
+
+    def _compact(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        k = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(version_col).to_numpy()
+        s = b.column("__side").to_numpy()
+        # ascending (key, version, side): the LAST row of each key group
+        # is its winner
+        order = np.lexsort((s, v, k))
+        kk = k[order]
+        last = np.ones(len(kk), dtype=bool)
+        last[:-1] = kk[1:] != kk[:-1]
+        return b.take(pa.array(order[last], pa.int64()))
+
+    ncoarse = 256
+
+    def _coarse(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        keys = b.column(key_col).to_pylist()
+        cg = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(k).encode()).digest()[:8], "big"
+                )
+                % ncoarse
+                for k in keys
+            ),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return b.append_column("__cg", pa.array(cg, pa.int64()))
+
+    tagged = base.map_batches(_tag(0), batch_format="pyarrow").union(
+        updates.map_batches(_tag(1), batch_format="pyarrow")
+    )
+    pre = tagged.map_batches(_compact, batch_format="pyarrow").map_batches(
+        _coarse, batch_format="pyarrow"
+    )
+
+    # ONE coarse-keyed cogroup (a key's rows all share __cg), vectorized
+    # winner pick per group — never one interpreter call per key
+    def _finalize(g):
+        t = _compact(pa.Table.from_pandas(g, preserve_index=False))
+        return t.drop_columns(["__side", "__cg"]).to_pandas()
+
+    return pre.groupby("__cg").map_groups(_finalize, batch_format="pandas")

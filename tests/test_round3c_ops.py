@@ -393,3 +393,59 @@ def test_pareto_front_duplicates_kept(ray_session):
     ).repartition(2)
     out = pareto_front(ds, "p", "d", "id").to_pandas()
     assert sorted(out["id"]) == [1, 2]
+
+
+# ---------------- upsert_merge ----------------
+
+
+def _kv_ds(rows, blocks=3):
+    import ray.data
+
+    k, v, val = zip(*rows) if rows else ((), (), ())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(np.asarray(k, np.int64), pa.int64()),
+                "version": pa.array(np.asarray(v, np.int64), pa.int64()),
+                "val": pa.array(np.asarray(val, np.int64), pa.int64()),
+            }
+        )
+    ).repartition(blocks)
+
+
+def test_upsert_merge_latest_wins(ray_session):
+    from exactextractr_ray.stages.web import upsert_merge
+
+    base = _kv_ds([(1, 1, 10), (2, 1, 20), (3, 1, 30)])
+    upd = _kv_ds([(2, 2, 99), (4, 1, 40)])
+    out = (
+        upsert_merge(base, upd, key_col="key")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert out["key"].tolist() == [1, 2, 3, 4]
+    assert out["val"].tolist() == [10, 99, 30, 40]
+    assert out["version"].tolist() == [1, 2, 1, 1]
+
+
+def test_upsert_merge_tie_updates_win(ray_session):
+    from exactextractr_ray.stages.web import upsert_merge
+
+    base = _kv_ds([(7, 3, 70)])
+    upd = _kv_ds([(7, 3, 77)])  # same version -> updates side wins
+    out = upsert_merge(base, upd, key_col="key").to_pandas()
+    assert out["val"].tolist() == [77]
+
+
+def test_upsert_merge_empty_updates(ray_session):
+    from exactextractr_ray.stages.web import upsert_merge
+
+    base = _kv_ds([(1, 1, 10), (2, 1, 20)])
+    upd = _kv_ds([])
+    out = (
+        upsert_merge(base, upd, key_col="key")
+        .to_pandas()
+        .sort_values("key")
+    )
+    assert out["val"].tolist() == [10, 20]

@@ -120,6 +120,7 @@ QUERIES = [
     "pareto_orders",
     "rollup_counts",
     "component_zonal_mean",
+    "upsert_merge",
 ]
 
 _CHILD = r"""
