@@ -52,19 +52,25 @@ class BruteForceTopK:
         norms[norms == 0] = 1.0
         sims = (mat / norms) @ self.qmat  # (B, Q)
         k = min(self.k, sims.shape[0])
-        out_q, out_n, out_s = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
-            for t in top:
-                out_q.append(int(self.query_ids[qi]))
-                out_n.append(int(ids[t]))
-                out_s.append(float(col[t]))
+        # one argpartition across ALL query columns (no per-candidate
+        # Python loop); the global finalize re-sorts, so only the selected
+        # SET matters and any within-column order is fine
+        if k < sims.shape[0]:
+            top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
+        else:
+            top = np.broadcast_to(
+                np.arange(sims.shape[0])[:, None], (k, sims.shape[1])
+            )
+        qids = np.broadcast_to(
+            np.asarray(self.query_ids, dtype=np.int64), (k, sims.shape[1])
+        ).ravel()
+        nbr = np.asarray(ids, dtype=np.int64)[top].ravel()
+        sim = np.take_along_axis(sims, top, axis=0).ravel()
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_n, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(qids, pa.int64()),
+                "neighbor_id": pa.array(nbr, pa.int64()),
+                "sim": pa.array(sim, pa.float64()),
             }
         )
 
