@@ -296,6 +296,63 @@ def exact_resample(
     partials = partials.materialize().repartition(ncpu)
     ncol = dst_grid.ncol
 
+    # Moment-only stats finalize VECTORIZED over coarse dest-cell groups —
+    # one pandas groupby-agg per ~1/1024 of the destination grid instead of
+    # one interpreted merge per destination cell (the exact_dedup-class
+    # anti-pattern at dense dst grids: a 10^8-cell destination would mean
+    # 10^8 Python calls). Partials sort by (zone_id, tile_id) first, so the
+    # C-speed sums reduce in the same deterministic order as the per-key
+    # path; for integer-valued rasters every sum is exact either way.
+    _MOMENT_STATS = {"count", "sum", "mean", "min", "max", "variance_exact"}
+    if stat in _MOMENT_STATS:
+        ncoarse = 1024
+
+        def add_coarse(b: pa.Table) -> pa.Table:
+            z = b.column("zone_id").to_numpy().astype(np.int64)
+            return b.append_column(
+                "__cg", pa.array(z % ncoarse, pa.int64())
+            )
+
+        def finalize_vec(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["zone_id", "tile_id"], kind="mergesort")
+            agg = g.groupby("zone_id", sort=True).agg(
+                sum_ci=("sum_ci", "sum"),
+                sum_xici=("sum_xici", "sum"),
+                sum_x2ci=("sum_x2ci", "sum"),
+                vmin=("vmin", "min"),
+                vmax=("vmax", "max"),
+            )
+            agg = agg[agg["sum_ci"] > 0]
+            if stat == "count":
+                val = agg["sum_ci"].to_numpy()
+            elif stat == "sum":
+                val = agg["sum_xici"].to_numpy()
+            elif stat == "mean":
+                val = agg["sum_xici"].to_numpy() / agg["sum_ci"].to_numpy()
+            elif stat == "min":
+                val = agg["vmin"].to_numpy()
+            elif stat == "max":
+                val = agg["vmax"].to_numpy()
+            else:  # variance_exact — same expression as stats.py
+                w = agg["sum_ci"].to_numpy()
+                sx = agg["sum_xici"].to_numpy()
+                val = (agg["sum_x2ci"].to_numpy() - sx * sx / w) / w
+            cell = agg.index.to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cell": cell,
+                    "row": cell // ncol,
+                    "col": cell % ncol,
+                    "value": val.astype(np.float64),
+                }
+            )
+
+        return (
+            partials.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(finalize_vec, batch_format="pandas")
+        )
+
     def finalize(group: pd.DataFrame) -> pd.DataFrame:
         merged = merge_partial_group(group, store_values)
         cell = int(group["zone_id"].iloc[0])
