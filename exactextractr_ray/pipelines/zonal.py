@@ -725,7 +725,101 @@ def exact_extract(
                     out[f"__{pi}__{s}"] = [merged.result(s)]
         return pd.DataFrame(out)
 
-    agg = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
+    # Vectorized finalize fast path: when every requested stat reduces to
+    # the additive moment columns (+ min/max), finalize via ONE pandas
+    # groupby-agg per coarse zone group instead of one interpreted merge
+    # per zone — at H3-scale zone sets (10^6-10^7 zones) the per-zone
+    # map_groups is the exact_dedup-class anti-pattern. Partials sort by
+    # (zone, pair, tile[, piece]) first, the same deterministic order the
+    # per-zone merge uses; for integer-valued rasters with dyadic
+    # coverages every sum is exact in either order (the oracle regime).
+    _VEC_STATS = {
+        "count", "sum", "mean", "min", "max", "variance_exact",
+        "weighted_sum", "weighted_mean",
+    }
+    vectorizable = (not store_values) and all(s in _VEC_STATS for s in stats)
+    if vectorizable:
+        _zncoarse = 1024
+
+        def _add_cg(b: pa.Table) -> pa.Table:
+            z = b.column("zone_id").to_numpy().astype(np.int64)
+            return b.append_column(
+                "__cg", pa.array(z % _zncoarse, pa.int64())
+            )
+
+        def finalize_vec(g: pd.DataFrame) -> pd.DataFrame:
+            sort_cols = ["zone_id", "pair_idx", "tile_id"]
+            if "piece" in g.columns:
+                sort_cols.append("piece")
+            g = g.sort_values(sort_cols, kind="mergesort")
+            a = g.groupby(["zone_id", "pair_idx"], sort=True).agg(
+                sum_ci=("sum_ci", "sum"),
+                sum_xici=("sum_xici", "sum"),
+                sum_ciwi=("sum_ciwi", "sum"),
+                sum_xiciwi=("sum_xiciwi", "sum"),
+                sum_x2ci=("sum_x2ci", "sum"),
+                vmin=("vmin", "min"),
+                vmax=("vmax", "max"),
+            ).reset_index()
+            W = a["sum_ci"].to_numpy()
+            pos = W > 0
+            Wsafe = np.where(pos, W, 1.0)
+            vals: dict[str, np.ndarray] = {}
+            for s in stats:
+                if s == "count":
+                    v = W
+                elif s == "sum":
+                    v = a["sum_xici"].to_numpy()
+                elif s == "mean":
+                    v = np.where(pos, a["sum_xici"].to_numpy() / Wsafe, np.nan)
+                elif s == "min":
+                    v = np.where(pos, a["vmin"].to_numpy(), np.nan)
+                elif s == "max":
+                    v = np.where(pos, a["vmax"].to_numpy(), np.nan)
+                elif s == "variance_exact":
+                    sx = a["sum_xici"].to_numpy()
+                    v = np.where(
+                        pos,
+                        (a["sum_x2ci"].to_numpy() - sx * sx / Wsafe) / Wsafe,
+                        np.nan,
+                    )
+                elif s == "weighted_sum":
+                    v = a["sum_xiciwi"].to_numpy()
+                else:  # weighted_mean: nonzero test, matching stats.py
+                    Wp = a["sum_ciwi"].to_numpy()
+                    nz = Wp != 0
+                    v = np.where(
+                        nz,
+                        a["sum_xiciwi"].to_numpy() / np.where(nz, Wp, 1.0),
+                        np.nan,
+                    )
+                vals[s] = v
+            zall = a["zone_id"].to_numpy().astype(np.int64)
+            pidx = a["pair_idx"].to_numpy().astype(np.int64)
+            zids = np.unique(zall)
+            rowpos = np.searchsorted(zids, zall)
+            out = {"zone_id": zids}
+            for pi in range(npairs):
+                m = pidx == pi
+                for s in stats:
+                    default = (
+                        0.0 if s in ("count", "sum", "weighted_sum")
+                        else np.nan
+                    )
+                    col = np.full(len(zids), default)
+                    col[rowpos[m]] = vals[s][m]
+                    out[f"__{pi}__{s}"] = col
+            return pd.DataFrame(out)
+
+        agg = (
+            partials.map_batches(_add_cg, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(finalize_vec, batch_format="pandas")
+        )
+    else:
+        agg = partials.groupby("zone_id").map_groups(
+            finalize, batch_format="pandas"
+        )
     result = agg.to_pandas()  # one row per zone: small by design
     if stats_sink is not None:
         # executor-level per-stage timings for perf writeups (PERF.md)
