@@ -88,8 +88,9 @@ def curate_corpus(
         lambda t: t.rename_columns(["content_hash", "__keeper"]),
         batch_format="pyarrow",
     )
+    ncpu = max(8, int(ray.cluster_resources().get("CPU", 8)))
     joined = surv.join(
-        keepers, join_type="inner", num_partitions=8, on=("content_hash",)
+        keepers, join_type="inner", num_partitions=ncpu, on=("content_hash",)
     )
     kept1 = joined.map_batches(
         lambda t: t.filter(

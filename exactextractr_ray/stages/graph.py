@@ -94,7 +94,7 @@ def pagerank(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Damped PageRank over an int64 (src, dst) edge Dataset.
 
@@ -112,6 +112,10 @@ def pagerank(
 
     if num_nodes <= 0:
         raise ValueError("num_nodes must be positive")
+    if num_partitions is None:
+        # scale the join/shuffle width with the cluster, not a constant —
+        # 8 partitions would serialize a 256-node cluster's exchanges
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
     r0 = scale // num_nodes
     base = (15 * r0) // 100
 
@@ -379,7 +383,7 @@ def resolve_pointers(
     node_col: str = "node",
     ptr_col: str = "target",
     max_rounds: int = 40,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Resolve every node of a FUNCTIONAL graph (each node has at most one
     outgoing pointer) to its terminal node — the redirect-chain / symlink /
@@ -408,6 +412,9 @@ def resolve_pointers(
     terminal, hops(terminal)=0) it is the full chain length.
     """
     import ray.data
+
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def _init(b: pa.Table) -> pa.Table:
         node = b.column(node_col).to_numpy().astype(np.int64)

@@ -460,7 +460,6 @@ def upsert_merge(
     updates,
     key_col: str = "key",
     version_col: str = "version",
-    num_partitions: int = 8,
 ):
     """CDC compaction / upsert MERGE: union base and updates, keep exactly
     one row per key — the highest ``version``; on a version tie the
