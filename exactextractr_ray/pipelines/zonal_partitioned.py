@@ -197,7 +197,81 @@ def exact_extract_partitioned(
                 out[s] = [merged.result(s)]
         return pd.DataFrame(out)
 
-    res = partials.groupby("zone_id").map_groups(finalize, batch_format="pandas")
+    # moment-only stat lists finalize vectorized over coarse zone groups —
+    # this no-broadcast plan exists FOR huge zone sets, exactly where a
+    # per-zone interpreted merge hurts most (same fast path as
+    # zonal.exact_extract; deterministic (zone, tile) reduce order kept)
+    _VEC_STATS = {
+        "count", "sum", "mean", "min", "max", "variance_exact",
+        "weighted_sum", "weighted_mean",
+    }
+    if (not store_values) and all(s in _VEC_STATS for s in stats):
+        _zncoarse = 1024
+
+        def _add_cg(b: pa.Table) -> pa.Table:
+            z = b.column("zone_id").to_numpy().astype(np.int64)
+            return b.append_column(
+                "__cg", pa.array(z % _zncoarse, pa.int64())
+            )
+
+        def finalize_vec(g: pd.DataFrame) -> pd.DataFrame:
+            sort_cols = ["zone_id", "tile_id"]
+            if "piece" in g.columns:
+                sort_cols.append("piece")
+            g = g.sort_values(sort_cols, kind="mergesort")
+            a = g.groupby("zone_id", sort=True).agg(
+                sum_ci=("sum_ci", "sum"),
+                sum_xici=("sum_xici", "sum"),
+                sum_ciwi=("sum_ciwi", "sum"),
+                sum_xiciwi=("sum_xiciwi", "sum"),
+                sum_x2ci=("sum_x2ci", "sum"),
+                vmin=("vmin", "min"),
+                vmax=("vmax", "max"),
+            )
+            W = a["sum_ci"].to_numpy()
+            pos = W > 0
+            Wsafe = np.where(pos, W, 1.0)
+            out = {"zone_id": a.index.to_numpy().astype(np.int64)}
+            for s in stats:
+                if s == "count":
+                    v = W
+                elif s == "sum":
+                    v = a["sum_xici"].to_numpy()
+                elif s == "mean":
+                    v = np.where(pos, a["sum_xici"].to_numpy() / Wsafe, np.nan)
+                elif s == "min":
+                    v = np.where(pos, a["vmin"].to_numpy(), np.nan)
+                elif s == "max":
+                    v = np.where(pos, a["vmax"].to_numpy(), np.nan)
+                elif s == "variance_exact":
+                    sx = a["sum_xici"].to_numpy()
+                    v = np.where(
+                        pos,
+                        (a["sum_x2ci"].to_numpy() - sx * sx / Wsafe) / Wsafe,
+                        np.nan,
+                    )
+                elif s == "weighted_sum":
+                    v = a["sum_xiciwi"].to_numpy()
+                else:  # weighted_mean
+                    Wp = a["sum_ciwi"].to_numpy()
+                    nz = Wp != 0
+                    v = np.where(
+                        nz,
+                        a["sum_xiciwi"].to_numpy() / np.where(nz, Wp, 1.0),
+                        np.nan,
+                    )
+                out[s] = v
+            return pd.DataFrame(out)
+
+        res = (
+            partials.map_batches(_add_cg, batch_format="pyarrow")
+            .groupby("__cg")
+            .map_groups(finalize_vec, batch_format="pandas")
+        )
+    else:
+        res = partials.groupby("zone_id").map_groups(
+            finalize, batch_format="pandas"
+        )
     # zones with no raster intersection -> reference-default rows, like the
     # broadcast plan. Only (zone_id) ids are collected here — same order of
     # magnitude as the result itself.
