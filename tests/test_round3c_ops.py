@@ -449,3 +449,72 @@ def test_upsert_merge_empty_updates(ray_session):
         .sort_values("key")
     )
     assert out["val"].tolist() == [10, 20]
+
+
+# ---------------- end-to-end: curate -> shards -> resume -> pack ----------------
+
+
+def test_end_to_end_curate_shard_pack(ray_session, tmp_path):
+    """The full training-data flow on real fixtures: curate the corpus,
+    write it as resumable key-range parquet shards, prove the resume skip,
+    read the shards back and sequence-pack them — every major subsystem
+    (curation, lineage sink, source, packing) in one chain."""
+    import ray.data
+
+    from exactextractr_ray.pipelines.curate import curate_corpus
+    from exactextractr_ray.stages.pack import pack_sequences, token_count_batch
+    from exactextractr_ray.state.lineage import read_resumable, resumable_write
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    )
+    kept = curate_corpus(docs).to_pandas()
+    kept_ids = frozenset(int(i) for i in kept["doc_id"])
+    assert len(kept_ids) > 50  # fixture sanity
+
+    # 4 key-range shards; factory re-filters the streaming source
+    out_dir = str(tmp_path / "corpus")
+    hi = max(kept_ids) + 1
+    step = (hi + 3) // 4
+    parts = {f"r{i}": (i * step, min((i + 1) * step, hi)) for i in range(4)}
+
+    def factory(key, spec):
+        lo, hi_ = spec
+
+        def f(b):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = b.column("doc_id").to_numpy()
+            keep = (ids >= lo) & (ids < hi_) & np.fromiter(
+                (int(i) in kept_ids for i in ids), dtype=bool, count=len(ids)
+            )
+            return b.filter(pa.array(keep))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    r1 = resumable_write(out_dir, "corpus", parts, factory, "fp-v1")
+    assert sorted(r1["written"]) == sorted(parts)
+    r2 = resumable_write(out_dir, "corpus", parts, factory, "fp-v1")
+    assert sorted(r2["skipped"]) == sorted(parts) and not r2["written"]
+
+    shards = read_resumable(out_dir)
+    assert shards.count() == len(kept_ids)
+
+    packed = pack_sequences(shards, budget=64).to_pandas()
+    # every token of every kept doc lands in exactly one example span
+    tok = (
+        shards.map_batches(
+            lambda b: token_count_batch(b, "doc_id", "text"),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    total_tokens = int(tok["n"].sum())
+    spans = (packed["tok_end"] - packed["tok_start"]).sum()
+    assert spans == total_tokens
+    # spans within a doc are disjoint and ordered
+    for _, g in packed.groupby("doc_id"):
+        g = g.sort_values("tok_start")
+        assert (g["tok_start"].to_numpy()[1:] >= g["tok_end"].to_numpy()[:-1]).all()
