@@ -869,6 +869,23 @@ def _q_morton(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_geohash(sf_dir: str):
+    """Classic base32 geohash (8 chars) + the 4-char parent prefix —
+    geohash's prefix-nesting property makes the parent a plain string
+    truncation (multi-resolution rollup without re-encoding)."""
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import geohash_batch
+
+    geo = _docs(sf_dir, ["doc_id"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+    geo = geo.map_batches(geohash_batch, batch_format="pyarrow")
+    df = geo.select_columns(["doc_id", "geohash"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    df["gh4"] = df["geohash"].str.slice(0, 4)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_hilbert(sf_dir: str):
     from exactextractr_ray.stages.geocode import geocode_doc_batch
     from exactextractr_ray.stages.spatial import assign_hilbert_batch
@@ -2416,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_lsh": _q_knn_lsh,  # approximate by design -> rows-only
         "doc_rolling_fingerprint": _q_rolling_fp,
         "morton_cells": _q_morton,
+        "geohash_cells": _q_geohash,
         "hilbert_cells": _q_hilbert,
         "hex_cells": _q_hex,
         "spatial_knn": _q_spatial_knn,
@@ -3016,6 +3034,15 @@ def oracle_sql() -> dict[str, str]:
     xy AS (SELECT doc_id, {xexpr} AS mx, {yexpr} AS my FROM geo)
     SELECT doc_id, CAST({terms} AS BIGINT) AS morton_cell
     FROM xy ORDER BY doc_id
+    """
+
+    geohash_cells_sql = f"""
+    WITH geo AS ({geo}),
+    xy AS (SELECT doc_id, {synth.GEOHASH_MX_SQL} AS mx,
+                  {synth.GEOHASH_MY_SQL} AS my FROM geo),
+    g AS (SELECT doc_id, {synth.geohash_sql(8)} AS geohash FROM xy)
+    SELECT doc_id, geohash, substr(geohash, 1, 4) AS gh4
+    FROM g ORDER BY doc_id
     """
 
     # Hilbert-curve (S2-style) key: the xy2d bit transform unrolled as one
@@ -5167,6 +5194,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_variety_kmv": variety_kmv,
         "zonal_quantile_hist": quantile_hist,
         "morton_cells": morton,
+        "geohash_cells": geohash_cells_sql,
         "hilbert_cells": hilbert,
         "hex_cells": hexcells,
         "spatial_knn": spatial_knn_sql,

@@ -773,3 +773,48 @@ def nearest_zone(
         )
 
     return points.map_batches(assign, batch_format="pyarrow")
+
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_batch(
+    batch: pa.Table,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    nchars: int = 8,
+    out_col: str = "geohash",
+) -> pa.Table:
+    """Append the classic base32 geohash (``nchars`` characters, 5 bits
+    each; lon/lat quantized to 20 bits). Geohash's defining property —
+    a parent cell is a string PREFIX of its children — makes multi-
+    resolution rollups a plain string-prefix groupby, no re-encode.
+
+    Fully vectorized: 40 shift/mask passes build the per-char 5-bit
+    values, one fancy-index maps them through the base32 alphabet, and a
+    U1->U{nchars} view joins the characters without a Python loop.
+    Bit-identical to synth.geohash_sql (same IEEE quantization ops)."""
+    if not 1 <= nchars <= 8:
+        raise ValueError("nchars must be in [1, 8] (20+20 quantized bits)")
+    lon = batch.column(lon_col).to_numpy()
+    lat = batch.column(lat_col).to_numpy()
+    mx = np.clip(
+        np.floor((lon + 180.0) / 360.0 * 1048576.0), 0, 1048575
+    ).astype(np.int64)
+    my = np.clip(
+        np.floor((lat + 90.0) / 180.0 * 1048576.0), 0, 1048575
+    ).astype(np.int64)
+    n = len(mx)
+    vals = np.zeros((nchars, n), dtype=np.int64)
+    for k in range(nchars):
+        for b in range(5):
+            j = 5 * k + b
+            if j % 2 == 0:
+                bit = (mx >> (19 - j // 2)) & 1
+            else:
+                bit = (my >> (19 - (j - 1) // 2)) & 1
+            vals[k] += bit << (4 - b)
+    lookup = np.array(list(_B32))
+    chars = lookup[vals.T].copy()  # (n, nchars), C-contiguous U1
+    gh = chars.view(f"<U{nchars}")[:, 0]
+    return batch.append_column(out_col, pa.array(gh, pa.string()))

@@ -322,3 +322,37 @@ def synth_geo_zones_sql(num_zones: int) -> str:
            ((k*97) % 900) / 10.0 - 55.0 + (100 + (k*61) % 200) / 10.0 AS ymax
     FROM range(0, {num_zones}) t(k)
     """
+
+
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_sql(nchars: int = 8) -> str:
+    """SQL expression (over columns mx, my: the 20-bit lon/lat integers)
+    for the classic base32 geohash — bit-for-bit the interleave in
+    stages/spatial.py:geohash_batch. Stream bit j (MSB-first, lon first)
+    is lon bit 19-j//2 for even j, lat bit 19-(j-1)//2 for odd j; each
+    output char encodes five stream bits."""
+    chars = []
+    for k in range(nchars):
+        terms = []
+        for b in range(5):
+            j = 5 * k + b
+            if j % 2 == 0:
+                bit = f"((mx >> {19 - j // 2}) & 1)"
+            else:
+                bit = f"((my >> {19 - (j - 1) // 2}) & 1)"
+            terms.append(f"{bit} * {1 << (4 - b)}")
+        v = " + ".join(terms)
+        chars.append(f"substr('{_B32}', CAST({v} AS INT) + 1, 1)")
+    return " || ".join(chars)
+
+
+GEOHASH_MX_SQL = (
+    "CAST(GREATEST(0, LEAST(1048575,"
+    " floor((lon + 180.0) / 360.0 * 1048576.0))) AS BIGINT)"
+)
+GEOHASH_MY_SQL = (
+    "CAST(GREATEST(0, LEAST(1048575,"
+    " floor((lat + 90.0) / 180.0 * 1048576.0))) AS BIGINT)"
+)

@@ -518,3 +518,39 @@ def test_end_to_end_curate_shard_pack(ray_session, tmp_path):
     for _, g in packed.groupby("doc_id"):
         g = g.sort_values("tok_start")
         assert (g["tok_start"].to_numpy()[1:] >= g["tok_end"].to_numpy()[:-1]).all()
+
+
+# ---------------- geohash ----------------
+
+
+def test_geohash_canonical_values():
+    """The textbook vector: (57.64911 N, 10.40744 E) -> u4pruydq (our
+    8 chars = 40 bits = exactly the 20+20-bit quantization)."""
+    from exactextractr_ray.stages.spatial import geohash_batch
+
+    b = pa.table(
+        {
+            "lon": pa.array([10.40744, -5.6, 0.0], pa.float64()),
+            "lat": pa.array([57.64911, 42.6, 0.0], pa.float64()),
+        }
+    )
+    out = geohash_batch(b)
+    gh = out.column("geohash").to_pylist()
+    assert gh[0] == "u4pruydq"
+    assert gh[1].startswith("ezs42")  # the other classic example cell
+    assert gh[2] == "s0000000"  # origin
+
+
+def test_geohash_prefix_nesting():
+    from exactextractr_ray.stages.spatial import geohash_batch
+
+    base_lon, base_lat = 12.34, 45.67
+    eps = 1e-4
+    b = pa.table(
+        {
+            "lon": pa.array([base_lon, base_lon + eps], pa.float64()),
+            "lat": pa.array([base_lat, base_lat + eps], pa.float64()),
+        }
+    )
+    gh = geohash_batch(b).column("geohash").to_pylist()
+    assert gh[0][:5] == gh[1][:5]  # nearby points share the parent prefix

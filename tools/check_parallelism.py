@@ -121,6 +121,7 @@ QUERIES = [
     "rollup_counts",
     "component_zonal_mean",
     "upsert_merge",
+    "geohash_cells",
 ]
 
 _CHILD = r"""
