@@ -554,3 +554,40 @@ def test_geohash_prefix_nesting():
     )
     gh = geohash_batch(b).column("geohash").to_pylist()
     assert gh[0][:5] == gh[1][:5]  # nearby points share the parent prefix
+
+
+# ---------------- defensive I/O: malformed containers ----------------
+
+
+def test_geotiff_rejects_garbage(tmp_path):
+    from exactextractr_ray.sources.geotiff import read_geotiff
+
+    p = tmp_path / "bad.tif"
+    p.write_bytes(b"NOTATIFF" * 4)
+    with pytest.raises(ValueError, match="TIFF"):
+        read_geotiff(str(p))
+
+
+def test_geotiff_rejects_truncated(tmp_path):
+    import numpy as np
+
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+    from exactextractr_ray.grid import Grid
+
+    p = tmp_path / "t.tif"
+    write_geotiff(
+        np.arange(64, dtype=np.float64).reshape(8, 8),
+        Grid(0, 0, 8, 8, 1, 1),
+        str(p),
+    )
+    data = p.read_bytes()
+    (tmp_path / "trunc.tif").write_bytes(data[: len(data) // 3])
+    with pytest.raises(Exception):  # struct/ValueError — never a hang/garbage
+        read_geotiff(str(tmp_path / "trunc.tif"))
+
+
+def test_gpkg_rejects_non_gpkg_blob():
+    from exactextractr_ray.sources.gpkg import _strip_gpkg_header
+
+    with pytest.raises(ValueError, match="GeoPackage"):
+        _strip_gpkg_header(b"XX\x00\x00garbage")
