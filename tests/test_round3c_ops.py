@@ -591,3 +591,90 @@ def test_gpkg_rejects_non_gpkg_blob():
 
     with pytest.raises(ValueError, match="GeoPackage"):
         _strip_gpkg_header(b"XX\x00\x00garbage")
+
+
+# ---------------- WARC source ----------------
+
+
+def _warc_records(n=6):
+    return [
+        {
+            "url": f"https://ex{i}.org/p",
+            "warc_ts": f"2024-01-0{i+1}T00:00:00Z",
+            "html": f"<html><body>doc {i} é</body></html>".encode(),
+            "http_status": 200 if i % 2 == 0 else 404,
+        }
+        for i in range(n)
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip(ray_session, tmp_path):
+    from exactextractr_ray.sources.warc import read_warc, write_warc
+
+    recs = _warc_records()
+    p1 = str(tmp_path / "a.warc")
+    p2 = str(tmp_path / "b.warc.gz")
+    write_warc(p1, recs[:3])
+    write_warc(p2, recs[3:], gzip_members=True)  # the Common Crawl layout
+    df = (
+        read_warc([p1, p2])
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 6
+    for i, r in enumerate(sorted(recs, key=lambda r: r["url"])):
+        assert df.loc[i, "url"] == r["url"]
+        assert df.loc[i, "warc_ts"] == r["warc_ts"]
+        assert bytes(df.loc[i, "html"]) == r["html"]
+        assert df.loc[i, "http_status"] == r["http_status"]
+
+
+def test_warc_skips_non_response_records(tmp_path):
+    from exactextractr_ray.sources.warc import parse_warc_bytes, write_warc
+
+    p = str(tmp_path / "c.warc")
+    write_warc(p, _warc_records(2))
+    data = open(p, "rb").read()
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 5\r\n\r\n"
+        b"robot\r\n\r\n"
+    )
+    open(p, "wb").write(info + data)
+    recs = parse_warc_bytes(open(p, "rb").read())
+    assert len(recs) == 2  # warcinfo skipped
+
+
+def test_warc_rejects_garbage():
+    from exactextractr_ray.sources.warc import parse_warc_bytes
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="WARC"):
+        parse_warc_bytes(b"this is not a warc file")
+
+
+def test_warc_feeds_extract_links(ray_session, tmp_path):
+    """WARC -> the standard crawl chain: html flows into the link extractor
+    unchanged (the point of matching the pages schema)."""
+    from exactextractr_ray.sources.warc import read_warc, write_warc
+    from exactextractr_ray.stages.web import extract_links_batch
+
+    recs = [
+        {
+            "url": "https://a.org/",
+            "warc_ts": "2024-01-01T00:00:00Z",
+            "html": b'<html><a href="https://b.org/x">t</a></html>',
+        }
+    ]
+    p = str(tmp_path / "d.warc")
+    write_warc(p, recs)
+    ds = read_warc([p]).map_batches(
+        lambda b: extract_links_batch(
+            b.append_column("doc_id", pa.array([7], pa.int64())),
+        ),
+        batch_format="pyarrow",
+    )
+    df = ds.to_pandas()
+    assert df["href"].tolist() == ["https://b.org/x"]
+    assert df["src_doc"].tolist() == [7]
