@@ -1755,6 +1755,28 @@ def _q_topk_per_source(sf_dir: str):
     return out.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_table_profile(sf_dir: str):
+    """Deequ-style data profile of orders (int + string columns): per
+    column n / n_null / EXACT n_distinct / min / max in one streaming
+    pass; the distinct count exchanges per-block-deduped (col, val) pairs
+    and never lands one column's whole distinct set in one task."""
+    import ray.data
+    from exactextractr_ray.stages.profile import profile_columns
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+    )
+    df = profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).to_pandas()
+    for c in ("n", "n_null", "n_distinct"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("col").reset_index(drop=True)
+
+
 def _q_upsert_merge(sf_dir: str):
     """CDC compaction: base = all docs at version 1 with value =
     length(text); updates = docs with doc_id%7 == 0 at version 2 with
@@ -2481,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quantiles": _q_source_quantiles,
         "crawl_diff": _q_crawl_diff,
         "upsert_merge": _q_upsert_merge,
+        "table_profile": _q_table_profile,
         "retention_cohorts": _q_retention,
         "funnel_counts": _q_funnel,
         "orders_return_split": _q_orders_return_split,
@@ -4972,6 +4995,18 @@ def oracle_sql() -> dict[str, str]:
     SELECT pair, cnt FROM a ORDER BY cnt DESC, pair ASC LIMIT 50
     """
 
+    _prof_cols = ["o_custkey", "o_orderkey", "o_orderpriority",
+                  "o_orderstatus"]
+    table_profile_sql = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null,
+        CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+        CAST(MIN({c}) AS VARCHAR) AS min_s,
+        CAST(MAX({c}) AS VARCHAR) AS max_s FROM orders"""
+        for c in _prof_cols
+    ) + "\nORDER BY col"
+
     upsert_merge_sql = """
     WITH base AS (
       SELECT doc_id AS key, 1 AS version,
@@ -5252,6 +5287,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_exact_k": stratified_exact_k_sql,
         "mixture_sample": mixture_sample_sql,
         "upsert_merge": upsert_merge_sql,
+        "table_profile": table_profile_sql,
         "bpe_pair_counts": bpe_pair_counts_sql,
         "pareto_orders": pareto_orders_sql,
         "rollup_counts": rollup_counts_sql,

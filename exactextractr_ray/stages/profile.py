@@ -1,0 +1,190 @@
+"""Data profiling / validation — the Deequ/Great-Expectations-style pass a
+training-data pipeline runs before trusting a new corpus drop.
+
+``profile_columns`` computes per-column (n, n_null, n_distinct, min, max)
+for int64 and string columns in ONE streaming pass: every batch emits
+tagged partial rows —
+
+* metric rows: (col, n, n_null, min_s, max_s) — one per column per batch;
+* distinct rows: (col, value) pairs, per-batch deduped —
+
+and one groupby per stream finalizes. The distinct count is EXACT; its
+exchange is bounded by the per-block distinct-value count (the same
+partial-combine bound as exact_dedup), never the row count. Values
+canonicalize to strings with formats DuckDB reproduces exactly
+(CAST(BIGINT AS VARCHAR) == str(int); strings verbatim), so the whole
+profile is SQL-oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def profile_columns(ds, columns: list[str]):
+    """Dataset of (column, n, n_null, n_distinct, min_s, max_s), one row
+    per profiled column. Supported column types: integer and string (the
+    SQL-canonical ones); min/max compare in the native type and are then
+    canonicalized to strings."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        mrows = {"col": [], "kind": [], "n": [], "n_null": [],
+                 "min_s": [], "max_s": []}
+        dcol, dval = [], []
+        for c in columns:
+            arr = b.column(c)
+            n = len(arr)
+            n_null = arr.null_count
+            valid = arr.drop_null()
+            if pa.types.is_integer(arr.type):
+                vals = valid.to_numpy(zero_copy_only=False)
+                if len(vals):
+                    mn, mx = str(int(vals.min())), str(int(vals.max()))
+                else:
+                    mn = mx = None
+                uniq = [str(int(v)) for v in np.unique(vals)]
+            elif pa.types.is_string(arr.type) or pa.types.is_large_string(
+                arr.type
+            ):
+                u = pc.unique(valid)
+                uniq = u.to_pylist()
+                mn = min(uniq) if uniq else None
+                mx = max(uniq) if uniq else None
+            else:
+                raise TypeError(
+                    f"profile_columns: unsupported type {arr.type} for {c!r}"
+                )
+            mrows["col"].append(c)
+            mrows["kind"].append(0)
+            mrows["n"].append(n)
+            mrows["n_null"].append(n_null)
+            mrows["min_s"].append(mn)
+            mrows["max_s"].append(mx)
+            dcol.extend([c] * len(uniq))
+            dval.extend(uniq)
+        metric = pa.table(
+            {
+                "col": pa.array(mrows["col"], pa.string()),
+                "n": pa.array(mrows["n"], pa.int64()),
+                "n_null": pa.array(mrows["n_null"], pa.int64()),
+                "min_s": pa.array(mrows["min_s"], pa.string()),
+                "max_s": pa.array(mrows["max_s"], pa.string()),
+            }
+        )
+        distinct = pa.table(
+            {
+                "col": pa.array(dcol, pa.string()),
+                "val": pa.array(dval, pa.string()),
+            }
+        )
+        return metric, distinct
+
+    # one pass, two output streams: run the batch fn once per batch and
+    # interleave the two row kinds in a single tagged table
+    def tagged(b: pa.Table) -> pa.Table:
+        metric, distinct = partial(b)
+        m = pa.table(
+            {
+                "col": metric.column("col"),
+                "val": pa.array([None] * metric.num_rows, pa.string()),
+                "n": metric.column("n"),
+                "n_null": metric.column("n_null"),
+                "min_s": metric.column("min_s"),
+                "max_s": metric.column("max_s"),
+                "kind": pa.array(
+                    np.zeros(metric.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+        z = pa.array(np.zeros(distinct.num_rows, np.int64), pa.int64())
+        nul = pa.array([None] * distinct.num_rows, pa.string())
+        d = pa.table(
+            {
+                "col": distinct.column("col"),
+                "val": distinct.column("val"),
+                "n": z,
+                "n_null": z,
+                "min_s": nul,
+                "max_s": nul,
+                "kind": pa.array(
+                    np.ones(distinct.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+        return pa.concat_tables([m, d])
+
+    rows = ds.map_batches(tagged, batch_format="pyarrow")
+
+    # distinct count WITHOUT a per-column hot group: global (col, val)
+    # dedupe (exchange = distinct pairs), then per-batch count partials —
+    # a key column's distinct set never lands in one task
+    import pyarrow as pa_
+
+    dedup = (
+        rows.filter(expr="kind == 1")
+        .groupby(["col", "val"])
+        .count()
+    )
+
+    def dcount_part(b: pa_.Table) -> pa_.Table:
+        cols = b.column("col").to_pylist()
+        uniq, inv = np.unique(np.asarray(cols, object), return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa_.table(
+            {
+                "col": pa_.array(list(uniq), pa_.string()),
+                "n_distinct": pa_.array(cnt, pa_.int64()),
+            }
+        )
+
+    dcounts = (
+        dedup.map_batches(dcount_part, batch_format="pyarrow")
+        .groupby("col")
+        .sum("n_distinct")
+        .map_batches(
+            lambda b: b.rename_columns(["col", "n_distinct"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def metric_final(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["kind"] == 0]
+        mn = m["min_s"].dropna()
+        mx = m["max_s"].dropna()
+        col = str(g["col"].iloc[0])
+        int_col = len(mn) > 0 and mn.iloc[0].lstrip("-").isdigit()
+        if int_col:
+            mins = str(min(int(x) for x in mn)) if len(mn) else None
+            maxs = str(max(int(x) for x in mx)) if len(mx) else None
+        else:
+            mins = mn.min() if len(mn) else None
+            maxs = mx.max() if len(mx) else None
+        return pd.DataFrame(
+            {
+                "col": [col],
+                "n": [int(m["n"].sum())],
+                "n_null": [int(m["n_null"].sum())],
+                "min_s": [mins],
+                "max_s": [maxs],
+            }
+        )
+
+    metrics = (
+        rows.filter(expr="kind == 0")
+        .groupby("col")
+        .map_groups(metric_final, batch_format="pandas")
+    )
+    # both sides are #columns rows — the driver-side merge is trivial
+    mdf = metrics.to_pandas()
+    ddf = dcounts.to_pandas()
+    out = mdf.merge(ddf, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0).astype(np.int64)
+    out = out[["col", "n", "n_null", "n_distinct", "min_s", "max_s"]]
+    import ray.data
+
+    return ray.data.from_pandas(
+        out.sort_values("col").reset_index(drop=True)
+    )

@@ -678,3 +678,37 @@ def test_warc_feeds_extract_links(ray_session, tmp_path):
     df = ds.to_pandas()
     assert df["href"].tolist() == ["https://b.org/x"]
     assert df["src_doc"].tolist() == [7]
+
+
+# ---------------- profile_columns ----------------
+
+
+def test_profile_columns_with_nulls(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.profile import profile_columns
+
+    t = pa.table(
+        {
+            "k": pa.array([3, 1, None, 3, 2], pa.int64()),
+            "s": pa.array(["b", None, "a", "b", "c"], pa.string()),
+        }
+    )
+    df = (
+        profile_columns(ray.data.from_arrow(t).repartition(3), ["k", "s"])
+        .to_pandas()
+        .set_index("col")
+    )
+    assert df.loc["k", "n"] == 5 and df.loc["k", "n_null"] == 1
+    assert df.loc["k", "n_distinct"] == 3
+    assert df.loc["k", "min_s"] == "1" and df.loc["k", "max_s"] == "3"
+    assert df.loc["s", "n_distinct"] == 3
+    assert df.loc["s", "min_s"] == "a" and df.loc["s", "max_s"] == "c"
+
+
+def test_profile_columns_rejects_unsupported(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.profile import profile_columns
+
+    t = pa.table({"f": pa.array([1.5, 2.5], pa.float64())})
+    with pytest.raises(Exception, match="unsupported"):
+        profile_columns(ray.data.from_arrow(t), ["f"]).to_pandas()

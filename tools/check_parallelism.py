@@ -122,6 +122,7 @@ QUERIES = [
     "component_zonal_mean",
     "upsert_merge",
     "geohash_cells",
+    "table_profile",
 ]
 
 _CHILD = r"""
