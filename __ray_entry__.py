@@ -1777,6 +1777,33 @@ def _q_table_profile(sf_dir: str):
     return df.sort_values("col").reset_index(drop=True)
 
 
+def _q_validate_orders(sf_dir: str):
+    """Deequ-style declarative data-quality checks over orders: unique
+    key, not-null, accepted status set, price range — one streaming pass
+    per constraint family, exact violation counts."""
+    import ray.data
+    from exactextractr_ray.stages.profile import check_constraints
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    df = check_constraints(
+        orders,
+        [
+            {"kind": "unique", "col": "o_orderkey"},
+            {"kind": "not_null", "col": "o_orderstatus"},
+            {"kind": "in_set", "col": "o_orderstatus",
+             "values": ["F", "O", "P"]},
+            {"kind": "range", "col": "o_totalprice",
+             "lo": 0.0, "hi": 200000.0},
+        ],
+    ).to_pandas()
+    for c in ("n_checked", "n_violations"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["constraint", "col"]).reset_index(drop=True)
+
+
 def _q_upsert_merge(sf_dir: str):
     """CDC compaction: base = all docs at version 1 with value =
     length(text); updates = docs with doc_id%7 == 0 at version 2 with
@@ -2504,6 +2531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _q_crawl_diff,
         "upsert_merge": _q_upsert_merge,
         "table_profile": _q_table_profile,
+        "validate_orders": _q_validate_orders,
         "retention_cohorts": _q_retention,
         "funnel_counts": _q_funnel,
         "orders_return_split": _q_orders_return_split,
@@ -5007,6 +5035,31 @@ def oracle_sql() -> dict[str, str]:
         for c in _prof_cols
     ) + "\nORDER BY col"
 
+    validate_orders_sql = """
+    SELECT * FROM (
+      SELECT 'in_set' AS "constraint", 'o_orderstatus' AS col,
+             COUNT(*) AS n_checked,
+             CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'not_null', 'o_orderstatus', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'range', 'o_totalprice', COUNT(*),
+             CAST(SUM(CASE WHEN o_totalprice >= 0.0
+                            AND o_totalprice <= 200000.0
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey', COUNT(*),
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+    ) ORDER BY "constraint", col
+    """
+
     upsert_merge_sql = """
     WITH base AS (
       SELECT doc_id AS key, 1 AS version,
@@ -5288,6 +5341,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": mixture_sample_sql,
         "upsert_merge": upsert_merge_sql,
         "table_profile": table_profile_sql,
+        "validate_orders": validate_orders_sql,
         "bpe_pair_counts": bpe_pair_counts_sql,
         "pareto_orders": pareto_orders_sql,
         "rollup_counts": rollup_counts_sql,

@@ -188,3 +188,90 @@ def profile_columns(ds, columns: list[str]):
     return ray.data.from_pandas(
         out.sort_values("col").reset_index(drop=True)
     )
+
+
+def check_constraints(ds, constraints: list[dict]):
+    """Data-quality validation (the Deequ ``check`` side): evaluate a list
+    of declarative constraints in one streaming pass and return one row
+    per constraint: (constraint, column, n_checked, n_violations).
+
+    Constraint kinds:
+      {"kind": "not_null", "col": c}          — null rows violate
+      {"kind": "range", "col": c, "lo": x, "hi": y}  — outside [lo, hi]
+      {"kind": "in_set", "col": c, "values": [...]}  — not in the set
+      {"kind": "unique", "col": c}            — violations = n - n_distinct
+
+    not_null/range/in_set are pure per-batch counts (one tiny partial row
+    per constraint per block, no data movement); unique reuses the
+    profile's distinct machinery (per-block-deduped value exchange).
+    """
+    simple = [c for c in constraints if c["kind"] != "unique"]
+    uniq = [c for c in constraints if c["kind"] == "unique"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, cols, checked, viol = [], [], [], []
+        for c in simple:
+            col = c["col"]
+            arr = b.column(col)
+            n = len(arr)
+            if c["kind"] == "not_null":
+                v = arr.null_count
+            elif c["kind"] == "range":
+                ok = pc.and_(
+                    pc.greater_equal(arr, pa.scalar(c["lo"])),
+                    pc.less_equal(arr, pa.scalar(c["hi"])),
+                )
+                v = n - pc.sum(pc.cast(pc.fill_null(ok, False), pa.int64())).as_py()
+            elif c["kind"] == "in_set":
+                ok = pc.is_in(arr, value_set=pa.array(c["values"]))
+                v = n - pc.sum(pc.cast(pc.fill_null(ok, False), pa.int64())).as_py()
+            else:
+                raise ValueError(f"unknown constraint kind {c['kind']!r}")
+            names.append(c["kind"])
+            cols.append(col)
+            checked.append(n)
+            viol.append(int(v))
+        return pa.table(
+            {
+                "constraint": pa.array(names, pa.string()),
+                "col": pa.array(cols, pa.string()),
+                "n_checked": pa.array(checked, pa.int64()),
+                "n_violations": pa.array(viol, pa.int64()),
+            }
+        )
+
+    parts = []
+    if simple:
+        out = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["constraint", "col"])
+            .sum(["n_checked", "n_violations"])
+            .map_batches(
+                lambda b: b.rename_columns(
+                    ["constraint", "col", "n_checked", "n_violations"]
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        parts.append(out.to_pandas())
+    for c in uniq:
+        prof = profile_columns(ds, [c["col"]]).to_pandas()
+        n = int(prof["n"].iloc[0])
+        nd = int(prof["n_distinct"].iloc[0])
+        nn = int(prof["n_null"].iloc[0])
+        parts.append(
+            pd.DataFrame(
+                {
+                    "constraint": ["unique"],
+                    "col": [c["col"]],
+                    "n_checked": [n],
+                    "n_violations": [(n - nn) - nd],
+                }
+            )
+        )
+    import ray.data
+
+    res = pd.concat(parts, ignore_index=True)
+    return ray.data.from_pandas(
+        res.sort_values(["constraint", "col"]).reset_index(drop=True)
+    )

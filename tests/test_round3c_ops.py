@@ -712,3 +712,33 @@ def test_profile_columns_rejects_unsupported(ray_session):
     t = pa.table({"f": pa.array([1.5, 2.5], pa.float64())})
     with pytest.raises(Exception, match="unsupported"):
         profile_columns(ray.data.from_arrow(t), ["f"]).to_pandas()
+
+
+def test_check_constraints_kinds(ray_session):
+    import ray.data
+    from exactextractr_ray.stages.profile import check_constraints
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 2, None], pa.int64()),
+            "s": pa.array(["a", "x", "a", None], pa.string()),
+            "v": pa.array([5.0, -1.0, 50.0, 200.0], pa.float64()),
+        }
+    )
+    df = (
+        check_constraints(
+            ray.data.from_arrow(t).repartition(2),
+            [
+                {"kind": "unique", "col": "k"},
+                {"kind": "not_null", "col": "s"},
+                {"kind": "in_set", "col": "s", "values": ["a", "b"]},
+                {"kind": "range", "col": "v", "lo": 0.0, "hi": 100.0},
+            ],
+        )
+        .to_pandas()
+        .set_index(["constraint", "col"])["n_violations"]
+    )
+    assert df[("unique", "k")] == 1       # 2 appears twice (nulls excluded)
+    assert df[("not_null", "s")] == 1     # one null
+    assert df[("in_set", "s")] == 2       # 'x' and the null
+    assert df[("range", "v")] == 2        # -1 and 200

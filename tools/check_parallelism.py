@@ -123,6 +123,7 @@ QUERIES = [
     "upsert_merge",
     "geohash_cells",
     "table_profile",
+    "validate_orders",
 ]
 
 _CHILD = r"""
