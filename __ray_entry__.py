@@ -1755,6 +1755,17 @@ def _q_topk_per_source(sf_dir: str):
     return out.sort_values(["source", "rnk"]).reset_index(drop=True)
 
 
+def _q_t5_spans(sf_dir: str):
+    """T5 span-corruption masks: block-level md5 decisions (non-overlap by
+    construction), one salted-prefix md5 per 3-token block."""
+    from exactextractr_ray.stages.text import t5_span_masks
+
+    df = t5_span_masks(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 def _q_table_profile(sf_dir: str):
     """Deequ-style data profile of orders (int + string columns): per
     column n / n_null / EXACT n_distinct / min / max in one streaming
@@ -2531,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_diff": _q_crawl_diff,
         "upsert_merge": _q_upsert_merge,
         "table_profile": _q_table_profile,
+        "t5_spans": _q_t5_spans,
         "validate_orders": _q_validate_orders,
         "retention_cohorts": _q_retention,
         "funnel_counts": _q_funnel,
@@ -5035,6 +5047,28 @@ def oracle_sql() -> dict[str, str]:
         for c in _prof_cols
     ) + "\nORDER BY col"
 
+    t5_spans_sql = """
+    WITH n AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS bi, n_tok
+      FROM n, range(0, 100000) t(i)
+      WHERE i < (n_tok + 2) // 3
+    )
+    SELECT doc_id,
+           bi * 3 AS span_start,
+           LEAST((bi + 1) * 3, n_tok) AS span_end
+    FROM blocks
+    WHERE CAST(('0x' || substr(
+            md5('t5:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(bi AS VARCHAR)), 1, 8)) AS UBIGINT) % 7 = 0
+    ORDER BY doc_id, span_start
+    """
+
     validate_orders_sql = """
     SELECT * FROM (
       SELECT 'in_set' AS "constraint", 'o_orderstatus' AS col,
@@ -5342,6 +5376,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_merge": upsert_merge_sql,
         "table_profile": table_profile_sql,
         "validate_orders": validate_orders_sql,
+        "t5_spans": t5_spans_sql,
         "bpe_pair_counts": bpe_pair_counts_sql,
         "pareto_orders": pareto_orders_sql,
         "rollup_counts": rollup_counts_sql,

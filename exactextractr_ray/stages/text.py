@@ -1242,3 +1242,53 @@ def bpe_pair_counts(ds, text_col: str = "text", k: int = 50):
         .groupby("g")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def t5_span_masks(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block: int = 3,
+    rate_mod: int = 7,
+    salt: str = "t5",
+):
+    """T5-style span-corruption mask assignment: partition each document's
+    whitespace tokens into fixed ``block``-token blocks and mask block b of
+    doc d iff ``md5('salt:d:b')`` (first 8 hex as uint32) % rate_mod == 0 —
+    deterministic, non-overlapping by construction (block-level decisions
+    need no greedy left-to-right resolution, keeping both the distributed
+    pass and the SQL oracle closed-form).
+
+    Returns (doc_id, span_start, span_end) token-index rows for every
+    masked span (the final span clips to the doc's token count). Pure
+    per-batch fan-out — one salted-prefix md5 per BLOCK (1/block of the
+    token count), document text never shuffles.
+    """
+    import hashlib
+
+    def f(b: pa.Table) -> pa.Table:
+        # md5 objects don't pickle — build the salted prefix per batch
+        pre = hashlib.md5(f"{salt}:".encode())
+        cp = pre.copy
+        ids = b.column(id_col).to_numpy()
+        texts = b.column(text_col).to_pylist()
+        out_d, out_s, out_e = [], [], []
+        for i, t in zip(ids, texts):
+            n = sum(1 for w in (t or "").split(" ") if w)
+            nb = (n + block - 1) // block
+            for bi in range(nb):
+                h = cp()
+                h.update(f"{int(i)}:{bi}".encode())
+                if int(h.hexdigest()[:8], 16) % rate_mod == 0:
+                    out_d.append(int(i))
+                    out_s.append(bi * block)
+                    out_e.append(min((bi + 1) * block, n))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "span_start": pa.array(out_s, pa.int64()),
+                "span_end": pa.array(out_e, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -742,3 +742,30 @@ def test_check_constraints_kinds(ray_session):
     assert df[("not_null", "s")] == 1     # one null
     assert df[("in_set", "s")] == 2       # 'x' and the null
     assert df[("range", "v")] == 2        # -1 and 200
+
+
+def test_t5_spans_properties(ray_session):
+    """Spans are non-overlapping, block-aligned, clipped to the doc's
+    token count, and ~1/7 of blocks are masked."""
+    import ray.data
+    from exactextractr_ray.stages.text import t5_span_masks
+
+    texts = ["w " * k for k in (1, 2, 3, 10, 50, 200)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array([t.strip() for t in texts], pa.string()),
+            }
+        )
+    ).repartition(2)
+    df = t5_span_masks(ds).to_pandas().sort_values(["doc_id", "span_start"])
+    ntok = {i: k for i, k in enumerate((1, 2, 3, 10, 50, 200))}
+    for _, r in df.iterrows():
+        assert r["span_start"] % 3 == 0
+        assert r["span_end"] <= ntok[int(r["doc_id"])]
+        assert r["span_end"] > r["span_start"]
+    for _, g in df.groupby("doc_id"):
+        s = g["span_start"].to_numpy()
+        e = g["span_end"].to_numpy()
+        assert (s[1:] >= e[:-1]).all()

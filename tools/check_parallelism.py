@@ -124,6 +124,7 @@ QUERIES = [
     "geohash_cells",
     "table_profile",
     "validate_orders",
+    "t5_spans",
 ]
 
 _CHILD = r"""
