@@ -144,6 +144,64 @@ def _q_zonal_stats(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zonal_regression(sf_dir: str):
+    """Per-zone coverage-weighted OLS slope/intercept of value on weight
+    (segmented regression — the per-region-trend op): per-batch exact
+    moment partials (Σc, Σcx, Σcy, Σcxx, Σcxy; dyadic cov × integer
+    rasters keep every product/sum exact in f64), one groupby-sum, slope =
+    (ΣcΣcxy − ΣcxΣcy)/(ΣcΣcxx − Σcx²) with the division last — the same
+    integer-normal-equations trick as linreg_fit, keyed by zone."""
+    from exactextractr_ray.pipelines.zonal import extract_cells
+
+    cells = extract_cells(
+        _raster(("value", "weight")), _rect_zones(), weight_layer="weight"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa_
+
+        if b.num_rows == 0 or "weight" not in b.schema.names:
+            return pa_.table(
+                {
+                    "zone_id": pa_.array([], pa_.int64()),
+                    "sc": pa_.array([], pa_.float64()),
+                    "scx": pa_.array([], pa_.float64()),
+                    "scy": pa_.array([], pa_.float64()),
+                    "scxx": pa_.array([], pa_.float64()),
+                    "scxy": pa_.array([], pa_.float64()),
+                }
+            )
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        keep = ~np.isnan(v)
+        c = b.column("cov").to_numpy()[keep]
+        x = b.column("weight").to_numpy()[keep]
+        y = v[keep]
+        z = b.column("zone_id").to_numpy()[keep]
+        uz, inv = np.unique(z, return_inverse=True)
+        out = {"zone_id": pa_.array(uz.astype(np.int64), pa_.int64())}
+        for name, arr in (
+            ("sc", c), ("scx", c * x), ("scy", c * y),
+            ("scxx", c * x * x), ("scxy", c * x * y),
+        ):
+            out[name] = pa_.array(np.bincount(inv, weights=arr), pa_.float64())
+        return pa_.table(out)
+
+    agg = (
+        cells.map_batches(partial, batch_format="pyarrow")
+        .groupby("zone_id")
+        .sum(["sc", "scx", "scy", "scxx", "scxy"])
+        .to_pandas()
+    )
+    agg.columns = ["zone_id", "sc", "scx", "scy", "scxx", "scxy"]
+    den = agg["sc"] * agg["scxx"] - agg["scx"] * agg["scx"]
+    agg["slope"] = (agg["sc"] * agg["scxy"] - agg["scx"] * agg["scy"]) / den
+    agg["intercept"] = (agg["scy"] - agg["slope"] * agg["scx"]) / agg["sc"]
+    out = agg[["zone_id", "slope", "intercept"]].copy()
+    out["zone_id"] = out["zone_id"].astype(np.int64)
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_zonal_gini(sf_dir: str):
     """Per-zone Gini impurity of the coverage-weighted value distribution
     (1 - sum_v (C_v/C)^2) — categorical-diversity stat over the same exact
@@ -2445,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_median_rect": _q_zonal_median,
         "zonal_frac_rect": _q_zonal_frac,
         "zonal_gini": _q_zonal_gini,
+        "zonal_regression": _q_zonal_regression,
         "zonal_centroid": _q_zonal_centroid,
         "extract_cells_rect": _q_extract_cells,
         "rasterize_rect": _q_rasterize,
@@ -2698,6 +2757,25 @@ def oracle_sql() -> dict[str, str]:
       SUM(({N_GRID} - r - 0.5) * val * cov) / SUM(val * cov) AS cy
     FROM cov WHERE cov > 0 AND val IS NOT NULL
     GROUP BY zone_id ORDER BY zone_id
+    """
+
+    zonal_regression = f"""
+    WITH cov AS ({cov}),
+    m AS (
+      SELECT zone_id,
+        SUM(cov) AS sc,
+        SUM(cov * wgt) AS scx,
+        SUM(cov * val) AS scy,
+        SUM(cov * wgt * wgt) AS scxx,
+        SUM(cov * wgt * val) AS scxy
+      FROM cov WHERE cov > 0 AND val IS NOT NULL
+      GROUP BY zone_id
+    )
+    SELECT zone_id,
+      (sc * scxy - scx * scy) / (sc * scxx - scx * scx) AS slope,
+      (scy - (sc * scxy - scx * scy) / (sc * scxx - scx * scx) * scx) / sc
+        AS intercept
+    FROM m ORDER BY zone_id
     """
 
     zonal_gini = f"""
@@ -5271,6 +5349,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_median_rect": zonal_median,
         "zonal_frac_rect": zonal_frac,
         "zonal_gini": zonal_gini,
+        "zonal_regression": zonal_regression,
         "zonal_centroid": zonal_centroid,
         "extract_cells_rect": extract_cells,
         "rasterize_rect": rasterize,

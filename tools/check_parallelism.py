@@ -125,6 +125,7 @@ QUERIES = [
     "table_profile",
     "validate_orders",
     "t5_spans",
+    "zonal_regression",
 ]
 
 _CHILD = r"""
