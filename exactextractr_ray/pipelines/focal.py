@@ -53,7 +53,7 @@ def _halo_fanout(
     Requires k <= tile size (one-tile-deep halo; production tiles are
     256-1024 px, windows 3-11 px, so this never binds in practice).
     """
-    dst, r0s, c0s, hs, ws, vals = [], [], [], [], [], []
+    dst, r0s, c0s, hs, ws, bodies, vals = [], [], [], [], [], [], []
     tys = batch.column("ty").to_numpy()
     txs = batch.column("tx").to_numpy()
     row0s = batch.column("row0").to_numpy()
@@ -68,12 +68,16 @@ def _halo_fanout(
         # zero-copy view of the tile body (no Python-list round trip)
         v = np.asarray(values[i].values, dtype=np.float64).reshape(th, tw)
 
-        def emit(dty: int, dtx: int, frag: np.ndarray, fr0: int, fc0: int):
+        def emit(
+            dty: int, dtx: int, frag: np.ndarray, fr0: int, fc0: int,
+            is_body: int = 0,
+        ):
             dst.append((ty + dty) * tiles_x + (tx + dtx))
             r0s.append(fr0)
             c0s.append(fc0)
             hs.append(frag.shape[0])
             ws.append(frag.shape[1])
+            bodies.append(is_body)
             vals.append(frag.ravel())
 
         for dty in (-1, 0, 1):
@@ -84,7 +88,7 @@ def _halo_fanout(
                     continue
                 if dty == 0 and dtx == 0:
                     if include_body:
-                        emit(0, 0, v, row0, col0)
+                        emit(0, 0, v, row0, col0, is_body=1)
                     continue
                 # the k-cell-deep slice of THIS tile adjacent to that
                 # neighbor: dty=+1 neighbor sits BELOW us -> it needs our
@@ -114,6 +118,7 @@ def _halo_fanout(
             "col0": pa.array(c0s, pa.int32()),
             "h": pa.array(hs, pa.int32()),
             "w": pa.array(ws, pa.int32()),
+            "is_body": pa.array(bodies, pa.int8()),
             "values": pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float64())),
         }
     )
@@ -123,8 +128,12 @@ def _assemble_canvas(group: pa.Table, k: int = 1):
     """Fragment group -> (NaN-padded (th+2k, tw+2k) canvas, row0, col0,
     th, tw).
 
-    The full-body fragment (the largest) fixes the tile bounds; strips land
-    by absolute offset. Off-canvas parts of diagonal strips are clipped
+    The full-body fragment (tagged ``is_body=1`` by ``_halo_fanout``) fixes
+    the tile bounds — an explicit tag, NOT argmax area: on a ragged-edge
+    tile no deeper than the window radius, an incoming neighbor strip can
+    tie or exceed the body's area, and inferring by size would pick the
+    wrong fragment (wrong bounds, duplicated cells). Strips land by
+    absolute offset. Off-canvas parts of diagonal strips are clipped
     (a corner strip from a ragged neighbor can overhang when k > 1).
     """
     r0s = group.column("row0").to_numpy()
@@ -132,7 +141,8 @@ def _assemble_canvas(group: pa.Table, k: int = 1):
     hs = group.column("h").to_numpy()
     ws = group.column("w").to_numpy()
     values = group.column("values").combine_chunks()
-    body = int(np.argmax(hs.astype(np.int64) * ws.astype(np.int64)))
+    body_mask = group.column("is_body").to_numpy()
+    body = int(np.argmax(body_mask))
     th, tw = int(hs[body]), int(ws[body])
     row0, col0 = int(r0s[body]), int(c0s[body])
     canvas = np.full((th + 2 * k, tw + 2 * k), np.nan, np.float64)

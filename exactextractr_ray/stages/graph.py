@@ -333,8 +333,16 @@ def triangle_counts(edges, coarse: int = 64, src_col: str = "src",
         v = g["v"].to_numpy()
         w = g["w"].to_numpy()
         u = g["u"].to_numpy()
-        # collision-free pair key (node ids < 2^31: (v << 31) | w is exact)
-        ek = (v[kind == 0] << np.int64(31)) + w[kind == 0]
+        # unconditionally collision-free pair key: densify node ids to
+        # LOCAL indices within this group (searchsorted over the group's
+        # distinct ids), then pair-key in the dense space. Works for any
+        # int64 node id — a shifted key like (v << 31) + w silently
+        # produces phantom matches once ids reach 2^31.
+        nodes = np.unique(np.concatenate([v, w]))
+        n_local = np.int64(len(nodes))
+        lv = np.searchsorted(nodes, v).astype(np.int64)
+        lw = np.searchsorted(nodes, w).astype(np.int64)
+        ek = lv[kind == 0] * n_local + lw[kind == 0]
         ek = np.unique(ek)
         wv, ww, wu = v[kind == 1], w[kind == 1], u[kind == 1]
         if len(wv) == 0 or len(ek) == 0:
@@ -345,7 +353,7 @@ def triangle_counts(edges, coarse: int = 64, src_col: str = "src",
                     "w": pd.Series([], dtype=np.int64),
                 }
             )
-        wk = (wv << np.int64(31)) + ww
+        wk = lv[kind == 1] * n_local + lw[kind == 1]
         pos = np.searchsorted(ek, wk)
         pos = np.clip(pos, 0, len(ek) - 1)
         hit = ek[pos] == wk

@@ -31,7 +31,7 @@ def profile_columns(ds, columns: list[str]):
     canonicalized to strings."""
 
     def partial(b: pa.Table) -> pa.Table:
-        mrows = {"col": [], "kind": [], "n": [], "n_null": [],
+        mrows = {"col": [], "vkind": [], "n": [], "n_null": [],
                  "min_s": [], "max_s": []}
         dcol, dval = [], []
         for c in columns:
@@ -40,6 +40,7 @@ def profile_columns(ds, columns: list[str]):
             n_null = arr.null_count
             valid = arr.drop_null()
             if pa.types.is_integer(arr.type):
+                vkind = 0
                 vals = valid.to_numpy(zero_copy_only=False)
                 if len(vals):
                     mn, mx = str(int(vals.min())), str(int(vals.max()))
@@ -49,6 +50,7 @@ def profile_columns(ds, columns: list[str]):
             elif pa.types.is_string(arr.type) or pa.types.is_large_string(
                 arr.type
             ):
+                vkind = 1
                 u = pc.unique(valid)
                 uniq = u.to_pylist()
                 mn = min(uniq) if uniq else None
@@ -58,7 +60,12 @@ def profile_columns(ds, columns: list[str]):
                     f"profile_columns: unsupported type {arr.type} for {c!r}"
                 )
             mrows["col"].append(c)
-            mrows["kind"].append(0)
+            # carry the COLUMN TYPE to the finalizer explicitly (0=int,
+            # 1=string): sniffing "is the min string all digits?" at
+            # finalize breaks string columns with numeric-looking values
+            # (zip codes, version strings: lexicographic min('10','9') is
+            # '10', integer re-parse would return '9')
+            mrows["vkind"].append(vkind)
             mrows["n"].append(n)
             mrows["n_null"].append(n_null)
             mrows["min_s"].append(mn)
@@ -68,6 +75,7 @@ def profile_columns(ds, columns: list[str]):
         metric = pa.table(
             {
                 "col": pa.array(mrows["col"], pa.string()),
+                "vkind": pa.array(mrows["vkind"], pa.int8()),
                 "n": pa.array(mrows["n"], pa.int64()),
                 "n_null": pa.array(mrows["n_null"], pa.int64()),
                 "min_s": pa.array(mrows["min_s"], pa.string()),
@@ -90,6 +98,7 @@ def profile_columns(ds, columns: list[str]):
             {
                 "col": metric.column("col"),
                 "val": pa.array([None] * metric.num_rows, pa.string()),
+                "vkind": metric.column("vkind"),
                 "n": metric.column("n"),
                 "n_null": metric.column("n_null"),
                 "min_s": metric.column("min_s"),
@@ -105,6 +114,9 @@ def profile_columns(ds, columns: list[str]):
             {
                 "col": distinct.column("col"),
                 "val": distinct.column("val"),
+                "vkind": pa.array(
+                    np.zeros(distinct.num_rows, np.int8), pa.int8()
+                ),
                 "n": z,
                 "n_null": z,
                 "min_s": nul,
@@ -155,7 +167,7 @@ def profile_columns(ds, columns: list[str]):
         mn = m["min_s"].dropna()
         mx = m["max_s"].dropna()
         col = str(g["col"].iloc[0])
-        int_col = len(mn) > 0 and mn.iloc[0].lstrip("-").isdigit()
+        int_col = len(m) > 0 and int(m["vkind"].iloc[0]) == 0
         if int_col:
             mins = str(min(int(x) for x in mn)) if len(mn) else None
             maxs = str(max(int(x) for x in mx)) if len(mx) else None

@@ -323,3 +323,46 @@ def test_focal_median_bruteforce(_ray):
             k = len(vals)
             assert row["focal_median"] == (vals[(k - 1) // 2] + vals[k // 2]) / 2.0
             assert row["n_valid"] == k
+
+
+@pytest.mark.parametrize("window", [3, 5])
+def test_focal_ragged_edge_shuffle_plan(_ray, window):
+    """Regression (round-4 ADVICE): on a ragged grid whose edge tile is no
+    deeper than the window radius (n=33, tile=16 -> 1-deep edge tiles), the
+    shuffle-halo plan must still identify each tile body explicitly — a
+    neighbor strip can tie/exceed the edge tile's area, so argmax-by-area
+    picked the wrong fragment, emitted wrong bounds and duplicate cells
+    (1156 rows instead of 1089 for window=5). Both physical plans must be
+    byte-identical and match the single-array brute force."""
+    from exactextractr_ray.pipelines.focal import focal_stats
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n, tile = 33, 16
+    rd = synthetic_raster_dataset(n=n, tile=tile, dtype=np.float64)
+
+    # single-array brute force
+    k = window // 2
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    full = synth.synth_values(r, c)
+    pad = np.full((n + 2 * k, n + 2 * k), np.nan)
+    pad[k:-k, k:-k] = full
+    valid = ~np.isnan(pad)
+    filled = np.where(valid, pad, 0.0)
+    s = np.zeros((n, n))
+    cnt = np.zeros((n, n), np.int64)
+    for dr in range(window):
+        for dc in range(window):
+            s += filled[dr : dr + n, dc : dc + n]
+            cnt += valid[dr : dr + n, dc : dc + n]
+
+    for cap in (None, 0):  # broadcast plan, then forced shuffle plan
+        df = (
+            focal_stats(rd, window=window, broadcast_cap=cap)
+            .to_pandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert len(df) == n * n, (cap, len(df))
+        assert np.array_equal(df["cell"].to_numpy(), np.arange(n * n))
+        assert np.array_equal(df["focal_cnt"].to_numpy(), cnt.ravel())
+        assert np.array_equal(df["focal_sum"].to_numpy(), s.ravel())

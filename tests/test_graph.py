@@ -225,3 +225,40 @@ def test_triangle_counts_hub_skew(ray_session):
     assert out[0] == n - 2
     assert out[1] == 1 and out[n - 1] == 1
     assert (out.drop([0, 1, n - 1]) == 2).all()
+
+
+def test_triangle_counts_large_node_ids(ray_session):
+    """Regression (round-4 ADVICE): node ids >= 2^31 must not produce
+    phantom triangles — the old (v << 31) + w pair key collided there.
+    A triangle among huge ids plus a non-closing wedge whose shifted keys
+    would alias."""
+    import itertools
+
+    import ray.data
+    from exactextractr_ray.stages.graph import triangle_counts
+
+    B = 2**31
+    # one real triangle on huge ids + a pendant edge (no extra triangle)
+    edges = [(B + 5, B + 9), (B + 9, 3 * B + 1), (B + 5, 3 * B + 1),
+             (3 * B + 1, 7 * B + 2)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    got = triangle_counts(ds).to_pandas().set_index("node")["n_triangles"].to_dict()
+
+    # set-based brute force
+    und = set()
+    for a, b in edges:
+        und.add((min(a, b), max(a, b)))
+    nodes = sorted({x for e in und for x in e})
+    expected = {}
+    for u, v, w in itertools.combinations(nodes, 3):
+        if (u, v) in und and (v, w) in und and (u, w) in und:
+            for x in (u, v, w):
+                expected[x] = expected.get(x, 0) + 1
+    assert got == expected

@@ -769,3 +769,30 @@ def test_t5_spans_properties(ray_session):
         s = g["span_start"].to_numpy()
         e = g["span_end"].to_numpy()
         assert (s[1:] >= e[:-1]).all()
+
+
+def test_profile_columns_numeric_looking_strings(ray_session):
+    """Regression (round-4 ADVICE): a STRING column whose values look
+    numeric ('9' vs '10' — zip codes, version strings) must keep
+    lexicographic VARCHAR min/max semantics at BOTH levels (per-batch
+    partial and global combine). The old finalizer sniffed digits and
+    re-parsed as int, giving min='9' where SQL VARCHAR min is '10'."""
+    import ray.data
+    from exactextractr_ray.stages.profile import profile_columns
+
+    t = pa.table(
+        {
+            "zip": pa.array(["9", "10", "200", "9", "10"], pa.string()),
+            "k": pa.array([9, 10, 200, 9, 10], pa.int64()),
+        }
+    )
+    df = (
+        profile_columns(ray.data.from_arrow(t).repartition(3), ["zip", "k"])
+        .to_pandas()
+        .set_index("col")
+    )
+    # string column: lexicographic (matches DuckDB VARCHAR min/max)
+    assert df.loc["zip", "min_s"] == "10" and df.loc["zip", "max_s"] == "9"
+    assert df.loc["zip", "n_distinct"] == 3
+    # int column: numeric
+    assert df.loc["k", "min_s"] == "9" and df.loc["k", "max_s"] == "200"
