@@ -195,3 +195,65 @@ def test_fractional_cellsize_weighted_extraction(_ray):
     flat = vals.ravel()  # row-major from the top = cell-number order
     np.testing.assert_allclose(df["value"], flat[cell0])
     np.testing.assert_allclose(df["weight"], flat[cell0])
+
+
+def test_mixedres_copartition_ragged_bruteforce(_ray):
+    """Round-4 regression: the co-partitioned plan (weight fragments
+    shuffled to value tiles, NO driver-side weight materialization) must
+    reproduce the dense brute force on a ragged grid where weight tiles
+    misalign with value tiles, so each value tile assembles its weight
+    window from MULTIPLE clipped fragments."""
+    from exactextractr_ray.coverage import coverage_fraction_wkb
+
+    rng = np.random.default_rng(42)
+    # value grid 13x17 cells at 1x1, tile=5 -> ragged both axes
+    vg = Grid(0, 0, 17, 13, 1, 1)
+    vals = rng.integers(1, 50, size=(13, 17)).astype(float)
+    v = raster_from_array(vals, vg, tile=5)
+    # weight grid 2x coarser, origin shifted by (-2, +2) whole common
+    # cells, tile=3 -> weight tile boundaries never align with value tiles
+    wg = Grid(-2, 2, 18, 16, 2, 2)
+    wts = rng.integers(1, 9, size=(7, 10)).astype(float)
+    w = raster_from_array(wts, wg, tile=3)
+
+    polys = [
+        (0, "a", wkbio.polygon_wkb(
+            [(0.5, 0.5), (9.3, 1.1), (8.7, 7.9), (1.2, 6.4), (0.5, 0.5)]
+        )),
+        (1, "b", wkbio.circle_wkb(12.0, 8.0, 4.3, segments=24)),
+        (2, "edge", wkbio.rect_wkb(14.5, 10.5, 20.0, 15.0)),  # spills off
+    ]
+    zones = zone_table(polys)
+    res = (
+        exact_extract_mixed(v, w, zones, ["mean", "weighted_mean", "weighted_sum"])
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+
+    # dense brute force on the common (=value) grid
+    wr = ((np.arange(13) + 2) // 2)          # off_y = (16-13)/1... compute directly
+    # global weight row for value row r: floor((y-center row) mapping) — do
+    # it via coordinates instead: value cell (r,c) center -> weight indices
+    ys = 13 - (np.arange(13) + 0.5)          # y center of value row r (ymax=13)
+    xs = np.arange(17) + 0.5
+    wrow = np.floor((wg.ymax - ys) / wg.dy).astype(int)
+    wcol = np.floor((xs - wg.xmin) / wg.dx).astype(int)
+    wmap = np.full((13, 17), np.nan)
+    okr = (wrow >= 0) & (wrow < 7)
+    okc = (wcol >= 0) & (wcol < 10)
+    wmap[np.ix_(okr, okc)] = wts[np.ix_(wrow[okr], wcol[okc])]
+
+    for i, (zid, _, wkb) in enumerate(polys):
+        cov = coverage_fraction_wkb(vg, wkb).reshape(13, 17)
+        m = cov > 0
+        exp_mean = (vals[m] * cov[m]).sum() / cov[m].sum()
+        exp_wsum = (vals[m] * cov[m] * wmap[m]).sum()
+        exp_wmean = exp_wsum / (cov[m] * wmap[m]).sum()
+        row = res[res["zone_id"] == zid].iloc[0]
+        assert row["mean"] == pytest.approx(exp_mean, rel=1e-12), zid
+        if np.isnan(exp_wmean):
+            assert np.isnan(row["weighted_mean"]), zid
+        else:
+            assert row["weighted_mean"] == pytest.approx(exp_wmean, rel=1e-12), zid
+            assert row["weighted_sum"] == pytest.approx(exp_wsum, rel=1e-12), zid
