@@ -114,12 +114,28 @@ def knn_cosine(
     return cand.groupby("query_id").map_groups(final_topk, batch_format="pandas")
 
 
+def _threshold_pair_indices(
+    A: np.ndarray, B: np.ndarray, threshold: float, chunk: int
+):
+    """Yield (row_idx, col_idx) of A@B.T >= threshold, computed over
+    chunk x chunk panels so peak memory is O(chunk^2) regardless of group
+    size — never the full cross-similarity matrix."""
+    for r0 in range(0, A.shape[0], chunk):
+        Ar = A[r0 : r0 + chunk]
+        for c0 in range(0, B.shape[0], chunk):
+            sims = Ar @ B[c0 : c0 + chunk].T
+            rows, cols = np.nonzero(sims >= threshold)
+            if len(rows):
+                yield rows + r0, cols + c0
+
+
 def embedding_dup_pairs(
     ds,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
+    matmul_chunk: int = 2048,
 ):
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with cosine
     similarity >= threshold. EXACT (no LSH recall loss), fully distributed.
@@ -129,10 +145,20 @@ def embedding_dup_pairs(
     block participates in, and each (i, j) group computes its cross matmul
     independently — total shuffle O(N * num_blocks), never a driver
     materialization, never the n^2 similarity matrix (only above-threshold
-    pairs leave a group). Pick num_blocks ~ sqrt(cluster cores) so group
-    count ~ core count; the approximate O(N) alternative at extreme scale is
-    hyperplane-LSH bucketing (knn_cosine_lsh)."""
+    pairs leave a group). ``num_blocks`` defaults to ~sqrt(2 * cluster
+    cores) so the block-pair group count tracks the core count; the
+    in-group matmul runs over ``matmul_chunk``-square panels, bounding
+    per-task memory at O(chunk^2) however large a group grows. The
+    approximate O(N) alternative at extreme scale is hyperplane-LSH
+    bucketing (knn_cosine_lsh)."""
+    if num_blocks is None:
+        import math
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # nb*(nb+1)/2 block-pair groups ~= core count
+        num_blocks = max(4, int(math.ceil(math.sqrt(2.0 * ncpu))))
     nb = int(num_blocks)
+    chunk = max(1, int(matmul_chunk))
 
     def expand(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy().astype(np.int64)
@@ -180,16 +206,23 @@ def embedding_dup_pairs(
         mat = np.stack(g[vec_col].to_numpy()).astype(np.float64)
         nm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         if bi == bj:
-            sims = nm @ nm.T
-            rows, cols = np.nonzero(sims >= threshold)
+            hits = list(_threshold_pair_indices(nm, nm, threshold, chunk))
+            if not hits:
+                return empty
+            rows = np.concatenate([h[0] for h in hits])
+            cols = np.concatenate([h[1] for h in hits])
             a, b = ids[rows], ids[cols]
         else:
             ma, mb = blk == bi, blk == bj
             if not ma.any() or not mb.any():
                 return empty
-            sims = nm[ma] @ nm[mb].T
-            rows, cols = np.nonzero(sims >= threshold)
-            a, b = ids[ma][rows], ids[mb][cols]
+            ia, ib = ids[ma], ids[mb]
+            hits = list(_threshold_pair_indices(nm[ma], nm[mb], threshold, chunk))
+            if not hits:
+                return empty
+            rows = np.concatenate([h[0] for h in hits])
+            cols = np.concatenate([h[1] for h in hits])
+            a, b = ia[rows], ib[cols]
         # canonical unordered orientation; a pair lives in exactly one group
         if bi == bj:
             keep = a < b  # diagonal sims matrix yields both orientations

@@ -180,3 +180,46 @@ def test_default_recall_floor(_ray):
         truth = set(exact.loc[exact["query_id"] == q, "neighbor_id"])
         recalls.append(len(got & truth) / len(truth))
     assert np.mean(recalls) >= 0.35, np.mean(recalls)
+
+
+def test_embedding_dup_pairs_chunked_matmul_equivalence(_ray):
+    """Round-4 regression: the per-group cross matmul is panel-chunked so a
+    group never holds an (N_group)^2 similarity matrix. A tiny matmul_chunk
+    (3) forcing many panels per group, plus a num_blocks override, must
+    produce exactly the brute-force pair set and exactly the default-config
+    output."""
+    import ray.data
+    from exactextractr_ray.stages.knn import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    n, d = 120, 16
+    centers = rng.standard_normal((5, d)) * 2
+    mat = centers[rng.integers(0, 5, n)] + rng.standard_normal((n, d)) * 0.3
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64)})
+    df["embedding"] = [r.tolist() for r in mat]
+
+    thr = 0.8
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = nm @ nm.T
+    ru, cu = np.nonzero(np.triu(sims >= thr, k=1))
+    expected = set(zip(ru.tolist(), cu.tolist()))
+    assert len(expected) > 50  # the fixture actually has near-dups
+
+    def run(**kw):
+        got = (
+            embedding_dup_pairs(
+                ray.data.from_pandas(df).repartition(5), threshold=thr, **kw
+            )
+            .to_pandas()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        return got
+
+    chunked = run(num_blocks=4, matmul_chunk=3)
+    assert set(zip(chunked["vec_a"], chunked["vec_b"])) == expected
+    # no duplicate pairs across block-pair groups or panels
+    assert not chunked.duplicated(["vec_a", "vec_b"]).any()
+    # default config (derived num_blocks, big chunks) is identical
+    default = run()
+    pd.testing.assert_frame_equal(chunked, default)
