@@ -87,46 +87,94 @@ def pricing_summary(sf_dir: str):
     )
 
 
-def orders_by_nation(sf_dir: str):
-    """Broadcast dimension join: orders (fact, streams) x customer x nation
-    (dimensions, broadcast once via ray.put as a custkey -> nation-name
-    map), then per-batch partial aggregation per nation."""
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
+def orders_by_nation(sf_dir: str, broadcast_cap: int = 25_000_000):
+    """Orders (fact, streams) x customer x nation aggregation per nation.
+
+    Two physical plans, same result:
+
+    * customer <= ``broadcast_cap`` rows: BROADCAST dimension join — a
+      dense custkey -> nation-name lookup array ships once via ``ray.put``
+      and every orders batch maps in place (zero shuffle);
+    * customer larger (TPC-H customer is FACT-scale, SF*150k rows): a
+      distributed ``Dataset.join`` on custkey — both sides hash-shuffle,
+      no driver-side or broadcast structure grows with the data. Nation
+      (25 rows) stays a broadcast map either way.
+
+    The cap is decided from parquet FOOTER metadata (no data read)."""
+    import pyarrow.dataset as pads
+
     nation = pd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
     nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    # dense lookup arrays: custkey -> nation name index
-    max_ck = int(cust["c_custkey"].max())
-    ck2n = np.full(max_ck + 1, -1, dtype=np.int32)
-    ck2n[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
-    names = np.array([nmap.get(i, "?") for i in range(ck2n.max() + 1)], dtype=object)
-    ref = ray.put((ck2n, names))
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
+    n_cust = pads.dataset(f"{sf_dir}/customer.parquet").count_rows()
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ck2n_, names_ = ray.get(ref)
-        ck = batch.column("o_custkey").to_numpy()
-        nk = ck2n_[ck]
-        cents = np.round(batch.column("o_totalprice").to_numpy() * 100.0).astype(
-            np.int64
+    if n_cust <= broadcast_cap:
+        cust = pd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
         )
-        df = pd.DataFrame(
-            {
-                "n_name": names_[nk],
-                "n_orders": np.ones(len(ck), dtype=np.int64),
-                "sum_total_cents": cents,
-            }
+        # dense lookup arrays: custkey -> nation name index
+        max_ck = int(cust["c_custkey"].max())
+        ck2n = np.full(max_ck + 1, -1, dtype=np.int32)
+        ck2n[cust["c_custkey"].to_numpy()] = cust["c_nationkey"].to_numpy()
+        names = np.array(
+            [nmap.get(i, "?") for i in range(ck2n.max() + 1)], dtype=object
         )
-        agg = df.groupby("n_name", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        ref = ray.put((ck2n, names))
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+        def partial(batch: pa.Table) -> pa.Table:
+            ck2n_, names_ = ray.get(ref)
+            ck = batch.column("o_custkey").to_numpy()
+            nk = ck2n_[ck]
+            cents = np.round(
+                batch.column("o_totalprice").to_numpy() * 100.0
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "n_name": names_[nk],
+                    "n_orders": np.ones(len(ck), dtype=np.int64),
+                    "sum_total_cents": cents,
+                }
+            )
+            agg = df.groupby("n_name", as_index=False).sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+    else:
+        cust_ds = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        joined = ds.join(
+            cust_ds,
+            join_type="inner",
+            num_partitions=ncpu,
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        names_ref = ray.put(nmap)
+
+        def partial_joined(batch: pa.Table) -> pa.Table:
+            nmap_ = ray.get(names_ref)
+            nk = batch.column("c_nationkey").to_numpy()
+            cents = np.round(
+                batch.column("o_totalprice").to_numpy() * 100.0
+            ).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "n_name": pd.Series(nk).map(nmap_).to_numpy(),
+                    "n_orders": np.ones(len(nk), dtype=np.int64),
+                    "sum_total_cents": cents,
+                }
+            )
+            agg = df.groupby("n_name", as_index=False).sum()
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        partials = joined.map_batches(partial_joined, batch_format="pyarrow")
     out = partials.groupby("n_name").sum(["n_orders", "sum_total_cents"])
     return out.map_batches(
         lambda b: b.rename_columns(["n_name", "n_orders", "sum_total_cents"]),

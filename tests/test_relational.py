@@ -209,3 +209,41 @@ def test_local_supplier_volume_unknown_region(ray_session):
         "/root/testdata/sf0.001", region="ATLANTIS"
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_orders_by_nation_path_equivalence(_ray):
+    """Round-4 regression: orders_by_nation has two physical plans — the
+    broadcast dense-lookup join and (above broadcast_cap) a distributed
+    Dataset.join on custkey. Both must be bit-identical to each other and
+    to in-process pandas."""
+    from exactextractr_ray.pipelines.relational import orders_by_nation
+
+    def run(cap):
+        return (
+            orders_by_nation(SF, broadcast_cap=cap)
+            .to_pandas()
+            .sort_values("n_name")
+            .reset_index(drop=True)
+        )
+
+    broadcast = run(10**9)
+    joined = run(0)  # forces the distributed-join plan
+
+    # pandas oracle
+    o = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    c = pd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{SF}/nation.parquet", columns=["n_nationkey", "n_name"])
+    m = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    m["cents"] = np.round(m["o_totalprice"] * 100.0).astype(np.int64)
+    exp = (
+        m.groupby("n_name", as_index=False)
+        .agg(n_orders=("cents", "size"), sum_total_cents=("cents", "sum"))
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    exp["n_orders"] = exp["n_orders"].astype(np.int64)
+
+    pd.testing.assert_frame_equal(broadcast, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(joined, exp, check_dtype=False)
