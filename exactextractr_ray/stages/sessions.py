@@ -137,73 +137,154 @@ def asof_join(
     time_col: str = "ts",
     value_cols: tuple[str, ...] = ("event_id", "value"),
     suffix: str = "_r",
+    bucket_seconds: int = 86_400,
 ):
     """AS-OF join: for each left row, attach the LATEST right row of the
     same key with right.time <= left.time (NULL columns when none exists).
+    Both sides must share a schema (they union before the shuffle).
 
-    Ray Data has no asof operator; this composes one from primitives
-    (map_batches tag -> coarse-key groupby -> vectorized per-key
-    searchsorted merge). Partitioning assumption: both sides of one key
-    co-locate in a group — keys hash across ``ngroups`` coarse groups so a
-    hot key costs one group, not the cluster. Ties on (time) pick the
-    right row with the greatest ``event_id`` sort position (deterministic:
-    rows sort by (time, *value_cols) before the merge).
+    Ray Data has no asof operator; this composes one from primitives.
+    SKEW-SAFE shape (the sessionize subkey + stitch pattern): rows shuffle
+    by hash(key, time-bucket) — a hot key's rows spread across its buckets
+    instead of forming one unbounded group. Phase 1 resolves every left
+    row whose predecessor lives in its own bucket and emits ONE summary
+    row per (key, bucket) holding that bucket's last right row. Phase 2
+    shuffles only the UNRESOLVED lefts (per bucket, the prefix before its
+    first right) plus the bucket summaries by hash(key) and binary-searches
+    the greatest earlier bucket with rights — any right in an earlier
+    bucket is <= the left's time by construction, so the bucket summary IS
+    the as-of answer. Ties on time pick the right row with the greatest
+    (time, *value_cols) sort position (deterministic), same rule in both
+    phases.
     """
     ngroups = 256
+    bucket_us = int(bucket_seconds) * 1_000_000
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             keys = batch.column(key_col).to_numpy()
-            out = batch.append_column("_side", pa.array(np.full(len(keys), side, dtype=np.int64)))
-            ck = (keys.astype(np.int64) * np.int64(0x9E3779B1)) % ngroups
-            return out.append_column("_ck", pa.array(ck.astype(np.int64)))
+            ts = batch.column(time_col).cast(pa.int64()).to_numpy()
+            bkt = ts // bucket_us
+            ck = (
+                keys.astype(np.int64) * np.int64(0x9E3779B1) + bkt
+            ) % ngroups
+            out = batch.append_column(
+                "_side", pa.array(np.full(len(keys), side, dtype=np.int64))
+            )
+            out = out.append_column("ts_us_sort", pa.array(ts, pa.int64()))
+            out = out.append_column("_bkt", pa.array(bkt, pa.int64()))
+            return out.append_column(
+                "_ck", pa.array(ck.astype(np.int64), pa.int64())
+            )
 
         return fn
 
-    left = left_ds.map_batches(tag(0), batch_format="pyarrow")
-    right = right_ds.map_batches(tag(1), batch_format="pyarrow")
-    both = left.union(right)
+    both = left_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    drop_cols = ["_side", "_ck", "_bkt", "_done", "ts_us_sort"]
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = [key_col, "ts_us_sort"] + [
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [key_col, "_bkt", "ts_us_sort"] + [
             c for c in value_cols if c in g.columns
         ]
         g = g.sort_values(sort_cols, kind="mergesort")
         out_frames = []
-        for key, sub in g.groupby(key_col, sort=True):
+        for _, sub in g.groupby([key_col, "_bkt"], sort=True):
             lm = sub["_side"].to_numpy() == 0
             lsub = sub[lm]
             rsub = sub[~lm]
+            if len(rsub):
+                # bucket summary: the LAST right row by the tie rule; its
+                # suffixed columns carry its own values for phase 2
+                summ = rsub.iloc[[-1]].drop(columns=["_side", "_ck"]).copy()
+                for vc in value_cols:
+                    summ[f"{vc}{suffix}"] = summ[vc].astype(np.float64)
+                summ["_done"] = np.int8(2)
+                out_frames.append(summ)
             if len(lsub) == 0:
                 continue
             lt = lsub["ts_us_sort"].to_numpy()
             rt = rsub["ts_us_sort"].to_numpy()
-            # latest right index with rt <= lt
             pos = np.searchsorted(rt, lt, side="right") - 1
-            res = lsub.drop(
-                columns=["_side", "_ck", "ts_us_sort"]
-            ).reset_index(drop=True)
+            res = lsub.drop(columns=["_side", "_ck"]).reset_index(drop=True)
+            valid = pos >= 0
             for vc in value_cols:
                 col = np.full(len(lt), np.nan)
-                valid = pos >= 0
                 if valid.any() and len(rsub):
                     col[valid] = rsub[vc].to_numpy()[pos[valid]]
                 res[f"{vc}{suffix}"] = col
+            res["_done"] = np.where(valid, np.int8(1), np.int8(0)).astype(
+                np.int8
+            )
             out_frames.append(res)
         if not out_frames:
-            cols = [c for c in g.columns if c not in ("_side", "_ck", "ts_us_sort")]
-            empty = pd.DataFrame({c: pd.Series([], dtype=g[c].dtype) for c in cols})
+            cols = [c for c in g.columns if c not in ("_side", "_ck")]
+            empty = pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in cols}
+            )
             for vc in value_cols:
                 empty[f"{vc}{suffix}"] = pd.Series([], dtype=np.float64)
+            empty["_done"] = pd.Series([], dtype=np.int8)
             return empty
         return pd.concat(out_frames, ignore_index=True)
 
-    def add_sort_ts(batch: pa.Table) -> pa.Table:
-        ts = batch.column(time_col).cast(pa.int64()).to_numpy()
-        return batch.append_column("ts_us_sort", pa.array(ts, pa.int64()))
+    phase1 = (
+        both.groupby("_ck")
+        .map_groups(merge_bucket, batch_format="pandas")
+        .materialize()
+    )
 
-    both = both.map_batches(add_sort_ts, batch_format="pyarrow")
-    return both.groupby("_ck").map_groups(merge, batch_format="pandas")
+    def add_sk(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy()
+        sk = (keys.astype(np.int64) * np.int64(0x9E3779B1)) % ngroups
+        return batch.append_column("_sk", pa.array(sk.astype(np.int64)))
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        # unresolved lefts (_done=0) + bucket summaries (_done=2) for a set
+        # of keys: the as-of answer for a left in bucket b is the summary
+        # of the greatest bucket < b that has rights
+        out_frames = []
+        for _, sub in g.groupby(key_col, sort=True):
+            summ = sub[sub["_done"].to_numpy() == 2].sort_values("_bkt")
+            lsub = sub[sub["_done"].to_numpy() == 0]
+            if len(lsub) == 0:
+                continue
+            res = lsub.drop(columns=["_sk"]).reset_index(drop=True)
+            sb = summ["_bkt"].to_numpy()
+            pos = np.searchsorted(sb, lsub["_bkt"].to_numpy(), side="left") - 1
+            valid = pos >= 0
+            for vc in value_cols:
+                col = np.full(len(res), np.nan)
+                if valid.any() and len(summ):
+                    col[valid] = (
+                        summ[f"{vc}{suffix}"].to_numpy()[pos[valid]]
+                    )
+                res[f"{vc}{suffix}"] = col
+            out_frames.append(res)
+        if not out_frames:
+            cols = [c for c in g.columns if c != "_sk"]
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=g[c].dtype) for c in cols}
+            )
+        return pd.concat(out_frames, ignore_index=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(
+            [c for c in drop_cols if c in batch.column_names]
+        )
+
+    done = phase1.filter(expr="_done == 1").map_batches(
+        finish, batch_format="pyarrow"
+    )
+    stitched = (
+        phase1.filter(expr="_done != 1")
+        .map_batches(add_sk, batch_format="pyarrow")
+        .groupby("_sk")
+        .map_groups(stitch, batch_format="pandas")
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return done.union(stitched)
 
 
 def interval_join(

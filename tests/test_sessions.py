@@ -371,3 +371,81 @@ def test_deterministic_shuffle(_ray):
     c = run(4, "s2")
     assert sorted(c) == list(range(n))
     assert not np.array_equal(a, c)
+
+
+def test_asof_join_hot_key_multibucket(_ray):
+    """Round-4 regression: asof_join salts the shuffle by (key, time
+    bucket) so a hot key spreads across buckets. Fixture: one user owns
+    90% of rows spanning 30 days, rights are sparse (whole days with no
+    right rows force the phase-2 cross-bucket stitch), one user has no
+    rights at all, and exact-tie timestamps exercise the deterministic
+    tie rule. Compared against pandas merge_asof."""
+    import ray.data
+    from exactextractr_ray.stages.sessions import asof_join
+
+    rng = np.random.default_rng(11)
+    day_us = 86_400_000_000
+    t0 = 1_700_000_000_000_000
+
+    def mk(n, users, days):
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "user_id": users,
+                "ts": (
+                    t0 + rng.integers(0, days, n) * day_us
+                    + rng.integers(0, day_us, n)
+                ).astype("datetime64[us]"),
+                "value": rng.normal(size=n),
+            }
+        )
+
+    n_l, n_r = 3000, 400
+    lu = np.where(rng.random(n_l) < 0.9, 7, rng.integers(0, 5, n_l))
+    left = mk(n_l, lu, 30)
+    # rights: hot user only on days 0-9 (days 10-29 resolve cross-bucket);
+    # user 4 gets NO rights
+    ru = np.where(rng.random(n_r) < 0.8, 7, rng.integers(0, 4, n_r))
+    right = mk(n_r, ru, 10)
+    right["event_id"] += 10_000
+    # exact-tie rows: two rights at the same ts as a left
+    tie_ts = left["ts"].iloc[0]
+    right = pd.concat(
+        [right, pd.DataFrame({
+            "event_id": [99_001, 99_002],
+            "user_id": [int(left["user_id"].iloc[0])] * 2,
+            "ts": np.array([tie_ts, tie_ts], dtype="datetime64[us]"),
+            "value": [1.5, 2.5],
+        })],
+        ignore_index=True,
+    )
+
+    got = (
+        asof_join(
+            ray.data.from_pandas(left).repartition(7),
+            ray.data.from_pandas(right).repartition(3),
+            value_cols=("event_id", "value"),
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n_l
+
+    rs = right.sort_values(["ts", "event_id", "value"]).rename(
+        columns={"event_id": "event_id_r", "value": "value_r"}
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        rs, on="ts", by="user_id", direction="backward",
+    ).sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_allclose(
+        got["event_id_r"].to_numpy(), exp["event_id_r"].to_numpy()
+    )
+    np.testing.assert_allclose(got["value_r"].to_numpy(), exp["value_r"].to_numpy())
+    # user 4 really had no rights -> all NaN
+    assert got[got.user_id == 4]["event_id_r"].isna().all()
+    # hot-user lefts in right-free days resolved from earlier buckets
+    hot_late = got[(got.user_id == 7)
+                   & (got["ts"] >= pd.Timestamp(t0 + 12 * day_us, unit="us"))]
+    assert len(hot_late) > 100 and hot_late["event_id_r"].notna().all()
