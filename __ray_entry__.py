@@ -223,6 +223,22 @@ def _q_zonal_weighted(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zonal_wcount(sf_dir: str):
+    """Internal C++ stat trio exposure: weighted_count (sum of cov x
+    weight) and weighted_fraction (weighted_sum / sum),
+    raster_stats.h:162-168,266-274."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+
+    t = exact_extract(
+        _raster(("value", "weight")), _rect_zones(),
+        ["weighted_count", "weighted_fraction"], weight_layer="weight",
+    ).to_pandas()
+    t = t.rename(
+        columns={"weighted_count": "wcount", "weighted_fraction": "wfrac"}
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_zonal_mode(sf_dir: str):
     from exactextractr_ray.pipelines.zonal import exact_extract
 
@@ -2537,6 +2553,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
         "zonal_weighted_rect": _q_zonal_weighted,
+        "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
         "zonal_median_rect": _q_zonal_median,
         "zonal_frac_rect": _q_zonal_frac,
@@ -2697,6 +2714,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT zone_id,
       SUM(val*cov*wgt) AS wsum,
       SUM(val*cov*wgt) / SUM(CASE WHEN val IS NOT NULL THEN cov*wgt END) AS wmean
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
+    """
+
+    # internal C++ stat trio exposure (raster_stats.h:162-168,266-274):
+    # weighted_count = sum(cov*wgt) over non-null cells; weighted_fraction
+    # = weighted_sum / sum
+    zonal_wcount = f"""
+    WITH cov AS ({cov})
+    SELECT zone_id,
+      SUM(CASE WHEN val IS NOT NULL THEN cov*wgt END) AS wcount,
+      SUM(val*cov*wgt) / SUM(val*cov) AS wfrac
     FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
     """
 
@@ -5383,6 +5411,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats_rect": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
         "zonal_weighted_rect": zonal_weighted,
+        "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,
         "zonal_median_rect": zonal_median,
         "zonal_frac_rect": zonal_frac,

@@ -82,6 +82,8 @@ WEIGHTED_STATS = {
     "weighted_frac",
     "weighted_stdev",
     "weighted_variance",
+    "weighted_count",
+    "weighted_fraction",
 }
 
 

@@ -62,6 +62,8 @@ ALL_STATS = [
     "coefficient_of_variation",
     "weighted_mean",
     "weighted_sum",
+    "weighted_count",
+    "weighted_fraction",
     "weighted_variance",
     "weighted_stdev",
     "frac",
@@ -272,6 +274,35 @@ class RasterStats:
     def weighted_sum(self) -> float:
         return self.sum_xiciwi
 
+    def weighted_count(self) -> float:
+        """Sum of (coverage x weight) over covered cells
+        (raster_stats.h:266-274)."""
+        return self.sum_ciwi
+
+    def weighted_fraction(self) -> float:
+        """weighted_sum / sum — meaningful when weights are in [0, 1]
+        (raster_stats.h:162-168)."""
+        s = self.sum()
+        return self.weighted_sum() / s if s != 0 else float("nan")
+
+    def count_value(self, value: float):
+        """Coverage-weighted count of cells equal to ``value``; None when
+        the value was never seen (raster_stats.h:362-373)."""
+        ent = self.freq.get(value)
+        return None if ent is None else ent[0]
+
+    def weighted_count_value(self, value: float):
+        """Sum of (coverage x weight) of cells equal to ``value``; None
+        when never seen (raster_stats.h:375-383)."""
+        ent = self.freq.get(value)
+        return None if ent is None else ent[1]
+
+    def frac_value(self, value: float):
+        """count(v) / count(); None when never seen
+        (raster_stats.h:385-391)."""
+        c = self.count_value(value)
+        return None if c is None else c / self.count()
+
     def weighted_mean(self) -> float:
         return (
             self.sum_xiciwi / self.sum_ciwi if self.sum_ciwi != 0 else float("nan")
@@ -414,6 +445,10 @@ class RasterStats:
             return self.weighted_mean()
         if stat == "weighted_sum":
             return self.weighted_sum()
+        if stat == "weighted_count":
+            return self.weighted_count()
+        if stat == "weighted_fraction":
+            return self.weighted_fraction()
         if stat == "weighted_variance":
             return self.weighted_variance()
         if stat == "weighted_stdev":

@@ -376,3 +376,46 @@ def test_weighted_multiresolution_stats_golden():
     assert st.weighted_sum() / st.sum() == pytest.approx(
         (cv * cw * cf).sum() / (cv * cf).sum()
     )
+
+
+def test_internal_stat_trio_goldens():
+    """test_stats.cpp:314-340 + :101-129 — the internal C++ finalizers
+    count(v), weighted_count()/weighted_count(v), weighted_fraction(),
+    frac(v)."""
+    landcov = np.array([1, 1, 1, 2, 2, 2], dtype=float)
+    cov = np.array([0.5, 0.4, 0, 0.3, 0.3, 0.2])
+    weight = np.array([0.3, 0.4, 1, 4.0, 3.0, 0])
+    st = RasterStats(store_values=True)
+    st.process(landcov, cov, weight)
+
+    assert st.count_value(1.0) == pytest.approx(0.5 + 0.4)
+    assert st.count_value(2.0) == pytest.approx(0.3 + 0.3 + 0.2)
+    assert st.count_value(3.0) is None
+
+    assert st.frac_value(1.0) == pytest.approx(st.count_value(1.0) / st.count())
+    assert st.frac_value(2.0) == pytest.approx(st.count_value(2.0) / st.count())
+    assert st.frac_value(3.0) is None
+
+    assert st.weighted_count() == pytest.approx(
+        0.5 * 0.3 + 0.4 * 0.4 + 0 * 1 + 0.3 * 4.0 + 0.3 * 3.0 + 0.2 * 0
+    )
+    assert st.weighted_count_value(1.0) == pytest.approx(0.5 * 0.3 + 0.4 * 0.4)
+    assert st.weighted_count_value(2.0) == pytest.approx(0.3 * 4.0 + 0.3 * 3.0)
+    assert st.weighted_count_value(3.0) is None
+
+    # weighted_fraction = weighted_sum / sum (test_stats.cpp:128 form)
+    wsum = (landcov * cov * weight).sum()
+    usum = (landcov * cov).sum()
+    assert st.weighted_fraction() == pytest.approx(wsum / usum)
+    # result() dispatch exposes the two scalar finalizers
+    assert st.result("weighted_count") == st.weighted_count()
+    assert st.result("weighted_fraction") == st.weighted_fraction()
+
+    # equal-weights identity: weighted_count == count (test_stats.cpp:186)
+    st2 = RasterStats()
+    st2.process(landcov, cov, np.ones_like(cov))
+    assert st2.weighted_count() == pytest.approx(st2.count())
+    # empty stats -> weighted_count 0, weighted_fraction NaN
+    st3 = RasterStats()
+    assert st3.weighted_count() == 0.0
+    assert math.isnan(st3.weighted_fraction())
