@@ -11,9 +11,15 @@ between the CRSs this engine supports:
   Mercator, 6th-order Krüger/Karney series, round-trips < 1e-9 m in-zone;
   the reference's own test CRS EPSG:32618 included,
   /root/reference/tests/testthat/helper_functions.R);
-* EPSG:2154 — RGF93 / Lambert-93 (Lambert Conformal Conic 2SP on GRS80,
-  Snyder 1987 pp. 107-109);
-* any custom ``tmerc:`` / ``lcc:`` parameter string (see ``parse_crs``).
+* EPSG:269xx — NAD83 UTM north zones (same TM on GRS80);
+* Albers Equal-Area codes — EPSG:5070/5071/5072/6350 (CONUS), 3310
+  (California), 3577 (Australia), ESRI:102003/102008 (Snyder 1987
+  pp. 98-103, validated against Snyder's own worked example);
+* LCC 2SP codes — EPSG:2154 (Lambert-93), 3347/3978 (Canada);
+* geographic aliases EPSG:4269 (NAD83) / 4258 (ETRS89) / 4617 — routed to
+  the 4326 hub (sub-meter datum shift documented as an approximation);
+* any custom ``tmerc:`` / ``lcc:`` / ``aea:`` parameter string
+  (see ``parse_crs``).
 
 Any other pair routes through EPSG:4326; unknown CRS names raise.
 All projection math is public-domain formulae (Snyder, USGS PP 1395;
@@ -33,10 +39,12 @@ from .. import wkbio
 R_MERC = 6378137.0
 
 # WGS84 / GRS80 (identical to double precision for these uses except the
-# tiny f difference; keep both)
+# tiny f difference; keep both). CLRK66 is kept for Snyder's published
+# worked examples (the tests' independent goldens).
 _ELLIPSOIDS = {
     "WGS84": (6378137.0, 1.0 / 298.257223563),
     "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "CLRK66": (6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
 }
 
 
@@ -203,31 +211,158 @@ class LambertConformalConic:
         return np.degrees(lam), np.degrees(phi)
 
 
+class AlbersEqualArea:
+    """Albers Equal-Area Conic 2SP, Snyder (1987) pp. 98-103,
+    eqs. 3-12, 14-1..14-12 — the projection behind EPSG:5070 and most
+    US/Australian national equal-area grids."""
+
+    def __init__(
+        self,
+        lat1_deg: float,
+        lat2_deg: float,
+        lat0_deg: float,
+        lon0_deg: float,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "GRS80",
+    ):
+        a, f = _ELLIPSOIDS[ellipsoid]
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        p1, p2, p0 = map(math.radians, (lat1_deg, lat2_deg, lat0_deg))
+        m1, m2 = self._m(p1), self._m(p2)
+        q0, q1, q2 = self._q(p0), self._q(p1), self._q(p2)
+        # 1SP when the parallels coincide (Snyder eq. 14-8 footnote)
+        if abs(p1 - p2) < 1e-12:
+            self.n = math.sin(p1)
+        else:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = a * math.sqrt(self.C - self.n * q0) / self.n
+
+    def _m(self, phi):
+        s = np.sin(phi)
+        return np.cos(phi) / np.sqrt(1.0 - self.e2 * s * s)
+
+    def _q(self, phi):
+        """Snyder eq. 3-12: q(phi), with sin(phi) vectorized."""
+        s = np.sin(phi)
+        e, e2 = self.e, self.e2
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        q = self._q(phi)
+        rho = self.a * np.sqrt(np.maximum(self.C - self.n * q, 0.0)) / self.n
+        th = self.n * lam
+        x = self.fe + rho * np.sin(th)
+        y = self.fn + self.rho0 - rho * np.cos(th)
+        return x, y
+
+    def inverse(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.fe
+        yp = self.rho0 - (np.asarray(y, dtype=np.float64) - self.fn)
+        n = self.n
+        rho = np.sign(n) * np.hypot(xp, yp)
+        th = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        lam = th / n + self.lon0
+        q = (self.C - (rho * n / self.a) ** 2) / n
+        # Snyder eq. 3-16 fixpoint for phi from q; quadratic-ish, 25 iters
+        # reaches float64 closure everywhere off the poles
+        e, e2 = self.e, self.e2
+        qp = self._q(np.pi / 2)  # q at the pole (authalic normalizer)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        interior = np.abs(q) < qp - 1e-12
+        for _ in range(25):
+            s = np.sin(phi)
+            om = 1.0 - e2 * s * s
+            corr = (om * om) / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / om
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+            phi = np.where(interior, phi + corr, np.sign(q) * np.pi / 2)
+        return np.degrees(lam), np.degrees(phi)
+
+
+# Generic EPSG parameter table (public EPSG registry values) for the
+# projections this engine implements: aea / lcc / tmerc / longlat. The
+# reference delegates to PROJ (/root/reference/R/exact_extract.R:360-377);
+# here each code carries its own parameters. Geographic NAD83/ETRS89 codes
+# alias the 4326 hub — the datum shift is sub-meter, far below raster cell
+# size for the zonal use case (documented approximation, not a bug).
+_EPSG_TABLE: dict[int, tuple] = {
+    # --- aea: (lat1, lat2, lat0, lon0, fe, fn, ellps) ---
+    5070: ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0, "GRS80"),   # NAD83 CONUS
+    5071: ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0, "GRS80"),   # NAD83(HARN)
+    5072: ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0, "GRS80"),   # NAD83(NSRS2007)
+    6350: ("aea", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0, "GRS80"),   # NAD83(2011)
+    3310: ("aea", 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0, "GRS80"),  # CA Albers
+    3577: ("aea", -18.0, -36.0, 0.0, 132.0, 0.0, 0.0, "GRS80"),  # GDA94 Australia
+    102003: ("aea", 29.5, 45.5, 37.5, -96.0, 0.0, 0.0, "GRS80"),  # ESRI USA Contiguous
+    102008: ("aea", 20.0, 60.0, 40.0, -96.0, 0.0, 0.0, "GRS80"),  # ESRI North America
+    # --- lcc 2SP: (lat1, lat2, lat0, lon0, fe, fn, ellps) ---
+    2154: ("lcc", 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, "GRS80"),  # Lambert-93
+    3347: ("lcc", 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0,
+           "GRS80"),  # Statistics Canada LCC
+    3978: ("lcc", 49.0, 77.0, 49.0, -95.0, 0.0, 0.0, "GRS80"),   # NAD83 Canada Atlas
+    # --- longlat: degrees on a near-WGS84 datum -> 4326 hub alias ---
+    4326: ("longlat",),
+    4269: ("longlat",),  # NAD83
+    4258: ("longlat",),  # ETRS89
+    4617: ("longlat",),  # NAD83(CSRS)
+}
+
+
 def parse_crs(name: str):
     """CRS name -> projection object with forward/inverse, or None for the
     geographic hub (EPSG:4326) / 'mercator' for EPSG:3857.
 
-    Accepted: EPSG:4326, EPSG:3857, EPSG:326xx / EPSG:327xx (UTM zones),
-    EPSG:2154 (Lambert-93), and parameter strings
-    ``tmerc:lon0,k0,fe,fn[,ellps]`` / ``lcc:lat1,lat2,lat0,lon0,fe,fn[,ellps]``.
+    Accepted: EPSG:4326/4269/4258 (geographic), EPSG:3857,
+    EPSG:326xx / 327xx (WGS84 UTM) and 269xx (NAD83 UTM north zones),
+    every code in ``_EPSG_TABLE`` (Albers 5070/3310/3577/..., LCC
+    2154/3347/3978, ESRI 102003/102008), and parameter strings
+    ``tmerc:lon0,k0,fe,fn[,ellps]`` / ``lcc:lat1,lat2,lat0,lon0,fe,fn[,ellps]``
+    / ``aea:lat1,lat2,lat0,lon0,fe,fn[,ellps]``.
     """
     name = name.strip()
-    if name == "EPSG:4326":
-        return None
     if name == "EPSG:3857":
         return "mercator"
-    if name.startswith("EPSG:326") or name.startswith("EPSG:327"):
+    if name.upper().startswith("EPSG:") or name.upper().startswith("ESRI:"):
         code = int(name.split(":")[1])
-        zone = code % 100
-        if not 1 <= zone <= 60:
-            raise ValueError(f"bad UTM zone in {name}")
-        south = code // 100 == 327
-        return TransverseMercator(
-            lon0_deg=zone * 6 - 183,
-            false_northing=10_000_000.0 if south else 0.0,
-        )
-    if name == "EPSG:2154":  # RGF93 / Lambert-93 (IGN published parameters)
-        return LambertConformalConic(49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)
+        row = _EPSG_TABLE.get(code)
+        if row is not None:
+            kind = row[0]
+            if kind == "longlat":
+                return None
+            if kind == "aea":
+                return AlbersEqualArea(*row[1:7], ellipsoid=row[7])
+            if kind == "lcc":
+                return LambertConformalConic(*row[1:7], ellipsoid=row[7])
+        if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+            zone = code % 100
+            return TransverseMercator(
+                lon0_deg=zone * 6 - 183,
+                false_northing=10_000_000.0 if code >= 32701 else 0.0,
+            )
+        if 26901 <= code <= 26923:  # NAD83 / UTM north zones
+            return TransverseMercator(
+                lon0_deg=(code % 100) * 6 - 183, ellipsoid="GRS80"
+            )
+        raise ValueError(f"unsupported CRS {name!r}")
+    if name.startswith("aea:"):
+        parts = name[4:].split(",")
+        p = [float(v) for v in parts[:6]]
+        ell = parts[6] if len(parts) >= 7 else "GRS80"
+        return AlbersEqualArea(*p, ellipsoid=ell)
     if name.startswith("tmerc:"):
         p = [float(v) for v in name[6:].split(",")[:4]]
         ell = name[6:].split(",")[4] if name.count(",") >= 4 else "WGS84"
@@ -240,8 +375,10 @@ def parse_crs(name: str):
     raise ValueError(f"unsupported CRS {name!r}")
 
 
-SUPPORTED = {"EPSG:4326", "EPSG:3857", "EPSG:326xx/327xx (UTM)", "EPSG:2154",
-             "tmerc:...", "lcc:..."}
+SUPPORTED = {"EPSG:4326/4269/4258 (geographic)", "EPSG:3857",
+             "EPSG:326xx/327xx/269xx (UTM)",
+             "EPSG:5070/5071/5072/6350/3310/3577 + ESRI:102003/102008 (Albers)",
+             "EPSG:2154/3347/3978 (LCC)", "tmerc:...", "lcc:...", "aea:..."}
 
 
 def lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):
