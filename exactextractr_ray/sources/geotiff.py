@@ -5,7 +5,9 @@ The reference's raster source is a GDAL band wrapper
 module is its ingestion analog for the subset of GeoTIFF every real-world
 test asset in the reference uses (and the common wild formats): baseline
 TIFF and BigTIFF containers, little/big endian, strip- or tile-organized,
-compression none / Deflate (zlib) / PackBits / LZW, horizontal-differencing
+compression none / Deflate (zlib) / PackBits / LZW / ZSTD (code 50000,
+via pyarrow's codec), COG-style reduced-resolution overview IFD chains
+(``read_geotiff(overview=k)`` / ``list_overviews``), horizontal-differencing
 predictor 2 and floating-point predictor 3 (TIFF Technical Note 3),
 uint8/16/32, int8/16/32, float32/64, ModelPixelScale + ModelTiepoint
 georeferencing, and GDAL's ASCII NODATA tag.
@@ -69,9 +71,13 @@ class GeoTiffMeta:
     grid: Grid
 
 
-def _read_ifd(data: bytes, endian: str, off: int, big: bool = False) -> dict:
+def _read_ifd(
+    data: bytes, endian: str, off: int, big: bool = False
+) -> tuple[dict, int]:
     """Classic-TIFF (12-byte entries, u32 offsets) or BigTIFF (20-byte
-    entries, u64 counts/offsets — the public BigTIFF spec) IFD."""
+    entries, u64 counts/offsets — the public BigTIFF spec) IFD. Returns
+    (tags, next_ifd_offset) — a nonzero next offset chains to the file's
+    next IFD (GDAL stores overviews as reduced-resolution chained IFDs)."""
     if big:
         n = struct.unpack(endian + "Q", data[off : off + 8])[0]
         ebase, esize, inline = off + 8, 20, 8
@@ -104,7 +110,12 @@ def _read_ifd(data: bytes, endian: str, off: int, big: bool = False) -> dict:
         else:
             fmt = _TYPE_FMT[typ]
             tags[tag] = struct.unpack(endian + fmt * cnt, raw[: size * cnt])
-    return tags
+    tail = ebase + n * esize
+    if big:
+        (nxt,) = struct.unpack(endian + "Q", data[tail : tail + 8])
+    else:
+        (nxt,) = struct.unpack(endian + "I", data[tail : tail + 4])
+    return tags, nxt
 
 
 def _decode_lzw(data: bytes) -> bytes:
@@ -169,7 +180,7 @@ def _decode_packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(chunk: bytes, compression: int) -> bytes:
+def _decompress(chunk: bytes, compression: int, out_size: int = 0) -> bytes:
     if compression == 1:
         return chunk
     if compression in (8, 32946):  # Deflate (zlib)
@@ -178,6 +189,10 @@ def _decompress(chunk: bytes, compression: int) -> bytes:
         return _decode_lzw(chunk)
     if compression == 32773:
         return _decode_packbits(chunk)
+    if compression == 50000:  # ZSTD (GDAL/registered TIFF code)
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("zstd").decompress(chunk, out_size))
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
@@ -217,10 +232,8 @@ def _np_dtype(bps: int, fmt: int, endian: str) -> np.dtype:
     return np.dtype(f"{endian}{kind}{bps // 8}")
 
 
-def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
-    """Read band 1 of a GeoTIFF into (float64 array with NaN nodata, meta)."""
-    with open(path, "rb") as f:
-        data = f.read()
+def _tiff_header(data: bytes) -> tuple[str, bool, int]:
+    """Parse the TIFF/BigTIFF header -> (endian, is_bigtiff, first_ifd_off)."""
     if data[:2] == b"II":
         endian = "<"
     elif data[:2] == b"MM":
@@ -238,7 +251,61 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
             raise ValueError("malformed BigTIFF header")
     else:
         raise ValueError(f"unknown TIFF magic {magic}")
-    t = _read_ifd(data, endian, ifd_off, big=big)
+    return endian, big, ifd_off
+
+
+def _ifd_chain(data: bytes, endian: str, big: bool, first: int) -> list[dict]:
+    """All IFDs in file order; [0] is the full-resolution band, the rest
+    are overviews/masks (GDAL overview layout: chained reduced-res IFDs)."""
+    out = []
+    off = first
+    seen = set()
+    while off and off not in seen:
+        seen.add(off)
+        t, off = _read_ifd(data, endian, off, big=big)
+        out.append(t)
+    return out
+
+
+def list_overviews(path: str) -> list[tuple[int, int]]:
+    """(width, height) of each reduced-resolution IFD (NewSubfileType bit
+    0x1), in file order — GDAL/COG overview discovery."""
+    with open(path, "rb") as f:
+        data = f.read()
+    endian, big, first = _tiff_header(data)
+    chain = _ifd_chain(data, endian, big, first)
+    return [
+        (t[_TAGS["width"]][0], t[_TAGS["height"]][0])
+        for t in chain[1:]
+        if t.get(254, (0,))[0] & 0x1
+    ]
+
+
+def read_geotiff(
+    path: str, overview: int | None = None
+) -> tuple[np.ndarray, GeoTiffMeta]:
+    """Read band 1 of a GeoTIFF into (float64 array with NaN nodata, meta).
+
+    ``overview=k`` reads the k-th reduced-resolution IFD (0-based, COG-style
+    overview chain) instead of the full-resolution band; its grid keeps the
+    full-resolution extent at the overview's coarser cell size — matching
+    GDAL's overview model (gdal_raster_wrapper.cpp reads whichever band
+    object it is handed; overviews are just smaller bands on the same
+    extent)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    endian, big, ifd_off = _tiff_header(data)
+    chain = _ifd_chain(data, endian, big, ifd_off)
+    t0 = chain[0]
+    if overview is None:
+        t = t0
+    else:
+        ovs = [c for c in chain[1:] if c.get(254, (0,))[0] & 0x1]
+        if not 0 <= overview < len(ovs):
+            raise ValueError(
+                f"overview {overview} out of range ({len(ovs)} available)"
+            )
+        t = ovs[overview]
 
     width = t[_TAGS["width"]][0]
     height = t[_TAGS["height"]][0]
@@ -260,7 +327,7 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
         tiles_x = (width + tw - 1) // tw
         for k, (o, c) in enumerate(zip(offs, cnts)):
             ty, tx = k // tiles_x, k % tiles_x
-            raw = _decompress(data[o : o + c], comp)
+            raw = _decompress(data[o : o + c], comp, tw * tl * (bps // 8))
             if predictor == 3:
                 block = _undo_predictor3(raw, tl, tw, bps)
             else:
@@ -278,8 +345,8 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
         cnts = t[_TAGS["strip_byte_counts"]]
         row = 0
         for o, c in zip(offs, cnts):
-            raw = _decompress(data[o : o + c], comp)
             h = min(rps, height - row)
+            raw = _decompress(data[o : o + c], comp, h * width * (bps // 8))
             if predictor == 3:
                 block = _undo_predictor3(raw, h, width, bps)
             else:
@@ -291,15 +358,22 @@ def read_geotiff(path: str) -> tuple[np.ndarray, GeoTiffMeta]:
             arr[row : row + h] = block
             row += h
 
-    # georeferencing: raster-space (i, j) tiepoint -> model (x, y)
-    sx, sy = t[_TAGS["model_pixel_scale"]][:2]
-    ti, tj, _tk, tx0, ty0, _tz = t[_TAGS["model_tiepoint"]][:6]
+    # georeferencing: raster-space (i, j) tiepoint -> model (x, y). Always
+    # taken from the FULL-RESOLUTION IFD (overview IFDs carry no geo tags);
+    # an overview keeps the full extent at its own coarser cell size.
+    sx, sy = t0[_TAGS["model_pixel_scale"]][:2]
+    ti, tj, _tk, tx0, ty0, _tz = t0[_TAGS["model_tiepoint"]][:6]
     xmin = tx0 - ti * sx
     ymax = ty0 + tj * sy
-    grid = Grid(xmin, ymax - height * sy, xmin + width * sx, ymax, sx, sy)
+    full_w = t0[_TAGS["width"]][0]
+    full_h = t0[_TAGS["height"]][0]
+    ext_x, ext_y = full_w * sx, full_h * sy
+    grid = Grid(
+        xmin, ymax - ext_y, xmin + ext_x, ymax, ext_x / width, ext_y / height
+    )
 
     nodata = None
-    nd = t.get(_TAGS["gdal_nodata"])
+    nd = t.get(_TAGS["gdal_nodata"], t0.get(_TAGS["gdal_nodata"]))
     if nd is not None:
         try:
             nodata = float(nd.strip())
@@ -336,74 +410,124 @@ def geotiff_to_tile_parquet(path: str, out_dir: str, tile: int = 256) -> None:
 _FMT_CODE = {"u": 1, "i": 2, "f": 3}
 
 
+def _compress_body(body: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return body
+    if compression == 8:
+        return zlib.compress(body)
+    if compression == 50000:  # ZSTD
+        import pyarrow as _pa
+
+        return bytes(_pa.Codec("zstd").compress(body))
+    raise ValueError(
+        "writer supports compression 1 (none), 8 (deflate), 50000 (zstd)"
+    )
+
+
 def write_geotiff(
     arr: np.ndarray,
     grid: Grid,
     path: str,
     nodata: float | None = None,
     compression: int = 8,
+    overviews: list[int] | None = None,
 ) -> None:
     """Single-band strip-organized GeoTIFF writer (pure struct, classic
-    little-endian container, Deflate by default) — the raster-output sink
-    the reference gets from GDAL (rasterize / resample results become
-    real-world rasters). NaNs are written as ``nodata`` when given.
-    Round-trips bit-exactly through :func:`read_geotiff` (tested)."""
+    little-endian container, Deflate by default; ZSTD via code 50000) —
+    the raster-output sink the reference gets from GDAL (rasterize /
+    resample results become real-world rasters). NaNs are written as
+    ``nodata`` when given. ``overviews=[2, 4, ...]`` appends COG-style
+    reduced-resolution IFDs (NewSubfileType=1) built by 2x2-block striding
+    (deterministic decimation). Round-trips bit-exactly through
+    :func:`read_geotiff` (tested), overviews via ``overview=k``."""
     import struct as _s
 
     a = np.asarray(arr)
-    h, w = a.shape
-    dt = a.dtype
-    if dt.kind not in _FMT_CODE:
-        raise ValueError(f"unsupported dtype {dt}")
-    if nodata is not None and dt.kind == "f":
-        a = np.where(np.isnan(a), dt.type(nodata), a)
-    body = np.ascontiguousarray(a, dtype=dt.newbyteorder("<")).tobytes()
-    if compression == 8:
-        body = zlib.compress(body)
-    elif compression != 1:
-        raise ValueError("writer supports compression 1 (none) or 8 (deflate)")
+    if a.dtype.kind not in _FMT_CODE:
+        raise ValueError(f"unsupported dtype {a.dtype}")
+    if nodata is not None and a.dtype.kind == "f":
+        a = np.where(np.isnan(a), a.dtype.type(nodata), a)
 
-    data_off = 8
-    ifd_off = data_off + len(body)
-    tags = [
-        (256, 4, 1, w),
-        (257, 4, 1, h),
-        (258, 3, 1, dt.itemsize * 8),
-        (259, 3, 1, compression),
-        (262, 3, 1, 1),
-        (273, 4, 1, data_off),
-        (277, 3, 1, 1),
-        (278, 4, 1, h),
-        (279, 4, 1, len(body)),
-        (339, 3, 1, _FMT_CODE[dt.kind]),
-    ]
-    extra = b""
-    extra_items = []  # (tag, typ, cnt, payload bytes)
-    scale = _s.pack("<3d", grid.dx, grid.dy, 0.0)
-    extra_items.append((33550, 12, 3, scale))
-    tie = _s.pack("<6d", 0, 0, 0, grid.xmin, grid.ymax, 0.0)
-    extra_items.append((33922, 12, 6, tie))
-    if nodata is not None:
-        nd = f"{nodata:.17g}".encode() + b"\x00"
-        extra_items.append((42113, 2, len(nd), nd))
+    levels: list[tuple[np.ndarray, bool]] = [(a, False)]
+    for f in overviews or []:
+        levels.append((a[::f, ::f], True))
 
-    n_entries = len(tags) + len(extra_items)
-    extra_off = ifd_off + 2 + 12 * n_entries + 4
-    for tag, typ, cnt, payload in extra_items:
-        size = {2: 1, 12: 8}[typ] * cnt
-        if size <= 4:
-            tags.append((tag, typ, cnt, int.from_bytes(payload.ljust(4, b"\x00"), "little")))
+    # pass 1: compressed bodies laid out right after the 8-byte header
+    bodies = []
+    off = 8
+    body_offs = []
+    for lv, _red in levels:
+        dt = lv.dtype
+        body = _compress_body(
+            np.ascontiguousarray(lv, dtype=dt.newbyteorder("<")).tobytes(),
+            compression,
+        )
+        bodies.append(body)
+        body_offs.append(off)
+        off += len(body)
+
+    # pass 2: serialize each IFD (+ its out-of-line payload) in chain order
+    ifd_blobs = []
+    ifd_offs = []
+    for i, (lv, reduced) in enumerate(levels):
+        h, w = lv.shape
+        dt = lv.dtype
+        tags = [
+            (256, 4, 1, w),
+            (257, 4, 1, h),
+            (258, 3, 1, dt.itemsize * 8),
+            (259, 3, 1, compression),
+            (262, 3, 1, 1),
+            (273, 4, 1, body_offs[i]),
+            (277, 3, 1, 1),
+            (278, 4, 1, h),
+            (279, 4, 1, len(bodies[i])),
+            (339, 3, 1, _FMT_CODE[dt.kind]),
+        ]
+        extra_items = []  # (tag, typ, cnt, payload bytes)
+        if reduced:
+            tags.append((254, 4, 1, 1))  # NewSubfileType: reduced-resolution
         else:
-            tags.append((tag, typ, cnt, extra_off + len(extra)))
-            extra += payload
+            scale = _s.pack("<3d", grid.dx, grid.dy, 0.0)
+            extra_items.append((33550, 12, 3, scale))
+            tie = _s.pack("<6d", 0, 0, 0, grid.xmin, grid.ymax, 0.0)
+            extra_items.append((33922, 12, 6, tie))
+            if nodata is not None:
+                nd = f"{nodata:.17g}".encode() + b"\x00"
+                extra_items.append((42113, 2, len(nd), nd))
 
-    out = bytearray(b"II" + _s.pack("<HI", 42, ifd_off))
-    out += body
-    out += _s.pack("<H", n_entries)
-    for tag, typ, cnt, val in sorted(tags):
-        out += _s.pack("<HHI", tag, typ, cnt)
-        out += _s.pack("<I", val)
-    out += _s.pack("<I", 0)
-    out += extra
+        n_entries = len(tags) + len(extra_items)
+        ifd_offs.append(off)
+        extra_off = off + 2 + 12 * n_entries + 4
+        extra = b""
+        for tag, typ, cnt, payload in extra_items:
+            size = {2: 1, 12: 8}[typ] * cnt
+            if size <= 4:
+                tags.append(
+                    (tag, typ, cnt,
+                     int.from_bytes(payload.ljust(4, b"\x00"), "little"))
+                )
+            else:
+                tags.append((tag, typ, cnt, extra_off + len(extra)))
+                extra += payload
+
+        blob = bytearray(_s.pack("<H", n_entries))
+        for tag, typ, cnt, val in sorted(tags):
+            blob += _s.pack("<HHI", tag, typ, cnt)
+            blob += _s.pack("<I", val)
+        blob += b"\x00\x00\x00\x00"  # next-IFD pointer patched below
+        blob += extra
+        ifd_blobs.append(blob)
+        off += len(blob)
+
+    out = bytearray(b"II" + _s.pack("<HI", 42, ifd_offs[0]))
+    for body in bodies:
+        out += body
+    for i, blob in enumerate(ifd_blobs):
+        if i + 1 < len(ifd_blobs):
+            (n_entries,) = _s.unpack("<H", bytes(blob[:2]))
+            p = 2 + 12 * n_entries
+            blob[p : p + 4] = _s.pack("<I", ifd_offs[i + 1])
+        out += blob
     with open(path, "wb") as f:
         f.write(out)

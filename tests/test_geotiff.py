@@ -439,3 +439,59 @@ def test_geotiff_writer_rasterize_output(_ray, tmp_path):
     got, meta = read_geotiff(p)
     np.testing.assert_array_equal(got, arr)
     assert meta.nodata == -1.0
+
+
+def test_zstd_roundtrip():
+    """ZSTD-compressed GeoTIFF (registered TIFF code 50000, the COG-era
+    compression GDAL writes with COMPRESS=ZSTD) round-trips bit-exactly."""
+    import numpy as np
+
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    g = Grid(10.0, -5.0, 74.0, 43.0, 1.0, 1.0)
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(48, 64)).astype(np.float32)
+    a[3, 5] = np.nan
+    p = "/tmp/test_zstd.tif"
+    write_geotiff(a, g, p, nodata=-9999.0, compression=50000)
+    r, m = read_geotiff(p)
+    exp = a.astype(np.float64)
+    np.testing.assert_array_equal(np.isnan(r), np.isnan(exp))
+    np.testing.assert_array_equal(r[~np.isnan(r)], exp[~np.isnan(exp)])
+    assert m.grid == g
+
+
+def test_overview_chain_reads():
+    """COG-style reduced-resolution IFD chain: list_overviews discovers the
+    levels; read_geotiff(overview=k) returns the decimated band on the
+    full-resolution extent at the coarser cell size."""
+    import numpy as np
+    import pytest
+
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import (
+        list_overviews, read_geotiff, write_geotiff,
+    )
+
+    g = Grid(0.0, 0.0, 64.0, 48.0, 1.0, 1.0)
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 1000, (48, 64)).astype(np.int32)
+    p = "/tmp/test_ovr.tif"
+    write_geotiff(a, g, p, compression=8, overviews=[2, 4])
+    assert list_overviews(p) == [(32, 24), (16, 12)]
+
+    r0, m0 = read_geotiff(p)
+    np.testing.assert_array_equal(r0, a.astype(np.float64))
+    assert m0.grid == g
+
+    r1, m1 = read_geotiff(p, overview=0)
+    np.testing.assert_array_equal(r1, a[::2, ::2].astype(np.float64))
+    assert m1.grid == Grid(0.0, 0.0, 64.0, 48.0, 2.0, 2.0)
+
+    r2, m2 = read_geotiff(p, overview=1)
+    np.testing.assert_array_equal(r2, a[::4, ::4].astype(np.float64))
+    assert (m2.grid.dx, m2.grid.dy) == (4.0, 4.0)
+
+    with pytest.raises(ValueError, match="out of range"):
+        read_geotiff(p, overview=2)
