@@ -146,10 +146,10 @@ def main(argv=None) -> int:
         t = t.rename(columns={stat_col: sd.name})
         result = t if result is None else result.merge(t, on="zone_id")
 
-    # .shp output: align one zone geometry per result row (before any id
-    # rename) — the shapefile carries geometry + the DBF attribute table
+    # .shp/.gpkg output: align one zone geometry per result row (before any
+    # id rename) — these sinks carry geometry + the attribute table
     geoms = None
-    if args.output.endswith(".shp"):
+    if args.output.endswith((".shp", ".gpkg")):
         gmap = dict(
             zip(
                 zones.column("zone_id").to_pylist(),
@@ -171,7 +171,9 @@ def main(argv=None) -> int:
     from .sources.sinks import write_result
 
     # .parquet / .csv / .dbf (attribute table only) / .shp (+.shx+.dbf full
-    # shapefile) / .nc (NetCDF-3) — the GDALWriter sink set without GDAL
+    # shapefile) / .nc (NetCDF-3) / .db/.sqlite / .gpkg (GeoPackage) — the
+    # GDALWriter sink set without GDAL (SQLite stands in for PostgreSQL,
+    # gdal_writer.cpp:26-143: no DB server in this environment)
     write_result(result, args.output, geoms)
     print(f"wrote {len(result)} rows to {args.output}", file=sys.stderr)
     if owns_ray:

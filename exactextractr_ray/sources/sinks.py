@@ -359,8 +359,186 @@ def read_shp(path: str) -> list[list[np.ndarray]]:
     return out
 
 
+# ---------------- SQLite / GeoPackage sinks ----------------
+# The reference's GDALWriter reaches databases through OGR (PostgreSQL in
+# gdal_writer.cpp:26-143); this environment has no DB server, so the
+# equivalent database sink is SQLite (stdlib) — plain tables for .db/.sqlite
+# and a standards-conformant GeoPackage for .gpkg (round-trips through this
+# engine's own gpkg reader).
+
+_SQLITE_TYPES = {"i": "INTEGER", "u": "INTEGER", "b": "INTEGER",
+                 "f": "REAL", "O": "TEXT", "S": "BLOB"}
+
+
+def _sqlite_coltype(s: pd.Series) -> str:
+    if len(s) and isinstance(s.iloc[0], (bytes, bytearray)):
+        return "BLOB"
+    return _SQLITE_TYPES.get(s.dtype.kind, "TEXT")
+
+
+def write_sqlite(
+    df: pd.DataFrame, path: str, table: str = "results", geoms=None
+) -> None:
+    """Attribute table -> a SQLite database (stdlib sqlite3). ``geoms``
+    (one WKB per row) adds a ``geom_wkb`` BLOB column. Replaces the table
+    if it exists (the GDALWriter overwrite contract)."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        cols = [f'"{c}" {_sqlite_coltype(df[c])}' for c in df.columns]
+        if geoms is not None:
+            cols.append('"geom_wkb" BLOB')
+        con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(f'CREATE TABLE "{table}" ({", ".join(cols)})')
+        n = len(df.columns) + (1 if geoms is not None else 0)
+        rows = []
+        for i, row in enumerate(df.itertuples(index=False)):
+            vals = [
+                (v.item() if isinstance(v, np.generic) else v) for v in row
+            ]
+            if geoms is not None:
+                vals.append(sqlite3.Binary(geoms[i]))
+            rows.append(vals)
+        con.executemany(
+            f'INSERT INTO "{table}" VALUES ({", ".join("?" * n)})', rows
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
+def read_sqlite(path: str, table: str = "results") -> pd.DataFrame:
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        cur = con.execute(f'SELECT * FROM "{table}"')
+        cols = [d[0] for d in cur.description]
+        return pd.DataFrame(cur.fetchall(), columns=cols)
+    finally:
+        con.close()
+
+
+def _wkb_envelope(wkb: bytes) -> tuple[float, float, float, float]:
+    from .. import wkbio
+
+    xs: list[float] = []
+    ys: list[float] = []
+    for part in wkbio.parse_wkb(wkb):
+        arrays = part.get("rings") or [part["coords"]]
+        for a in arrays:
+            xs.extend((float(a[:, 0].min()), float(a[:, 0].max())))
+            ys.extend((float(a[:, 1].min()), float(a[:, 1].max())))
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def write_gpkg(
+    df: pd.DataFrame,
+    path: str,
+    geoms,
+    layer: str = "results",
+    srs_id: int = 4326,
+) -> None:
+    """Results + geometries -> a GeoPackage (OGC GPKG 1.2 core: the
+    application_id pragma, gpkg_spatial_ref_sys / gpkg_contents /
+    gpkg_geometry_columns registry rows, and GP-header geometry BLOBs with
+    little-endian envelopes). Round-trips through sources.gpkg's reader."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    try:
+        con.execute("PRAGMA application_id = 0x47504B47")  # 'GPKG'
+        con.execute("PRAGMA user_version = 10200")
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_spatial_ref_sys (
+            srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+            organization TEXT NOT NULL, organization_coordsys_id INTEGER
+            NOT NULL, definition TEXT NOT NULL, description TEXT)"""
+        )
+        con.executemany(
+            "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+            [
+                ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
+                ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
+                ("WGS 84 geodetic", 4326, "EPSG", 4326,
+                 'GEOGCS["WGS 84",DATUM["WGS_1984",'
+                 'SPHEROID["WGS 84",6378137,298.257223563]]]', None),
+            ],
+        )
+        if srs_id not in (-1, 0, 4326):
+            con.execute(
+                "INSERT OR IGNORE INTO gpkg_spatial_ref_sys VALUES (?,?,?,?,?,?)",
+                (f"EPSG:{srs_id}", srs_id, "EPSG", srs_id,
+                 f"EPSG:{srs_id}", None),
+            )
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_contents (
+            table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+            identifier TEXT UNIQUE, description TEXT DEFAULT '',
+            last_change DATETIME, min_x DOUBLE, min_y DOUBLE,
+            max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"""
+        )
+        con.execute(
+            """CREATE TABLE IF NOT EXISTS gpkg_geometry_columns (
+            table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+            geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+            z TINYINT NOT NULL, m TINYINT NOT NULL,
+            CONSTRAINT pk_geom_cols PRIMARY KEY (table_name, column_name))"""
+        )
+        attr_cols = ", ".join(
+            f'"{c}" {_sqlite_coltype(df[c])}' for c in df.columns
+        )
+        con.execute(f'DROP TABLE IF EXISTS "{layer}"')
+        con.execute(
+            f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, '
+            f'{attr_cols}, geom GEOMETRY)'
+        )
+        envs = [_wkb_envelope(g) for g in geoms]
+        rows = []
+        for i, row in enumerate(df.itertuples(index=False)):
+            xmin, xmax, ymin, ymax = envs[i]
+            # GP header: magic, version 0, flags 0x03 (little-endian,
+            # envelope indicator 1 = [minx maxx miny maxy]), srs_id, envelope
+            blob = (
+                b"GP\x00\x03"
+                + struct.pack("<i", srs_id)
+                + struct.pack("<4d", xmin, xmax, ymin, ymax)
+                + bytes(geoms[i])
+            )
+            rows.append(
+                [(v.item() if isinstance(v, np.generic) else v) for v in row]
+                + [sqlite3.Binary(blob)]
+            )
+        n = len(df.columns) + 1
+        names = ", ".join(f'"{c}"' for c in df.columns) + ", geom"
+        con.executemany(
+            f'INSERT INTO "{layer}" ({names}) VALUES ({", ".join("?" * n)})',
+            rows,
+        )
+        con.execute("DELETE FROM gpkg_contents WHERE table_name = ?", (layer,))
+        con.execute(
+            "INSERT INTO gpkg_contents VALUES (?,?,?,?,datetime('now'),"
+            "?,?,?,?,?)",
+            (layer, "features", layer, "",
+             min(e[0] for e in envs), min(e[2] for e in envs),
+             max(e[1] for e in envs), max(e[3] for e in envs), srs_id),
+        )
+        con.execute(
+            "DELETE FROM gpkg_geometry_columns WHERE table_name = ?", (layer,)
+        )
+        con.execute(
+            "INSERT INTO gpkg_geometry_columns VALUES (?,?,?,?,0,0)",
+            (layer, "geom", "GEOMETRY", srs_id),
+        )
+        con.commit()
+    finally:
+        con.close()
+
+
 def write_result(df: pd.DataFrame, path: str, geoms=None) -> None:
     """Extension-dispatched result sink: .parquet / .csv / .dbf / .nc /
+    .db/.sqlite (SQLite table) / .gpkg (GeoPackage, requires ``geoms``) /
     .shp (requires ``geoms``: one WKB per row)."""
     if path.endswith(".csv"):
         df.to_csv(path, index=False)
@@ -368,6 +546,12 @@ def write_result(df: pd.DataFrame, path: str, geoms=None) -> None:
         write_dbf(df, path)
     elif path.endswith(".nc"):
         write_netcdf3(df, path)
+    elif path.endswith(".db") or path.endswith(".sqlite"):
+        write_sqlite(df, path, geoms=geoms)
+    elif path.endswith(".gpkg"):
+        if geoms is None:
+            raise ValueError(".gpkg output needs zone geometries")
+        write_gpkg(df, path, geoms)
     elif path.endswith(".shp"):
         if geoms is None:
             raise ValueError(".shp output needs zone geometries")

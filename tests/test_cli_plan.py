@@ -411,3 +411,83 @@ def test_cli_id_name_type(ray_session, tmp_path):
         ]
     )
     assert rc2 == 1
+
+
+def test_cli_sqlite_output(ray_session, tmp_path):
+    """CLI -o out.db writes a SQLite results table (the GDALWriter database
+    sink, gdal_writer.cpp:26-143, with SQLite standing in for PostgreSQL)."""
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.sources.raster import (
+        raster_from_array,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.sinks import read_sqlite
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    tiles_dir = str(tmp_path / "tiles")
+    write_raster_parquet(raster_from_array(vals, g, tile=4), tiles_dir)
+    zpath = str(tmp_path / "zones.parquet")
+    pq.write_table(
+        zone_table([(0, "a", wkbio.rect_wkb(0, 0, 4, 4)),
+                    (1, "b", wkbio.rect_wkb(4, 4, 8, 8))]), zpath
+    )
+    out = str(tmp_path / "out.db")
+    rc = main(["-p", zpath, "-r", f"values:{tiles_dir}", "-s", "mean",
+               "-s", "sum", "-o", out])
+    assert rc == 0
+    res = read_sqlite(out).sort_values("zone_id").reset_index(drop=True)
+    assert res["mean"].iloc[0] == vals[4:, :4].mean()
+    assert res["sum"].iloc[1] == vals[:4, 4:].sum()
+    assert list(res.columns) == ["zone_id", "mean", "sum"]
+
+
+def test_cli_gpkg_output_roundtrip(ray_session, tmp_path):
+    """CLI -o out.gpkg writes a GeoPackage this engine's own gpkg reader
+    can load back: geometry survives byte-exactly and attributes match."""
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.sources.gpkg import read_gpkg_zones
+    from exactextractr_ray.sources.raster import (
+        raster_from_array,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    tiles_dir = str(tmp_path / "tiles")
+    write_raster_parquet(raster_from_array(vals, g, tile=4), tiles_dir)
+    zwkb = [wkbio.rect_wkb(0, 0, 4, 4), wkbio.rect_wkb(4, 4, 8, 8)]
+    zpath = str(tmp_path / "zones.parquet")
+    pq.write_table(
+        zone_table([(0, "a", zwkb[0]), (1, "b", zwkb[1])]), zpath
+    )
+    out = str(tmp_path / "out.gpkg")
+    rc = main(["-p", zpath, "-r", f"values:{tiles_dir}", "-s", "mean", "-o", out])
+    assert rc == 0
+
+    back = read_gpkg_zones(out, layer="results")
+    got_wkb = back.column("geom_wkb").to_pylist()
+    assert got_wkb == zwkb  # byte-exact WKB round-trip
+
+    import sqlite3
+
+    con = sqlite3.connect(out)
+    try:
+        rows = con.execute(
+            'SELECT zone_id, mean FROM "results" ORDER BY zone_id'
+        ).fetchall()
+        assert rows[0][1] == vals[4:, :4].mean()
+        assert rows[1][1] == vals[:4, 4:].mean()
+        # registry rows present (GPKG core)
+        assert con.execute(
+            "SELECT data_type FROM gpkg_contents WHERE table_name='results'"
+        ).fetchone()[0] == "features"
+        assert con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns "
+            "WHERE table_name='results'"
+        ).fetchone()[0] == "geom"
+        assert con.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
+    finally:
+        con.close()
