@@ -1,0 +1,97 @@
+"""NetCDF classic raster source: round-trips, CF packing, orientation,
+and zonal parity with the parquet-tile path.
+
+Reference surface: GDAL's netCDF raster driver behind
+gdal_raster_wrapper.cpp:22-95 (any GDAL band, including netCDF
+subdatasets) and the netCDF block introspection helper
+(R/exact_extract_helpers.R:388-431)."""
+
+import numpy as np
+import pytest
+
+from exactextractr_ray import wkbio
+from exactextractr_ray.grid import Grid
+from exactextractr_ray.sources.netcdf_raster import (
+    netcdf_raster_dataset,
+    read_netcdf_raster,
+    write_netcdf_raster,
+)
+
+
+def _sample():
+    g = Grid(-10.0, 20.0, 22.0, 44.0, 0.5, 0.5)  # 64 x 48 cells
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(48, 64)) * 10
+    a[5, 7] = np.nan
+    return a, g
+
+
+def test_netcdf_f8_roundtrip(tmp_path):
+    a, g = _sample()
+    p = str(tmp_path / "t.nc")
+    write_netcdf_raster(a, g, p, nodata=-9999.0)
+    r, gr = read_netcdf_raster(p)
+    assert gr == g
+    np.testing.assert_array_equal(np.isnan(r), np.isnan(a))
+    np.testing.assert_allclose(r[~np.isnan(r)], a[~np.isnan(a)])
+
+
+def test_netcdf_cf_packing(tmp_path):
+    """scale_factor / add_offset CF packing into int16 with _FillValue."""
+    a, g = _sample()
+    p = str(tmp_path / "t.nc")
+    write_netcdf_raster(
+        a, g, p, nodata=-9999.0, dtype="i2", scale_factor=0.01, add_offset=5.0
+    )
+    r, gr = read_netcdf_raster(p)
+    assert gr == g
+    np.testing.assert_array_equal(np.isnan(r), np.isnan(a))
+    np.testing.assert_allclose(r[~np.isnan(r)], a[~np.isnan(a)], atol=0.0051)
+
+
+def test_netcdf_ascending_latitude_normalized(tmp_path):
+    """CF-style south-up storage reads back row-0-north identically."""
+    a, g = _sample()
+    p1, p2 = str(tmp_path / "n.nc"), str(tmp_path / "s.nc")
+    write_netcdf_raster(a, g, p1, nodata=-9999.0)
+    write_netcdf_raster(a, g, p2, nodata=-9999.0, y_ascending=True)
+    r1, g1 = read_netcdf_raster(p1)
+    r2, g2 = read_netcdf_raster(p2)
+    assert g1 == g2 == g
+    np.testing.assert_array_equal(np.isnan(r1), np.isnan(r2))
+    np.testing.assert_array_equal(r1[~np.isnan(r1)], r2[~np.isnan(r2)])
+
+
+def test_netcdf_zonal_parity_with_array_path(ray_session, tmp_path):
+    """exact_extract over a netCDF-sourced raster Dataset matches the
+    direct in-memory array path bit-exactly."""
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import raster_from_array
+    from exactextractr_ray.sources.zones import zone_table
+
+    a, g = _sample()
+    p = str(tmp_path / "t.nc")
+    write_netcdf_raster(a, g, p, nodata=-9999.0)
+
+    zones = zone_table(
+        [
+            (0, "a", wkbio.rect_wkb(-8.3, 22.1, 3.7, 31.9)),
+            (1, "b", wkbio.rect_wkb(4.0, 32.0, 20.5, 43.5)),
+        ]
+    )
+    base = exact_extract(
+        raster_from_array(a, g, tile=16), zones, ["count", "sum", "mean"]
+    ).to_pandas()
+    got = exact_extract(
+        netcdf_raster_dataset(p, tile=16), zones, ["count", "sum", "mean"]
+    ).to_pandas()
+    for c in ("count", "sum", "mean"):
+        np.testing.assert_array_equal(got[c].to_numpy(), base[c].to_numpy())
+
+
+def test_netcdf_rejects_non2d(tmp_path):
+    a, g = _sample()
+    p = str(tmp_path / "t.nc")
+    write_netcdf_raster(a, g, p)
+    with pytest.raises(ValueError, match="not 2-D"):
+        read_netcdf_raster(p, var="x")
