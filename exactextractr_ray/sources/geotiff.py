@@ -46,6 +46,7 @@ _TAGS = {
     "rows_per_strip": 278,
     "strip_byte_counts": 279,
     "predictor": 317,
+    "planar_config": 284,
     "tile_width": 322,
     "tile_length": 323,
     "tile_offsets": 324,
@@ -282,9 +283,15 @@ def list_overviews(path: str) -> list[tuple[int, int]]:
 
 
 def read_geotiff(
-    path: str, overview: int | None = None
+    path: str, overview: int | None = None, band: int = 1
 ) -> tuple[np.ndarray, GeoTiffMeta]:
-    """Read band 1 of a GeoTIFF into (float64 array with NaN nodata, meta).
+    """Read one band of a GeoTIFF into (float64 array with NaN nodata, meta).
+
+    ``band`` is 1-based like GDAL's band index
+    (gdal_raster_wrapper.cpp:22-95 wraps one GDALRasterBand). Both
+    PlanarConfiguration layouts are handled: 1 (chunky, samples
+    interleaved per pixel) and 2 (planar, each band's chunks stored
+    separately).
 
     ``overview=k`` reads the k-th reduced-resolution IFD (0-based, COG-style
     overview chain) instead of the full-resolution band; its grid keeps the
@@ -314,9 +321,29 @@ def read_geotiff(
     fmt = t.get(_TAGS["sample_format"], (1,))[0]
     comp = t.get(_TAGS["compression"], (1,))[0]
     predictor = t.get(_TAGS["predictor"], (1,))[0]
-    if spp != 1:
-        raise ValueError("only single-band GeoTIFFs supported")
+    planar = t.get(_TAGS["planar_config"], (1,))[0]
+    if not 1 <= band <= spp:
+        raise ValueError(f"band {band} out of range (file has {spp})")
     dt = _np_dtype(bps, fmt, endian)
+    # samples interleaved within each chunk: spp for chunky, 1 for planar
+    nsamp = spp if planar == 1 else 1
+
+    def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
+        """One decompressed chunk -> (rows, cols, nsamp). Predictor 2
+        differencing and TechNote-3 byte planes both operate across the
+        full interleaved row (cols*nsamp samples)."""
+        if predictor == 3:
+            block = _undo_predictor3(raw, rows, cols * nsamp, bps)
+            return block.reshape(rows, cols, nsamp)
+        block = np.frombuffer(
+            raw, dtype=dt, count=rows * cols * nsamp
+        ).reshape(rows, cols, nsamp)
+        if predictor == 2:
+            # per-COMPONENT horizontal differencing (TIFF 6.0 §14): cumsum
+            # along the pixel axis with components separated, so axis=1 on
+            # the (rows, cols, nsamp) view reconstructs each band
+            block = _undo_predictor2(block, dt, bps, endian)
+        return block
 
     arr = np.empty((height, width), dtype=dt.newbyteorder("="))
     if _TAGS["tile_offsets"] in t:
@@ -325,17 +352,14 @@ def read_geotiff(
         offs = t[_TAGS["tile_offsets"]]
         cnts = t[_TAGS["tile_byte_counts"]]
         tiles_x = (width + tw - 1) // tw
+        if planar == 2:  # per-plane chunk groups; keep only this band's
+            cpp = len(offs) // spp
+            offs = offs[(band - 1) * cpp : band * cpp]
+            cnts = cnts[(band - 1) * cpp : band * cpp]
         for k, (o, c) in enumerate(zip(offs, cnts)):
             ty, tx = k // tiles_x, k % tiles_x
-            raw = _decompress(data[o : o + c], comp, tw * tl * (bps // 8))
-            if predictor == 3:
-                block = _undo_predictor3(raw, tl, tw, bps)
-            else:
-                block = np.frombuffer(raw, dtype=dt, count=tw * tl).reshape(
-                    tl, tw
-                )
-                if predictor == 2:
-                    block = _undo_predictor2(block, dt, bps, endian)
+            raw = _decompress(data[o : o + c], comp, tw * tl * nsamp * (bps // 8))
+            block = decode_chunk(raw, tl, tw)[:, :, band - 1 if planar == 1 else 0]
             h = min(tl, height - ty * tl)
             w = min(tw, width - tx * tw)
             arr[ty * tl : ty * tl + h, tx * tw : tx * tw + w] = block[:h, :w]
@@ -343,19 +367,17 @@ def read_geotiff(
         rps = t.get(_TAGS["rows_per_strip"], (height,))[0]
         offs = t[_TAGS["strip_offsets"]]
         cnts = t[_TAGS["strip_byte_counts"]]
+        if planar == 2:
+            cpp = len(offs) // spp
+            offs = offs[(band - 1) * cpp : band * cpp]
+            cnts = cnts[(band - 1) * cpp : band * cpp]
         row = 0
         for o, c in zip(offs, cnts):
             h = min(rps, height - row)
-            raw = _decompress(data[o : o + c], comp, h * width * (bps // 8))
-            if predictor == 3:
-                block = _undo_predictor3(raw, h, width, bps)
-            else:
-                block = np.frombuffer(raw, dtype=dt, count=h * width).reshape(
-                    h, width
-                )
-                if predictor == 2:
-                    block = _undo_predictor2(block, dt, bps, endian)
-            arr[row : row + h] = block
+            raw = _decompress(data[o : o + c], comp, h * width * nsamp * (bps // 8))
+            arr[row : row + h] = decode_chunk(raw, h, width)[
+                :, :, band - 1 if planar == 1 else 0
+            ]
             row += h
 
     # georeferencing: raster-space (i, j) tiepoint -> model (x, y). Always
@@ -390,11 +412,11 @@ def read_geotiff(
     return out, meta
 
 
-def geotiff_raster_dataset(path: str, tile: int = 256):
+def geotiff_raster_dataset(path: str, tile: int = 256, band: int = 1):
     """GeoTIFF -> streaming tile Dataset (the engine's native form)."""
     from .raster import raster_from_array
 
-    arr, meta = read_geotiff(path)
+    arr, meta = read_geotiff(path, band=band)
     return raster_from_array(arr, meta.grid, tile=tile)
 
 
@@ -431,6 +453,7 @@ def write_geotiff(
     nodata: float | None = None,
     compression: int = 8,
     overviews: list[int] | None = None,
+    planar: int = 1,
 ) -> None:
     """Single-band strip-organized GeoTIFF writer (pure struct, classic
     little-endian container, Deflate by default; ZSTD via code 50000) —
@@ -447,44 +470,69 @@ def write_geotiff(
         raise ValueError(f"unsupported dtype {a.dtype}")
     if nodata is not None and a.dtype.kind == "f":
         a = np.where(np.isnan(a), a.dtype.type(nodata), a)
+    nb = a.shape[2] if a.ndim == 3 else 1  # pixel-interleaved multiband
 
     levels: list[tuple[np.ndarray, bool]] = [(a, False)]
     for f in overviews or []:
         levels.append((a[::f, ::f], True))
 
-    # pass 1: compressed bodies laid out right after the 8-byte header
-    bodies = []
+    # pass 1: compressed bodies laid out right after the 8-byte header.
+    # chunky: one strip per level; planar=2: one strip PER PLANE per level
+    bodies: list[list[bytes]] = []
     off = 8
-    body_offs = []
+    body_offs: list[list[int]] = []
     for lv, _red in levels:
         dt = lv.dtype
-        body = _compress_body(
-            np.ascontiguousarray(lv, dtype=dt.newbyteorder("<")).tobytes(),
-            compression,
-        )
-        bodies.append(body)
-        body_offs.append(off)
-        off += len(body)
+        if planar == 2 and nb > 1:
+            planes = [
+                np.ascontiguousarray(
+                    lv[:, :, p], dtype=dt.newbyteorder("<")
+                ).tobytes()
+                for p in range(nb)
+            ]
+        else:
+            planes = [
+                np.ascontiguousarray(lv, dtype=dt.newbyteorder("<")).tobytes()
+            ]
+        comp = [_compress_body(p, compression) for p in planes]
+        bodies.append(comp)
+        offs = []
+        for c in comp:
+            offs.append(off)
+            off += len(c)
+        body_offs.append(offs)
 
     # pass 2: serialize each IFD (+ its out-of-line payload) in chain order
     ifd_blobs = []
     ifd_offs = []
     for i, (lv, reduced) in enumerate(levels):
-        h, w = lv.shape
+        h, w = lv.shape[:2]
         dt = lv.dtype
+        nchunks = len(bodies[i])
         tags = [
             (256, 4, 1, w),
             (257, 4, 1, h),
-            (258, 3, 1, dt.itemsize * 8),
             (259, 3, 1, compression),
             (262, 3, 1, 1),
-            (273, 4, 1, body_offs[i]),
-            (277, 3, 1, 1),
+            (277, 3, 1, nb),
             (278, 4, 1, h),
-            (279, 4, 1, len(bodies[i])),
-            (339, 3, 1, _FMT_CODE[dt.kind]),
+            (284, 3, 1, planar),
         ]
         extra_items = []  # (tag, typ, cnt, payload bytes)
+        extra_items.append(
+            (273, 4, nchunks, struct.pack(f"<{nchunks}I", *body_offs[i]))
+        )
+        extra_items.append(
+            (279, 4, nchunks,
+             struct.pack(f"<{nchunks}I", *(len(b) for b in bodies[i])))
+        )
+        # per-sample SHORT arrays (inline when they fit in 4 bytes)
+        extra_items.append(
+            (258, 3, nb, struct.pack(f"<{nb}H", *([dt.itemsize * 8] * nb)))
+        )
+        extra_items.append(
+            (339, 3, nb, struct.pack(f"<{nb}H", *([_FMT_CODE[dt.kind]] * nb)))
+        )
         if reduced:
             tags.append((254, 4, 1, 1))  # NewSubfileType: reduced-resolution
         else:
@@ -501,7 +549,7 @@ def write_geotiff(
         extra_off = off + 2 + 12 * n_entries + 4
         extra = b""
         for tag, typ, cnt, payload in extra_items:
-            size = {2: 1, 12: 8}[typ] * cnt
+            size = {2: 1, 3: 2, 4: 4, 12: 8}[typ] * cnt
             if size <= 4:
                 tags.append(
                     (tag, typ, cnt,
@@ -521,8 +569,9 @@ def write_geotiff(
         off += len(blob)
 
     out = bytearray(b"II" + _s.pack("<HI", 42, ifd_offs[0]))
-    for body in bodies:
-        out += body
+    for level_bodies in bodies:
+        for body in level_bodies:
+            out += body
     for i, blob in enumerate(ifd_blobs):
         if i + 1 < len(ifd_blobs):
             (n_entries,) = _s.unpack("<H", bytes(blob[:2]))
