@@ -61,7 +61,8 @@ class TransverseMercator:
         false_northing: float = 0.0,
         ellipsoid: str = "WGS84",
     ):
-        a, f = _ELLIPSOIDS[ellipsoid]
+        a, f = (_ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str)
+                else ellipsoid)  # explicit (a, 1/rf-as-f) pair allowed
         self.lon0 = math.radians(lon0_deg)
         self.k0 = k0
         self.fe = false_easting
@@ -156,7 +157,8 @@ class LambertConformalConic:
         false_northing: float,
         ellipsoid: str = "GRS80",
     ):
-        a, f = _ELLIPSOIDS[ellipsoid]
+        a, f = (_ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str)
+                else ellipsoid)  # explicit (a, 1/rf-as-f) pair allowed
         self.a = a
         self.e = math.sqrt(f * (2.0 - f))
         self.lon0 = math.radians(lon0_deg)
@@ -226,7 +228,8 @@ class AlbersEqualArea:
         false_northing: float = 0.0,
         ellipsoid: str = "GRS80",
     ):
-        a, f = _ELLIPSOIDS[ellipsoid]
+        a, f = (_ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str)
+                else ellipsoid)  # explicit (a, 1/rf-as-f) pair allowed
         self.a = a
         self.e2 = f * (2.0 - f)
         self.e = math.sqrt(self.e2)
@@ -372,6 +375,9 @@ def parse_crs(name: str):
         p = [float(v) for v in parts[:6]]
         ell = parts[6] if len(parts) >= 7 else "GRS80"
         return LambertConformalConic(*p, ellipsoid=ell)
+    up = name[:12].upper()
+    if up.startswith(("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS")):
+        return parse_crs_wkt(name)  # raw WKT (e.g. .prj sidecar content)
     raise ValueError(f"unsupported CRS {name!r}")
 
 
@@ -379,6 +385,102 @@ SUPPORTED = {"EPSG:4326/4269/4258 (geographic)", "EPSG:3857",
              "EPSG:326xx/327xx/269xx (UTM)",
              "EPSG:5070/5071/5072/6350/3310/3577 + ESRI:102003/102008 (Albers)",
              "EPSG:2154/3347/3978 (LCC)", "tmerc:...", "lcc:...", "aea:..."}
+
+
+def parse_crs_wkt(wkt: str):
+    """OGC WKT1 / ESRI WKT CRS text (a shapefile ``.prj`` sidecar, a
+    GeoPackage definition) -> projection object, without PROJ.
+
+    Strategy: if the text carries a top-level ``AUTHORITY["EPSG", code]``
+    that ``parse_crs`` knows, use it; otherwise reconstruct the projection
+    from PROJECTION / PARAMETER / SPHEROID values directly — tmerc, lcc
+    (1SP collapses to 2SP with both parallels equal), aea, Mercator_1SP /
+    web-Mercator, and bare GEOGCS (the 4326 hub). The reference gets this
+    from OGR/PROJ (/root/reference/R/exact_extract.R:360-377)."""
+    import re
+
+    head = wkt.strip()[:12].upper()
+    if head.startswith("GEOGCS") or head.startswith("GEOGCRS"):
+        return None  # geographic degrees -> hub
+    if not (head.startswith("PROJCS") or head.startswith("PROJCRS")):
+        raise ValueError("not a WKT CRS string")
+
+    # last AUTHORITY in the text is the CRS-level one in WKT1
+    auths = re.findall(
+        r'AUTHORITY\[\s*"(\w+)"\s*,\s*"?(\d+)"?\s*\]', wkt, re.I
+    )
+    if auths:
+        org, code = auths[-1]
+        try:
+            return parse_crs(f"{org.upper()}:{code}")
+        except ValueError:
+            pass  # fall through to parameter reconstruction
+
+    mproj = re.search(r'PROJECTION\[\s*"([^"]+)"', wkt, re.I)
+    if mproj is None:
+        raise ValueError("WKT has no PROJECTION node")
+    proj = mproj.group(1).lower()
+    params = {
+        k.lower(): float(v)
+        for k, v in re.findall(
+            r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt
+        )
+    }
+    msph = re.search(
+        r'SPHEROID\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)',
+        wkt, re.I,
+    )
+    if msph is None:
+        ell = _ELLIPSOIDS["WGS84"]
+    else:
+        a, inv_f = float(msph.group(1)), float(msph.group(2))
+        ell = (a, 1.0 / inv_f if inv_f else 0.0)
+
+    def p(*names, default=0.0):
+        for nm in names:
+            if nm in params:
+                return params[nm]
+        return default
+
+    if "transverse_mercator" in proj:
+        return TransverseMercator(
+            p("central_meridian", "longitude_of_center"),
+            p("scale_factor", default=1.0),
+            p("false_easting"),
+            p("false_northing"),
+            ellipsoid=ell,
+        )
+    if "albers" in proj:
+        return AlbersEqualArea(
+            p("standard_parallel_1"),
+            p("standard_parallel_2", "standard_parallel_1"),
+            p("latitude_of_origin", "latitude_of_center"),
+            p("central_meridian", "longitude_of_center"),
+            p("false_easting"),
+            p("false_northing"),
+            ellipsoid=ell,
+        )
+    if "lambert_conformal_conic" in proj:
+        sp1 = p("standard_parallel_1",
+                "latitude_of_origin")  # 1SP: parallel = origin
+        sp2 = p("standard_parallel_2", default=sp1)
+        return LambertConformalConic(
+            sp1, sp2,
+            p("latitude_of_origin", "latitude_of_center"),
+            p("central_meridian", "longitude_of_center"),
+            p("false_easting"),
+            p("false_northing"),
+            ellipsoid=ell,
+        )
+    if "mercator" in proj:  # Mercator_1SP / popular visualisation pseudo
+        return "mercator"
+    raise ValueError(f"unsupported WKT projection {proj!r}")
+
+
+def crs_from_prj(path: str):
+    """Shapefile ``.prj`` sidecar -> projection object (parse_crs_wkt)."""
+    with open(path) as f:
+        return parse_crs_wkt(f.read())
 
 
 def lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):

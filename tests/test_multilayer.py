@@ -649,3 +649,73 @@ def test_zonal_with_albers_zones_matches_4326(_ray):
     got = exact_extract(rd, zones_back, ["count", "sum", "mean"]).to_pandas()
     for c in ("count", "sum", "mean"):
         np.testing.assert_allclose(got[c], base[c], rtol=1e-9)
+
+
+def test_wkt_crs_parser():
+    """parse_crs_wkt: AUTHORITY routing, parameter reconstruction (ESRI
+    Albers text without EPSG tags), 1SP/2SP handling, GEOGCS hub, and raw
+    WKT accepted by parse_crs — the shapefile-.prj surface the reference
+    gets from OGR/PROJ (R/exact_extract.R:360-377)."""
+    import re
+
+    from exactextractr_ray.functions.crs import parse_crs, parse_crs_wkt
+
+    wkt5070 = (
+        'PROJCS["NAD_1983_Contiguous_USA_Albers",GEOGCS['
+        '"GCS_North_American_1983",DATUM["D_North_American_1983",SPHEROID['
+        '"GRS_1980",6378137.0,298.257222101]],PRIMEM["Greenwich",0.0],UNIT['
+        '"Degree",0.0174532925199433]],PROJECTION["Albers"],PARAMETER['
+        '"False_Easting",0.0],PARAMETER["False_Northing",0.0],PARAMETER['
+        '"Central_Meridian",-96.0],PARAMETER["Standard_Parallel_1",29.5],'
+        'PARAMETER["Standard_Parallel_2",45.5],PARAMETER['
+        '"Latitude_Of_Origin",23.0],UNIT["Meter",1.0]]'
+    )
+    lon = np.array([-100.0, -80.0])
+    lat = np.array([30.0, 45.0])
+    np.testing.assert_allclose(
+        parse_crs_wkt(wkt5070).forward(lon, lat),
+        parse_crs("EPSG:5070").forward(lon, lat),
+        rtol=1e-12,
+    )
+
+    wkt326 = (
+        'PROJCS["WGS 84 / UTM zone 18N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563,AUTHORITY["EPSG","7030"]],'
+        'AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0],UNIT["degree",'
+        '0.0174532925199433],AUTHORITY["EPSG","4326"]],PROJECTION['
+        '"Transverse_Mercator"],PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",-75],PARAMETER["scale_factor",0.9996],'
+        'PARAMETER["false_easting",500000],PARAMETER["false_northing",0],'
+        'UNIT["metre",1],AUTHORITY["EPSG","32618"]]'
+    )
+    ref = parse_crs("EPSG:32618").forward(lon, lat)
+    np.testing.assert_allclose(parse_crs_wkt(wkt326).forward(lon, lat), ref,
+                               rtol=1e-12)
+    # strip authorities -> pure parameter reconstruction, same projection
+    noauth = re.sub(r",AUTHORITY\[[^\]]*\]", "", wkt326)
+    np.testing.assert_allclose(parse_crs_wkt(noauth).forward(lon, lat), ref,
+                               rtol=1e-12)
+
+    assert parse_crs_wkt(
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",'
+        "6378137.0,298.257223563]]]"
+    ) is None
+    assert parse_crs(wkt5070) is not None  # raw WKT routed by parse_crs
+    with pytest.raises(ValueError, match="PROJECTION"):
+        parse_crs_wkt('PROJCS["broken",UNIT["Meter",1.0]]')
+
+
+def test_crs_from_prj_sidecar(tmp_path):
+    from exactextractr_ray.functions.crs import AlbersEqualArea, crs_from_prj
+
+    p = tmp_path / "zones.prj"
+    p.write_text(
+        'PROJCS["aea",GEOGCS["GCS_North_American_1983",DATUM['
+        '"D_North_American_1983",SPHEROID["GRS_1980",6378137.0,'
+        '298.257222101]],PRIMEM["Greenwich",0.0],UNIT["Degree",'
+        '0.0174532925199433]],PROJECTION["Albers"],PARAMETER['
+        '"Central_Meridian",-96.0],PARAMETER["Standard_Parallel_1",29.5],'
+        'PARAMETER["Standard_Parallel_2",45.5],PARAMETER['
+        '"Latitude_Of_Origin",23.0],UNIT["Meter",1.0]]'
+    )
+    assert isinstance(crs_from_prj(str(p)), AlbersEqualArea)
