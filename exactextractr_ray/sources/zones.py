@@ -164,3 +164,86 @@ def synth_geo_zones(num_zones: int) -> pa.Table:
         xmin, ymin, xmax, ymax = synth.synth_geo_zone_bounds(k)
         rows.append((k, f"geozone{k}", wkbio.rect_wkb(xmin, ymin, xmax, ymax)))
     return zone_table(rows)
+
+
+def read_shp_zones(
+    path: str,
+    name_col: str | None = None,
+    id_col: str | None = None,
+    target_crs: str = "EPSG:4326",
+) -> pa.Table:
+    """ESRI Shapefile -> the engine's zones table (zone_id, zone_seq, name,
+    geom_wkb), with automatic CRS transform from the ``.prj`` sidecar.
+
+    The OGR analog of the reference's vector ingestion
+    (gdal_dataset_wrapper.cpp:22-76) + its warn-and-transform contract
+    (R/exact_extract.R:360-377). Ring grouping follows the ESRI spec:
+    clockwise rings are outers (negative shoelace area in x-east/y-north
+    axes), counterclockwise rings are holes assigned to the outer whose
+    envelope contains their first vertex."""
+    import os
+
+    from .sinks import read_dbf, read_shp
+
+    recs = read_shp(path)
+    base = path[:-4]
+    attrs = None
+    if os.path.exists(base + ".dbf"):
+        attrs = read_dbf(base + ".dbf")
+
+    def signed_area(r: np.ndarray) -> float:
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * float(
+            np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        )
+
+    rows = []
+    for i, rings in enumerate(recs):
+        outers: list[tuple[np.ndarray, list]] = []
+        holes: list[np.ndarray] = []
+        for r in rings:
+            if signed_area(r) <= 0:  # clockwise -> outer (ESRI spec)
+                outers.append((r, []))
+            else:
+                holes.append(r)
+        for h in holes:
+            px, py = float(h[0, 0]), float(h[0, 1])
+            target = next(
+                (o for o in outers
+                 if o[0][:, 0].min() <= px <= o[0][:, 0].max()
+                 and o[0][:, 1].min() <= py <= o[0][:, 1].max()),
+                outers[0] if outers else None,
+            )
+            if target is not None:
+                target[1].append(h)
+        if not outers:
+            continue
+        if id_col is not None and attrs is not None:
+            zid = int(attrs[id_col].iloc[i])
+        else:
+            zid = i
+        if name_col is None and attrs is not None:
+            name_col_eff = next(
+                (c for c in attrs.columns
+                 if c.lower() in ("name", "nome", "label")), None)
+        else:
+            name_col_eff = name_col
+        name = (
+            str(attrs[name_col_eff].iloc[i])
+            if attrs is not None and name_col_eff is not None
+            else f"zone{zid}"
+        )
+        if len(outers) == 1:
+            wkb = wkbio.polygon_wkb(outers[0][0], outers[0][1])
+        else:
+            wkb = wkbio.multipolygon_wkb([(o[0], o[1]) for o in outers])
+        rows.append((zid, name, wkb))
+    tbl = zone_table(rows)
+
+    if os.path.exists(base + ".prj"):
+        from ..functions.crs import parse_crs_wkt, transform_zone_table
+
+        wkt = open(base + ".prj").read()
+        if parse_crs_wkt(wkt) is not None and target_crs is not None:
+            tbl = transform_zone_table(tbl, wkt, target_crs)
+    return tbl

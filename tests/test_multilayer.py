@@ -719,3 +719,64 @@ def test_crs_from_prj_sidecar(tmp_path):
         '"Latitude_Of_Origin",23.0],UNIT["Meter",1.0]]'
     )
     assert isinstance(crs_from_prj(str(p)), AlbersEqualArea)
+
+
+def test_read_shp_zones_with_prj(tmp_path):
+    """Shapefile zone ingestion: ring grouping per the ESRI spec, DBF
+    attributes, and .prj-driven auto-transform to EPSG:4326 — the OGR
+    vector-source analog (gdal_dataset_wrapper.cpp:22-76)."""
+    from exactextractr_ray.functions.crs import parse_crs
+    from exactextractr_ray.sources.sinks import write_shp
+    from exactextractr_ray.sources.zones import read_shp_zones
+
+    df = pd.DataFrame({"zone_id": [0, 1], "name": ["alpha", "beta"]})
+    zwkb = [wkbio.rect_wkb(0, 0, 4, 4), wkbio.rect_wkb(4, 4, 8, 8)]
+    shp = str(tmp_path / "z.shp")
+    write_shp(df, shp, zwkb)
+    tbl = read_shp_zones(shp, id_col="zone_id")
+    assert tbl.column("zone_id").to_pylist() == [0, 1]
+    assert tbl.column("name").to_pylist() == ["alpha", "beta"]
+    for g, w in zip(tbl.column("geom_wkb").to_pylist(), zwkb):
+        r1 = wkbio.parse_wkb(g)[0]["rings"][0]
+        r2 = wkbio.parse_wkb(w)[0]["rings"][0]
+        assert (
+            r1[:, 0].min() == r2[:, 0].min()
+            and r1[:, 1].max() == r2[:, 1].max()
+        )
+
+    # UTM-projected shapefile + .prj: zones come back in lon/lat
+    tm = parse_crs("EPSG:32618")
+    rects_ll = [(-75.15, 40.05, -75.02, 40.17), (-75.1, 40.2, -74.95, 40.3)]
+    geo = []
+    for (x0, y0, x1, y1) in rects_ll:
+        xs = np.linspace(x0, x1, 32)
+        ys = np.linspace(y0, y1, 32)
+        ring = np.concatenate(
+            [
+                np.column_stack([xs, np.full(32, y0)]),
+                np.column_stack([np.full(32, x1), ys]),
+                np.column_stack([xs[::-1], np.full(32, y1)]),
+                np.column_stack([np.full(32, x0), ys[::-1]]),
+            ]
+        )
+        ux, uy = tm.forward(ring[:, 0], ring[:, 1])
+        geo.append(wkbio.polygon_wkb(np.column_stack([ux, uy]), []))
+    shp2 = str(tmp_path / "zu.shp")
+    write_shp(df, shp2, geo)
+    (tmp_path / "zu.prj").write_text(
+        'PROJCS["WGS 84 / UTM zone 18N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION['
+        '"Transverse_Mercator"],PARAMETER["latitude_of_origin",0],'
+        'PARAMETER["central_meridian",-75],PARAMETER["scale_factor",0.9996],'
+        'PARAMETER["false_easting",500000],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    with pytest.warns(UserWarning, match="transformed"):
+        t2 = read_shp_zones(shp2, id_col="zone_id")
+    for g, (x0, y0, x1, y1) in zip(
+        t2.column("geom_wkb").to_pylist(), rects_ll
+    ):
+        r = wkbio.parse_wkb(g)[0]["rings"][0]
+        assert abs(r[:, 0].min() - x0) < 1e-8
+        assert abs(r[:, 1].max() - y1) < 1e-8
