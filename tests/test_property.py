@@ -222,3 +222,53 @@ def test_ngram_counts_match_bruteforce(texts, n):
         got.update(dict(zip(b.column("ngram").to_pylist(),
                             b.column("cnt").to_pylist())))
     assert got == truth
+
+
+# ---- CRS projection properties (hypothesis over random parameters) ----
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lat1=st.floats(20.0, 44.0),
+    dlat=st.floats(2.0, 20.0),
+    lat0=st.floats(10.0, 60.0),
+    lon0=st.floats(-170.0, 170.0),
+    lon_off=st.floats(-15.0, 15.0),
+    lat_p=st.floats(15.0, 64.0),
+)
+def test_albers_roundtrip_random_params(lat1, dlat, lat0, lon0, lon_off, lat_p):
+    """AEA forward∘inverse closes below 1e-6 m for arbitrary legal 2SP
+    parameter sets and in-cone points."""
+    from exactextractr_ray.functions.crs import AlbersEqualArea
+
+    p = AlbersEqualArea(lat1, lat1 + dlat, lat0, lon0)
+    lon = np.array([lon0 + lon_off])
+    lat = np.array([lat_p])
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    err_m = float(
+        np.hypot((lon2 - lon) * np.cos(np.radians(lat)), lat2 - lat) * 111320.0
+    )
+    assert err_m < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lat1=st.floats(25.0, 48.0),
+    dlat=st.floats(2.0, 15.0),
+    lon0=st.floats(-170.0, 170.0),
+    lon_off=st.floats(-12.0, 12.0),
+    lat_p=st.floats(20.0, 60.0),
+)
+def test_lcc_roundtrip_random_params(lat1, dlat, lon0, lon_off, lat_p):
+    from exactextractr_ray.functions.crs import LambertConformalConic
+
+    p = LambertConformalConic(lat1, lat1 + dlat, lat1, lon0, 0.0, 0.0)
+    lon = np.array([lon0 + lon_off])
+    lat = np.array([lat_p])
+    x, y = p.forward(lon, lat)
+    lon2, lat2 = p.inverse(x, y)
+    err_m = float(
+        np.hypot((lon2 - lon) * np.cos(np.radians(lat)), lat2 - lat) * 111320.0
+    )
+    assert err_m < 1e-6
