@@ -45,6 +45,8 @@ _ELLIPSOIDS = {
     "WGS84": (6378137.0, 1.0 / 298.257223563),
     "GRS80": (6378137.0, 1.0 / 298.257222101),
     "CLRK66": (6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
+    "AIRY": (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
+    "INTL": (6378388.0, 1.0 / 297.0),               # International 1924 (ED50)
 }
 
 
@@ -60,6 +62,7 @@ class TransverseMercator:
         false_easting: float = 500000.0,
         false_northing: float = 0.0,
         ellipsoid: str = "WGS84",
+        lat0_deg: float = 0.0,
     ):
         a, f = (_ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str)
                 else ellipsoid)  # explicit (a, 1/rf-as-f) pair allowed
@@ -100,6 +103,14 @@ class TransverseMercator:
             ]
         )
         self._j2 = 2.0 * np.arange(1, 7)
+        # natural-origin northing offset (national grids with lat0 != 0,
+        # e.g. OSGB's 49N): k0 * meridian arc to lat0, via the same series
+        self._y0 = 0.0
+        if lat0_deg != 0.0:
+            _, y0 = self.forward(
+                np.array([math.degrees(self.lon0)]), np.array([lat0_deg])
+            )
+            self._y0 = float(y0[0]) - self.fn
 
     def forward(self, lon_deg, lat_deg):
         lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lon0
@@ -116,12 +127,14 @@ class TransverseMercator:
         xi = xi_p + (al * np.sin(j2xi) * np.cosh(j2eta)).sum(axis=0)
         eta = eta_p + (al * np.cos(j2xi) * np.sinh(j2eta)).sum(axis=0)
         x = self.fe + self.k0 * self.A * eta
-        y = self.fn + self.k0 * self.A * xi
+        y = self.fn + self.k0 * self.A * xi - self._y0
         return x, y
 
     def inverse(self, x, y):
         eta = (np.asarray(x, dtype=np.float64) - self.fe) / (self.k0 * self.A)
-        xi = (np.asarray(y, dtype=np.float64) - self.fn) / (self.k0 * self.A)
+        xi = (np.asarray(y, dtype=np.float64) - self.fn + self._y0) / (
+            self.k0 * self.A
+        )
         j2xi = self._j2[:, None] * np.atleast_1d(xi)[None, :]
         j2eta = self._j2[:, None] * np.atleast_1d(eta)[None, :]
         be = self.beta[:, None]
@@ -360,6 +373,20 @@ def parse_crs(name: str):
             return TransverseMercator(
                 lon0_deg=(code % 100) * 6 - 183, ellipsoid="GRS80"
             )
+        if 25828 <= code <= 25838:  # ETRS89 / UTM (ETRS89 ~= WGS84 hub)
+            return TransverseMercator(
+                lon0_deg=(code % 100) * 6 - 183, ellipsoid="GRS80"
+            )
+        if code == 27700:  # OSGB36 / British National Grid (datum-shifted)
+            return _bng()
+        if 23028 <= code <= 23038:  # ED50 / UTM (datum-shifted)
+            return DatumProjection(
+                TransverseMercator(
+                    lon0_deg=(code % 100) * 6 - 183, ellipsoid="INTL"
+                ),
+                "INTL",
+                Helmert(*_ED50_HELMERT),
+            )
         raise ValueError(f"unsupported CRS {name!r}")
     if name.startswith("aea:"):
         parts = name[4:].split(",")
@@ -385,6 +412,120 @@ SUPPORTED = {"EPSG:4326/4269/4258 (geographic)", "EPSG:3857",
              "EPSG:326xx/327xx/269xx (UTM)",
              "EPSG:5070/5071/5072/6350/3310/3577 + ESRI:102003/102008 (Albers)",
              "EPSG:2154/3347/3978 (LCC)", "tmerc:...", "lcc:...", "aea:..."}
+
+
+# ---------------- datum shifts (Helmert, EPSG method 9606) ----------------
+
+
+def _geodetic_to_ecef(lon_deg, lat_deg, a: float, f: float):
+    """Geodetic (h=0) -> geocentric cartesian, standard closed form."""
+    e2 = f * (2.0 - f)
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    s, c = np.sin(phi), np.cos(phi)
+    N = a / np.sqrt(1.0 - e2 * s * s)
+    return N * c * np.cos(lam), N * c * np.sin(lam), N * (1.0 - e2) * s
+
+
+def _ecef_to_geodetic(X, Y, Z, a: float, f: float):
+    """Geocentric cartesian -> geodetic lon/lat (h discarded), Bowring-seeded
+    fixpoint — closes below 1e-12 rad in <= 6 iterations for surface points."""
+    e2 = f * (2.0 - f)
+    lon = np.degrees(np.arctan2(Y, X))
+    p = np.hypot(X, Y)
+    phi = np.arctan2(Z, p * (1.0 - e2))
+    for _ in range(6):
+        s = np.sin(phi)
+        N = a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(Z + e2 * N * s, p)
+    return lon, np.degrees(phi)
+
+
+class Helmert:
+    """7-parameter similarity transform, position-vector convention (EPSG
+    method 9606, the sign convention of PROJ's +towgs84): SOURCE datum ->
+    WGS84. Translations in meters, rotations in arc-seconds, scale in ppm.
+    Sub-meter-to-few-meter accuracy by nature (grid-based corrections like
+    OSTN15 are out of scope; the residual is documented, not hidden)."""
+
+    def __init__(self, tx, ty, tz, rx=0.0, ry=0.0, rz=0.0, s_ppm=0.0):
+        self.t = np.array([tx, ty, tz], dtype=np.float64)
+        asec = math.pi / (180.0 * 3600.0)
+        self.r = np.array([rx, ry, rz], dtype=np.float64) * asec
+        self.m = 1.0 + s_ppm * 1e-6
+
+    def to_wgs84(self, X, Y, Z):
+        rx, ry, rz = self.r
+        m = self.m
+        Xn = m * (X - rz * Y + ry * Z) + self.t[0]
+        Yn = m * (rz * X + Y - rx * Z) + self.t[1]
+        Zn = m * (-ry * X + rx * Y + Z) + self.t[2]
+        return Xn, Yn, Zn
+
+    def from_wgs84(self, X, Y, Z):
+        """Exact inverse of the small-angle forward: untranslate, unscale,
+        then apply the transposed rotation (round-trips close to float64)."""
+        rx, ry, rz = self.r
+        U = (X - self.t[0]) / self.m
+        V = (Y - self.t[1]) / self.m
+        W = (Z - self.t[2]) / self.m
+        # inverse of the skew matrix [[1,-rz,ry],[rz,1,-rx],[-ry,rx,1]] —
+        # exact 3x3 inverse, not the transpose approximation
+        det = 1.0 + rx * rx + ry * ry + rz * rz
+        Xn = ((1 + rx * rx) * U + (rz + rx * ry) * V + (rx * rz - ry) * W) / det
+        Yn = ((rx * ry - rz) * U + (1 + ry * ry) * V + (rx + ry * rz) * W) / det
+        Zn = ((ry + rx * rz) * U + (ry * rz - rx) * V + (1 + rz * rz) * W) / det
+        return Xn, Yn, Zn
+
+
+class DatumProjection:
+    """A projected CRS on a non-WGS84 datum: the engine's hub convention
+    (forward/inverse exchange WGS84 lon/lat) composed with a Helmert shift
+    and the datum ellipsoid. forward: WGS84 -> datum geographic ->
+    projection; inverse: the reverse chain.
+
+    2-D contract: ellipsoidal height is taken as 0 on whichever side a
+    chain starts (the PROJ convention when no height is supplied), so
+    forward∘inverse closes to ~1 mm — not float64 — because the two
+    directions snap h=0 onto different ellipsoids. Both the closure and
+    the ~2 m Helmert method accuracy are documented, not hidden."""
+
+    def __init__(self, proj, ellipsoid, helmert: Helmert):
+        self.proj = proj
+        self.a, self.f = (
+            _ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str) else ellipsoid
+        )
+        self.h = helmert
+        self._wgs = _ELLIPSOIDS["WGS84"]
+
+    def forward(self, lon_deg, lat_deg):
+        X, Y, Z = _geodetic_to_ecef(lon_deg, lat_deg, *self._wgs)
+        lon_d, lat_d = _ecef_to_geodetic(
+            *self.h.from_wgs84(X, Y, Z), self.a, self.f
+        )
+        return self.proj.forward(lon_d, lat_d)
+
+    def inverse(self, x, y):
+        lon_d, lat_d = self.proj.inverse(x, y)
+        X, Y, Z = _geodetic_to_ecef(lon_d, lat_d, self.a, self.f)
+        return _ecef_to_geodetic(*self.h.to_wgs84(X, Y, Z), *self._wgs)
+
+
+# published towgs84 parameter sets (EPSG registry / OS public docs)
+_OSGB36_HELMERT = (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421,
+                   -20.4894)
+_ED50_HELMERT = (-87.0, -98.0, -121.0)  # common 3-param mean solution
+
+
+def _bng():
+    """EPSG:27700 — OSGB36 / British National Grid: TM on Airy 1830
+    (k0=0.9996012717, origin 49N 2W, FE 400000, FN -100000) + the OS
+    published 7-param Helmert (~2 m accuracy vs the OSTN15 grid)."""
+    tm = TransverseMercator(
+        -2.0, 0.9996012717, 400000.0, -100000.0, ellipsoid="AIRY",
+        lat0_deg=49.0,
+    )
+    return DatumProjection(tm, "AIRY", Helmert(*_OSGB36_HELMERT))
 
 
 def parse_crs_wkt(wkt: str):
@@ -436,6 +577,17 @@ def parse_crs_wkt(wkt: str):
         a, inv_f = float(msph.group(1)), float(msph.group(2))
         ell = (a, 1.0 / inv_f if inv_f else 0.0)
 
+    # TOWGS84 node -> Helmert datum shift wrapped around the projection
+    mtow = re.search(r"TOWGS84\[\s*([-+0-9.eE,\s]+)\]", wkt, re.I)
+    helmert = None
+    if mtow is not None:
+        vals = [float(v) for v in mtow.group(1).split(",")]
+        if any(v != 0.0 for v in vals):
+            helmert = Helmert(*vals[:7])
+
+    def wrap(proj):
+        return DatumProjection(proj, ell, helmert) if helmert else proj
+
     def p(*names, default=0.0):
         for nm in names:
             if nm in params:
@@ -443,15 +595,16 @@ def parse_crs_wkt(wkt: str):
         return default
 
     if "transverse_mercator" in proj:
-        return TransverseMercator(
+        return wrap(TransverseMercator(
             p("central_meridian", "longitude_of_center"),
             p("scale_factor", default=1.0),
             p("false_easting"),
             p("false_northing"),
             ellipsoid=ell,
-        )
+            lat0_deg=p("latitude_of_origin"),
+        ))
     if "albers" in proj:
-        return AlbersEqualArea(
+        return wrap(AlbersEqualArea(
             p("standard_parallel_1"),
             p("standard_parallel_2", "standard_parallel_1"),
             p("latitude_of_origin", "latitude_of_center"),
@@ -459,19 +612,19 @@ def parse_crs_wkt(wkt: str):
             p("false_easting"),
             p("false_northing"),
             ellipsoid=ell,
-        )
+        ))
     if "lambert_conformal_conic" in proj:
         sp1 = p("standard_parallel_1",
                 "latitude_of_origin")  # 1SP: parallel = origin
         sp2 = p("standard_parallel_2", default=sp1)
-        return LambertConformalConic(
+        return wrap(LambertConformalConic(
             sp1, sp2,
             p("latitude_of_origin", "latitude_of_center"),
             p("central_meridian", "longitude_of_center"),
             p("false_easting"),
             p("false_northing"),
             ellipsoid=ell,
-        )
+        ))
     if "mercator" in proj:  # Mercator_1SP / popular visualisation pseudo
         return "mercator"
     raise ValueError(f"unsupported WKT projection {proj!r}")

@@ -780,3 +780,64 @@ def test_read_shp_zones_with_prj(tmp_path):
         r = wkbio.parse_wkb(g)[0]["rings"][0]
         assert abs(r[:, 0].min() - x0) < 1e-8
         assert abs(r[:, 1].max() - y1) < 1e-8
+
+
+def test_bng_os_worked_example():
+    """OS 'A guide to coordinate systems in Great Britain' worked example:
+    OSGB36 52°39'27.2531"N 1°43'4.5177"E -> E 651409.903 N 313177.270 —
+    validates the TM latitude-of-origin northing (lat0=49N) on Airy 1830
+    to sub-millimeter against the published golden."""
+    from exactextractr_ray.functions.crs import TransverseMercator
+
+    tm = TransverseMercator(
+        -2.0, 0.9996012717, 400000.0, -100000.0, ellipsoid="AIRY",
+        lat0_deg=49.0,
+    )
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    x, y = tm.forward(np.array([lon]), np.array([lat]))
+    assert x[0] == pytest.approx(651409.903, abs=2e-3)
+    assert y[0] == pytest.approx(313177.270, abs=2e-3)
+
+
+def test_datum_shifted_crs():
+    """EPSG:27700 (OSGB36 Helmert) and ED50 UTM: round-trips close to the
+    documented ~1 mm 2-D-chain floor, London lands in the right BNG
+    neighborhood, the ED50 offset has the real-world ~100-250 m size, and
+    a TOWGS84-bearing WKT reproduces the EPSG-table projection."""
+    from exactextractr_ray.functions.crs import parse_crs, parse_crs_wkt
+
+    bng = parse_crs("EPSG:27700")
+    rng = np.random.default_rng(8)
+    lo = rng.uniform(-6.0, 1.5, 2000)
+    la = rng.uniform(50.0, 58.5, 2000)
+    xx, yy = bng.forward(lo, la)
+    lo2, la2 = bng.inverse(xx, yy)
+    err = np.hypot((lo2 - lo) * np.cos(np.radians(la)), la2 - la) * 111320
+    assert float(err.max()) < 5e-3  # documented h=0 snap floor, not fp noise
+
+    xl, yl = bng.forward(np.array([-0.1276]), np.array([51.5074]))
+    assert 528000 < xl[0] < 532000 and 178000 < yl[0] < 182500
+
+    ed = parse_crs("EPSG:23031")
+    w = parse_crs("EPSG:32631")
+    pe = np.array(ed.forward(np.array([3.0]), np.array([45.0])))
+    pw = np.array(w.forward(np.array([3.0]), np.array([45.0])))
+    assert 50 < float(np.hypot(*(pw - pe))) < 400
+
+    wkt = (
+        'PROJCS["OSGB 1936 / British National Grid",GEOGCS["OSGB 1936",'
+        'DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646],'
+        "TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],"
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",'
+        '49],PARAMETER["central_meridian",-2],PARAMETER["scale_factor",'
+        '0.9996012717],PARAMETER["false_easting",400000],PARAMETER['
+        '"false_northing",-100000],UNIT["metre",1]]'
+    )
+    bw = parse_crs_wkt(wkt)
+    xv, yv = bw.forward(np.array([-0.1276]), np.array([51.5074]))
+    assert abs(xv[0] - xl[0]) < 1e-6 and abs(yv[0] - yl[0]) < 1e-6
+
+    # ETRS89 UTM zones resolve (no shift needed)
+    assert parse_crs("EPSG:25832") is not None
