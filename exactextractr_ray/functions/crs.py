@@ -16,10 +16,15 @@ between the CRSs this engine supports:
   (California), 3577 (Australia), ESRI:102003/102008 (Snyder 1987
   pp. 98-103, validated against Snyder's own worked example);
 * LCC 2SP codes — EPSG:2154 (Lambert-93), 3347/3978 (Canada);
+* datum-shifted grids via 7-param Helmert (EPSG method 9606):
+  EPSG:27700 (OSGB36 British National Grid, OS worked example validated),
+  EPSG:23028-23038 (ED50 UTM); EPSG:25828-25838 (ETRS89 UTM, no shift);
 * geographic aliases EPSG:4269 (NAD83) / 4258 (ETRS89) / 4617 — routed to
   the 4326 hub (sub-meter datum shift documented as an approximation);
 * any custom ``tmerc:`` / ``lcc:`` / ``aea:`` parameter string
-  (see ``parse_crs``).
+  (see ``parse_crs``);
+* raw WKT1/ESRI CRS text (``parse_crs_wkt`` / ``crs_from_prj``): AUTHORITY
+  routing or parameter reconstruction incl. TOWGS84 datum shifts.
 
 Any other pair routes through EPSG:4326; unknown CRS names raise.
 All projection math is public-domain formulae (Snyder, USGS PP 1395;
