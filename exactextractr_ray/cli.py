@@ -85,13 +85,45 @@ def main(argv=None) -> int:
     from .pipelines.zonal import exact_extract
     from .sources.raster import read_raster_parquet
 
+    def open_raster(d):
+        """Format dispatch, mirroring GDAL's any-band ingestion
+        (gdal_raster_wrapper.cpp:22-95): GeoTIFF (band index in [..]),
+        NetCDF classic (variable name in [..]), Arc/Info ASCII grid, or
+        the engine's native parquet tile directory (layer name in [..]).
+        Returns (dataset, value_layer, tiles_path_or_None)."""
+        p = d.path
+        if p.endswith((".tif", ".tiff")):
+            from .sources.geotiff import geotiff_raster_dataset
+
+            band = int(d.band) if (d.band or "").isdigit() else 1
+            return geotiff_raster_dataset(p, band=band), "value", None
+        if p.endswith(".nc"):
+            from .sources.netcdf_raster import netcdf_raster_dataset
+
+            return netcdf_raster_dataset(p, var=d.band), "value", None
+        if p.endswith(".asc"):
+            from .sources.ascii_grid import ascii_grid_raster_dataset
+
+            return ascii_grid_raster_dataset(p), "value", None
+        return read_raster_parquet(p), (d.band or "value"), p
+
     rasters = {}
     for rd in args.raster:
         d = parse_raster_descriptor(rd)
-        rasters[d.name] = (d, read_raster_parquet(d.path))
+        ds, vlayer, tiles_path = open_raster(d)
+        rasters[d.name] = (d, ds, vlayer, tiles_path)
     stats = [parse_stat_descriptor(s) for s in args.stat]
 
-    zones = pq.read_table(args.polygons)
+    if args.polygons.endswith(".shp"):
+        from .sources.zones import read_shp_zones
+
+        zones = read_shp_zones(args.polygons, id_col=None)
+    elif args.polygons.endswith(".gpkg"):
+        from .sources.gpkg import read_gpkg_zones
+
+        zones = read_gpkg_zones(args.polygons)
+    else:
+        zones = pq.read_table(args.polygons)
     if args.fid != "zone_id":
         idx = zones.column_names.index(args.fid)
         zones = zones.set_column(idx, "zone_id", zones.column(args.fid))
@@ -105,17 +137,16 @@ def main(argv=None) -> int:
     result = None
     for sd in stats:
         rname = sd.values or default_name
-        d, raster = rasters[rname]
-        value_layer = d.band or "value"
+        d, raster, value_layer, tiles_path = rasters[rname]
         if sd.weights is not None and sd.weights in rasters and sd.weights != rname:
-            wd, wraster = rasters[sd.weights]
+            wd, wraster, wlayer, _wp = rasters[sd.weights]
             t = exact_extract_mixed(
                 raster,
                 wraster,
                 zones,
                 [sd.stat],
                 value_layer=value_layer,
-                weight_layer=wd.band or "value",
+                weight_layer=wlayer,
             ).to_pandas()
         else:
             weight_layer = None
@@ -126,8 +157,22 @@ def main(argv=None) -> int:
                     exact_extract_feature_seq,
                 )
 
+                if tiles_path is None:
+                    # file-format raster: convert once to the native tile
+                    # layout (the per-zone window-read plan needs tile
+                    # pushdown); cached per CLI run
+                    import tempfile
+
+                    from .sources.raster import write_raster_parquet
+
+                    tiles_path = tempfile.mkdtemp(
+                        prefix="exactextract_tiles_", dir="/tmp"
+                    )
+                    write_raster_parquet(raster, tiles_path)
+                    rasters[rname] = (d, raster, value_layer, tiles_path)
+
                 t = exact_extract_feature_seq(
-                    d.path,
+                    tiles_path,
                     zones,
                     [sd.stat],
                     value_layer=value_layer,

@@ -491,3 +491,57 @@ def test_cli_gpkg_output_roundtrip(ray_session, tmp_path):
         assert con.execute("PRAGMA application_id").fetchone()[0] == 0x47504B47
     finally:
         con.close()
+
+
+def test_cli_file_format_rasters_and_shp_zones(ray_session, tmp_path):
+    """CLI ingests GeoTIFF / NetCDF / ASCII-grid rasters and shapefile /
+    GeoPackage zones directly (the reference CLI's GDAL-path surface),
+    producing identical results across all raster formats and both
+    physical strategies."""
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.grid import Grid as _G
+    from exactextractr_ray.sources.ascii_grid import write_ascii_grid
+    from exactextractr_ray.sources.geotiff import write_geotiff
+    from exactextractr_ray.sources.netcdf_raster import write_netcdf_raster
+    from exactextractr_ray.sources.sinks import write_shp
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = _G(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    tif, nc, asc = (str(tmp_path / f"r.{e}") for e in ("tif", "nc", "asc"))
+    write_geotiff(vals, g, tif)
+    write_netcdf_raster(vals, g, nc)
+    write_ascii_grid(vals, g, asc)
+
+    zwkb = [wkbio.rect_wkb(0, 0, 4, 4), wkbio.rect_wkb(4, 4, 8, 8)]
+    zpq = str(tmp_path / "zones.parquet")
+    pq.write_table(zone_table([(0, "a", zwkb[0]), (1, "b", zwkb[1])]), zpq)
+    zshp = str(tmp_path / "zones.shp")
+    write_shp(pd.DataFrame({"zone_id": [0, 1], "name": ["a", "b"]}),
+              zshp, zwkb)
+
+    outs = []
+    for i, rp in enumerate([tif, nc, asc]):
+        out = str(tmp_path / f"o{i}.parquet")
+        rc = main(["-p", zpq, "-r", f"values:{rp}", "-s", "mean",
+                   "-s", "sum", "-o", out])
+        assert rc == 0
+        outs.append(
+            pq.read_table(out).to_pandas().sort_values("zone_id")
+            .reset_index(drop=True)
+        )
+    for o in outs[1:]:
+        pd.testing.assert_frame_equal(o, outs[0])
+    assert outs[0]["mean"].iloc[0] == vals[4:, :4].mean()
+
+    # shapefile zones + feature-sequential over a GeoTIFF (tempdir convert)
+    out2 = str(tmp_path / "o_fs.parquet")
+    rc = main(["-p", zshp, "-r", f"values:{tif}", "-s", "mean", "-o", out2,
+               "--strategy", "feature-sequential"])
+    assert rc == 0
+    fs = pq.read_table(out2).to_pandas().sort_values("zone_id").reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(
+        fs[["zone_id", "mean"]], outs[0][["zone_id", "mean"]]
+    )
