@@ -545,3 +545,36 @@ def test_cli_file_format_rasters_and_shp_zones(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         fs[["zone_id", "mean"]], outs[0][["zone_id", "mean"]]
     )
+
+
+def test_cli_sao_miguel_real_assets(ray_session, tmp_path):
+    """Full reference workflow through the CLI on the reference's OWN
+    assets: GeoPackage concelhos + GPW population-count GeoTIFF, as a
+    user of the reference CLI would run it. Validates against the same
+    facts as the vignette (every concelho inhabited; Ponta Delgada the
+    largest by population sum)."""
+    import os
+
+    from exactextractr_ray.cli import main
+
+    SM = "/root/reference/inst/sao_miguel"
+    if not os.path.exists(f"{SM}/concelhos.gpkg"):
+        import pytest as _pt
+
+        _pt.skip("reference assets unavailable")
+    out = str(tmp_path / "pop.parquet")
+    rc = main([
+        "-p", f"{SM}/concelhos.gpkg",
+        "-r", f"pop:{SM}/gpw_v411_2020_count_2020.tif",
+        "-s", "total=sum(pop)", "-s", "n=count(pop)",
+        "-o", out,
+    ])
+    assert rc == 0
+    res = pq.read_table(out).to_pandas()
+    assert len(res) == 6
+    assert (res["total"] > 1000).all()
+    from exactextractr_ray.sources.gpkg import read_gpkg_zones
+
+    names = read_gpkg_zones(f"{SM}/concelhos.gpkg").to_pandas()
+    merged = res.merge(names[["zone_id", "name"]], on="zone_id")
+    assert merged.loc[merged["total"].idxmax(), "name"] == "Ponta Delgada"
