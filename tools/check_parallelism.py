@@ -126,6 +126,8 @@ QUERIES = [
     "validate_orders",
     "t5_spans",
     "zonal_regression",
+    # round 4
+    "zonal_wcount_rect",
 ]
 
 _CHILD = r"""
