@@ -272,3 +272,50 @@ def test_lcc_roundtrip_random_params(lat1, dlat, lon0, lon_off, lat_p):
         np.hypot((lon2 - lon) * np.cos(np.radians(lat)), lat2 - lat) * 111320.0
     )
     assert err_m < 1e-6
+
+
+# ---- raster file-format round-trip properties ----
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(2, 40),
+    w=st.integers(2, 40),
+    seed=st.integers(0, 2**31 - 1),
+    fmt=st.sampled_from(["tif", "tif_zstd", "nc", "asc"]),
+)
+def test_raster_format_roundtrip_random(h, w, seed, fmt, tmp_path_factory):
+    """Random-shaped float rasters with NaN holes round-trip bit-exactly
+    through every file-format source (GeoTIFF deflate/zstd, NetCDF
+    classic, ASCII grid keeps %.17g which is float64-exact)."""
+    from exactextractr_ray.grid import Grid as _G
+    from exactextractr_ray.sources.ascii_grid import (
+        read_ascii_grid, write_ascii_grid,
+    )
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+    from exactextractr_ray.sources.netcdf_raster import (
+        read_netcdf_raster, write_netcdf_raster,
+    )
+
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(h, w)) * 100
+    a[rng.random((h, w)) < 0.1] = np.nan
+    g = _G(0.0, 0.0, float(w), float(h), 1.0, 1.0)
+    d = tmp_path_factory.mktemp("fmt")
+    if fmt == "asc":
+        p = str(d / "r.asc")
+        write_ascii_grid(a, g, p)
+        r, gr = read_ascii_grid(p)
+    elif fmt == "nc":
+        p = str(d / "r.nc")
+        write_netcdf_raster(a, g, p, nodata=-1e30)
+        r, gr = read_netcdf_raster(p)
+    else:
+        p = str(d / "r.tif")
+        comp = 50000 if fmt == "tif_zstd" else 8
+        write_geotiff(a, g, p, nodata=-1e30, compression=comp)
+        r, m = read_geotiff(p)
+        gr = m.grid
+    assert gr == g
+    np.testing.assert_array_equal(np.isnan(r), np.isnan(a))
+    np.testing.assert_array_equal(r[~np.isnan(r)], a[~np.isnan(a)])
