@@ -454,15 +454,18 @@ def write_geotiff(
     compression: int = 8,
     overviews: list[int] | None = None,
     planar: int = 1,
+    tile: int | None = None,
 ) -> None:
-    """Single-band strip-organized GeoTIFF writer (pure struct, classic
-    little-endian container, Deflate by default; ZSTD via code 50000) —
-    the raster-output sink the reference gets from GDAL (rasterize /
-    resample results become real-world rasters). NaNs are written as
-    ``nodata`` when given. ``overviews=[2, 4, ...]`` appends COG-style
-    reduced-resolution IFDs (NewSubfileType=1) built by 2x2-block striding
-    (deterministic decimation). Round-trips bit-exactly through
-    :func:`read_geotiff` (tested), overviews via ``overview=k``."""
+    """GeoTIFF writer (pure struct, classic little-endian container,
+    Deflate by default; ZSTD via code 50000) — the raster-output sink the
+    reference gets from GDAL (rasterize / resample results become
+    real-world rasters). NaNs are written as ``nodata`` when given.
+    ``overviews=[2, 4, ...]`` appends COG-style reduced-resolution IFDs
+    (NewSubfileType=1) built by 2x2-block striding (deterministic
+    decimation). ``tile=256`` switches from strip to tile organization —
+    with overviews + ZSTD this produces a cloud-optimized layout whose
+    chunks are independently range-readable. Round-trips bit-exactly
+    through :func:`read_geotiff` (tested), overviews via ``overview=k``."""
     import struct as _s
 
     a = np.asarray(arr)
@@ -476,25 +479,49 @@ def write_geotiff(
     for f in overviews or []:
         levels.append((a[::f, ::f], True))
 
-    # pass 1: compressed bodies laid out right after the 8-byte header.
-    # chunky: one strip per level; planar=2: one strip PER PLANE per level
+    def level_chunks(lv: np.ndarray) -> list[bytes]:
+        """Raw (uncompressed) chunk payloads for one IFD: whole-image
+        strips by default, or t x t tiles (edge tiles zero-padded per the
+        TIFF spec) in tile organization; planar=2 groups chunks by plane."""
+        dt = lv.dtype
+        if lv.ndim == 2:
+            lv = lv[:, :, None]
+        planes = (
+            [lv[:, :, p : p + 1] for p in range(nb)]
+            if planar == 2 and nb > 1
+            else [lv]
+        )
+        out = []
+        for pl in planes:
+            if tile is None:
+                out.append(
+                    np.ascontiguousarray(
+                        pl, dtype=dt.newbyteorder("<")
+                    ).tobytes()
+                )
+                continue
+            h, w = pl.shape[:2]
+            ph = (h + tile - 1) // tile * tile
+            pw = (w + tile - 1) // tile * tile
+            pad = np.zeros((ph, pw, pl.shape[2]), dtype=dt)
+            pad[:h, :w] = pl
+            for ty in range(ph // tile):
+                for tx in range(pw // tile):
+                    blk = pad[ty * tile : (ty + 1) * tile,
+                              tx * tile : (tx + 1) * tile]
+                    out.append(
+                        np.ascontiguousarray(
+                            blk, dtype=dt.newbyteorder("<")
+                        ).tobytes()
+                    )
+        return out
+
+    # pass 1: compressed bodies laid out right after the 8-byte header
     bodies: list[list[bytes]] = []
     off = 8
     body_offs: list[list[int]] = []
     for lv, _red in levels:
-        dt = lv.dtype
-        if planar == 2 and nb > 1:
-            planes = [
-                np.ascontiguousarray(
-                    lv[:, :, p], dtype=dt.newbyteorder("<")
-                ).tobytes()
-                for p in range(nb)
-            ]
-        else:
-            planes = [
-                np.ascontiguousarray(lv, dtype=dt.newbyteorder("<")).tobytes()
-            ]
-        comp = [_compress_body(p, compression) for p in planes]
+        comp = [_compress_body(p, compression) for p in level_chunks(lv)]
         bodies.append(comp)
         offs = []
         for c in comp:
@@ -515,15 +542,21 @@ def write_geotiff(
             (259, 3, 1, compression),
             (262, 3, 1, 1),
             (277, 3, 1, nb),
-            (278, 4, 1, h),
             (284, 3, 1, planar),
         ]
         extra_items = []  # (tag, typ, cnt, payload bytes)
+        if tile is None:
+            tags.append((278, 4, 1, h))  # RowsPerStrip: whole image
+            off_tag, cnt_tag = 273, 279
+        else:
+            tags.append((322, 4, 1, tile))  # TileWidth
+            tags.append((323, 4, 1, tile))  # TileLength
+            off_tag, cnt_tag = 324, 325
         extra_items.append(
-            (273, 4, nchunks, struct.pack(f"<{nchunks}I", *body_offs[i]))
+            (off_tag, 4, nchunks, struct.pack(f"<{nchunks}I", *body_offs[i]))
         )
         extra_items.append(
-            (279, 4, nchunks,
+            (cnt_tag, 4, nchunks,
              struct.pack(f"<{nchunks}I", *(len(b) for b in bodies[i])))
         )
         # per-sample SHORT arrays (inline when they fit in 4 bytes)

@@ -561,3 +561,43 @@ def test_predictor2_percomponent_unit():
                      - orig[:, :-1, :].astype(np.int64)) % 65536
     dec = _undo_predictor2(enc.astype("<u2"), np.dtype("<u2"), 16, "<")
     np.testing.assert_array_equal(dec.astype(np.uint16), orig)
+
+
+def test_tiled_write_and_cog_layout():
+    """Tile-organized writes (TileWidth/TileLength + edge padding) round-
+    trip across compressions; tiled + overviews + ZSTD = the COG layout;
+    tiled multiband in both planar configurations."""
+    import numpy as np
+
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import (
+        list_overviews, read_geotiff, write_geotiff,
+    )
+
+    g = Grid(0.0, 0.0, 70.0, 50.0, 1.0, 1.0)  # non-multiples of tile
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(50, 70)).astype(np.float32)
+    a[3, 4] = np.nan
+    p = "/tmp/test_tiled.tif"
+    for comp in (1, 8, 50000):
+        write_geotiff(a, g, p, nodata=-9999.0, compression=comp, tile=16)
+        r, m = read_geotiff(p)
+        exp = a.astype(np.float64)
+        np.testing.assert_array_equal(np.isnan(r), np.isnan(exp))
+        np.testing.assert_array_equal(r[~np.isnan(r)], exp[~np.isnan(exp)])
+        assert m.grid == g
+
+    cog = "/tmp/test_cog.tif"
+    write_geotiff(a, g, cog, nodata=-9999.0, compression=50000, tile=16,
+                  overviews=[2, 4])
+    assert list_overviews(cog) == [(35, 25), (18, 13)]
+    r1, m1 = read_geotiff(cog, overview=0)
+    e1 = a[::2, ::2].astype(np.float64)
+    np.testing.assert_array_equal(r1[~np.isnan(r1)], e1[~np.isnan(e1)])
+
+    mb = rng.normal(size=(50, 70, 3)).astype(np.float32)
+    for planar in (1, 2):
+        write_geotiff(mb, g, p, compression=8, tile=16, planar=planar)
+        for b in (1, 2, 3):
+            r, _ = read_geotiff(p, band=b)
+            np.testing.assert_array_equal(r, mb[:, :, b - 1].astype(np.float64))
