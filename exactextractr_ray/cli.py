@@ -105,6 +105,16 @@ def main(argv=None) -> int:
             from .sources.ascii_grid import ascii_grid_raster_dataset
 
             return ascii_grid_raster_dataset(p), "value", None
+        import os as _os
+
+        if _os.path.isfile(p) and (
+            _os.path.exists(p + ".hdr")
+            or _os.path.exists(_os.path.splitext(p)[0] + ".hdr")
+        ):  # ENVI binary identified by its .hdr sidecar
+            from .sources.envi import envi_raster_dataset
+
+            band = int(d.band) if (d.band or "").isdigit() else 1
+            return envi_raster_dataset(p, band=band), "value", None
         return read_raster_parquet(p), (d.band or "value"), p
 
     rasters = {}
