@@ -314,6 +314,88 @@ class AlbersEqualArea:
         return np.degrees(lam), np.degrees(phi)
 
 
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal oblique LAEA, Snyder (1987) pp. 182-190, eqs. 3-11,
+    3-12, 24-2..24-16 — the projection behind EPSG:3035 (Europe LAEA) and
+    the EASE grids."""
+
+    def __init__(
+        self,
+        lat0_deg: float,
+        lon0_deg: float,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "GRS80",
+    ):
+        a, f = (_ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str)
+                else ellipsoid)
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        self.qp = float(self._q(np.array([math.pi / 2]))[0])
+        p1 = math.radians(lat0_deg)
+        q1 = float(self._q(np.array([p1]))[0])
+        self.beta1 = math.asin(min(1.0, max(-1.0, q1 / self.qp)))
+        self.Rq = a * math.sqrt(self.qp / 2.0)
+        m1 = math.cos(p1) / math.sqrt(1 - self.e2 * math.sin(p1) ** 2)
+        self.D = a * m1 / (self.Rq * math.cos(self.beta1))
+
+    def _q(self, phi):
+        s = np.sin(phi)
+        e, e2 = self.e, self.e2
+        return (1.0 - e2) * (
+            s / (1.0 - e2 * s * s)
+            - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+        )
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        beta = np.arcsin(np.clip(self._q(phi) / self.qp, -1.0, 1.0))
+        sb1, cb1 = math.sin(self.beta1), math.cos(self.beta1)
+        sb, cb = np.sin(beta), np.cos(beta)
+        B = self.Rq * np.sqrt(
+            2.0 / (1.0 + sb1 * sb + cb1 * cb * np.cos(lam))
+        )
+        x = self.fe + B * self.D * cb * np.sin(lam)
+        y = self.fn + (B / self.D) * (cb1 * sb - sb1 * cb * np.cos(lam))
+        return x, y
+
+    def inverse(self, x, y):
+        xp = (np.asarray(x, dtype=np.float64) - self.fe) / self.D
+        yp = (np.asarray(y, dtype=np.float64) - self.fn) * self.D
+        rho = np.hypot(xp, yp)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sb1, cb1 = math.sin(self.beta1), math.cos(self.beta1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = self.qp * (
+                np.cos(ce) * sb1 + yp * np.sin(ce) * cb1 / np.where(rho == 0, 1.0, rho)
+            )
+            lam = np.arctan2(
+                xp * np.sin(ce),
+                rho * cb1 * np.cos(ce) - yp * sb1 * np.sin(ce),
+            )
+        q = np.where(rho == 0, self.qp * sb1, q)
+        lam = np.where(rho == 0, 0.0, lam)
+        # phi from q: the same authalic fixpoint as Albers (Snyder eq. 3-16)
+        e, e2 = self.e, self.e2
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        interior = np.abs(q) < self.qp - 1e-12
+        for _ in range(25):
+            s = np.sin(phi)
+            om = 1.0 - e2 * s * s
+            corr = (om * om) / (2.0 * np.cos(phi)) * (
+                q / (1.0 - e2)
+                - s / om
+                + (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+            )
+            phi = np.where(interior, phi + corr, np.sign(q) * np.pi / 2)
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
 # Generic EPSG parameter table (public EPSG registry values) for the
 # projections this engine implements: aea / lcc / tmerc / longlat. The
 # reference delegates to PROJ (/root/reference/R/exact_extract.R:360-377);
@@ -330,6 +412,12 @@ _EPSG_TABLE: dict[int, tuple] = {
     3577: ("aea", -18.0, -36.0, 0.0, 132.0, 0.0, 0.0, "GRS80"),  # GDA94 Australia
     102003: ("aea", 29.5, 45.5, 37.5, -96.0, 0.0, 0.0, "GRS80"),  # ESRI USA Contiguous
     102008: ("aea", 20.0, 60.0, 40.0, -96.0, 0.0, 0.0, "GRS80"),  # ESRI North America
+    # --- laea: (lat0, lon0, fe, fn, ellps) ---
+    3035: ("laea", 52.0, 10.0, 4321000.0, 3210000.0, "GRS80"),  # Europe LAEA
+    6931: ("laea", 90.0 - 1e-9, 0.0, 0.0, 0.0, "WGS84"),  # EASE-Grid 2.0 N*
+    6932: ("laea", -(90.0 - 1e-9), 0.0, 0.0, 0.0, "WGS84"),  # EASE-Grid 2.0 S*
+    # (*polar LAEA via the oblique formulas with lat0 nudged off the pole
+    #  by 1e-9 deg ~ 0.1 um — below any raster use's precision floor)
     # --- lcc 2SP: (lat1, lat2, lat0, lon0, fe, fn, ellps) ---
     2154: ("lcc", 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, "GRS80"),  # Lambert-93
     3347: ("lcc", 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0,
@@ -366,6 +454,8 @@ def parse_crs(name: str):
                 return None
             if kind == "aea":
                 return AlbersEqualArea(*row[1:7], ellipsoid=row[7])
+            if kind == "laea":
+                return LambertAzimuthalEqualArea(*row[1:5], ellipsoid=row[5])
             if kind == "lcc":
                 return LambertConformalConic(*row[1:7], ellipsoid=row[7])
         if 32601 <= code <= 32660 or 32701 <= code <= 32760:
@@ -398,6 +488,11 @@ def parse_crs(name: str):
         p = [float(v) for v in parts[:6]]
         ell = parts[6] if len(parts) >= 7 else "GRS80"
         return AlbersEqualArea(*p, ellipsoid=ell)
+    if name.startswith("laea:"):
+        parts = name[5:].split(",")
+        p = [float(v) for v in parts[:4]]
+        ell = parts[4] if len(parts) >= 5 else "GRS80"
+        return LambertAzimuthalEqualArea(*p, ellipsoid=ell)
     if name.startswith("tmerc:"):
         p = [float(v) for v in name[6:].split(",")[:4]]
         ell = name[6:].split(",")[4] if name.count(",") >= 4 else "WGS84"
@@ -612,6 +707,14 @@ def parse_crs_wkt(wkt: str):
         return wrap(AlbersEqualArea(
             p("standard_parallel_1"),
             p("standard_parallel_2", "standard_parallel_1"),
+            p("latitude_of_origin", "latitude_of_center"),
+            p("central_meridian", "longitude_of_center"),
+            p("false_easting"),
+            p("false_northing"),
+            ellipsoid=ell,
+        ))
+    if "azimuthal_equal_area" in proj:
+        return wrap(LambertAzimuthalEqualArea(
             p("latitude_of_origin", "latitude_of_center"),
             p("central_meridian", "longitude_of_center"),
             p("false_easting"),

@@ -841,3 +841,68 @@ def test_datum_shifted_crs():
 
     # ETRS89 UTM zones resolve (no shift needed)
     assert parse_crs("EPSG:25832") is not None
+
+
+def test_laea_snyder_worked_example():
+    """Snyder (1987) Appendix A, ellipsoidal oblique LAEA example:
+    Clarke 1866, origin (40N, 100W), point (30N, 110W) ->
+    x=-965,932.1 y=-1,056,814.9 — independent published golden."""
+    from exactextractr_ray.functions.crs import LambertAzimuthalEqualArea
+
+    p = LambertAzimuthalEqualArea(40.0, -100.0, ellipsoid="CLRK66")
+    x, y = p.forward(np.array([-110.0]), np.array([30.0]))
+    assert x[0] == pytest.approx(-965932.1, abs=0.05)
+    assert y[0] == pytest.approx(-1056814.9, abs=0.05)
+
+
+def test_laea_epsg3035():
+    """EPSG:3035 (Europe LAEA): origin anchor, sub-1e-7 m round-trip over
+    the European extent, and the equal-area Jacobian invariant."""
+    from exactextractr_ray.functions.crs import parse_crs
+
+    e = parse_crs("EPSG:3035")
+    x0, y0 = e.forward(np.array([10.0]), np.array([52.0]))
+    assert x0[0] == pytest.approx(4321000.0, abs=1e-9)
+    assert y0[0] == pytest.approx(3210000.0, abs=1e-9)
+
+    rng = np.random.default_rng(9)
+    lo = rng.uniform(-10.0, 30.0, 3000)
+    la = rng.uniform(35.0, 70.0, 3000)
+    xx, yy = e.forward(lo, la)
+    lo2, la2 = e.inverse(xx, yy)
+    err = np.hypot((lo2 - lo) * np.cos(np.radians(la)), la2 - la) * 111320
+    assert float(err.max()) < 1e-7
+
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2 - f)
+    d = 1e-7
+    for lon, lat in [(10.0, 52.0), (25.0, 60.0), (-5.0, 40.0)]:
+        x00, y00 = e.forward(np.array([lon]), np.array([lat]))
+        x10, y10 = e.forward(np.array([lon + d]), np.array([lat]))
+        x01, y01 = e.forward(np.array([lon]), np.array([lat + d]))
+        jac = abs(
+            (x10[0] - x00[0]) * (y01[0] - y00[0])
+            - (x01[0] - x00[0]) * (y10[0] - y00[0])
+        ) / np.radians(d) ** 2
+        s2 = np.sin(np.radians(lat)) ** 2
+        M = a * (1 - e2) / (1 - e2 * s2) ** 1.5
+        N = a / np.sqrt(1 - e2 * s2)
+        assert jac / (M * N * np.cos(np.radians(lat))) == pytest.approx(
+            1.0, abs=1e-5
+        )
+
+    # WKT reconstruction matches the table entry
+    from exactextractr_ray.functions.crs import parse_crs_wkt
+
+    wkt = (
+        'PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",DATUM['
+        '"European_Terrestrial_Reference_System_1989",SPHEROID["GRS 1980",'
+        "6378137,298.257222101]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\","
+        "0.0174532925199433]],PROJECTION[\"Lambert_Azimuthal_Equal_Area\"],"
+        'PARAMETER["latitude_of_center",52],PARAMETER['
+        '"longitude_of_center",10],PARAMETER["false_easting",4321000],'
+        'PARAMETER["false_northing",3210000],UNIT["metre",1]]'
+    )
+    w = parse_crs_wkt(wkt)
+    pt = (np.array([15.0]), np.array([55.0]))
+    np.testing.assert_allclose(w.forward(*pt), e.forward(*pt), rtol=1e-12)
