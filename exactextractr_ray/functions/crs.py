@@ -396,6 +396,89 @@ class LambertAzimuthalEqualArea:
         return np.degrees(lam + self.lon0), np.degrees(phi)
 
 
+class PolarStereographic:
+    """Ellipsoidal Polar Stereographic, variant B (standard parallel),
+    Snyder (1987) pp. 160-163, eqs. 15-9, 21-33..21-41 — EPSG:3413/3976
+    (NSIDC sea-ice grids) and 3031 (Antarctic). ``lat_ts`` < 0 selects
+    the south-pole aspect."""
+
+    def __init__(
+        self,
+        lat_ts_deg: float,
+        lon0_deg: float,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "WGS84",
+        k0: float = 1.0,
+    ):
+        a, f = (_ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str)
+                else ellipsoid)
+        self.a = a
+        self.e2 = f * (2.0 - f)
+        self.e = math.sqrt(self.e2)
+        self.south = lat_ts_deg < 0
+        self.lon0 = math.radians(lon0_deg)
+        self.fe = false_easting
+        self.fn = false_northing
+        pc = math.radians(abs(lat_ts_deg))
+        e = self.e
+        if abs(lat_ts_deg) > 89.999:
+            # variant A (origin at the pole, explicit k0): Snyder eq. 21-33
+            # rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+            self.mc_over_tc = (
+                2.0 * k0 / math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+            )
+        else:
+            s = math.sin(pc)
+            mc = math.cos(pc) / math.sqrt(1.0 - self.e2 * s * s)
+            tc = math.tan(math.pi / 4 - pc / 2) / (
+                ((1 - e * s) / (1 + e * s)) ** (e / 2)
+            )
+            self.mc_over_tc = mc / tc
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        e = self.e
+        return np.tan(np.pi / 4 - phi / 2) / (
+            ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+
+    def forward(self, lon_deg, lat_deg):
+        lon = np.asarray(lon_deg, dtype=np.float64)
+        lat = np.asarray(lat_deg, dtype=np.float64)
+        if self.south:  # mirror through the equator (Snyder p. 161 note)
+            lam = -(np.radians(lon) - self.lon0)
+            phi = -np.radians(lat)
+        else:
+            lam = np.radians(lon) - self.lon0
+            phi = np.radians(lat)
+        rho = self.a * self.mc_over_tc * self._t(phi)
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        if self.south:
+            x, y = -x, -y
+        return self.fe + x, self.fn + y
+
+    def inverse(self, x, y):
+        xp = np.asarray(x, dtype=np.float64) - self.fe
+        yp = np.asarray(y, dtype=np.float64) - self.fn
+        if self.south:
+            xp, yp = -xp, -yp
+        rho = np.hypot(xp, yp)
+        t = rho / (self.a * self.mc_over_tc)
+        e = self.e
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):  # Snyder eq. 7-9 fixpoint
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * (((1 - e * s) / (1 + e * s)) ** (e / 2))
+            )
+        lam = np.arctan2(xp, -yp)
+        if self.south:
+            return np.degrees(self.lon0 - lam), np.degrees(-phi)
+        return np.degrees(self.lon0 + lam), np.degrees(phi)
+
+
 # Generic EPSG parameter table (public EPSG registry values) for the
 # projections this engine implements: aea / lcc / tmerc / longlat. The
 # reference delegates to PROJ (/root/reference/R/exact_extract.R:360-377);
@@ -418,6 +501,10 @@ _EPSG_TABLE: dict[int, tuple] = {
     6932: ("laea", -(90.0 - 1e-9), 0.0, 0.0, 0.0, "WGS84"),  # EASE-Grid 2.0 S*
     # (*polar LAEA via the oblique formulas with lat0 nudged off the pole
     #  by 1e-9 deg ~ 0.1 um — below any raster use's precision floor)
+    # --- polar stereographic variant B: (lat_ts, lon0, fe, fn, ellps) ---
+    3413: ("stere", 70.0, -45.0, 0.0, 0.0, "WGS84"),   # NSIDC North
+    3976: ("stere", -70.0, 0.0, 0.0, 0.0, "WGS84"),    # NSIDC South
+    3031: ("stere", -71.0, 0.0, 0.0, 0.0, "WGS84"),    # Antarctic
     # --- lcc 2SP: (lat1, lat2, lat0, lon0, fe, fn, ellps) ---
     2154: ("lcc", 49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0, "GRS80"),  # Lambert-93
     3347: ("lcc", 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0,
@@ -456,6 +543,8 @@ def parse_crs(name: str):
                 return AlbersEqualArea(*row[1:7], ellipsoid=row[7])
             if kind == "laea":
                 return LambertAzimuthalEqualArea(*row[1:5], ellipsoid=row[5])
+            if kind == "stere":
+                return PolarStereographic(*row[1:5], ellipsoid=row[5])
             if kind == "lcc":
                 return LambertConformalConic(*row[1:7], ellipsoid=row[7])
         if 32601 <= code <= 32660 or 32701 <= code <= 32760:
@@ -493,6 +582,11 @@ def parse_crs(name: str):
         p = [float(v) for v in parts[:4]]
         ell = parts[4] if len(parts) >= 5 else "GRS80"
         return LambertAzimuthalEqualArea(*p, ellipsoid=ell)
+    if name.startswith("stere:"):
+        parts = name[6:].split(",")
+        p = [float(v) for v in parts[:4]]
+        ell = parts[4] if len(parts) >= 5 else "WGS84"
+        return PolarStereographic(*p, ellipsoid=ell)
     if name.startswith("tmerc:"):
         p = [float(v) for v in name[6:].split(",")[:4]]
         ell = name[6:].split(",")[4] if name.count(",") >= 4 else "WGS84"
@@ -709,6 +803,18 @@ def parse_crs_wkt(wkt: str):
             p("standard_parallel_2", "standard_parallel_1"),
             p("latitude_of_origin", "latitude_of_center"),
             p("central_meridian", "longitude_of_center"),
+            p("false_easting"),
+            p("false_northing"),
+            ellipsoid=ell,
+        ))
+    if "polar_stereographic" in proj or (
+        "stereographic" in proj and abs(p("latitude_of_origin",
+                                          "standard_parallel_1")) > 45
+    ):
+        return wrap(PolarStereographic(
+            p("standard_parallel_1", "latitude_of_origin"),
+            p("central_meridian", "longitude_of_center",
+              "straight_vertical_pole_from_pole"),
             p("false_easting"),
             p("false_northing"),
             ellipsoid=ell,

@@ -906,3 +906,65 @@ def test_laea_epsg3035():
     w = parse_crs_wkt(wkt)
     pt = (np.array([15.0]), np.array([55.0]))
     np.testing.assert_allclose(w.forward(*pt), e.forward(*pt), rtol=1e-12)
+
+
+def test_polar_stereographic():
+    """Snyder (1987) Appendix A polar stereographic ellipsoid example
+    (International 1924, lat_ts=-71, lon0=-100, point 75S 150E ->
+    -1,540,033.6 / -560,526.4), EPSG:3413/3031 round-trips in both
+    hemispheres, scale 1 at the standard parallel, variant-A (pole origin
+    + k0) support, and GDAL-style WKT reconstruction."""
+    from exactextractr_ray.functions.crs import (
+        PolarStereographic, parse_crs, parse_crs_wkt,
+    )
+
+    p = PolarStereographic(-71.0, -100.0, ellipsoid="INTL")
+    x, y = p.forward(np.array([150.0]), np.array([-75.0]))
+    assert x[0] == pytest.approx(-1540033.6, abs=0.1)
+    assert y[0] == pytest.approx(-560526.4, abs=0.1)
+
+    rng = np.random.default_rng(4)
+    for code, la_rng in [("EPSG:3413", (55.0, 89.9)),
+                         ("EPSG:3031", (-89.9, -55.0))]:
+        q = parse_crs(code)
+        lo = rng.uniform(-180, 180, 2000)
+        la = rng.uniform(*la_rng, 2000)
+        xx, yy = q.forward(lo, la)
+        lo2, la2 = q.inverse(xx, yy)
+        dl = (lo2 - lo + 180) % 360 - 180
+        err = np.hypot(dl * np.cos(np.radians(la)), la2 - la) * 111320
+        assert float(err.max()) < 1e-6
+
+    # k == 1 at the 70N standard parallel (finite difference, independent)
+    n = parse_crs("EPSG:3413")
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    d = 1e-7
+    (x1, y1) = n.forward(np.array([0.0]), np.array([70.0]))
+    (x2, y2) = n.forward(np.array([d]), np.array([70.0]))
+    proj = np.hypot(x2[0] - x1[0], y2[0] - y1[0])
+    N = a / np.sqrt(1 - e2 * np.sin(np.radians(70)) ** 2)
+    assert proj / (np.radians(d) * N * np.cos(np.radians(70))) == (
+        pytest.approx(1.0, abs=1e-6)
+    )
+
+    # variant A (origin at the pole, explicit k0) round-trips
+    va = PolarStereographic(90.0, -45.0, k0=0.994)
+    lo = np.array([30.0, -120.0])
+    la = np.array([75.0, 80.0])
+    xx, yy = va.forward(lo, la)
+    lo2, la2 = va.inverse(xx, yy)
+    np.testing.assert_allclose(lo2, lo)
+    np.testing.assert_allclose(la2, la, atol=1e-12)
+
+    wkt = (
+        'PROJCS["NSIDC Sea Ice Polar Stereographic North",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Polar_Stereographic"],PARAMETER["latitude_of_origin",'
+        '70],PARAMETER["central_meridian",-45],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    w = parse_crs_wkt(wkt)
+    pt = (np.array([10.0]), np.array([72.0]))
+    np.testing.assert_allclose(w.forward(*pt), n.forward(*pt), rtol=1e-12)
