@@ -16,6 +16,9 @@ between the CRSs this engine supports:
   (California), 3577 (Australia), ESRI:102003/102008 (Snyder 1987
   pp. 98-103, validated against Snyder's own worked example);
 * LCC 2SP codes — EPSG:2154 (Lambert-93), 3347/3978 (Canada);
+* Lambert Azimuthal Equal-Area — EPSG:3035 (Europe), 6931/6932
+  (EASE-Grid 2.0); Polar Stereographic — EPSG:3413/3976 (NSIDC), 3031
+  (Antarctic) — both validated against Snyder's published worked examples;
 * datum-shifted grids via 7-param Helmert (EPSG method 9606):
   EPSG:27700 (OSGB36 British National Grid, OS worked example validated),
   EPSG:23028-23038 (ED50 UTM); EPSG:25828-25838 (ETRS89 UTM, no shift);
@@ -603,9 +606,13 @@ def parse_crs(name: str):
 
 
 SUPPORTED = {"EPSG:4326/4269/4258 (geographic)", "EPSG:3857",
-             "EPSG:326xx/327xx/269xx (UTM)",
+             "EPSG:326xx/327xx/269xx/258xx (UTM)",
              "EPSG:5070/5071/5072/6350/3310/3577 + ESRI:102003/102008 (Albers)",
-             "EPSG:2154/3347/3978 (LCC)", "tmerc:...", "lcc:...", "aea:..."}
+             "EPSG:3035/6931/6932 (LAEA)", "EPSG:3413/3976/3031 (polar stere)",
+             "EPSG:2154/3347/3978 (LCC)",
+             "EPSG:27700 (BNG) + 230xx (ED50 UTM) via Helmert",
+             "tmerc:...", "lcc:...", "aea:...", "laea:...", "stere:...",
+             "raw WKT1/ESRI text"}
 
 
 # ---------------- datum shifts (Helmert, EPSG method 9606) ----------------
