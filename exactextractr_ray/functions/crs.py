@@ -482,6 +482,59 @@ class PolarStereographic:
         return np.degrees(self.lon0 + lam), np.degrees(phi)
 
 
+class Sinusoidal:
+    """Spherical sinusoidal (Snyder 1987 pp. 243-248, eqs. 30-1/30-2) —
+    the MODIS land grid (sphere R=6371007.181, SR-ORG:6842 / ESRI:54008
+    on the authalic sphere). Equal-area by construction."""
+
+    def __init__(self, lon0_deg: float = 0.0, R: float = 6371007.181,
+                 false_easting: float = 0.0, false_northing: float = 0.0):
+        self.lon0 = math.radians(lon0_deg)
+        self.R = R
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        return (self.fe + self.R * lam * np.cos(phi),
+                self.fn + self.R * phi)
+
+    def inverse(self, x, y):
+        phi = (np.asarray(y, dtype=np.float64) - self.fn) / self.R
+        with np.errstate(invalid="ignore", divide="ignore"):
+            lam = (np.asarray(x, dtype=np.float64) - self.fe) / (
+                self.R * np.cos(phi)
+            )
+        lam = np.where(np.abs(np.cos(phi)) < 1e-12, 0.0, lam)
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
+class Equirectangular:
+    """Spherical equirectangular / Plate Carrée (Snyder eq. 5-2):
+    x = R (lam - lam0) cos(phi1), y = R phi — EPSG:32662/4087 (phi1=0)
+    and arbitrary standard parallels."""
+
+    def __init__(self, lat1_deg: float = 0.0, lon0_deg: float = 0.0,
+                 R: float = 6371007.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0):
+        self.c = math.cos(math.radians(lat1_deg))
+        self.lon0 = math.radians(lon0_deg)
+        self.R = R
+        self.fe = false_easting
+        self.fn = false_northing
+
+    def forward(self, lon_deg, lat_deg):
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lon0
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        return self.fe + self.R * lam * self.c, self.fn + self.R * phi
+
+    def inverse(self, x, y):
+        lam = (np.asarray(x, dtype=np.float64) - self.fe) / (self.R * self.c)
+        phi = (np.asarray(y, dtype=np.float64) - self.fn) / self.R
+        return np.degrees(lam + self.lon0), np.degrees(phi)
+
+
 # Generic EPSG parameter table (public EPSG registry values) for the
 # projections this engine implements: aea / lcc / tmerc / longlat. The
 # reference delegates to PROJ (/root/reference/R/exact_extract.R:360-377);
@@ -504,6 +557,11 @@ _EPSG_TABLE: dict[int, tuple] = {
     6932: ("laea", -(90.0 - 1e-9), 0.0, 0.0, 0.0, "WGS84"),  # EASE-Grid 2.0 S*
     # (*polar LAEA via the oblique formulas with lat0 nudged off the pole
     #  by 1e-9 deg ~ 0.1 um — below any raster use's precision floor)
+    # --- spherical: sinusoidal (MODIS) / equirectangular ---
+    54008: ("sinu",),   # ESRI:54008 World Sinusoidal (authalic sphere)
+    6842: ("sinu",),    # SR-ORG:6842 MODIS sinusoidal (same parameters)
+    32662: ("eqc",),    # WGS84 / Plate Carree
+    4087: ("eqc",),     # WGS84 / World Equidistant Cylindrical
     # --- polar stereographic variant B: (lat_ts, lon0, fe, fn, ellps) ---
     3413: ("stere", 70.0, -45.0, 0.0, 0.0, "WGS84"),   # NSIDC North
     3976: ("stere", -70.0, 0.0, 0.0, 0.0, "WGS84"),    # NSIDC South
@@ -548,6 +606,10 @@ def parse_crs(name: str):
                 return LambertAzimuthalEqualArea(*row[1:5], ellipsoid=row[5])
             if kind == "stere":
                 return PolarStereographic(*row[1:5], ellipsoid=row[5])
+            if kind == "sinu":
+                return Sinusoidal()
+            if kind == "eqc":
+                return Equirectangular(R=6378137.0)
             if kind == "lcc":
                 return LambertConformalConic(*row[1:7], ellipsoid=row[7])
         if 32601 <= code <= 32660 or 32701 <= code <= 32760:
@@ -825,6 +887,21 @@ def parse_crs_wkt(wkt: str):
             p("false_easting"),
             p("false_northing"),
             ellipsoid=ell,
+        ))
+    if "sinusoidal" in proj:
+        return wrap(Sinusoidal(
+            p("central_meridian", "longitude_of_center"),
+            R=(ell[0] if isinstance(ell, tuple) else 6371007.181),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
+        ))
+    if "equirectangular" in proj or "plate_carree" in proj:
+        return wrap(Equirectangular(
+            p("standard_parallel_1", "latitude_of_origin"),
+            p("central_meridian", "longitude_of_center"),
+            R=(ell[0] if isinstance(ell, tuple) else 6371007.0),
+            false_easting=p("false_easting"),
+            false_northing=p("false_northing"),
         ))
     if "azimuthal_equal_area" in proj:
         return wrap(LambertAzimuthalEqualArea(

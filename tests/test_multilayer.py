@@ -968,3 +968,62 @@ def test_polar_stereographic():
     w = parse_crs_wkt(wkt)
     pt = (np.array([10.0]), np.array([72.0]))
     np.testing.assert_allclose(w.forward(*pt), n.forward(*pt), rtol=1e-12)
+
+
+def test_sinusoidal_and_equirectangular():
+    """MODIS sinusoidal (SR-ORG:6842 sphere R=6371007.181): known MODIS
+    tile-grid anchors — global width = 2*pi*R, (0,0) -> origin, equal-area
+    Jacobian; Plate Carree linearity; WKT reconstruction; round-trips."""
+    from exactextractr_ray.functions.crs import (
+        Equirectangular, Sinusoidal, parse_crs, parse_crs_wkt,
+    )
+
+    s = parse_crs("EPSG:6842")
+    assert isinstance(s, Sinusoidal)
+    R = 6371007.181
+    # equator: x spans the full 2*pi*R circumference
+    x, y = s.forward(np.array([180.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(np.pi * R, rel=1e-12)
+    assert y[0] == pytest.approx(0.0, abs=1e-9)
+    x, y = s.forward(np.array([0.0]), np.array([40.0]))
+    assert x[0] == pytest.approx(0.0, abs=1e-9)
+    assert y[0] == pytest.approx(np.radians(40.0) * R, rel=1e-12)
+
+    rng = np.random.default_rng(12)
+    lo = rng.uniform(-179.0, 179.0, 3000)
+    la = rng.uniform(-85.0, 85.0, 3000)
+    xx, yy = s.forward(lo, la)
+    lo2, la2 = s.inverse(xx, yy)
+    err = np.hypot((lo2 - lo) * np.cos(np.radians(la)), la2 - la) * 111320
+    assert float(err.max()) < 1e-7
+
+    # equal-area on the sphere: Jacobian == R^2 cos(phi)
+    d = 1e-7
+    for lon, lat in [(10.0, 20.0), (-120.0, 55.0)]:
+        x00, y00 = s.forward(np.array([lon]), np.array([lat]))
+        x10, y10 = s.forward(np.array([lon + d]), np.array([lat]))
+        x01, y01 = s.forward(np.array([lon]), np.array([lat + d]))
+        jac = abs(
+            (x10[0] - x00[0]) * (y01[0] - y00[0])
+            - (x01[0] - x00[0]) * (y10[0] - y00[0])
+        ) / np.radians(d) ** 2
+        assert jac == pytest.approx(R * R * np.cos(np.radians(lat)), rel=1e-4)
+
+    e = parse_crs("EPSG:32662")
+    assert isinstance(e, Equirectangular)
+    x, y = e.forward(np.array([90.0]), np.array([45.0]))
+    assert x[0] == pytest.approx(np.pi / 2 * 6378137.0, rel=1e-12)
+    assert y[0] == pytest.approx(np.pi / 4 * 6378137.0, rel=1e-12)
+
+    # MODIS-style WKT reconstruction (sphere radius from SPHEROID a, 1/f=0)
+    wkt = (
+        'PROJCS["MODIS Sinusoidal",GEOGCS["Unknown datum based upon the '
+        'custom spheroid",DATUM["Not_specified",SPHEROID["Custom spheroid",'
+        '6371007.181,0]],PRIMEM["Greenwich",0],UNIT["degree",'
+        '0.0174532925199433]],PROJECTION["Sinusoidal"],PARAMETER['
+        '"longitude_of_center",0],PARAMETER["false_easting",0],PARAMETER['
+        '"false_northing",0],UNIT["metre",1]]'
+    )
+    w = parse_crs_wkt(wkt)
+    pt = (np.array([-110.0]), np.array([35.0]))
+    np.testing.assert_allclose(w.forward(*pt), s.forward(*pt), rtol=1e-12)
