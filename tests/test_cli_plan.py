@@ -578,3 +578,25 @@ def test_cli_sao_miguel_real_assets(ray_session, tmp_path):
     names = read_gpkg_zones(f"{SM}/concelhos.gpkg").to_pandas()
     merged = res.merge(names[["zone_id", "name"]], on="zone_id")
     assert merged.loc[merged["total"].idxmax(), "name"] == "Ponta Delgada"
+
+
+def test_cli_envi_raster(ray_session, tmp_path):
+    """CLI auto-detects an ENVI binary by its .hdr sidecar and matches the
+    parquet-tile result."""
+    from exactextractr_ray.cli import main
+    from exactextractr_ray.sources.envi import write_envi
+    from exactextractr_ray.sources.zones import zone_table
+
+    g = Grid(0, 0, 8, 8, 1, 1)
+    vals = np.arange(64, dtype=float).reshape(8, 8)
+    img = str(tmp_path / "r.img")
+    write_envi(vals, g, img)
+    zpath = str(tmp_path / "zones.parquet")
+    pq.write_table(
+        zone_table([(0, "a", wkbio.rect_wkb(0, 0, 4, 4))]), zpath
+    )
+    out = str(tmp_path / "o.parquet")
+    rc = main(["-p", zpath, "-r", f"values:{img}", "-s", "mean", "-o", out])
+    assert rc == 0
+    res = pq.read_table(out).to_pandas()
+    assert res["mean"].iloc[0] == vals[4:, :4].mean()
