@@ -116,6 +116,11 @@ def pagerank(
         # scale the join/shuffle width with the cluster, not a constant —
         # 8 partitions would serialize a 256-node cluster's exchanges
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # never create more hash-join partitions than nodes: tiny graphs with
+    # wide joins leave most aggregator partitions empty, and Ray's hash
+    # shuffle aggregator intermittently dies finalizing schema-less empty
+    # states (ArrowInvalid) under load; big graphs are unaffected
+    num_partitions = max(1, min(num_partitions, num_nodes))
     r0 = scale // num_nodes
     base = (15 * r0) // 100
 
