@@ -201,12 +201,14 @@ def write_netcdf_raster(
     add_offset: float | None = None,
     dtype: str = "f8",
     y_ascending: bool = False,
+    version: int = 1,
 ) -> None:
     """Single-variable CDF-1 raster writer (fixtures + GDAL-netCDF-sink
     analog). Writes y / x coordinate variables at cell centers (north-down
     by default; ``y_ascending=True`` stores CF-style south-up rows — the
     reader normalizes either), the 2-D data variable, and optional
-    _FillValue / CF packing attributes. Round-trips through
+    _FillValue / CF packing attributes. ``version=2`` emits the CDF-2
+    (64-bit offset) container. Round-trips through
     :func:`read_netcdf_raster` (tested)."""
     a = np.asarray(arr, dtype=np.float64)
     h, w = a.shape
@@ -244,7 +246,9 @@ def write_netcdf_raster(
             b += pad4(raw)
         return b
 
-    header = b"CDF\x01" + struct.pack(">I", 0)
+    if version not in (1, 2):
+        raise ValueError("version must be 1 (CDF-1) or 2 (CDF-2)")
+    header = bytes([0x43, 0x44, 0x46, version]) + struct.pack(">I", 0)
     header += struct.pack(">II", _NC_DIMENSION, 2)
     header += nc_string("y") + struct.pack(">I", h)
     header += nc_string("x") + struct.pack(">I", w)
@@ -270,12 +274,14 @@ def write_netcdf_raster(
         (var, [0, 1], band_atts, nc_type, vs_band),
     ]
 
+    begin_fmt = ">Q" if version == 2 else ">I"
+
     def var_header(nm, dimids, atts, typ, vsize, begin):
         b = nc_string(nm) + struct.pack(">I", len(dimids))
         for d in dimids:
             b += struct.pack(">I", d)
         b += att_list(atts)
-        b += struct.pack(">III", typ, vsize, begin)
+        b += struct.pack(">II", typ, vsize) + struct.pack(begin_fmt, begin)
         return b
 
     hlen = len(header) + 8

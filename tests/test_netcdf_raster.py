@@ -95,3 +95,19 @@ def test_netcdf_rejects_non2d(tmp_path):
     write_netcdf_raster(a, g, p)
     with pytest.raises(ValueError, match="not 2-D"):
         read_netcdf_raster(p, var="x")
+
+
+def test_netcdf_cdf2_roundtrip(tmp_path):
+    """CDF-2 (64-bit offset) container: magic byte 2, u64 variable begins,
+    identical data round-trip."""
+    a, g = _sample()
+    p = str(tmp_path / "v2.nc")
+    write_netcdf_raster(a, g, p, nodata=-9999.0, version=2)
+    with open(p, "rb") as f:
+        assert f.read(4) == b"CDF\x02"
+    r, gr = read_netcdf_raster(p)
+    assert gr == g
+    np.testing.assert_array_equal(np.isnan(r), np.isnan(a))
+    np.testing.assert_array_equal(r[~np.isnan(r)], a[~np.isnan(a)])
+    with pytest.raises(ValueError, match="version"):
+        write_netcdf_raster(a, g, p, version=3)
