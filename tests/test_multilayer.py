@@ -1027,3 +1027,48 @@ def test_sinusoidal_and_equirectangular():
     w = parse_crs_wkt(wkt)
     pt = (np.array([-110.0]), np.array([35.0]))
     np.testing.assert_allclose(w.forward(*pt), s.forward(*pt), rtol=1e-12)
+
+
+def test_zonal_with_polar_stereo_zones_matches_4326(_ray):
+    """Integration parity for the new projection family: zones arriving in
+    EPSG:3413 (NSIDC polar stereographic) must reproduce the native-4326
+    zonal result (same pattern as the UTM/Albers tests)."""
+    from exactextractr_ray.functions.crs import parse_crs, transform_zone_table
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import raster_from_array
+
+    g = Grid(-46.0, 70.0, -46.0 + 0.32, 70.32, 0.01, 0.01)
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 100, (32, 32)).astype(np.float64)
+    rd = raster_from_array(vals, g, tile=16)
+
+    rects = [(-45.95, 70.05, -45.82, 70.17), (-45.9, 70.2, -45.75, 70.3)]
+    zones4326 = zone_table(
+        [(i, f"z{i}", wkbio.rect_wkb(*r)) for i, r in enumerate(rects)]
+    )
+    base = exact_extract(rd, zones4326, ["count", "sum", "mean"]).to_pandas()
+
+    ps = parse_crs("EPSG:3413")
+    rows = []
+    for zid, (x0, y0, x1, y1) in enumerate(rects):
+        k = 64
+        xs = np.linspace(x0, x1, k)
+        ys = np.linspace(y0, y1, k)
+        ring = np.concatenate(
+            [
+                np.column_stack([xs, np.full(k, y0)]),
+                np.column_stack([np.full(k, x1), ys]),
+                np.column_stack([xs[::-1], np.full(k, y1)]),
+                np.column_stack([np.full(k, x0), ys[::-1]]),
+            ]
+        )
+        px, py = ps.forward(ring[:, 0], ring[:, 1])
+        rows.append(
+            (zid, f"z{zid}", wkbio.polygon_wkb(np.column_stack([px, py]), []))
+        )
+    zones_ps = zone_table(rows)
+    with pytest.warns(UserWarning, match="transformed"):
+        zones_back = transform_zone_table(zones_ps, "EPSG:3413", "EPSG:4326")
+    got = exact_extract(rd, zones_back, ["count", "sum", "mean"]).to_pandas()
+    for c in ("count", "sum", "mean"):
+        np.testing.assert_allclose(got[c], base[c], rtol=1e-9)
