@@ -3,7 +3,8 @@
 The container has no PIL/ffmpeg, but three common formats need nothing
 beyond stdlib zlib/struct/wave + numpy, so the multimodal decode stages
 (stages/multimodal.py) are REAL for them and stubbed only for formats that
-genuinely require native codecs (JPEG, video containers):
+genuinely require native codecs (video containers; JPEG lives in the
+sibling from-spec module functions/jpeg.py):
 
 * PNG  — full critical-chunk decoder: zlib inflate, all five filter types
   (None/Sub/Up/Average/Paeth, PNG spec §9), 8-bit depth, color types

@@ -52,6 +52,7 @@ _TAGS = {
     "tile_offsets": 324,
     "tile_byte_counts": 325,
     "sample_format": 339,
+    "jpeg_tables": 347,
     "model_pixel_scale": 33550,
     "model_tiepoint": 33922,
     "gdal_nodata": 42113,
@@ -181,7 +182,8 @@ def _decode_packbits(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(chunk: bytes, compression: int, out_size: int = 0) -> bytes:
+def _decompress(chunk: bytes, compression: int, out_size: int = 0,
+                jpeg_tables: bytes | None = None) -> bytes:
     if compression == 1:
         return chunk
     if compression in (8, 32946):  # Deflate (zlib)
@@ -194,6 +196,18 @@ def _decompress(chunk: bytes, compression: int, out_size: int = 0) -> bytes:
         import pyarrow as _pa
 
         return bytes(_pa.Codec("zstd").decompress(chunk, out_size))
+    if compression == 7:  # JPEG ('new-style', TIFF Technote 2): each chunk
+        # is a JPEG stream, abbreviated when a JPEGTables tag supplies the
+        # shared DQT/DHT. Decoded pixels re-enter the normal chunk path as
+        # chunky-interleaved uint8 bytes.
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(chunk, tables=jpeg_tables).tobytes()
+    if compression == 6:
+        raise NotImplementedError(
+            "old-style TIFF JPEG (compression 6) is deprecated by TIFF "
+            "Technote 2 and unsupported; re-save with compression 7"
+        )
     raise ValueError(f"unsupported TIFF compression {compression}")
 
 
@@ -327,6 +341,8 @@ def read_geotiff(
     dt = _np_dtype(bps, fmt, endian)
     # samples interleaved within each chunk: spp for chunky, 1 for planar
     nsamp = spp if planar == 1 else 1
+    jt = t.get(_TAGS["jpeg_tables"], t0.get(_TAGS["jpeg_tables"]))
+    jpeg_tables = bytes(jt) if jt is not None else None
 
     def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
         """One decompressed chunk -> (rows, cols, nsamp). Predictor 2
@@ -358,7 +374,8 @@ def read_geotiff(
             cnts = cnts[(band - 1) * cpp : band * cpp]
         for k, (o, c) in enumerate(zip(offs, cnts)):
             ty, tx = k // tiles_x, k % tiles_x
-            raw = _decompress(data[o : o + c], comp, tw * tl * nsamp * (bps // 8))
+            raw = _decompress(data[o : o + c], comp, tw * tl * nsamp * (bps // 8),
+                              jpeg_tables=jpeg_tables)
             block = decode_chunk(raw, tl, tw)[:, :, band - 1 if planar == 1 else 0]
             h = min(tl, height - ty * tl)
             w = min(tw, width - tx * tw)
@@ -374,7 +391,8 @@ def read_geotiff(
         row = 0
         for o, c in zip(offs, cnts):
             h = min(rps, height - row)
-            raw = _decompress(data[o : o + c], comp, h * width * nsamp * (bps // 8))
+            raw = _decompress(data[o : o + c], comp, h * width * nsamp * (bps // 8),
+                              jpeg_tables=jpeg_tables)
             arr[row : row + h] = decode_chunk(raw, h, width)[
                 :, :, band - 1 if planar == 1 else 0
             ]
@@ -442,8 +460,23 @@ def _compress_body(body: bytes, compression: int) -> bytes:
 
         return bytes(_pa.Codec("zstd").compress(body))
     raise ValueError(
-        "writer supports compression 1 (none), 8 (deflate), 50000 (zstd)"
+        "writer supports compression 1 (none), 7 (jpeg, uint8 only), "
+        "8 (deflate), 50000 (zstd)"
     )
+
+
+def _jpeg_chunk(body: bytes, rows: int, cols: int, nb: int,
+                quality: int) -> bytes:
+    """One raw chunky chunk -> abbreviated JPEG stream (Technote 2: the
+    shared DQT/DHT ride in the JPEGTables tag)."""
+    from ..functions.jpeg import encode_jpeg
+
+    a = np.frombuffer(body, np.uint8, count=rows * cols * nb).reshape(
+        rows, cols, nb
+    )
+    img = a[:, :, 0] if nb == 1 else a
+    return encode_jpeg(img, quality=quality, subsampling="4:4:4",
+                       include_tables=False)
 
 
 def write_geotiff(
@@ -455,6 +488,7 @@ def write_geotiff(
     overviews: list[int] | None = None,
     planar: int = 1,
     tile: int | None = None,
+    jpeg_quality: int = 90,
 ) -> None:
     """GeoTIFF writer (pure struct, classic little-endian container,
     Deflate by default; ZSTD via code 50000) — the raster-output sink the
@@ -465,7 +499,10 @@ def write_geotiff(
     decimation). ``tile=256`` switches from strip to tile organization —
     with overviews + ZSTD this produces a cloud-optimized layout whose
     chunks are independently range-readable. Round-trips bit-exactly
-    through :func:`read_geotiff` (tested), overviews via ``overview=k``."""
+    through :func:`read_geotiff` (tested), overviews via ``overview=k``.
+    ``compression=7`` writes JPEG-in-TIFF (Technote 2: shared tables in a
+    ``JPEGTables`` tag + abbreviated per-chunk streams; uint8, chunky, 1
+    or 3 samples, 4:4:4, LOSSY at ``jpeg_quality``)."""
     import struct as _s
 
     a = np.asarray(arr)
@@ -474,6 +511,13 @@ def write_geotiff(
     if nodata is not None and a.dtype.kind == "f":
         a = np.where(np.isnan(a), a.dtype.type(nodata), a)
     nb = a.shape[2] if a.ndim == 3 else 1  # pixel-interleaved multiband
+    if compression == 7:
+        if a.dtype != np.uint8:
+            raise ValueError("JPEG-in-TIFF (compression 7) requires uint8")
+        if planar != 1 or nb not in (1, 3):
+            raise ValueError(
+                "JPEG-in-TIFF supports chunky 1- or 3-sample pixels only"
+            )
 
     levels: list[tuple[np.ndarray, bool]] = [(a, False)]
     for f in overviews or []:
@@ -521,7 +565,14 @@ def write_geotiff(
     off = 8
     body_offs: list[list[int]] = []
     for lv, _red in levels:
-        comp = [_compress_body(p, compression) for p in level_chunks(lv)]
+        raw_chunks = level_chunks(lv)
+        if compression == 7:
+            ch = lv.shape[0] if tile is None else tile
+            cw = lv.shape[1] if tile is None else tile
+            comp = [_jpeg_chunk(p, ch, cw, nb, jpeg_quality)
+                    for p in raw_chunks]
+        else:
+            comp = [_compress_body(p, compression) for p in raw_chunks]
         bodies.append(comp)
         offs = []
         for c in comp:
@@ -536,15 +587,23 @@ def write_geotiff(
         h, w = lv.shape[:2]
         dt = lv.dtype
         nchunks = len(bodies[i])
+        photometric = 6 if (compression == 7 and nb == 3) else 1
         tags = [
             (256, 4, 1, w),
             (257, 4, 1, h),
             (259, 3, 1, compression),
-            (262, 3, 1, 1),
+            (262, 3, 1, photometric),
             (277, 3, 1, nb),
             (284, 3, 1, planar),
         ]
         extra_items = []  # (tag, typ, cnt, payload bytes)
+        if compression == 7:
+            from ..functions.jpeg import encode_jpeg_tables
+
+            jt = encode_jpeg_tables(gray=(nb == 1), quality=jpeg_quality)
+            extra_items.append((347, 7, len(jt), jt))
+            if nb == 3:  # chroma stored 4:4:4 (matches the SOF factors)
+                extra_items.append((530, 3, 2, struct.pack("<2H", 1, 1)))
         if tile is None:
             tags.append((278, 4, 1, h))  # RowsPerStrip: whole image
             off_tag, cnt_tag = 273, 279
@@ -582,7 +641,7 @@ def write_geotiff(
         extra_off = off + 2 + 12 * n_entries + 4
         extra = b""
         for tag, typ, cnt, payload in extra_items:
-            size = {2: 1, 3: 2, 4: 4, 12: 8}[typ] * cnt
+            size = {2: 1, 3: 2, 4: 4, 7: 1, 12: 8}[typ] * cnt
             if size <= 4:
                 tags.append(
                     (tag, typ, cnt,

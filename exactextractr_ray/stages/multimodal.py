@@ -2,10 +2,12 @@
 
 Media travel as opaque ``binary`` columns with typed metadata columns
 (media_type, width/height or sample_rate/duration). Decode is REAL for the
-formats stdlib can handle — PNG and BMP images, PCM16 WAV audio
-(functions/codecs.py: zlib inflate + the five PNG filters, BI_RGB, wave) —
-and stubbed only where a native codec would be required (JPEG, video
-containers): those raise NotImplementedError, with
+formats implementable from public specs without native libraries — PNG,
+BMP and JPEG images (functions/codecs.py: zlib inflate + the five PNG
+filters, BI_RGB; functions/jpeg.py: from-spec ITU-T T.81
+baseline+progressive), PCM16 WAV audio — and stubbed only where a native
+codec would be required (video containers): those raise
+NotImplementedError, with
 ``DeterministicFakeDecoder`` (a seeded pure function of the bytes) keeping
 the full pipeline testable end-to-end. Everything Ray-side —
 schemas, actor-pool stage shape, batch sizing, output layout — is real:
@@ -40,10 +42,12 @@ IMAGE_SCHEMA = pa.schema(
 class CodecDecoder:
     """Real-codec decode stage. PNG and BMP decode with the pure-stdlib
     codecs in functions/codecs.py (zlib inflate + PNG filters / BI_RGB);
-    formats needing native libraries (JPEG, video) raise NotImplementedError
-    — the container has no PIL/ffmpeg. Decoded images are converted to
-    integer luma and nearest-neighbor-resampled to ``target_hw`` (both
-    exact integer ops: bit-stable at any parallelism)."""
+    baseline+progressive JPEG decodes with the from-spec T.81 codec in
+    functions/jpeg.py. Formats needing native libraries (video containers)
+    raise NotImplementedError — the container has no ffmpeg. Decoded
+    images are converted to integer luma and nearest-neighbor-resampled to
+    ``target_hw`` (both exact integer ops: bit-stable at any
+    parallelism)."""
 
     def __init__(self, target_hw: tuple[int, int] = (32, 32)):
         self.target_hw = target_hw
@@ -56,10 +60,15 @@ class CodecDecoder:
             img = codecs.decode_png(payload)
         elif kind == "image/bmp":
             img = codecs.decode_bmp(payload)
+        elif kind == "image/jpeg":
+            from ..functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
         else:
             raise NotImplementedError(
-                f"no codec for {kind} in this environment (PNG/BMP decode "
-                "natively; use DeterministicFakeDecoder for other formats)"
+                f"no codec for {kind} in this environment (PNG/BMP/JPEG "
+                "decode natively; use DeterministicFakeDecoder for other "
+                "formats)"
             )
         gray = codecs.to_grayscale(img)
         return codecs.resize_nearest(gray, self.target_hw).astype(np.float32)

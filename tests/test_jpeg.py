@@ -1,0 +1,223 @@
+"""Baseline JPEG codec (functions/jpeg.py) + JPEG-in-TIFF integration.
+
+The codec is written from the public ITU-T T.81 spec; with no libjpeg in
+the container, correctness is established by (a) spec-derived invariants
+(smooth images round-trip within 1 LSB at high quality, abbreviated /
+restart-interval variants decode bit-identically to the plain stream),
+(b) decode determinism, and (c) the TIFF Technote 2 contract end-to-end
+through the GeoTIFF reader/writer (reference reads JPEG-in-TIFF via GDAL:
+gdal_raster_wrapper.cpp:22-95).
+"""
+
+import numpy as np
+import pytest
+
+from exactextractr_ray.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_tables,
+)
+
+
+def _smooth(h, w):
+    x, y = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    return ((x + y) / 2).astype(np.uint8)
+
+
+def test_gray_smooth_roundtrip_tight():
+    img = _smooth(90, 120)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:4:4"))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_gray_odd_dims():
+    img = _smooth(37, 53)  # non-MCU-aligned: exercises edge crop
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="4:4:4"))
+    assert out.shape == (37, 53)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_rgb_444_and_420():
+    base = _smooth(41, 59)
+    rgb = np.stack([base, (255 - base).astype(np.uint8), base // 2], axis=-1)
+    out444 = decode_jpeg(encode_jpeg(rgb, quality=95, subsampling="4:4:4"))
+    assert out444.shape == (41, 59, 3)
+    assert np.abs(out444.astype(int) - rgb.astype(int)).max() <= 3
+    out420 = decode_jpeg(encode_jpeg(rgb, quality=95, subsampling="4:2:0"))
+    assert out420.shape == (41, 59, 3)
+    # chroma is smooth, so 2x2 averaging stays close
+    assert np.abs(out420.astype(int) - rgb.astype(int)).mean() < 3
+
+
+def test_decode_deterministic():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    b = encode_jpeg(img, quality=60, subsampling="4:4:4")
+    assert np.array_equal(decode_jpeg(b), decode_jpeg(b))
+
+
+def test_restart_interval_bit_identical():
+    img = _smooth(64, 80)
+    plain = decode_jpeg(encode_jpeg(img, quality=85, subsampling="4:4:4"))
+    with_ri = decode_jpeg(
+        encode_jpeg(img, quality=85, subsampling="4:4:4", restart_interval=3)
+    )
+    assert np.array_equal(plain, with_ri)
+
+
+def test_abbreviated_tables_stream():
+    # TIFF JPEGTables contract: tables-only stream + table-less image stream
+    img = _smooth(48, 64)
+    full = decode_jpeg(encode_jpeg(img, quality=80, subsampling="4:4:4"))
+    ab = encode_jpeg(img, quality=80, subsampling="4:4:4",
+                     include_tables=False)
+    tb = encode_jpeg_tables(gray=True, quality=80)
+    assert np.array_equal(decode_jpeg(ab, tables=tb), full)
+    # the abbreviated stream alone has no tables
+    with pytest.raises((ValueError, KeyError)):
+        decode_jpeg(ab)
+
+
+def test_rgb_abbreviated_with_restarts():
+    base = _smooth(32, 48)
+    rgb = np.stack([base] * 3, axis=-1)
+    full = decode_jpeg(encode_jpeg(rgb, quality=85))
+    ab = encode_jpeg(rgb, quality=85, include_tables=False,
+                     restart_interval=2)
+    tb = encode_jpeg_tables(gray=False, quality=85)
+    assert np.array_equal(decode_jpeg(ab, tables=tb), full)
+
+
+def test_unsupported_markers_raise():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+    # synthetic SOF2 (progressive-with-no-scan) header must be rejected,
+    # not mis-decoded, when the stream carries no scan data
+    img = _smooth(16, 16)
+    b = bytearray(encode_jpeg(img, quality=85, subsampling="4:4:4"))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xCB  # SOF11 (arithmetic lossless): genuinely unsupported
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(b))
+
+
+def test_truncated_stream_raises():
+    img = _smooth(16, 16)
+    b = encode_jpeg(img, quality=85, subsampling="4:4:4")
+    with pytest.raises(ValueError):
+        decode_jpeg(b[:20])
+
+
+def test_multimodal_decoder_dispatches_jpeg():
+    from exactextractr_ray.stages.multimodal import CodecDecoder
+
+    img = _smooth(40, 40)
+    payload = encode_jpeg(img, quality=95, subsampling="4:4:4")
+    dec = CodecDecoder(target_hw=(8, 8))
+    px = dec.decode_one(payload, 40, 40)
+    assert px.shape == (8, 8) and px.dtype == np.float32
+    # luma of a grayscale JPEG ~= the image itself
+    from exactextractr_ray.functions.codecs import resize_nearest
+
+    want = resize_nearest(img, (8, 8)).astype(np.float32)
+    assert np.abs(px - want).max() <= 1.0
+
+
+# ---------------- JPEG-in-TIFF (Technote 2) ----------------
+
+
+def _grid(w, h):
+    from exactextractr_ray.grid import Grid
+
+    return Grid(0.0, 0.0, float(w), float(h), 1.0, 1.0)
+
+
+@pytest.mark.parametrize("tile", [None, 32])
+def test_geotiff_jpeg_roundtrip(tmp_path, tile):
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    img = _smooth(97, 130)
+    p = str(tmp_path / "j.tif")
+    write_geotiff(img, _grid(130, 97), p, compression=7, tile=tile,
+                  jpeg_quality=95)
+    arr, meta = read_geotiff(p)
+    assert arr.shape == (97, 130)
+    assert np.abs(arr - img).max() <= 2
+    assert meta.grid.xmin == 0.0 and meta.grid.dx == 1.0
+
+
+def test_geotiff_jpeg_uses_jpeg_tables_tag(tmp_path):
+    from exactextractr_ray.sources import geotiff as gt
+
+    img = _smooth(64, 64)
+    p = str(tmp_path / "t.tif")
+    gt.write_geotiff(img, _grid(64, 64), p, compression=7, tile=32,
+                     jpeg_quality=90)
+    data = open(p, "rb").read()
+    endian, big, off = gt._tiff_header(data)
+    tags = gt._ifd_chain(data, endian, big, off)[0]
+    jt = bytes(tags[347])
+    assert jt[:2] == b"\xff\xd8" and jt[-2:] == b"\xff\xd9"
+    assert b"\xff\xdb" in jt and b"\xff\xc4" in jt  # DQT + DHT present
+    # per-chunk streams are abbreviated (no DQT of their own)
+    o = tags[324][0]
+    c = tags[325][0]
+    chunk = data[o : o + c]
+    assert b"\xff\xdb" not in chunk[:200]
+
+
+def test_geotiff_jpeg_rgb_bands(tmp_path):
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    base = _smooth(48, 72)
+    rgb = np.stack([base, (255 - base).astype(np.uint8), base // 2], axis=-1)
+    p = str(tmp_path / "rgb.tif")
+    write_geotiff(rgb, _grid(72, 48), p, compression=7, jpeg_quality=95)
+    for b in (1, 2, 3):
+        arr, _ = read_geotiff(p, band=b)
+        assert np.abs(arr - rgb[:, :, b - 1]).max() <= 3
+
+
+def test_geotiff_jpeg_overviews(tmp_path):
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    img = _smooth(97, 130)
+    p = str(tmp_path / "ov.tif")
+    write_geotiff(img, _grid(130, 97), p, compression=7, tile=32,
+                  overviews=[2], jpeg_quality=95)
+    ov, meta = read_geotiff(p, overview=0)
+    assert ov.shape == (49, 65)
+    assert np.abs(ov - img[::2, ::2]).max() <= 2
+    # overview keeps full extent at coarser cell size
+    assert meta.grid.xmax == 130.0
+
+
+def test_geotiff_jpeg_rejects_nonuint8(tmp_path):
+    from exactextractr_ray.sources.geotiff import write_geotiff
+
+    with pytest.raises(ValueError):
+        write_geotiff(np.zeros((8, 8), np.float32), _grid(8, 8),
+                      str(tmp_path / "x.tif"), compression=7)
+
+
+def test_geotiff_jpeg_zonal_parity(tmp_path):
+    """JPEG raster flows through the normal zonal path; stats match the
+    in-memory array's stats exactly (same decoded pixels)."""
+    from exactextractr_ray.sources.geotiff import (
+        geotiff_raster_dataset,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    img = _smooth(64, 64)
+    p = str(tmp_path / "z.tif")
+    write_geotiff(img, _grid(64, 64), p, compression=7, jpeg_quality=95)
+    arr, _ = read_geotiff(p)
+    rd = geotiff_raster_dataset(p, tile=32)
+    vals = np.concatenate(
+        [b["values"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+         for b in rd.ds.iter_batches(batch_size=None, batch_format="pyarrow")]
+    )
+    assert vals.size == 64 * 64
+    assert float(vals.sum()) == float(np.nansum(arr))
