@@ -4,19 +4,21 @@ The container has no libjpeg/PIL, but baseline sequential-DCT Huffman JPEG
 is fully specified in the public ITU-T T.81 / ISO 10918-1 standard, so both
 directions are implemented from the spec:
 
-* ``decode_jpeg`` — marker parse (SOI/APPn/DQT/DHT/SOF0/DRI/SOS/RSTn/EOI),
+* ``decode_jpeg`` — marker parse (SOI/APPn/DQT/DHT/SOF/DRI/SOS/RSTn/EOI),
   LUT-based Huffman decode (16-bit peek table), dequantize + inverse zigzag,
   vectorized 8x8 IDCT (one einsum per component over all blocks), chroma
-  upsampling by sample replication, JFIF YCbCr->RGB. Supports grayscale and
-  3-component frames, any integer sampling factors, restart intervals, and
-  abbreviated streams (tables supplied separately — the TIFF ``JPEGTables``
-  tag contract from TIFF Technote 2).
-* ``encode_jpeg`` — Annex K quantization + Huffman tables scaled by the
-  public IJG quality curve, 4:4:4 or 4:2:0 subsampling, vectorized FDCT,
-  per-block Huffman entropy writer with byte stuffing.
+  upsampling by sample replication, JFIF YCbCr->RGB. Supports baseline
+  (SOF0/1, single- or multi-scan) AND progressive (SOF2, Annex G.2: DC/AC
+  first + successive-approximation refinement scans with EOB runs) frames,
+  grayscale and 3-component, any integer sampling factors, restart
+  intervals, and abbreviated streams (tables supplied separately — the
+  TIFF ``JPEGTables`` tag contract from TIFF Technote 2).
+* ``encode_jpeg`` — baseline only: Annex K quantization + Huffman tables
+  scaled by the public IJG quality curve, 4:4:4 or 4:2:0 subsampling,
+  vectorized FDCT, per-block Huffman entropy writer with byte stuffing.
 
-Limits (explicit): baseline 8-bit only — progressive (SOF2), arithmetic
-coding, hierarchical, lossless and 12-bit frames raise NotImplementedError.
+Limits (explicit): 8-bit DCT frames only — arithmetic coding,
+hierarchical, lossless and 12-bit frames raise NotImplementedError.
 Chroma upsampling is sample replication (not libjpeg's "fancy" linear
 interpolation), so pixel output for subsampled images is deterministic but
 may differ from libjpeg by a few LSBs near chroma edges; the decoder is
@@ -264,12 +266,10 @@ class _DecodeState:
         self.progressive = False
 
 
-def _parse_segments(data: bytes, state: _DecodeState) -> int:
-    """Walk markers up to (and including) SOS; return offset of entropy data.
-    Returns -1 if the stream has no SOS (a tables-only stream)."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG: missing SOI")
-    pos = 2
+def _parse_headers(data: bytes, state: _DecodeState, pos: int) -> tuple:
+    """Walk markers from ``pos`` handling table/frame segments. Stops at the
+    next SOS — returns ``(scan_dict, entropy_offset)`` — or at EOI / end of
+    stream — returns ``(None, -1)``."""
     n = len(data)
     while pos + 2 <= n:
         if data[pos] != 0xFF:
@@ -281,8 +281,8 @@ def _parse_segments(data: bytes, state: _DecodeState) -> int:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # bare markers
             continue
-        if marker == 0xD9:  # EOI — tables-only stream
-            return -1
+        if marker == 0xD9:  # EOI
+            return None, -1
         if pos + 2 > n:
             break
         (seglen,) = struct.unpack(">H", data[pos:pos + 2])
@@ -316,11 +316,12 @@ def _parse_segments(data: bytes, state: _DecodeState) -> int:
                     state.huff_ac[th] = _HuffDecode(bits, vals)
         elif marker == 0xDD:  # DRI
             (state.restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline(+ext sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (8 only)")
             state.height, state.width = h, w
+            state.progressive = marker == 0xC2
             state.comps = []
             for ci in range(nc):
                 c = _Component()
@@ -329,39 +330,184 @@ def _parse_segments(data: bytes, state: _DecodeState) -> int:
                 c.h, c.v = hv >> 4, hv & 15
                 c.tq = seg[8 + 3 * ci]
                 state.comps.append(c)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF marker 0x{marker:02x} unsupported")
         elif marker == 0xDA:  # SOS
+            if not state.comps:
+                raise ValueError("JPEG scan before frame header")
             ns = seg[0]
-            if ns != len(state.comps):
-                raise NotImplementedError("multi-scan JPEG unsupported (baseline only)")
+            scomps = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
-                for c in state.comps:
+                for ci, c in enumerate(state.comps):
                     if c.cid == cs:
                         c.td, c.ta = tdta >> 4, tdta & 15
+                        scomps.append((ci, c))
                         break
                 else:
                     raise ValueError(f"SOS references unknown component {cs}")
-            return pos
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            scan = {"comps": scomps, "ss": ss, "se": se,
+                    "ah": ahal >> 4, "al": ahal & 15}
+            return scan, pos
         # APPn/COM and anything else: skipped
-    raise ValueError("JPEG stream ended before SOS")
+    return None, -1
 
 
 _SCAN_END = re.compile(rb"\xff(?=[^\x00\xd0-\xd7\xff])")
 _RST_SPLIT = re.compile(rb"\xff[\xd0-\xd7]")
 
 
-def _entropy_segments(data: bytes, pos: int) -> list[bytes]:
+def _huffval(br: _BitReader, tbl: _HuffDecode, what: str) -> int:
+    v16 = br.peek16()
+    ln = int(tbl.lut_len[v16])
+    if ln == 0:
+        raise ValueError(f"invalid JPEG Huffman code ({what})")
+    br.skip(ln)
+    return int(tbl.lut_sym[v16])
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.12 EXTEND: map an s-bit magnitude to its signed value."""
+    if s and v < (1 << (s - 1)):
+        return v - (1 << s) + 1
+    return v
+
+
+def _decode_scan(data: bytes, pos: int, state: _DecodeState, scan: dict,
+                 coefs: list, geom: dict) -> int:
+    """Entropy-decode one scan into the coefficient stores; returns the
+    offset of the marker following the scan. Handles baseline full-band
+    scans and all four progressive scan kinds (T.81 Annex G.2): DC
+    first/refinement, AC first/refinement with EOB runs."""
     m = _SCAN_END.search(data, pos)
-    body = data[pos:m.start()] if m else data[pos:]
-    return [s.replace(b"\xff\x00", b"\xff") for s in _RST_SPLIT.split(body)]
+    end = m.start() if m else len(data)
+    segments = [s.replace(b"\xff\x00", b"\xff")
+                for s in _RST_SPLIT.split(data[pos:end])]
+
+    scomps = scan["comps"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    progressive = state.progressive
+    ns = len(scomps)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    mcus_x, mcus_y = geom["mcus_x"], geom["mcus_y"]
+    if ns == 1:
+        ci0, c0 = scomps[0]
+        nx, ny = geom["bw_used"][ci0], geom["bh_used"][ci0]
+        n_mcus = nx * ny
+    else:
+        nx, ny = mcus_x, mcus_y
+        n_mcus = mcus_x * mcus_y
+
+    ri = state.restart_interval
+    seg_i = 0
+    br = _BitReader(segments[0])
+    pred = [0] * len(state.comps)
+    eobrun = 0
+
+    dc_scan = ss == 0
+    full_band = dc_scan and not progressive  # baseline: DC + AC 1..63
+    ac_lo = 1 if full_band else ss
+    ac_hi = 63 if full_band else se
+    p1 = 1 << al
+
+    for mcu in range(n_mcus):
+        if ri and mcu and mcu % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG truncated: missing restart segment")
+            br = _BitReader(segments[seg_i])
+            pred = [0] * len(state.comps)
+            eobrun = 0
+        my, mx = divmod(mcu, nx)
+        for ci, c in scomps:
+            reps = c.h * c.v if ns > 1 else 1
+            for r in range(reps):
+                if ns > 1:
+                    by = my * c.v + r // c.h
+                    bx = mx * c.h + r % c.h
+                else:
+                    by, bx = my, mx
+                blk = coefs[ci][by, bx]
+                if dc_scan:
+                    if ah == 0:  # DC first (or baseline)
+                        s = _huffval(br, state.huff_dc[c.td], "DC")
+                        pred[ci] += _extend(br.get(s), s)
+                        blk[0] = pred[ci] << al
+                    else:  # DC refinement: one correction bit
+                        if br.get(1):
+                            blk[0] |= p1
+                        continue
+                    if not full_band:
+                        continue
+                hac = state.huff_ac[c.ta]
+                if ah == 0:  # AC first scan (or baseline AC band)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ac_lo
+                    while k <= ac_hi:
+                        rs = _huffval(br, hac, "AC")
+                        rr, sz = rs >> 4, rs & 15
+                        if sz == 0:
+                            if rr != 15:  # EOBn: run of (1<<rr)+ext blocks
+                                eobrun = (1 << rr) - 1
+                                if rr:
+                                    eobrun += br.get(rr)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += rr
+                        if k > ac_hi:
+                            raise ValueError("JPEG AC run overflows band")
+                        blk[k] = _extend(br.get(sz), sz) << al
+                        k += 1
+                else:  # AC refinement (T.81 G.1.2.3)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _huffval(br, hac, "AC")
+                            rr, sz = rs >> 4, rs & 15
+                            newval = 0
+                            if sz == 0:
+                                if rr != 15:
+                                    eobrun = 1 << rr
+                                    if rr:
+                                        eobrun += br.get(rr)
+                                    break
+                                # ZRL: pass 16 zero-history coefficients
+                            else:
+                                newval = p1 if br.get(1) else -p1
+                            while k <= se:
+                                cur = int(blk[k])
+                                if cur != 0:
+                                    if br.get(1) and (cur & p1) == 0:
+                                        blk[k] = cur + (p1 if cur > 0 else -p1)
+                                else:
+                                    if rr == 0:
+                                        break
+                                    rr -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            cur = int(blk[k])
+                            if cur != 0 and br.get(1) and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur > 0 else -p1)
+                            k += 1
+                        eobrun -= 1
+    return end
 
 
 def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 (h, w) gray or (h, w, 3) RGB.
+    """Baseline or progressive JPEG bytes -> uint8 (h, w) gray or
+    (h, w, 3) RGB.
 
     ``tables`` is an optional abbreviated tables-only stream (SOI, DQT/DHT,
     EOI) applied before the image stream — the TIFF ``JPEGTables`` (tag 347)
@@ -369,94 +515,48 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     """
     state = _DecodeState()
     if tables is not None:
-        _parse_segments(tables, state)
-    pos = _parse_segments(data, state)
-    if pos < 0:
+        if tables[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG tables stream: missing SOI")
+        scan, _ = _parse_headers(tables, state, 2)
+        if scan is not None:
+            raise ValueError("JPEG tables stream contains a scan")
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+
+    pos = 2
+    coefs: list | None = None
+    geom: dict | None = None
+    nscans = 0
+    while True:
+        scan, pos = _parse_headers(data, state, pos)
+        if scan is None:
+            break
+        if coefs is None:
+            comps = state.comps
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            w, h = state.width, state.height
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            geom = {
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": mcus_x, "mcus_y": mcus_y,
+                # blocks actually coded by a non-interleaved scan: the
+                # component's own ceil dimensions (T.81 A.2.2)
+                "bw_used": [-(-(-(-w * c.h // hmax)) // 8) for c in comps],
+                "bh_used": [-(-(-(-h * c.v // vmax)) // 8) for c in comps],
+            }
+            coefs = [
+                np.zeros((mcus_y * c.v, mcus_x * c.h, 64), dtype=np.int32)
+                for c in comps
+            ]
+        pos = _decode_scan(data, pos, state, scan, coefs, geom)
+        nscans += 1
+    if coefs is None:
         raise ValueError("JPEG stream has no scan (tables-only?)")
     comps = state.comps
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
+    hmax, vmax = geom["hmax"], geom["vmax"]
     w, h = state.width, state.height
-    interleaved = len(comps) > 1
-    if interleaved:
-        mcus_x = -(-w // (8 * hmax))
-        mcus_y = -(-h // (8 * vmax))
-    else:
-        c = comps[0]
-        # non-interleaved single-component scan: MCU = one block over the
-        # component's own grid (T.81 A.2.2)
-        mcus_x = -(-w * c.h // (8 * hmax)) if c.h != hmax else -(-w // 8)
-        mcus_y = -(-h * c.v // (8 * vmax)) if c.v != vmax else -(-h // 8)
-    n_mcus = mcus_x * mcus_y
-
-    # per-component coefficient stores, (blocks_y, blocks_x, 64)
-    coefs = []
-    for c in comps:
-        if interleaved:
-            by, bx = mcus_y * c.v, mcus_x * c.h
-        else:
-            by, bx = mcus_y, mcus_x
-        coefs.append(np.zeros((by, bx, 64), dtype=np.int32))
-
-    segments = _entropy_segments(data, pos)
-    ri = state.restart_interval
-    seg_i = 0
-    br = _BitReader(segments[0])
-    pred = [0] * len(comps)
-    for mcu in range(n_mcus):
-        if ri and mcu and mcu % ri == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError("JPEG truncated: missing restart segment")
-            br = _BitReader(segments[seg_i])
-            pred = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, c in enumerate(comps):
-            hdc, hac = state.huff_dc[c.td], state.huff_ac[c.ta]
-            reps = c.h * c.v if interleaved else 1
-            for r in range(reps):
-                blk = np.zeros(64, dtype=np.int32)
-                # DC
-                v16 = br.peek16()
-                s = int(hdc.lut_sym[v16])
-                ln = int(hdc.lut_len[v16])
-                if ln == 0:
-                    raise ValueError("invalid JPEG Huffman code (DC)")
-                br.skip(ln)
-                diff = br.get(s)
-                if s and diff < (1 << (s - 1)):
-                    diff -= (1 << s) - 1
-                pred[ci] += diff
-                blk[0] = pred[ci]
-                # AC
-                k = 1
-                while k < 64:
-                    v16 = br.peek16()
-                    rs = int(hac.lut_sym[v16])
-                    ln = int(hac.lut_len[v16])
-                    if ln == 0:
-                        raise ValueError("invalid JPEG Huffman code (AC)")
-                    br.skip(ln)
-                    rr, ss = rs >> 4, rs & 15
-                    if ss == 0:
-                        if rr == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += rr
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflows block")
-                    av = br.get(ss)
-                    if av < (1 << (ss - 1)):
-                        av -= (1 << ss) - 1
-                    blk[k] = av
-                    k += 1
-                if interleaved:
-                    by = my * c.v + r // c.h
-                    bx = mx * c.h + r % c.h
-                else:
-                    by, bx = my, mx
-                coefs[ci][by, bx] = blk
 
     # dequantize + inverse zigzag + IDCT, vectorized per component
     planes = []

@@ -221,3 +221,145 @@ def test_geotiff_jpeg_zonal_parity(tmp_path):
     )
     assert vals.size == 64 * 64
     assert float(vals.sum()) == float(np.nansum(arr))
+
+
+# ---------------- progressive decode (T.81 Annex G.2) ----------------
+
+
+def _prog_encode_rgb444(img, quality=90):
+    """Test-side minimal PROGRESSIVE encoder (spectral selection + DC
+    successive approximation, 4:4:4): scans = interleaved DC first (Al=1),
+    DC refinement (Ah=1), then one full-band AC scan per component. Decoded
+    output must be bit-identical to the baseline encoding of the same
+    image at the same quality (identical quantized coefficients)."""
+    import struct
+
+    import exactextractr_ray.functions.jpeg as J
+
+    h, w = img.shape[:2]
+    rgbf = img.astype(np.float64)
+    r, g, b = rgbf[:, :, 0], rgbf[:, :, 1], rgbf[:, :, 2]
+    yp = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [np.clip(np.round(p), 0, 255).astype(np.uint8)
+              for p in (yp, cb, cr)]
+    qt_l = J._quality_scale(J.QT_LUMA, quality)
+    qt_c = J._quality_scale(J.QT_CHROMA, quality)
+    qts = [qt_l, qt_c, qt_c]
+    qb = [J._fdct_quant(J._plane_blocks(p), qt) for p, qt in zip(planes, qts)]
+    by, bx = qb[0].shape[:2]
+    dc_l = J._huff_encode_map(J.DC_LUMA_BITS, J.DC_LUMA_VALS)
+    dc_c = J._huff_encode_map(J.DC_CHROMA_BITS, J.DC_CHROMA_VALS)
+    ac_l = J._huff_encode_map(J.AC_LUMA_BITS, J.AC_LUMA_VALS)
+    ac_c = J._huff_encode_map(J.AC_CHROMA_BITS, J.AC_CHROMA_VALS)
+    dcm = [dc_l, dc_c, dc_c]
+    acm = [ac_l, ac_c, ac_c]
+
+    def sos(comps, ss, se, ah, al):
+        p = bytes([len(comps)])
+        for ci in comps:
+            p += bytes([ci + 1, (0x00 if ci == 0 else 0x11)])
+        return J._marker(0xDA, p + bytes([ss, se, (ah << 4) | al]))
+
+    out = bytearray(b"\xff\xd8")
+    out += J._marker(0xDB, J._dqt_payload(0, qt_l))
+    out += J._marker(0xDB, J._dqt_payload(1, qt_c))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += J._marker(0xC2, sof)  # SOF2: progressive
+    out += J._marker(0xC4, J._dht_payload(0, 0, J.DC_LUMA_BITS, J.DC_LUMA_VALS))
+    out += J._marker(0xC4, J._dht_payload(1, 0, J.AC_LUMA_BITS, J.AC_LUMA_VALS))
+    out += J._marker(0xC4, J._dht_payload(0, 1, J.DC_CHROMA_BITS, J.DC_CHROMA_VALS))
+    out += J._marker(0xC4, J._dht_payload(1, 1, J.AC_CHROMA_BITS, J.AC_CHROMA_VALS))
+
+    # scan 1: interleaved DC first, Al=1 (DPCM over dc >> 1)
+    out += sos([0, 1, 2], 0, 0, 0, 1)
+    bw = J._BitWriter()
+    pred = [0, 0, 0]
+    for yy in range(by):
+        for xx in range(bx):
+            for ci in range(3):
+                dc = int(qb[ci][yy, xx][J.ZIGZAG[0]]) >> 1
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                s = abs(diff).bit_length()
+                code, ln = dcm[ci][s]
+                bw.put(code, ln)
+                if s:
+                    bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: DC refinement (Ah=1, Al=0): bit0 of each DC, same block order
+    out += sos([0, 1, 2], 0, 0, 1, 0)
+    bw = J._BitWriter()
+    for yy in range(by):
+        for xx in range(bx):
+            for ci in range(3):
+                bw.put(int(qb[ci][yy, xx][J.ZIGZAG[0]]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # scans 3-5: full-band AC first per component (Ss=1..63, Al=0)
+    for ci in range(3):
+        out += sos([ci], 1, 63, 0, 0)
+        bw = J._BitWriter()
+        for yy in range(by):
+            for xx in range(bx):
+                zz = qb[ci][yy, xx][J.ZIGZAG]
+                nz = np.nonzero(zz[1:])[0] + 1
+                k = 1
+                for idx in nz.tolist():
+                    run = idx - k
+                    while run >= 16:
+                        code, ln = acm[ci][0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                    v = int(zz[idx])
+                    s = abs(v).bit_length()
+                    code, ln = acm[ci][(run << 4) | s]
+                    bw.put(code, ln)
+                    bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                    k = idx + 1
+                if k < 64:
+                    code, ln = acm[ci][0x00]  # EOB (eobrun = 1)
+                    bw.put(code, ln)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_matches_baseline_bit_exact():
+    base = _smooth(41, 53)
+    rgb = np.stack([base, (255 - base).astype(np.uint8), base // 3], axis=-1)
+    want = decode_jpeg(encode_jpeg(rgb, quality=90, subsampling="4:4:4"))
+    got = decode_jpeg(_prog_encode_rgb444(rgb, quality=90))
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    ],
+)
+def test_progressive_real_world_files(path):
+    """Real progressive JPEGs (libjpeg-produced, on the host): exercise
+    non-interleaved DC scans, spectral selection, AC successive
+    approximation (Al=1) and AC refinement (Ah=1). A Huffman desync would
+    error or produce noise; these brand assets decode near-white."""
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("host fixture not present")
+    img = decode_jpeg(open(path, "rb").read())
+    assert img.ndim == 3 and img.dtype == np.uint8
+    assert img.shape[1] == 493  # known asset width
+    assert float(img.mean()) > 200  # predominantly white artwork
+    assert img.max() == 255
+    # deterministic
+    assert np.array_equal(img, decode_jpeg(open(path, "rb").read()))
