@@ -64,6 +64,10 @@ class CodecDecoder:
             from ..functions.jpeg import decode_jpeg
 
             img = decode_jpeg(payload)
+        elif kind == "image/gif":
+            from ..functions.gif import decode_gif
+
+            img = decode_gif(payload)
         else:
             raise NotImplementedError(
                 f"no codec for {kind} in this environment (PNG/BMP/JPEG "
@@ -174,6 +178,97 @@ def synth_image_table(n: int, payload_kb: int = 4) -> pa.Table:
     )
 
 
+def synth_jpeg_table(n: int, hw: tuple[int, int] = (24, 24)) -> pa.Table:
+    """Deterministic REAL-JPEG image rows (encoded with functions/jpeg.py):
+    the fake=False decode path runs end-to-end on these. Smooth gradient
+    content (JPEG is lossy; gradients survive within ~1 LSB)."""
+    from ..functions.jpeg import encode_jpeg
+
+    h, w = hw
+    x, y = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    payloads = []
+    for i in range(n):
+        img = np.clip((x + y) / 2 + 7 * i, 0, 255).astype(np.uint8)
+        if i % 2:
+            img = np.stack([img, 255 - img, img // 2], axis=-1)
+        payloads.append(encode_jpeg(img, quality=95, subsampling="4:4:4"))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["image/jpeg"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+        }
+    )
+
+
+def synth_mjpeg_avi_table(
+    n: int, hw: tuple[int, int] = (32, 48), n_frames: int = 6,
+    fps: float = 12.0,
+) -> pa.Table:
+    """Deterministic REAL MJPEG-AVI video rows (functions/avi.py +
+    functions/jpeg.py): the FrameSampler fake=False path runs end-to-end."""
+    from ..functions.avi import encode_mjpeg_avi
+    from ..functions.jpeg import encode_jpeg
+
+    h, w = hw
+    x, y = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    base = ((x + y) / 2).astype(np.uint8)
+    payloads = []
+    for i in range(n):
+        frames = [
+            encode_jpeg(
+                np.clip(base.astype(int) + 11 * i + 17 * f, 0, 255)
+                .astype(np.uint8),
+                quality=95, subsampling="4:4:4",
+            )
+            for f in range(n_frames)
+        ]
+        payloads.append(encode_mjpeg_avi(frames, w, h, fps=fps))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["video/avi"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "fps": pa.array(np.full(n, fps, np.float32), pa.float32()),
+        }
+    )
+
+
+def synth_gif_video_table(
+    n: int, hw: tuple[int, int] = (20, 28), n_frames: int = 5
+) -> pa.Table:
+    """Deterministic REAL animated-GIF rows (functions/gif.py) in the
+    video schema — frame sampling treats animations as videos."""
+    from ..functions.gif import encode_gif
+
+    h, w = hw
+    rng = np.random.default_rng(46)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    payloads = []
+    for i in range(n):
+        frames = [
+            pal[(rng.integers(0, 8, (h, w)) + i) % 8]
+            for _ in range(n_frames)
+        ]
+        payloads.append(encode_gif(frames, delays_ms=[100] * n_frames))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["image/gif"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "fps": pa.array(np.full(n, 10.0, np.float32), pa.float32()),
+        }
+    )
+
+
 def synth_png_table(n: int, hw: tuple[int, int] = (24, 24)) -> pa.Table:
     """Deterministic REAL-PNG image rows (encoded with functions/codecs.py):
     the fake=False decode path runs end-to-end on these."""
@@ -216,11 +311,13 @@ VIDEO_SCHEMA = pa.schema(
 
 class FrameSampler:
     """Actor-pool frame-sample stage: decode ``k`` evenly spaced frames per
-    video to ``target_hw`` tensors. The codec itself is the same stub
-    contract as images — ``decode_frame`` raises until a real decoder is
-    wired in; ``fake=True`` uses a payload+frame-index-seeded pure function
-    so the plumbing (even-index selection, tensor layout, per-frame rows)
-    is bit-stable and testable at any parallelism."""
+    video to ``target_hw`` tensors. ``fake=False`` is REAL for the
+    containers decodable from public specs without native libraries —
+    MJPEG AVI (functions/avi.py: RIFF walk, per-frame JPEG) and animated
+    GIF (functions/gif.py: composited frames); other containers raise
+    NotImplementedError. ``fake=True`` uses a payload+frame-index-seeded
+    pure function so the plumbing (even-index selection, tensor layout,
+    per-frame rows) is bit-stable and testable at any parallelism."""
 
     def __init__(self, k: int = 4, target_hw=(16, 16), fake: bool = True):
         self.k = k
@@ -230,12 +327,53 @@ class FrameSampler:
     def decode_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
         if not self.fake:
             raise NotImplementedError(
-                "no video codec in this environment; use fake=True"
+                "real decode goes through _real_frames (container-level); "
+                "decode_frame is the fake-path entry only"
             )
         seed = int(hashlib.md5(payload + frame_idx.to_bytes(4, "little")).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)
         h, w = self.target_hw
         return rng.integers(0, 256, size=(h, w), dtype=np.uint8).astype(np.float32)
+
+    @staticmethod
+    def _take(nf: int, k: int) -> list[int]:
+        return np.unique(
+            np.linspace(0, max(nf - 1, 0), min(k, nf)).astype(np.int64)
+        ).tolist()
+
+    def _real_frames(self, payload: bytes):
+        """Container parse + decode of the sampled frames only. Returns
+        (frame_indices, fps, [gray target_hw float32 tensors])."""
+        from ..functions import codecs
+
+        kind = codecs.sniff_media(payload)
+        if kind == "video/avi":
+            from ..functions.avi import decode_avi_frames, parse_avi
+
+            nf = len(parse_avi(payload)["frames"])
+            take = self._take(nf, self.k)
+            frames, fps = decode_avi_frames(payload, indices=take)
+        elif kind == "image/gif":
+            from ..functions.gif import decode_gif_frames
+
+            all_frames, delays = decode_gif_frames(payload)
+            nf = len(all_frames)
+            take = self._take(nf, self.k)
+            frames = [all_frames[i] for i in take]
+            mean_delay = (sum(delays) / len(delays) / 1000.0) if delays else 0
+            fps = (1.0 / mean_delay) if mean_delay else 0.0
+        else:
+            raise NotImplementedError(
+                f"no video container codec for {kind} in this environment "
+                "(MJPEG AVI / animated GIF decode natively; use fake=True "
+                "for other formats)"
+            )
+        tensors = [
+            codecs.resize_nearest(codecs.to_grayscale(f), self.target_hw)
+            .astype(np.float32)
+            for f in frames
+        ]
+        return take, fps, tensors
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """One output row PER SAMPLED FRAME: (media_id, frame_idx, t_sec,
@@ -246,11 +384,18 @@ class FrameSampler:
         fps = batch.column("fps").to_numpy()
         out_id, out_fi, out_t, tensors = [], [], [], []
         for mid, p, nf, f in zip(ids, payloads, n_frames, fps):
+            if not self.fake:
+                take, fps_real, tens = self._real_frames(p)
+                f = fps_real or float(f)
+                for fi, t in zip(take, tens):
+                    out_id.append(int(mid))
+                    out_fi.append(fi)
+                    out_t.append(fi / float(f) if f else 0.0)
+                    tensors.append(t)
+                continue
             nf = int(nf)
-            take = np.unique(
-                np.linspace(0, max(nf - 1, 0), min(self.k, nf)).astype(np.int64)
-            )
-            for fi in take.tolist():
+            take = self._take(nf, self.k)
+            for fi in take:
                 out_id.append(int(mid))
                 out_fi.append(fi)
                 out_t.append(fi / float(f) if f else 0.0)

@@ -206,9 +206,10 @@ def test_video_frame_sampling(ray_session):
     a = df.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     b = df2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
     assert all(np.array_equal(x, y) for x, y in zip(a["pixels"], b["pixels"]))
-    # the real-codec path is an explicit stub
+    # the real-codec path decodes MJPEG AVI / animated GIF; anything else
+    # (here: an unknown container) is an explicit error, not a fake
     with pytest.raises(NotImplementedError):
-        FrameSampler(fake=False).decode_frame(b"x", 0)
+        FrameSampler(fake=False)._real_frames(b"\x00" * 16)
 
 
 def test_audio_features(ray_session):
