@@ -12,12 +12,16 @@ predictor 2 and floating-point predictor 3 (TIFF Technical Note 3),
 uint8/16/32, int8/16/32, float32/64, ModelPixelScale + ModelTiepoint
 georeferencing, and GDAL's ASCII NODATA tag.
 
-Scale contract: ``read_geotiff`` materializes one raster in memory (used for
-the reference's test assets, all < 100 MB); ``geotiff_to_tile_parquet``
-converts to the engine's native tile-parquet layout, after which everything
-streams through Ray Data. For rasters too large for one machine, the
-converter is the per-file unit of a ``map_batches`` over a file manifest —
-each file (or strip range) converts independently.
+Scale contract: ``GeoTiffFile`` is a LAZY range-read handle — header and
+IFD chain are parsed with targeted seeks (a few KB), and
+``read_window``/``read_tiles`` fetch only the byte ranges of intersecting
+chunks, which is exactly the COG access pattern GDAL performs over object
+storage. ``read_geotiff`` (whole raster in memory, built on the same
+window path) remains for the reference's test assets, all < 100 MB.
+``geotiff_raster_dataset`` streams tiles through an actor pool whose
+workers each hold their own ``GeoTiffFile`` and read only their tiles'
+ranges — no driver materialization; ``geotiff_to_tile_parquet`` converts
+to the engine's native tile-parquet layout on top of it.
 
 Validated against the reference's own assets: the sao_miguel population
 vignette reconciliation (vignettes/vig1_population.Rmd:186-189,
@@ -74,21 +78,25 @@ class GeoTiffMeta:
 
 
 def _read_ifd(
-    data: bytes, endian: str, off: int, big: bool = False
+    data, endian: str, off: int, big: bool = False
 ) -> tuple[dict, int]:
     """Classic-TIFF (12-byte entries, u32 offsets) or BigTIFF (20-byte
     entries, u64 counts/offsets — the public BigTIFF spec) IFD. Returns
     (tags, next_ifd_offset) — a nonzero next offset chains to the file's
-    next IFD (GDAL stores overviews as reduced-resolution chained IFDs)."""
+    next IFD (GDAL stores overviews as reduced-resolution chained IFDs).
+    Range-read friendly: the entry block is one read; each out-of-line
+    value is one more."""
+    src = _as_src(data)
     if big:
-        n = struct.unpack(endian + "Q", data[off : off + 8])[0]
+        n = struct.unpack(endian + "Q", src.get(off, 8))[0]
         ebase, esize, inline = off + 8, 20, 8
     else:
-        n = struct.unpack(endian + "H", data[off : off + 2])[0]
+        n = struct.unpack(endian + "H", src.get(off, 2))[0]
         ebase, esize, inline = off + 2, 12, 4
+    block = src.get(ebase, n * esize + (8 if big else 4))
     tags = {}
     for i in range(n):
-        e = data[ebase + i * esize : ebase + (i + 1) * esize]
+        e = block[i * esize : (i + 1) * esize]
         if big:
             tag, typ, cnt = struct.unpack(endian + "HHQ", e[:12])
         else:
@@ -101,7 +109,7 @@ def _read_ifd(
         raw = vfield if total <= inline else None
         if raw is None:
             o = struct.unpack(endian + ("Q" if big else "I"), vfield)[0]
-            raw = data[o : o + total]
+            raw = src.get(o, total)
         if typ == 2:  # ASCII
             tags[tag] = raw[:cnt].rstrip(b"\x00").decode("ascii", "replace")
         elif typ == 5:  # RATIONAL
@@ -112,11 +120,11 @@ def _read_ifd(
         else:
             fmt = _TYPE_FMT[typ]
             tags[tag] = struct.unpack(endian + fmt * cnt, raw[: size * cnt])
-    tail = ebase + n * esize
+    tail = block[n * esize:]
     if big:
-        (nxt,) = struct.unpack(endian + "Q", data[tail : tail + 8])
+        (nxt,) = struct.unpack(endian + "Q", tail[:8])
     else:
-        (nxt,) = struct.unpack(endian + "I", data[tail : tail + 4])
+        (nxt,) = struct.unpack(endian + "I", tail[:4])
     return tags, nxt
 
 
@@ -247,21 +255,48 @@ def _np_dtype(bps: int, fmt: int, endian: str) -> np.dtype:
     return np.dtype(f"{endian}{kind}{bps // 8}")
 
 
-def _tiff_header(data: bytes) -> tuple[str, bool, int]:
+class _Src:
+    """Byte-range source: wraps either in-memory bytes or an open binary
+    file. ``get(off, size)`` is the ONLY access primitive, so every parse
+    and chunk fetch is an explicit range read — the COG access pattern
+    (over object storage these become HTTP range requests)."""
+
+    __slots__ = ("_data", "_f")
+
+    def __init__(self, obj):
+        if isinstance(obj, (bytes, bytearray, memoryview)):
+            self._data, self._f = bytes(obj), None
+        else:
+            self._data, self._f = None, obj
+
+    def get(self, off: int, size: int) -> bytes:
+        if self._data is not None:
+            return self._data[off:off + size]
+        self._f.seek(off)
+        return self._f.read(size)
+
+
+def _as_src(data) -> _Src:
+    return data if isinstance(data, _Src) else _Src(data)
+
+
+def _tiff_header(data) -> tuple[str, bool, int]:
     """Parse the TIFF/BigTIFF header -> (endian, is_bigtiff, first_ifd_off)."""
-    if data[:2] == b"II":
+    src = _as_src(data)
+    head = src.get(0, 16)
+    if head[:2] == b"II":
         endian = "<"
-    elif data[:2] == b"MM":
+    elif head[:2] == b"MM":
         endian = ">"
     else:
         raise ValueError("not a TIFF file")
-    (magic,) = struct.unpack(endian + "H", data[2:4])
+    (magic,) = struct.unpack(endian + "H", head[2:4])
     if magic == 42:  # classic TIFF
         big = False
-        (ifd_off,) = struct.unpack(endian + "I", data[4:8])
+        (ifd_off,) = struct.unpack(endian + "I", head[4:8])
     elif magic == 43:  # BigTIFF
         big = True
-        osize, zero, ifd_off = struct.unpack(endian + "HHQ", data[4:16])
+        osize, zero, ifd_off = struct.unpack(endian + "HHQ", head[4:16])
         if osize != 8 or zero != 0:
             raise ValueError("malformed BigTIFF header")
     else:
@@ -269,15 +304,16 @@ def _tiff_header(data: bytes) -> tuple[str, bool, int]:
     return endian, big, ifd_off
 
 
-def _ifd_chain(data: bytes, endian: str, big: bool, first: int) -> list[dict]:
+def _ifd_chain(data, endian: str, big: bool, first: int) -> list[dict]:
     """All IFDs in file order; [0] is the full-resolution band, the rest
     are overviews/masks (GDAL overview layout: chained reduced-res IFDs)."""
+    src = _as_src(data)
     out = []
     off = first
     seen = set()
     while off and off not in seen:
         seen.add(off)
-        t, off = _read_ifd(data, endian, off, big=big)
+        t, off = _read_ifd(src, endian, off, big=big)
         out.append(t)
     return out
 
@@ -296,146 +332,230 @@ def list_overviews(path: str) -> list[tuple[int, int]]:
     ]
 
 
-def read_geotiff(
-    path: str, overview: int | None = None, band: int = 1
-) -> tuple[np.ndarray, GeoTiffMeta]:
-    """Read one band of a GeoTIFF into (float64 array with NaN nodata, meta).
+class GeoTiffFile:
+    """Lazy range-read GeoTIFF handle (the COG access pattern).
 
-    ``band`` is 1-based like GDAL's band index
-    (gdal_raster_wrapper.cpp:22-95 wraps one GDALRasterBand). Both
-    PlanarConfiguration layouts are handled: 1 (chunky, samples
-    interleaved per pixel) and 2 (planar, each band's chunks stored
-    separately).
+    ``__init__`` parses only the header + IFD chain (a few KB of targeted
+    reads); ``read_window``/``read_tiles`` decode only the chunks that
+    intersect the request. Over object storage these ``_Src.get`` calls
+    are exactly GDAL's ``/vsicurl`` range requests
+    (gdal_raster_wrapper.cpp:22-95 gets this from GDAL for free).
 
-    ``overview=k`` reads the k-th reduced-resolution IFD (0-based, COG-style
-    overview chain) instead of the full-resolution band; its grid keeps the
-    full-resolution extent at the overview's coarser cell size — matching
-    GDAL's overview model (gdal_raster_wrapper.cpp reads whichever band
-    object it is handed; overviews are just smaller bands on the same
-    extent)."""
-    with open(path, "rb") as f:
-        data = f.read()
-    endian, big, ifd_off = _tiff_header(data)
-    chain = _ifd_chain(data, endian, big, ifd_off)
-    t0 = chain[0]
-    if overview is None:
-        t = t0
-    else:
-        ovs = [c for c in chain[1:] if c.get(254, (0,))[0] & 0x1]
-        if not 0 <= overview < len(ovs):
-            raise ValueError(
-                f"overview {overview} out of range ({len(ovs)} available)"
-            )
-        t = ovs[overview]
+    ``band`` is 1-based like GDAL's band index; both PlanarConfiguration
+    layouts are handled (1 chunky, 2 planar). Windows come back float64
+    with nodata as NaN — the engine's cell contract.
+    """
 
-    width = t[_TAGS["width"]][0]
-    height = t[_TAGS["height"]][0]
-    bps = t.get(_TAGS["bits_per_sample"], (8,))[0]
-    spp = t.get(_TAGS["samples_per_pixel"], (1,))[0]
-    fmt = t.get(_TAGS["sample_format"], (1,))[0]
-    comp = t.get(_TAGS["compression"], (1,))[0]
-    predictor = t.get(_TAGS["predictor"], (1,))[0]
-    planar = t.get(_TAGS["planar_config"], (1,))[0]
-    if not 1 <= band <= spp:
-        raise ValueError(f"band {band} out of range (file has {spp})")
-    dt = _np_dtype(bps, fmt, endian)
-    # samples interleaved within each chunk: spp for chunky, 1 for planar
-    nsamp = spp if planar == 1 else 1
-    jt = t.get(_TAGS["jpeg_tables"], t0.get(_TAGS["jpeg_tables"]))
-    jpeg_tables = bytes(jt) if jt is not None else None
+    def __init__(self, path: str, band: int = 1,
+                 overview: int | None = None):
+        self._f = open(path, "rb")
+        src = self._src = _Src(self._f)
+        endian, big, ifd_off = _tiff_header(src)
+        chain = _ifd_chain(src, endian, big, ifd_off)
+        t0 = chain[0]
+        if overview is None:
+            t = t0
+        else:
+            ovs = [c for c in chain[1:] if c.get(254, (0,))[0] & 0x1]
+            if not 0 <= overview < len(ovs):
+                raise ValueError(
+                    f"overview {overview} out of range ({len(ovs)} available)"
+                )
+            t = ovs[overview]
 
-    def decode_chunk(raw: bytes, rows: int, cols: int) -> np.ndarray:
-        """One decompressed chunk -> (rows, cols, nsamp). Predictor 2
-        differencing and TechNote-3 byte planes both operate across the
-        full interleaved row (cols*nsamp samples)."""
-        if predictor == 3:
-            block = _undo_predictor3(raw, rows, cols * nsamp, bps)
-            return block.reshape(rows, cols, nsamp)
-        block = np.frombuffer(
-            raw, dtype=dt, count=rows * cols * nsamp
-        ).reshape(rows, cols, nsamp)
-        if predictor == 2:
-            # per-COMPONENT horizontal differencing (TIFF 6.0 §14): cumsum
-            # along the pixel axis with components separated, so axis=1 on
-            # the (rows, cols, nsamp) view reconstructs each band
-            block = _undo_predictor2(block, dt, bps, endian)
-        return block
+        self.width = t[_TAGS["width"]][0]
+        self.height = t[_TAGS["height"]][0]
+        self._bps = t.get(_TAGS["bits_per_sample"], (8,))[0]
+        spp = t.get(_TAGS["samples_per_pixel"], (1,))[0]
+        fmt = t.get(_TAGS["sample_format"], (1,))[0]
+        self._comp = t.get(_TAGS["compression"], (1,))[0]
+        self._predictor = t.get(_TAGS["predictor"], (1,))[0]
+        planar = t.get(_TAGS["planar_config"], (1,))[0]
+        if not 1 <= band <= spp:
+            raise ValueError(f"band {band} out of range (file has {spp})")
+        self._band = band
+        self._planar = planar
+        self._dt = _np_dtype(self._bps, fmt, endian)
+        self._nsamp = spp if planar == 1 else 1
+        jt = t.get(_TAGS["jpeg_tables"], t0.get(_TAGS["jpeg_tables"]))
+        self._jpeg_tables = bytes(jt) if jt is not None else None
 
-    arr = np.empty((height, width), dtype=dt.newbyteorder("="))
-    if _TAGS["tile_offsets"] in t:
-        tw = t[_TAGS["tile_width"]][0]
-        tl = t[_TAGS["tile_length"]][0]
-        offs = t[_TAGS["tile_offsets"]]
-        cnts = t[_TAGS["tile_byte_counts"]]
-        tiles_x = (width + tw - 1) // tw
+        if _TAGS["tile_offsets"] in t:
+            self._tiled = True
+            self._ctw = t[_TAGS["tile_width"]][0]
+            self._ctl = t[_TAGS["tile_length"]][0]
+            offs = t[_TAGS["tile_offsets"]]
+            cnts = t[_TAGS["tile_byte_counts"]]
+        else:
+            self._tiled = False
+            self._ctw = self.width
+            self._ctl = t.get(_TAGS["rows_per_strip"], (self.height,))[0]
+            offs = t[_TAGS["strip_offsets"]]
+            cnts = t[_TAGS["strip_byte_counts"]]
         if planar == 2:  # per-plane chunk groups; keep only this band's
             cpp = len(offs) // spp
             offs = offs[(band - 1) * cpp : band * cpp]
             cnts = cnts[(band - 1) * cpp : band * cpp]
-        for k, (o, c) in enumerate(zip(offs, cnts)):
-            ty, tx = k // tiles_x, k % tiles_x
-            raw = _decompress(data[o : o + c], comp, tw * tl * nsamp * (bps // 8),
-                              jpeg_tables=jpeg_tables)
-            block = decode_chunk(raw, tl, tw)[:, :, band - 1 if planar == 1 else 0]
-            h = min(tl, height - ty * tl)
-            w = min(tw, width - tx * tw)
-            arr[ty * tl : ty * tl + h, tx * tw : tx * tw + w] = block[:h, :w]
-    else:
-        rps = t.get(_TAGS["rows_per_strip"], (height,))[0]
-        offs = t[_TAGS["strip_offsets"]]
-        cnts = t[_TAGS["strip_byte_counts"]]
-        if planar == 2:
-            cpp = len(offs) // spp
-            offs = offs[(band - 1) * cpp : band * cpp]
-            cnts = cnts[(band - 1) * cpp : band * cpp]
-        row = 0
-        for o, c in zip(offs, cnts):
-            h = min(rps, height - row)
-            raw = _decompress(data[o : o + c], comp, h * width * nsamp * (bps // 8),
-                              jpeg_tables=jpeg_tables)
-            arr[row : row + h] = decode_chunk(raw, h, width)[
-                :, :, band - 1 if planar == 1 else 0
-            ]
-            row += h
+        self._offs, self._cnts = offs, cnts
+        self._chunks_x = (self.width + self._ctw - 1) // self._ctw
+        self._chunks_y = (self.height + self._ctl - 1) // self._ctl
 
-    # georeferencing: raster-space (i, j) tiepoint -> model (x, y). Always
-    # taken from the FULL-RESOLUTION IFD (overview IFDs carry no geo tags);
-    # an overview keeps the full extent at its own coarser cell size.
-    sx, sy = t0[_TAGS["model_pixel_scale"]][:2]
-    ti, tj, _tk, tx0, ty0, _tz = t0[_TAGS["model_tiepoint"]][:6]
-    xmin = tx0 - ti * sx
-    ymax = ty0 + tj * sy
-    full_w = t0[_TAGS["width"]][0]
-    full_h = t0[_TAGS["height"]][0]
-    ext_x, ext_y = full_w * sx, full_h * sy
-    grid = Grid(
-        xmin, ymax - ext_y, xmin + ext_x, ymax, ext_x / width, ext_y / height
+        # georeferencing always from the FULL-RESOLUTION IFD (overview IFDs
+        # carry no geo tags); an overview keeps the full extent at its own
+        # coarser cell size
+        sx, sy = t0[_TAGS["model_pixel_scale"]][:2]
+        ti, tj, _tk, tx0, ty0, _tz = t0[_TAGS["model_tiepoint"]][:6]
+        xmin = tx0 - ti * sx
+        ymax = ty0 + tj * sy
+        full_w = t0[_TAGS["width"]][0]
+        full_h = t0[_TAGS["height"]][0]
+        ext_x, ext_y = full_w * sx, full_h * sy
+        self.grid = Grid(
+            xmin, ymax - ext_y, xmin + ext_x, ymax,
+            ext_x / self.width, ext_y / self.height,
+        )
+        self.nodata = None
+        nd = t.get(_TAGS["gdal_nodata"], t0.get(_TAGS["gdal_nodata"]))
+        if nd is not None:
+            try:
+                self.nodata = float(nd.strip())
+            except (ValueError, AttributeError):
+                self.nodata = None
+        self.meta = GeoTiffMeta(
+            self.width, self.height, np.dtype(self._dt.base), self.nodata,
+            self.grid,
+        )
+
+    # -- context / lifecycle --
+    def close(self):
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _chunk(self, cy: int, cx: int) -> np.ndarray:
+        """Decode chunk (cy, cx) -> (rows, cols, nsamp) in file dtype."""
+        k = cy * self._chunks_x + cx
+        raw = self._src.get(self._offs[k], self._cnts[k])
+        rows, cols = self._ctl, self._ctw
+        if not self._tiled:
+            rows = min(self._ctl, self.height - cy * self._ctl)
+        body = _decompress(raw, self._comp, rows * cols * self._nsamp
+                           * (self._bps // 8), jpeg_tables=self._jpeg_tables)
+        if self._predictor == 3:
+            block = _undo_predictor3(body, rows, cols * self._nsamp,
+                                     self._bps)
+            return block.reshape(rows, cols, self._nsamp)
+        block = np.frombuffer(
+            body, dtype=self._dt, count=rows * cols * self._nsamp
+        ).reshape(rows, cols, self._nsamp)
+        if self._predictor == 2:
+            block = _undo_predictor2(block, self._dt, self._bps, "<"
+                                     if self._dt.byteorder != ">" else ">")
+        return block
+
+    def read_window(self, row0: int, col0: int, h: int, w: int) -> np.ndarray:
+        """(h, w) float64 window with nodata -> NaN; reads only the
+        intersecting chunks' byte ranges."""
+        if not (0 <= row0 and 0 <= col0 and row0 + h <= self.height
+                and col0 + w <= self.width):
+            raise ValueError("window out of raster bounds")
+        arr = np.empty((h, w), dtype=self._dt.newbyteorder("="))
+        ch = self._band - 1 if self._planar == 1 else 0
+        cy0, cy1 = row0 // self._ctl, (row0 + h - 1) // self._ctl
+        cx0, cx1 = col0 // self._ctw, (col0 + w - 1) // self._ctw
+        for cy in range(cy0, cy1 + 1):
+            for cx in range(cx0, cx1 + 1):
+                block = self._chunk(cy, cx)[:, :, ch]
+                r_lo = max(row0, cy * self._ctl)
+                r_hi = min(row0 + h, cy * self._ctl + block.shape[0],
+                           self.height)
+                c_lo = max(col0, cx * self._ctw)
+                c_hi = min(col0 + w, cx * self._ctw + block.shape[1],
+                           self.width)
+                arr[r_lo - row0:r_hi - row0, c_lo - col0:c_hi - col0] = (
+                    block[r_lo - cy * self._ctl:r_hi - cy * self._ctl,
+                          c_lo - cx * self._ctw:c_hi - cx * self._ctw]
+                )
+        out = arr.astype(np.float64)
+        if self.nodata is not None and not np.isnan(self.nodata):
+            out[arr == arr.dtype.type(self.nodata)] = np.nan
+        return out
+
+
+def read_geotiff(
+    path: str, overview: int | None = None, band: int = 1
+) -> tuple[np.ndarray, GeoTiffMeta]:
+    """Read one band of a GeoTIFF into (float64 array with NaN nodata,
+    meta) — the whole-raster convenience built on GeoTiffFile's window
+    path (reference test assets are all < 100 MB; big rasters should use
+    GeoTiffFile windows or geotiff_raster_dataset streaming)."""
+    with GeoTiffFile(path, band=band, overview=overview) as gf:
+        return gf.read_window(0, 0, gf.height, gf.width), gf.meta
+
+
+class _GeoTiffTileStage:
+    """Actor stage: tile-id batches -> tile rows, each worker holding its
+    own lazy GeoTiffFile and range-reading only its tiles' chunks."""
+
+    def __init__(self, path: str, band: int, tile: int,
+                 overview: int | None = None):
+        self.gf = GeoTiffFile(path, band=band, overview=overview)
+        self.tile = tile
+
+    def __call__(self, batch):
+        ids = batch.column("id").to_numpy()
+
+        def read(rr, cc):
+            return self.gf.read_window(
+                int(rr[0, 0]), int(cc[0, 0]), rr.shape[0], rr.shape[1]
+            )
+
+        from .raster import tile_batch
+
+        return tile_batch(
+            self.gf.grid, self.tile, self.tile, ids, {"value": read},
+            dtype=np.float64,
+        )
+
+
+def geotiff_raster_dataset(path: str, tile: int = 256, band: int = 1,
+                           overview: int | None = None,
+                           concurrency=(1, 8)):
+    """GeoTIFF -> streaming tile Dataset (the engine's native form).
+
+    The driver only parses the header (grid + dims) and enumerates tile
+    ids; value blocks are range-read and decoded inside the actor pool, so
+    a raster of any size streams without ever materializing on one node."""
+    import ray
+
+    from .raster import RasterDataset
+
+    with GeoTiffFile(path, band=band, overview=overview) as gf:
+        grid = gf.grid
+    tiles_x = (grid.ncol + tile - 1) // tile
+    tiles_y = (grid.nrow + tile - 1) // tile
+    num_tiles = tiles_x * tiles_y
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    blocks = max(1, min(num_tiles, 4 * ncpu))
+    ids = ray.data.range(num_tiles, override_num_blocks=blocks)
+    ds = ids.map_batches(
+        _GeoTiffTileStage,
+        fn_constructor_args=(path, band, tile, overview),
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )
+    return RasterDataset(ds=ds, grid=grid, tile_h=tile, tile_w=tile,
+                         layers=["value"])
 
-    nodata = None
-    nd = t.get(_TAGS["gdal_nodata"], t0.get(_TAGS["gdal_nodata"]))
-    if nd is not None:
-        try:
-            nodata = float(nd.strip())
-        except (ValueError, AttributeError):
-            nodata = None
-
-    out = arr.astype(np.float64)
-    if nodata is not None:
-        if np.isnan(nodata):
-            pass  # already NaN
-        else:
-            out[arr == arr.dtype.type(nodata)] = np.nan
-    meta = GeoTiffMeta(width, height, np.dtype(dt.base), nodata, grid)
-    return out, meta
-
-
-def geotiff_raster_dataset(path: str, tile: int = 256, band: int = 1):
-    """GeoTIFF -> streaming tile Dataset (the engine's native form)."""
-    from .raster import raster_from_array
-
-    arr, meta = read_geotiff(path, band=band)
-    return raster_from_array(arr, meta.grid, tile=tile)
 
 
 def geotiff_to_tile_parquet(path: str, out_dir: str, tile: int = 256) -> None:

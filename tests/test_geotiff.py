@@ -601,3 +601,114 @@ def test_tiled_write_and_cog_layout():
         for b in (1, 2, 3):
             r, _ = read_geotiff(p, band=b)
             np.testing.assert_array_equal(r, mb[:, :, b - 1].astype(np.float64))
+
+
+# ---------------- lazy range reads (GeoTiffFile / COG access pattern) ----
+
+
+def _smooth_u16(h, w):
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    return ((x * 7 + y * 13) % 60000).astype(np.uint16)
+
+
+def test_window_read_matches_full(tmp_path):
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import (
+        GeoTiffFile,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    img = _smooth_u16(130, 97).astype(np.float32)
+    g = Grid(0, 0, 97, 130, 1.0, 1.0)
+    p = str(tmp_path / "w.tif")
+    write_geotiff(img, g, p, compression=8, tile=32)
+    full, _ = read_geotiff(p)
+    with GeoTiffFile(p) as gf:
+        for (r0, c0, h, w) in [(0, 0, 130, 97), (10, 20, 50, 40),
+                               (100, 60, 30, 37), (31, 31, 2, 2),
+                               (129, 96, 1, 1)]:
+            win = gf.read_window(r0, c0, h, w)
+            assert np.array_equal(win, full[r0:r0 + h, c0:c0 + w])
+        with pytest.raises(ValueError):
+            gf.read_window(0, 0, 131, 97)
+
+
+def test_window_read_fetches_only_needed_chunks(tmp_path):
+    """The point of the lazy handle: a small window on a tiled file must
+    touch only its intersecting tiles' byte ranges, never the whole file."""
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import GeoTiffFile, write_geotiff
+
+    img = _smooth_u16(256, 256).astype(np.float32)
+    g = Grid(0, 0, 256, 256, 1.0, 1.0)
+    p = str(tmp_path / "c.tif")
+    write_geotiff(img, g, p, compression=8, tile=64)
+    gf = GeoTiffFile(p)
+    reads = []
+    inner = gf._src
+
+    class Spy:
+        def get(self, off, size):
+            reads.append((off, size))
+            return inner.get(off, size)
+
+    gf._src = Spy()
+    gf.read_window(70, 70, 10, 10)  # strictly inside tile (1, 1)
+    total_file = (tmp_path / "c.tif").stat().st_size
+    fetched = sum(s for _, s in reads)
+    assert len(reads) == 1  # exactly one chunk
+    assert fetched < total_file / 4  # nowhere near a full-file read
+    reads.clear()
+    gf.read_window(60, 60, 10, 10)  # straddles 4 tiles
+    assert len(reads) == 4
+    gf.close()
+
+
+def test_window_read_strips_and_nodata(tmp_path):
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import GeoTiffFile, write_geotiff
+
+    img = _smooth_u16(40, 50).astype(np.float64)
+    img[5:9, 7:11] = np.nan
+    g = Grid(0, 0, 50, 40, 1.0, 1.0)
+    p = str(tmp_path / "s.tif")
+    write_geotiff(img, g, p, nodata=-9999.0, compression=8)
+    with GeoTiffFile(p) as gf:
+        win = gf.read_window(4, 6, 8, 8)
+        assert np.isnan(win[1:5, 1:5]).all()
+        assert np.array_equal(win[0], img[4, 6:14])
+
+
+def test_streaming_tile_dataset_no_driver_materialization(
+    tmp_path, ray_session
+):
+    """geotiff_raster_dataset: tiles decoded in the actor pool match the
+    driver-side full read exactly, including the ragged edge."""
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import (
+        geotiff_raster_dataset,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    img = _smooth_u16(100, 90).astype(np.float32)
+    g = Grid(0, 0, 90, 100, 1.0, 1.0)
+    p = str(tmp_path / "d.tif")
+    write_geotiff(img, g, p, compression=8, tile=32)
+    full, _ = read_geotiff(p)
+    rd = geotiff_raster_dataset(p, tile=48, concurrency=(1, 2))
+    assert rd.grid.ncol == 90 and rd.tile_h == 48
+    got = np.full((100, 90), np.nan)
+    n_rows = 0
+    for b in rd.ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i in range(b.num_rows):
+            r0 = b["row0"][i].as_py()
+            c0 = b["col0"][i].as_py()
+            th = b["th"][i].as_py()
+            tw = b["tw"][i].as_py()
+            vals = np.asarray(b["values"][i].as_py()).reshape(th, tw)
+            got[r0:r0 + th, c0:c0 + tw] = vals
+            n_rows += 1
+    assert n_rows == 6  # ceil(100/48) * ceil(90/48) = 3 * 2
+    assert np.array_equal(got, full)
