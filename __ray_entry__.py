@@ -2046,6 +2046,47 @@ def _q_zonal_feature_seq(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zonal_geotiff_stream(sf_dir: str):
+    """The streaming-GeoTIFF ingestion path (per-worker lazy byte-range
+    reads, sources/geotiff.py GeoTiffFile — the COG access pattern) over
+    the same synthetic raster/zones as zonal_stats_rect: one oracle now
+    covers the parquet-tile, feature-sequential AND GeoTIFF physical
+    sources."""
+    import os
+    import tempfile
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.geotiff import (
+        geotiff_raster_dataset,
+        write_geotiff,
+    )
+
+    rr = np.broadcast_to(np.arange(N_GRID)[:, None], (N_GRID, N_GRID))
+    cc = np.broadcast_to(np.arange(N_GRID)[None, :], (N_GRID, N_GRID))
+    arr = synth.synth_values(rr, cc, dtype=np.float32)
+    with tempfile.TemporaryDirectory(prefix="gtiff_") as tmp:
+        p = os.path.join(tmp, "synth.tif")
+        write_geotiff(arr, synth.synth_grid(N_GRID), p, nodata=-9999.0,
+                      compression=8, tile=TILE)
+        t = exact_extract(
+            geotiff_raster_dataset(p, tile=TILE, concurrency=(1, 2)),
+            _rect_zones(),
+            ["count", "sum", "mean", "min", "max", "variance_exact"],
+        ).to_pandas()
+    t = t.rename(
+        columns={
+            "count": "cell_count",
+            "sum": "val_sum",
+            "mean": "val_mean",
+            "min": "val_min",
+            "max": "val_max",
+            "variance_exact": "val_var",
+        }
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     from exactextractr_ray.stages.text import langid_batch
 
@@ -2552,6 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
+        "zonal_geotiff_stream": _q_zonal_geotiff_stream,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5409,6 +5451,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "zonal_stats_rect": zonal_stats,
+        "zonal_geotiff_stream": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
