@@ -145,27 +145,31 @@ AC_CHROMA_VALS = [
 
 
 class _HuffDecode:
-    """16-bit-peek Huffman LUT (T.81 Annex C code assignment): one numpy
-    index per symbol instead of a bit-by-bit tree walk."""
+    """16-bit-peek Huffman LUT (T.81 Annex C code assignment): one index
+    per symbol instead of a bit-by-bit tree walk. Stored as ``bytes`` —
+    indexing bytes yields Python ints directly, which is markedly faster
+    in the per-coefficient hot loop than numpy scalar extraction."""
 
     __slots__ = ("lut_sym", "lut_len")
 
     def __init__(self, bits: list[int], vals: list[int]):
         if sum(bits) != len(vals):
             raise ValueError("DHT counts do not match symbol count")
-        self.lut_sym = np.zeros(1 << 16, dtype=np.uint8)
-        self.lut_len = np.zeros(1 << 16, dtype=np.uint8)
+        sym = np.zeros(1 << 16, dtype=np.uint8)
+        ln = np.zeros(1 << 16, dtype=np.uint8)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 lo = code << (16 - length)
                 hi = (code + 1) << (16 - length)
-                self.lut_sym[lo:hi] = vals[k]
-                self.lut_len[lo:hi] = length
+                sym[lo:hi] = vals[k]
+                ln[lo:hi] = length
                 code += 1
                 k += 1
             code <<= 1
+        self.lut_sym = sym.tobytes()
+        self.lut_len = ln.tobytes()
 
 
 def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -220,6 +224,31 @@ class _BitReader:
         v = (self.acc >> (self.nbits - k)) & ((1 << k) - 1)
         self.nbits -= k
         self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_sym(self, tbl: _HuffDecode, what: str) -> int:
+        """Fused peek16 + LUT + skip: one call per Huffman symbol."""
+        if self.nbits < 16:
+            self._fill()
+        v16 = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        ln = tbl.lut_len[v16]
+        if ln == 0:
+            raise ValueError(f"invalid JPEG Huffman code ({what})")
+        self.nbits -= ln
+        self.acc &= (1 << self.nbits) - 1
+        return tbl.lut_sym[v16]
+
+    def recv_extend(self, s: int) -> int:
+        """Fused get(s) + T.81 F.12 EXTEND."""
+        if s == 0:
+            return 0
+        if self.nbits < s:
+            self._fill()
+        v = (self.acc >> (self.nbits - s)) & ((1 << s) - 1)
+        self.nbits -= s
+        self.acc &= (1 << self.nbits) - 1
+        if v < (1 << (s - 1)):
+            v -= (1 << s) - 1
         return v
 
 
@@ -358,22 +387,6 @@ _SCAN_END = re.compile(rb"\xff(?=[^\x00\xd0-\xd7\xff])")
 _RST_SPLIT = re.compile(rb"\xff[\xd0-\xd7]")
 
 
-def _huffval(br: _BitReader, tbl: _HuffDecode, what: str) -> int:
-    v16 = br.peek16()
-    ln = int(tbl.lut_len[v16])
-    if ln == 0:
-        raise ValueError(f"invalid JPEG Huffman code ({what})")
-    br.skip(ln)
-    return int(tbl.lut_sym[v16])
-
-
-def _extend(v: int, s: int) -> int:
-    """T.81 F.12 EXTEND: map an s-bit magnitude to its signed value."""
-    if s and v < (1 << (s - 1)):
-        return v - (1 << s) + 1
-    return v
-
-
 def _decode_scan(data: bytes, pos: int, state: _DecodeState, scan: dict,
                  coefs: list, geom: dict) -> int:
     """Entropy-decode one scan into the coefficient stores; returns the
@@ -435,8 +448,8 @@ def _decode_scan(data: bytes, pos: int, state: _DecodeState, scan: dict,
                 blk = coefs[ci][by, bx]
                 if dc_scan:
                     if ah == 0:  # DC first (or baseline)
-                        s = _huffval(br, state.huff_dc[c.td], "DC")
-                        pred[ci] += _extend(br.get(s), s)
+                        s = br.read_sym(state.huff_dc[c.td], "DC")
+                        pred[ci] += br.recv_extend(s)
                         blk[0] = pred[ci] << al
                     else:  # DC refinement: one correction bit
                         if br.get(1):
@@ -451,7 +464,7 @@ def _decode_scan(data: bytes, pos: int, state: _DecodeState, scan: dict,
                         continue
                     k = ac_lo
                     while k <= ac_hi:
-                        rs = _huffval(br, hac, "AC")
+                        rs = br.read_sym(hac, "AC")
                         rr, sz = rs >> 4, rs & 15
                         if sz == 0:
                             if rr != 15:  # EOBn: run of (1<<rr)+ext blocks
@@ -464,13 +477,18 @@ def _decode_scan(data: bytes, pos: int, state: _DecodeState, scan: dict,
                         k += rr
                         if k > ac_hi:
                             raise ValueError("JPEG AC run overflows band")
-                        blk[k] = _extend(br.get(sz), sz) << al
+                        blk[k] = br.recv_extend(sz) << al
                         k += 1
                 else:  # AC refinement (T.81 G.1.2.3)
-                    k = ss
+                    # operate on a Python-list view of the band: history
+                    # reads are per-coefficient and list indexing is far
+                    # cheaper than numpy scalar access in this hot loop
+                    band = blk[ss:se + 1].tolist()
+                    nb = se - ss + 1
+                    j = 0
                     if eobrun == 0:
-                        while k <= se:
-                            rs = _huffval(br, hac, "AC")
+                        while j < nb:
+                            rs = br.read_sym(hac, "AC")
                             rr, sz = rs >> 4, rs & 15
                             newval = 0
                             if sz == 0:
@@ -482,26 +500,27 @@ def _decode_scan(data: bytes, pos: int, state: _DecodeState, scan: dict,
                                 # ZRL: pass 16 zero-history coefficients
                             else:
                                 newval = p1 if br.get(1) else -p1
-                            while k <= se:
-                                cur = int(blk[k])
+                            while j < nb:
+                                cur = band[j]
                                 if cur != 0:
                                     if br.get(1) and (cur & p1) == 0:
-                                        blk[k] = cur + (p1 if cur > 0 else -p1)
+                                        band[j] = cur + (p1 if cur > 0 else -p1)
                                 else:
                                     if rr == 0:
                                         break
                                     rr -= 1
-                                k += 1
-                            if newval and k <= se:
-                                blk[k] = newval
-                            k += 1
+                                j += 1
+                            if newval and j < nb:
+                                band[j] = newval
+                            j += 1
                     if eobrun > 0:
-                        while k <= se:
-                            cur = int(blk[k])
+                        while j < nb:
+                            cur = band[j]
                             if cur != 0 and br.get(1) and (cur & p1) == 0:
-                                blk[k] = cur + (p1 if cur > 0 else -p1)
-                            k += 1
+                                band[j] = cur + (p1 if cur > 0 else -p1)
+                            j += 1
                         eobrun -= 1
+                    blk[ss:se + 1] = band
     return end
 
 
