@@ -836,3 +836,63 @@ def encode_jpeg_tables(gray: bool = False, quality: int = 85) -> bytes:
         out += _marker(0xC4, _dht_payload(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS))
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------- EXIF (APP1) orientation ----------------
+
+
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (tag 274) from a JPEG's APP1 segment, 1 if absent.
+
+    The EXIF payload is a little TIFF stream (II/MM header + IFD0), so the
+    GeoTIFF module's IFD parser reads it as-is (one spec, one parser)."""
+    if data[:2] != b"\xff\xd8":
+        return 1
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            return 1
+        marker = data[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in (0xDA, 0xD9):  # scan/EOI: EXIF must precede these
+            return 1
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = data[pos + 10:pos + 2 + seglen]
+            try:
+                from ..sources.geotiff import _read_ifd, _tiff_header
+
+                endian, big, off = _tiff_header(tiff)
+                tags, _ = _read_ifd(tiff, endian, off, big=big)
+                o = tags.get(274, (1,))[0]
+                return o if 1 <= o <= 8 else 1
+            except (ValueError, struct.error, IndexError):
+                return 1
+        pos += 2 + seglen
+    return 1
+
+
+def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF orientation (1..8) to a decoded (h, w[, c]) image —
+    the standard mirror/rotate table from the EXIF 2.x spec."""
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return np.swapaxes(img, 0, 1)
+    if orientation == 6:
+        return np.rot90(img, k=-1)
+    if orientation == 7:
+        return np.swapaxes(img[::-1, ::-1], 0, 1)
+    if orientation == 8:
+        return np.rot90(img, k=1)
+    return img

@@ -24,9 +24,16 @@ batch is 400 MB in one task) — the stage functions below default to 64.
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
+from zlib import error as zlib_error
 
 import numpy as np
 import pyarrow as pa
+
+# what a corrupt/unsupported web payload can raise out of the pure-python
+# codecs — the skip policy catches exactly these, not programming errors
+_DECODE_ERRORS = (ValueError, NotImplementedError, IndexError, KeyError,
+                  struct_error, zlib_error)
 
 IMAGE_SCHEMA = pa.schema(
     [
@@ -47,10 +54,20 @@ class CodecDecoder:
     raise NotImplementedError — the container has no ffmpeg. Decoded
     images are converted to integer luma and nearest-neighbor-resampled to
     ``target_hw`` (both exact integer ops: bit-stable at any
-    parallelism)."""
+    parallelism).
 
-    def __init__(self, target_hw: tuple[int, int] = (32, 32)):
+    ``on_error="skip"`` drops undecodable payloads instead of failing the
+    batch task — at web scale a corpus ALWAYS contains corrupt bytes, and
+    one bad payload must not kill a 64-row task (dropped count = input
+    rows − output rows, deterministic). The default "raise" keeps
+    correctness tests strict."""
+
+    def __init__(self, target_hw: tuple[int, int] = (32, 32),
+                 on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip'")
         self.target_hw = target_hw
+        self.on_error = on_error
 
     def decode_one(self, payload: bytes, width: int, height: int) -> np.ndarray:
         from ..functions import codecs
@@ -61,9 +78,15 @@ class CodecDecoder:
         elif kind == "image/bmp":
             img = codecs.decode_bmp(payload)
         elif kind == "image/jpeg":
-            from ..functions.jpeg import decode_jpeg
+            from ..functions.jpeg import (
+                apply_orientation,
+                decode_jpeg,
+                exif_orientation,
+            )
 
-            img = decode_jpeg(payload)
+            # web JPEGs are frequently camera-rotated via EXIF tag 274
+            img = apply_orientation(decode_jpeg(payload),
+                                    exif_orientation(payload))
         elif kind == "image/gif":
             from ..functions.gif import decode_gif
 
@@ -81,11 +104,20 @@ class CodecDecoder:
         payloads = batch.column("payload").to_pylist()
         widths = batch.column("width").to_numpy()
         heights = batch.column("height").to_numpy()
-        pixels = [
-            self.decode_one(p, int(w), int(h))
-            for p, w, h in zip(payloads, widths, heights)
-        ]
-        return _attach_pixels(batch, pixels, self.target_hw)
+        if self.on_error == "raise":
+            pixels = [
+                self.decode_one(p, int(w), int(h))
+                for p, w, h in zip(payloads, widths, heights)
+            ]
+            return _attach_pixels(batch, pixels, self.target_hw)
+        pixels, keep = [], []
+        for i, (p, w, h) in enumerate(zip(payloads, widths, heights)):
+            try:
+                pixels.append(self.decode_one(p, int(w), int(h)))
+                keep.append(i)
+            except _DECODE_ERRORS:
+                continue
+        return _attach_pixels(batch.take(keep), pixels, self.target_hw)
 
 
 class DeterministicFakeDecoder(CodecDecoder):
@@ -116,12 +148,14 @@ def _attach_pixels(batch: pa.Table, pixels: list[np.ndarray], hw) -> pa.Table:
 
 
 def decode_images(ds, target_hw=(32, 32), fake: bool = True, concurrency=(1, 8),
-                  batch_size: int = 64):
-    """Actor-pool decode stage (codec state per actor, small batches)."""
+                  batch_size: int = 64, on_error: str = "raise"):
+    """Actor-pool decode stage (codec state per actor, small batches).
+    ``on_error="skip"`` is the web-corpus setting: corrupt payloads drop
+    instead of failing the task."""
     cls = DeterministicFakeDecoder if fake else CodecDecoder
     return ds.map_batches(
         cls,
-        fn_constructor_args=(target_hw,),
+        fn_constructor_args=(target_hw, on_error),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -319,10 +353,14 @@ class FrameSampler:
     pure function so the plumbing (even-index selection, tensor layout,
     per-frame rows) is bit-stable and testable at any parallelism."""
 
-    def __init__(self, k: int = 4, target_hw=(16, 16), fake: bool = True):
+    def __init__(self, k: int = 4, target_hw=(16, 16), fake: bool = True,
+                 on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError("on_error must be 'raise' or 'skip'")
         self.k = k
         self.target_hw = target_hw
         self.fake = fake
+        self.on_error = on_error
 
     def decode_frame(self, payload: bytes, frame_idx: int) -> np.ndarray:
         if not self.fake:
@@ -385,7 +423,12 @@ class FrameSampler:
         out_id, out_fi, out_t, tensors = [], [], [], []
         for mid, p, nf, f in zip(ids, payloads, n_frames, fps):
             if not self.fake:
-                take, fps_real, tens = self._real_frames(p)
+                try:
+                    take, fps_real, tens = self._real_frames(p)
+                except _DECODE_ERRORS:
+                    if self.on_error == "skip":
+                        continue
+                    raise
                 f = fps_real or float(f)
                 for fi, t in zip(take, tens):
                     out_id.append(int(mid))
@@ -424,12 +467,14 @@ class FrameSampler:
 
 
 def sample_frames(ds, k: int = 4, target_hw=(16, 16), fake: bool = True,
-                  concurrency=(1, 8), batch_size: int = 16):
+                  concurrency=(1, 8), batch_size: int = 16,
+                  on_error: str = "raise"):
     """Video Dataset -> per-sampled-frame Dataset (actor pool, small
-    batches: video payloads are the largest media)."""
+    batches: video payloads are the largest media). ``on_error="skip"``
+    drops undecodable containers instead of failing the task."""
     return ds.map_batches(
         FrameSampler,
-        fn_constructor_args=(k, target_hw, fake),
+        fn_constructor_args=(k, target_hw, fake, on_error),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

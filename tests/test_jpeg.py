@@ -363,3 +363,107 @@ def test_progressive_real_world_files(path):
     assert img.max() == 255
     # deterministic
     assert np.array_equal(img, decode_jpeg(open(path, "rb").read()))
+
+
+# ---------------- EXIF orientation + corrupt-payload policy ----------------
+
+
+def _with_exif(jpeg: bytes, orientation: int) -> bytes:
+    """Splice a minimal APP1 EXIF segment (II TIFF, IFD0 with tag 274)
+    right after SOI."""
+    import struct
+
+    tiff = (b"II*\x00" + struct.pack("<I", 8)          # IFD0 at offset 8
+            + struct.pack("<H", 1)                      # one entry
+            + struct.pack("<HHI", 274, 3, 1)
+            + struct.pack("<HH", orientation, 0)
+            + struct.pack("<I", 0))                     # next IFD: none
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def test_exif_orientation_parse_and_apply():
+    from exactextractr_ray.functions.jpeg import (
+        apply_orientation,
+        exif_orientation,
+    )
+
+    img = _smooth(20, 30)
+    plain = encode_jpeg(img, quality=90, subsampling="4:4:4")
+    assert exif_orientation(plain) == 1
+    for o in range(1, 9):
+        assert exif_orientation(_with_exif(plain, o)) == o
+    # rotate-90-CW (6): landscape storage displays portrait
+    assert apply_orientation(img, 6).shape == (30, 20)
+    assert apply_orientation(img, 3)[0, 0] == img[-1, -1]
+    # round-trip pairs: 6 then 8 restores
+    assert np.array_equal(
+        apply_orientation(apply_orientation(img, 6), 8), img
+    )
+
+
+def test_codec_decoder_applies_exif():
+    from exactextractr_ray.stages.multimodal import CodecDecoder
+
+    img = _smooth(16, 24)
+    rotated = _with_exif(
+        encode_jpeg(img, quality=95, subsampling="4:4:4"), 6)
+    px = CodecDecoder(target_hw=(24, 16)).decode_one(rotated, 24, 16)
+    # after orientation the image is 24x16; resize is identity
+    from exactextractr_ray.functions.jpeg import apply_orientation
+
+    want = apply_orientation(img, 6).astype(np.float32)
+    assert np.abs(px - want).max() <= 1.0
+
+
+def test_decode_images_on_error_skip(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.multimodal import (
+        decode_images,
+        synth_jpeg_table,
+    )
+
+    tbl = synth_jpeg_table(8, hw=(16, 16))
+    # corrupt rows 2 and 5: truncated + garbage
+    payloads = tbl.column("payload").to_pylist()
+    payloads[2] = payloads[2][:30]
+    payloads[5] = b"\xff\xd8\xff\xee" + b"\x07" * 40
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("payload"), "payload",
+        pa.array(payloads, pa.binary()),
+    )
+    ds = ray.data.from_arrow(tbl)
+    ok = decode_images(ds, target_hw=(4, 4), fake=False, batch_size=4,
+                       on_error="skip").to_pandas()
+    assert sorted(ok["media_id"]) == [0, 1, 3, 4, 6, 7]
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        decode_images(ds, target_hw=(4, 4), fake=False,
+                      batch_size=4).to_pandas()
+
+
+def test_sample_frames_on_error_skip(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.multimodal import (
+        sample_frames,
+        synth_mjpeg_avi_table,
+    )
+
+    tbl = synth_mjpeg_avi_table(4, hw=(16, 16), n_frames=3)
+    payloads = tbl.column("payload").to_pylist()
+    payloads[1] = payloads[1][:40]  # truncated container
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("payload"), "payload",
+        pa.array(payloads, pa.binary()),
+    )
+    out = sample_frames(
+        ray.data.from_arrow(tbl), k=2, target_hw=(4, 4), fake=False,
+        batch_size=2, on_error="skip",
+    ).to_pandas()
+    assert sorted(set(out["media_id"])) == [0, 2, 3]
