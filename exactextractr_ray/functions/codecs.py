@@ -7,9 +7,10 @@ genuinely require native codecs (video containers; JPEG lives in the
 sibling from-spec module functions/jpeg.py):
 
 * PNG  — full critical-chunk decoder: zlib inflate, all five filter types
-  (None/Sub/Up/Average/Paeth, PNG spec §9), 8-bit depth, color types
-  0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced; plus an
-  encoder (filter 0) for round-trip tests and fixture generation.
+  (None/Sub/Up/Average/Paeth, PNG spec §9), color types 0 (gray),
+  2 (RGB), 3 (palette/PLTE), 4 (gray+alpha), 6 (RGBA), bit depths
+  1/2/4/8/16, Adam7 interlacing; plus an encoder (filter 0, 8-bit
+  non-interlaced) for round-trip tests and fixture generation.
 * BMP  — uncompressed 24-bit BI_RGB (bottom-up and top-down), plus encoder.
 * WAV  — PCM16 via the stdlib ``wave`` module, plus encoder.
 
@@ -33,49 +34,13 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (h, w) for grayscale or (h, w, c) otherwise.
-
-    Supports 8-bit depth, color types 0/2/4/6, non-interlaced. Raises
-    NotImplementedError for palette (3), 16-bit, or interlaced images.
-    """
-    if data[:8] != PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos = 8
-    width = height = None
-    bit_depth = color_type = interlace = None
-    idat: list[bytes] = []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        chunk = data[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # length + type + data + crc
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", chunk)
-            )
-        elif ctype == b"IDAT":
-            idat.append(chunk)
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("not a PNG: missing IHDR")
-    if bit_depth != 8:
-        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported (8 only)")
-    if color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color_type} unsupported")
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG unsupported")
-    channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
-    ftypes = rows[:, 0]
-    lines = rows[:, 1:].astype(np.int64)  # mod-256 arithmetic without overflow
+def _png_unfilter(raw: np.ndarray, height: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo the five PNG row filters at BYTE level (PNG spec §9).
+    raw: (height, stride+1) uint8 rows with leading filter byte."""
+    ftypes = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int64)  # mod-256 arithmetic w/o overflow
     out = np.empty((height, stride), dtype=np.int64)
-    bpp = channels  # bytes per pixel at 8-bit depth
     prev = np.zeros(stride, dtype=np.int64)
     for y in range(height):
         f = int(ftypes[y])
@@ -83,7 +48,13 @@ def decode_png(data: bytes) -> np.ndarray:
         if f == 0:  # None
             cur = line.copy()
         elif f == 1:  # Sub: per-byte-lane prefix sum mod 256
-            cur = line.reshape(-1, bpp).cumsum(axis=0).reshape(stride) % 256
+            pad = (-stride) % bpp
+            if pad:
+                ext = np.concatenate([line, np.zeros(pad, np.int64)])
+                cur = (ext.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+                       % 256)[:stride]
+            else:
+                cur = line.reshape(-1, bpp).cumsum(axis=0).reshape(stride) % 256
         elif f == 2:  # Up
             cur = (line + prev) % 256
         elif f == 3:  # Average
@@ -110,7 +81,121 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter type {f} invalid")
         out[y] = cur
         prev = cur
-    img = out.astype(np.uint8)
+    return out.astype(np.uint8)
+
+
+def _png_samples(bytes2d: np.ndarray, w: int, channels: int,
+                 depth: int) -> np.ndarray:
+    """Unfiltered row bytes -> (h, w*channels) uint8 samples. Sub-byte
+    depths unpack MSB-first; 16-bit keeps the high byte (8-bit output
+    contract)."""
+    h = bytes2d.shape[0]
+    n = w * channels
+    if depth == 8:
+        return bytes2d[:, :n]
+    if depth == 16:
+        return bytes2d[:, : 2 * n][:, 0::2]  # big-endian high byte
+    # 1/2/4-bit: bit-unpack each row, MSB first
+    unpacked = np.unpackbits(bytes2d, axis=1)
+    vals = (
+        unpacked.reshape(h, -1, depth)
+        * (1 << np.arange(depth - 1, -1, -1))[None, None, :]
+    ).sum(axis=2)
+    return vals[:, :n].astype(np.uint8)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (h, w) for grayscale or (h, w, c) otherwise.
+
+    Full critical-chunk coverage: color types 0 (gray), 2 (RGB), 3
+    (palette via PLTE), 4 (gray+alpha), 6 (RGBA); bit depths 1/2/4/8/16
+    (sub-byte gray scaled to 8-bit, 16-bit reduced to the high byte);
+    Adam7 interlacing. Palette images come back as (h, w, 3) RGB (tRNS
+    transparency is not composited — media pipelines grayscale anyway).
+    """
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat: list[bytes] = []
+    plte = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", chunk)
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(chunk, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    paletted = color_type == 3
+    if paletted:
+        channels = 1
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+    elif color_type in _PNG_CHANNELS:
+        channels = _PNG_CHANNELS[color_type]
+    else:
+        raise NotImplementedError(f"PNG color type {color_type} unsupported")
+    if bit_depth not in (1, 2, 4, 8, 16):
+        raise NotImplementedError(f"PNG bit depth {bit_depth} unsupported")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"PNG interlace method {interlace}")
+
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, channels * bit_depth // 8)
+
+    def decode_pass(buf: memoryview, w: int, h: int):
+        """One filtered sub-image -> (samples (h, w*channels), bytes read)."""
+        stride = (w * channels * bit_depth + 7) // 8
+        need = h * (stride + 1)
+        if len(buf) < need:
+            raise ValueError("PNG IDAT length mismatch")
+        rows = np.frombuffer(buf[:need], dtype=np.uint8).reshape(
+            h, stride + 1
+        )
+        return _png_samples(
+            _png_unfilter(rows, h, stride, bpp), w, channels, bit_depth
+        ), need
+
+    if interlace == 0:
+        samples, used = decode_pass(memoryview(raw), width, height)
+    else:
+        samples = np.zeros((height, width * channels), dtype=np.uint8)
+        buf = memoryview(raw)
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = decode_pass(buf, pw, ph)
+            buf = buf[used:]
+            sub = sub.reshape(ph, pw, channels)
+            view = samples.reshape(height, width, channels)
+            view[y0::dy, x0::dx] = sub
+
+    if paletted:
+        idx = samples.reshape(height, width)
+        return plte[np.minimum(idx, len(plte) - 1)]
+    if not paletted and color_type == 0 and bit_depth < 8:
+        # scale sub-byte gray to full 8-bit range
+        samples = (samples.astype(np.uint16) * 255
+                   // ((1 << bit_depth) - 1)).astype(np.uint8)
+    img = samples
     if channels == 1:
         return img.reshape(height, width)
     return img.reshape(height, width, channels)

@@ -110,18 +110,28 @@ def test_png_handcrafted_golden():
 
 
 def test_png_unsupported_raise():
+    # 16-bit decodes now (high byte); genuinely invalid combos still raise
     rng = np.random.default_rng(3)
     img16 = rng.integers(0, 65536, (4, 4), dtype=np.uint16)
     ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + img16[y].byteswap().tobytes() for y in range(4))
+    raw = b"".join(b"\x00" + img16[y].astype(">u2").tobytes() for y in range(4))
     data = (
         PNG_SIG
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
+    assert np.array_equal(decode_png(data), (img16 >> 8).astype(np.uint8))
+    bad_depth = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
     with pytest.raises(NotImplementedError):
-        decode_png(data)
+        decode_png(PNG_SIG + _chunk(b"IHDR", bad_depth)
+                   + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+                   + _chunk(b"IEND", b""))
+    bad_type = struct.pack(">IIBBBBB", 4, 4, 8, 5, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        decode_png(PNG_SIG + _chunk(b"IHDR", bad_type)
+                   + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+                   + _chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(b"garbage!")
 
@@ -225,3 +235,116 @@ def test_real_wav_features(ray_session):
     assert emb.shape == (8,)
     # RMS windows of a real signal are positive
     assert (emb[:4] > 0).all()
+
+
+# ------- PNG breadth: palette, sub-byte/16-bit depths, Adam7 -------
+
+
+def _png_raw(width, height, bit_depth, color_type, rows_payload,
+             plte=None, interlace=0):
+    """Hand-build a PNG from already-filtered row bytes."""
+    import struct
+    import zlib
+
+    from exactextractr_ray.functions.codecs import PNG_SIG, _png_chunk
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type,
+                       0, 0, interlace)
+    out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += _png_chunk(b"IDAT", zlib.compress(rows_payload))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _pack_bits(idx_row, depth):
+    bits = np.unpackbits(idx_row.astype(np.uint8)[:, None], axis=1)[
+        :, 8 - depth:
+    ].ravel()
+    pad = (-len(bits)) % 8
+    bits = np.concatenate([bits, np.zeros(pad, np.uint8)])
+    return np.packbits(bits).tobytes()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette_depths(depth):
+    from exactextractr_ray.functions.codecs import decode_png
+
+    rng = np.random.default_rng(11)
+    ncol = 1 << depth
+    plte = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+    idx = rng.integers(0, ncol, (9, 13)).astype(np.uint8)
+    payload = b"".join(
+        b"\x00" + (_pack_bits(row, depth) if depth < 8 else row.tobytes())
+        for row in idx
+    )
+    png = _png_raw(13, 9, depth, 3, payload, plte=plte)
+    assert np.array_equal(decode_png(png), plte[idx])
+
+
+def test_png_gray_1bit_scales_to_full_range():
+    from exactextractr_ray.functions.codecs import decode_png
+
+    rng = np.random.default_rng(12)
+    bw = rng.integers(0, 2, (8, 10)).astype(np.uint8)
+    payload = b"".join(b"\x00" + _pack_bits(row, 1) for row in bw)
+    png = _png_raw(10, 8, 1, 0, payload)
+    assert np.array_equal(decode_png(png), bw * 255)
+
+
+def test_png_16bit_high_byte():
+    from exactextractr_ray.functions.codecs import decode_png
+
+    rng = np.random.default_rng(13)
+    img16 = rng.integers(0, 65536, (6, 7), dtype=np.uint16)
+    payload = b"".join(
+        b"\x00" + row.astype(">u2").tobytes() for row in img16
+    )
+    png = _png_raw(7, 6, 16, 0, payload)
+    assert np.array_equal(decode_png(png), (img16 >> 8).astype(np.uint8))
+
+
+def test_png_adam7_roundtrip():
+    """Test-side Adam7 encoder (pass extraction per PNG spec §8.2) must
+    decode bit-identically to the plain image."""
+    from exactextractr_ray.functions.codecs import _ADAM7, decode_png
+
+    rng = np.random.default_rng(14)
+    for (h, w, ch, ct) in [(21, 17, 1, 0), (13, 22, 3, 2), (8, 8, 4, 6)]:
+        img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        payload = b""
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            payload += b"".join(
+                b"\x00" + sub[r].tobytes() for r in range(sub.shape[0])
+            )
+        png = _png_raw(w, h, 8, ct, payload, interlace=1)
+        want = img.reshape(h, w) if ch == 1 else img
+        assert np.array_equal(decode_png(png), want)
+
+
+def test_png_real_world_breadth():
+    """Real host files: palette at 2/4/8 bit and libpng's own canonical
+    Adam7-interlaced pngtest.png."""
+    import os
+
+    from exactextractr_ray.functions.codecs import decode_png
+
+    cases = {
+        "/usr/share/gitweb/static/git-favicon.png": (16, 16, 3),
+        "/usr/share/icons/locolor/16x16/apps/gvim.png": (16, 16, 3),
+        "/usr/share/gitweb/static/git-logo.png": (27, 72, 3),
+        "/usr/share/doc/libpng-dev/examples/pngtest.png": (69, 91, 4),
+    }
+    seen = 0
+    for p, shape in cases.items():
+        if not os.path.exists(p):
+            continue
+        img = decode_png(open(p, "rb").read())
+        assert img.shape == shape
+        assert np.array_equal(img, decode_png(open(p, "rb").read()))
+        seen += 1
+    if seen == 0:
+        pytest.skip("no host PNG fixtures present")
