@@ -349,6 +349,10 @@ def sniff_media(data: bytes) -> str:
         return "audio/wav"
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "video/avi"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # recognized so the skip policy can classify it; VP8/VP8L decode
+        # genuinely needs a native codec (boolean coder) — unsupported
+        return "image/webp"
     if data[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
