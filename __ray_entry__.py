@@ -2046,6 +2046,99 @@ def _q_zonal_feature_seq(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_png_decode_features(sf_dir: str):
+    """REAL image-codec path under the bit-exact oracle: deterministic
+    integer-rule images -> encode_png (lossless) -> actor-pool
+    decode_images(fake=False) -> vectorized per-media pixel sums. Because
+    PNG is lossless and the rule is integer, DuckDB recomputes the exact
+    sums from the rule alone — the decode stage itself is oracle-checked."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.codecs import encode_png
+    from exactextractr_ray.stages.multimodal import decode_images
+
+    n, hw = 40, 24
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    payloads = [
+        encode_png(((m * 7 + yy * 13 + xx * 31) % 256).astype(np.uint8))
+        for m in range(n)
+    ]
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa_.array(["image/png"] * n),
+            "payload": pa_.array(payloads, pa_.binary()),
+            "width": pa_.array([hw] * n, pa_.int32()),
+            "height": pa_.array([hw] * n, pa_.int32()),
+        }
+    )
+    dec = decode_images(
+        ray.data.from_arrow(tbl), target_hw=(hw, hw), fake=False,
+        batch_size=8, concurrency=(1, 2),
+    )
+
+    def agg(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        px = (
+            b["pixels"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, hw * hw)
+        )
+        return pa2.table(
+            {
+                "media_id": b["media_id"],
+                "pix_sum": pa2.array(
+                    px.astype(np_.int64).sum(axis=1), pa2.int64()
+                ),
+                "n_pix": pa2.array(
+                    np_.full(b.num_rows, hw * hw, np_.int64), pa2.int64()
+                ),
+            }
+        )
+
+    out = dec.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def _q_zonal_feature_seq_geotiff(sf_dir: str):
+    """Feature-sequential plan straight off a GeoTIFF file — per-zone
+    byte-range window reads (the reference's GDAL access shape), same
+    oracle as the parquet feature-sequential plan."""
+    import os
+    import tempfile
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.zonal_feature_seq import (
+        exact_extract_feature_seq_geotiff,
+    )
+    from exactextractr_ray.sources.geotiff import write_geotiff
+
+    rr = np.broadcast_to(np.arange(N_GRID)[:, None], (N_GRID, N_GRID))
+    cc = np.broadcast_to(np.arange(N_GRID)[None, :], (N_GRID, N_GRID))
+    arr = synth.synth_values(rr, cc)
+    with tempfile.TemporaryDirectory(prefix="gtfs_") as tmp:
+        p = os.path.join(tmp, "synth.tif")
+        write_geotiff(arr, synth.synth_grid(N_GRID), p, nodata=-9999.0,
+                      compression=8, tile=TILE)
+        t = exact_extract_feature_seq_geotiff(
+            p, _rect_zones(), ["count", "sum", "mean", "min", "max"],
+            tile=TILE,
+        ).to_pandas()
+    t = t.rename(
+        columns={
+            "count": "cell_count",
+            "sum": "val_sum",
+            "mean": "val_mean",
+            "min": "val_min",
+            "max": "val_max",
+        }
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_zonal_geotiff_stream(sf_dir: str):
     """The streaming-GeoTIFF ingestion path (per-worker lazy byte-range
     reads, sources/geotiff.py GeoTiffFile — the COG access pattern) over
@@ -2594,6 +2687,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
         "zonal_geotiff_stream": _q_zonal_geotiff_stream,
+        "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
+        "png_decode_features": _q_png_decode_features,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5449,10 +5544,22 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY 1, 2 ORDER BY 1, 2
     """
 
+    # the decode stage is real (zlib+filters); PNG is lossless and the
+    # pixel rule is integer, so SQL recomputes the exact per-media sums
+    png_decode = """
+    SELECT t.mid AS media_id,
+           CAST(SUM((t.mid*7 + a.y*13 + b.x*31) % 256) AS BIGINT) AS pix_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_pix
+    FROM range(40) t(mid), range(24) a(y), range(24) b(x)
+    GROUP BY t.mid ORDER BY t.mid
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_geotiff_stream": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
+        "zonal_feature_seq_geotiff": zonal_feature_seq,
+        "png_decode_features": png_decode,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,

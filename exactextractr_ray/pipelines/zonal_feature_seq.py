@@ -207,3 +207,102 @@ def exact_extract_feature_seq(
     return pa.Table.from_pandas(
         df.drop(columns=["zone_seq"]), preserve_index=False
     )
+
+
+class GeoTiffFeatureSequentialStats(FeatureSequentialStats):
+    """Feature-sequential stats straight off a GeoTIFF: each worker holds a
+    lazy GeoTiffFile and answers a zone's window request with byte-range
+    reads of only the intersecting chunks — byte-for-byte the reference's
+    GDAL access shape (feature_sequential_processor.cpp:24-91 +
+    gdal_raster_wrapper window reads), no parquet conversion step."""
+
+    def __init__(self, tif_path: str, band: int, tile: int,
+                 stats: list[str], quantiles: list[float]):
+        from ..sources.geotiff import GeoTiffFile
+
+        self.gf = GeoTiffFile(tif_path, band=band)
+        self.grid = self.gf.grid
+        self.tile_h = self.tile_w = tile
+        self.value_layer = "value"
+        self.weight_layer = None
+        self.stats = stats
+        self.quantiles = quantiles
+        self.store_values = bool(
+            {"mode", "majority", "minority", "variety", "median", "quantile",
+             "frac", "weighted_frac"} & set(stats)
+        )
+        self.tiles_x = (self.grid.ncol + tile - 1) // tile
+
+    def _read_window(self, tids: list[int], layer: str) -> pa.Table:
+        """Same tile-row contract as the parquet path, backed by lazy
+        window reads over the engine's virtual tiling of the file."""
+        g = self.grid
+        cols = {k: [] for k in ("tile_id", "row0", "col0", "th", "tw")}
+        values = []
+        for tid in tids:
+            ty, tx = tid // self.tiles_x, tid % self.tiles_x
+            row0, col0 = ty * self.tile_h, tx * self.tile_w
+            th = min(self.tile_h, g.nrow - row0)
+            tw = min(self.tile_w, g.ncol - col0)
+            cols["tile_id"].append(tid)
+            cols["row0"].append(row0)
+            cols["col0"].append(col0)
+            cols["th"].append(th)
+            cols["tw"].append(tw)
+            values.append(self.gf.read_window(row0, col0, th, tw).ravel())
+        flat = np.concatenate(values) if values else np.empty(0)
+        offsets = np.zeros(len(values) + 1, dtype=np.int32)
+        if values:
+            offsets[1:] = np.cumsum([len(v) for v in values])
+        return pa.table(
+            {
+                "tile_id": pa.array(cols["tile_id"], pa.int64()),
+                "row0": pa.array(cols["row0"], pa.int32()),
+                "col0": pa.array(cols["col0"], pa.int32()),
+                "th": pa.array(cols["th"], pa.int32()),
+                "tw": pa.array(cols["tw"], pa.int32()),
+                "values": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(flat, pa.float64()),
+                ),
+            }
+        )
+
+
+def exact_extract_feature_seq_geotiff(
+    tif_path: str,
+    zones: pa.Table,
+    stats: list[str],
+    band: int = 1,
+    tile: int = 256,
+    quantiles: list[float] | None = None,
+):
+    """Feature-sequential exact_extract over a GeoTIFF file (per-zone
+    byte-range window reads; no intermediate format). Same stat contract
+    as the parquet feature-sequential plan."""
+    import ray.data
+
+    from ..util import cached_stage
+
+    if {"frac", "weighted_frac"} & set(stats):
+        raise ValueError(
+            "frac/weighted_frac need the global value union across zones — "
+            "use the raster-sequential plan (exact_extract)"
+        )
+    zds = ray.data.from_arrow(zones)
+    out = zds.map_batches(
+        cached_stage(
+            GeoTiffFeatureSequentialStats,
+            tif_path,
+            band,
+            tile,
+            list(stats),
+            list(quantiles or [0.5]),
+        ),
+        batch_format="pyarrow",
+        batch_size=8,
+    )
+    df = out.to_pandas().sort_values("zone_seq").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df.drop(columns=["zone_seq"]), preserve_index=False
+    )

@@ -712,3 +712,41 @@ def test_streaming_tile_dataset_no_driver_materialization(
             n_rows += 1
     assert n_rows == 6  # ceil(100/48) * ceil(90/48) = 3 * 2
     assert np.array_equal(got, full)
+
+
+def test_feature_seq_geotiff_matches_parquet_plan(tmp_path, ray_session):
+    """GeoTIFF-backed feature-sequential plan (per-zone byte-range window
+    reads) is bit-identical to the tile-parquet feature-sequential plan."""
+    import numpy as np
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.zonal_feature_seq import (
+        exact_extract_feature_seq,
+        exact_extract_feature_seq_geotiff,
+    )
+    from exactextractr_ray.sources.geotiff import write_geotiff
+    from exactextractr_ray.sources.raster import (
+        synthetic_raster_dataset,
+        write_raster_parquet,
+    )
+    from exactextractr_ray.sources.zones import synth_rect_zones
+
+    N = 64
+    rr = np.broadcast_to(np.arange(N)[:, None], (N, N))
+    cc = np.broadcast_to(np.arange(N)[None, :], (N, N))
+    arr = synth.synth_values(rr, cc)
+    zones = synth_rect_zones(12, N)
+    stats = ["count", "sum", "mean", "min", "max", "median", "mode"]
+    tp = str(tmp_path / "r.tif")
+    write_geotiff(arr, synth.synth_grid(N), tp, nodata=-9999.0,
+                  compression=8, tile=16)
+    pq = str(tmp_path / "pq")
+    write_raster_parquet(synthetic_raster_dataset(n=N, tile=16), pq)
+    a = exact_extract_feature_seq(pq, zones, stats).to_pandas()
+    b = exact_extract_feature_seq_geotiff(tp, zones, stats, tile=16).to_pandas()
+    assert a.equals(b)
+    # a different virtual tiling must not change results either
+    c = exact_extract_feature_seq_geotiff(tp, zones, stats, tile=25).to_pandas()
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(b, c)
