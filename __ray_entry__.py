@@ -2103,6 +2103,66 @@ def _q_png_decode_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_gif_frames_features(sf_dir: str):
+    """REAL video-path oracle: integer-rule gray frames -> encode_gif
+    (lossless, exact palette) -> FrameSampler(fake=False) decodes the
+    animation container (GIF LZW + compositing) -> per-frame pixel sums.
+    Frames are gray triplets (r=g=b=v) so the luma transform is the
+    identity and DuckDB recomputes the sums from the rule alone."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.gif import encode_gif
+    from exactextractr_ray.stages.multimodal import sample_frames
+
+    n, nf, hw = 12, 4, 16
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    payloads = []
+    for m in range(n):
+        frames = []
+        for f in range(nf):
+            v = ((m * 5 + f * 11 + yy * 3 + xx * 7) % 251).astype(np.uint8)
+            frames.append(np.stack([v, v, v], axis=-1))
+        payloads.append(encode_gif(frames, delays_ms=[100] * nf))
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa_.array(["image/gif"] * n),
+            "payload": pa_.array(payloads, pa_.binary()),
+            "width": pa_.array([hw] * n, pa_.int32()),
+            "height": pa_.array([hw] * n, pa_.int32()),
+            "n_frames": pa_.array([nf] * n, pa_.int32()),
+            "fps": pa_.array(np.full(n, 10.0, np.float32), pa_.float32()),
+        }
+    )
+    dec = sample_frames(
+        ray.data.from_arrow(tbl), k=nf, target_hw=(hw, hw), fake=False,
+        batch_size=4, concurrency=(1, 2),
+    )
+
+    def agg(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        px = (
+            b["pixels"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, hw * hw)
+        )
+        return pa2.table(
+            {
+                "media_id": b["media_id"],
+                "frame_idx": b["frame_idx"],
+                "pix_sum": pa2.array(
+                    px.astype(np_.int64).sum(axis=1), pa2.int64()
+                ),
+            }
+        )
+
+    out = dec.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -2689,6 +2749,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "zonal_geotiff_stream": _q_zonal_geotiff_stream,
         "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
         "png_decode_features": _q_png_decode_features,
+        "gif_frames_features": _q_gif_frames_features,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5554,12 +5615,21 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.mid ORDER BY t.mid
     """
 
+    gif_frames = """
+    SELECT t.mid AS media_id, CAST(f.fi AS BIGINT) AS frame_idx,
+           CAST(SUM((t.mid*5 + f.fi*11 + a.y*3 + b.x*7) % 251) AS BIGINT)
+             AS pix_sum
+    FROM range(12) t(mid), range(4) f(fi), range(16) a(y), range(16) b(x)
+    GROUP BY t.mid, f.fi ORDER BY t.mid, f.fi
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_geotiff_stream": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
         "zonal_feature_seq_geotiff": zonal_feature_seq,
         "png_decode_features": png_decode,
+        "gif_frames_features": gif_frames,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,
