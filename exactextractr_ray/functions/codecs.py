@@ -347,6 +347,10 @@ def sniff_media(data: bytes) -> str:
         return "image/bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "audio/wav"
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return "audio/aiff"
+    if data[:4] == b".snd":
+        return "audio/basic"  # Sun AU
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "video/avi"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":

@@ -529,12 +529,21 @@ class AudioFeatures:
         if not self.fake:
             from ..functions import codecs
 
-            if codecs.sniff_media(payload) == "audio/wav":
+            kind = codecs.sniff_media(payload)
+            if kind == "audio/wav":
                 wav, _rate = codecs.decode_wav(payload)
                 return wav
+            if kind == "audio/aiff":
+                from ..functions.audio import decode_aiff
+
+                return decode_aiff(payload)[0]
+            if kind == "audio/basic":
+                from ..functions.audio import decode_au
+
+                return decode_au(payload)[0]
             raise NotImplementedError(
-                "only PCM16 WAV decodes natively in this environment; "
-                "use fake=True for other formats"
+                "WAV/AIFF/AU (incl. G.711 ulaw/alaw) decode natively in "
+                "this environment; use fake=True for other formats"
             )
         seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)
