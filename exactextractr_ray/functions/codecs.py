@@ -361,4 +361,107 @@ def sniff_media(data: bytes) -> str:
         return "image/jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if (
+        len(data) >= 6
+        and data[:2] == b"\x00\x00"
+        and data[2:4] in (b"\x01\x00", b"\x02\x00")
+        and 0 < int.from_bytes(data[4:6], "little") <= 64
+    ):
+        return "image/ico"
     return "application/octet-stream"
+
+
+def decode_ico(data: bytes, index: int | None = None) -> np.ndarray:
+    """Windows ICO/CUR favicon -> uint8 (h, w, 4) RGBA.
+
+    Entries may embed PNG (modern favicons; dispatched to decode_png) or a
+    DIB: BITMAPINFOHEADER with doubled height (XOR pixel block + 1-bit AND
+    transparency mask, bottom-up, 4-byte row alignment), 32/24-bpp direct
+    or 1/4/8-bpp BGRA-paletted. ``index=None`` picks the largest entry —
+    the web-pipeline default for multi-size favicons."""
+    if data[:8] == PNG_SIG:
+        # wild-web favicon.ico files are frequently raw PNGs — accept them
+        img = decode_png(data)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[2] == 3:
+            img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        return img
+    if len(data) < 6:
+        raise ValueError("not an ICO: truncated header")
+    res, typ, cnt = struct.unpack("<HHH", data[:6])
+    if res != 0 or typ not in (1, 2) or cnt == 0:
+        raise ValueError("not an ICO: bad ICONDIR")
+    entries = []
+    for i in range(cnt):
+        e = data[6 + 16 * i : 6 + 16 * (i + 1)]
+        if len(e) < 16:
+            raise ValueError("ICO directory truncated")
+        w, h, _nc, _r, _planes, bpp, size, off = struct.unpack("<BBBBHHII", e)
+        entries.append((w or 256, h or 256, bpp, size, off))
+    if index is None:
+        index = max(range(cnt), key=lambda i: entries[i][0] * entries[i][1])
+    w, h, bpp, size, off = entries[index]
+    body = data[off : off + size]
+    if body[:8] == PNG_SIG:
+        img = decode_png(body)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        if img.shape[2] == 3:
+            img = np.dstack([img, np.full(img.shape[:2], 255, np.uint8)])
+        return img
+    (bisize,) = struct.unpack("<I", body[:4])
+    if bisize != 40:
+        raise NotImplementedError(f"ICO DIB header size {bisize}")
+    _, bw, bh2, _pl, bpp, comp = struct.unpack("<IiiHHI", body[:20])
+    if comp != 0:
+        raise NotImplementedError(f"ICO DIB compression {comp}")
+    bh = bh2 // 2 if bh2 == 2 * h else bh2  # AND mask may be omitted
+    pos = 40
+    palette = None
+    if bpp <= 8:
+        ncol = struct.unpack("<I", body[32:36])[0] or (1 << bpp)
+        palette = np.frombuffer(
+            body[pos : pos + 4 * ncol], np.uint8
+        ).reshape(ncol, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+        pos += 4 * ncol
+    xor_stride = (bw * bpp + 31) // 32 * 4
+    xor = np.frombuffer(
+        body[pos : pos + xor_stride * bh], np.uint8
+    ).reshape(bh, xor_stride)
+    pos += xor_stride * bh
+    if bpp == 32:
+        px = xor[:, : 4 * bw].reshape(bh, bw, 4)[:, :, [2, 1, 0, 3]]
+        rgba = px.copy()
+    elif bpp == 24:
+        rgb = xor[:, : 3 * bw].reshape(bh, bw, 3)[:, :, [2, 1, 0]]
+        rgba = np.dstack([rgb, np.full((bh, bw), 255, np.uint8)])
+    elif bpp in (1, 4, 8):
+        if bpp == 8:
+            idx = xor[:, :bw]
+        else:
+            bits = np.unpackbits(xor, axis=1)
+            per = bits.reshape(bh, -1, bpp)
+            idx = (
+                per * (1 << np.arange(bpp - 1, -1, -1))[None, None, :]
+            ).sum(axis=2)[:, :bw].astype(np.uint8)
+        rgb = palette[np.minimum(idx, len(palette) - 1)]
+        rgba = np.dstack([rgb, np.full((bh, bw), 255, np.uint8)])
+    else:
+        raise NotImplementedError(f"ICO bpp {bpp}")
+    # AND transparency mask (1-bit, same bottom-up order), if present.
+    # Old-style 32-bpp icons store an all-zero alpha channel and rely on
+    # the mask — detect and fall back (the standard reader heuristic).
+    and_stride = (bw + 31) // 32 * 4
+    if (bpp != 32 or rgba[:, :, 3].max() == 0) and \
+            len(body) >= pos + and_stride * bh:
+        mask = np.unpackbits(
+            np.frombuffer(
+                body[pos : pos + and_stride * bh], np.uint8
+            ).reshape(bh, and_stride),
+            axis=1,
+        )[:, :bw]
+        # both cases reaching here have no alpha information in the pixel
+        # block (palette/24-bpp, or 32-bpp with a dead alpha channel)
+        rgba[:, :, 3] = np.where(mask == 1, 0, 255)
+    return rgba[::-1]  # bottom-up -> top-down

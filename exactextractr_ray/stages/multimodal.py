@@ -91,6 +91,8 @@ class CodecDecoder:
             from ..functions.gif import decode_gif
 
             img = decode_gif(payload)
+        elif kind == "image/ico":
+            img = codecs.decode_ico(payload)
         else:
             raise NotImplementedError(
                 f"no codec for {kind} in this environment (PNG/BMP/JPEG "

@@ -348,3 +348,76 @@ def test_png_real_world_breadth():
         seen += 1
     if seen == 0:
         pytest.skip("no host PNG fixtures present")
+
+
+# ------- ICO (favicon) decoding -------
+
+
+def _ico_dib(img_rgba):
+    """Build a 32-bpp DIB ICO entry + container for one RGBA image."""
+    h, w = img_rgba.shape[:2]
+    bih = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0)
+    xor = img_rgba[::-1][:, :, [2, 1, 0, 3]].tobytes()  # bottom-up BGRA
+    and_stride = (w + 31) // 32 * 4
+    andm = b"\x00" * (and_stride * h)
+    body = bih + xor + andm
+    head = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32,
+                        len(body), 22)
+    return head + entry + body
+
+
+def test_ico_dib32_roundtrip():
+    from exactextractr_ray.functions.codecs import decode_ico
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    img[:, :, 3] = np.maximum(img[:, :, 3], 1)  # live alpha channel
+    out = decode_ico(_ico_dib(img))
+    assert np.array_equal(out, img)
+
+
+def test_ico_png_entry_and_misnamed_png():
+    from exactextractr_ray.functions.codecs import decode_ico, encode_png
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    png = encode_png(img)
+    # PNG-in-ICO entry
+    head = struct.pack("<HHH", 0, 1, 1)
+    entry = struct.pack("<BBBBHHII", 8, 8, 0, 0, 1, 32, len(png), 22)
+    out = decode_ico(head + entry + png)
+    assert np.array_equal(out[:, :, :3], img)
+    assert (out[:, :, 3] == 255).all()
+    # favicon.ico that is actually a raw PNG
+    out2 = decode_ico(png)
+    assert np.array_equal(out2[:, :, :3], img)
+
+
+def test_ico_real_world_favicons():
+    import glob
+    import os
+
+    from exactextractr_ray.functions.codecs import decode_ico, sniff_media
+
+    files = sorted(set(glob.glob(
+        "/usr/lib/google-cloud-sdk/**/favicon.ico", recursive=True)))
+    if not files:
+        pytest.skip("no host favicons")
+    for p in files:
+        d = open(p, "rb").read()
+        img = decode_ico(d)
+        assert img.ndim == 3 and img.shape[2] == 4 and img.dtype == np.uint8
+        assert img.shape[0] >= 16
+        kind = sniff_media(d)
+        assert kind in ("image/ico", "image/png")
+
+
+def test_codec_decoder_dispatches_ico():
+    from exactextractr_ray.stages.multimodal import CodecDecoder
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    img[:, :, 3] = 255
+    px = CodecDecoder(target_hw=(4, 4)).decode_one(_ico_dib(img), 16, 16)
+    assert px.shape == (4, 4)
