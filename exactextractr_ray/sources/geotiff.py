@@ -599,6 +599,42 @@ def _jpeg_chunk(body: bytes, rows: int, cols: int, nb: int,
                        include_tables=False)
 
 
+def _apply_predictor(body: bytes, rows: int, cols: int, nb: int,
+                     dt: np.dtype, predictor: int) -> bytes:
+    """Encode-side TIFF predictors over one raw chunky chunk: 2 =
+    per-component horizontal differencing (ints), 3 = TechNote-3
+    byte-plane differencing (floats)."""
+    if predictor == 2:
+        u = (
+            np.frombuffer(body, dtype=dt.newbyteorder("<"))
+            .reshape(rows, cols, nb)
+            .view(np.dtype(f"<u{dt.itemsize}"))
+            .astype(np.int64)
+        )
+        d = np.concatenate([u[:, :1], np.diff(u, axis=1)], axis=1)
+        return (
+            (d % (1 << (8 * dt.itemsize)))
+            .astype(np.dtype(f"<u{dt.itemsize}"))
+            .tobytes()
+        )
+    if predictor == 3:
+        sz = dt.itemsize
+        be = np.frombuffer(
+            np.frombuffer(body, dtype=dt.newbyteorder("<"))
+            .astype(f">f{sz}")
+            .tobytes(),
+            np.uint8,
+        ).reshape(rows, cols * nb, sz)
+        planes = np.transpose(be, (0, 2, 1)).reshape(rows, cols * nb * sz)
+        d = np.concatenate(
+            [planes[:, :1].astype(np.int64),
+             np.diff(planes.astype(np.int64), axis=1)],
+            axis=1,
+        )
+        return (d % 256).astype(np.uint8).tobytes()
+    raise ValueError(f"unsupported write predictor {predictor}")
+
+
 def write_geotiff(
     arr: np.ndarray,
     grid: Grid,
@@ -609,6 +645,7 @@ def write_geotiff(
     planar: int = 1,
     tile: int | None = None,
     jpeg_quality: int = 90,
+    predictor: int = 1,
 ) -> None:
     """GeoTIFF writer (pure struct, classic little-endian container,
     Deflate by default; ZSTD via code 50000) — the raster-output sink the
@@ -622,7 +659,9 @@ def write_geotiff(
     through :func:`read_geotiff` (tested), overviews via ``overview=k``.
     ``compression=7`` writes JPEG-in-TIFF (Technote 2: shared tables in a
     ``JPEGTables`` tag + abbreviated per-chunk streams; uint8, chunky, 1
-    or 3 samples, 4:4:4, LOSSY at ``jpeg_quality``)."""
+    or 3 samples, 4:4:4, LOSSY at ``jpeg_quality``). ``predictor=2``
+    (ints) / ``3`` (floats, TechNote 3) pre-differences rows before
+    Deflate/ZSTD — the GDAL-default layout for smooth rasters."""
     import struct as _s
 
     a = np.asarray(arr)
@@ -638,6 +677,17 @@ def write_geotiff(
             raise ValueError(
                 "JPEG-in-TIFF supports chunky 1- or 3-sample pixels only"
             )
+    if predictor not in (1, 2, 3):
+        raise ValueError("predictor must be 1 (none), 2 (ints) or 3 (floats)")
+    if predictor != 1:
+        if compression == 7:
+            raise ValueError("predictors do not apply to JPEG-in-TIFF")
+        if planar != 1:
+            raise NotImplementedError("predictor write requires chunky layout")
+        if predictor == 2 and a.dtype.kind not in "ui":
+            raise ValueError("predictor 2 is for integer samples")
+        if predictor == 3 and a.dtype.kind != "f":
+            raise ValueError("predictor 3 is for float samples")
 
     levels: list[tuple[np.ndarray, bool]] = [(a, False)]
     for f in overviews or []:
@@ -686,12 +736,17 @@ def write_geotiff(
     body_offs: list[list[int]] = []
     for lv, _red in levels:
         raw_chunks = level_chunks(lv)
+        ch = lv.shape[0] if tile is None else tile
+        cw = lv.shape[1] if tile is None else tile
         if compression == 7:
-            ch = lv.shape[0] if tile is None else tile
-            cw = lv.shape[1] if tile is None else tile
             comp = [_jpeg_chunk(p, ch, cw, nb, jpeg_quality)
                     for p in raw_chunks]
         else:
+            if predictor != 1:
+                raw_chunks = [
+                    _apply_predictor(p, ch, cw, nb, a.dtype, predictor)
+                    for p in raw_chunks
+                ]
             comp = [_compress_body(p, compression) for p in raw_chunks]
         bodies.append(comp)
         offs = []
@@ -716,6 +771,8 @@ def write_geotiff(
             (277, 3, 1, nb),
             (284, 3, 1, planar),
         ]
+        if predictor != 1:
+            tags.append((317, 3, 1, predictor))
         extra_items = []  # (tag, typ, cnt, payload bytes)
         if compression == 7:
             from ..functions.jpeg import encode_jpeg_tables

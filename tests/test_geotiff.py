@@ -750,3 +750,39 @@ def test_feature_seq_geotiff_matches_parquet_plan(tmp_path, ray_session):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(b, c)
+
+
+@pytest.mark.parametrize("tile", [None, 32])
+def test_writer_predictors_roundtrip(tmp_path, tile):
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    g = Grid(0, 0, 97, 130, 1.0, 1.0)
+    x, y = np.meshgrid(np.arange(97), np.arange(130))
+    ints = (x * 3 + y * 5).astype(np.uint16)
+    flts = (x * 0.5 + y * 0.25).astype(np.float32)
+    pi = str(tmp_path / "i.tif")
+    write_geotiff(ints, g, pi, compression=8, predictor=2, tile=tile)
+    out, _ = read_geotiff(pi)
+    assert np.array_equal(out, ints.astype(np.float64))
+    # predictor 2 + deflate beats plain deflate on smooth integer data
+    p0 = str(tmp_path / "i0.tif")
+    write_geotiff(ints, g, p0, compression=8, tile=tile)
+    import os
+
+    assert os.path.getsize(pi) < os.path.getsize(p0)
+    pf = str(tmp_path / "f.tif")
+    write_geotiff(flts, g, pf, compression=8, predictor=3, tile=tile)
+    outf, _ = read_geotiff(pf)
+    assert np.array_equal(outf, flts.astype(np.float64))
+    # multiband per-component differencing
+    rgb = np.stack([ints, ints * 2, ints // 2], axis=-1).astype(np.uint16)
+    pr = str(tmp_path / "rgb.tif")
+    write_geotiff(rgb, g, pr, compression=8, predictor=2, tile=tile)
+    for b in (1, 2, 3):
+        outb, _ = read_geotiff(pr, band=b)
+        assert np.array_equal(outb, rgb[:, :, b - 1].astype(np.float64))
+    with pytest.raises(ValueError):
+        write_geotiff(flts, g, str(tmp_path / "x.tif"), predictor=2)
+    with pytest.raises(ValueError):
+        write_geotiff(ints, g, str(tmp_path / "y.tif"), predictor=3)
