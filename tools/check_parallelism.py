@@ -128,6 +128,11 @@ QUERIES = [
     "zonal_regression",
     # round 4
     "zonal_wcount_rect",
+    # round-4 session 3 (codec/COG wave)
+    "zonal_geotiff_stream",
+    "zonal_feature_seq_geotiff",
+    "png_decode_features",
+    "gif_frames_features",
 ]
 
 _CHILD = r"""
