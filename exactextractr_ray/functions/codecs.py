@@ -361,6 +361,8 @@ def sniff_media(data: bytes) -> str:
         return "image/jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "image/gif"
+    if data[:1] == b"P" and data[1:2] in b"123456" and data[2:3].isspace():
+        return "image/pnm"
     if (
         len(data) >= 6
         and data[:2] == b"\x00\x00"
@@ -465,3 +467,83 @@ def decode_ico(data: bytes, index: int | None = None) -> np.ndarray:
         # block (palette/24-bpp, or 32-bpp with a dead alpha channel)
         rgba[:, :, 3] = np.where(mask == 1, 0, 255)
     return rgba[::-1]  # bottom-up -> top-down
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """Netpbm PBM/PGM/PPM (P1-P6) -> uint8 (h, w) or (h, w, 3).
+
+    Public netpbm formats: ASCII (P1/P2/P3) and binary (P4/P5/P6), '#'
+    comments, 16-bit maxval reduced to the high byte (8-bit contract),
+    PBM 1=black convention mapped to 0/255 gray."""
+    if data[:1] != b"P" or data[1:2] not in b"123456":
+        raise ValueError("not a PNM: bad magic")
+    kind = int(data[1:2])
+    # header tokenizer: whitespace-separated ints, '#' to EOL is comment
+    pos = 2
+    tokens = []
+    need = 2 if kind in (1, 4) else 3  # PBM has no maxval
+    while len(tokens) < need:
+        c = data[pos:pos + 1]
+        if not c:
+            raise ValueError("PNM header truncated")
+        if c == b"#":
+            nl = data.find(b"\n", pos)
+            pos = (nl if nl >= 0 else len(data)) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            j = pos
+            while j < len(data) and not data[j:j + 1].isspace():
+                j += 1
+            tokens.append(int(data[pos:j]))
+            pos = j
+    w, h = tokens[0], tokens[1]
+    maxval = 1 if kind in (1, 4) else tokens[2]
+    if kind <= 3:  # ASCII
+        vals = np.array(data[pos:].split(), dtype=np.int64)
+    else:
+        pos += 1  # single whitespace byte after the header
+        if kind == 4:  # packed bits, rows byte-aligned
+            stride = (w + 7) // 8
+            bits = np.unpackbits(
+                np.frombuffer(data, np.uint8, count=stride * h, offset=pos)
+                .reshape(h, stride),
+                axis=1,
+            )[:, :w]
+            return ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+        n = w * h * (3 if kind == 6 else 1)
+        if maxval > 255:
+            vals = np.frombuffer(data, ">u2", count=n, offset=pos).astype(
+                np.int64
+            )
+        else:
+            vals = np.frombuffer(data, np.uint8, count=n, offset=pos).astype(
+                np.int64
+            )
+    if kind == 1:
+        return ((1 - vals.reshape(h, w)) * 255).astype(np.uint8)
+    if maxval > 255:
+        vals = vals >> 8
+    elif maxval != 255:
+        vals = vals * 255 // maxval
+    if kind in (3, 6):
+        return vals.reshape(h, w, 3).astype(np.uint8)
+    return vals.reshape(h, w).astype(np.uint8)
+
+
+def encode_pnm(img: np.ndarray, ascii_: bool = False) -> bytes:
+    """uint8 (h, w) gray -> PGM, (h, w, 3) -> PPM (binary by default)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_pnm needs uint8")
+    color = img.ndim == 3
+    h, w = img.shape[:2]
+    if ascii_:
+        magic = b"P3" if color else b"P2"
+        body = b"\n".join(
+            b" ".join(str(v).encode() for v in row)
+            for row in img.reshape(h, -1)
+        )
+        return magic + f"\n{w} {h}\n255\n".encode() + body + b"\n"
+    magic = b"P6" if color else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()

@@ -93,6 +93,8 @@ class CodecDecoder:
             img = decode_gif(payload)
         elif kind == "image/ico":
             img = codecs.decode_ico(payload)
+        elif kind == "image/pnm":
+            img = codecs.decode_pnm(payload)
         else:
             raise NotImplementedError(
                 f"no codec for {kind} in this environment (PNG/BMP/JPEG "

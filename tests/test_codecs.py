@@ -421,3 +421,46 @@ def test_codec_decoder_dispatches_ico():
     img[:, :, 3] = 255
     px = CodecDecoder(target_hw=(4, 4)).decode_one(_ico_dib(img), 16, 16)
     assert px.shape == (4, 4)
+
+
+# ------- Netpbm (PGM/PPM/PBM) -------
+
+
+def test_pnm_roundtrips_and_variants():
+    from exactextractr_ray.functions.codecs import decode_pnm, encode_pnm
+
+    rng = np.random.default_rng(31)
+    g = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    c = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    for ascii_ in (False, True):
+        assert np.array_equal(decode_pnm(encode_pnm(g, ascii_=ascii_)), g)
+        assert np.array_equal(decode_pnm(encode_pnm(c, ascii_=ascii_)), c)
+    # P4 packed bitmap with a header comment; netpbm 1 = black
+    bits = rng.integers(0, 2, (5, 11))
+    stride = (11 + 7) // 8
+    packed = np.packbits(
+        np.concatenate(
+            [bits, np.zeros((5, stride * 8 - 11), int)], axis=1
+        ).astype(np.uint8),
+        axis=1,
+    )
+    out = decode_pnm(b"P4\n# comment\n11 5\n" + packed.tobytes())
+    assert np.array_equal(out, ((1 - bits) * 255).astype(np.uint8))
+    # 16-bit P5 keeps the high byte
+    img16 = rng.integers(0, 65536, (4, 6), dtype=np.uint16)
+    out16 = decode_pnm(b"P5\n6 4\n65535\n" + img16.astype(">u2").tobytes())
+    assert np.array_equal(out16, (img16 >> 8).astype(np.uint8))
+    with pytest.raises(ValueError):
+        decode_pnm(b"P7\n???")
+
+
+def test_pnm_sniff_and_dispatch():
+    from exactextractr_ray.functions.codecs import encode_pnm, sniff_media
+    from exactextractr_ray.stages.multimodal import CodecDecoder
+
+    rng = np.random.default_rng(32)
+    img = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+    payload = encode_pnm(img)
+    assert sniff_media(payload) == "image/pnm"
+    px = CodecDecoder(target_hw=(12, 12)).decode_one(payload, 12, 12)
+    assert np.array_equal(px, img.astype(np.float32))
