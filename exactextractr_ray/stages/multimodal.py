@@ -1,15 +1,16 @@
 """Multimodal (image/audio/video) column stages.
 
 Media travel as opaque ``binary`` columns with typed metadata columns
-(media_type, width/height or sample_rate/duration). Decode is REAL for the
-formats implementable from public specs without native libraries — PNG,
-BMP and JPEG images (functions/codecs.py: zlib inflate + the five PNG
-filters, BI_RGB; functions/jpeg.py: from-spec ITU-T T.81
-baseline+progressive), PCM16 WAV audio — and stubbed only where a native
-codec would be required (video containers): those raise
-NotImplementedError, with
-``DeterministicFakeDecoder`` (a seeded pure function of the bytes) keeping
-the full pipeline testable end-to-end. Everything Ray-side —
+(media_type, width/height or sample_rate/duration). Decode is REAL for
+every format implementable from public specs without native libraries —
+images: PNG (all color types/depths/Adam7), BMP, JPEG (baseline +
+progressive, EXIF orientation; functions/jpeg.py), GIF, ICO favicons,
+Netpbm; audio: WAV, AIFF, AU incl. G.711 (functions/audio.py); video:
+MJPEG AVI and animated GIF (functions/avi.py / gif.py). Only formats
+genuinely requiring native codecs (MP4/H.264, WebP VP8, MP3) raise
+NotImplementedError, with ``DeterministicFakeDecoder`` (a seeded pure
+function of the bytes) keeping those pipelines testable end-to-end.
+Everything Ray-side —
 schemas, actor-pool stage shape, batch sizing, output layout — is real:
 
 * decode: actor-pool ``map_batches`` class (codec init is per-actor state);
@@ -47,12 +48,11 @@ IMAGE_SCHEMA = pa.schema(
 
 
 class CodecDecoder:
-    """Real-codec decode stage. PNG and BMP decode with the pure-stdlib
-    codecs in functions/codecs.py (zlib inflate + PNG filters / BI_RGB);
-    baseline+progressive JPEG decodes with the from-spec T.81 codec in
-    functions/jpeg.py. Formats needing native libraries (video containers)
-    raise NotImplementedError — the container has no ffmpeg. Decoded
-    images are converted to integer luma and nearest-neighbor-resampled to
+    """Real-codec decode stage: PNG/BMP/ICO/Netpbm via functions/codecs.py,
+    baseline+progressive JPEG (with EXIF orientation) via the from-spec
+    T.81 codec in functions/jpeg.py, GIF via functions/gif.py. Formats
+    needing native libraries raise NotImplementedError. Decoded images
+    are converted to integer luma and nearest-neighbor-resampled to
     ``target_hw`` (both exact integer ops: bit-stable at any
     parallelism).
 
