@@ -150,3 +150,62 @@ def write_warc(
         chunks.append(_gzip.compress(rec) if gzip_members else rec)
     with open(path, "wb") as f:
         f.write(b"".join(chunks))
+
+
+def read_warc_media(paths):
+    """Dataset of decodable MEDIA rows from WARC file(s): response payloads
+    whose magic bytes sniff as image/audio/video, in the multimodal stage
+    schema (media_id, media_type, payload, width/height, n_frames, fps,
+    n_samples — container-derived fields 0 until decode; the fake=False
+    stages read them from the container itself).
+
+    This is the Common-Crawl media path: the same per-file parallel parse
+    as ``read_warc``, with the payload sniff replacing text extraction —
+    crawl archives feed decode_images / sample_frames / audio_features
+    directly. media_id is a stable 63-bit hash of the URL (deterministic
+    across runs and parallelism)."""
+    import hashlib
+
+    import ray.data
+
+    from ..functions.codecs import sniff_media
+
+    files = ray.data.read_binary_files(paths)
+
+    def parse(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        urls: list[str] = []
+        kinds: list[str] = []
+        payloads: list[bytes] = []
+        for blob in b.column("bytes").to_pylist():
+            for rec in parse_warc_bytes(blob):
+                kind = sniff_media(rec["html"])
+                if kind.split("/")[0] not in ("image", "audio", "video"):
+                    continue
+                ids.append(
+                    int.from_bytes(
+                        hashlib.md5(rec["url"].encode()).digest()[:8],
+                        "big",
+                    )
+                    >> 1
+                )
+                urls.append(rec["url"])
+                kinds.append(kind)
+                payloads.append(rec["html"])
+        n = len(ids)
+        z32 = pa.array(np.zeros(n, np.int32), pa.int32())
+        return pa.table(
+            {
+                "media_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "media_type": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": z32,
+                "height": z32,
+                "n_frames": z32,
+                "fps": pa.array(np.zeros(n, np.float32), pa.float32()),
+                "n_samples": pa.array(np.zeros(n, np.int64), pa.int64()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")

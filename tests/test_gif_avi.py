@@ -221,3 +221,48 @@ def test_sample_frames_real_gif(ray_session):
     assert len(out) == 8  # 2 frames x 4 animations
     assert set(out["frame_idx"]) == {0, 4}
     assert all(len(p) == 35 for p in out["pixels"])
+
+
+def test_read_warc_media_end_to_end(tmp_path, ray_session):
+    """Common-Crawl media path: WARC responses -> sniffed media rows ->
+    real decode. Mixed payloads (PNG, JPEG, GIF, WAV, HTML) in one
+    archive; only media rows survive, and each decodes."""
+    from exactextractr_ray.functions.codecs import encode_png, encode_wav
+    from exactextractr_ray.functions.jpeg import encode_jpeg
+    from exactextractr_ray.sources.warc import read_warc_media, write_warc
+    from exactextractr_ray.stages.multimodal import CodecDecoder
+
+    rng = np.random.default_rng(41)
+    png = encode_png(rng.integers(0, 256, (10, 10), dtype=np.uint8))
+    jpg = encode_jpeg(
+        rng.integers(0, 256, (12, 12), dtype=np.uint8), quality=90,
+        subsampling="4:4:4")
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    gif = encode_gif(pal[rng.integers(0, 4, (8, 8))])
+    wav = encode_wav(np.zeros(100, np.float32))
+    recs = [
+        {"url": "http://a/x.png", "warc_ts": "2026-01-01T00:00:00Z",
+         "html": png},
+        {"url": "http://a/y.jpg", "warc_ts": "2026-01-01T00:00:00Z",
+         "html": jpg},
+        {"url": "http://a/z.gif", "warc_ts": "2026-01-01T00:00:00Z",
+         "html": gif},
+        {"url": "http://a/s.wav", "warc_ts": "2026-01-01T00:00:00Z",
+         "html": wav},
+        {"url": "http://a/page.html", "warc_ts": "2026-01-01T00:00:00Z",
+         "html": b"<html>not media</html>"},
+    ]
+    p = str(tmp_path / "crawl.warc.gz")
+    write_warc(p, recs, gzip_members=True)
+    df = read_warc_media(p).to_pandas()
+    assert len(df) == 4
+    assert set(df["media_type"]) == {
+        "image/png", "image/jpeg", "image/gif", "audio/wav"}
+    # ids are stable across runs
+    df2 = read_warc_media(p).to_pandas()
+    assert sorted(df["media_id"]) == sorted(df2["media_id"])
+    # every image row decodes through the real codec stage
+    dec = CodecDecoder(target_hw=(5, 5))
+    for _, row in df[df.media_type.str.startswith("image")].iterrows():
+        px = dec.decode_one(row["payload"], 0, 0)
+        assert px.shape == (5, 5)
