@@ -172,6 +172,22 @@ class _HuffDecode:
         self.lut_len = ln.tobytes()
 
 
+_HUFF_CACHE: dict[bytes, _HuffDecode] = {}
+
+
+def _huff_cached(key: bytes, bits: list[int], vals: list[int]) -> _HuffDecode:
+    """Per-process LUT cache keyed by the raw DHT payload: building the
+    2^16-entry peek tables costs ~1 ms x4 tables, which dominates decode
+    of small images (thumbnails use the same Annex K tables everywhere).
+    Bounded: distinct custom tables in a corpus are few; cap at 256."""
+    tbl = _HUFF_CACHE.get(key)
+    if tbl is None:
+        tbl = _HuffDecode(bits, vals)
+        if len(_HUFF_CACHE) < 256:
+            _HUFF_CACHE[key] = tbl
+    return tbl
+
+
 def _huff_encode_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     out: dict[int, tuple[int, int]] = {}
     code = 0
@@ -338,11 +354,12 @@ def _parse_headers(data: bytes, state: _DecodeState, pos: int) -> tuple:
                 bits = list(seg[i + 1:i + 17])
                 nv = sum(bits)
                 vals = list(seg[i + 17:i + 17 + nv])
+                tbl = _huff_cached(seg[i + 1:i + 17 + nv], bits, vals)
                 i += 17 + nv
                 if tc == 0:
-                    state.huff_dc[th] = _HuffDecode(bits, vals)
+                    state.huff_dc[th] = tbl
                 else:
-                    state.huff_ac[th] = _HuffDecode(bits, vals)
+                    state.huff_ac[th] = tbl
         elif marker == 0xDD:  # DRI
             (state.restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
