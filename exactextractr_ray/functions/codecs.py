@@ -547,3 +547,105 @@ def encode_pnm(img: np.ndarray, ascii_: bool = False) -> bytes:
         return magic + f"\n{w} {h}\n255\n".encode() + body + b"\n"
     magic = b"P6" if color else b"P5"
     return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def probe_media(data: bytes) -> dict:
+    """Header-only media probe: {"kind", "width", "height", "frames",
+    "sample_rate"} without decoding payloads — the cheap pre-filter a
+    corpus pipeline runs before spending decode cost (drop tracking
+    pixels, giant images, zero-length audio). Fields that don't apply
+    are 0. Unknown containers come back kind="application/octet-stream".
+
+    Costs one pass over the HEADER bytes only (PNG IHDR, JPEG SOF scan,
+    GIF logical screen, BMP/ICO/AVI/WAV/AIFF/AU headers, PNM tokens)."""
+    kind = sniff_media(data)
+    w = h = frames = rate = 0
+    try:
+        if kind == "image/png":
+            w, h = struct.unpack(">II", data[16:24])
+        elif kind == "image/jpeg":
+            pos = 2
+            n = len(data)
+            while pos + 4 <= n:
+                if data[pos] != 0xFF:
+                    break
+                marker = data[pos + 1]
+                if marker == 0xFF:
+                    pos += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                if marker in (0xDA, 0xD9):
+                    break
+                (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                    break
+                pos += 2 + seglen
+        elif kind == "image/gif":
+            from .gif import count_gif_frames
+
+            w, h = struct.unpack("<HH", data[6:10])
+            frames = count_gif_frames(data)
+        elif kind == "image/bmp":
+            w, h = struct.unpack("<ii", data[18:26])
+            h = abs(h)
+        elif kind == "image/ico":
+            cnt = struct.unpack("<H", data[4:6])[0]
+            best = 0
+            for i in range(cnt):
+                e = data[6 + 16 * i: 6 + 16 * (i + 1)]
+                ew, eh = (e[0] or 256), (e[1] or 256)
+                if ew * eh > best:
+                    best, w, h = ew * eh, ew, eh
+        elif kind == "image/pnm":
+            toks = []
+            pos = 2
+            while len(toks) < 2 and pos < min(len(data), 256):
+                c = data[pos:pos + 1]
+                if c == b"#":
+                    pos = data.find(b"\n", pos) + 1 or len(data)
+                elif c.isspace():
+                    pos += 1
+                else:
+                    j = pos
+                    while j < len(data) and not data[j:j + 1].isspace():
+                        j += 1
+                    toks.append(int(data[pos:j]))
+                    pos = j
+            if len(toks) == 2:
+                w, h = toks
+        elif kind == "video/avi":
+            from .avi import parse_avi
+
+            info = parse_avi(data)
+            w, h = info["width"], info["height"]
+            frames = len(info["frames"])
+            rate = int(info["fps"])
+        elif kind == "audio/wav":
+            import io as _io
+            import wave as _wave
+
+            with _wave.open(_io.BytesIO(data), "rb") as f:
+                rate = f.getframerate()
+                frames = f.getnframes()
+        elif kind == "audio/aiff":
+            idx = data.find(b"COMM")
+            if idx >= 0:
+                from .audio import _float80
+
+                _ch, frames, _bits = struct.unpack(
+                    ">hIh", data[idx + 8:idx + 16]
+                )
+                rate = int(round(_float80(data[idx + 16:idx + 26])))
+        elif kind == "audio/basic":
+            off, size, enc, rate, ch = struct.unpack(">5I", data[4:24])
+            per = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 27: 1}.get(enc, 1)
+            nbytes = size if size != 0xFFFFFFFF else len(data) - off
+            frames = nbytes // per // max(ch, 1)
+    except (struct.error, ValueError, IndexError):
+        pass
+    return {"kind": kind, "width": int(w), "height": int(h),
+            "frames": int(frames), "sample_rate": int(rate)}

@@ -318,3 +318,41 @@ def encode_gif(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def count_gif_frames(data: bytes) -> int:
+    """Exact frame count by walking the block structure (sub-block lengths
+    only — no LZW decode). O(#blocks), used by the header-only probe."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    flags = data[10]
+    pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+    count = 0
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < n:
+                k = data[pos]
+                pos += 1 + k
+                if k == 0:
+                    break
+        elif b == 0x2C:  # image descriptor
+            iflags = data[pos + 8]
+            pos += 9
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))
+            pos += 1  # LZW min code size
+            while pos < n:
+                k = data[pos]
+                pos += 1 + k
+                if k == 0:
+                    break
+            count += 1
+        else:
+            break
+    return count

@@ -156,8 +156,9 @@ def read_warc_media(paths):
     """Dataset of decodable MEDIA rows from WARC file(s): response payloads
     whose magic bytes sniff as image/audio/video, in the multimodal stage
     schema (media_id, media_type, payload, width/height, n_frames, fps,
-    n_samples — container-derived fields 0 until decode; the fake=False
-    stages read them from the container itself).
+    n_samples — filled by the header-only ``probe_media``, so dimension /
+    duration filters run BEFORE any decode cost; the fake=False stages
+    still read authoritative values from the container itself).
 
     This is the Common-Crawl media path: the same per-file parallel parse
     as ``read_warc``, with the payload sniff replacing text extraction —
@@ -168,7 +169,7 @@ def read_warc_media(paths):
 
     import ray.data
 
-    from ..functions.codecs import sniff_media
+    from ..functions.codecs import probe_media
 
     files = ray.data.read_binary_files(paths)
 
@@ -177,9 +178,14 @@ def read_warc_media(paths):
         urls: list[str] = []
         kinds: list[str] = []
         payloads: list[bytes] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        nframes: list[int] = []
+        rates: list[int] = []
         for blob in b.column("bytes").to_pylist():
             for rec in parse_warc_bytes(blob):
-                kind = sniff_media(rec["html"])
+                info = probe_media(rec["html"])
+                kind = info["kind"]
                 if kind.split("/")[0] not in ("image", "audio", "video"):
                     continue
                 ids.append(
@@ -192,19 +198,27 @@ def read_warc_media(paths):
                 urls.append(rec["url"])
                 kinds.append(kind)
                 payloads.append(rec["html"])
-        n = len(ids)
-        z32 = pa.array(np.zeros(n, np.int32), pa.int32())
+                ws.append(info["width"])
+                hs.append(info["height"])
+                nframes.append(info["frames"])
+                rates.append(info["sample_rate"])
         return pa.table(
             {
                 "media_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
                 "url": pa.array(urls, pa.string()),
                 "media_type": pa.array(kinds, pa.string()),
                 "payload": pa.array(payloads, pa.binary()),
-                "width": z32,
-                "height": z32,
-                "n_frames": z32,
-                "fps": pa.array(np.zeros(n, np.float32), pa.float32()),
-                "n_samples": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "width": pa.array(np.asarray(ws, np.int32), pa.int32()),
+                "height": pa.array(np.asarray(hs, np.int32), pa.int32()),
+                "n_frames": pa.array(
+                    np.asarray(nframes, np.int32), pa.int32()
+                ),
+                "fps": pa.array(
+                    np.asarray(rates, np.float32), pa.float32()
+                ),
+                "n_samples": pa.array(
+                    np.asarray(nframes, np.int64), pa.int64()
+                ),
             }
         )
 

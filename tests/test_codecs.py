@@ -464,3 +464,64 @@ def test_pnm_sniff_and_dispatch():
     assert sniff_media(payload) == "image/pnm"
     px = CodecDecoder(target_hw=(12, 12)).decode_one(payload, 12, 12)
     assert np.array_equal(px, img.astype(np.float32))
+
+
+def test_probe_media_header_only():
+    """Header-only probe returns dims/frames/rate for every real format
+    without decoding (dims match the encoders; corrupt tail ignored)."""
+    from exactextractr_ray.functions.avi import encode_mjpeg_avi
+    from exactextractr_ray.functions.codecs import (
+        encode_pnm as _pnm,
+        encode_png as _png,
+        encode_wav as _wav,
+        probe_media,
+    )
+    from exactextractr_ray.functions.gif import encode_gif
+    from exactextractr_ray.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(51)
+    g = rng.integers(0, 256, (30, 40), dtype=np.uint8)
+    pal = rng.integers(0, 256, (4, 3), dtype=np.uint8)
+    cases = {
+        "image/png": (_png(g), 40, 30),
+        "image/jpeg": (encode_jpeg(g, subsampling="4:4:4"), 40, 30),
+        "image/pnm": (_pnm(g), 40, 30),
+        "image/bmp": (encode_bmp(np.stack([g] * 3, -1)), 40, 30),
+    }
+    for kind, (payload, w, h) in cases.items():
+        info = probe_media(payload)
+        assert (info["kind"], info["width"], info["height"]) == (kind, w, h)
+    anim = encode_gif([pal[rng.integers(0, 4, (30, 40))] for _ in range(3)],
+                      delays_ms=[50] * 3)
+    gi = probe_media(anim)
+    assert (gi["width"], gi["height"], gi["frames"]) == (40, 30, 3)
+    avi = encode_mjpeg_avi(
+        [encode_jpeg(g, subsampling="4:4:4")] * 5, 40, 30, fps=10)
+    vi = probe_media(avi)
+    assert (vi["width"], vi["height"], vi["frames"], vi["sample_rate"]) == (
+        40, 30, 5, 10)
+    wi = probe_media(_wav(np.zeros(500, np.float32), 8000))
+    assert (wi["frames"], wi["sample_rate"]) == (500, 8000)
+    # unknowns are classified, not raised
+    assert probe_media(b"junkjunk")["kind"] == "application/octet-stream"
+    # truncated media headers come back zeroed, not raised
+    assert probe_media(_png(g)[:18])["width"] == 0
+
+
+def test_probe_media_real_fixtures():
+    import os
+
+    from exactextractr_ray.functions.codecs import probe_media
+
+    aiff = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/audiodata/pluck-pcm16.aiff"
+    if os.path.exists(aiff):
+        info = probe_media(open(aiff, "rb").read())
+        assert (info["frames"], info["sample_rate"]) == (3307, 11025)
+    ulaw = "/root/.pyenv/versions/3.11.7/lib/python3.11/test/audiodata/pluck-ulaw.au"
+    if os.path.exists(ulaw):
+        info = probe_media(open(ulaw, "rb").read())
+        assert (info["frames"], info["sample_rate"]) == (3307, 11025)
+    png = "/usr/share/gitweb/static/git-logo.png"
+    if os.path.exists(png):
+        info = probe_media(open(png, "rb").read())
+        assert (info["width"], info["height"]) == (72, 27)
