@@ -2103,6 +2103,43 @@ def _q_png_decode_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_warc_media_probe(sf_dir: str):
+    """Common-Crawl media ingestion under the oracle: rule-dimensioned PNG
+    payloads written into a real (gzip-member) WARC, read back through
+    read_warc_media — WARC record parse, magic-byte sniff and the
+    header-only probe_media all produce values DuckDB recomputes from the
+    generation rule."""
+    import os
+    import tempfile
+
+    from exactextractr_ray.functions.codecs import encode_png
+    from exactextractr_ray.sources.warc import read_warc_media, write_warc
+
+    recs = []
+    for i in range(12):
+        img = np.zeros((16 + i, 24 + 2 * i), np.uint8)
+        recs.append(
+            {
+                "url": f"http://img.example/p{i:02d}.png",
+                "warc_ts": "2026-01-01T00:00:00Z",
+                "html": encode_png(img),
+            }
+        )
+    recs.append(
+        {
+            "url": "http://img.example/page.html",
+            "warc_ts": "2026-01-01T00:00:00Z",
+            "html": b"<html>not media</html>",
+        }
+    )
+    with tempfile.TemporaryDirectory(prefix="warcm_") as tmp:
+        p = os.path.join(tmp, "crawl.warc.gz")
+        write_warc(p, recs, gzip_members=True)
+        df = read_warc_media(p).to_pandas()
+    out = df[["url", "media_type", "width", "height"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q_gif_frames_features(sf_dir: str):
     """REAL video-path oracle: integer-rule gray frames -> encode_gif
     (lossless, exact palette) -> FrameSampler(fake=False) decodes the
@@ -2750,6 +2787,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
         "png_decode_features": _q_png_decode_features,
         "gif_frames_features": _q_gif_frames_features,
+        "warc_media_probe": _q_warc_media_probe,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5615,6 +5653,15 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.mid ORDER BY t.mid
     """
 
+    warc_media = """
+    SELECT 'http://img.example/p' || LPAD(CAST(t.i AS VARCHAR), 2, '0')
+             || '.png' AS url,
+           'image/png' AS media_type,
+           CAST(24 + 2*t.i AS INTEGER) AS width,
+           CAST(16 + t.i AS INTEGER) AS height
+    FROM range(12) t(i) ORDER BY url
+    """
+
     gif_frames = """
     SELECT t.mid AS media_id, CAST(f.fi AS BIGINT) AS frame_idx,
            CAST(SUM((t.mid*5 + f.fi*11 + a.y*3 + b.x*7) % 251) AS BIGINT)
@@ -5630,6 +5677,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_feature_seq_geotiff": zonal_feature_seq,
         "png_decode_features": png_decode,
         "gif_frames_features": gif_frames,
+        "warc_media_probe": warc_media,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,

@@ -133,6 +133,7 @@ QUERIES = [
     "zonal_feature_seq_geotiff",
     "png_decode_features",
     "gif_frames_features",
+    "warc_media_probe",
 ]
 
 _CHILD = r"""
