@@ -2200,6 +2200,73 @@ def _q_gif_frames_features(sf_dir: str):
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_mp4_sample_ranges(sf_dir: str):
+    """ISO-BMFF sample-table machinery under the oracle: rule-generated
+    coded samples of rule-defined lengths are written into real MP4s
+    (functions/mp4.py encode; stco and co64 variants alternate), then
+    extract_mp4_samples recovers every sample's byte range codec-free —
+    per-sample length and byte sum are values DuckDB recomputes from the
+    generation rule alone. Bit-exact for ANY codec tag (samples here are
+    'mp4v'-tagged opaque bytes; no decode happens)."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.mp4 import encode_mjpeg_mp4
+
+    n, nf = 10, 5
+    payloads = []
+    for m in range(n):
+        samples = [
+            bytes(
+                (m * 7 + f * 11 + j * 3) % 256
+                for j in range(20 + (m + f) % 7)
+            )
+            for f in range(nf)
+        ]
+        payloads.append(
+            encode_mjpeg_mp4(
+                samples, 64, 48, fps=10.0, codec="mp4v", co64=bool(m % 2)
+            )
+        )
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "payload": pa_.array(payloads, pa_.binary()),
+        }
+    )
+
+    def extract(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        from exactextractr_ray.functions.mp4 import extract_mp4_samples
+
+        mid, fi, size, bsum = [], [], [], []
+        for m, p in zip(
+            b["media_id"].to_pylist(), b["payload"].to_pylist()
+        ):
+            for f, s in enumerate(extract_mp4_samples(p)):
+                mid.append(m)
+                fi.append(f)
+                size.append(len(s))
+                bsum.append(int(np_.frombuffer(s, np_.uint8).sum()))
+        return pa2.table(
+            {
+                "media_id": pa2.array(mid, pa2.int64()),
+                "sample_idx": pa2.array(fi, pa2.int64()),
+                "n_bytes": pa2.array(size, pa2.int64()),
+                "byte_sum": pa2.array(bsum, pa2.int64()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(extract, batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "sample_idx"]).reset_index(drop=True)
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -2788,6 +2855,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "png_decode_features": _q_png_decode_features,
         "gif_frames_features": _q_gif_frames_features,
         "warc_media_probe": _q_warc_media_probe,
+        "mp4_sample_ranges": _q_mp4_sample_ranges,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5670,6 +5738,17 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.mid, f.fi ORDER BY t.mid, f.fi
     """
 
+    # sample f of media m is the byte string ((m*7+f*11+j*3) % 256 for
+    # j < 20+(m+f)%7) — recompute each sample's length and byte sum
+    mp4_samples = """
+    SELECT t.m AS media_id, f.fi AS sample_idx,
+           CAST(20 + (t.m + f.fi) % 7 AS BIGINT) AS n_bytes,
+           CAST(SUM((t.m*7 + f.fi*11 + j.j*3) % 256) AS BIGINT) AS byte_sum
+    FROM range(10) t(m), range(5) f(fi), range(27) j(j)
+    WHERE j.j < 20 + (t.m + f.fi) % 7
+    GROUP BY t.m, f.fi ORDER BY t.m, f.fi
+    """
+
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_geotiff_stream": zonal_stats,
@@ -5678,6 +5757,7 @@ def oracle_sql() -> dict[str, str]:
         "png_decode_features": png_decode,
         "gif_frames_features": gif_frames,
         "warc_media_probe": warc_media,
+        "mp4_sample_ranges": mp4_samples,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,

@@ -353,6 +353,9 @@ def sniff_media(data: bytes) -> str:
         return "audio/basic"  # Sun AU
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "video/avi"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        # ISO BMFF (MP4/QuickTime/M4A): first box is ftyp (14496-12 §4.3)
+        return "video/mp4"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         # recognized so the skip policy can classify it; VP8/VP8L decode
         # genuinely needs a native codec (boolean coder) — unsupported
@@ -624,6 +627,13 @@ def probe_media(data: bytes) -> dict:
             w, h = info["width"], info["height"]
             frames = len(info["frames"])
             rate = int(info["fps"])
+        elif kind == "video/mp4":
+            from .mp4 import parse_mp4
+
+            info = parse_mp4(data)
+            w, h = info["width"], info["height"]
+            frames = info["n_frames"]
+            rate = info["audio_rate"] or int(info["fps"])
         elif kind == "audio/wav":
             import io as _io
             import wave as _wave
@@ -645,7 +655,8 @@ def probe_media(data: bytes) -> dict:
             per = {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 27: 1}.get(enc, 1)
             nbytes = size if size != 0xFFFFFFFF else len(data) - off
             frames = nbytes // per // max(ch, 1)
-    except (struct.error, ValueError, IndexError):
+    except (struct.error, ValueError, IndexError, NotImplementedError):
+        # probe never raises: fragmented MP4 etc. come back with zeros
         pass
     return {"kind": kind, "width": int(w), "height": int(h),
             "frames": int(frames), "sample_rate": int(rate)}

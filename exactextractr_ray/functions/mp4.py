@@ -1,0 +1,352 @@
+"""MP4 / ISO Base Media File Format container codec — pure struct.
+
+The box (atom) structure is public ISO/IEC 14496-12: a ``moov`` movie box
+holds per-track sample TABLES (``stts`` timing, ``stsc``/``stco``/``stsz``
+chunk layout, ``stss`` sync samples) that map every sample to a byte range
+in ``mdat``. Parsing those tables needs no codec work at all, which gives
+three honest capability tiers:
+
+1. **probe** (any MP4/QuickTime, any codec): width/height/frame-count/fps
+   straight from ``tkhd``/``stsd``/``mdhd``/``stts`` — the header-only
+   pre-filter pass (functions/codecs.py probe_media).
+2. **sample extraction** (any codec): exact per-frame byte ranges, so a
+   pipeline can ship individual coded frames downstream without decoding.
+3. **frame decode**: REAL for Motion-JPEG-in-MP4 (sample entry ``jpeg`` /
+   ``mjpa``, every sample a standalone JPEG -> functions/jpeg.py); AVC /
+   HEVC / MPEG-4 Visual genuinely need native codecs and raise.
+
+``encode_mjpeg_mp4`` writes a minimal spec-conformant single-track file
+(ftyp + mdat + moov) for fixtures and sampled-frame reassembly.
+
+Fragmented MP4 (``moof`` movie fragments, CMAF/DASH segments) keeps its
+sample tables in per-fragment ``trun`` boxes; unsupported here — parse
+raises with a clear message rather than returning an empty frame list.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_VIDEO_CODECS_DECODABLE = ("jpeg", "mjpa")
+
+
+def _iter_boxes(data: bytes, pos: int, end: int):
+    """Yield (fourcc str, body_start, body_end) for each box in [pos, end).
+
+    Handles 64-bit ``largesize`` (size==1) and to-end-of-file (size==0)
+    encodings; stops cleanly on truncation."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        fourcc = data[pos + 4:pos + 8].decode("ascii", "replace")
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _child(data: bytes, pos: int, end: int, fourcc: str):
+    for fc, b, e in _iter_boxes(data, pos, end):
+        if fc == fourcc:
+            return b, e
+    return None
+
+
+def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
+    """Sample-table box -> codec fourcc, dims, per-sample (offset, size),
+    sync-sample indices (0-based), per-sample decode deltas."""
+    out: dict = {
+        "codec": "", "width": 0, "height": 0,
+        "sizes": None, "uniform_size": 0, "chunk_offsets": [],
+        "stsc": [], "sync": None, "deltas": [],
+    }
+    for fc, b, e in _iter_boxes(data, pos, end):
+        if fc == "stsd":
+            (n,) = struct.unpack(">I", data[b + 4:b + 8])
+            if n >= 1 and b + 16 <= e:
+                out["codec"] = data[b + 12:b + 16].decode("ascii", "replace")
+                # VisualSampleEntry: 8B SampleEntry + 16B pre_defined/
+                # reserved, then width/height uint16 (14496-12 §12.1.3)
+                if b + 44 <= e:
+                    w, h = struct.unpack(">HH", data[b + 40:b + 44])
+                    out["width"], out["height"] = w, h
+        elif fc == "stts":
+            (n,) = struct.unpack(">I", data[b + 4:b + 8])
+            raw = np.frombuffer(data[b + 8:b + 8 + 8 * n], dtype=">u4")
+            out["deltas"] = raw.reshape(-1, 2).astype(np.int64)
+        elif fc == "stss":
+            (n,) = struct.unpack(">I", data[b + 4:b + 8])
+            nums = np.frombuffer(data[b + 8:b + 8 + 4 * n], dtype=">u4")
+            out["sync"] = nums.astype(np.int64) - 1  # spec is 1-based
+        elif fc == "stsc":
+            (n,) = struct.unpack(">I", data[b + 4:b + 8])
+            raw = np.frombuffer(data[b + 8:b + 8 + 12 * n], dtype=">u4")
+            out["stsc"] = raw.reshape(-1, 3).astype(np.int64)
+        elif fc == "stsz":
+            uniform, n = struct.unpack(">II", data[b + 4:b + 12])
+            if uniform:
+                out["uniform_size"] = int(uniform)
+                out["n_samples"] = int(n)
+            else:
+                out["sizes"] = np.frombuffer(
+                    data[b + 12:b + 12 + 4 * n], dtype=">u4"
+                ).astype(np.int64)
+        elif fc == "stco":
+            (n,) = struct.unpack(">I", data[b + 4:b + 8])
+            out["chunk_offsets"] = np.frombuffer(
+                data[b + 8:b + 8 + 4 * n], dtype=">u4"
+            ).astype(np.int64)
+        elif fc == "co64":
+            (n,) = struct.unpack(">I", data[b + 4:b + 8])
+            out["chunk_offsets"] = np.frombuffer(
+                data[b + 8:b + 8 + 8 * n], dtype=">u8"
+            ).astype(np.int64)
+    return out
+
+
+def _sample_ranges(stbl: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, sizes) int64 arrays, one entry per sample, from the
+    stsc/stco/stsz trio (14496-12 §8.7): stsc runs give samples-per-chunk
+    for chunk ranges; within a chunk samples are contiguous."""
+    sizes = stbl["sizes"]
+    if sizes is None:
+        sizes = np.full(
+            stbl.get("n_samples", 0), stbl["uniform_size"], np.int64
+        )
+    chunk_off = np.asarray(stbl["chunk_offsets"], np.int64)
+    n_chunks = len(chunk_off)
+    stsc = stbl["stsc"]
+    per_chunk = np.zeros(n_chunks, np.int64)
+    for i, (first, spc, _sdi) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        per_chunk[int(first) - 1:int(last)] = int(spc)
+    if per_chunk.sum() != len(sizes):
+        # tolerate trailing mismatch (truncated files): clamp to stsz count
+        per_chunk = np.minimum(
+            per_chunk, np.maximum(len(sizes) - np.r_[0, per_chunk].cumsum()[:-1], 0)
+        )
+    offsets = np.empty(len(sizes), np.int64)
+    k = 0
+    for c in range(n_chunks):
+        cnt = int(per_chunk[c])
+        if cnt == 0:
+            continue
+        sz = sizes[k:k + cnt]
+        offsets[k:k + cnt] = chunk_off[c] + np.r_[0, sz[:-1]].cumsum()
+        k += cnt
+    return offsets[:k], sizes[:k]
+
+
+def parse_mp4(data: bytes) -> dict:
+    """MP4/QuickTime bytes -> {"codec", "width", "height", "n_frames",
+    "fps", "duration_s", "sample_offsets", "sample_sizes", "sync",
+    "sample_times", "audio_rate", "brand"}.
+
+    Parses the ``moov`` sample tables of the FIRST video (``vide``) track;
+    when no video track exists, audio_rate/n_frames come from the first
+    ``soun`` track (M4A probe support). Codec payloads are NOT touched."""
+    ftyp = _child(data, 0, len(data), "ftyp")
+    brand = data[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace") if ftyp else ""
+    moov = _child(data, 0, len(data), "moov")
+    if moov is None:
+        if _child(data, 0, len(data), "moof") is not None:
+            raise NotImplementedError(
+                "fragmented MP4 (moof segments) unsupported — sample "
+                "tables live in per-fragment trun boxes"
+            )
+        raise ValueError("not an MP4: no moov box")
+    mb, me = moov
+    out = {
+        "codec": "", "width": 0, "height": 0, "n_frames": 0, "fps": 0.0,
+        "duration_s": 0.0, "sample_offsets": np.empty(0, np.int64),
+        "sample_sizes": np.empty(0, np.int64),
+        "sync": None, "sample_times": np.empty(0, np.float64),
+        "audio_rate": 0, "brand": brand,
+    }
+    picked_video = False
+    for fc, tb, te in _iter_boxes(data, mb, me):
+        if fc != "trak" or picked_video:
+            continue
+        mdia = _child(data, tb, te, "mdia")
+        if mdia is None:
+            continue
+        hdlr = _child(data, mdia[0], mdia[1], "hdlr")
+        kind = data[hdlr[0] + 8:hdlr[0] + 12] if hdlr else b""
+        mdhd = _child(data, mdia[0], mdia[1], "mdhd")
+        timescale = duration = 0
+        if mdhd:
+            ver = data[mdhd[0]]
+            if ver == 1:
+                timescale, duration = struct.unpack(
+                    ">IQ", data[mdhd[0] + 20:mdhd[0] + 32]
+                )
+            else:
+                timescale, duration = struct.unpack(
+                    ">II", data[mdhd[0] + 12:mdhd[0] + 20]
+                )
+        if kind == b"soun" and not out["audio_rate"]:
+            out["audio_rate"] = int(timescale)
+            if not out["n_frames"]:
+                out["n_frames"] = int(duration)
+            continue
+        if kind != b"vide":
+            continue
+        minf = _child(data, mdia[0], mdia[1], "minf")
+        stbl_box = minf and _child(data, minf[0], minf[1], "stbl")
+        if not stbl_box:
+            continue
+        stbl = _parse_stbl(data, stbl_box[0], stbl_box[1])
+        offsets, sizes = _sample_ranges(stbl)
+        n = len(offsets)
+        dur_s = duration / timescale if timescale else 0.0
+        deltas = stbl["deltas"]
+        times = np.zeros(n, np.float64)
+        if len(deltas) and timescale:
+            flat = np.repeat(deltas[:, 1], deltas[:, 0])[:n]
+            times[1:] = np.cumsum(flat)[: n - 1] / timescale
+        out.update(
+            codec=stbl["codec"], width=int(stbl["width"]),
+            height=int(stbl["height"]), n_frames=n,
+            fps=(n / dur_s) if dur_s else 0.0, duration_s=dur_s,
+            sample_offsets=offsets, sample_sizes=sizes,
+            sync=stbl["sync"], sample_times=times,
+        )
+        picked_video = True
+    return out
+
+
+def extract_mp4_samples(
+    data: bytes, indices: list[int] | None = None
+) -> list[bytes]:
+    """Coded frame payloads at the given sample indices (all when None) —
+    codec-agnostic byte-range extraction from mdat."""
+    info = parse_mp4(data)
+    off, sz = info["sample_offsets"], info["sample_sizes"]
+    sel = range(len(off)) if indices is None else indices
+    return [bytes(data[off[i]:off[i] + sz[i]]) for i in sel]
+
+
+def decode_mp4_frames(
+    data: bytes, indices: list[int] | None = None
+) -> tuple[list[np.ndarray], float]:
+    """Motion-JPEG MP4 -> (decoded uint8 frames at the given indices, fps).
+
+    Every ``jpeg``/``mjpa`` sample is a standalone JPEG stream (QuickTime
+    File Format spec, Motion-JPEG sample description); other codecs raise."""
+    info = parse_mp4(data)
+    if info["codec"] not in _VIDEO_CODECS_DECODABLE:
+        raise NotImplementedError(
+            f"MP4 video codec {info['codec']!r} unsupported (Motion-JPEG "
+            "'jpeg'/'mjpa' decodes natively; avc1/hev1/mp4v need native "
+            "codecs absent from this environment)"
+        )
+    from .jpeg import decode_jpeg
+
+    payloads = extract_mp4_samples(data, indices)
+    return [decode_jpeg(p) for p in payloads], info["fps"]
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def _full(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
+    return _box(fourcc, struct.pack(">I", version << 24) + body)
+
+
+def encode_mjpeg_mp4(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: float = 24.0,
+    codec: str = "jpeg",
+    co64: bool = False,
+) -> bytes:
+    """JPEG frame payloads -> minimal single-track MP4 (ftyp+mdat+moov).
+
+    ``codec`` overrides the stsd fourcc (fixtures exercising the
+    unsupported-codec guard pass e.g. 'avc1'); ``co64`` forces 64-bit
+    chunk offsets so the co64 read path has a real fixture."""
+    n = len(jpeg_frames)
+    timescale = 90000
+    delta = int(round(timescale / fps)) if fps else timescale
+    duration = n * delta
+
+    mdat_body = b"".join(jpeg_frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", mdat_body)
+    base = len(ftyp) + len(mdat) - len(mdat_body)  # offset of first sample
+
+    sizes = [len(f) for f in jpeg_frames]
+    offs: list[int] = []
+    pos = base
+    for s in sizes:
+        offs.append(pos)
+        pos += s
+
+    stsd_entry = (
+        struct.pack(">I", 86)
+        + codec.encode("ascii")
+        + b"\x00" * 6 + struct.pack(">H", 1)   # SampleEntry
+        + b"\x00" * 16                          # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frame_count
+        + b"\x00" * 32                          # compressorname
+        + struct.pack(">Hh", 24, -1)            # depth, pre_defined
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+    stts = _full(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))  # one chunk
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    if co64:
+        stco = _full(b"co64", struct.pack(">IQ", 1, offs[0]) if n else
+                     struct.pack(">I", 0))
+    else:
+        stco = _full(b"stco", struct.pack(">II", 1, offs[0]) if n else
+                     struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # vmhd flags must be 1 per spec (§12.1.2)
+    vmhd = (struct.pack(">I", 20) + b"vmhd" + struct.pack(">I", 1)
+            + struct.pack(">HHHH", 0, 0, 0, 0))
+    # url  box with flag 1 = media is self-contained
+    url_ = struct.pack(">I", 12) + b"url " + struct.pack(">I", 1)
+    dref = _full(b"dref", struct.pack(">I", 1) + url_)
+    dinf = _box(b"dinf", dref)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                 + b"VideoHandler\x00")
+    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration,
+                                      0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd_body = (
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    tkhd = struct.pack(">I", 12 + len(tkhd_body)) + b"tkhd" \
+        + struct.pack(">I", 7) + tkhd_body  # flags: enabled|in_movie|preview
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

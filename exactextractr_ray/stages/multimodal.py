@@ -6,8 +6,10 @@ every format implementable from public specs without native libraries —
 images: PNG (all color types/depths/Adam7), BMP, JPEG (baseline +
 progressive, EXIF orientation; functions/jpeg.py), GIF, ICO favicons,
 Netpbm; audio: WAV, AIFF, AU incl. G.711 (functions/audio.py); video:
-MJPEG AVI and animated GIF (functions/avi.py / gif.py). Only formats
-genuinely requiring native codecs (MP4/H.264, WebP VP8, MP3) raise
+MJPEG AVI, Motion-JPEG MP4 and animated GIF (functions/avi.py / mp4.py /
+gif.py; any-codec MP4 probes + sample extraction via ISO-BMFF tables).
+Only formats genuinely requiring native codecs (H.264/HEVC, WebP VP8, MP3)
+raise
 NotImplementedError, with ``DeterministicFakeDecoder`` (a seeded pure
 function of the bytes) keeping those pipelines testable end-to-end.
 Everything Ray-side —
@@ -277,6 +279,44 @@ def synth_mjpeg_avi_table(
     )
 
 
+def synth_mjpeg_mp4_table(
+    n: int, hw: tuple[int, int] = (32, 48), n_frames: int = 6,
+    fps: float = 12.0, co64: bool = False,
+) -> pa.Table:
+    """Deterministic REAL Motion-JPEG MP4 video rows (functions/mp4.py +
+    functions/jpeg.py): ISO-BMFF sample tables under FrameSampler
+    fake=False. Same pixel content as synth_mjpeg_avi_table so the two
+    containers can be cross-checked frame-for-frame."""
+    from ..functions.jpeg import encode_jpeg
+    from ..functions.mp4 import encode_mjpeg_mp4
+
+    h, w = hw
+    x, y = np.meshgrid(np.linspace(0, 255, w), np.linspace(0, 255, h))
+    base = ((x + y) / 2).astype(np.uint8)
+    payloads = []
+    for i in range(n):
+        frames = [
+            encode_jpeg(
+                np.clip(base.astype(int) + 11 * i + 17 * f, 0, 255)
+                .astype(np.uint8),
+                quality=95, subsampling="4:4:4",
+            )
+            for f in range(n_frames)
+        ]
+        payloads.append(encode_mjpeg_mp4(frames, w, h, fps=fps, co64=co64))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["video/mp4"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+            "n_frames": pa.array([n_frames] * n, pa.int32()),
+            "fps": pa.array(np.full(n, fps, np.float32), pa.float32()),
+        }
+    )
+
+
 def synth_gif_video_table(
     n: int, hw: tuple[int, int] = (20, 28), n_frames: int = 5
 ) -> pa.Table:
@@ -395,6 +435,12 @@ class FrameSampler:
             nf = len(parse_avi(payload)["frames"])
             take = self._take(nf, self.k)
             frames, fps = decode_avi_frames(payload, indices=take)
+        elif kind == "video/mp4":
+            from ..functions.mp4 import decode_mp4_frames, parse_mp4
+
+            nf = parse_mp4(payload)["n_frames"]
+            take = self._take(nf, self.k)
+            frames, fps = decode_mp4_frames(payload, indices=take)
         elif kind == "image/gif":
             from ..functions.gif import decode_gif_frames
 
@@ -407,8 +453,8 @@ class FrameSampler:
         else:
             raise NotImplementedError(
                 f"no video container codec for {kind} in this environment "
-                "(MJPEG AVI / animated GIF decode natively; use fake=True "
-                "for other formats)"
+                "(MJPEG AVI / MJPEG MP4 / animated GIF decode natively; "
+                "use fake=True for other formats)"
             )
         tensors = [
             codecs.resize_nearest(codecs.to_grayscale(f), self.target_hw)
