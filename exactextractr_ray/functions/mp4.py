@@ -18,9 +18,13 @@ three honest capability tiers:
 ``encode_mjpeg_mp4`` writes a minimal spec-conformant single-track file
 (ftyp + mdat + moov) for fixtures and sampled-frame reassembly.
 
-Fragmented MP4 (``moof`` movie fragments, CMAF/DASH segments) keeps its
-sample tables in per-fragment ``trun`` boxes; unsupported here — parse
-raises with a clear message rather than returning an empty frame list.
+Fragmented MP4 (``moof`` movie fragments — the CMAF/DASH segment layout
+common in web crawls) keeps its sample tables in per-fragment ``trun``
+boxes: parse_mp4 walks every fragment, applying trex/tfhd defaults and
+the base-data-offset / default-base-is-moof addressing rules (§8.8), so
+probe/extract/decode work identically for progressive and fragmented
+files. Only a moov-less bare segment (initialization segment elsewhere)
+raises, since the codec config genuinely isn't in the file.
 """
 
 from __future__ import annotations
@@ -146,22 +150,129 @@ def _sample_ranges(stbl: dict) -> tuple[np.ndarray, np.ndarray]:
     return offsets[:k], sizes[:k]
 
 
+def _parse_trex(data: bytes, mb: int, me: int, track_id: int) -> dict:
+    """Movie-extends defaults for one track (trex, §8.8.3): the fallback
+    sample duration/size/flags every fragment inherits."""
+    mvex = _child(data, mb, me, "mvex")
+    if mvex is None:
+        return {}
+    for fc, b, e in _iter_boxes(data, mvex[0], mvex[1]):
+        if fc != "trex":
+            continue
+        tid, _sdi, dur, size, flags = struct.unpack(
+            ">5I", data[b + 4:b + 24]
+        )
+        if tid == track_id:
+            return {"dur": int(dur), "size": int(size), "flags": int(flags)}
+    return {}
+
+
+def _parse_fragments(data: bytes, track_id: int, trex: dict):
+    """All moof fragments for one track -> per-sample (offsets, sizes,
+    durations, is_sync). Implements the §8.8.7/8.8.8 tfhd/trun rules:
+    base-data-offset-present (0x1) else default-base-is-moof / first-byte-
+    of-moof addressing; per-sample fields fall back to tfhd then trex
+    defaults; sample_flags bit 16 = non-sync."""
+    offsets: list[int] = []
+    sizes: list[int] = []
+    durs: list[int] = []
+    sync: list[bool] = []
+    for fc, b, e in _iter_boxes(data, 0, len(data)):
+        if fc != "moof":
+            continue
+        moof_start = b - 8
+        for tfc, tb, te in _iter_boxes(data, b, e):
+            if tfc != "traf":
+                continue
+            tfhd = _child(data, tb, te, "tfhd")
+            if tfhd is None:
+                continue
+            flags = int.from_bytes(data[tfhd[0] + 1:tfhd[0] + 4], "big")
+            pos = tfhd[0] + 4
+            (tid,) = struct.unpack(">I", data[pos:pos + 4])
+            pos += 4
+            if tid != track_id:
+                continue
+            base = moof_start
+            if flags & 0x1:
+                (base,) = struct.unpack(">Q", data[pos:pos + 8])
+                pos += 8
+            if flags & 0x2:  # sample-description-index
+                pos += 4
+            d_dur = trex.get("dur", 0)
+            d_size = trex.get("size", 0)
+            d_flags = trex.get("flags", 0)
+            if flags & 0x8:
+                (d_dur,) = struct.unpack(">I", data[pos:pos + 4])
+                pos += 4
+            if flags & 0x10:
+                (d_size,) = struct.unpack(">I", data[pos:pos + 4])
+                pos += 4
+            if flags & 0x20:
+                (d_flags,) = struct.unpack(">I", data[pos:pos + 4])
+                pos += 4
+            cursor: int | None = None
+            for rfc, rb, _re in _iter_boxes(data, tb, te):
+                if rfc != "trun":
+                    continue
+                tflags = int.from_bytes(data[rb + 1:rb + 4], "big")
+                (cnt,) = struct.unpack(">I", data[rb + 4:rb + 8])
+                p = rb + 8
+                if tflags & 0x1:
+                    (doff,) = struct.unpack(">i", data[p:p + 4])
+                    p += 4
+                    cursor = base + doff
+                elif cursor is None:
+                    cursor = base
+                first_flags = None
+                if tflags & 0x4:
+                    (first_flags,) = struct.unpack(">I", data[p:p + 4])
+                    p += 4
+                for i in range(cnt):
+                    dur, sz, sf = d_dur, d_size, d_flags
+                    if tflags & 0x100:
+                        (dur,) = struct.unpack(">I", data[p:p + 4])
+                        p += 4
+                    if tflags & 0x200:
+                        (sz,) = struct.unpack(">I", data[p:p + 4])
+                        p += 4
+                    if tflags & 0x400:
+                        (sf,) = struct.unpack(">I", data[p:p + 4])
+                        p += 4
+                    elif i == 0 and first_flags is not None:
+                        sf = first_flags
+                    if tflags & 0x800:  # composition time offset
+                        p += 4
+                    offsets.append(cursor)
+                    sizes.append(int(sz))
+                    durs.append(int(dur))
+                    sync.append(not (sf & 0x00010000))
+                    cursor += int(sz)
+    return (
+        np.asarray(offsets, np.int64), np.asarray(sizes, np.int64),
+        np.asarray(durs, np.int64), np.asarray(sync, bool),
+    )
+
+
 def parse_mp4(data: bytes) -> dict:
     """MP4/QuickTime bytes -> {"codec", "width", "height", "n_frames",
     "fps", "duration_s", "sample_offsets", "sample_sizes", "sync",
     "sample_times", "audio_rate", "brand"}.
 
     Parses the ``moov`` sample tables of the FIRST video (``vide``) track;
-    when no video track exists, audio_rate/n_frames come from the first
-    ``soun`` track (M4A probe support). Codec payloads are NOT touched."""
+    when the moov tables are empty and ``moof`` fragments exist (CMAF/
+    DASH), the per-fragment trun tables are walked instead. When no video
+    track exists, audio_rate/n_frames come from the first ``soun`` track
+    (M4A probe support). Codec payloads are NOT touched."""
     ftyp = _child(data, 0, len(data), "ftyp")
     brand = data[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace") if ftyp else ""
     moov = _child(data, 0, len(data), "moov")
     if moov is None:
         if _child(data, 0, len(data), "moof") is not None:
             raise NotImplementedError(
-                "fragmented MP4 (moof segments) unsupported — sample "
-                "tables live in per-fragment trun boxes"
+                "bare fragmented-MP4 segment: the moov initialization "
+                "segment (codec config + trex defaults) is in a separate "
+                "file — concatenate init + media segments to parse"
             )
         raise ValueError("not an MP4: no moov box")
     mb, me = moov
@@ -204,6 +315,13 @@ def parse_mp4(data: bytes) -> dict:
         stbl_box = minf and _child(data, minf[0], minf[1], "stbl")
         if not stbl_box:
             continue
+        tkhd = _child(data, tb, te, "tkhd")
+        track_id = 0
+        if tkhd:
+            off = 20 if data[tkhd[0]] == 1 else 12
+            (track_id,) = struct.unpack(
+                ">I", data[tkhd[0] + off:tkhd[0] + off + 4]
+            )
         stbl = _parse_stbl(data, stbl_box[0], stbl_box[1])
         offsets, sizes = _sample_ranges(stbl)
         n = len(offsets)
@@ -213,12 +331,26 @@ def parse_mp4(data: bytes) -> dict:
         if len(deltas) and timescale:
             flat = np.repeat(deltas[:, 1], deltas[:, 0])[:n]
             times[1:] = np.cumsum(flat)[: n - 1] / timescale
+        sync = stbl["sync"]
+        if n == 0:
+            # empty moov tables: fragmented file — walk moof/trun tables
+            trex = _parse_trex(data, mb, me, track_id)
+            offsets, sizes, fdurs, fsync = _parse_fragments(
+                data, track_id, trex
+            )
+            n = len(offsets)
+            if n:
+                sync = np.flatnonzero(fsync)
+                times = np.zeros(n, np.float64)
+                if timescale:
+                    times[1:] = np.cumsum(fdurs)[: n - 1] / timescale
+                    dur_s = float(fdurs.sum()) / timescale
         out.update(
             codec=stbl["codec"], width=int(stbl["width"]),
             height=int(stbl["height"]), n_frames=n,
             fps=(n / dur_s) if dur_s else 0.0, duration_s=dur_s,
             sample_offsets=offsets, sample_sizes=sizes,
-            sync=stbl["sync"], sample_times=times,
+            sync=sync, sample_times=times,
         )
         picked_video = True
     return out
@@ -263,6 +395,97 @@ def _full(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
     return _box(fourcc, struct.pack(">I", version << 24) + body)
 
 
+def _visual_sample_entry(codec: str, width: int, height: int) -> bytes:
+    return (
+        struct.pack(">I", 86)
+        + codec.encode("ascii")
+        + b"\x00" * 6 + struct.pack(">H", 1)   # SampleEntry
+        + b"\x00" * 16                          # pre_defined / reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frame_count
+        + b"\x00" * 32                          # compressorname
+        + struct.pack(">Hh", 24, -1)            # depth, pre_defined
+    )
+
+
+def _encode_fragmented(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    codec: str,
+    timescale: int,
+    delta: int,
+    fragment_size: int,
+) -> bytes:
+    """CMAF-shaped fragmented MP4: ftyp + moov (EMPTY sample tables +
+    mvex/trex defaults) followed by one moof+mdat pair per ``fragment_size``
+    samples. trun uses default-base-is-moof addressing (tfhd flag 0x020000,
+    data_offset from the first byte of moof) with per-sample sizes and the
+    duration inherited from trex — the layout §8.8 readers must handle."""
+    stsd = _full(b"stsd", struct.pack(">I", 1)
+                 + _visual_sample_entry(codec, width, height))
+    stts = _full(b"stts", struct.pack(">I", 0))
+    stsc = _full(b"stsc", struct.pack(">I", 0))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 0))
+    stco = _full(b"stco", struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = (struct.pack(">I", 20) + b"vmhd" + struct.pack(">I", 1)
+            + struct.pack(">HHHH", 0, 0, 0, 0))
+    url_ = struct.pack(">I", 12) + b"url " + struct.pack(">I", 1)
+    dinf = _box(b"dinf", _full(b"dref", struct.pack(">I", 1) + url_))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+                 + b"VideoHandler\x00")
+    # duration 0 = unknown (lives in the fragments)
+    mdhd = _full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, 0,
+                                      0x55C4, 0))
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    tkhd_body = (
+        struct.pack(">IIIII", 0, 0, 1, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    tkhd = struct.pack(">I", 12 + len(tkhd_body)) + b"tkhd" \
+        + struct.pack(">I", 7) + tkhd_body
+    trak = _box(b"trak", tkhd + mdia)
+    # trex: track 1, sdi 1, default duration = delta, size 0, flags 0 (sync)
+    mvex = _box(b"mvex",
+                _full(b"trex", struct.pack(">5I", 1, 1, delta, 0, 0)))
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, 0)
+        + struct.pack(">IH", 0x00010000, 0x0100) + b"\x00" * 10
+        + matrix + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + trak + mvex)
+    ftyp = _box(b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5iso6mp41")
+
+    parts = [ftyp, moov]
+    for seq, i in enumerate(range(0, len(jpeg_frames), fragment_size), 1):
+        chunk = jpeg_frames[i:i + fragment_size]
+        cnt = len(chunk)
+        mfhd = _full(b"mfhd", struct.pack(">I", seq))
+        # tfhd: default-base-is-moof only (0x020000), track 1
+        tfhd = _box(b"tfhd", struct.pack(">II", 0x020000, 1))
+        # trun flags 0x201: data-offset + per-sample size
+        # moof = 8 + mfhd(16) + traf(8 + tfhd(16) + trun(20 + 4*cnt))
+        moof_len = 68 + 4 * cnt
+        trun = _box(
+            b"trun",
+            struct.pack(">IIi", 0x201, cnt, moof_len + 8)
+            + b"".join(struct.pack(">I", len(f)) for f in chunk),
+        )
+        moof = _box(b"moof", mfhd + _box(b"traf", tfhd + trun))
+        assert len(moof) == moof_len
+        parts.append(moof)
+        parts.append(_box(b"mdat", b"".join(chunk)))
+    return b"".join(parts)
+
+
 def encode_mjpeg_mp4(
     jpeg_frames: list[bytes],
     width: int,
@@ -270,16 +493,27 @@ def encode_mjpeg_mp4(
     fps: float = 24.0,
     codec: str = "jpeg",
     co64: bool = False,
+    fragment_size: int | None = None,
 ) -> bytes:
     """JPEG frame payloads -> minimal single-track MP4 (ftyp+mdat+moov).
 
     ``codec`` overrides the stsd fourcc (fixtures exercising the
     unsupported-codec guard pass e.g. 'avc1'); ``co64`` forces 64-bit
-    chunk offsets so the co64 read path has a real fixture."""
+    chunk offsets so the co64 read path has a real fixture.
+    ``fragment_size=k`` writes a FRAGMENTED file instead (CMAF shape:
+    ftyp + moov with empty sample tables + mvex/trex, then one
+    moof+mdat pair per k samples with default-base-is-moof trun
+    addressing) so the §8.8 fragment reader has real fixtures."""
     n = len(jpeg_frames)
     timescale = 90000
     delta = int(round(timescale / fps)) if fps else timescale
     duration = n * delta
+
+    if fragment_size:
+        return _encode_fragmented(
+            jpeg_frames, width, height, codec, timescale, delta,
+            fragment_size,
+        )
 
     mdat_body = b"".join(jpeg_frames)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
@@ -293,18 +527,8 @@ def encode_mjpeg_mp4(
         offs.append(pos)
         pos += s
 
-    stsd_entry = (
-        struct.pack(">I", 86)
-        + codec.encode("ascii")
-        + b"\x00" * 6 + struct.pack(">H", 1)   # SampleEntry
-        + b"\x00" * 16                          # pre_defined / reserved
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frame_count
-        + b"\x00" * 32                          # compressorname
-        + struct.pack(">Hh", 24, -1)            # depth, pre_defined
-    )
-    stsd = _full(b"stsd", struct.pack(">I", 1) + stsd_entry)
+    stsd = _full(b"stsd", struct.pack(">I", 1)
+                 + _visual_sample_entry(codec, width, height))
     stts = _full(b"stts", struct.pack(">III", 1, n, delta))
     stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))  # one chunk
     stsz = _full(

@@ -85,6 +85,40 @@ def test_mp4_unsupported_codec_guard():
         decode_mp4_frames(payload)
 
 
+def test_mp4_fragmented_roundtrip():
+    """CMAF-shaped fragmented file (moov with empty tables + mvex/trex,
+    moof+mdat pairs, default-base-is-moof trun addressing) parses to the
+    SAME frames/timing as the progressive layout of identical content."""
+    imgs, frames = _jpeg_frames(n=7)
+    prog = encode_mjpeg_mp4(frames, 64, 48, fps=12.0)
+    frag = encode_mjpeg_mp4(frames, 64, 48, fps=12.0, fragment_size=3)
+    info = parse_mp4(frag)
+    ref = parse_mp4(prog)
+    assert info["codec"] == "jpeg" and info["n_frames"] == 7
+    assert (info["width"], info["height"]) == (64, 48)
+    assert abs(info["fps"] - ref["fps"]) < 1e-9
+    assert abs(info["duration_s"] - ref["duration_s"]) < 1e-9
+    assert np.allclose(info["sample_times"], ref["sample_times"])
+    # trex default flags = sync: every sample is a keyframe
+    assert np.array_equal(info["sync"], np.arange(7))
+    assert extract_mp4_samples(frag) == frames
+    dec, fps = decode_mp4_frames(frag, indices=[0, 6])
+    assert abs(fps - 12.0) < 1e-6
+    for d, i in zip(dec, (0, 6)):
+        assert np.array_equal(d, decode_jpeg(frames[i]))
+
+
+def test_mp4_fragmented_probe():
+    from exactextractr_ray.functions.codecs import probe_media, sniff_media
+
+    _, frames = _jpeg_frames(n=5)
+    frag = encode_mjpeg_mp4(frames, 64, 48, fps=10.0, fragment_size=2)
+    assert sniff_media(frag) == "video/mp4"
+    p = probe_media(frag)
+    assert p == {"kind": "video/mp4", "width": 64, "height": 48,
+                 "frames": 5, "sample_rate": 10}
+
+
 def test_mp4_fragmented_and_non_mp4_rejected():
     import struct
 
