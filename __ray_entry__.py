@@ -2203,10 +2203,12 @@ def _q_gif_frames_features(sf_dir: str):
 def _q_mp4_sample_ranges(sf_dir: str):
     """ISO-BMFF sample-table machinery under the oracle: rule-generated
     coded samples of rule-defined lengths are written into real MP4s
-    (functions/mp4.py encode; stco and co64 variants alternate), then
+    (functions/mp4.py encode; the container layout cycles stco ->
+    co64 -> FRAGMENTED CMAF moof/trun by media_id % 3), then
     extract_mp4_samples recovers every sample's byte range codec-free —
     per-sample length and byte sum are values DuckDB recomputes from the
-    generation rule alone. Bit-exact for ANY codec tag (samples here are
+    generation rule alone, so all three physical layouts must invert to
+    the same bytes. Bit-exact for ANY codec tag (samples here are
     'mp4v'-tagged opaque bytes; no decode happens)."""
     import pyarrow as pa_
     import ray.data
@@ -2225,7 +2227,8 @@ def _q_mp4_sample_ranges(sf_dir: str):
         ]
         payloads.append(
             encode_mjpeg_mp4(
-                samples, 64, 48, fps=10.0, codec="mp4v", co64=bool(m % 2)
+                samples, 64, 48, fps=10.0, codec="mp4v",
+                co64=(m % 3 == 1), fragment_size=(2 if m % 3 == 2 else None),
             )
         )
     tbl = pa_.table(
