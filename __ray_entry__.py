@@ -2270,6 +2270,33 @@ def _q_mp4_sample_ranges(sf_dir: str):
     return out.sort_values(["media_id", "sample_idx"]).reset_index(drop=True)
 
 
+def _q_image_dhash_pairs(sf_dir: str):
+    """Perceptual image near-dup under the oracle: rule-generated grayscale
+    16x18 images are REAL-PNG-encoded, decoded by the from-spec codec,
+    nearest-resampled to 8x9, dHashed (64 gradient-sign bits) and paired by
+    pigeonhole Hamming banding (stages/multimodal.py image_dhash_pairs over
+    stages/dedup.py hamming_pairs). Every step is exact integer arithmetic,
+    so DuckDB recomputes the full pair set (hamming <= 6) from the pixel
+    rule alone — the LAION-style image-dedup path, bit-exact."""
+    import ray.data
+
+    from exactextractr_ray.stages.multimodal import (
+        image_dhash_pairs,
+        synth_dhash_png_table,
+    )
+
+    out = (
+        image_dhash_pairs(
+            ray.data.from_arrow(synth_dhash_png_table(48)),
+            max_hamming=6, fake=False, batch_size=16,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -2859,6 +2886,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "gif_frames_features": _q_gif_frames_features,
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
+        "image_dhash_pairs": _q_image_dhash_pairs,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5741,6 +5769,42 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.mid, f.fi ORDER BY t.mid, f.fi
     """
 
+    # image i (group g=i//4, perturbation d=i%4) has 16x18 grayscale pixels
+    # p(y,x) = (g*53 + y*17 + x*29 + d*100*[(y*18+x)%7=0]) % 256; the 8x9
+    # thumbnail picks odd rows/cols (nearest resize), dHash bit (r,c) =
+    # [p(2r+1,2c+3) > p(2r+1,2c+1)]; the 64-bit hash is carried as two
+    # 32-bit BIGINT halves so xor/bit_count stay in signed-64 range
+    image_dhash = """
+    WITH px AS (
+      SELECT i.i AS media_id, r.r AS r, c.c AS c,
+             ((i.i // 4)*53 + (2*r.r+1)*17 + (2*c.c+1)*29
+              + (i.i % 4)*100*(CASE WHEN ((2*r.r+1)*18 + (2*c.c+1)) % 7 = 0
+                               THEN 1 ELSE 0 END)) % 256 AS v
+      FROM range(48) i(i), range(8) r(r), range(9) c(c)
+    ),
+    bits AS (
+      SELECT a.media_id, a.r, a.c,
+             CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+      FROM px a JOIN px b ON b.media_id = a.media_id AND b.r = a.r
+                         AND b.c = a.c + 1
+      WHERE a.c < 8
+    ),
+    hashes AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN r < 4 THEN bit * (CAST(1 AS BIGINT)
+                  << (r*8 + c)) ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN r >= 4 THEN bit * (CAST(1 AS BIGINT)
+                  << ((r-4)*8 + c)) ELSE 0 END) AS BIGINT) AS h2
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+                AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 6
+    ORDER BY doc_a, doc_b
+    """
+
     # sample f of media m is the byte string ((m*7+f*11+j*3) % 256 for
     # j < 20+(m+f)%7) — recompute each sample's length and byte sum
     mp4_samples = """
@@ -5761,6 +5825,7 @@ def oracle_sql() -> dict[str, str]:
         "gif_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
+        "image_dhash_pairs": image_dhash,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,

@@ -922,24 +922,28 @@ def _simhash_band_bounds(bands: int) -> np.ndarray:
     return np.concatenate([[0], np.cumsum(sizes)])
 
 
-def simhash_pairs(ds, max_hamming: int = 3, id_col="doc_id", text_col="text"):
-    """Near-dup pairs by SimHash banding with a pigeonhole guarantee: the
-    64-bit signature is split into ``max_hamming + 1`` contiguous chunks, so
-    any pair within the hamming radius shares at least one exact chunk
-    (max_hamming differing bits cannot touch all max_hamming+1 chunks).
-    Candidate generation is therefore EXHAUSTIVE: the output is exactly the
-    set of pairs with hamming <= max_hamming, verified in-bucket."""
+def hamming_pairs(
+    sigs, max_hamming: int = 3, id_col: str = "doc_id", sig_col: str = "simhash"
+):
+    """Exact pairs within a Hamming radius over ANY 64-bit signature column
+    (SimHash, image dHash, audio fingerprints...), by pigeonhole banding:
+    the signature is split into ``max_hamming + 1`` contiguous chunks, so a
+    pair within the radius shares at least one exact chunk (max_hamming
+    differing bits cannot touch all max_hamming+1 chunks). Candidate
+    generation is therefore EXHAUSTIVE; candidates verify in-bucket and
+    dedup via a (a, b) min-groupby. Only (bkey, id, sig) rows shuffle —
+    bands+1 int64s per item — never payloads.
+
+    ``sigs``: Dataset with columns (id_col int64, sig_col uint64).
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <= radius."""
     bands = max_hamming + 1
     if bands > 64:
         raise ValueError("max_hamming must be < 64")
     bounds = _simhash_band_bounds(bands)
-    sigs = ds.map_batches(
-        lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow"
-    )
 
     def band(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy()
-        sh = b.column("simhash").to_numpy().astype(np.uint64)
+        ids = b.column(id_col).to_numpy()
+        sh = b.column(sig_col).to_numpy().astype(np.uint64)
         n = len(ids)
         keys = np.empty((bands, n), dtype=np.int64)
         for part in range(bands):
@@ -991,6 +995,15 @@ def simhash_pairs(ds, max_hamming: int = 3, id_col="doc_id", text_col="text"):
         lambda b: b.rename_columns(["doc_a", "doc_b", "hamming"]),
         batch_format="pyarrow",
     )
+
+
+def simhash_pairs(ds, max_hamming: int = 3, id_col="doc_id", text_col="text"):
+    """Near-dup pairs by SimHash + pigeonhole banding: the output is exactly
+    the set of pairs with hamming <= max_hamming (see hamming_pairs)."""
+    sigs = ds.map_batches(
+        lambda b: simhash_batch(b, id_col, text_col), batch_format="pyarrow"
+    )
+    return hamming_pairs(sigs, max_hamming, id_col="doc_id", sig_col="simhash")
 
 
 # --------------------------------------------------------------------------

@@ -202,6 +202,97 @@ def image_features_batch(batch: pa.Table, n_bins: int = 16) -> pa.Table:
     return batch.drop_columns(["pixels"]).append_column("embedding", col)
 
 
+def dhash_batch(batch: pa.Table, id_col: str = "media_id") -> pa.Table:
+    """64-bit difference hash (dHash) per DECODED image — the standard
+    perceptual near-dup signature (LAION-style image dedup uses exactly
+    this shape: tiny luma thumbnail, horizontal gradient sign bits).
+
+    Expects the decode stage's output: ``pixels`` as an (8*9) luma list
+    (decode with ``target_hw=(8, 9)``); bit (r, c) = 1 iff
+    px[r, c+1] > px[r, c], packed little-endian into a uint64. All integer
+    comparisons on exact decoded values — bit-stable at any parallelism."""
+    n = batch.num_rows
+    ph = int(batch.column("pix_h")[0].as_py()) if n else 8
+    pw = int(batch.column("pix_w")[0].as_py()) if n else 9
+    if (ph, pw) != (8, 9):
+        raise ValueError(f"dhash_batch needs (8, 9) thumbnails, got {(ph, pw)}")
+    if n == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "dhash": pa.array([], pa.uint64())}
+        )
+    px = np.asarray(
+        batch.column("pixels").combine_chunks().values, dtype=np.float32
+    ).reshape(n, 8, 9)
+    bits = (px[:, :, 1:] > px[:, :, :-1]).astype(np.uint64).reshape(n, 64)
+    hashes = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "dhash": pa.array(hashes, pa.uint64()),
+        }
+    )
+
+
+def image_dhash_pairs(
+    ds,
+    max_hamming: int = 6,
+    fake: bool = False,
+    id_col: str = "media_id",
+    concurrency=(1, 8),
+    batch_size: int = 64,
+    on_error: str = "raise",
+):
+    """Image near-duplicate pairs by perceptual dHash + pigeonhole Hamming
+    banding: real codec decode (actor pool) -> 8x9 luma thumbnail -> 64-bit
+    dHash -> exact pairs with hamming <= max_hamming via
+    stages.dedup.hamming_pairs. Payload bytes never shuffle — after decode
+    only (id, uint64) signature rows move, so the exchange is
+    corpus-size-bounded regardless of image sizes. Output: (doc_a, doc_b,
+    hamming) with doc_a < doc_b."""
+    from .dedup import hamming_pairs
+
+    dec = decode_images(
+        ds, target_hw=(8, 9), fake=fake, concurrency=concurrency,
+        batch_size=batch_size, on_error=on_error,
+    )
+    sigs = dec.map_batches(
+        dhash_batch, batch_format="pyarrow", fn_kwargs={"id_col": id_col}
+    )
+    return hamming_pairs(sigs, max_hamming, id_col=id_col, sig_col="dhash")
+
+
+def synth_dhash_png_table(n: int = 48, hw: tuple[int, int] = (16, 18)) -> pa.Table:
+    """Real-PNG fixture with an SQL-expressible pixel rule that yields
+    designed near-duplicate groups: image i in group g = i//4 with
+    perturbation d = i%4 has GRAYSCALE pixels
+    p(y, x) = (g*53 + y*17 + x*29 + d*100*[(y*18 + x) % 7 == 0]) % 256,
+    so group members differ on ~1/7 of pixels — a mix of exact dups,
+    near dups and far pairs a DuckDB oracle recomputes from the rule."""
+    from ..functions.codecs import encode_png
+
+    h, w = hw
+    y, x = np.mgrid[0:h, 0:w]
+    payloads = []
+    for i in range(n):
+        g, d = i // 4, i % 4
+        img = (
+            (g * 53 + y * 17 + x * 29 + d * 100 * (((y * 18 + x) % 7) == 0))
+            % 256
+        ).astype(np.uint8)
+        payloads.append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([w] * n, pa.int32()),
+            "height": pa.array([h] * n, pa.int32()),
+        }
+    )
+
+
 def synth_image_table(n: int, payload_kb: int = 4) -> pa.Table:
     """Deterministic fake image rows for tests/benchmarks."""
     rng = np.random.default_rng(42)

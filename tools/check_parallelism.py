@@ -134,6 +134,9 @@ QUERIES = [
     "png_decode_features",
     "gif_frames_features",
     "warc_media_probe",
+    # round-4 session 5
+    "mp4_sample_ranges",
+    "image_dhash_pairs",
 ]
 
 _CHILD = r"""
