@@ -2297,6 +2297,32 @@ def _q_image_dhash_pairs(sf_dir: str):
     return out
 
 
+def _q_audio_fp_pairs(sf_dir: str):
+    """Audio near-dup under the oracle: rule-generated int16 PCM is written
+    into REAL containers (even ids PCM16 WAV, odd ids Sun AU), decoded by
+    the native codecs, fingerprinted (65 integer window energies -> 64
+    gradient-sign bits) and paired by pigeonhole Hamming banding
+    (stages/multimodal.py audio_fingerprint_pairs). Integer-exact
+    end-to-end, so DuckDB recomputes the full pair set (hamming <= 4) from
+    the PCM rule alone — both container decoders sit under one oracle."""
+    import ray.data
+
+    from exactextractr_ray.stages.multimodal import (
+        audio_fingerprint_pairs,
+        synth_fp_audio_table,
+    )
+
+    return (
+        audio_fingerprint_pairs(
+            ray.data.from_arrow(synth_fp_audio_table(40)),
+            max_hamming=4, fake=False, batch_size=16,
+        )
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -2887,6 +2913,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "audio_fp_pairs": _q_audio_fp_pairs,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5805,6 +5832,44 @@ def oracle_sql() -> dict[str, str]:
     ORDER BY doc_a, doc_b
     """
 
+    # clip i (group g=i//4, perturbation d=i%4) has 4160 int16 samples
+    # s(t) = ((g*37 + t*13 + (t*t)%29 + d*100*[t%331=0]) % 401) - 200; the
+    # fingerprint is 64 gradient-sign bits over 65 window energies
+    # (window = t//64, energy = sum s^2), carried as two 32-bit halves
+    audio_fp = """
+    WITH s AS (
+      SELECT i.i AS media_id, t.t // 64 AS w,
+             ((i.i // 4)*37 + t.t*13 + (t.t*t.t) % 29
+              + (i.i % 4)*100*(CASE WHEN t.t % 331 = 0 THEN 1 ELSE 0 END))
+             % 401 - 200 AS v
+      FROM range(40) i(i), range(4160) t(t)
+    ),
+    energy AS (
+      SELECT media_id, w, SUM(v*v) AS e FROM s GROUP BY media_id, w
+    ),
+    bits AS (
+      SELECT a.media_id, a.w AS b,
+             CASE WHEN x.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM energy a JOIN energy x
+        ON x.media_id = a.media_id AND x.w = a.w + 1
+      WHERE a.w < 64
+    ),
+    hashes AS (
+      SELECT media_id,
+             CAST(SUM(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b)
+                  ELSE 0 END) AS BIGINT) AS h1,
+             CAST(SUM(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT)
+                  << (b - 32)) ELSE 0 END) AS BIGINT) AS h2
+      FROM bits GROUP BY media_id
+    )
+    SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           CAST(bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+                AS BIGINT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2)) <= 4
+    ORDER BY doc_a, doc_b
+    """
+
     # sample f of media m is the byte string ((m*7+f*11+j*3) % 256 for
     # j < 20+(m+f)%7) — recompute each sample's length and byte sum
     mp4_samples = """
@@ -5826,6 +5891,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
         "image_dhash_pairs": image_dhash,
+        "audio_fp_pairs": audio_fp,
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,

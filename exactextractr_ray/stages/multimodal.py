@@ -719,6 +719,109 @@ class AudioFeatures:
         )
 
 
+class AudioFingerprint(AudioFeatures):
+    """64-bit audio fingerprint (Chromaprint-shaped, integer-exact):
+    decoded waveform -> int PCM (round(wav * 32768) recovers the container's
+    int16 samples exactly for all real decoders) -> 65 equal windows
+    (remainder truncated) -> int64 window energies -> 64 gradient-sign bits.
+    Pure integer arithmetic after decode, so the signature is bit-stable at
+    any parallelism and across containers carrying the same PCM (WAV/AIFF/
+    AU must fingerprint identically — tested)."""
+
+    def __init__(self, fake: bool = True):
+        super().__init__(n_windows=65, fake=fake)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        ns = batch.column("n_samples").to_numpy()
+        shifts = np.arange(64, dtype=np.uint64)
+        fps = np.zeros(len(ids), dtype=np.uint64)
+        for i, (p, n) in enumerate(zip(payloads, ns)):
+            wav = self.decode_waveform(p, int(n))
+            pcm = np.rint(np.asarray(wav, np.float64) * 32768.0).astype(
+                np.int64
+            )
+            w = self.n_windows
+            L = len(pcm) // w
+            if L == 0:
+                continue
+            e = (pcm[: w * L].reshape(w, L) ** 2).sum(axis=1)
+            bits = (e[1:] > e[:-1]).astype(np.uint64)
+            fps[i] = (bits << shifts).sum(dtype=np.uint64)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "afp": pa.array(fps, pa.uint64()),
+            }
+        )
+
+
+def audio_fingerprint_pairs(
+    ds,
+    max_hamming: int = 4,
+    fake: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 64,
+):
+    """Audio near-duplicate pairs: real container decode (actor pool) ->
+    64-bit energy-gradient fingerprint -> exact Hamming pairs via
+    stages.dedup.hamming_pairs pigeonhole banding. Payload bytes never
+    shuffle — only (id, uint64) rows move after decode. Output:
+    (doc_a, doc_b, hamming) with doc_a < doc_b, hamming <= max_hamming."""
+    from .dedup import hamming_pairs
+
+    sigs = ds.map_batches(
+        AudioFingerprint,
+        fn_constructor_args=(fake,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return hamming_pairs(sigs, max_hamming, id_col="media_id", sig_col="afp")
+
+
+def _encode_au_pcm16(pcm: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> Sun/NeXT AU bytes (encoding 3 = PCM16 BE)."""
+    import struct
+
+    body = np.asarray(pcm).astype(">i2").tobytes()
+    return b".snd" + struct.pack(">5I", 24, len(body), 3, rate, 1) + body
+
+
+def synth_fp_audio_table(n: int = 40, n_samples: int = 4160) -> pa.Table:
+    """Real audio fixture with an SQL-expressible integer PCM rule yielding
+    designed near-dup groups: clip i in group g = i//4 with perturbation
+    d = i%4 has samples
+    s(t) = ((g*37 + t*13 + (t*t)%29 + d*100*[t % 331 == 0]) % 401) - 200,
+    so group members differ on ~13 of 4160 samples. Even ids encode as
+    PCM16 WAV, odd ids as Sun AU — both real decoders sit under one
+    oracle (identical PCM -> identical fingerprint)."""
+    from ..functions.codecs import encode_wav
+
+    t = np.arange(n_samples, dtype=np.int64)
+    payloads, kinds = [], []
+    for i in range(n):
+        g, d = i // 4, i % 4
+        v = ((g * 37 + t * 13 + (t * t) % 29
+              + d * 100 * ((t % 331) == 0)) % 401) - 200
+        if i % 2 == 0:
+            payloads.append(encode_wav(v / 32768.0, 16000))
+            kinds.append("audio/wav")
+        else:
+            payloads.append(_encode_au_pcm16(v.astype(np.int16), 16000))
+            kinds.append("audio/basic")
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(kinds),
+            "payload": pa.array(payloads, pa.binary()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "n_samples": pa.array([n_samples] * n, pa.int32()),
+        }
+    )
+
+
 def audio_features(ds, n_windows: int = 8, fake: bool = True,
                    concurrency=(1, 8), batch_size: int = 64):
     return ds.map_batches(

@@ -137,6 +137,7 @@ QUERIES = [
     # round-4 session 5
     "mp4_sample_ranges",
     "image_dhash_pairs",
+    "audio_fp_pairs",
 ]
 
 _CHILD = r"""
