@@ -2323,6 +2323,25 @@ def _q_audio_fp_pairs(sf_dir: str):
     )
 
 
+def _q_bpe_train_merges(sf_dir: str):
+    """Multi-round distributed BPE tokenizer training (stages/bpe.py):
+    corpus text read ONCE into a word-frequency table, then 12 merge
+    rounds over the bounded vocab (pair-count partials -> groupby-sum ->
+    per-block argmax -> one tiny row per block to the driver). Iterative
+    per-round argmax over aggregates is not SQL-expressible, so no DuckDB
+    oracle; tools/check_oracles.py instead compares bit-exactly against
+    the single-process Sennrich reference implementation, and the
+    parallelism sweep checks 4-vs-16-CPU byte identity."""
+    import ray.data
+
+    from exactextractr_ray.stages.bpe import bpe_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_train(docs, num_merges=12)
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -2914,6 +2933,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "mp4_sample_ranges": _q_mp4_sample_ranges,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
+        "bpe_train_merges": _q_bpe_train_merges,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,

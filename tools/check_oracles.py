@@ -173,9 +173,32 @@ def check_knn_lsh_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
     return f"OK (exact match to re-derivation; brute recall@{KNN_K} {np.mean(recalls):.2f})"
 
 
+def check_bpe_reference(ray_df, sf_dir):
+    """bpe_train_merges: bit-exact vs the single-process Sennrich
+    reference run on the same corpus (iterative argmax isn't SQL)."""
+    import duckdb
+
+    from exactextractr_ray.stages.bpe import bpe_train_reference
+
+    texts = (
+        duckdb.connect()
+        .execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .df()["text"]
+        .tolist()
+    )
+    want = bpe_train_reference(texts, num_merges=12)
+    got = ray_df[want.columns.tolist()].reset_index(drop=True)
+    if got.equals(want.reset_index(drop=True)):
+        return "OK (bit-exact vs single-process Sennrich reference)"
+    return "MISMATCH vs BPE reference implementation"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
     "knn_cosine_lsh": check_knn_lsh_exact,
+    "bpe_train_merges": check_bpe_reference,
 }
 
 

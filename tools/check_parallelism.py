@@ -138,6 +138,7 @@ QUERIES = [
     "mp4_sample_ranges",
     "image_dhash_pairs",
     "audio_fp_pairs",
+    "bpe_train_merges",
 ]
 
 _CHILD = r"""
