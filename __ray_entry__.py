@@ -2342,6 +2342,33 @@ def _q_bpe_train_merges(sf_dir: str):
     return bpe_train(docs, num_merges=12)
 
 
+def _q_pdf_extract_text(sf_dir: str):
+    """PDF text extraction under the byte-identical-text oracle: every
+    document's text is written into a REAL one-page FlateDecode PDF
+    (functions/pdf.py — the same parser that reads this host's pdfTeX
+    xref-stream/ObjStm files), extracted back by the content-stream
+    tokenizer, and compared to the source text verbatim. The PDF-modality
+    twin of extract_text_identity (BASELINE.json input_hint: byte-identical
+    extracted text per url)."""
+    import ray.data
+
+    from exactextractr_ray.sources.pages import read_pdf_docs
+    from exactextractr_ray.stages.text import extract_pdf_text_batch
+
+    out = (
+        read_pdf_docs(sf_dir)
+        .map_batches(extract_pdf_text_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["doc_id", "extracted_text"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -2934,6 +2961,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "image_dhash_pairs": _q_image_dhash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
         "bpe_train_merges": _q_bpe_train_merges,
+        "pdf_extract_text": _q_pdf_extract_text,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5912,6 +5940,12 @@ def oracle_sql() -> dict[str, str]:
         "mp4_sample_ranges": mp4_samples,
         "image_dhash_pairs": image_dhash,
         "audio_fp_pairs": audio_fp,
+        # the PDF writer/extractor round-trip is byte-exact, so the oracle
+        # is the source text itself (the input_hint invariant, PDF modality)
+        "pdf_extract_text": (
+            "SELECT doc_id, text AS extracted_text FROM documents "
+            "ORDER BY doc_id"
+        ),
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,
         "zonal_mode_rect": zonal_mode,

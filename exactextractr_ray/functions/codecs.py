@@ -360,6 +360,8 @@ def sniff_media(data: bytes) -> str:
         # recognized so the skip policy can classify it; VP8/VP8L decode
         # genuinely needs a native codec (boolean coder) — unsupported
         return "image/webp"
+    if data[:5] == b"%PDF-":
+        return "application/pdf"
     if data[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -620,6 +622,11 @@ def probe_media(data: bytes) -> dict:
                     pos = j
             if len(toks) == 2:
                 w, h = toks
+        elif kind == "application/pdf":
+            # page count via the reconstruction scan; "frames" = pages
+            from .pdf import PdfFile
+
+            frames = len(PdfFile(data).pages())
         elif kind == "video/avi":
             from .avi import parse_avi
 

@@ -50,6 +50,38 @@ def read_pages(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(pages_from_documents_batch, batch_format="pyarrow")
 
 
+def pdfs_from_documents_batch(batch: pa.Table) -> pa.Table:
+    """documents batch -> crawled-PDF rows (doc_id, url, pdf binary, text):
+    each document's text becomes a real one-page FlateDecode PDF
+    (functions/pdf.py encode_simple_pdf), which the extractor inverts
+    byte-exactly — the PDF-modality twin of the HTML pages fixture."""
+    from ..functions.pdf import encode_simple_pdf
+
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    pdfs = [encode_simple_pdf([t or ""]) for t in texts]
+    urls = [
+        f"https://site{int(i) % 1000:04d}.example/doc/{int(i)}.pdf"
+        for i in ids
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "pdf": pa.array(pdfs, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def read_pdf_docs(sf_dir: str) -> "ray.data.Dataset":
+    """Crawled-PDF Dataset synthesized from {sf_dir}/documents.parquet."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(pdfs_from_documents_batch, batch_format="pyarrow")
+
+
 def page_url(doc_id: int) -> str:
     """The canonical page URL for a doc id (same format as read_pages)."""
     return f"https://site{int(doc_id) % 1000:04d}.example/page/{int(doc_id)}"

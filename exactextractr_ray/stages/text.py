@@ -92,6 +92,29 @@ def extract_text_batch(batch: pa.Table, html_col: str = "html") -> pa.Table:
     return batch.append_column("extracted_text", pa.array(texts, type=pa.string()))
 
 
+def extract_pdf_text_batch(
+    batch: pa.Table, pdf_col: str = "pdf", on_error: str = "raise"
+) -> pa.Table:
+    """PDF payloads -> extracted text (functions/pdf.py parse_pdf; pages
+    joined with newline). ``on_error="skip"`` drops unparseable payloads
+    (web-corpus default — a corrupt PDF costs one row, not the task)."""
+    from ..functions.pdf import parse_pdf
+
+    pdfs = batch.column(pdf_col).to_pylist()
+    texts, keep = [], []
+    for i, p in enumerate(pdfs):
+        try:
+            texts.append("\n".join(parse_pdf(p)["page_texts"]))
+            keep.append(i)
+        except Exception:
+            if on_error == "raise":
+                raise
+    out = batch if len(keep) == len(pdfs) else batch.take(keep)
+    return out.append_column(
+        "extracted_text", pa.array(texts, type=pa.string())
+    )
+
+
 # ---------------- token counting ----------------
 
 _TOKEN_RE = re.compile(r"\S+")

@@ -139,6 +139,7 @@ QUERIES = [
     "image_dhash_pairs",
     "audio_fp_pairs",
     "bpe_train_merges",
+    "pdf_extract_text",
 ]
 
 _CHILD = r"""
