@@ -2369,6 +2369,59 @@ def _q_pdf_extract_text(sf_dir: str):
     return out
 
 
+def _q_image_dup_clusters(sf_dir: str):
+    """Composition: perceptual image near-dup pairs (real PNG decode ->
+    dHash -> Hamming banding) -> connected components (stages/dedup.py
+    dup_clusters hash-to-min over the edge list only). One keeper per
+    transitive near-dup chain — the LAION-style image dedup endgame.
+    Oracle: the dHash pair SQL feeds a recursive reachability closure."""
+    import ray.data
+
+    from exactextractr_ray.stages.dedup import dup_clusters
+    from exactextractr_ray.stages.multimodal import (
+        image_dhash_pairs,
+        synth_dhash_png_table,
+    )
+
+    pairs = image_dhash_pairs(
+        ray.data.from_arrow(synth_dhash_png_table(48)),
+        max_hamming=6, fake=False, batch_size=16,
+    )
+    return (
+        dup_clusters(pairs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def _q_bpe_encode_tokens(sf_dir: str):
+    """Tokenizer APPLICATION side: 12 merges trained distributed
+    (stages/bpe.py bpe_train), then bpe_encode_batch applies the learned
+    merge table to every document (merge list broadcast via closure) ->
+    per-doc BPE token counts. Checked bit-exact against the single-process
+    reference trainer+encoder by tools/check_oracles.py."""
+    import ray.data
+
+    from exactextractr_ray.stages.bpe import bpe_encode_batch, bpe_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = bpe_train(docs, num_merges=12)
+    pairs = list(zip(merges["left"], merges["right"]))
+    return (
+        docs.map_batches(
+            bpe_encode_batch,
+            batch_format="pyarrow",
+            fn_kwargs={"merges": pairs},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -2962,6 +3015,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "audio_fp_pairs": _q_audio_fp_pairs,
         "bpe_train_merges": _q_bpe_train_merges,
         "pdf_extract_text": _q_pdf_extract_text,
+        "image_dup_clusters": _q_image_dup_clusters,
+        "bpe_encode_tokens": _q_bpe_encode_tokens,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -5939,6 +5994,23 @@ def oracle_sql() -> dict[str, str]:
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
         "image_dhash_pairs": image_dhash,
+        # same dHash pair SQL -> recursive reachability closure, min label
+        "image_dup_clusters": (
+            "WITH RECURSIVE pairs AS (" + image_dhash + """),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ORDER BY doc_id
+    """
+        ),
         "audio_fp_pairs": audio_fp,
         # the PDF writer/extractor round-trip is byte-exact, so the oracle
         # is the source text itself (the input_hint invariant, PDF modality)

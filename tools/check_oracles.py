@@ -195,10 +195,45 @@ def check_bpe_reference(ray_df, sf_dir):
     return "MISMATCH vs BPE reference implementation"
 
 
+def check_bpe_encode_reference(ray_df, sf_dir):
+    """bpe_encode_tokens: train 12 merges with the single-process
+    reference, encode every doc with the same greedy-rank loop, compare."""
+    import duckdb
+
+    from exactextractr_ray.stages.bpe import (
+        bpe_encode_batch,
+        bpe_train_reference,
+    )
+    import pyarrow as pa
+
+    df = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        )
+        .df()
+    )
+    ref = bpe_train_reference(df["text"].tolist(), num_merges=12)
+    merges = list(zip(ref["left"], ref["right"]))
+    want = bpe_encode_batch(
+        pa.Table.from_pandas(df, preserve_index=False), merges
+    ).to_pandas()
+    got = (
+        ray_df[want.columns.tolist()]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    if got.equals(want.sort_values("doc_id").reset_index(drop=True)):
+        return "OK (bit-exact vs reference train+encode)"
+    return "MISMATCH vs BPE reference encode"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
     "knn_cosine_lsh": check_knn_lsh_exact,
     "bpe_train_merges": check_bpe_reference,
+    "bpe_encode_tokens": check_bpe_encode_reference,
 }
 
 

@@ -140,6 +140,8 @@ QUERIES = [
     "audio_fp_pairs",
     "bpe_train_merges",
     "pdf_extract_text",
+    "image_dup_clusters",
+    "bpe_encode_tokens",
 ]
 
 _CHILD = r"""
