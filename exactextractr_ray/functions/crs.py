@@ -55,6 +55,8 @@ _ELLIPSOIDS = {
     "CLRK66": (6378206.4, (6378206.4 - 6356583.8) / 6378206.4),
     "AIRY": (6377563.396, 1.0 / 299.3249646),       # Airy 1830 (OSGB36)
     "INTL": (6378388.0, 1.0 / 297.0),               # International 1924 (ED50)
+    "BESSEL": (6377397.155, 1.0 / 299.1528128),     # Bessel 1841 (CH1903)
+    "EVRST67": (6377298.556, 1.0 / 300.8017),       # Everest 1830 (1967, Borneo)
 }
 
 
@@ -535,6 +537,114 @@ class Equirectangular:
         return np.degrees(lam + self.lon0), np.degrees(phi)
 
 
+class HotineObliqueMercator:
+    """Ellipsoidal Hotine Oblique Mercator, EPSG method 9815 (variant B —
+    false coordinates at the projection CENTER), Snyder (1987) pp. 66-75,
+    eqs. 9-2..9-39 — the family behind the Swiss grids (EPSG:2056/21781,
+    where azimuth = rectified angle = 90 deg makes it the Swiss Oblique
+    Mercator / PROJ ``somerc``), Borneo/Malaysia RSO (EPSG:29873), and
+    Alaska zone 1.
+
+    The variant-B origin shift ``uc`` is evaluated NUMERICALLY as u at the
+    projection center under the same atan2 branch used by forward(), so
+    the center maps to exactly (FE, FN) by construction; validated against
+    the EPSG Guidance Note 7-2 Timbalai worked example (tests)."""
+
+    def __init__(
+        self,
+        lat0_deg: float,
+        lonc_deg: float,
+        azimuth_deg: float,
+        gamma_deg: float | None = None,
+        k0: float = 1.0,
+        false_easting: float = 0.0,
+        false_northing: float = 0.0,
+        ellipsoid: str = "BESSEL",
+    ):
+        a, f = (_ELLIPSOIDS[ellipsoid] if isinstance(ellipsoid, str)
+                else ellipsoid)
+        e2 = f * (2.0 - f)
+        e = math.sqrt(e2)
+        self.e = e
+        p0 = math.radians(lat0_deg)
+        lc = math.radians(lonc_deg)
+        alc = math.radians(azimuth_deg)
+        self.gammac = math.radians(
+            azimuth_deg if gamma_deg is None else gamma_deg
+        )
+        self.fe = false_easting
+        self.fn = false_northing
+        s0, c0 = math.sin(p0), math.cos(p0)
+        self.B = math.sqrt(1.0 + e2 * c0**4 / (1.0 - e2))
+        self.A = a * self.B * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+        t0 = math.tan(math.pi / 4 - p0 / 2) / (
+            ((1 - e * s0) / (1 + e * s0)) ** (e / 2)
+        )
+        D = self.B * math.sqrt(1.0 - e2) / (c0 * math.sqrt(1.0 - e2 * s0 * s0))
+        D2 = max(D * D, 1.0)
+        F = D + math.sqrt(D2 - 1.0) * (1.0 if p0 >= 0 else -1.0)
+        self.H = F * t0**self.B
+        G = (F - 1.0 / F) / 2.0
+        self.gamma0 = math.asin(min(1.0, max(-1.0, math.sin(alc) / D)))
+        self.lam0 = lc - math.asin(
+            min(1.0, max(-1.0, G * math.tan(self.gamma0)))
+        ) / self.B
+        # variant B: u at the center under forward()'s own branch rules
+        self.uc = 0.0
+        uc, vc = self._uv(np.array([lonc_deg]), np.array([lat0_deg]))
+        self.uc = float(uc[0])
+
+    def _uv(self, lon_deg, lat_deg):
+        e, B = self.e, self.B
+        phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+        lam = np.radians(np.asarray(lon_deg, dtype=np.float64)) - self.lam0
+        s = np.sin(phi)
+        t = np.tan(np.pi / 4 - phi / 2) / (
+            ((1 - e * s) / (1 + e * s)) ** (e / 2)
+        )
+        Q = self.H / t**B
+        S = (Q - 1.0 / Q) / 2.0
+        T = (Q + 1.0 / Q) / 2.0
+        V = np.sin(B * lam)
+        sg0, cg0 = math.sin(self.gamma0), math.cos(self.gamma0)
+        U = (-V * cg0 + S * sg0) / T
+        v = self.A * np.log((1.0 - U) / (1.0 + U)) / (2.0 * B)
+        u = (self.A / B) * np.arctan2(S * cg0 + V * sg0, np.cos(B * lam))
+        return u - self.uc, v
+
+    def forward(self, lon_deg, lat_deg):
+        u, v = self._uv(lon_deg, lat_deg)
+        sgc, cgc = math.sin(self.gammac), math.cos(self.gammac)
+        x = self.fe + v * cgc + u * sgc
+        y = self.fn + u * cgc - v * sgc
+        return x, y
+
+    def inverse(self, x, y):
+        e, B = self.e, self.B
+        sgc, cgc = math.sin(self.gammac), math.cos(self.gammac)
+        dx = np.asarray(x, dtype=np.float64) - self.fe
+        dy = np.asarray(y, dtype=np.float64) - self.fn
+        vp = dx * cgc - dy * sgc
+        up = dy * cgc + dx * sgc + self.uc
+        Qp = np.exp(-B * vp / self.A)
+        Sp = (Qp - 1.0 / Qp) / 2.0
+        Tp = (Qp + 1.0 / Qp) / 2.0
+        Vp = np.sin(B * up / self.A)
+        sg0, cg0 = math.sin(self.gamma0), math.cos(self.gamma0)
+        Up = (Vp * cg0 + Sp * sg0) / Tp
+        tp = (self.H / np.sqrt((1.0 + Up) / (1.0 - Up))) ** (1.0 / B)
+        phi = np.pi / 2 - 2 * np.arctan(tp)
+        for _ in range(8):  # Snyder eq. 7-9 fixpoint (same as LCC)
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                tp * (((1 - e * s) / (1 + e * s)) ** (e / 2))
+            )
+        lam = self.lam0 - np.arctan2(
+            Sp * cg0 - Vp * sg0, np.cos(B * up / self.A)
+        ) / B
+        return np.degrees(lam), np.degrees(phi)
+
+
 # Generic EPSG parameter table (public EPSG registry values) for the
 # projections this engine implements: aea / lcc / tmerc / longlat. The
 # reference delegates to PROJ (/root/reference/R/exact_extract.R:360-377);
@@ -636,6 +746,30 @@ def parse_crs(name: str):
                 "INTL",
                 Helmert(*_ED50_HELMERT),
             )
+        if code in (2056, 21781):  # Swiss LV95 / LV03 (CH1903, somerc)
+            fe, fn = (2600000.0, 1200000.0) if code == 2056 else (
+                600000.0, 200000.0)
+            shift = (674.374, 15.056, 405.346) if code == 2056 else (
+                674.4, 15.1, 405.3)
+            hom = HotineObliqueMercator(
+                lat0_deg=46.0 + 57.0 / 60 + 8.66 / 3600,   # Bern
+                lonc_deg=7.0 + 26.0 / 60 + 22.5 / 3600,
+                azimuth_deg=90.0, gamma_deg=90.0, k0=1.0,
+                false_easting=fe, false_northing=fn, ellipsoid="BESSEL",
+            )
+            return DatumProjection(hom, "BESSEL", Helmert(*shift))
+        if code == 29873:  # Timbalai 1948 / RSO Borneo (m)
+            hom = HotineObliqueMercator(
+                lat0_deg=4.0, lonc_deg=115.0,
+                azimuth_deg=53 + 18 / 60 + 56.9537 / 3600,
+                gamma_deg=53 + 7 / 60 + 48.3685 / 3600,
+                k0=0.99984,
+                false_easting=590476.87, false_northing=442857.65,
+                ellipsoid="EVRST67",
+            )
+            return DatumProjection(
+                hom, "EVRST67", Helmert(-679.0, 669.0, -48.0)
+            )
         raise ValueError(f"unsupported CRS {name!r}")
     if name.startswith("aea:"):
         parts = name[4:].split(",")
@@ -661,6 +795,12 @@ def parse_crs(name: str):
         p = [float(v) for v in parts[:6]]
         ell = parts[6] if len(parts) >= 7 else "GRS80"
         return LambertConformalConic(*p, ellipsoid=ell)
+    if name.startswith("omerc:"):
+        # omerc:lat0,lonc,azimuth,gamma,k0,fe,fn[,ellps]
+        parts = name[6:].split(",")
+        p = [float(v) for v in parts[:7]]
+        ell = parts[7] if len(parts) >= 8 else "WGS84"
+        return HotineObliqueMercator(*p, ellipsoid=ell)
     up = name[:12].upper()
     if up.startswith(("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS")):
         return parse_crs_wkt(name)  # raw WKT (e.g. .prj sidecar content)
@@ -673,8 +813,9 @@ SUPPORTED = {"EPSG:4326/4269/4258 (geographic)", "EPSG:3857",
              "EPSG:3035/6931/6932 (LAEA)", "EPSG:3413/3976/3031 (polar stere)",
              "EPSG:2154/3347/3978 (LCC)",
              "EPSG:27700 (BNG) + 230xx (ED50 UTM) via Helmert",
+             "EPSG:2056/21781 (Swiss somerc) + 29873 (Borneo RSO, omerc)",
              "tmerc:...", "lcc:...", "aea:...", "laea:...", "stere:...",
-             "raw WKT1/ESRI text"}
+             "omerc:...", "raw WKT1/ESRI text"}
 
 
 # ---------------- datum shifts (Helmert, EPSG method 9606) ----------------
