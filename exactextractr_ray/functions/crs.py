@@ -1064,6 +1064,20 @@ def parse_crs_wkt(wkt: str):
             p("false_northing"),
             ellipsoid=ell,
         ))
+    if "oblique_mercator" in proj or "swiss" in proj:
+        # Hotine_Oblique_Mercator[_Azimuth_Center] (ESRI),
+        # Oblique_Mercator, Swiss_Oblique_Cylindrical (somerc: az=90)
+        az = p("azimuth", default=90.0)
+        return wrap(HotineObliqueMercator(
+            p("latitude_of_center", "latitude_of_origin"),
+            p("longitude_of_center", "central_meridian"),
+            az,
+            p("rectified_grid_angle", default=az),
+            p("scale_factor", default=1.0),
+            p("false_easting"),
+            p("false_northing"),
+            ellipsoid=ell,
+        ))
     if "mercator" in proj:  # Mercator_1SP / popular visualisation pseudo
         return "mercator"
     raise ValueError(f"unsupported WKT projection {proj!r}")

@@ -115,6 +115,33 @@ def test_epsg_29873_and_custom_string():
     assert abs(x2[0] - x3[0]) < 1e-9 and abs(y2[0] - y3[0]) < 1e-9
 
 
+def test_wkt_swiss_and_hotine():
+    """A CH1903+/LV95 WKT1 .prj body (no AUTHORITY) reconstructs via the
+    parameter path and matches the EPSG:2056 table entry."""
+    from exactextractr_ray.functions.crs import parse_crs_wkt
+
+    wkt = (
+        'PROJCS["CH1903+ / LV95",GEOGCS["CH1903+",DATUM["CH1903+",'
+        'SPHEROID["Bessel 1841",6377397.155,299.1528128],'
+        "TOWGS84[674.374,15.056,405.346,0,0,0,0]],"
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+        'PARAMETER["latitude_of_center",46.9524055555556],'
+        'PARAMETER["longitude_of_center",7.43958333333333],'
+        'PARAMETER["azimuth",90],PARAMETER["rectified_grid_angle",90],'
+        'PARAMETER["scale_factor",1],'
+        'PARAMETER["false_easting",2600000],'
+        'PARAMETER["false_northing",1200000],UNIT["metre",1]]'
+    )
+    got = parse_crs_wkt(wkt)
+    want = parse_crs("EPSG:2056")
+    lon, lat = np.array([8.5417, 6.6323]), np.array([47.3769, 46.5197])
+    xg, yg = got.forward(lon, lat)
+    xw, yw = want.forward(lon, lat)
+    assert np.abs(xg - xw).max() < 1e-6
+    assert np.abs(yg - yw).max() < 1e-6
+
+
 def test_roundtrip_property_random_points():
     rng = np.random.default_rng(3)
     p = _borneo()
