@@ -2422,6 +2422,60 @@ def _q_bpe_encode_tokens(sf_dir: str):
     )
 
 
+def _q_warc_pdf_text(sf_dir: str):
+    """Common-Crawl PDF ingestion end-to-end under the oracle: documents
+    texts are written into real one-page PDFs, packed into a gzip-member
+    WARC beside non-PDF records, read back through read_warc_documents
+    (WARC parse + magic sniff + header-only page probe), and text-extracted
+    — the extracted text must equal the source column byte-for-byte."""
+    import os
+    import tempfile
+
+    import duckdb as _dd
+
+    from exactextractr_ray.functions.pdf import encode_simple_pdf
+    from exactextractr_ray.sources.warc import (
+        read_warc_documents,
+        write_warc,
+    )
+    from exactextractr_ray.stages.text import extract_pdf_text_batch
+
+    docs = (
+        _dd.connect()
+        .execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') "
+            f"WHERE doc_id < 12 ORDER BY doc_id"
+        )
+        .df()
+    )
+    recs = [
+        {
+            "url": f"http://docs.example/d{int(i):04d}.pdf",
+            "warc_ts": "2026-01-01T00:00:00Z",
+            "html": encode_simple_pdf([t]),
+        }
+        for i, t in zip(docs["doc_id"], docs["text"])
+    ]
+    recs.append(
+        {
+            "url": "http://docs.example/page.html",
+            "warc_ts": "2026-01-01T00:00:00Z",
+            "html": b"<html>not a pdf</html>",
+        }
+    )
+    with tempfile.TemporaryDirectory(prefix="warcpdf_") as tmp:
+        p = os.path.join(tmp, "crawl.warc.gz")
+        write_warc(p, recs, gzip_members=True)
+        out = (
+            read_warc_documents(p)
+            .map_batches(extract_pdf_text_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+    out = out[["url", "n_pages", "extracted_text"]]
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -3017,6 +3071,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "pdf_extract_text": _q_pdf_extract_text,
         "image_dup_clusters": _q_image_dup_clusters,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
+        "warc_pdf_text": _q_warc_pdf_text,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -6017,6 +6072,12 @@ def oracle_sql() -> dict[str, str]:
         "pdf_extract_text": (
             "SELECT doc_id, text AS extracted_text FROM documents "
             "ORDER BY doc_id"
+        ),
+        "warc_pdf_text": (
+            "SELECT 'http://docs.example/d' || "
+            "LPAD(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS url, "
+            "CAST(1 AS INTEGER) AS n_pages, text AS extracted_text "
+            "FROM documents WHERE doc_id < 12 ORDER BY url"
         ),
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,

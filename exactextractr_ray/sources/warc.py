@@ -223,3 +223,50 @@ def read_warc_media(paths):
         )
 
     return files.map_batches(parse, batch_format="pyarrow")
+
+
+def read_warc_documents(paths):
+    """Dataset of document-format rows (PDFs) from WARC file(s): response
+    payloads sniffing as application/pdf, with the header-only page count
+    (probe_media) so page filters run before any parse/extract cost —
+    the Common-Crawl PDF ingestion path feeding
+    stages.text.extract_pdf_text_batch. doc_id is the same stable 63-bit
+    url hash as read_warc_media."""
+    import hashlib
+
+    import ray.data
+
+    from ..functions.codecs import probe_media
+
+    files = ray.data.read_binary_files(paths)
+
+    def parse(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        urls: list[str] = []
+        payloads: list[bytes] = []
+        pages: list[int] = []
+        for blob in b.column("bytes").to_pylist():
+            for rec in parse_warc_bytes(blob):
+                info = probe_media(rec["html"])
+                if info["kind"] != "application/pdf":
+                    continue
+                ids.append(
+                    int.from_bytes(
+                        hashlib.md5(rec["url"].encode()).digest()[:8],
+                        "big",
+                    )
+                    >> 1
+                )
+                urls.append(rec["url"])
+                payloads.append(rec["html"])
+                pages.append(info["frames"])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "pdf": pa.array(payloads, pa.binary()),
+                "n_pages": pa.array(np.asarray(pages, np.int32), pa.int32()),
+            }
+        )
+
+    return files.map_batches(parse, batch_format="pyarrow")

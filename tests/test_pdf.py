@@ -125,6 +125,39 @@ def test_extract_pdf_text_batch_and_skip_policy():
     assert out.column("extracted_text").to_pylist() == ["fine text"]
 
 
+def test_read_warc_documents_pdf_path(ray_session, tmp_path):
+    """WARC -> sniff application/pdf -> header page probe -> extraction:
+    non-PDF records drop, page counts and text round-trip."""
+    from exactextractr_ray.sources.warc import (
+        read_warc_documents,
+        write_warc,
+    )
+    from exactextractr_ray.stages.text import extract_pdf_text_batch
+
+    recs = [
+        {"url": f"http://d.example/{i}.pdf",
+         "warc_ts": "2026-01-01T00:00:00Z",
+         "html": encode_simple_pdf([f"doc {i}", "page two"][: 1 + i % 2])}
+        for i in range(5)
+    ]
+    recs.append({"url": "http://d.example/x.html",
+                 "warc_ts": "2026-01-01T00:00:00Z",
+                 "html": b"<html>nope</html>"})
+    p = str(tmp_path / "c.warc.gz")
+    write_warc(p, recs, gzip_members=True)
+    out = (
+        read_warc_documents(p)
+        .map_batches(extract_pdf_text_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5
+    assert out["n_pages"].tolist() == [1, 2, 1, 2, 1]
+    assert out.loc[0, "extracted_text"] == "doc 0"
+    assert out.loc[1, "extracted_text"] == "doc 1\npage two"
+
+
 def test_pdf_corpus_fixture_inverts(ray_session):
     """The documents->PDF fixture round-trips text byte-exactly through
     the real writer + parser (the driver query's invariant)."""

@@ -142,6 +142,7 @@ QUERIES = [
     "pdf_extract_text",
     "image_dup_clusters",
     "bpe_encode_tokens",
+    "warc_pdf_text",
 ]
 
 _CHILD = r"""
