@@ -230,34 +230,79 @@ def _png_unpredict(raw: bytes, columns: int, colors: int = 1,
     return out.tobytes()
 
 
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (ISO 32000 §7.4.5): n<128 copy n+1, n>128 repeat
+    next byte 257-n times, 128 = end of data."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        i += 1
+        if n == 128:
+            break
+        if n < 128:
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        else:
+            out.extend(data[i : i + 1] * (257 - n))
+            i += 1
+    return bytes(out)
+
+
 def _decode_stream(sdict: dict, raw: bytes, resolve) -> bytes:
+    """Apply the stream's filter PIPELINE in order (ISO 32000 §7.4):
+    Flate / LZW (TIFF-variant codes, reused from the GeoTIFF codec) /
+    ASCIIHex / ASCII85 / RunLength, each with optional PNG predictors."""
     filt = resolve(sdict.get("/Filter"))
-    parms = resolve(sdict.get("/DecodeParms")) or {}
-    if isinstance(filt, list):
-        if len(filt) > 1:
-            raise NotImplementedError(f"pdf: filter chain {filt}")
-        filt = filt[0] if filt else None
-        if isinstance(parms, list):
-            parms = parms[0] if parms else {}
-    if filt is None:
-        return raw
-    if filt == "/FlateDecode":
-        data = zlib.decompress(raw)
-        pred = resolve((parms or {}).get("/Predictor", 1)) or 1
+    parms = resolve(sdict.get("/DecodeParms"))
+    filters = filt if isinstance(filt, list) else ([] if filt is None else [filt])
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    data = raw
+    for f, pm in zip(filters, parms_list):
+        f = resolve(f)
+        pm = resolve(pm) or {}
+        if f == "/FlateDecode" or f == "/Fl":
+            data = zlib.decompress(data)
+        elif f == "/LZWDecode" or f == "/LZW":
+            if int(resolve(pm.get("/EarlyChange", 1)) or 1) != 1:
+                raise NotImplementedError("pdf: LZW EarlyChange=0")
+            from ..sources.geotiff import _decode_lzw
+
+            data = _decode_lzw(data)
+        elif f == "/ASCIIHexDecode" or f == "/AHx":
+            hx = re.sub(rb"\s", b"", data.split(b">", 1)[0])
+            if len(hx) % 2:
+                hx += b"0"
+            data = bytes.fromhex(hx.decode("ascii"))
+        elif f == "/ASCII85Decode" or f == "/A85":
+            import base64
+
+            body = re.sub(rb"\s", b"", data)
+            if body.startswith(b"<~"):
+                body = body[2:]
+            if body.endswith(b"~>"):
+                body = body[:-2]
+            data = base64.a85decode(body)
+        elif f == "/RunLengthDecode" or f == "/RL":
+            data = _rle_decode(data)
+        elif f == "/Crypt":
+            raise NotImplementedError("pdf: encrypted stream (/Crypt)")
+        else:
+            raise NotImplementedError(
+                f"pdf: stream filter {f} unsupported (DCT/JBIG2/JPX are "
+                "image codecs; CCITTFax is fax raster data)"
+            )
+        pred = int(resolve(pm.get("/Predictor", 1)) or 1)
         if pred >= 10:
             data = _png_unpredict(
                 data,
-                int(resolve(parms.get("/Columns", 1))),
-                int(resolve(parms.get("/Colors", 1))),
-                int(resolve(parms.get("/BitsPerComponent", 8))),
+                int(resolve(pm.get("/Columns", 1))),
+                int(resolve(pm.get("/Colors", 1))),
+                int(resolve(pm.get("/BitsPerComponent", 8))),
             )
         elif pred != 1:
             raise NotImplementedError(f"pdf: TIFF predictor {pred}")
-        return data
-    raise NotImplementedError(
-        f"pdf: stream filter {filt} unsupported (FlateDecode only — "
-        "DCT/JBIG2/JPX are image codecs, LZW/ASCII85 rare in modern files)"
-    )
+    return data
 
 
 _OBJ_RE = re.compile(rb"(?<![\d.])(\d+)\s+(\d+)\s+obj\b")
@@ -274,6 +319,12 @@ class PdfFile:
         self.objects: dict[int, object] = {}
         self._streams: dict[int, tuple[dict, bytes]] = {}
         self._scan_objects()
+        for obj in self.objects.values():
+            if isinstance(obj, dict) and "/O" in obj and "/U" in obj:
+                raise NotImplementedError(
+                    "encrypted PDF (standard security handler): string/"
+                    "stream decryption is out of scope"
+                )
         self._expand_object_streams()
 
     # -- object loading ----------------------------------------------

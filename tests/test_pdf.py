@@ -99,6 +99,79 @@ def test_real_host_pdf_xref_stream_objstm(path):
     assert parse_pdf(data)["text"] == info["text"]
 
 
+def _swap_content_filter(data: bytes, encode, filter_name: bytes) -> bytes:
+    """Rewrite the fixture's page content stream with a different filter
+    (offsets stay valid because the reconstruction scan ignores xref)."""
+    import re as _re
+    import zlib as _z
+
+    m = _re.search(
+        rb"<< /Filter /FlateDecode /Length (\d+) >>\nstream\n", data
+    )
+    ln = int(m.group(1))
+    body_at = m.end()
+    plain = _z.decompress(data[body_at : body_at + ln])
+    enc = encode(plain)
+    return (
+        data[: m.start()]
+        + b"<< /Filter " + filter_name
+        + f" /Length {len(enc)} >>\nstream\n".encode()
+        + enc
+        + data[body_at + ln :]
+    )
+
+
+def test_filter_pipeline_ascii85_hex_rle():
+    """ASCIIHex / ASCII85 / RunLength / chained [A85, Flate] content
+    streams all decode to the same extracted text."""
+    import base64
+    import zlib as _z
+
+    pages = ["filters (everywhere) 100%"]
+    base = encode_simple_pdf(pages)
+
+    hexed = _swap_content_filter(
+        base, lambda p: p.hex().encode() + b">", b"/ASCIIHexDecode"
+    )
+    assert parse_pdf(hexed)["page_texts"] == pages
+
+    a85 = _swap_content_filter(
+        base, lambda p: base64.a85encode(p) + b"~>", b"/ASCII85Decode"
+    )
+    assert parse_pdf(a85)["page_texts"] == pages
+
+    def rle(p):
+        # naive literal runs of <=128 bytes + EOD
+        out = bytearray()
+        for i in range(0, len(p), 128):
+            chunk = p[i : i + 128]
+            out.append(len(chunk) - 1)
+            out += chunk
+        out.append(128)
+        return bytes(out)
+
+    rl = _swap_content_filter(base, rle, b"/RunLengthDecode")
+    assert parse_pdf(rl)["page_texts"] == pages
+
+    chain = _swap_content_filter(
+        base,
+        lambda p: base64.a85encode(_z.compress(p)) + b"~>",
+        b"[ /ASCII85Decode /FlateDecode ]",
+    )
+    assert parse_pdf(chain)["page_texts"] == pages
+
+
+def test_encrypted_pdf_guard():
+    data = encode_simple_pdf(["secret"])
+    # splice a standard-security-handler dict in as a new object
+    enc = (
+        b"9 0 obj\n<< /Filter /Standard /V 2 /R 3 /O (x) /U (y) >>\n"
+        b"endobj\n"
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        parse_pdf(data + enc)
+
+
 def test_probe_and_sniff_dispatch():
     from exactextractr_ray.functions.codecs import probe_media, sniff_media
 
