@@ -405,17 +405,19 @@ class PdfFile:
         root = self.resolve(self.catalog().get("/Pages"))
         out: list[dict] = []
 
-        def walk(node, depth=0):
+        def walk(node, inherited_res, depth=0):
             if depth > 64 or not isinstance(node, dict):
                 return
+            res = node.get("/Resources", inherited_res)
             t = self.resolve(node.get("/Type"))
             if t == "/Page":
+                node["__resources__"] = res  # inheritable attr (§7.7.3.4)
                 out.append(node)
                 return
             for kid in self.resolve(node.get("/Kids")) or []:
-                walk(self.resolve(kid), depth + 1)
+                walk(self.resolve(kid), res, depth + 1)
 
-        walk(root)
+        walk(root, None)
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -429,8 +431,35 @@ class PdfFile:
         return b"\n".join(chunks)
 
     # -- text extraction ----------------------------------------------
+    def _xobj_fetch(self, resources, depth: int = 0):
+        """Resolver for the ``Do`` operator: XObject name -> (content
+        bytes, nested resolver) for /Form XObjects (text inside forms —
+        letterheads, stamps — extracts too); images return None."""
+        res = self.resolve(resources) or {}
+        xo = self.resolve(res.get("/XObject")) or {}
+
+        def fetch(name):
+            ref = xo.get(name)
+            if not (isinstance(ref, tuple) and ref[0] == "ref") or depth > 8:
+                return None
+            num = ref[1]
+            if num not in self._streams:
+                return None
+            sdict = self._streams[num][0]
+            if self.resolve(sdict.get("/Subtype")) != "/Form":
+                return None
+            sub_res = sdict.get("/Resources", res)
+            return self.stream_bytes(num), self._xobj_fetch(
+                sub_res, depth + 1
+            )
+
+        return fetch
+
     def page_text(self, page: dict) -> str:
-        return extract_content_text(self.page_content(page))
+        return extract_content_text(
+            self.page_content(page),
+            xobj_fetch=self._xobj_fetch(page.get("__resources__")),
+        )
 
     def text(self) -> str:
         return "\f".join(self.page_text(p) for p in self.pages())
@@ -441,11 +470,17 @@ _NL_OPS = {b"Td", b"TD", b"T*", b"ET"}
 _OP_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
-def extract_content_text(content: bytes, kern_space: float = 150.0) -> str:
+def extract_content_text(
+    content: bytes,
+    kern_space: float = 150.0,
+    xobj_fetch=None,
+    _depth: int = 0,
+) -> str:
     """Content-stream text: Tj/'/\"/TJ shown strings in stream order,
     newline on Td/TD/T*/ET (collapsed), Latin-1 byte mapping; TJ kerns
     more negative than ``-kern_space`` (thousandths of text space) read
-    as word gaps."""
+    as word gaps. ``xobj_fetch(name)`` resolves ``Do``-invoked Form
+    XObjects to (content, nested_fetch) for recursive extraction."""
     lex = _Lexer(content)
     n = len(content)
     parts: list[str] = []
@@ -489,6 +524,17 @@ def extract_content_text(content: bytes, kern_space: float = 150.0) -> str:
         elif op in _NL_OPS:
             if parts and not parts[-1].endswith("\n"):
                 parts.append("\n")
+        elif op == b"Do" and xobj_fetch and _depth < 8:
+            if stack and isinstance(stack[-1], str):
+                got = xobj_fetch(stack[-1])
+                if got is not None:
+                    sub = extract_content_text(
+                        got[0], kern_space, got[1], _depth + 1
+                    )
+                    if sub:
+                        if parts and not parts[-1].endswith("\n"):
+                            parts.append("\n")
+                        parts.append(sub)
         elif op == b"BI":  # inline image: skip to EI
             e = content.find(b"EI", lex.pos)
             lex.pos = n if e < 0 else e + 2

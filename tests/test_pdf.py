@@ -161,6 +161,31 @@ def test_filter_pipeline_ascii85_hex_rle():
     assert parse_pdf(chain)["page_texts"] == pages
 
 
+def test_form_xobject_text_extracts():
+    """Text inside a /Form XObject invoked with Do (letterheads, stamps)
+    extracts too, with the form's own nested resources honored."""
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    form_body = b"BT /F1 9 Tf (from the form) Tj ET"
+    page_body = b"BT /F1 12 Tf (page text) Tj ET /Fm1 Do"
+    data = b"%PDF-1.4\n"
+    data += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    data += obj(2, b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] "
+                   b"/Resources << /XObject << /Fm1 6 0 R >> >> >>")
+    data += obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    data += obj(4, b"<< /Length %d >>\nstream\n" % len(page_body)
+                   + page_body + b"\nendstream")
+    data += obj(6, b"<< /Subtype /Form /Length %d >>\nstream\n"
+                   % len(form_body) + form_body + b"\nendstream")
+    data += b"%%EOF\n"
+    info = parse_pdf(data)
+    assert info["n_pages"] == 1
+    # page resources are INHERITED from the Pages node here
+    assert info["page_texts"][0] == "page text\nfrom the form"
+
+
 def test_encrypted_pdf_guard():
     data = encode_simple_pdf(["secret"])
     # splice a standard-security-handler dict in as a new object
