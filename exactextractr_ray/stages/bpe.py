@@ -169,7 +169,8 @@ def bpe_train(
     wc = wc.map_batches(
         lambda b: b.filter(pc.greater_equal(b.column("cnt"), min_freq)),
         batch_format="pyarrow",
-    )
+    ).materialize()  # bounded vocab — the ONLY corpus pass; count() below
+    # and the symbol conversion both read this table, never the text again
     total = wc.count()
     if total > max_words:
         logger.warning(

@@ -63,6 +63,24 @@ def test_distributed_min_freq(ray_session):
     )
 
 
+def test_max_words_cap_path(ray_session):
+    """Vocab cap: top max_words by (cnt DESC, word ASC) survive (logged
+    drop, not silent); merges equal the reference trained on only the
+    surviving words."""
+    import ray.data
+
+    texts = ["aaa bbb ccc ddd eee " * 3, "aaa bbb xyz qq rr ss tt"]
+    ds = ray.data.from_arrow(pa.table({"text": texts}))
+    got = bpe_train(ds, num_merges=3, max_words=3)
+    # survivors: aaa(4) bbb(4) ccc(3) — reference corpus of just those
+    want = bpe_train_reference(
+        ["aaa aaa aaa aaa bbb bbb bbb bbb ccc ccc ccc"], num_merges=3
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
+
+
 def test_encode_batch_compresses_trained_words():
     """After training, frequent words collapse to fewer tokens than
     chars+1; untrained words stay at chars+1."""
