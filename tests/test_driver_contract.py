@@ -33,12 +33,17 @@ def test_foreign_cwd_driver():
 
 def test_every_query_has_oracle_or_is_known_approximate():
     """Drift guard: each queries() entry must carry a DuckDB oracle, except
-    the two approximate-by-design ones (verified by tools/check_oracles.py
-    against brute force / exact re-derivation instead)."""
+    the known non-SQL ones (verified by tools/check_oracles.py against
+    brute force / exact re-derivation / the single-process Sennrich
+    reference instead — all deterministic, none unchecked)."""
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
+    from tools.check_oracles import SPECIAL_CHECKS
 
-    APPROX = {"minhash_pairs", "knn_cosine_lsh"}
+    APPROX = {"minhash_pairs", "knn_cosine_lsh",
+              "bpe_train_merges", "bpe_encode_tokens"}
+    # every non-SQL query must have a special check registered
+    assert APPROX <= set(SPECIAL_CHECKS)
     q, o = set(e.queries()), set(e.oracle_sql())
     assert o <= q, o - q  # no orphan oracles
     assert q - o == APPROX, q - o
