@@ -449,20 +449,119 @@ class PdfFile:
             if self.resolve(sdict.get("/Subtype")) != "/Form":
                 return None
             sub_res = sdict.get("/Resources", res)
-            return self.stream_bytes(num), self._xobj_fetch(
-                sub_res, depth + 1
+            return (
+                self.stream_bytes(num),
+                self._xobj_fetch(sub_res, depth + 1),
+                self._font_decoders(sub_res),
             )
 
         return fetch
 
+    def _font_decoders(self, resources) -> dict:
+        """Resources /Font dict -> {name: bytes->str decoder}. Fonts with
+        a /ToUnicode CMap decode through it (bfchar/bfrange, 1- or 2-byte
+        codes — the CID/Type0 case); others stay Latin-1."""
+        res = self.resolve(resources) or {}
+        fonts = self.resolve(res.get("/Font")) or {}
+        out = {}
+        for name, ref in fonts.items():
+            fd = self.resolve(ref)
+            if not isinstance(fd, dict):
+                continue
+            tu = fd.get("/ToUnicode")
+            if isinstance(tu, tuple) and tu[0] == "ref" and tu[1] in self._streams:
+                try:
+                    out[name] = _cmap_decoder(self.stream_bytes(tu[1]))
+                except Exception:
+                    continue
+        return out
+
     def page_text(self, page: dict) -> str:
+        res = page.get("__resources__")
         return extract_content_text(
             self.page_content(page),
-            xobj_fetch=self._xobj_fetch(page.get("__resources__")),
+            xobj_fetch=self._xobj_fetch(res),
+            fonts=self._font_decoders(res),
         )
 
     def text(self) -> str:
         return "\f".join(self.page_text(p) for p in self.pages())
+
+
+_HEX_PAIR = re.compile(rb"<([0-9A-Fa-f\s]+)>")
+
+
+def _cmap_decoder(cmap: bytes):
+    """ToUnicode CMap stream -> decoder(bytes) -> str (ISO 32000 §9.10.3).
+
+    Handles begincodespacerange (code width), beginbfchar pairs and
+    beginbfrange (dst-start increment AND [array] forms); destination hex
+    is UTF-16BE. Unmapped 1-byte codes fall back to Latin-1, unmapped
+    wider codes to U+FFFD — deterministic either way."""
+    def hexes(seg: bytes) -> list[bytes]:
+        return [
+            bytes.fromhex(re.sub(rb"\s", b"", h).decode("ascii"))
+            for h in _HEX_PAIR.findall(seg)
+        ]
+
+    width = 1
+    m = re.search(
+        rb"begincodespacerange(.*?)endcodespacerange", cmap, re.S
+    )
+    table: dict[int, str] = {}
+    if m:
+        cs = hexes(m.group(1))
+        if cs:
+            width = len(cs[0])
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        hs = hexes(m.group(1))
+        for i in range(0, len(hs) - 1, 2):
+            width = max(width, len(hs[i]))
+            table[int.from_bytes(hs[i], "big")] = hs[i + 1].decode(
+                "utf-16-be", "replace"
+            )
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        seg = m.group(1)
+        # split entries: lo hi (dst | [dst dst ...])
+        for em in re.finditer(
+            rb"<([0-9A-Fa-f\s]+)>\s*<([0-9A-Fa-f\s]+)>\s*"
+            rb"(\[(?:\s*<[0-9A-Fa-f\s]+>)+\s*\]|<[0-9A-Fa-f\s]+>)",
+            seg,
+        ):
+            lo = bytes.fromhex(em.group(1).decode("ascii"))
+            hi = bytes.fromhex(em.group(2).decode("ascii"))
+            width = max(width, len(lo))
+            lo_i, hi_i = int.from_bytes(lo, "big"), int.from_bytes(hi, "big")
+            dst = em.group(3)
+            if dst.startswith(b"["):
+                dsts = hexes(dst)
+                for k, d in enumerate(dsts):
+                    table[lo_i + k] = d.decode("utf-16-be", "replace")
+            else:
+                base = bytes.fromhex(
+                    re.sub(rb"\s", b"", dst[1:-1]).decode("ascii")
+                )
+                # increment the LAST UTF-16 code unit (spec rule)
+                bi = int.from_bytes(base, "big")
+                for k in range(hi_i - lo_i + 1):
+                    table[lo_i + k] = (bi + k).to_bytes(
+                        len(base), "big"
+                    ).decode("utf-16-be", "replace")
+
+    def decode(s: bytes) -> str:
+        out = []
+        for i in range(0, len(s) - width + 1, width):
+            code = int.from_bytes(s[i : i + width], "big")
+            got = table.get(code)
+            if got is not None:
+                out.append(got)
+            elif width == 1:
+                out.append(chr(code))
+            else:
+                out.append("�")
+        return "".join(out)
+
+    return decode
 
 
 _STR_OPS = {b"Tj", b"'", b'"'}
@@ -474,21 +573,26 @@ def extract_content_text(
     content: bytes,
     kern_space: float = 150.0,
     xobj_fetch=None,
+    fonts: dict | None = None,
     _depth: int = 0,
 ) -> str:
     """Content-stream text: Tj/'/\"/TJ shown strings in stream order,
-    newline on Td/TD/T*/ET (collapsed), Latin-1 byte mapping; TJ kerns
-    more negative than ``-kern_space`` (thousandths of text space) read
-    as word gaps. ``xobj_fetch(name)`` resolves ``Do``-invoked Form
-    XObjects to (content, nested_fetch) for recursive extraction."""
+    newline on Td/TD/T*/ET (collapsed); byte->text mapping is Latin-1
+    unless the CURRENT font (tracked via ``Tf``) carries a ToUnicode
+    CMap decoder in ``fonts`` (the CID/Type0 case). TJ kerns more
+    negative than ``-kern_space`` (thousandths of text space) read as
+    word gaps. ``xobj_fetch(name)`` resolves ``Do``-invoked Form
+    XObjects to (content, nested_fetch, nested_fonts) for recursion."""
     lex = _Lexer(content)
     n = len(content)
     parts: list[str] = []
     stack: list = []
+    cur_decoder = [None]  # current font's ToUnicode decoder, if any
 
     def shown(s):
         if isinstance(s, bytes):
-            parts.append(s.decode("latin-1"))
+            dec = cur_decoder[0]
+            parts.append(dec(s) if dec else s.decode("latin-1"))
 
     while True:
         lex._skip_ws()
@@ -524,12 +628,15 @@ def extract_content_text(
         elif op in _NL_OPS:
             if parts and not parts[-1].endswith("\n"):
                 parts.append("\n")
+        elif op == b"Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], str):
+                cur_decoder[0] = (fonts or {}).get(stack[-2])
         elif op == b"Do" and xobj_fetch and _depth < 8:
             if stack and isinstance(stack[-1], str):
                 got = xobj_fetch(stack[-1])
                 if got is not None:
                     sub = extract_content_text(
-                        got[0], kern_space, got[1], _depth + 1
+                        got[0], kern_space, got[1], got[2], _depth + 1
                     )
                     if sub:
                         if parts and not parts[-1].endswith("\n"):

@@ -186,6 +186,54 @@ def test_form_xobject_text_extracts():
     assert info["page_texts"][0] == "page text\nfrom the form"
 
 
+def test_tounicode_cmap_cid_font():
+    """Type0/CID text (2-byte glyph codes) decodes through the font's
+    /ToUnicode CMap: bfchar pairs, bfrange increment AND array forms,
+    code width from codespacerange; Tf switches decoders mid-stream."""
+    import zlib as _z
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<0003> <0048>\n<0004> <00690021>\nendbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"                      # a b c
+        b"<0020> <0021> [<20AC> <1F60>]\n"             # euro, greek
+        b"endbfrange\nendcmap\n"
+    )
+    cstream = _z.compress(cmap)
+
+    def obj(n, body):
+        return f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    # show <0003 0010 0011 0012 0004> with the CID font, then ASCII with F1
+    page_body = (
+        b"BT /F2 12 Tf <00030010001100120004> Tj "
+        b"/F1 12 Tf ( plain) Tj ET"
+    )
+    data = b"%PDF-1.4\n"
+    data += obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    data += obj(2, b"<< /Type /Pages /Count 1 /Kids [ 3 0 R ] >>")
+    data += obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources "
+        b"<< /Font << /F1 5 0 R /F2 6 0 R >> >> >>",
+    )
+    data += obj(4, b"<< /Length %d >>\nstream\n" % len(page_body)
+                   + page_body + b"\nendstream")
+    data += obj(5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    data += obj(
+        6,
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H "
+        b"/ToUnicode 7 0 R >>",
+    )
+    data += obj(7, b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                   % len(cstream) + cstream + b"\nendstream")
+    data += b"%%EOF\n"
+    info = parse_pdf(data)
+    assert info["page_texts"][0] == "Habci! plain"
+
+
 def test_encrypted_pdf_guard():
     data = encode_simple_pdf(["secret"])
     # splice a standard-security-handler dict in as a new object
