@@ -2476,6 +2476,47 @@ def _q_warc_pdf_text(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_fix_mojibake(sf_dir: str):
+    """Encoding repair under the oracle: each document's text is augmented
+    with a deterministic non-ASCII suffix, CORRUPTED by the classic
+    UTF-8-read-as-Latin-1 double encoding ('é' -> 'Ã©'), then repaired by
+    stages/text.py fix_encoding_batch — the fixed text must equal the
+    uncorrupted original, which DuckDB reconstructs from the same rule."""
+    import ray.data
+
+    from exactextractr_ray.stages.text import fix_encoding_batch
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def corrupt(b):
+        import pyarrow as pa2
+
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        broken = [
+            (f"{t} café №{int(i) % 7}").encode("utf-8").decode("latin-1")
+            for i, t in zip(ids, texts)
+        ]
+        return pa2.table(
+            {
+                "doc_id": pa2.array(ids, pa2.int64()),
+                "text": pa2.array(broken, pa2.string()),
+            }
+        )
+
+    out = (
+        docs.map_batches(corrupt, batch_format="pyarrow")
+        .map_batches(fix_encoding_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["was_mojibake"].all()
+    return out[["doc_id", "fixed_text"]]
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -3072,6 +3113,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "image_dup_clusters": _q_image_dup_clusters,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
+        "fix_mojibake": _q_fix_mojibake,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -6078,6 +6120,12 @@ def oracle_sql() -> dict[str, str]:
             "LPAD(CAST(doc_id AS VARCHAR), 4, '0') || '.pdf' AS url, "
             "CAST(1 AS INTEGER) AS n_pages, text AS extracted_text "
             "FROM documents WHERE doc_id < 12 ORDER BY url"
+        ),
+        # repair must invert the rule-applied corruption exactly, so the
+        # oracle is the uncorrupted augmented string itself
+        "fix_mojibake": (
+            "SELECT doc_id, text || ' café №' || (doc_id % 7) "
+            "AS fixed_text FROM documents ORDER BY doc_id"
         ),
         "zonal_weighted_rect": zonal_weighted,
         "zonal_wcount_rect": zonal_wcount,

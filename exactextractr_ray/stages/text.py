@@ -92,6 +92,55 @@ def extract_text_batch(batch: pa.Table, html_col: str = "html") -> pa.Table:
     return batch.append_column("extracted_text", pa.array(texts, type=pa.string()))
 
 
+def fix_mojibake(s: str, max_passes: int = 3) -> str:
+    """Repair UTF-8-as-Latin-1 double encoding ('Ã©' -> 'é'), the dominant
+    web-corpus mojibake class (what CCNet/Dolma run ftfy for). A string is
+    re-encoded Latin-1 and re-decoded UTF-8 while that round-trip succeeds
+    AND changes it (up to max_passes, for doubly-corrupted text); strings
+    with codepoints > U+00FF or invalid UTF-8 byte runs are left alone.
+    Pure function — deterministic at any parallelism. Known ftfy-class
+    tradeoff (documented): genuine Latin-1 text that happens to be valid
+    UTF-8 byte-wise is "fixed" too; on web corpora that false-positive
+    rate is negligible vs the mojibake rate."""
+    cur = s
+    for _ in range(max_passes):
+        try:
+            b = cur.encode("latin-1")
+        except UnicodeEncodeError:
+            return cur
+        try:
+            t = b.decode("utf-8")
+        except UnicodeDecodeError:
+            return cur
+        if t == cur:
+            return cur
+        cur = t
+    return cur
+
+
+def fix_encoding_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Mojibake-repair stage: adds ``fixed_text`` and ``was_mojibake``.
+    ASCII-only batches short-circuit via one Arrow regex match (the
+    overwhelmingly common case costs no Python)."""
+    import pyarrow.compute as pc
+
+    col = batch.column(text_col)
+    ascii_mask = pc.match_substring_regex(col, r"^[\x00-\x7F]*$")
+    if pc.all(ascii_mask).as_py():
+        n = batch.num_rows
+        return batch.append_column(
+            "fixed_text", col
+        ).append_column("was_mojibake", pa.array([False] * n, pa.bool_()))
+    texts = col.to_pylist()
+    fixed = [fix_mojibake(t) if t else t for t in texts]
+    return batch.append_column(
+        "fixed_text", pa.array(fixed, pa.string())
+    ).append_column(
+        "was_mojibake",
+        pa.array([f != t for f, t in zip(fixed, texts)], pa.bool_()),
+    )
+
+
 def extract_pdf_text_batch(
     batch: pa.Table, pdf_col: str = "pdf", on_error: str = "raise"
 ) -> pa.Table:

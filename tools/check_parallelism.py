@@ -143,6 +143,7 @@ QUERIES = [
     "image_dup_clusters",
     "bpe_encode_tokens",
     "warc_pdf_text",
+    "fix_mojibake",
 ]
 
 _CHILD = r"""
