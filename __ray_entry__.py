@@ -2517,6 +2517,59 @@ def _q_fix_mojibake(sf_dir: str):
     return out[["doc_id", "fixed_text"]]
 
 
+def _q_photo_zone_join(sf_dir: str):
+    """The multimodal -> geospatial bridge under the oracle: rule-defined
+    GPS positions are written into real JPEG EXIF APP1 segments (GPS IFD,
+    DMS rational triplets), read back by functions/jpeg.py exif_gps via
+    the shared TIFF IFD parser, and point-in-polygon joined to the
+    standard geo zones (stages/pip_join.py, zones broadcast once).
+    DuckDB recomputes lon/lat from the DMS rule with the same float64
+    expression, so even boundary cases agree bit-for-bit."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.jpeg import (
+        encode_jpeg,
+        exif_gps_app1,
+        insert_app1,
+    )
+    from exactextractr_ray.sources.zones import synth_geo_zones
+    from exactextractr_ray.stages.geocode import exif_gps_batch
+    from exactextractr_ray.stages.pip_join import pip_join
+
+    base = encode_jpeg(np.full((8, 8), 128, np.uint8), quality=80)
+    n = 80
+    payloads = []
+    for i in range(n):
+        lat = ((( i * 13) % 34, 1), (1 + (i * 7) % 58, 1),
+               ((i * 331) % 6000, 100))
+        lon = ((( i * 29) % 170, 1), (1 + (i * 11) % 58, 1),
+               ((i * 577) % 6000, 100))
+        payloads.append(insert_app1(base, exif_gps_app1(
+            lat, lon,
+            lat_ref=("S" if i % 3 == 0 else "N"),
+            lon_ref=("W" if i % 2 == 0 else "E"),
+        )))
+    tbl = pa_.table(
+        {
+            "photo_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "payload": pa_.array(payloads, pa_.binary()),
+        }
+    )
+    pts = ray.data.from_arrow(tbl).map_batches(
+        exif_gps_batch, batch_format="pyarrow", batch_size=16
+    )
+    joined = pip_join(pts, synth_geo_zones(N_GEO_ZONES))
+    df = (
+        joined.select_columns(["zone_id", "photo_id"])
+        .to_pandas()
+        .groupby("zone_id", as_index=False)
+        .agg(n_photos=("photo_id", "count"))
+    )
+    df["n_photos"] = df["n_photos"].astype(np.int64)
+    return df.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_zonal_feature_seq_geotiff(sf_dir: str):
     """Feature-sequential plan straight off a GeoTIFF file — per-zone
     byte-range window reads (the reference's GDAL access shape), same
@@ -3114,6 +3167,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
+        "photo_zone_join": _q_photo_zone_join,
         "zonal_weighted_rect": _q_zonal_weighted,
         "zonal_wcount_rect": _q_zonal_wcount,
         "zonal_mode_rect": _q_zonal_mode,
@@ -6121,6 +6175,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1 AS INTEGER) AS n_pages, text AS extracted_text "
             "FROM documents WHERE doc_id < 12 ORDER BY url"
         ),
+        # photo i carries GPS DMS (deg, min, sec=k/100) per the rule below;
+        # decimal = d + m/60 + (k/100)/3600 with the engine's exact float64
+        # expression, sign from the hemisphere refs; zones + strict-bound
+        # join identical to pip_join_counts
+        "photo_zone_join": f"""
+    WITH p AS (
+      SELECT i,
+        (CASE WHEN i % 3 = 0 THEN -1 ELSE 1 END) *
+          ((i*13) % 34 + (1 + (i*7) % 58) / 60.0
+           + (((i*331) % 6000) / 100.0) / 3600.0) AS lat,
+        (CASE WHEN i % 2 = 0 THEN -1 ELSE 1 END) *
+          ((i*29) % 170 + (1 + (i*11) % 58) / 60.0
+           + (((i*577) % 6000) / 100.0) / 3600.0) AS lon
+      FROM range(80) t(i)
+    ), z AS ({synth.synth_geo_zones_sql(N_GEO_ZONES)})
+    SELECT z.zone_id, CAST(COUNT(*) AS BIGINT) AS n_photos
+    FROM p JOIN z
+      ON p.lon > z.xmin AND p.lon < z.xmax
+     AND p.lat > z.ymin AND p.lat < z.ymax
+    GROUP BY z.zone_id ORDER BY z.zone_id
+    """,
         # repair must invert the rule-applied corruption exactly, so the
         # oracle is the uncorrupted augmented string itself
         "fix_mojibake": (

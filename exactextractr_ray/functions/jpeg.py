@@ -858,18 +858,15 @@ def encode_jpeg_tables(gray: bool = False, quality: int = 85) -> bytes:
 # ---------------- EXIF (APP1) orientation ----------------
 
 
-def exif_orientation(data: bytes) -> int:
-    """EXIF orientation (tag 274) from a JPEG's APP1 segment, 1 if absent.
-
-    The EXIF payload is a little TIFF stream (II/MM header + IFD0), so the
-    GeoTIFF module's IFD parser reads it as-is (one spec, one parser)."""
+def _exif_tiff(data: bytes) -> bytes | None:
+    """The APP1 EXIF payload (a little TIFF stream), or None."""
     if data[:2] != b"\xff\xd8":
-        return 1
+        return None
     pos = 2
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
-            return 1
+            return None
         marker = data[pos + 1]
         if marker == 0xFF:
             pos += 1
@@ -878,21 +875,100 @@ def exif_orientation(data: bytes) -> int:
             pos += 2
             continue
         if marker in (0xDA, 0xD9):  # scan/EOI: EXIF must precede these
-            return 1
+            return None
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         if marker == 0xE1 and data[pos + 4:pos + 10] == b"Exif\x00\x00":
-            tiff = data[pos + 10:pos + 2 + seglen]
-            try:
-                from ..sources.geotiff import _read_ifd, _tiff_header
-
-                endian, big, off = _tiff_header(tiff)
-                tags, _ = _read_ifd(tiff, endian, off, big=big)
-                o = tags.get(274, (1,))[0]
-                return o if 1 <= o <= 8 else 1
-            except (ValueError, struct.error, IndexError):
-                return 1
+            return data[pos + 10:pos + 2 + seglen]
         pos += 2 + seglen
-    return 1
+    return None
+
+
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (tag 274) from a JPEG's APP1 segment, 1 if absent.
+
+    The EXIF payload is a little TIFF stream (II/MM header + IFD0), so the
+    GeoTIFF module's IFD parser reads it as-is (one spec, one parser)."""
+    tiff = _exif_tiff(data)
+    if tiff is None:
+        return 1
+    try:
+        from ..sources.geotiff import _read_ifd, _tiff_header
+
+        endian, big, off = _tiff_header(tiff)
+        tags, _ = _read_ifd(tiff, endian, off, big=big)
+        o = tags.get(274, (1,))[0]
+        return o if 1 <= o <= 8 else 1
+    except (ValueError, struct.error, IndexError):
+        return 1
+
+
+def exif_gps(data: bytes) -> tuple[float, float] | None:
+    """(lon, lat) in signed decimal degrees from the EXIF GPS IFD (IFD0
+    tag 0x8825 -> GPS tags 1-4: latitude/longitude refs + DMS RATIONAL
+    triplets, EXIF 2.x spec), or None when absent/malformed. Decimal =
+    d + m/60 + s/3600 in float64 — mirrored exactly by the SQL oracles."""
+    tiff = _exif_tiff(data)
+    if tiff is None:
+        return None
+    try:
+        from ..sources.geotiff import _read_ifd, _tiff_header
+
+        endian, big, off = _tiff_header(tiff)
+        ifd0, _ = _read_ifd(tiff, endian, off, big=big)
+        gps_off = ifd0.get(0x8825)
+        if not gps_off:
+            return None
+        gps, _ = _read_ifd(tiff, endian, int(gps_off[0]), big=big)
+        lat_ref, lat = gps.get(1), gps.get(2)
+        lon_ref, lon = gps.get(3), gps.get(4)
+        if not (lat_ref and lon_ref and len(lat or ()) == 3
+                and len(lon or ()) == 3):
+            return None
+        la = lat[0] + lat[1] / 60.0 + lat[2] / 3600.0
+        lo = lon[0] + lon[1] / 60.0 + lon[2] / 3600.0
+        if lat_ref.startswith("S"):
+            la = -la
+        if lon_ref.startswith("W"):
+            lo = -lo
+        return lo, la
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
+def exif_gps_app1(
+    lat_dms: tuple, lon_dms: tuple, lat_ref: str = "N", lon_ref: str = "E"
+) -> bytes:
+    """APP1 EXIF segment bytes carrying a GPS IFD. ``lat_dms``/``lon_dms``
+    are ((d_num, d_den), (m_num, m_den), (s_num, s_den)) rational triplets
+    — exact rationals so fixtures are bit-reproducible."""
+    def entry(tag, typ, cnt, value4):
+        return struct.pack("<HHI", tag, typ, cnt) + value4
+
+    # layout: header(8) + IFD0(2 + 12 + 4 = 18 @8) + GPSIFD(2+4*12+4=54 @26)
+    # + lat rationals(24 @80) + lon rationals(24 @104)
+    gps_ifd_off, lat_off, lon_off = 26, 80, 104
+    tiff = bytearray()
+    tiff += b"II*\x00" + struct.pack("<I", 8)
+    tiff += struct.pack("<H", 1)
+    tiff += entry(0x8825, 4, 1, struct.pack("<I", gps_ifd_off))
+    tiff += struct.pack("<I", 0)
+    tiff += struct.pack("<H", 4)
+    tiff += entry(1, 2, 2, lat_ref.encode("ascii")[:1] + b"\x00\x00\x00")
+    tiff += entry(2, 5, 3, struct.pack("<I", lat_off))
+    tiff += entry(3, 2, 2, lon_ref.encode("ascii")[:1] + b"\x00\x00\x00")
+    tiff += entry(4, 5, 3, struct.pack("<I", lon_off))
+    tiff += struct.pack("<I", 0)
+    for num, den in (*lat_dms, *lon_dms):
+        tiff += struct.pack("<II", int(num), int(den))
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]
 
 
 def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:

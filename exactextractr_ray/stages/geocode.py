@@ -49,6 +49,30 @@ def geocode_url_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     )
 
 
+def exif_gps_batch(batch: pa.Table, payload_col: str = "payload") -> pa.Table:
+    """JPEG payloads -> (lon, lat) from the EXIF GPS IFD
+    (functions/jpeg.py exif_gps); rows without GPS are dropped (the
+    web-corpus norm — most images carry no location). Feeds the spatial
+    stages (pip_join / cell assignment) directly: the multimodal ->
+    geospatial bridge."""
+    from ..functions.jpeg import exif_gps
+
+    lons, lats, keep = [], [], []
+    for i, p in enumerate(batch.column(payload_col).to_pylist()):
+        got = exif_gps(p)
+        if got is None:
+            continue
+        keep.append(i)
+        lons.append(got[0])
+        lats.append(got[1])
+    out = batch.take(keep).drop_columns([payload_col])
+    return out.append_column(
+        "lon", pa.array(np.asarray(lons, np.float64), pa.float64())
+    ).append_column(
+        "lat", pa.array(np.asarray(lats, np.float64), pa.float64())
+    )
+
+
 def assign_cell_batch(batch: pa.Table, res_deg: float = 3.0) -> pa.Table:
     """Append the flat spatial cell id from lon/lat columns."""
     lon = batch.column("lon").to_numpy()

@@ -467,3 +467,47 @@ def test_sample_frames_on_error_skip(ray_session):
         batch_size=2, on_error="skip",
     ).to_pandas()
     assert sorted(set(out["media_id"])) == [0, 2, 3]
+
+
+def test_exif_gps_roundtrip_and_stage(ray_session):
+    """GPS DMS rationals written into a real APP1 segment read back to the
+    exact decimal degrees; the batch stage drops GPS-less rows and feeds
+    the PIP join (the multimodal -> geospatial bridge)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.functions.jpeg import (
+        encode_jpeg,
+        exif_gps,
+        exif_gps_app1,
+        insert_app1,
+    )
+    from exactextractr_ray.stages.geocode import exif_gps_batch
+
+    base = encode_jpeg(np.full((8, 8), 99, np.uint8), quality=80)
+    tagged = insert_app1(base, exif_gps_app1(
+        ((47, 1), (22, 1), (4012, 100)), ((8, 1), (32, 1), (551, 100)),
+        lat_ref="N", lon_ref="E",
+    ))
+    want = (8 + 32 / 60.0 + (551 / 100) / 3600.0,
+            47 + 22 / 60.0 + (4012 / 100) / 3600.0)
+    assert exif_gps(tagged) == want
+    assert exif_gps(base) is None
+    sw = insert_app1(base, exif_gps_app1(
+        ((1, 1), (30, 1), (0, 1)), ((2, 1), (15, 1), (0, 1)), "S", "W"))
+    assert exif_gps(sw) == (-2.25, -1.5)
+
+    tbl = pa.table({
+        "photo_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([tagged, base, sw], pa.binary()),
+    })
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(exif_gps_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("photo_id")
+    )
+    assert out["photo_id"].tolist() == [0, 2]  # GPS-less row dropped
+    assert out["lon"].tolist() == [want[0], -2.25]
+    assert out["lat"].tolist() == [want[1], -1.5]

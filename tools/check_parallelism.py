@@ -144,6 +144,7 @@ QUERIES = [
     "bpe_encode_tokens",
     "warc_pdf_text",
     "fix_mojibake",
+    "photo_zone_join",
 ]
 
 _CHILD = r"""
