@@ -984,6 +984,25 @@ def _q_hex(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_s2(sf_dir: str):
+    """True spherical S2 cell ids (stages/s2.py): cube face + quadratic s/t
+    + Hilbert-curve lookup, level 12 with the level-8 parent rollup key.
+    Direction vectors derive from doc_id via integer hashes (trig-free), so
+    the whole pipeline sits under a bit-exact DuckDB oracle."""
+    from exactextractr_ray import synth
+    from exactextractr_ray.stages.s2 import assign_s2_xyz_batch
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(
+        synth.s2_direction_batch, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: assign_s2_xyz_batch(b, 12, parent_level=8), batch_format="pyarrow"
+    )
+    df = ds.select_columns(["doc_id", "s2_id", "s2_parent8"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_spatial_knn(sf_dir: str):
     from exactextractr_ray import synth
     from exactextractr_ray.stages.geocode import geocode_doc_batch
@@ -3226,6 +3245,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "geohash_cells": _q_geohash,
         "hilbert_cells": _q_hilbert,
         "hex_cells": _q_hex,
+        "s2_cells": _q_s2,
         "spatial_knn": _q_spatial_knn,
         "spatial_knn_cells": _q_spatial_knn_cells,
         "zone_tile_cover": _q_zone_cover,
@@ -3874,6 +3894,16 @@ def oracle_sql() -> dict[str, str]:
     hilbert = f"""
     WITH geo AS ({geo}),
     {synth.hilbert_cell_sql(8)}
+    ORDER BY doc_id
+    """
+
+    # True spherical S2 cell id (stages/s2.py): cube face + quadratic s/t +
+    # Hilbert lookup-table joins; trig-free hash-derived direction vectors
+    # make every float op identical IEEE in numpy and DuckDB
+    # (synth.s2_cell_sql embeds the 1024-entry orientation table).
+    s2cells = f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    {synth.s2_cell_sql(12, 8)}
     ORDER BY doc_id
     """
 
@@ -6257,6 +6287,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash_cells": geohash_cells_sql,
         "hilbert_cells": hilbert,
         "hex_cells": hexcells,
+        "s2_cells": s2cells,
         "spatial_knn": spatial_knn_sql,
         # the pruned-index path is EXACT (ring proof in stages/spatial.py),
         # so it shares the brute-force oracle verbatim

@@ -356,3 +356,111 @@ GEOHASH_MY_SQL = (
     "CAST(GREATEST(0, LEAST(1048575,"
     " floor((lat + 90.0) / 180.0 * 1048576.0))) AS BIGINT)"
 )
+
+
+# ---------------- S2 cell ids (stages/s2.py bit-exact SQL twin) -------------
+
+S2X_MULT = 3266489917  # xxhash-family odd primes, distinct from LON/LAT
+S2Y_MULT = 668265263
+S2Z_MULT = 374761393
+
+
+def s2_direction_ids(ids: "np.ndarray") -> tuple:
+    """doc_id -> direction vector in [-1, 1)^3 (need not be unit: the S2
+    face projection is scale-invariant).  Every operation is one exact /
+    correctly-rounded IEEE double op (integer hash, divide by 2^32,
+    multiply by 2, subtract 1), so the SQL twin in s2_cell_sql produces
+    bit-identical coordinates — the trick that lets the full S2 pipeline
+    (face CASE, u/v divide, quadratic sqrt, floor, Hilbert lookup joins)
+    stay under a bit-exact DuckDB oracle without trig."""
+    i = np.asarray(ids, dtype=np.int64)
+    x = ((i * S2X_MULT) % HASH_MOD).astype(np.float64) / HASH_MOD * 2.0 - 1.0
+    y = ((i * S2Y_MULT) % HASH_MOD).astype(np.float64) / HASH_MOD * 2.0 - 1.0
+    z = ((i * S2Z_MULT) % HASH_MOD).astype(np.float64) / HASH_MOD * 2.0 - 1.0
+    return x, y, z
+
+
+def s2_direction_batch(batch):
+    """map_batches fn: append x/y/z direction columns from doc_id."""
+    import pyarrow as pa
+
+    x, y, z = s2_direction_ids(batch.column("doc_id").to_numpy())
+    return (
+        batch.append_column("x", pa.array(x))
+        .append_column("y", pa.array(y))
+        .append_column("z", pa.array(z))
+    )
+
+
+def s2_cell_sql(level: int = 12, parent_level: int = 8, from_rel: str = "ids") -> str:
+    """SQL computing S2 cell ids for (doc_id) rows in ``from_rel``,
+    bit-identical to stages.s2.s2_cell_from_xyz over s2_direction_ids:
+    the 1024-entry Hilbert orientation lookup table is embedded as a
+    VALUES relation joined once per 4-bit chunk (8 chained CTEs), float
+    steps reproduce the numpy ops one-for-one, and the final id math runs
+    in HUGEINT before casting to UBIGINT.  Returns a relation
+    (doc_id, s2_id, s2_parent{parent_level})."""
+    from .stages.s2 import LOOKUP_POS
+
+    lut_rows = ", ".join(f"({b}, {int(v)})" for b, v in enumerate(LOOKUP_POS))
+    two32 = float(HASH_MOD)
+    n30 = 1 << 30
+    st_i = (
+        "LEAST(GREATEST(CAST(FLOOR((CASE WHEN u >= 0.0 THEN 0.5 * sqrt(1.0 + 3.0 * u)"
+        f" ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END) * {float(n30)}) AS BIGINT), 0), {n30 - 1})"
+    )
+    st_j = st_i.replace(" u ", " v ").replace("* u)", "* v)")
+    parts = [
+        "s2lut AS (SELECT CAST(b AS BIGINT) AS b, CAST(lv AS BIGINT) AS lv"
+        f" FROM (VALUES {lut_rows}) t(b, lv))",
+        f"""s2base AS (
+      SELECT doc_id,
+        ((doc_id * {S2X_MULT}) % {HASH_MOD}) / {two32} * 2.0 - 1.0 AS x,
+        ((doc_id * {S2Y_MULT}) % {HASH_MOD}) / {two32} * 2.0 - 1.0 AS y,
+        ((doc_id * {S2Z_MULT}) % {HASH_MOD}) / {two32} * 2.0 - 1.0 AS z
+      FROM {from_rel})""",
+        """s2face AS (
+      SELECT doc_id, x, y, z,
+        CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+               THEN CASE WHEN x > 0 THEN 0 ELSE 3 END
+             WHEN abs(y) >= abs(z)
+               THEN CASE WHEN y > 0 THEN 1 ELSE 4 END
+             ELSE CASE WHEN z > 0 THEN 2 ELSE 5 END END AS face
+      FROM s2base)""",
+        """s2uv AS (
+      SELECT doc_id, face,
+        CASE face WHEN 0 THEN y / x WHEN 1 THEN -x / y WHEN 2 THEN -x / z
+                  WHEN 3 THEN z / x WHEN 4 THEN z / y ELSE -y / z END AS u,
+        CASE face WHEN 0 THEN z / x WHEN 1 THEN z / y WHEN 2 THEN -y / z
+                  WHEN 3 THEN y / x WHEN 4 THEN -x / y ELSE -x / z END AS v
+      FROM s2face)""",
+        f"""s2ij AS (
+      SELECT doc_id, face, {st_i} AS i, {st_j} AS j FROM s2uv)""",
+        f"""s2k8 AS (
+      SELECT doc_id, i, j, face * {1 << 60} AS n, face % 2 AS bits FROM s2ij)""",
+    ]
+    for k in range(7, -1, -1):
+        ext = 1 << (4 * k)
+        place = 1 << (8 * k)
+        prev = "s2k8" if k == 7 else f"s2k{k + 1}"
+        parts.append(
+            f"""s2k{k} AS (
+      SELECT t.doc_id, t.i, t.j,
+        t.n + (l.lv // 4) * {place} AS n, l.lv % 4 AS bits
+      FROM {prev} t JOIN s2lut l
+        ON l.b = ((t.i // {ext}) % 16) * 64 + ((t.j // {ext}) % 16) * 4 + t.bits)"""
+        )
+    kk = 61 - 2 * level
+    kp = 61 - 2 * parent_level
+    parts.append(
+        f"""s2fin AS (
+      SELECT doc_id,
+        (CAST(n AS HUGEINT) * 2 + 1) AS leaf
+      FROM s2k0)"""
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""{ctes}
+    SELECT doc_id,
+      CAST((leaf // {1 << kk}) * {1 << kk} + {1 << (kk - 1)} AS UBIGINT) AS s2_id,
+      CAST((leaf // {1 << kp}) * {1 << kp} + {1 << (kp - 1)} AS UBIGINT) AS s2_parent{parent_level}
+    FROM s2fin"""
