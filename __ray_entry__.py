@@ -1259,6 +1259,17 @@ def _q_dup_spans(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_substr_dup(sf_dir: str):
+    """Exact duplicated-substring spans (Lee et al. 2022 character-level
+    corpus dedup): maximal [start, end) spans whose every 20-gram occurs
+    >= 2 times anywhere in the corpus."""
+    from exactextractr_ray.stages.dedup import substr_dup_spans
+
+    df = substr_dup_spans(_docs(sf_dir, ["doc_id", "text"]), k=20).to_pandas()
+    df = df.reindex(columns=["doc_id", "span_start", "span_end"])
+    return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 def _q_curate(sf_dir: str):
     """Flagship corpus-curation composition: langid -> repetition gates ->
     exact dedup -> near-dup cluster pruning, end to end."""
@@ -3258,6 +3269,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "token_rarity": _q_token_rarity,
         "dup_spans": _q_dup_spans,
+        "substr_dup_spans": _q_substr_dup,
         "curate_corpus": _q_curate,
         "semdedup": _q_semdedup,
         "bigram_coherence": _q_bigram_coherence,
@@ -4583,6 +4595,14 @@ def oracle_sql() -> dict[str, str]:
       COUNT(*) AS n_spans,
       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
     FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # exact duplicated-substring spans: the double rolling hash in sum form
+    # (synth.substr_dup_sql embeds the B^(k-1-t) mod 2^32 weights), global
+    # count >= 2, gaps-and-islands span merge — integer-exact end to end.
+    substr_dup_spans_sql = f"""
+    WITH {synth.substr_dup_sql(20)}
+    ORDER BY doc_id, span_start
     """
 
     extract_text = """
@@ -6312,6 +6332,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": pii_redact_sql,
         "token_rarity": token_rarity_sql,
         "dup_spans": dup_spans_sql,
+        "substr_dup_spans": substr_dup_spans_sql,
         "curate_corpus": curate_sql,
         "semdedup": semdedup_sql,
         "bigram_coherence": bigram_coherence_sql,

@@ -1237,3 +1237,194 @@ def dup_span_dedup(
         )
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact duplicated-substring spans (character-level corpus dedup)
+# --------------------------------------------------------------------------
+
+#: double 32-bit polynomial rolling hash over codepoints.  Two independent
+#: bases give an effective 64-bit key (collision odds ~N^2/2^65) while every
+#: intermediate stays int64-exact in BOTH numpy and the DuckDB oracle
+#: (h*B + c < 2^62; the SQL sum-form terms c*B^t%2^32 < 2^53).
+_SUBSTR_B1 = 1000003
+_SUBSTR_B2 = 998244353
+_M32 = 1 << 32
+
+
+def _gram_hashes(
+    texts: list, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-position double hashes for every length-k character window of
+    every text, fully vectorized across the batch: codepoints of all texts
+    are concatenated once, the rolling hash runs k numpy passes over the
+    whole concatenation, and windows that straddle a document boundary are
+    masked out with a searchsorted ownership test.  Returns
+    (doc_index, position, h1, h2); positions are 0-based characters."""
+    codes_list = [
+        np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        for t in texts
+    ]
+    lens = np.array([c.size for c in codes_list], dtype=np.int64)
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    if lens.size == 0:
+        return empty
+    codes = np.concatenate(codes_list) if codes_list else np.empty(0, np.int64)
+    n = int(codes.size)
+    if n < k:
+        return empty
+    h1 = np.zeros(n - k + 1, dtype=np.int64)
+    h2 = np.zeros(n - k + 1, dtype=np.int64)
+    for t in range(k):
+        seg = codes[t : n - k + 1 + t]
+        h1 = (h1 * _SUBSTR_B1 + seg) % _M32
+        h2 = (h2 * _SUBSTR_B2 + seg) % _M32
+    starts = np.cumsum(lens) - lens
+    q = np.arange(n - k + 1, dtype=np.int64)
+    owner = np.searchsorted(starts, q, side="right") - 1
+    valid = q + k <= starts[owner] + lens[owner]
+    q, owner = q[valid], owner[valid]
+    return owner, q - starts[owner], h1[valid], h2[valid]
+
+
+def substr_dup_spans(
+    ds,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    ncoarse: int = 256,
+):
+    """Exact duplicated-substring spans — the character-level corpus dedup
+    of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022), expressed Ray-Data-first instead of via a suffix array: a
+    position is duplicated when its k-gram occurs >= 2 times anywhere in
+    the corpus (all occurrences count, same-document repeats included);
+    per document, duplicated positions merge into maximal contiguous
+    [span_start, span_end) spans (windows overlapping or touching chain
+    together, exactly the gaps-and-islands rule of the SQL oracle).
+
+    Scale shape (100 TB): ONE streaming pass over text and two all-to-alls
+    that never move text.  Each block emits (a) per-block PRE-AGGREGATED
+    gram-count partials (np.unique inside the batch, tag=0) and (b) one
+    mark row per window position (tag=1); both streams carry the gram key
+    and a coarse jkey derived from it, so the union + ``groupby(jkey)``
+    co-locates every occurrence of a gram with its count partials — the
+    per-group semi-join (global cnt >= 2, vectorized bincount + isin) is
+    the repo's standard union-groupby hash-join shape (see the minhash
+    doc-id join above), immune to the empty-side fragility of
+    ``Dataset.join`` and one shuffle cheaper than count->filter->join.
+    Surviving (doc_id, p) rows then merge into spans inside ``ncoarse``
+    doc groups (vectorized gaps-and-islands per group, no per-doc Python).
+
+    ``num_partitions`` (default 32 x CPUs) is the jkey group count.
+
+    Returns a Dataset of (doc_id, span_start, span_end).  ``schema()`` is
+    always correct, but on the degenerate all-unique corpus (zero spans
+    corpus-wide) Ray's ``to_pandas()`` can surface the empty result as a
+    column-less frame (empty sort partitions yield schemaless blocks, and
+    map UDFs are never invoked on empty data to repair them) — consumers
+    that need a frame should ``reindex(columns=[...])``.
+    """
+    import ray
+
+    if num_partitions is None:
+        num_partitions = 32 * int(ray.cluster_resources().get("CPU", 8))
+    njoin = int(num_partitions)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        owner, pos, h1, h2 = _gram_hashes(texts, k)
+        key = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+        # tag=0 count partials: one row per DISTINCT gram in the block
+        uk, cnt = np.unique(key, return_counts=True)
+        # tag=1 marks: one row per window position
+        hk = np.concatenate([uk, key]).view(np.int64)
+        jkey = (np.concatenate([uk, key]) % np.uint64(njoin)).astype(np.int64)
+        tag = np.concatenate(
+            [np.zeros(uk.size, np.int64), np.ones(key.size, np.int64)]
+        )
+        return pa.table(
+            {
+                "jkey": pa.array(jkey),
+                "hk": pa.array(hk),
+                "tag": pa.array(tag),
+                "cnt": pa.array(
+                    np.concatenate([cnt.astype(np.int64), np.zeros(key.size, np.int64)])
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(
+                        [np.full(uk.size, -1, np.int64), ids[owner].astype(np.int64)]
+                    )
+                ),
+                "p": pa.array(
+                    np.concatenate([np.full(uk.size, -1, np.int64), pos])
+                ),
+            }
+        )
+
+    def semi_join(g: pd.DataFrame) -> pd.DataFrame:
+        hk = g["hk"].to_numpy()
+        uniq, inv = np.unique(hk, return_inverse=True)
+        tot = np.bincount(inv, weights=g["cnt"].to_numpy())
+        keep = (tot[inv] >= 2) & (g["tag"].to_numpy() == 1)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "p": g["p"].to_numpy()[keep],
+            }
+        )
+
+    joined = (
+        ds.map_batches(fanout, batch_format="pyarrow")
+        .groupby("jkey")
+        .map_groups(semi_join, batch_format="pandas")
+    )
+    # one sentinel position for doc_id=-1 (impossible: real ids are >= 0),
+    # filtered back out after the span merge: a corpus with zero duplicated
+    # grams would otherwise leave the final map_groups uninvoked and the
+    # result Dataset schemaless
+    joined = joined.union(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([-1], type=pa.int64()),
+                    "p": pa.array([0], type=pa.int64()),
+                }
+            )
+        )
+    )
+
+    def coarse_key(batch: pa.Table) -> pa.Table:
+        c = batch.column("doc_id").to_numpy() % ncoarse
+        return batch.append_column("coarse", pa.array(c.astype(np.int64)))
+
+    def merge_spans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "p"])
+        doc = g["doc_id"].to_numpy()
+        p = g["p"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        brk[1:] = (doc[1:] != doc[:-1]) | (p[1:] > p[:-1] + k)
+        island = np.cumsum(brk)
+        out = pd.DataFrame({"doc_id": doc, "island": island, "p": p})
+        agg = out.groupby(["doc_id", "island"], as_index=False).agg(
+            span_start=("p", "min"), span_end=("p", "max")
+        )
+        agg["span_end"] = agg["span_end"] + k
+        # drop the schema-keeping sentinel here, in pandas: a 0-row pandas
+        # block keeps its columns through to_pandas(), a 0-row Arrow block
+        # from a downstream filter does not
+        agg = agg[agg["doc_id"] >= 0]
+        return agg[["doc_id", "span_start", "span_end"]].reset_index(drop=True)
+
+    return (
+        joined.map_batches(coarse_key, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(merge_spans, batch_format="pandas")
+    )

@@ -464,3 +464,34 @@ def s2_cell_sql(level: int = 12, parent_level: int = 8, from_rel: str = "ids") -
       CAST((leaf // {1 << kk}) * {1 << kk} + {1 << (kk - 1)} AS UBIGINT) AS s2_id,
       CAST((leaf // {1 << kp}) * {1 << kp} + {1 << (kp - 1)} AS UBIGINT) AS s2_parent{parent_level}
     FROM s2fin"""
+
+
+def substr_dup_sql(k: int = 20, from_rel: str = "documents") -> str:
+    """SQL twin of stages.dedup.substr_dup_spans: per-position double
+    rolling hash in sum form (weights B^(k-1-t) mod 2^32 as embedded
+    constants; every term < 2^53 so the HUGEINT SUM is exact), global
+    count >= 2, then the gaps-and-islands merge into [start, end) spans."""
+    from .stages.dedup import _M32, _SUBSTR_B1, _SUBSTR_B2
+
+    offs = ", ".join(
+        f"({t}, {pow(_SUBSTR_B1, k - 1 - t, _M32)}, {pow(_SUBSTR_B2, k - 1 - t, _M32)})"
+        for t in range(k)
+    )
+    return f"""sdocs AS (SELECT doc_id, text FROM {from_rel}),
+    spos AS (SELECT doc_id, text,
+        unnest(generate_series(1, length(text) - {k} + 1)) AS p FROM sdocs),
+    soffs(t, w1, w2) AS (VALUES {offs}),
+    shashed AS (
+      SELECT doc_id, p,
+        CAST(SUM(unicode(substr(text, CAST(p + t AS INT), 1)) * w1) % {_M32} AS BIGINT) AS h1,
+        CAST(SUM(unicode(substr(text, CAST(p + t AS INT), 1)) * w2) % {_M32} AS BIGINT) AS h2
+      FROM spos, soffs GROUP BY doc_id, p),
+    sdupg AS (SELECT h1, h2 FROM shashed GROUP BY h1, h2 HAVING count(*) >= 2),
+    smarked AS (SELECT doc_id, p FROM shashed JOIN sdupg USING (h1, h2)),
+    slagd AS (SELECT doc_id, p,
+        LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp FROM smarked),
+    sisl AS (SELECT doc_id, p,
+        SUM(CASE WHEN pp IS NULL OR p > pp + {k} THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY p) AS g FROM slagd)
+    SELECT doc_id, MIN(p) - 1 AS span_start, MAX(p) - 1 + {k} AS span_end
+    FROM sisl GROUP BY doc_id, g"""
