@@ -1270,6 +1270,18 @@ def _q_substr_dup(sf_dir: str):
     return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 
 
+def _q_dsir(sf_dir: str):
+    """DSIR data selection (hashed-bigram importance weights, fixed-point
+    integer likelihood ratios): top-100 docs most like the target domain
+    (docs containing 'spark')."""
+    from exactextractr_ray.stages.dsir import dsir_topk
+
+    df = dsir_topk(
+        _docs(sf_dir, ["doc_id", "text"]), target_substr="spark", k=100
+    ).to_pandas()
+    return df.sort_values(["doc_id"]).reset_index(drop=True)
+
+
 def _q_curate(sf_dir: str):
     """Flagship corpus-curation composition: langid -> repetition gates ->
     exact dedup -> near-dup cluster pruning, end to end."""
@@ -3270,6 +3282,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "token_rarity": _q_token_rarity,
         "dup_spans": _q_dup_spans,
         "substr_dup_spans": _q_substr_dup,
+        "dsir_topk": _q_dsir,
         "curate_corpus": _q_curate,
         "semdedup": _q_semdedup,
         "bigram_coherence": _q_bigram_coherence,
@@ -4595,6 +4608,45 @@ def oracle_sql() -> dict[str, str]:
       COUNT(*) AS n_spans,
       CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
     FROM marked GROUP BY doc_id ORDER BY doc_id
+    """
+
+    # DSIR hashed-bigram importance selection: same md5-bucket recipe, the
+    # fixed-point integer weight ((t+1)*2^20)//(r+1) (target = docs LIKE
+    # '%spark%', a subset of raw so t<=r and every value is integer-exact),
+    # per-doc int score, deterministic (score DESC, doc_id) top-100.
+    # range() can't take lateral column args in DuckDB -> corpus-max + JOIN.
+    dsir_sql = """
+    WITH tk AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    didx AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM tk)))
+        AS i
+    ),
+    big AS (
+      SELECT tk.doc_id, tk.text,
+        CAST(CAST(('0x' || substr(md5(tk.w[CAST(didx.i AS INT)] || ' '
+                   || tk.w[CAST(didx.i + 1 AS INT)]), 1, 8)) AS UBIGINT)
+             % 4096 AS BIGINT) AS bucket
+      FROM tk JOIN didx ON didx.i < len(tk.w)
+    ),
+    model AS (
+      SELECT bucket,
+        CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END)
+          AS BIGINT) AS t,
+        CAST(COUNT(*) AS BIGINT) AS r
+      FROM big GROUP BY bucket
+    ),
+    wts AS (SELECT bucket, ((t + 1) * 1048576) // (r + 1) AS wt FROM model),
+    scores AS (
+      SELECT b.doc_id, CAST(SUM(w.wt) AS BIGINT) AS score
+      FROM big b JOIN wts w USING (bucket)
+      GROUP BY b.doc_id HAVING SUM(w.wt) > 0
+    )
+    SELECT doc_id, score FROM scores
+    ORDER BY score DESC, doc_id LIMIT 100
     """
 
     # exact duplicated-substring spans: the double rolling hash in sum form
@@ -6333,6 +6385,7 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": token_rarity_sql,
         "dup_spans": dup_spans_sql,
         "substr_dup_spans": substr_dup_spans_sql,
+        "dsir_topk": dsir_sql,
         "curate_corpus": curate_sql,
         "semdedup": semdedup_sql,
         "bigram_coherence": bigram_coherence_sql,
