@@ -2689,6 +2689,47 @@ def _q_zonal_geotiff_stream(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zonal_netcdf_stream(sf_dir: str):
+    """The NetCDF-3 raster ingestion path (per-worker byte-range row reads,
+    sources/netcdf_raster.py — the CF climate-grid access pattern) over the
+    same synthetic raster/zones as zonal_stats_rect: one oracle covers the
+    parquet-tile, GeoTIFF AND netCDF physical sources. Exercises the CF
+    ascending-latitude layout (the reader's row-flip path)."""
+    import os
+    import tempfile
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.netcdf_raster import (
+        netcdf_raster_dataset,
+        write_netcdf_raster,
+    )
+
+    rr = np.broadcast_to(np.arange(N_GRID)[:, None], (N_GRID, N_GRID))
+    cc = np.broadcast_to(np.arange(N_GRID)[None, :], (N_GRID, N_GRID))
+    arr = synth.synth_values(rr, cc, dtype=np.float64)
+    with tempfile.TemporaryDirectory(prefix="nc_") as tmp:
+        p = os.path.join(tmp, "synth.nc")
+        write_netcdf_raster(arr, synth.synth_grid(N_GRID), p,
+                            nodata=-9999.0, y_ascending=True)
+        t = exact_extract(
+            netcdf_raster_dataset(p, tile=TILE, concurrency=(1, 2)),
+            _rect_zones(),
+            ["count", "sum", "mean", "min", "max", "variance_exact"],
+        ).to_pandas()
+    t = t.rename(
+        columns={
+            "count": "cell_count",
+            "sum": "val_sum",
+            "mean": "val_mean",
+            "min": "val_min",
+            "max": "val_max",
+            "variance_exact": "val_var",
+        }
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     from exactextractr_ray.stages.text import langid_batch
 
@@ -3196,6 +3237,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
         "zonal_geotiff_stream": _q_zonal_geotiff_stream,
+        "zonal_netcdf_stream": _q_zonal_netcdf_stream,
         "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
         "png_decode_features": _q_png_decode_features,
         "gif_frames_features": _q_gif_frames_features,
@@ -6240,6 +6282,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_geotiff_stream": zonal_stats,
+        "zonal_netcdf_stream": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
         "zonal_feature_seq_geotiff": zonal_feature_seq,
         "png_decode_features": png_decode,

@@ -111,3 +111,59 @@ def test_netcdf_cdf2_roundtrip(tmp_path):
     np.testing.assert_array_equal(r[~np.isnan(r)], a[~np.isnan(a)])
     with pytest.raises(ValueError, match="version"):
         write_netcdf_raster(a, g, p, version=3)
+
+
+def test_netcdf_lazy_window_reads_match_full(tmp_path):
+    """NetCdfRasterFile byte-range windows == full-read slices, for
+    north-down, south-up (row-flip path), CDF-2 and CF-packed files."""
+    from exactextractr_ray.sources.netcdf_raster import NetCdfRasterFile
+
+    a, g = _sample()
+    cases = [
+        dict(nodata=-9999.0),
+        dict(nodata=-9999.0, y_ascending=True),
+        dict(nodata=-9999.0, version=2),
+        dict(nodata=-9999.0, dtype="i2", scale_factor=0.01, add_offset=5.0),
+    ]
+    for i, kw in enumerate(cases):
+        p = str(tmp_path / f"w{i}.nc")
+        write_netcdf_raster(a, g, p, **kw)
+        full, gf = read_netcdf_raster(p)
+        with NetCdfRasterFile(p) as nf:
+            assert nf.grid == gf == g
+            for (r0, c0, h, w) in [(0, 0, 48, 64), (3, 5, 7, 11),
+                                   (40, 50, 8, 14), (5, 7, 1, 1)]:
+                win = nf.read_window(r0, c0, h, w)
+                np.testing.assert_array_equal(
+                    win, full[r0 : r0 + h, c0 : c0 + w]
+                )
+
+
+def test_netcdf_streaming_dataset_matches_array_tiles(ray_session, tmp_path):
+    """The actor-pool streaming source yields tiles byte-identical to the
+    in-memory array path (same schema, same cell values, ragged edges)."""
+    from exactextractr_ray.sources.raster import raster_from_array
+
+    a, g = _sample()
+    p = str(tmp_path / "s.nc")
+    write_netcdf_raster(a, g, p, nodata=-9999.0, y_ascending=True)
+    want = (
+        raster_from_array(np.asarray(a, np.float64), g, tile=20)
+        .ds.to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        netcdf_raster_dataset(p, tile=20, concurrency=(1, 2))
+        .ds.to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for i in range(len(got)):
+        np.testing.assert_array_equal(
+            np.asarray(got["values"][i]), np.asarray(want["values"][i])
+        )
+        for c in ("tile_id", "row0", "col0", "th", "tw"):
+            assert got[c][i] == want[c][i]
