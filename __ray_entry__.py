@@ -1282,6 +1282,44 @@ def _q_dsir(sf_dir: str):
     return df.sort_values(["doc_id"]).reset_index(drop=True)
 
 
+#: C4-style blocklist for the synthetic corpus (whole-token matching)
+_BLOCKLIST_TERMS = ("slow", "spam", "bad")
+
+
+def _q_blocklist(sf_dir: str):
+    """C4 blocklist gate: exact per-doc count of blocklisted tokens +
+    keep flag (Raffel et al. 2020 §2.2), one np.isin per batch."""
+    from exactextractr_ray.stages.classify import blocklist_filter
+
+    df = blocklist_filter(
+        _docs(sf_dir, ["doc_id", "text"]), _BLOCKLIST_TERMS
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_classify(sf_dir: str):
+    """Linear quality-classifier inference (fastText architecture): hashed
+    bag-of-words, broadcast integer weight matrix held per actor, exact
+    argmax with smallest-class tie rule."""
+    from exactextractr_ray.stages.classify import classify_documents
+
+    df = classify_documents(
+        _docs(sf_dir, ["doc_id", "text"]), n_classes=4, n_buckets=512
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_winnow(sf_dir: str):
+    """Winnowing (MOSS) fingerprint selection: k=8 char grams, window w=4,
+    rightmost-min rule — the position-bearing local fingerprint set."""
+    from exactextractr_ray.stages.winnow import winnow_fingerprints
+
+    df = winnow_fingerprints(
+        _docs(sf_dir, ["doc_id", "text"]), k=8, w=4
+    ).to_pandas()
+    return df.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
 def _q_curate(sf_dir: str):
     """Flagship corpus-curation composition: langid -> repetition gates ->
     exact dedup -> near-dup cluster pruning, end to end."""
@@ -3325,6 +3363,9 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "substr_dup_spans": _q_substr_dup,
         "dsir_topk": _q_dsir,
+        "winnow_fingerprints": _q_winnow,
+        "blocklist_filter": _q_blocklist,
+        "classify_docs": _q_classify,
         "curate_corpus": _q_curate,
         "semdedup": _q_semdedup,
         "bigram_coherence": _q_bigram_coherence,
@@ -4697,6 +4738,28 @@ def oracle_sql() -> dict[str, str]:
     substr_dup_spans_sql = f"""
     WITH {synth.substr_dup_sql(20)}
     ORDER BY doc_id, span_start
+    """
+
+    # Winnowing (MOSS) fingerprints: same rolling-hash sum form, window
+    # min with rightmost tie via ROW_NUMBER (h ASC, p DESC) over a bounded
+    # range self-join — integer-exact end to end.
+    from exactextractr_ray.stages.winnow import winnow_sql
+
+    winnow_fp_sql = f"""
+    WITH {winnow_sql(8, 4)}
+    ORDER BY doc_id, pos
+    """
+
+    # C4 blocklist gate + linear-classifier inference: both integer-exact
+    # (np.isin token counts; md5-derived weight sums with argmax tie rule).
+    from exactextractr_ray.stages.classify import blocklist_sql, classify_sql
+
+    blocklist_filter_sql = (
+        blocklist_sql(_BLOCKLIST_TERMS) + " ORDER BY doc_id"
+    )
+    classify_docs_sql = f"""
+    WITH {classify_sql(4, 512)}
+    ORDER BY doc_id
     """
 
     extract_text = """
@@ -6429,6 +6492,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": dup_spans_sql,
         "substr_dup_spans": substr_dup_spans_sql,
         "dsir_topk": dsir_sql,
+        "winnow_fingerprints": winnow_fp_sql,
+        "blocklist_filter": blocklist_filter_sql,
+        "classify_docs": classify_docs_sql,
         "curate_corpus": curate_sql,
         "semdedup": semdedup_sql,
         "bigram_coherence": bigram_coherence_sql,
