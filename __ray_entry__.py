@@ -2768,6 +2768,43 @@ def _q_zonal_netcdf_stream(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zonal_geojson_zones(sf_dir: str):
+    """The GeoJSON vector ingestion path (sources/geojson.py — RFC 7946,
+    the most common OGR exchange format after shapefiles; reference reads
+    it transparently via gdal_dataset_wrapper.cpp:22-76): the rect zones
+    round-trip through a FeatureCollection on disk, then run the standard
+    zonal pipeline — one oracle now covers parquet, GeoPackage, Shapefile
+    AND GeoJSON zone sources."""
+    import os
+    import tempfile
+
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.geojson import (
+        read_geojson_zones,
+        write_geojson_zones,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="gjzone_") as tmp:
+        p = os.path.join(tmp, "zones.geojson")
+        write_geojson_zones(_rect_zones(), p)
+        zones = read_geojson_zones(p)
+        t = exact_extract(
+            _raster(), zones,
+            ["count", "sum", "mean", "min", "max", "variance_exact"],
+        ).to_pandas()
+    t = t.rename(
+        columns={
+            "count": "cell_count",
+            "sum": "val_sum",
+            "mean": "val_mean",
+            "min": "val_min",
+            "max": "val_max",
+            "variance_exact": "val_var",
+        }
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_langid(sf_dir: str):
     from exactextractr_ray.stages.text import langid_batch
 
@@ -3276,6 +3313,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "zonal_stats_rect": _q_zonal_stats,
         "zonal_geotiff_stream": _q_zonal_geotiff_stream,
         "zonal_netcdf_stream": _q_zonal_netcdf_stream,
+        "zonal_geojson_zones": _q_zonal_geojson_zones,
         "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
         "png_decode_features": _q_png_decode_features,
         "gif_frames_features": _q_gif_frames_features,
@@ -6346,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats_rect": zonal_stats,
         "zonal_geotiff_stream": zonal_stats,
         "zonal_netcdf_stream": zonal_stats,
+        "zonal_geojson_zones": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,
         "zonal_feature_seq_geotiff": zonal_feature_seq,
         "png_decode_features": png_decode,
