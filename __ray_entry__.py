@@ -1282,6 +1282,20 @@ def _q_dsir(sf_dir: str):
     return df.sort_values(["doc_id"]).reset_index(drop=True)
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (Wenzek et al. 2020 §4.2): hashed-bigram
+    LM trained on the reference subset (docs containing 'spark'), every
+    doc scored by exact fixed-point mean surprisal, corpus split into
+    head/middle/tail terciles by global rank — no corpus sort, no float
+    summation hazard (stages/lm.py)."""
+    from exactextractr_ray.stages.lm import lm_perplexity_buckets
+
+    df = lm_perplexity_buckets(
+        _docs(sf_dir, ["doc_id", "text"]), train_substr="spark"
+    ).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 #: C4-style blocklist for the synthetic corpus (whole-token matching)
 _BLOCKLIST_TERMS = ("slow", "spam", "bad")
 
@@ -3401,6 +3415,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "substr_dup_spans": _q_substr_dup,
         "dsir_topk": _q_dsir,
+        "ccnet_buckets": _q_ccnet_buckets,
         "winnow_fingerprints": _q_winnow,
         "blocklist_filter": _q_blocklist,
         "classify_docs": _q_classify,
@@ -4768,6 +4783,48 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT doc_id, score FROM scores
     ORDER BY score DESC, doc_id LIMIT 100
+    """
+
+    # CCNet perplexity terciles: same tokenization/md5-bucket recipe as
+    # dsir_sql; surprisal is the fixed-point integer inverse conditional
+    # probability (stages/lm.py) so SUM/ // /NTILE are integer-exact.
+    ccnet_sql = """
+    WITH tk AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    didx AS (
+      SELECT UNNEST(range(1, (SELECT COALESCE(MAX(len(w)), 1) FROM tk)))
+        AS i
+    ),
+    big AS (
+      SELECT tk.doc_id, tk.text,
+        CAST(CAST(('0x' || substr(md5(tk.w[CAST(didx.i AS INT)]), 1, 8))
+             AS UBIGINT) % 4096 AS BIGINT) AS cb,
+        CAST(CAST(('0x' || substr(md5(tk.w[CAST(didx.i AS INT)] || ' '
+                   || tk.w[CAST(didx.i + 1 AS INT)]), 1, 8))
+             AS UBIGINT) % 4096 AS BIGINT) AS pb
+      FROM tk JOIN didx ON didx.i < len(tk.w)
+    ),
+    ctx AS (SELECT cb AS b, CAST(COUNT(*) AS BIGINT) AS c FROM big
+            WHERE text LIKE '%spark%' GROUP BY cb),
+    pairm AS (SELECT pb AS b, CAST(COUNT(*) AS BIGINT) AS c FROM big
+              WHERE text LIKE '%spark%' GROUP BY pb),
+    scored AS (
+      SELECT big.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(((COALESCE(ctx.c, 0) + 4096) * 1048576)
+                 // (COALESCE(pairm.c, 0) + 1)) AS BIGINT) AS score
+      FROM big
+      LEFT JOIN ctx ON big.cb = ctx.b
+      LEFT JOIN pairm ON big.pb = pairm.b
+      GROUP BY big.doc_id
+    )
+    SELECT doc_id, n_pairs, score // n_pairs AS ppl_fp,
+           CAST(NTILE(3) OVER (ORDER BY score // n_pairs ASC, doc_id ASC)
+                AS BIGINT) AS bucket
+    FROM scored ORDER BY doc_id
     """
 
     # exact duplicated-substring spans: the double rolling hash in sum form
@@ -6531,6 +6588,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": dup_spans_sql,
         "substr_dup_spans": substr_dup_spans_sql,
         "dsir_topk": dsir_sql,
+        "ccnet_buckets": ccnet_sql,
         "winnow_fingerprints": winnow_fp_sql,
         "blocklist_filter": blocklist_filter_sql,
         "classify_docs": classify_docs_sql,
