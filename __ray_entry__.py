@@ -1890,6 +1890,25 @@ def _q_focal_gradient(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_terrain(sf_dir: str):
+    """Terrain analysis (gdaldem / terra::terrain surface) from the Horn
+    3x3 kernel in ONE halo exchange: exact gradient numerators, squared
+    slope-tangent numerator, 8-sector descent aspect (22.5-degree
+    boundaries via sqrt(2)-1 comparisons), and Lambertian hillshade
+    (az=315, alt=45) algebraically folded to three IEEE-deterministic ops
+    over exact dyadic operands — the SQL oracle mirrors the expression
+    tree literally (pipelines/focal.py:terrain_3x3 docstring)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import terrain_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = terrain_3x3(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3445,6 +3464,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "focal_majority": _q_focal_majority,
         "focal_median": _q_focal_median,
         "focal_gradient": _q_focal_gradient,
+        "terrain_hillshade": _q_terrain,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4265,6 +4285,52 @@ def oracle_sql() -> dict[str, str]:
         SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
       END AS gy
     FROM nb GROUP BY r, c ORDER BY cell
+    """
+
+    # Terrain: the gradient CTE above, then derived columns mirroring
+    # pipelines/focal.py:terrain_3x3's expression trees operation for
+    # operation (see its docstring for the constant folding). GREATEST
+    # ignores NULLs in DuckDB, so hillshade needs the explicit NULL guard.
+    _shade_expr = (
+        "((gx + gy) / 16.0 + 0.7071067811865476)"
+        " / SQRT(1.0 + gx * gx / 64.0 + gy * gy / 64.0)"
+    )
+    terrain_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c,
+             c1.r - c0.r AS dr, c1.c - c0.c AS dc, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1),
+    g AS (
+      SELECT CAST(r * {N_GRID} + c AS BIGINT) AS cell,
+        CASE WHEN COUNT(v) = 9 THEN
+          SUM(CAST(dc * (CASE WHEN dr = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+        END AS gx,
+        CASE WHEN COUNT(v) = 9 THEN
+          SUM(CAST(dr * (CASE WHEN dc = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+        END AS gy
+      FROM nb GROUP BY r, c)
+    SELECT cell, gx, gy,
+      gx * gx + gy * gy AS slope_num,
+      CASE
+        WHEN gx IS NULL THEN NULL
+        WHEN gx = 0 AND gy = 0 THEN -1.0
+        WHEN ABS(-gx) <= (SQRT(2.0) - 1.0) * ABS(gy) THEN
+          CASE WHEN gy > 0 THEN 0.0 ELSE 4.0 END
+        WHEN ABS(gy) <= (SQRT(2.0) - 1.0) * ABS(-gx) THEN
+          CASE WHEN -gx > 0 THEN 2.0 ELSE 6.0 END
+        WHEN -gx > 0 AND gy > 0 THEN 1.0
+        WHEN -gx > 0 AND gy < 0 THEN 3.0
+        WHEN -gx < 0 AND gy < 0 THEN 5.0
+        ELSE 7.0
+      END AS aspect8,
+      {_shade_expr} AS shade,
+      CASE WHEN gx IS NULL THEN NULL ELSE
+        FLOOR(1.0 + 254.0 * GREATEST({_shade_expr}, 0.0) + 0.5)
+      END AS hillshade
+    FROM g ORDER BY cell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -6578,6 +6644,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_majority": focal_majority_sql,
         "focal_median": focal_median_sql,
         "focal_gradient": focal_gradient_sql,
+        "terrain_hillshade": terrain_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

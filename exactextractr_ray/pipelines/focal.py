@@ -570,3 +570,105 @@ def focal_median_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
         )
 
     return _run_focal(raster, window, broadcast_cap)
+
+
+def terrain_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Terrain analysis (slope / aspect / hillshade) from the Horn 3x3
+    kernel — the gdaldem / terra::terrain surface the reference's users
+    pair zonal extraction with (DEM -> slope -> exact_extract).
+
+    One halo exchange computes everything (the gradient is NOT re-derived
+    from a second Dataset pass):
+
+    * ``gx``, ``gy`` — Horn numerators, exact integer-valued doubles
+      (same kernel and NaN-poisoning as ``focal_gradient_3x3``).
+    * ``slope_num`` — gx^2 + gy^2, the squared slope-tangent numerator
+      ((8*dx)^2 * tan^2(slope)). Kept as the exact integer so comparisons
+      and zonal aggregation stay bit-exact; callers apply atan/sqrt where
+      float tolerance is acceptable.
+    * ``aspect8`` — compass sector (0=N, 1=NE, ... 7=NW) of the steepest
+      DESCENT direction, boundaries at 22.5 degrees via sqrt(2)-1
+      threshold comparisons (integer-exact inputs, deterministic floats);
+      -1 for flat cells (gx = gy = 0), NaN for NODATA-poisoned windows.
+    * ``shade``, ``hillshade`` — Lambertian hillshade, sun azimuth 315 /
+      altitude 45, z-factor 1, unit cells (the gdaldem defaults). With
+      those constants the formula reduces algebraically to
+
+        shade = ((gx + gy)/16 + sqrt(2)/2)
+                / sqrt(1 + gx*gx/64 + gy*gy/64)
+
+      whose operands are all exact dyadic rationals, so the result is
+      bit-deterministic (three IEEE-correctly-rounded ops) and the DuckDB
+      oracle mirrors the expression tree literally. ``hillshade`` is the
+      gdaldem byte scaling floor(1 + 254*max(shade, 0) + 0.5).
+
+    Derivation of the shade constant folding: sun vector (east, north, up)
+    = (sin az * cos alt, cos az * cos alt, sin alt) with az=315, alt=45 is
+    (-1/2, 1/2, sqrt(2)/2); unnormalized surface normal = (-dz/dx, -dz/dy, 1)
+    = (-gx/8, gy/8, 1) (row 0 is north, so dz/dy_north = -gy/8); their dot
+    product is gx/16 + gy/16 + sqrt(2)/2.
+    """
+    n_cols = raster.grid.ncol
+    SQ2_HALF = 0.7071067811865476  # float64 nearest sqrt(2)/2
+    TAN22 = np.sqrt(2.0) - 1.0  # tan(22.5 deg), same rounding as SQL
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        def w(dr, dc):
+            return canvas[dr : dr + th, dc : dc + tw]
+
+        tl, tm, tr = w(0, 0), w(0, 1), w(0, 2)
+        ml, mr = w(1, 0), w(1, 2)
+        bl, bm, br = w(2, 0), w(2, 1), w(2, 2)
+        gx = (tr + 2.0 * mr + br) - (tl + 2.0 * ml + bl)
+        gy = (bl + 2.0 * bm + br) - (tl + 2.0 * tm + tr)
+        window_nan = np.isnan(canvas[1 : 1 + th, 1 : 1 + tw])
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                window_nan |= np.isnan(canvas[dr : dr + th, dc : dc + tw])
+        gx = np.where(window_nan, np.nan, gx)
+        gy = np.where(window_nan, np.nan, gy)
+
+        slope_num = gx * gx + gy * gy  # exact: integer operands
+
+        # aspect sector of steepest descent: downslope = (-gx, +gy) in
+        # (east, north). NaN gradients propagate through the comparisons
+        # (all False) and are forced to NaN at the end.
+        de = -gx
+        dn = gy
+        ae = np.abs(de)
+        an = np.abs(dn)
+        with np.errstate(invalid="ignore"):
+            ns = ae <= TAN22 * an
+            ew = ~ns & (an <= TAN22 * ae)
+            diag = ~ns & ~ew
+            asp = np.full(gx.shape, np.nan)
+            asp[ns & (dn > 0)] = 0.0
+            asp[ns & (dn < 0)] = 4.0
+            asp[ew & (de > 0)] = 2.0
+            asp[ew & (de < 0)] = 6.0
+            asp[diag & (de > 0) & (dn > 0)] = 1.0
+            asp[diag & (de > 0) & (dn < 0)] = 3.0
+            asp[diag & (de < 0) & (dn < 0)] = 5.0
+            asp[diag & (de < 0) & (dn > 0)] = 7.0
+            asp[(gx == 0) & (gy == 0)] = -1.0
+        asp = np.where(window_nan, np.nan, asp)
+
+        # hillshade — mirror the SQL expression tree exactly (see docstring)
+        shade = ((gx + gy) / 16.0 + SQ2_HALF) / np.sqrt(
+            1.0 + gx * gx / 64.0 + gy * gy / 64.0
+        )
+        hs = np.floor(1.0 + 254.0 * np.maximum(shade, 0.0) + 0.5)
+
+        return pa.table(
+            {
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
+                "gx": pa.array(gx.ravel(), pa.float64()),
+                "gy": pa.array(gy.ravel(), pa.float64()),
+                "slope_num": pa.array(slope_num.ravel(), pa.float64()),
+                "aspect8": pa.array(asp.ravel(), pa.float64()),
+                "shade": pa.array(shade.ravel(), pa.float64()),
+                "hillshade": pa.array(hs.ravel(), pa.float64()),
+            }
+        )
+
+    return _run_focal(raster, window, broadcast_cap)

@@ -366,3 +366,80 @@ def test_focal_ragged_edge_shuffle_plan(_ray, window):
         assert np.array_equal(df["cell"].to_numpy(), np.arange(n * n))
         assert np.array_equal(df["focal_cnt"].to_numpy(), cnt.ravel())
         assert np.array_equal(df["focal_sum"].to_numpy(), s.ravel())
+
+
+def test_terrain_3x3_bruteforce_and_plans(_ray):
+    """terrain_3x3 == whole-array NumPy recomputation (slope/aspect/
+    hillshade semantics), and the broadcast and shuffle-halo plans are
+    byte-identical on a RAGGED grid."""
+    from exactextractr_ray.pipelines.focal import terrain_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n, tile = 40, 16  # ragged: 40 % 16 != 0
+    rd = synthetic_raster_dataset(n=n, tile=tile, dtype=np.float64)
+    df = terrain_3x3(rd).to_pandas().sort_values("cell").reset_index(drop=True)
+    assert len(df) == n * n
+
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c)
+    pad = np.full((n + 2, n + 2), np.nan)
+    pad[1:-1, 1:-1] = vals
+
+    def w(dr, dc):
+        return pad[dr : dr + n, dc : dc + n]
+
+    gx = (w(0, 2) + 2.0 * w(1, 2) + w(2, 2)) - (w(0, 0) + 2.0 * w(1, 0) + w(2, 0))
+    gy = (w(2, 0) + 2.0 * w(2, 1) + w(2, 2)) - (w(0, 0) + 2.0 * w(0, 1) + w(0, 2))
+    nanmask = np.zeros((n, n), bool)
+    for dr in range(3):
+        for dc in range(3):
+            nanmask |= np.isnan(w(dr, dc))
+    gx = np.where(nanmask, np.nan, gx).ravel()
+    gy = np.where(nanmask, np.nan, gy).ravel()
+
+    got_gx = df["gx"].to_numpy()
+    got_gy = df["gy"].to_numpy()
+    m = ~np.isnan(gx)
+    assert np.array_equal(np.isnan(got_gx), ~m)
+    assert np.array_equal(got_gx[m], gx[m])
+    assert np.array_equal(got_gy[m], gy[m])
+
+    # slope numerator exact
+    assert np.array_equal(df["slope_num"].to_numpy()[m], (gx * gx + gy * gy)[m])
+
+    # hillshade semantics: monotone in shade, byte range, flat cell = full
+    # ambient (shade = sqrt(2)/2 -> hillshade floor(1+254*0.7071+0.5) = 181)
+    shade = df["shade"].to_numpy()
+    hs = df["hillshade"].to_numpy()
+    assert np.nanmin(hs) >= 0.0 and np.nanmax(hs) <= 255.0
+    flat = (got_gx == 0) & (got_gy == 0)
+    if flat.any():
+        assert np.all(df["aspect8"].to_numpy()[flat] == -1.0)
+        assert np.all(hs[flat] == 181.0)
+    # aspect sanity: pure +x downslope (gx<0, gy=0) -> East sector (2)
+    east = m & (got_gx < 0) & (got_gy == 0)
+    if east.any():
+        assert np.all(df["aspect8"].to_numpy()[east] == 2.0)
+    # shade formula spot-check on valid cells
+    exp_shade = ((gx + gy) / 16.0 + 0.7071067811865476) / np.sqrt(
+        1.0 + gx * gx / 64.0 + gy * gy / 64.0
+    )
+    assert np.array_equal(shade[m], exp_shade[m])
+
+    # plan equivalence on the ragged grid
+    b = (
+        terrain_3x3(rd, broadcast_cap=0)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert list(df.columns) == list(b.columns)
+    for col in df.columns:
+        av, bv = df[col].to_numpy(), b[col].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.array_equal(np.isnan(av), np.isnan(bv)), col
+            mm = ~np.isnan(av)
+            assert np.array_equal(av[mm], bv[mm]), col
+        else:
+            assert np.array_equal(av, bv), col
