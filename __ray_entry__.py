@@ -1909,6 +1909,71 @@ def _q_terrain(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_crosstab(sf_dir: str):
+    """Raster x raster cross-tabulation (terra::crosstab change-matrix
+    parity): value layer quantized to floor(val/250) classes against the
+    integer weight layer; per-tile np.unique partials so the shuffle
+    moves O(classes) rows per tile, never cells (pipelines/crosstab.py).
+    Cells NODATA in either layer drop (useNA=FALSE)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.crosstab import raster_crosstab
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(
+        n=64, tile=16, layers=("value", "weight"), dtype=np.float64
+    )
+    df = raster_crosstab(rd, a_bin=250.0).to_pandas()
+    for c in ("class_a", "class_b", "n_cells"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["class_a", "class_b"]).reset_index(drop=True)
+
+
+def _q_areal_interp(sf_dir: str):
+    """Areal interpolation (extensive-variable transfer between two zone
+    sets, the admin-level population reaggregation workflow): 12 source
+    rect zones with integer values -> 16 target rect zones, est(t) =
+    sum_s val(s)*area(s∩t)/area(s). Sources broadcast once via ray.put,
+    targets stream, ZERO shuffle (pipelines/areal.py). Quarter-cell
+    integer coords + fixed-point integer contributions make the sum
+    order-independent and the DuckDB oracle bit-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.pipelines.areal import areal_interpolate
+
+    n3, n2 = 3 * 64, 2 * 64
+
+    def rect_q(k):
+        x0 = (k * 29) % n3
+        y0 = (k * 53) % n3
+        return (x0, y0, x0 + n2 + (k * 17) % n2, y0 + n2 + (k * 37) % n2)
+
+    src = np.array([rect_q(k) for k in range(12)], dtype=np.int64)
+    vals = np.array([(k * 7919 + 104729) % 1000 for k in range(12)], np.int64)
+
+    def mk_targets(batch: pa.Table) -> pa.Table:
+        k = batch.column("id").to_numpy().astype(np.int64) + 100
+        x0 = (k * 29) % n3
+        y0 = (k * 53) % n3
+        return pa.table(
+            {
+                "tgt_id": pa.array(k - 100, pa.int64()),
+                "x0q": pa.array(x0, pa.int64()),
+                "y0q": pa.array(y0, pa.int64()),
+                "x1q": pa.array(x0 + n2 + (k * 17) % n2, pa.int64()),
+                "y1q": pa.array(y0 + n2 + (k * 37) % n2, pa.int64()),
+            }
+        )
+
+    tgt = ray.data.range(16).map_batches(mk_targets, batch_format="pyarrow")
+    df = areal_interpolate(tgt, src, vals).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("tgt_id").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3465,6 +3530,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "focal_median": _q_focal_median,
         "focal_gradient": _q_focal_gradient,
         "terrain_hillshade": _q_terrain,
+        "raster_crosstab": _q_crosstab,
+        "areal_interp": _q_areal_interp,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4331,6 +4398,47 @@ def oracle_sql() -> dict[str, str]:
         FLOOR(1.0 + 254.0 * GREATEST({_shade_expr}, 0.0) + 0.5)
       END AS hillshade
     FROM g ORDER BY cell
+    """
+
+    # crosstab: pure integer GROUP BY over the synth cell relation; both
+    # class codes are exact (val < 1000 integer-valued, wgt in 1..7)
+    crosstab_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)})
+    SELECT CAST(FLOOR(val / 250.0) AS BIGINT) AS class_a,
+           CAST(FLOOR(wgt) AS BIGINT) AS class_b,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells WHERE val IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+    # areal interpolation: pure int64 arithmetic in quarter-cell coords;
+    # // is floor division on positive BIGINTs in both numpy and DuckDB
+    areal_sql = """
+    WITH src AS (
+      SELECT k AS src_id,
+             (k*29) % 192 AS x0q, (k*53) % 192 AS y0q,
+             ((k*29) % 192) + 128 + ((k*17) % 128) AS x1q,
+             ((k*53) % 192) + 128 + ((k*37) % 128) AS y1q,
+             (k*7919 + 104729) % 1000 AS val
+      FROM range(0, 12) t(k)),
+    tgt AS (
+      SELECT k - 100 AS tgt_id,
+             (k*29) % 192 AS x0q, (k*53) % 192 AS y0q,
+             ((k*29) % 192) + 128 + ((k*17) % 128) AS x1q,
+             ((k*53) % 192) + 128 + ((k*37) % 128) AS y1q
+      FROM range(100, 116) t(k)),
+    pair AS (
+      SELECT t.tgt_id, s.val,
+        GREATEST(0, LEAST(t.x1q, s.x1q) - GREATEST(t.x0q, s.x0q))
+          * GREATEST(0, LEAST(t.y1q, s.y1q) - GREATEST(t.y0q, s.y0q)) AS isect_q,
+        (s.x1q - s.x0q) * (s.y1q - s.y0q) AS src_q
+      FROM tgt t CROSS JOIN src s)
+    SELECT tgt_id,
+      CAST(COALESCE(SUM(CASE WHEN isect_q > 0
+            THEN (val * isect_q * 1048576) // src_q END), 0) AS BIGINT) AS est_fp,
+      CAST(SUM(isect_q) AS BIGINT) AS covered_q,
+      CAST(COUNT(CASE WHEN isect_q > 0 THEN 1 END) AS BIGINT) AS n_src
+    FROM pair GROUP BY tgt_id ORDER BY tgt_id
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -6645,6 +6753,8 @@ def oracle_sql() -> dict[str, str]:
         "focal_median": focal_median_sql,
         "focal_gradient": focal_gradient_sql,
         "terrain_hillshade": terrain_sql,
+        "raster_crosstab": crosstab_sql,
+        "areal_interp": areal_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

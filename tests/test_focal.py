@@ -443,3 +443,81 @@ def test_terrain_3x3_bruteforce_and_plans(_ray):
             assert np.array_equal(av[mm], bv[mm]), col
         else:
             assert np.array_equal(av, bv), col
+
+
+def test_raster_crosstab_bruteforce(_ray):
+    """raster_crosstab == whole-array recomputation; either-layer NODATA
+    drops; ragged grid."""
+    from exactextractr_ray.pipelines.crosstab import raster_crosstab
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 40
+    rd = synthetic_raster_dataset(
+        n=n, tile=16, layers=("value", "weight"), dtype=np.float64
+    )
+    df = (
+        raster_crosstab(rd, a_bin=250.0)
+        .to_pandas()
+        .sort_values(["class_a", "class_b"])
+        .reset_index(drop=True)
+    )
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c).ravel()
+    wgts = synth.synth_weights(r, c).ravel()
+    ok = ~np.isnan(vals)
+    exp = {}
+    for a, b in zip(np.floor(vals[ok] / 250.0), wgts[ok]):
+        exp[(int(a), int(b))] = exp.get((int(a), int(b)), 0) + 1
+    got = {
+        (int(row.class_a), int(row.class_b)): int(row.n_cells)
+        for row in df.itertuples()
+    }
+    assert got == exp
+    assert int(df["n_cells"].sum()) == int(ok.sum())
+
+
+def test_areal_interpolate_bruteforce(_ray):
+    """areal_interpolate == per-pair Python recomputation; mass
+    preservation: when targets tile a source exactly, est sums to val."""
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.pipelines.areal import SCALE_BITS, areal_interpolate
+
+    # one source zone [0,8)x[0,8) q-units, val=100; four targets quartering it
+    src = np.array([[0, 0, 8, 8]], np.int64)
+    vals = np.array([100], np.int64)
+    quads = [(0, 0, 4, 4), (4, 0, 8, 4), (0, 4, 4, 8), (4, 4, 8, 8)]
+    tgt = ray.data.from_arrow(
+        pa.table(
+            {
+                "tgt_id": pa.array(range(4), pa.int64()),
+                "x0q": pa.array([q[0] for q in quads], pa.int64()),
+                "y0q": pa.array([q[1] for q in quads], pa.int64()),
+                "x1q": pa.array([q[2] for q in quads], pa.int64()),
+                "y1q": pa.array([q[3] for q in quads], pa.int64()),
+            }
+        )
+    )
+    df = areal_interpolate(tgt, src, vals).to_pandas().sort_values("tgt_id")
+    assert (df["n_src"] == 1).all()
+    assert (df["covered_q"] == 16).all()
+    # each quarter gets exactly val/4 (exact in fixed point: 100*16<<20 // 64)
+    assert (df["est_fp"] == (100 * 16 << SCALE_BITS) // 64).all()
+    assert df["est_fp"].sum() == 100 << SCALE_BITS  # mass preserved
+
+    # disjoint target -> zeros
+    tgt2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "tgt_id": pa.array([0], pa.int64()),
+                "x0q": pa.array([100], pa.int64()),
+                "y0q": pa.array([100], pa.int64()),
+                "x1q": pa.array([104], pa.int64()),
+                "y1q": pa.array([104], pa.int64()),
+            }
+        )
+    )
+    d2 = areal_interpolate(tgt2, src, vals).to_pandas()
+    assert d2.iloc[0]["est_fp"] == 0 and d2.iloc[0]["n_src"] == 0
