@@ -1974,6 +1974,26 @@ def _q_areal_interp(sf_dir: str):
     return df.sort_values("tgt_id").reset_index(drop=True)
 
 
+def _q_idw_proximity(sf_dir: str):
+    """IDW interpolation (gdal_grid invdist power=2) + proximity /
+    allocation (gdal_proximity) in one streaming pass: 24 seed points
+    broadcast once, cells generated inside tasks, zero shuffle
+    (pipelines/interpolate.py). Quarter-cell integer lattice + fixed-
+    point power-2 weights (2^40 // d2) keep everything int64-exact;
+    exact-hit cells take the seed's value, ties break to smallest id."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.interpolate import idw_proximity
+
+    k = np.arange(24, dtype=np.int64)
+    seeds = np.stack([(k * 37) % 256, (k * 61) % 256], axis=1)
+    vals = (k * 7919 + 13) % 1000
+    df = idw_proximity(64, seeds, vals).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3532,6 +3552,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "terrain_hillshade": _q_terrain,
         "raster_crosstab": _q_crosstab,
         "areal_interp": _q_areal_interp,
+        "idw_proximity": _q_idw_proximity,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4439,6 +4460,39 @@ def oracle_sql() -> dict[str, str]:
       CAST(SUM(isect_q) AS BIGINT) AS covered_q,
       CAST(COUNT(CASE WHEN isect_q > 0 THEN 1 END) AS BIGINT) AS n_src
     FROM pair GROUP BY tgt_id ORDER BY tgt_id
+    """
+
+    # IDW + proximity: pure int64 lattice arithmetic; DuckDB SUM(BIGINT)
+    # widens to HUGEINT, so the final division casts back
+    idw_sql = """
+    WITH seeds AS (
+      SELECT k AS sid, (k*37) % 256 AS px, (k*61) % 256 AS py,
+             (k*7919 + 13) % 1000 AS val
+      FROM range(0, 24) t(k)),
+    cells AS (
+      SELECT i AS cell, (i // 64) AS r, (i % 64) AS c
+      FROM range(0, 4096) t(i)),
+    d AS (
+      SELECT cell, sid, val,
+        (4*c + 2 - px) * (4*c + 2 - px)
+          + (4*(64 - 1 - r) + 2 - py) * (4*(64 - 1 - r) + 2 - py) AS d2
+      FROM cells CROSS JOIN seeds),
+    nearest AS (
+      SELECT cell, sid, val, d2,
+        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, sid) AS rn
+      FROM d),
+    sums AS (
+      SELECT cell,
+        SUM(CASE WHEN d2 > 0 THEN val * (1099511627776 // d2) ELSE 0 END) AS num,
+        SUM(CASE WHEN d2 > 0 THEN 1099511627776 // d2 ELSE 0 END) AS den
+      FROM d GROUP BY cell)
+    SELECT CAST(n.cell AS BIGINT) AS cell,
+      CAST(n.d2 AS BIGINT) AS min_d2,
+      CAST(n.sid AS BIGINT) AS nearest_id,
+      CAST(CASE WHEN n.d2 = 0 THEN n.val
+           ELSE s.num // GREATEST(s.den, 1) END AS BIGINT) AS idw_fp
+    FROM nearest n JOIN sums s ON s.cell = n.cell
+    WHERE n.rn = 1 ORDER BY n.cell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -6755,6 +6809,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_hillshade": terrain_sql,
         "raster_crosstab": crosstab_sql,
         "areal_interp": areal_sql,
+        "idw_proximity": idw_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

@@ -521,3 +521,35 @@ def test_areal_interpolate_bruteforce(_ray):
     )
     d2 = areal_interpolate(tgt2, src, vals).to_pandas()
     assert d2.iloc[0]["est_fp"] == 0 and d2.iloc[0]["n_src"] == 0
+
+
+def test_idw_proximity_semantics(_ray):
+    """idw_proximity: exact-hit cells take the seed value; allocation is
+    the true nearest seed with smallest-id tie-break; IDW bounded by
+    min/max seed values; brute-force spot check."""
+    from exactextractr_ray.pipelines.interpolate import W_SCALE, idw_proximity
+
+    seeds = np.array([[2, 2], [254, 254], [2, 254]], np.int64)  # cell centers
+    vals = np.array([100, 900, 500], np.int64)
+    df = (
+        idw_proximity(64, seeds, vals)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 64 * 64
+    # seed 0 at quarter (2,2) = cell center of (r=63, c=0) -> cell 63*64
+    hit = df[df["min_d2"] == 0]
+    assert set(hit["cell"]) == {63 * 64 + 0, 0 * 64 + 63, 0 * 64 + 0}
+    for _, row in hit.iterrows():
+        assert row["idw_fp"] == vals[int(row["nearest_id"])]
+    assert df["idw_fp"].between(vals.min(), vals.max()).all()
+    # brute-force one interior cell
+    cell = 20 * 64 + 30
+    cx, cy = 4 * 30 + 2, 4 * (64 - 1 - 20) + 2
+    d2 = (seeds[:, 0] - cx) ** 2 + (seeds[:, 1] - cy) ** 2
+    w = W_SCALE // d2
+    row = df[df["cell"] == cell].iloc[0]
+    assert row["min_d2"] == d2.min()
+    assert row["nearest_id"] == int(np.argmin(d2))
+    assert row["idw_fp"] == int((vals * w).sum() // w.sum())
