@@ -1994,6 +1994,25 @@ def _q_idw_proximity(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_contour(sf_dir: str):
+    """Contour extraction (gdal_contour parity) at threshold 500.5 via
+    marching squares on the dual grid, riding the focal 1-deep halo
+    exchange — every 2x2 block emitted exactly once at any tiling
+    (pipelines/contour.py). Saddles resolve by the center-average rule;
+    crossing interpolation is single-rounding float ops the SQL oracle
+    mirrors literally."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.contour import contour_segments
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = contour_segments(rd, threshold=500.5).to_pandas()
+    for c in ("block", "seg", "case_idx"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["block", "seg"]).reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3553,6 +3572,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "raster_crosstab": _q_crosstab,
         "areal_interp": _q_areal_interp,
         "idw_proximity": _q_idw_proximity,
+        "contour_lines": _q_contour,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4493,6 +4513,65 @@ def oracle_sql() -> dict[str, str]:
            ELSE s.num // GREATEST(s.den, 1) END AS BIGINT) AS idw_fp
     FROM nearest n JOIN sums s ON s.cell = n.cell
     WHERE n.rn = 1 ORDER BY n.cell
+    """
+
+    # marching squares: dual-grid 2x2 blocks via self-joins; the segment
+    # lookup table (saddles keyed by the center rule) joins per case; every
+    # consumed crossing has a sign change so its divisor is nonzero
+    contour_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    blk AS (
+      SELECT a.r AS r, a.c AS c,
+             a.val AS vtl, b.val AS vtr, d.val AS vbl, e.val AS vbr
+      FROM cells a
+      JOIN cells b ON b.r = a.r AND b.c = a.c + 1
+      JOIN cells d ON d.r = a.r + 1 AND d.c = a.c
+      JOIN cells e ON e.r = a.r + 1 AND e.c = a.c + 1
+      WHERE a.val IS NOT NULL AND b.val IS NOT NULL
+        AND d.val IS NOT NULL AND e.val IS NOT NULL),
+    cse AS (
+      SELECT r, c,
+        (CASE WHEN vtl > 500.5 THEN 1 ELSE 0 END
+         + CASE WHEN vtr > 500.5 THEN 2 ELSE 0 END
+         + CASE WHEN vbr > 500.5 THEN 4 ELSE 0 END
+         + CASE WHEN vbl > 500.5 THEN 8 ELSE 0 END) AS case_idx,
+        (vtl + vtr + vbl + vbr) > 4.0 * 500.5 AS center_in,
+        CAST(c AS DOUBLE) + 0.5 + (500.5 - vtl) / (vtr - vtl) AS x_top,
+        CAST({N_GRID} - r AS DOUBLE) - 0.5 AS y_top,
+        CAST(c AS DOUBLE) + 0.5 + (500.5 - vbl) / (vbr - vbl) AS x_bot,
+        CAST({N_GRID} - r AS DOUBLE) - 0.5 - 1.0 AS y_bot,
+        CAST(c AS DOUBLE) + 0.5 AS x_left,
+        CAST({N_GRID} - r AS DOUBLE) - 0.5 - (500.5 - vtl) / (vbl - vtl)
+          AS y_left,
+        CAST(c AS DOUBLE) + 0.5 + 1.0 AS x_right,
+        CAST({N_GRID} - r AS DOUBLE) - 0.5 - (500.5 - vtr) / (vbr - vtr)
+          AS y_right
+      FROM blk),
+    segtab(case_idx, center_req, seg, ea, eb) AS (VALUES
+      (1, NULL, 0, 'L', 'T'), (2, NULL, 0, 'T', 'R'), (3, NULL, 0, 'L', 'R'),
+      (4, NULL, 0, 'R', 'B'),
+      (5, TRUE, 0, 'T', 'L'), (5, TRUE, 1, 'B', 'R'),
+      (5, FALSE, 0, 'T', 'R'), (5, FALSE, 1, 'B', 'L'),
+      (6, NULL, 0, 'T', 'B'), (7, NULL, 0, 'L', 'B'), (8, NULL, 0, 'B', 'L'),
+      (9, NULL, 0, 'T', 'B'),
+      (10, TRUE, 0, 'T', 'R'), (10, TRUE, 1, 'B', 'L'),
+      (10, FALSE, 0, 'T', 'L'), (10, FALSE, 1, 'B', 'R'),
+      (11, NULL, 0, 'R', 'B'), (12, NULL, 0, 'R', 'L'),
+      (13, NULL, 0, 'T', 'R'), (14, NULL, 0, 'T', 'L'))
+    SELECT CAST(b.r * {N_GRID} + b.c AS BIGINT) AS block,
+      CAST(s.seg AS BIGINT) AS seg,
+      CAST(b.case_idx AS BIGINT) AS case_idx,
+      CASE s.ea WHEN 'T' THEN b.x_top WHEN 'B' THEN b.x_bot
+                WHEN 'L' THEN b.x_left ELSE b.x_right END AS xa,
+      CASE s.ea WHEN 'T' THEN b.y_top WHEN 'B' THEN b.y_bot
+                WHEN 'L' THEN b.y_left ELSE b.y_right END AS ya,
+      CASE s.eb WHEN 'T' THEN b.x_top WHEN 'B' THEN b.x_bot
+                WHEN 'L' THEN b.x_left ELSE b.x_right END AS xb,
+      CASE s.eb WHEN 'T' THEN b.y_top WHEN 'B' THEN b.y_bot
+                WHEN 'L' THEN b.y_left ELSE b.y_right END AS yb
+    FROM cse b JOIN segtab s ON s.case_idx = b.case_idx
+      AND (s.center_req IS NULL OR s.center_req = b.center_in)
+    ORDER BY block, seg
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -6810,6 +6889,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_crosstab": crosstab_sql,
         "areal_interp": areal_sql,
         "idw_proximity": idw_sql,
+        "contour_lines": contour_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

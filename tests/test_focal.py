@@ -553,3 +553,66 @@ def test_idw_proximity_semantics(_ray):
     assert row["min_d2"] == d2.min()
     assert row["nearest_id"] == int(np.argmin(d2))
     assert row["idw_fp"] == int((vals * w).sum() // w.sum())
+
+
+def test_contour_segments_bruteforce(_ray):
+    """contour_segments == whole-array marching squares; plan equivalence
+    on a ragged grid; segment endpoints lie on block edges."""
+    from exactextractr_ray.pipelines.contour import _SEGS, _SADDLE, contour_segments
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n, T = 40, 500.5
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    df = (
+        contour_segments(rd, threshold=T)
+        .to_pandas()
+        .sort_values(["block", "seg"])
+        .reset_index(drop=True)
+    )
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c)
+    # brute-force expected (block, seg, case) set
+    exp = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            quad = vals[i, j], vals[i, j + 1], vals[i + 1, j + 1], vals[i + 1, j]
+            if any(np.isnan(q) for q in quad):
+                continue
+            tl, tr, br, bl = quad
+            ci = (tl > T) + 2 * (tr > T) + 4 * (br > T) + 8 * (bl > T)
+            if ci in (0, 15):
+                continue
+            if ci in (5, 10):
+                segs = _SADDLE[(ci, bool(tl + tr + bl + br > 4.0 * T))]
+            else:
+                segs = _SEGS[ci]
+            for si in range(len(segs)):
+                exp.append((i * n + j, si, ci))
+    got = list(zip(df["block"], df["seg"], df["case_idx"]))
+    assert sorted(got) == sorted(exp)
+
+    # endpoints on block edges: each coordinate pair sits on the block's
+    # half-open unit square boundary
+    for _, row in df.head(200).iterrows():
+        i, j = divmod(int(row["block"]), n)
+        x0, y1 = j + 0.5, n - i - 0.5  # TL corner
+        for x, y in ((row["xa"], row["ya"]), (row["xb"], row["yb"])):
+            on_v = (abs(x - x0) < 1e-12 or abs(x - (x0 + 1)) < 1e-12) and (
+                y1 - 1 <= y <= y1
+            )
+            on_h = (abs(y - y1) < 1e-12 or abs(y - (y1 - 1)) < 1e-12) and (
+                x0 <= x <= x0 + 1
+            )
+            assert on_v or on_h, (row["block"], x, y)
+
+    # physical-plan equivalence
+    b = (
+        contour_segments(rd, threshold=T, broadcast_cap=0)
+        .to_pandas()
+        .sort_values(["block", "seg"])
+        .reset_index(drop=True)
+    )
+    assert len(df) == len(b)
+    for col in df.columns:
+        assert np.array_equal(df[col].to_numpy(), b[col].to_numpy()), col
