@@ -2013,6 +2013,24 @@ def _q_contour(sf_dir: str):
     return df.sort_values(["block", "seg"]).reset_index(drop=True)
 
 
+def _q_resample_bilinear(sf_dir: str):
+    """Bilinear 2x upsample (GDAL -r bilinear): target centers sit a
+    quarter-cell off the source lattice so all four weights are exact
+    dyadics {0.25,0.75} — bit-exact at any order; rides the focal halo
+    exchange so each tile emits its own 2th x 2tw target block exactly
+    once (pipelines/resample.py:resample_bilinear_2x). NaN/off-grid
+    neighbors poison the target (GDAL NODATA convention)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.resample import resample_bilinear_2x
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = resample_bilinear_2x(rd).to_pandas()
+    df["tcell"] = df["tcell"].astype(np.int64)
+    return df.sort_values("tcell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3573,6 +3591,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "areal_interp": _q_areal_interp,
         "idw_proximity": _q_idw_proximity,
         "contour_lines": _q_contour,
+        "resample_bilinear": _q_resample_bilinear,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4572,6 +4591,31 @@ def oracle_sql() -> dict[str, str]:
     FROM cse b JOIN segtab s ON s.case_idx = b.case_idx
       AND (s.center_req IS NULL OR s.center_req = b.center_in)
     ORDER BY block, seg
+    """
+
+    # bilinear 2x: four LEFT JOINs (off-grid -> NULL -> poisoned), exact
+    # dyadic weights so any evaluation order is bit-identical
+    bilinear_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    tgt AS (
+      SELECT i AS tcell, (i // {2*N_GRID}) AS tr, (i % {2*N_GRID}) AS tc
+      FROM range(0, {4*N_GRID*N_GRID}) t(i)),
+    g AS (
+      SELECT tcell,
+        CASE WHEN tr % 2 = 0 THEN tr // 2 - 1 ELSE tr // 2 END AS r_lo,
+        CASE WHEN tc % 2 = 0 THEN tc // 2 - 1 ELSE tc // 2 END AS c_lo,
+        CASE WHEN tr % 2 = 0 THEN 0.25 ELSE 0.75 END AS wy_lo,
+        CASE WHEN tc % 2 = 0 THEN 0.25 ELSE 0.75 END AS wx_lo
+      FROM tgt)
+    SELECT CAST(g.tcell AS BIGINT) AS tcell,
+      wy_lo * (wx_lo * a.val + (1.0 - wx_lo) * b.val)
+        + (1.0 - wy_lo) * (wx_lo * d.val + (1.0 - wx_lo) * e.val) AS value
+    FROM g
+    LEFT JOIN cells a ON a.r = g.r_lo AND a.c = g.c_lo
+    LEFT JOIN cells b ON b.r = g.r_lo AND b.c = g.c_lo + 1
+    LEFT JOIN cells d ON d.r = g.r_lo + 1 AND d.c = g.c_lo
+    LEFT JOIN cells e ON e.r = g.r_lo + 1 AND e.c = g.c_lo + 1
+    ORDER BY tcell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -6890,6 +6934,7 @@ def oracle_sql() -> dict[str, str]:
         "areal_interp": areal_sql,
         "idw_proximity": idw_sql,
         "contour_lines": contour_sql,
+        "resample_bilinear": bilinear_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

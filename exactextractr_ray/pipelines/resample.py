@@ -417,3 +417,58 @@ def raster_pyramid(
     for o in out[1:]:
         ds = ds.union(o)
     return ds
+
+
+def resample_bilinear_2x(src_raster, broadcast_cap: int | None = None):
+    """Bilinear 2x upsampling (GDAL ``-r bilinear`` at scale=2) — the
+    interpolating counterpart of the area-weighted ``exact_resample``.
+
+    Each target cell center falls a quarter-cell off the source lattice,
+    so the four bilinear weights are the exact dyadics {0.25, 0.75} x
+    {0.25, 0.75}: every output value is an exact float64 regardless of
+    evaluation order, and the DuckDB oracle's identical formula matches
+    bit-for-bit. Any NaN (NODATA or off-raster) among a target's four
+    source neighbors poisons that target cell (weights are never zero),
+    the conservative GDAL NODATA convention.
+
+    Targets near a tile boundary need the neighboring source row/column,
+    so this rides the same 1-deep halo exchange as the focal family
+    (``pipelines/focal.py:_run_focal``) — each tile emits exactly the
+    (2*th x 2*tw) target block over its own footprint; no target is
+    computed twice at any tiling.
+
+    Returns a Dataset of (tcell:int64 on the 2n-wide target grid,
+    value:float64).
+    """
+    from .focal import _run_focal
+
+    n_cols = src_raster.grid.ncol
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        k = 1
+        i = np.arange(2 * th)
+        j = np.arange(2 * tw)
+        rows_lo = np.where(i % 2 == 0, i // 2 - 1, i // 2) + k
+        cols_lo = np.where(j % 2 == 0, j // 2 - 1, j // 2) + k
+        wy_lo = np.where(i % 2 == 0, 0.25, 0.75)[:, None]
+        wx_lo = np.where(j % 2 == 0, 0.25, 0.75)[None, :]
+        wy_hi = 1.0 - wy_lo
+        wx_hi = 1.0 - wx_lo
+        v00 = canvas[np.ix_(rows_lo, cols_lo)]
+        v01 = canvas[np.ix_(rows_lo, cols_lo + 1)]
+        v10 = canvas[np.ix_(rows_lo + 1, cols_lo)]
+        v11 = canvas[np.ix_(rows_lo + 1, cols_lo + 1)]
+        val = wy_lo * (wx_lo * v00 + wx_hi * v01) + wy_hi * (
+            wx_lo * v10 + wx_hi * v11
+        )
+        tr = (2 * row0 + i)[:, None]
+        tc = (2 * col0 + j)[None, :]
+        tcell = (tr * (2 * n_cols) + tc).astype(np.int64)
+        return pa.table(
+            {
+                "tcell": pa.array(tcell.ravel(), pa.int64()),
+                "value": pa.array(val.ravel(), pa.float64()),
+            }
+        )
+
+    return _run_focal(src_raster, window, broadcast_cap)

@@ -616,3 +616,53 @@ def test_contour_segments_bruteforce(_ray):
     assert len(df) == len(b)
     for col in df.columns:
         assert np.array_equal(df[col].to_numpy(), b[col].to_numpy()), col
+
+
+def test_resample_bilinear_2x(_ray):
+    """Bilinear 2x == whole-array recomputation; interior targets exact;
+    NaN/off-grid poisoning; plan equivalence on a ragged grid."""
+    from exactextractr_ray.pipelines.resample import resample_bilinear_2x
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 40
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    df = (
+        resample_bilinear_2x(rd)
+        .to_pandas()
+        .sort_values("tcell")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 4 * n * n
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c)
+    pad = np.full((n + 2, n + 2), np.nan)
+    pad[1:-1, 1:-1] = vals
+    i = np.arange(2 * n)
+    rows_lo = np.where(i % 2 == 0, i // 2 - 1, i // 2) + 1
+    wy_lo = np.where(i % 2 == 0, 0.25, 0.75)[:, None]
+    wx_lo = wy_lo.T
+    v00 = pad[np.ix_(rows_lo, rows_lo)]
+    v01 = pad[np.ix_(rows_lo, rows_lo + 1)]
+    v10 = pad[np.ix_(rows_lo + 1, rows_lo)]
+    v11 = pad[np.ix_(rows_lo + 1, rows_lo + 1)]
+    exp = (
+        wy_lo * (wx_lo * v00 + (1 - wx_lo) * v01)
+        + (1 - wy_lo) * (wx_lo * v10 + (1 - wx_lo) * v11)
+    ).ravel()
+    got = df["value"].to_numpy()
+    assert np.array_equal(np.isnan(got), np.isnan(exp))
+    m = ~np.isnan(exp)
+    assert np.array_equal(got[m], exp[m])
+    # border ring poisoned (off-grid neighbor)
+    assert np.isnan(got[0]) and np.isnan(got[-1])
+
+    b = (
+        resample_bilinear_2x(rd, broadcast_cap=0)
+        .to_pandas()
+        .sort_values("tcell")
+        .reset_index(drop=True)
+    )
+    bv = b["value"].to_numpy()
+    assert np.array_equal(np.isnan(got), np.isnan(bv))
+    assert np.array_equal(got[m], bv[m])
