@@ -2031,6 +2031,30 @@ def _q_resample_bilinear(sf_dir: str):
     return df.sort_values("tcell").reset_index(drop=True)
 
 
+def _q_raster_calc(sf_dir: str):
+    """Map algebra (gdal_calc.py / terra::app): a whitelisted-AST
+    expression compiled once on the driver, evaluated vectorized per
+    tile over both layers; zero shuffle (pipelines/raster_calc.py).
+    Integer-valued layers keep every product/sum exact; NaN propagates
+    through arithmetic and fails comparisons, matching SQL NULL CASE
+    semantics when the else branch references the same layer."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.raster_calc import raster_calc
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(
+        n=64, tile=16, layers=("value", "weight"), dtype=np.float64
+    )
+    expr = (
+        "where(value > 500.0, value * 2.0 - weight, value + weight * 4.0)"
+        " + abs(value - 499.0)"
+    )
+    df = raster_calc(rd, expr).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3592,6 +3616,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "idw_proximity": _q_idw_proximity,
         "contour_lines": _q_contour,
         "resample_bilinear": _q_resample_bilinear,
+        "raster_calc": _q_raster_calc,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4616,6 +4641,16 @@ def oracle_sql() -> dict[str, str]:
     LEFT JOIN cells d ON d.r = g.r_lo + 1 AND d.c = g.c_lo
     LEFT JOIN cells e ON e.r = g.r_lo + 1 AND e.c = g.c_lo + 1
     ORDER BY tcell
+    """
+
+    # map algebra: NULL falls through the CASE to an else branch that
+    # also references val, mirroring numpy NaN comparison semantics
+    raster_calc_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)})
+    SELECT CAST(r * {N_GRID} + c AS BIGINT) AS cell,
+      (CASE WHEN val > 500.0 THEN val * 2.0 - wgt
+            ELSE val + wgt * 4.0 END) + ABS(val - 499.0) AS result
+    FROM cells ORDER BY cell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -6935,6 +6970,7 @@ def oracle_sql() -> dict[str, str]:
         "idw_proximity": idw_sql,
         "contour_lines": contour_sql,
         "resample_bilinear": bilinear_sql,
+        "raster_calc": raster_calc_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

@@ -666,3 +666,39 @@ def test_resample_bilinear_2x(_ray):
     bv = b["value"].to_numpy()
     assert np.array_equal(np.isnan(got), np.isnan(bv))
     assert np.array_equal(got[m], bv[m])
+
+
+def test_raster_calc_whitelist_and_values(_ray):
+    """raster_calc: expression == whole-array recomputation; the AST
+    whitelist rejects attribute access, imports and unknown names."""
+    import pytest
+
+    from exactextractr_ray.pipelines.raster_calc import compile_expr, raster_calc
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 40
+    rd = synthetic_raster_dataset(
+        n=n, tile=16, layers=("value", "weight"), dtype=np.float64
+    )
+    expr = "maximum(value, weight * 100.0) - minimum(value, 500.0)"
+    df = raster_calc(rd, expr).to_pandas().sort_values("cell").reset_index(drop=True)
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    v = synth.synth_values(r, c).ravel()
+    w = synth.synth_weights(r, c).ravel()
+    exp = np.maximum(v, w * 100.0) - np.minimum(v, 500.0)
+    got = df["result"].to_numpy()
+    m = ~np.isnan(exp)
+    assert np.array_equal(np.isnan(got), ~m)
+    assert np.array_equal(got[m], exp[m])
+
+    for bad in (
+        "__import__('os')",
+        "value.__class__",
+        "open('/etc/passwd')",
+        "unknown_layer + 1",
+        "[x for x in (1,)]",
+        "where(value > 0, 1, 2, key=3)",
+    ):
+        with pytest.raises(ValueError):
+            compile_expr(bad, ["value", "weight"])
