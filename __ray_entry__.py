@@ -2055,6 +2055,39 @@ def _q_raster_calc(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_terrain_indices(sf_dir: str):
+    """gdaldem TPI / TRI / roughness (the rest of the gdaldem terrain
+    family): tpi = center - mean(8 neighbors), tri = mean |center -
+    neighbor| (Wilson 2007), roughness = window max - min. All exact for
+    integer-valued rasters (sum/8 is dyadic); full-window NaN poisoning
+    (pipelines/focal.py:terrain_indices_3x3)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import terrain_indices_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = terrain_indices_3x3(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
+def _q_flow_direction(sf_dir: str):
+    """D8 flow direction (ESRI FlowDirection): steepest positive descent
+    rate with the sqrt-free integer key 2*drop^2 (cardinal) / drop^2
+    (diagonal); ties keep the first ESRI code; flats/sinks 0; full-window
+    NaN poisoning (pipelines/focal.py:flow_direction_d8)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import flow_direction_d8
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = flow_direction_d8(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3617,6 +3650,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "contour_lines": _q_contour,
         "resample_bilinear": _q_resample_bilinear,
         "raster_calc": _q_raster_calc,
+        "terrain_indices": _q_terrain_indices,
+        "flow_direction": _q_flow_direction,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4651,6 +4686,67 @@ def oracle_sql() -> dict[str, str]:
       (CASE WHEN val > 500.0 THEN val * 2.0 - wgt
             ELSE val + wgt * 4.0 END) + ABS(val - 499.0) AS result
     FROM cells ORDER BY cell
+    """
+
+    # TPI/TRI/roughness: 8-neighbor self-join excluding the center; a cell
+    # needs 8 neighbor ROWS (interior) all non-NULL plus a valid center
+    terrain_idx_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c0.val AS center, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+       AND NOT (c1.r = c0.r AND c1.c = c0.c))
+    SELECT CAST(r * {N_GRID} + c AS BIGINT) AS cell,
+      CASE WHEN COUNT(v) = 8 AND COUNT(*) = 8 AND center IS NOT NULL
+           THEN center - SUM(v) / 8.0 END AS tpi,
+      CASE WHEN COUNT(v) = 8 AND COUNT(*) = 8 AND center IS NOT NULL
+           THEN SUM(ABS(center - v)) / 8.0 END AS tri,
+      CASE WHEN COUNT(v) = 8 AND COUNT(*) = 8 AND center IS NOT NULL
+           THEN GREATEST(MAX(v), center) - LEAST(MIN(v), center)
+      END AS roughness
+    FROM nb GROUP BY r, c, center ORDER BY cell
+    """
+
+    # D8: per-neighbor candidate rows with the sqrt-free integer rate key;
+    # ROW_NUMBER picks the steepest (key DESC, ESRI code ASC); LEFT JOIN
+    # keeps flats/sinks at 0; the poison CTE mirrors full-window NaN rules
+    flowdir_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c0.val AS center,
+             c1.r - c0.r AS dr, c1.c - c0.c AS dc, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+       AND NOT (c1.r = c0.r AND c1.c = c0.c)),
+    ok AS (
+      SELECT r, c,
+        (COUNT(v) = 8 AND COUNT(*) = 8 AND center IS NOT NULL) AS valid
+      FROM nb GROUP BY r, c, center),
+    cand AS (
+      SELECT r, c,
+        CASE WHEN dr = 0 OR dc = 0
+             THEN 2 * (center - v) * (center - v)
+             ELSE (center - v) * (center - v) END AS key,
+        CASE WHEN dr = 0 AND dc = 1 THEN 1
+             WHEN dr = 1 AND dc = 1 THEN 2
+             WHEN dr = 1 AND dc = 0 THEN 4
+             WHEN dr = 1 AND dc = -1 THEN 8
+             WHEN dr = 0 AND dc = -1 THEN 16
+             WHEN dr = -1 AND dc = -1 THEN 32
+             WHEN dr = -1 AND dc = 0 THEN 64 ELSE 128 END AS code
+      FROM nb WHERE center - v > 0),
+    best AS (
+      SELECT r, c, code,
+        ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY key DESC, code) AS rn
+      FROM cand)
+    SELECT CAST(o.r * {N_GRID} + o.c AS BIGINT) AS cell,
+      CASE WHEN o.valid THEN CAST(COALESCE(b.code, 0) AS DOUBLE) END
+        AS flowdir
+    FROM ok o LEFT JOIN best b ON b.r = o.r AND b.c = o.c AND b.rn = 1
+    ORDER BY cell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -6971,6 +7067,8 @@ def oracle_sql() -> dict[str, str]:
         "contour_lines": contour_sql,
         "resample_bilinear": bilinear_sql,
         "raster_calc": raster_calc_sql,
+        "terrain_indices": terrain_idx_sql,
+        "flow_direction": flowdir_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

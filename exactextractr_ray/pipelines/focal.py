@@ -672,3 +672,105 @@ def terrain_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
         )
 
     return _run_focal(raster, window, broadcast_cap)
+
+
+def terrain_indices_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
+    """gdaldem TPI / TRI / roughness — the remaining third of the
+    gdaldem terrain family (``terrain_3x3`` covers slope/aspect/
+    hillshade). All three are exact for integer-valued rasters:
+
+    * ``tpi``  = center - mean(8 neighbors)   (sum/8 is an exact dyadic)
+    * ``tri``  = mean(|center - neighbor|)    (Wilson 2007, the gdaldem
+      default; sum of integer |diffs| / 8)
+    * ``roughness`` = max(window) - min(window) (integer)
+
+    gdaldem computes all three only where the full 3x3 window is valid —
+    any NaN (NODATA or off-raster edge) poisons the cell, same as the
+    gradient ops.
+    """
+    n_cols = raster.grid.ncol
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        center = canvas[1 : 1 + th, 1 : 1 + tw]
+        nb_sum = np.zeros((th, tw))
+        abs_sum = np.zeros((th, tw))
+        vmin = center.copy()
+        vmax = center.copy()
+        window_nan = np.isnan(center)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                if dr == 1 and dc == 1:
+                    continue
+                v = canvas[dr : dr + th, dc : dc + tw]
+                window_nan |= np.isnan(v)
+                nb_sum += v
+                abs_sum += np.abs(center - v)
+                vmin = np.fmin(vmin, v)
+                vmax = np.fmax(vmax, v)
+        tpi = np.where(window_nan, np.nan, center - nb_sum / 8.0)
+        tri = np.where(window_nan, np.nan, abs_sum / 8.0)
+        rough = np.where(window_nan, np.nan, vmax - vmin)
+        return pa.table(
+            {
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
+                "tpi": pa.array(tpi.ravel(), pa.float64()),
+                "tri": pa.array(tri.ravel(), pa.float64()),
+                "roughness": pa.array(rough.ravel(), pa.float64()),
+            }
+        )
+
+    return _run_focal(raster, window, broadcast_cap)
+
+
+# ESRI D8 codes in tie-break order: (code, dr, dc); r grows southward
+_D8 = (
+    (1, 0, 1),    # E
+    (2, 1, 1),    # SE
+    (4, 1, 0),    # S
+    (8, 1, -1),   # SW
+    (16, 0, -1),  # W
+    (32, -1, -1), # NW
+    (64, -1, 0),  # N
+    (128, -1, 1),  # NE
+)
+
+
+def flow_direction_d8(raster: RasterDataset, broadcast_cap: int | None = None):
+    """D8 flow direction (ESRI/ArcGIS FlowDirection, GRASS r.watershed
+    first stage): each cell flows to the neighbor with the steepest
+    positive descent rate drop/dist (dist 1 cardinal, sqrt(2) diagonal),
+    coded E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128.
+
+    The rate comparison avoids sqrt entirely: for positive integer drops,
+    rate_a > rate_b  <=>  drop_a^2 * dist_b^2 > drop_b^2 * dist_a^2, so
+    the sort key is the exact int64 ``2*drop^2`` (cardinal) / ``drop^2``
+    (diagonal); ties keep the first code in ESRI order. Cells with no
+    positive drop (flats/sinks) get 0; any NaN in the 3x3 window poisons
+    the cell (consistent with the rest of the terrain family).
+    """
+    n_cols = raster.grid.ncol
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        center = canvas[1 : 1 + th, 1 : 1 + tw]
+        window_nan = np.isnan(center)
+        best_key = np.zeros((th, tw))
+        best_code = np.zeros((th, tw))
+        for code, dr, dc in _D8:
+            v = canvas[1 + dr : 1 + dr + th, 1 + dc : 1 + dc + tw]
+            window_nan |= np.isnan(v)
+            drop = center - v
+            mult = 2.0 if (dr == 0 or dc == 0) else 1.0
+            key = mult * drop * drop
+            with np.errstate(invalid="ignore"):
+                better = (drop > 0) & (key > best_key)
+            best_key = np.where(better, key, best_key)
+            best_code = np.where(better, float(code), best_code)
+        flowdir = np.where(window_nan, np.nan, best_code)
+        return pa.table(
+            {
+                "cell": pa.array(_cell_ids(row0, col0, th, tw, n_cols), pa.int64()),
+                "flowdir": pa.array(flowdir.ravel(), pa.float64()),
+            }
+        )
+
+    return _run_focal(raster, window, broadcast_cap)

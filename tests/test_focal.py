@@ -702,3 +702,66 @@ def test_raster_calc_whitelist_and_values(_ray):
     ):
         with pytest.raises(ValueError):
             compile_expr(bad, ["value", "weight"])
+
+
+def test_terrain_indices_and_flowdir(_ray):
+    """TPI/TRI/roughness and D8 flow direction == whole-array
+    recomputation; D8 rate rule checked against explicit sqrt(2)
+    arithmetic; ragged-grid plan equivalence."""
+    from exactextractr_ray.pipelines.focal import (
+        _D8,
+        flow_direction_d8,
+        terrain_indices_3x3,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 40
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    ti = (
+        terrain_indices_3x3(rd)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    fd = (
+        flow_direction_d8(rd).to_pandas().sort_values("cell").reset_index(drop=True)
+    )
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c)
+    pad = np.full((n + 2, n + 2), np.nan)
+    pad[1:-1, 1:-1] = vals
+    for i in range(1, n - 1):
+        for j in range(1, n - 1):
+            win = pad[i : i + 3, j : j + 3]
+            row_t = ti.iloc[i * n + j]
+            row_f = fd.iloc[i * n + j]
+            if np.isnan(win).any():
+                assert np.isnan(row_t["tpi"]) and np.isnan(row_f["flowdir"])
+                continue
+            center = win[1, 1]
+            nbs = np.delete(win.ravel(), 4)
+            assert row_t["tpi"] == center - nbs.sum() / 8.0
+            assert row_t["tri"] == np.abs(center - nbs).sum() / 8.0
+            assert row_t["roughness"] == win.max() - win.min()
+            # D8 via explicit float rates (drops are ints; ties via code order)
+            best_code, best_rate = 0, 0.0
+            for code, dr, dc in _D8:
+                drop = center - win[1 + dr, 1 + dc]
+                dist = 1.0 if (dr == 0 or dc == 0) else np.sqrt(2.0)
+                rate = drop / dist
+                if drop > 0 and rate > best_rate + 1e-12:
+                    best_rate, best_code = rate, code
+            assert row_f["flowdir"] == best_code, (i, j)
+
+    for fn in (terrain_indices_3x3, flow_direction_d8):
+        a = fn(rd).to_pandas().sort_values("cell").reset_index(drop=True)
+        b = fn(rd, broadcast_cap=0).to_pandas().sort_values("cell").reset_index(drop=True)
+        for col in a.columns:
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            if av.dtype.kind == "f":
+                assert np.array_equal(np.isnan(av), np.isnan(bv)), col
+                mm = ~np.isnan(av)
+                assert np.array_equal(av[mm], bv[mm]), (fn.__name__, col)
+            else:
+                assert np.array_equal(av, bv), (fn.__name__, col)
