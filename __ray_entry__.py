@@ -2088,6 +2088,25 @@ def _q_flow_direction(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_flow_accumulation(sf_dir: str):
+    """D8 flow accumulation (ESRI FlowAccumulation): basin labeling via
+    the distributed Hash-to-Min components over the (cell, succ) edge
+    list — only edges shuffle, never tiles — then per-basin parallel
+    topological folds in groupby(basin).map_groups; NODATA cells dropped
+    by a final node join (pipelines/hydrology.py). Oracle: recursive-CTE
+    ancestor counting over the same D8 edges."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.hydrology import flow_accumulation_d8
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = flow_accumulation_d8(rd).to_pandas()
+    for c in ("cell", "n_upstream"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3652,6 +3671,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "raster_calc": _q_raster_calc,
         "terrain_indices": _q_terrain_indices,
         "flow_direction": _q_flow_direction,
+        "flow_accumulation": _q_flow_accumulation,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4747,6 +4767,55 @@ def oracle_sql() -> dict[str, str]:
         AS flowdir
     FROM ok o LEFT JOIN best b ON b.r = o.r AND b.c = o.c AND b.rn = 1
     ORDER BY cell
+    """
+
+    # flow accumulation: D8 edges (as in flowdir_sql) closed transitively
+    # by a recursive CTE; paths in a functional graph are unique, so
+    # COUNT(*) per descendant = number of upstream cells
+    flowacc_sql = f"""
+    WITH RECURSIVE cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c0.val AS center,
+             c1.r - c0.r AS dr, c1.c - c0.c AS dc, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+       AND NOT (c1.r = c0.r AND c1.c = c0.c)),
+    ok AS (
+      SELECT r, c,
+        (COUNT(v) = 8 AND COUNT(*) = 8 AND center IS NOT NULL) AS valid
+      FROM nb GROUP BY r, c, center),
+    cand AS (
+      SELECT r, c, dr, dc,
+        CASE WHEN dr = 0 OR dc = 0
+             THEN 2 * (center - v) * (center - v)
+             ELSE (center - v) * (center - v) END AS key,
+        CASE WHEN dr = 0 AND dc = 1 THEN 1
+             WHEN dr = 1 AND dc = 1 THEN 2
+             WHEN dr = 1 AND dc = 0 THEN 4
+             WHEN dr = 1 AND dc = -1 THEN 8
+             WHEN dr = 0 AND dc = -1 THEN 16
+             WHEN dr = -1 AND dc = -1 THEN 32
+             WHEN dr = -1 AND dc = 0 THEN 64 ELSE 128 END AS code
+      FROM nb WHERE center - v > 0),
+    best AS (
+      SELECT r, c, dr, dc,
+        ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY key DESC, code) AS rn
+      FROM cand),
+    edges AS (
+      SELECT o.r * {N_GRID} + o.c AS cell,
+             (o.r + b.dr) * {N_GRID} + (o.c + b.dc) AS succ
+      FROM ok o JOIN best b ON b.r = o.r AND b.c = o.c AND b.rn = 1
+      WHERE o.valid),
+    up(anc, des) AS (
+      SELECT cell, succ FROM edges
+      UNION
+      SELECT u.anc, e.succ FROM up u JOIN edges e ON e.cell = u.des),
+    counts AS (SELECT des, COUNT(*) AS n FROM up GROUP BY des)
+    SELECT CAST(v.r * {N_GRID} + v.c AS BIGINT) AS cell,
+      CAST(COALESCE(ct.n, 0) AS BIGINT) AS n_upstream
+    FROM cells v LEFT JOIN counts ct ON ct.des = v.r * {N_GRID} + v.c
+    WHERE v.val IS NOT NULL ORDER BY cell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7069,6 +7138,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_calc": raster_calc_sql,
         "terrain_indices": terrain_idx_sql,
         "flow_direction": flowdir_sql,
+        "flow_accumulation": flowacc_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

@@ -1,0 +1,153 @@
+"""Flow accumulation over the D8 flow-direction forest (ESRI
+FlowAccumulation / GRASS r.watershed accumulation).
+
+``flow_direction_d8`` points every cell with a strictly positive drop at
+its steepest downslope neighbor, so the flow graph is a FOREST of
+strictly-decreasing paths — acyclic by construction. The distributed
+shape has two stages, and only (cell, succ) EDGE rows ever shuffle —
+never raster tiles:
+
+1. **basin labeling**: weakly-connected components of the forest via the
+   existing Hash-to-Min propagation (``stages/dedup.py:dup_clusters``,
+   Rastogi et al.) — O(log diameter) rounds of coarse-grouped segmented
+   reduces. Every cell (self-loops included) gets its drainage-basin id.
+2. **per-basin fold**: ``groupby(basin).map_groups`` — a basin contains
+   ALL of its cells' upstream dependencies by definition, so each group
+   runs the exact topological (Kahn) wavefront locally, vectorized
+   (np.add.at per round); basins are independent and embarrassingly
+   parallel. Rounds inside a group are bounded by the basin's relief
+   (every D8 step strictly decreases an integer value), not its area.
+
+Skew: one continental basin lands in one group — the documented
+mitigation is Barnes (2016) tile-boundary-graph accumulation, which
+decomposes exactly this fold; the semantics here are its ground truth.
+
+NODATA: cells with NaN VALUE are dropped from the output by a final
+node join; valid cells with a poisoned D8 window (NaN flowdir) are
+sinks that still receive upstream counts (a valid cell never points at
+a NODATA neighbor — its own window would be poisoned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..sources.raster import RasterDataset
+from ..stages.dedup import dup_clusters
+from .focal import _D8, flow_direction_d8
+
+
+def _kahn_fold(cell: np.ndarray, succ: np.ndarray) -> np.ndarray:
+    """Exact topological accumulation within one basin. Returns acc
+    (including self) aligned with ``cell``."""
+    order = np.argsort(cell)
+    cell = cell[order]
+    succ = succ[order]
+    n = len(cell)
+    sidx = np.searchsorted(cell, succ)
+    has = succ >= 0
+    # guard: succ must be a present cell when >= 0 (true by construction)
+    sidx = np.where(has, np.clip(sidx, 0, n - 1), -1)
+    has &= (sidx >= 0) & (cell[np.maximum(sidx, 0)] == succ)
+    indeg = np.zeros(n, np.int64)
+    np.add.at(indeg, sidx[has], 1)
+    acc = np.ones(n, np.int64)
+    done = np.zeros(n, bool)
+    while True:
+        frontier = (indeg == 0) & ~done
+        if not frontier.any():
+            break
+        done |= frontier
+        f = np.flatnonzero(frontier)
+        f = f[has[f]]
+        np.add.at(acc, sidx[f], acc[f])
+        np.subtract.at(indeg, sidx[f], 1)
+    if not done.all():  # pragma: no cover - D8 graphs are acyclic
+        raise RuntimeError("flow graph did not converge (cycle?)")
+    out = np.empty(n, np.int64)
+    out[order] = acc
+    return out
+
+
+def flow_accumulation_d8(raster: RasterDataset):
+    """Returns a Dataset of (cell:int64, n_upstream:int64) over all cells
+    with a valid value — n_upstream is the ESRI-style count of upstream
+    cells (excluding the cell itself)."""
+    n_cols = raster.grid.ncol
+    code_to_off = {code: (dr, dc) for code, dr, dc in _D8}
+
+    fd = flow_direction_d8(raster)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy().astype(np.int64)
+        flow = batch.column("flowdir").to_numpy()
+        r = cell // n_cols
+        c = cell % n_cols
+        succ = cell.copy()  # self-loop default: every node gets labeled
+        for code, (dr, dc) in code_to_off.items():
+            m = flow == float(code)
+            succ[m] = (r[m] + dr) * n_cols + (c[m] + dc)
+        return pa.table(
+            {
+                "cell": pa.array(cell, pa.int64()),
+                "succ": pa.array(succ, pa.int64()),
+            }
+        )
+
+    # nodes = all cells that have a flowdir ROW (valid + poisoned-window
+    # cells); NODATA-value cells never get a row. Poisoned cells keep the
+    # self-loop (sink), valid no-descent cells too.
+    edges = fd.map_batches(to_edges, batch_format="pyarrow")
+
+    basins = dup_clusters(edges, "cell", "succ")  # (doc_id, cluster_id)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cell", "basin"])
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(16, ncpu // 2))
+    labeled = edges.join(
+        basins.map_batches(relabel, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("cell",),
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["cell"].to_numpy(np.int64)
+        succ = df["succ"].to_numpy(np.int64)
+        succ = np.where(succ == cell, -1, succ)  # drop self-loops
+        acc = _kahn_fold(cell, succ)
+        return pd.DataFrame({"cell": cell, "n_upstream": acc - 1})
+
+    folded = labeled.groupby("basin").map_groups(fold, batch_format="pandas")
+
+    # drop NODATA-value cells (they carry a flowdir row but are not nodes)
+    def node_rows(batch: pa.Table) -> pa.Table:
+        out_cells = []
+        vals = batch.column("values")
+        row0s = batch.column("row0").to_numpy()
+        col0s = batch.column("col0").to_numpy()
+        ths = batch.column("th").to_numpy()
+        tws = batch.column("tw").to_numpy()
+        layers = batch.column("layer").to_pylist()
+        for i, lay in enumerate(layers):
+            if lay != "value":
+                continue
+            v = np.asarray(vals[i].values, dtype=np.float64).reshape(
+                int(ths[i]), int(tws[i])
+            )
+            rr = np.arange(row0s[i], row0s[i] + ths[i], dtype=np.int64)[:, None]
+            cc = np.arange(col0s[i], col0s[i] + tws[i], dtype=np.int64)[None, :]
+            ids = rr * n_cols + cc
+            out_cells.append(ids[~np.isnan(v)])
+        cells = np.concatenate(out_cells) if out_cells else np.empty(0, np.int64)
+        return pa.table({"cell": pa.array(cells, pa.int64())})
+
+    nodes = raster.ds.map_batches(node_rows, batch_format="pyarrow")
+    return folded.join(
+        nodes, join_type="inner", num_partitions=nparts, on=("cell",)
+    )

@@ -765,3 +765,47 @@ def test_terrain_indices_and_flowdir(_ray):
                 assert np.array_equal(av[mm], bv[mm]), (fn.__name__, col)
             else:
                 assert np.array_equal(av, bv), (fn.__name__, col)
+
+
+def test_flow_accumulation_bruteforce(_ray):
+    """flow_accumulation_d8 == single-process ancestor counting over the
+    same D8 edges, incl. the ragged-grid case; accumulation conservation:
+    sum(acc) == total path-length mass."""
+    from exactextractr_ray.pipelines.focal import _D8, flow_direction_d8
+    from exactextractr_ray.pipelines.hydrology import flow_accumulation_d8
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 40
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    df = (
+        flow_accumulation_d8(rd)
+        .to_pandas()
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    fd = (
+        flow_direction_d8(rd).to_pandas().sort_values("cell").reset_index(drop=True)
+    )
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c).ravel()
+    valid = ~np.isnan(vals)
+    assert np.array_equal(df["cell"].to_numpy(), np.flatnonzero(valid))
+
+    # single-process reference: follow each cell's full downstream path
+    code_to_off = {code: (dr, dc) for code, dr, dc in _D8}
+    succ = {}
+    for _, row in fd.iterrows():
+        f = row["flowdir"]
+        if not np.isnan(f) and f > 0:
+            dr, dc = code_to_off[int(f)]
+            cell = int(row["cell"])
+            succ[cell] = (cell // n + dr) * n + (cell % n + dc)
+    exp = {int(x): 0 for x in np.flatnonzero(valid)}
+    for u in succ:
+        v = succ.get(u)
+        while v is not None:
+            exp[v] += 1
+            v = succ.get(v)
+    got = dict(zip(df["cell"].astype(int), df["n_upstream"].astype(int)))
+    assert got == exp
