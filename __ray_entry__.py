@@ -2107,6 +2107,24 @@ def _q_flow_accumulation(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_watershed(sf_dir: str):
+    """Watershed / basin delineation (ESRI Basin): in a D8 forest the
+    weakly-connected component == the drainage basin, so the Hash-to-Min
+    label (smallest cell id) is the basin id; only edges shuffle
+    (pipelines/hydrology.py:watershed_basins). Oracle: recursive-CTE
+    terminal-sink reachability grouped to min-id labels."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.hydrology import watershed_basins
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = watershed_basins(rd).to_pandas()
+    for c in ("cell", "basin_id"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3672,6 +3690,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "terrain_indices": _q_terrain_indices,
         "flow_direction": _q_flow_direction,
         "flow_accumulation": _q_flow_accumulation,
+        "watershed_basins": _q_watershed,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4816,6 +4835,59 @@ def oracle_sql() -> dict[str, str]:
       CAST(COALESCE(ct.n, 0) AS BIGINT) AS n_upstream
     FROM cells v LEFT JOIN counts ct ON ct.des = v.r * {N_GRID} + v.c
     WHERE v.val IS NOT NULL ORDER BY cell
+    """
+
+    # watershed: same D8 edges; each valid cell reaches its terminal sink
+    # (no outgoing edge) through the functional graph; basin id = MIN cell
+    # id among cells sharing a terminal (== the Hash-to-Min component label)
+    watershed_sql = f"""
+    WITH RECURSIVE cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c0.val AS center,
+             c1.r - c0.r AS dr, c1.c - c0.c AS dc, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+       AND NOT (c1.r = c0.r AND c1.c = c0.c)),
+    ok AS (
+      SELECT r, c,
+        (COUNT(v) = 8 AND COUNT(*) = 8 AND center IS NOT NULL) AS valid
+      FROM nb GROUP BY r, c, center),
+    cand AS (
+      SELECT r, c, dr, dc,
+        CASE WHEN dr = 0 OR dc = 0
+             THEN 2 * (center - v) * (center - v)
+             ELSE (center - v) * (center - v) END AS key,
+        CASE WHEN dr = 0 AND dc = 1 THEN 1
+             WHEN dr = 1 AND dc = 1 THEN 2
+             WHEN dr = 1 AND dc = 0 THEN 4
+             WHEN dr = 1 AND dc = -1 THEN 8
+             WHEN dr = 0 AND dc = -1 THEN 16
+             WHEN dr = -1 AND dc = -1 THEN 32
+             WHEN dr = -1 AND dc = 0 THEN 64 ELSE 128 END AS code
+      FROM nb WHERE center - v > 0),
+    best AS (
+      SELECT r, c, dr, dc,
+        ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY key DESC, code) AS rn
+      FROM cand),
+    edges AS (
+      SELECT o.r * {N_GRID} + o.c AS cell,
+             (o.r + b.dr) * {N_GRID} + (o.c + b.dc) AS succ
+      FROM ok o JOIN best b ON b.r = o.r AND b.c = o.c AND b.rn = 1
+      WHERE o.valid),
+    valid_cells AS (
+      SELECT r * {N_GRID} + c AS cell FROM cells WHERE val IS NOT NULL),
+    reach(u, v) AS (
+      SELECT cell, cell FROM valid_cells
+      UNION
+      SELECT r.u, e.succ FROM reach r JOIN edges e ON e.cell = r.v),
+    term AS (
+      SELECT u, v FROM reach r
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.cell = r.v)),
+    bid AS (SELECT v, MIN(u) AS basin_id FROM term GROUP BY v)
+    SELECT CAST(t.u AS BIGINT) AS cell,
+           CAST(b.basin_id AS BIGINT) AS basin_id
+    FROM term t JOIN bid b ON b.v = t.v ORDER BY cell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7139,6 +7211,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_indices": terrain_idx_sql,
         "flow_direction": flowdir_sql,
         "flow_accumulation": flowacc_sql,
+        "watershed_basins": watershed_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

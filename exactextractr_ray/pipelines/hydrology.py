@@ -72,10 +72,11 @@ def _kahn_fold(cell: np.ndarray, succ: np.ndarray) -> np.ndarray:
     return out
 
 
-def flow_accumulation_d8(raster: RasterDataset):
-    """Returns a Dataset of (cell:int64, n_upstream:int64) over all cells
-    with a valid value — n_upstream is the ESRI-style count of upstream
-    cells (excluding the cell itself)."""
+def _labeled_edges(raster: RasterDataset):
+    """Shared D8 plumbing: (cell, succ, basin) edge Dataset (self-loop for
+    cells without descent, so every flowdir cell gets a basin label via
+    Hash-to-Min), plus a (cell,) Dataset of valid-value nodes and the
+    join partition count."""
     n_cols = raster.grid.ncol
     code_to_off = {code: (dr, dc) for code, dr, dc in _D8}
 
@@ -97,11 +98,7 @@ def flow_accumulation_d8(raster: RasterDataset):
             }
         )
 
-    # nodes = all cells that have a flowdir ROW (valid + poisoned-window
-    # cells); NODATA-value cells never get a row. Poisoned cells keep the
-    # self-loop (sink), valid no-descent cells too.
     edges = fd.map_batches(to_edges, batch_format="pyarrow")
-
     basins = dup_clusters(edges, "cell", "succ")  # (doc_id, cluster_id)
 
     def relabel(t: pa.Table) -> pa.Table:
@@ -116,16 +113,6 @@ def flow_accumulation_d8(raster: RasterDataset):
         on=("cell",),
     )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
-        cell = df["cell"].to_numpy(np.int64)
-        succ = df["succ"].to_numpy(np.int64)
-        succ = np.where(succ == cell, -1, succ)  # drop self-loops
-        acc = _kahn_fold(cell, succ)
-        return pd.DataFrame({"cell": cell, "n_upstream": acc - 1})
-
-    folded = labeled.groupby("basin").map_groups(fold, batch_format="pandas")
-
-    # drop NODATA-value cells (they carry a flowdir row but are not nodes)
     def node_rows(batch: pa.Table) -> pa.Table:
         out_cells = []
         vals = batch.column("values")
@@ -148,6 +135,45 @@ def flow_accumulation_d8(raster: RasterDataset):
         return pa.table({"cell": pa.array(cells, pa.int64())})
 
     nodes = raster.ds.map_batches(node_rows, batch_format="pyarrow")
+    return labeled, nodes, nparts
+
+
+def flow_accumulation_d8(raster: RasterDataset):
+    """Returns a Dataset of (cell:int64, n_upstream:int64) over all cells
+    with a valid value — n_upstream is the ESRI-style count of upstream
+    cells (excluding the cell itself)."""
+    labeled, nodes, nparts = _labeled_edges(raster)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["cell"].to_numpy(np.int64)
+        succ = df["succ"].to_numpy(np.int64)
+        succ = np.where(succ == cell, -1, succ)  # drop self-loops
+        acc = _kahn_fold(cell, succ)
+        return pd.DataFrame({"cell": cell, "n_upstream": acc - 1})
+
+    folded = labeled.groupby("basin").map_groups(fold, batch_format="pandas")
+
+    # drop NODATA-value cells (they carry a flowdir row but are not nodes)
     return folded.join(
         nodes, join_type="inner", num_partitions=nparts, on=("cell",)
     )
+
+
+def watershed_basins(raster: RasterDataset):
+    """Watershed / basin delineation (ESRI Basin tool): every valid cell
+    labeled with its drainage basin — in a D8 forest the weakly-connected
+    component IS the set of cells draining to one sink, so the
+    Hash-to-Min component label (the smallest cell id in the basin) is
+    the basin id. Returns (cell:int64, basin_id:int64)."""
+    labeled, nodes, nparts = _labeled_edges(raster)
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cell": t.column("cell").cast(pa.int64()),
+                "basin_id": t.column("basin").cast(pa.int64()),
+            }
+        )
+
+    lab = labeled.map_batches(project, batch_format="pyarrow")
+    return lab.join(nodes, join_type="inner", num_partitions=nparts, on=("cell",))

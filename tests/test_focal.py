@@ -809,3 +809,34 @@ def test_flow_accumulation_bruteforce(_ray):
             v = succ.get(v)
     got = dict(zip(df["cell"].astype(int), df["n_upstream"].astype(int)))
     assert got == exp
+
+
+def test_watershed_basins_consistency(_ray):
+    """Every cell shares its basin with its D8 successor; each basin has
+    exactly one sink; basin_id is the min cell id in the basin."""
+    from exactextractr_ray.pipelines.focal import _D8, flow_direction_d8
+    from exactextractr_ray.pipelines.hydrology import watershed_basins
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n = 40
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    wb = watershed_basins(rd).to_pandas()
+    basin = dict(zip(wb["cell"].astype(int), wb["basin_id"].astype(int)))
+    fd = flow_direction_d8(rd).to_pandas()
+    code_to_off = {code: (dr, dc) for code, dr, dc in _D8}
+    sinks_per_basin = {}
+    for _, row in fd.iterrows():
+        cell = int(row["cell"])
+        if cell not in basin:
+            continue
+        f = row["flowdir"]
+        if not np.isnan(f) and f > 0:
+            dr, dc = code_to_off[int(f)]
+            succ = (cell // n + dr) * n + (cell % n + dc)
+            assert basin[succ] == basin[cell], (cell, succ)
+        else:
+            sinks_per_basin[basin[cell]] = sinks_per_basin.get(basin[cell], 0) + 1
+    assert set(sinks_per_basin.values()) == {1}
+    for cell, b in basin.items():
+        assert b <= cell
+    assert set(wb.groupby("basin_id")["cell"].min()) == set(wb["basin_id"].unique())
