@@ -2125,6 +2125,24 @@ def _q_watershed(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_strahler(sf_dir: str):
+    """Strahler stream order over the D8 forest (GRASS r.stream.order):
+    basin labeling + per-basin wavefront fold with vectorized
+    (max, count-of-max) merges (pipelines/hydrology.py:strahler_order_d8).
+    Iterative max-merge is not SQL-expressible; checked bit-exact against
+    a single-process whole-array rederivation in tools/check_oracles.py."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.hydrology import strahler_order_d8
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = strahler_order_d8(rd).to_pandas()
+    for c in ("cell", "strahler"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3691,6 +3709,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "flow_direction": _q_flow_direction,
         "flow_accumulation": _q_flow_accumulation,
         "watershed_basins": _q_watershed,
+        "strahler_order": _q_strahler,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,

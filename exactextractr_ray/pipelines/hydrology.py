@@ -177,3 +177,77 @@ def watershed_basins(raster: RasterDataset):
 
     lab = labeled.map_batches(project, batch_format="pyarrow")
     return lab.join(nodes, join_type="inner", num_partitions=nparts, on=("cell",))
+
+
+def _strahler_fold(cell: np.ndarray, succ: np.ndarray) -> np.ndarray:
+    """Strahler stream order within one basin: leaves are order 1;
+    order(v) = max(child orders) + 1 if >= 2 children attain the max,
+    else the max. Same topological wavefront as _kahn_fold; per round the
+    frontier's pushes are grouped per target (sort + reduceat) so the
+    (max, count-of-max) merge stays vectorized."""
+    order_idx = np.argsort(cell)
+    cell = cell[order_idx]
+    succ = succ[order_idx]
+    n = len(cell)
+    sidx = np.searchsorted(cell, succ)
+    has = succ >= 0
+    sidx = np.where(has, np.clip(sidx, 0, n - 1), -1)
+    has &= (sidx >= 0) & (cell[np.maximum(sidx, 0)] == succ)
+    indeg = np.zeros(n, np.int64)
+    np.add.at(indeg, sidx[has], 1)
+    best = np.zeros(n, np.int64)  # max child order seen so far
+    cnt = np.zeros(n, np.int64)  # children attaining that max
+    ord_ = np.zeros(n, np.int64)
+    done = np.zeros(n, bool)
+    while True:
+        frontier = (indeg == 0) & ~done
+        if not frontier.any():
+            break
+        done |= frontier
+        f = np.flatnonzero(frontier)
+        ord_[f] = np.where(cnt[f] >= 2, best[f] + 1, np.maximum(best[f], 1))
+        f = f[has[f]]
+        if len(f):
+            tgt = sidx[f]
+            push = ord_[f]
+            o = np.argsort(tgt, kind="stable")
+            tgt, push = tgt[o], push[o]
+            seg = np.flatnonzero(np.r_[True, tgt[1:] != tgt[:-1]])
+            uniq = tgt[seg]
+            rmax = np.maximum.reduceat(push, seg)
+            # count of pushes equal to the round max, per target
+            ends = np.r_[seg[1:], len(tgt)]
+            rcnt = np.add.reduceat(
+                (push == np.repeat(rmax, ends - seg)).astype(np.int64), seg
+            )
+            newer = rmax > best[uniq]
+            same = rmax == best[uniq]
+            cnt[uniq] = np.where(
+                newer, rcnt, np.where(same, cnt[uniq] + rcnt, cnt[uniq])
+            )
+            best[uniq] = np.maximum(best[uniq], rmax)
+            np.subtract.at(indeg, tgt, 1)
+    if not done.all():  # pragma: no cover - D8 graphs are acyclic
+        raise RuntimeError("flow graph did not converge (cycle?)")
+    out = np.empty(n, np.int64)
+    out[order_idx] = ord_
+    return out
+
+
+def strahler_order_d8(raster: RasterDataset):
+    """Strahler stream order over the D8 forest (GRASS r.stream.order):
+    same distributed shape as flow accumulation — basin labeling then a
+    per-basin parallel wavefront fold. Returns (cell:int64,
+    strahler:int64) over valid-value cells."""
+    labeled, nodes, nparts = _labeled_edges(raster)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        cell = df["cell"].to_numpy(np.int64)
+        succ = df["succ"].to_numpy(np.int64)
+        succ = np.where(succ == cell, -1, succ)
+        return pd.DataFrame({"cell": cell, "strahler": _strahler_fold(cell, succ)})
+
+    folded = labeled.groupby("basin").map_groups(fold, batch_format="pandas")
+    return folded.join(
+        nodes, join_type="inner", num_partitions=nparts, on=("cell",)
+    )

@@ -840,3 +840,36 @@ def test_watershed_basins_consistency(_ray):
     for cell, b in basin.items():
         assert b <= cell
     assert set(wb.groupby("basin_id")["cell"].min()) == set(wb["basin_id"].unique())
+
+
+def test_strahler_order_semantics(_ray):
+    """Strahler: leaves are 1; a confluence of two equal orders bumps;
+    order is monotone non-decreasing downstream; ragged grid."""
+    from exactextractr_ray.pipelines.focal import _D8, flow_direction_d8
+    from exactextractr_ray.pipelines.hydrology import strahler_order_d8
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    n = 40
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    so = strahler_order_d8(rd).to_pandas()
+    order = dict(zip(so["cell"].astype(int), so["strahler"].astype(int)))
+    fd = flow_direction_d8(rd).to_pandas()
+    code_to_off = {code: (dr, dc) for code, dr, dc in _D8}
+    succ = {}
+    for _, row in fd.iterrows():
+        f = row["flowdir"]
+        if not np.isnan(f) and f > 0:
+            cell = int(row["cell"])
+            dr, dc = code_to_off[int(f)]
+            succ[cell] = (cell // n + dr) * n + (cell % n + dc)
+    children = {}
+    for u, v in succ.items():
+        children.setdefault(v, []).append(u)
+    assert min(order.values()) == 1
+    for v, o in order.items():
+        ch = [order[u] for u in children.get(v, [])]
+        if not ch:
+            assert o == 1, v
+        else:
+            m = max(ch)
+            assert o == (m + 1 if ch.count(m) >= 2 else m), v

@@ -229,11 +229,76 @@ def check_bpe_encode_reference(ray_df, sf_dir):
     return "MISMATCH vs BPE reference encode"
 
 
+def check_strahler_reference(ray_df, sf_dir):
+    """strahler_order: bit-exact vs a single-process whole-array
+    rederivation (synth values -> Horn D8 on the padded array -> python
+    dict-based topological Strahler) — an independent code path from the
+    distributed per-basin fold."""
+    import numpy as np
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.focal import _D8
+
+    n = 64
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c)
+    pad = np.full((n + 2, n + 2), np.nan)
+    pad[1:-1, 1:-1] = vals
+    succ: dict[int, int] = {}
+    children: dict[int, list] = {}
+    nodes = []
+    for i in range(n):
+        for j in range(n):
+            if np.isnan(vals[i, j]):
+                continue
+            nodes.append(i * n + j)
+            win = pad[i : i + 3, j : j + 3]
+            if np.isnan(win).any():
+                continue
+            center = win[1, 1]
+            best_key, best = 0.0, None
+            for code, dr, dc in _D8:
+                drop = center - win[1 + dr, 1 + dc]
+                key = (2.0 if (dr == 0 or dc == 0) else 1.0) * drop * drop
+                if drop > 0 and key > best_key:
+                    best_key, best = key, (dr, dc)
+            if best is not None:
+                succ[i * n + j] = (i + best[0]) * n + (j + best[1])
+    for u, v in succ.items():
+        children.setdefault(v, []).append(u)
+    order: dict[int, int] = {}
+
+    def strahler(v):
+        if v in order:
+            return order[v]
+        ch = [strahler(u) for u in children.get(v, [])]
+        if not ch:
+            o = 1
+        else:
+            m = max(ch)
+            o = m + 1 if ch.count(m) >= 2 else m
+        order[v] = o
+        return o
+
+    import sys as _sys
+
+    _sys.setrecursionlimit(100_000)
+    want = {v: strahler(v) for v in nodes}
+    got = dict(
+        zip(ray_df["cell"].astype(int), ray_df["strahler"].astype(int))
+    )
+    if got == want:
+        return "OK (bit-exact vs single-process recursive rederivation)"
+    bad = [k for k in want if got.get(k) != want[k]][:5]
+    return f"MISMATCH vs Strahler reference ({len(bad)}+ cells, e.g. {bad})"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
     "knn_cosine_lsh": check_knn_lsh_exact,
     "bpe_train_merges": check_bpe_reference,
     "bpe_encode_tokens": check_bpe_encode_reference,
+    "strahler_order": check_strahler_reference,
 }
 
 

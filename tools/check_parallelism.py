@@ -145,6 +145,24 @@ QUERIES = [
     "warc_pdf_text",
     "fix_mojibake",
     "photo_zone_join",
+    # round-4 session 6 (gdaldem / hydrology / interpolation wave)
+    "terrain_hillshade",
+    "terrain_indices",
+    "flow_direction",
+    "flow_accumulation",
+    "watershed_basins",
+    "contour_lines",
+    "raster_crosstab",
+    "areal_interp",
+    "idw_proximity",
+    "resample_bilinear",
+    "raster_calc",
+    "s2_cells",
+    "ccnet_buckets",
+    "dsir_topk",
+    "winnow_fingerprints",
+    "substr_dup_spans",
+    "zonal_geojson_zones",
 ]
 
 _CHILD = r"""
