@@ -2143,6 +2143,67 @@ def _q_strahler(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_basin_terrain(sf_dir: str):
+    """Cross-operator composition: watershed basins as ZONES for terrain
+    aggregation — watershed_basins ⋈ terrain_3x3 on cell, then
+    groupby(basin) sums of the exact integer slope numerator (DEM ->
+    flow -> basins -> zonal terrain, the full hydrology-analysis chain
+    in one lazy Ray pipeline). mean = one division on exact operands."""
+    import numpy as np
+    import pyarrow as pa
+
+    from exactextractr_ray.pipelines.focal import terrain_3x3
+    from exactextractr_ray.pipelines.hydrology import watershed_basins
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    basins = watershed_basins(rd)
+
+    def slope_rows(t: pa.Table) -> pa.Table:
+        s = t.column("slope_num").to_numpy()
+        ok = ~np.isnan(s)
+        return pa.table(
+            {
+                "cell": t.column("cell").to_numpy()[ok],
+                "slope_num": pa.array(s[ok].astype(np.int64), pa.int64()),
+            }
+        )
+
+    import ray as _ray
+
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    terr = terrain_3x3(rd).map_batches(slope_rows, batch_format="pyarrow")
+    joined = basins.join(
+        terr,
+        join_type="inner",
+        num_partitions=max(2, min(16, ncpu // 2)),
+        on=("cell",),
+    )
+    agg = joined.groupby("basin_id").aggregate(
+        _ray.data.aggregate.Count(alias_name="n_cells"),
+        _ray.data.aggregate.Sum("slope_num", alias_name="sum_slope"),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = t.column("n_cells").to_numpy().astype(np.int64)
+        s = t.column("sum_slope").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "basin_id": t.column("basin_id").cast(pa.int64()),
+                "n_cells": pa.array(n, pa.int64()),
+                "sum_slope": pa.array(s, pa.int64()),
+                "mean_slope": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    df = agg.map_batches(finalize, batch_format="pyarrow").to_pandas()
+    for c in ("basin_id", "n_cells", "sum_slope"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("basin_id").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3710,6 +3771,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "flow_accumulation": _q_flow_accumulation,
         "watershed_basins": _q_watershed,
         "strahler_order": _q_strahler,
+        "basin_terrain_stats": _q_basin_terrain,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -4907,6 +4969,83 @@ def oracle_sql() -> dict[str, str]:
     SELECT CAST(t.u AS BIGINT) AS cell,
            CAST(b.basin_id AS BIGINT) AS basin_id
     FROM term t JOIN bid b ON b.v = t.v ORDER BY cell
+    """
+
+    # basin x terrain composition: watershed CTEs + gradient slope
+    # numerators joined on cell; sums are exact integers, mean is one
+    # division on identical operands
+    basin_terrain_sql = f"""
+    WITH RECURSIVE cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c0.val AS center,
+             c1.r - c0.r AS dr, c1.c - c0.c AS dc, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+       AND NOT (c1.r = c0.r AND c1.c = c0.c)),
+    ok AS (
+      SELECT r, c,
+        (COUNT(v) = 8 AND COUNT(*) = 8 AND center IS NOT NULL) AS valid
+      FROM nb GROUP BY r, c, center),
+    cand AS (
+      SELECT r, c, dr, dc,
+        CASE WHEN dr = 0 OR dc = 0
+             THEN 2 * (center - v) * (center - v)
+             ELSE (center - v) * (center - v) END AS key,
+        CASE WHEN dr = 0 AND dc = 1 THEN 1
+             WHEN dr = 1 AND dc = 1 THEN 2
+             WHEN dr = 1 AND dc = 0 THEN 4
+             WHEN dr = 1 AND dc = -1 THEN 8
+             WHEN dr = 0 AND dc = -1 THEN 16
+             WHEN dr = -1 AND dc = -1 THEN 32
+             WHEN dr = -1 AND dc = 0 THEN 64 ELSE 128 END AS code
+      FROM nb WHERE center - v > 0),
+    best AS (
+      SELECT r, c, dr, dc,
+        ROW_NUMBER() OVER (PARTITION BY r, c ORDER BY key DESC, code) AS rn
+      FROM cand),
+    edges AS (
+      SELECT o.r * {N_GRID} + o.c AS cell,
+             (o.r + b.dr) * {N_GRID} + (o.c + b.dc) AS succ
+      FROM ok o JOIN best b ON b.r = o.r AND b.c = o.c AND b.rn = 1
+      WHERE o.valid),
+    valid_cells AS (
+      SELECT r * {N_GRID} + c AS cell FROM cells WHERE val IS NOT NULL),
+    reach(u, v) AS (
+      SELECT cell, cell FROM valid_cells
+      UNION
+      SELECT r.u, e.succ FROM reach r JOIN edges e ON e.cell = r.v),
+    term AS (
+      SELECT u, v FROM reach r
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.cell = r.v)),
+    bid AS (SELECT v, MIN(u) AS basin_id FROM term GROUP BY v),
+    basin AS (
+      SELECT t.u AS cell, b.basin_id FROM term t JOIN bid b ON b.v = t.v),
+    grad AS (
+      SELECT r * {N_GRID} + c AS cell,
+        CASE WHEN COUNT(v) = 9 THEN
+          SUM(CAST(dc2 * (CASE WHEN dr2 = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+        END AS gx,
+        CASE WHEN COUNT(v) = 9 THEN
+          SUM(CAST(dr2 * (CASE WHEN dc2 = 0 THEN 2 ELSE 1 END) AS DOUBLE) * v)
+        END AS gy
+      FROM (
+        SELECT c0.r AS r, c0.c AS c,
+               c1.r - c0.r AS dr2, c1.c - c0.c AS dc2, c1.val AS v
+        FROM cells c0 JOIN cells c1
+          ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+         AND c1.c BETWEEN c0.c - 1 AND c0.c + 1) g9
+      GROUP BY r, c),
+    slope AS (
+      SELECT cell, CAST(gx * gx + gy * gy AS BIGINT) AS slope_num
+      FROM grad WHERE gx IS NOT NULL)
+    SELECT CAST(ba.basin_id AS BIGINT) AS basin_id,
+      CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST(SUM(s.slope_num) AS BIGINT) AS sum_slope,
+      CAST(SUM(s.slope_num) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS mean_slope
+    FROM basin ba JOIN slope s ON s.cell = ba.cell
+    GROUP BY ba.basin_id ORDER BY basin_id
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7231,6 +7370,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_direction": flowdir_sql,
         "flow_accumulation": flowacc_sql,
         "watershed_basins": watershed_sql,
+        "basin_terrain_stats": basin_terrain_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,
