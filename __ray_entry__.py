@@ -2204,6 +2204,34 @@ def _q_basin_terrain(sf_dir: str):
     return df.sort_values("basin_id").reset_index(drop=True)
 
 
+def _q_convex_hulls(sf_dir: str):
+    """Grouped convex hulls (ST_ConvexHull): Andrew monotone chain per
+    group in groupby(grp).map_groups — hulls have no cross-group
+    dependency, only (grp, id, lon, lat) rows shuffle (stages/spatial.py
+    convex_hull_edges). Emitted as CCW hull EDGES so the comparison is
+    order-free; the oracle's all-points-strictly-left edge test evaluates
+    the identical float cross product, bit-exact."""
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+
+    from exactextractr_ray.stages.spatial import convex_hull_edges
+
+    geo = _docs(sf_dir, ["doc_id"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+
+    def add_grp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.append_column("grp", pa.array(ids % 8, pa.int64()))
+
+    geo = geo.map_batches(add_grp, batch_format="pyarrow")
+    df = convex_hull_edges(geo).to_pandas()
+    for c in ("grp", "a_id", "b_id"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["grp", "a_id"]).reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3772,6 +3800,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "watershed_basins": _q_watershed,
         "strahler_order": _q_strahler,
         "basin_terrain_stats": _q_basin_terrain,
+        "convex_hulls": _q_convex_hulls,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -5046,6 +5075,45 @@ def oracle_sql() -> dict[str, str]:
         AS mean_slope
     FROM basin ba JOIN slope s ON s.cell = ba.cell
     GROUP BY ba.basin_id ORDER BY basin_id
+    """
+
+    # convex hulls: exact INTEGER lattice geometry (the hash lattice has
+    # many exactly-collinear triples). A directed pair (a,b) is a CCW
+    # strict-hull edge iff no other group point is strictly right
+    # (cross < 0) and no collinear point lies OUTSIDE the open segment
+    # (cross = 0 and not strictly between) — HUGEINT products (lattice is
+    # 2^32 so crosses exceed int64); groups < 3 points emit nothing
+    convex_hulls_sql = f"""
+    WITH geo AS ({geo}),
+    pts AS (
+      SELECT doc_id, doc_id % 8 AS grp, lon, lat,
+             (doc_id * {synth.LON_MULT}) % {synth.HASH_MOD} AS li,
+             (doc_id * {synth.LAT_MULT}) % {synth.HASH_MOD} AS la
+      FROM geo),
+    big AS (SELECT grp FROM pts GROUP BY grp HAVING COUNT(*) >= 3)
+    SELECT a.grp AS grp, a.doc_id AS a_id, b.doc_id AS b_id,
+           a.lon AS x0, a.lat AS y0, b.lon AS x1, b.lat AS y1
+    FROM pts a
+    JOIN pts b ON b.grp = a.grp AND b.doc_id != a.doc_id
+    JOIN big ON big.grp = a.grp
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts p
+      WHERE p.grp = a.grp AND p.doc_id NOT IN (a.doc_id, b.doc_id)
+        AND (
+          CAST(b.li - a.li AS HUGEINT) * CAST(p.la - a.la AS HUGEINT)
+            - CAST(b.la - a.la AS HUGEINT) * CAST(p.li - a.li AS HUGEINT) < 0
+          OR (
+            CAST(b.li - a.li AS HUGEINT) * CAST(p.la - a.la AS HUGEINT)
+              - CAST(b.la - a.la AS HUGEINT) * CAST(p.li - a.li AS HUGEINT) = 0
+            AND NOT (
+              CAST(b.li - a.li AS HUGEINT) * CAST(p.li - a.li AS HUGEINT)
+                + CAST(b.la - a.la AS HUGEINT) * CAST(p.la - a.la AS HUGEINT) > 0
+              AND CAST(b.li - a.li AS HUGEINT) * CAST(p.li - a.li AS HUGEINT)
+                + CAST(b.la - a.la AS HUGEINT) * CAST(p.la - a.la AS HUGEINT)
+                < CAST(b.li - a.li AS HUGEINT) * CAST(b.li - a.li AS HUGEINT)
+                  + CAST(b.la - a.la AS HUGEINT) * CAST(b.la - a.la AS HUGEINT)
+            ))))
+    ORDER BY grp, a_id
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7371,6 +7439,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_accumulation": flowacc_sql,
         "watershed_basins": watershed_sql,
         "basin_terrain_stats": basin_terrain_sql,
+        "convex_hulls": convex_hulls_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

@@ -818,3 +818,76 @@ def geohash_batch(
     chars = lookup[vals.T].copy()  # (n, nchars), C-contiguous U1
     gh = chars.view(f"<U{nchars}")[:, 0]
     return batch.append_column(out_col, pa.array(gh, pa.string()))
+
+
+def convex_hull_edges(geo, group_col: str = "grp"):
+    """Grouped 2-D convex hulls (ST_ConvexHull / chull parity): one hull
+    per group of points, emitted as directed CCW hull EDGES (grp, a_id,
+    b_id, x0, y0, x1, y1) — an edge set needs no start-vertex convention,
+    so results compare order-free.
+
+    Ray shape: ``groupby(grp).map_groups`` — each group's Andrew monotone
+    chain runs locally (hulls have no cross-group dependency); only
+    (grp, id, lon, lat) rows shuffle. Groups with < 3 points emit nothing.
+
+    Determinism: geocoded points are affine images of the INTEGER hash
+    lattice (id*MULT mod 2^32), where exactly-collinear triples are
+    common (ids in one group form an arithmetic progression), so all turn
+    tests run in EXACT integer arithmetic on the lattice coordinates
+    (Python bigints — products exceed int64); the strict chain drops
+    collinear boundary points and the SQL oracle's edge test mirrors that
+    with HUGEINT crosses plus the collinear-strictly-between allowance.
+    Output lon/lat are the float coordinates of the kept vertices."""
+    import pandas as pd
+
+    from .. import synth
+
+    M = synth.HASH_MOD
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = {k: [] for k in ("grp", "a_id", "b_id", "x0", "y0", "x1", "y1")}
+        g = int(df[group_col].iloc[0]) if len(df) else 0
+        ids = df["doc_id"].to_numpy()
+        lon = dict(zip(ids.tolist(), df["lon"].tolist()))
+        lat = dict(zip(ids.tolist(), df["lat"].tolist()))
+        pts = sorted(
+            (
+                int(i) * synth.LON_MULT % M,
+                int(i) * synth.LAT_MULT % M,
+                int(i),
+            )
+            for i in ids
+        )
+        if len(pts) >= 3:
+
+            def chain(points):
+                hull = []
+                for p in points:
+                    while len(hull) >= 2:
+                        ox, oy, _ = hull[-2]
+                        axx, ayy, _ = hull[-1]
+                        if (axx - ox) * (p[1] - oy) - (ayy - oy) * (p[0] - ox) <= 0:
+                            hull.pop()
+                        else:
+                            break
+                    hull.append(p)
+                return hull
+
+            lower = chain(pts)
+            upper = chain(pts[::-1])
+            ring = lower[:-1] + upper[:-1]  # CCW, no repeated endpoint
+            for (_, _, aid), (_, _, bid) in zip(ring, ring[1:] + ring[:1]):
+                out["grp"].append(g)
+                out["a_id"].append(aid)
+                out["b_id"].append(bid)
+                out["x0"].append(lon[aid])
+                out["y0"].append(lat[aid])
+                out["x1"].append(lon[bid])
+                out["y1"].append(lat[bid])
+        res = pd.DataFrame(out)
+        res["grp"] = res["grp"].astype("int64")
+        res["a_id"] = res["a_id"].astype("int64")
+        res["b_id"] = res["b_id"].astype("int64")
+        return res
+
+    return geo.groupby(group_col).map_groups(fold, batch_format="pandas")

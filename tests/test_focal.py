@@ -873,3 +873,59 @@ def test_strahler_order_semantics(_ray):
         else:
             m = max(ch)
             assert o == (m + 1 if ch.count(m) >= 2 else m), v
+
+
+def test_convex_hull_edges(_ray):
+    """Hull edges form a closed ring per group; every group point is
+    inside or on the hull (exact integer lattice check); strict
+    convexity at every ring vertex."""
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import convex_hull_edges
+
+    ids = np.arange(200, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    geo = ray.data.from_arrow(tbl).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+
+    def add_grp(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "grp", pa.array(b.column("doc_id").to_numpy() % 4, pa.int64())
+        )
+
+    df = convex_hull_edges(geo.map_batches(add_grp, batch_format="pyarrow")).to_pandas()
+    M = synth.HASH_MOD
+
+    def lat_pt(i):
+        return (int(i) * synth.LON_MULT % M, int(i) * synth.LAT_MULT % M)
+
+    for g, sub in df.groupby("grp"):
+        nxt = dict(zip(sub["a_id"].astype(int), sub["b_id"].astype(int)))
+        # closed ring visiting each vertex once
+        start = next(iter(nxt))
+        seen, v = [], start
+        while True:
+            seen.append(v)
+            v = nxt[v]
+            if v == start:
+                break
+        assert sorted(seen) == sorted(nxt), g
+        # all group points weakly inside every edge half-plane
+        grp_ids = [i for i in ids if i % 4 == g]
+        for a, b in nxt.items():
+            ax, ay = lat_pt(a)
+            bx, by = lat_pt(b)
+            for p in grp_ids:
+                px, py = lat_pt(p)
+                assert (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0, (g, a, b, p)
+        # strict convexity at ring vertices
+        ring = seen + seen[:2]
+        for u, v2, w in zip(ring, ring[1:], ring[2:]):
+            ux, uy = lat_pt(u)
+            vx, vy = lat_pt(v2)
+            wx, wy = lat_pt(w)
+            assert (vx - ux) * (wy - uy) - (vy - uy) * (wx - ux) > 0, (g, u, v2, w)
