@@ -2232,6 +2232,29 @@ def _q_convex_hulls(sf_dir: str):
     return df.sort_values(["grp", "a_id"]).reset_index(drop=True)
 
 
+def _q_hull_stats(sf_dir: str):
+    """Hull metrics composition: per-group vertex count + exact shoelace
+    2A over the integer hash lattice (Python bigints / HUGEINT — the
+    area integer exceeds int64, emitted as a decimal string both sides)."""
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.geocode import geocode_doc_batch
+    from exactextractr_ray.stages.spatial import hull_stats
+
+    geo = _docs(sf_dir, ["doc_id"]).map_batches(
+        geocode_doc_batch, batch_format="pyarrow"
+    )
+
+    def add_grp(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        return b.append_column("grp", pa.array(ids % 8, pa.int64()))
+
+    df = hull_stats(geo.map_batches(add_grp, batch_format="pyarrow")).to_pandas()
+    for c in ("grp", "n_vertices"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("grp").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3801,6 +3824,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "strahler_order": _q_strahler,
         "basin_terrain_stats": _q_basin_terrain,
         "convex_hulls": _q_convex_hulls,
+        "hull_stats": _q_hull_stats,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -5114,6 +5138,20 @@ def oracle_sql() -> dict[str, str]:
                   + CAST(b.la - a.la AS HUGEINT) * CAST(b.la - a.la AS HUGEINT)
             ))))
     ORDER BY grp, a_id
+    """
+
+    # hull metrics: shoelace over the directed CCW edge set of the hull
+    # relation above; HUGEINT products, area emitted as a decimal string
+    hull_stats_sql = f"""
+    WITH hull AS ({convex_hulls_sql.replace("ORDER BY grp, a_id", "")})
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+      CAST(SUM(
+        CAST((a_id * {synth.LON_MULT}) % {synth.HASH_MOD} AS HUGEINT)
+          * CAST((b_id * {synth.LAT_MULT}) % {synth.HASH_MOD} AS HUGEINT)
+        - CAST((b_id * {synth.LON_MULT}) % {synth.HASH_MOD} AS HUGEINT)
+          * CAST((a_id * {synth.LAT_MULT}) % {synth.HASH_MOD} AS HUGEINT)
+      ) AS VARCHAR) AS area2
+    FROM hull GROUP BY grp ORDER BY grp
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7440,6 +7478,7 @@ def oracle_sql() -> dict[str, str]:
         "watershed_basins": watershed_sql,
         "basin_terrain_stats": basin_terrain_sql,
         "convex_hulls": convex_hulls_sql,
+        "hull_stats": hull_stats_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

@@ -891,3 +891,34 @@ def convex_hull_edges(geo, group_col: str = "grp"):
         return res
 
     return geo.groupby(group_col).map_groups(fold, batch_format="pandas")
+
+
+def hull_stats(geo, group_col: str = "grp"):
+    """Per-group convex-hull metrics from the hull EDGE set: vertex count
+    and twice the enclosed area (exact shoelace over the integer hash
+    lattice — Python bigints, since lattice crosses exceed int64).
+    Returns (grp:int64, n_vertices:int64, area2:string) — area2 is the
+    exact decimal string of the 2A integer (up to ~2^64, beyond int64)."""
+    import pandas as pd
+
+    from .. import synth
+
+    edges = convex_hull_edges(geo, group_col)
+    M = synth.HASH_MOD
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = int(df["grp"].iloc[0]) if len(df) else 0
+        area2 = 0
+        for a, b in zip(df["a_id"].astype(int), df["b_id"].astype(int)):
+            ax, ay = a * synth.LON_MULT % M, a * synth.LAT_MULT % M
+            bx, by = b * synth.LON_MULT % M, b * synth.LAT_MULT % M
+            area2 += ax * by - bx * ay
+        return pd.DataFrame(
+            {
+                "grp": pd.Series([g], dtype="int64"),
+                "n_vertices": pd.Series([len(df)], dtype="int64"),
+                "area2": pd.Series([str(area2)], dtype="object"),
+            }
+        )
+
+    return edges.groupby("grp").map_groups(fold, batch_format="pandas")
