@@ -2255,6 +2255,43 @@ def _q_hull_stats(sf_dir: str):
     return df.sort_values("grp").reset_index(drop=True)
 
 
+def _q_simplify_lines(sf_dir: str):
+    """Douglas-Peucker simplification (ST_Simplify) over 48 synthetic
+    integer-lattice polylines, tol=40 — exact int64 cross^2 vs
+    tol^2*len2 split decisions, first-max ties (stages/spatial.py
+    simplify_lines); zero shuffle. Recursive splitting is not
+    SQL-expressible; checked bit-exact against an independent recursive
+    rederivation in tools/check_oracles.py."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import simplify_lines
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ks = batch.column("id").to_numpy().astype(np.int64)
+        ids, xs, ys = [], [], []
+        for k in ks:
+            m = 12 + int(k) % 9
+            j = np.arange(m, dtype=np.int64)
+            ids.append(int(k))
+            xs.append((j * 64).tolist())
+            ys.append((((int(k) * 31 + j * j * 17) % 512)).tolist())
+        return pa.table(
+            {
+                "line_id": pa.array(ids, pa.int64()),
+                "xs": pa.array(xs, pa.list_(pa.int64())),
+                "ys": pa.array(ys, pa.list_(pa.int64())),
+            }
+        )
+
+    lines = ray.data.range(48).map_batches(mk, batch_format="pyarrow")
+    df = simplify_lines(lines, tol=40).to_pandas()
+    for c in df.columns:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["line_id", "seq"]).reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3825,6 +3862,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "basin_terrain_stats": _q_basin_terrain,
         "convex_hulls": _q_convex_hulls,
         "hull_stats": _q_hull_stats,
+        "simplify_lines": _q_simplify_lines,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,

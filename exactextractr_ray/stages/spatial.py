@@ -922,3 +922,83 @@ def hull_stats(geo, group_col: str = "grp"):
         )
 
     return edges.groupby("grp").map_groups(fold, batch_format="pandas")
+
+
+def simplify_lines(lines, tol: int):
+    """Douglas-Peucker polyline simplification (ST_Simplify / ogr2ogr
+    -simplify) with EXACT integer geometry: vertices live on an integer
+    lattice, so the split decision compares cross^2 > tol^2 * len2 in
+    int64 — no float epsilon, bit-deterministic at any parallelism; the
+    farthest-vertex argmax ties break to the LOWEST index.
+
+    ``lines`` rows: (line_id:int64, xs:list<int64>, ys:list<int64>).
+    Ray shape: plain ``map_batches`` — every polyline simplifies
+    independently, zero shuffle. Returns (line_id, seq, x, y) kept
+    vertices in original order.
+
+    Degenerate closed segments (endpoints equal) fall back to point
+    distance from the anchor. Endpoints are always kept.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    t2 = int(tol) * int(tol)
+
+    def dp(xs, ys):
+        n = len(xs)
+        keep = [False] * n
+        keep[0] = keep[n - 1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            lo, hi = stack.pop()
+            if hi - lo < 2:
+                continue
+            ax, ay, bx, by = xs[lo], ys[lo], xs[hi], ys[hi]
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            best, best_key = -1, 0
+            for j in range(lo + 1, hi):
+                px, py = xs[j] - ax, ys[j] - ay
+                if len2 == 0:
+                    key = (px * px + py * py) * t2  # vs t2 * t2 below
+                    bound = t2 * t2
+                else:
+                    cr = dx * py - dy * px
+                    key = cr * cr
+                    bound = t2 * len2
+                # strict > keeps the FIRST (lowest-index) max on ties
+                if key > bound and key > best_key:
+                    best, best_key = j, key
+            if best >= 0:
+                keep[best] = True
+                stack.append((lo, best))
+                stack.append((best, hi))
+        return keep
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("line_id").to_numpy()
+        xs_col = batch.column("xs")
+        ys_col = batch.column("ys")
+        out = {"line_id": [], "seq": [], "x": [], "y": []}
+        for i in range(batch.num_rows):
+            xs = [int(v) for v in xs_col[i].values.to_pylist()]
+            ys = [int(v) for v in ys_col[i].values.to_pylist()]
+            keep = dp(xs, ys)
+            s = 0
+            for j, k in enumerate(keep):
+                if k:
+                    out["line_id"].append(int(ids[i]))
+                    out["seq"].append(s)
+                    out["x"].append(xs[j])
+                    out["y"].append(ys[j])
+                    s += 1
+        return pa.table(
+            {
+                "line_id": pa.array(out["line_id"], pa.int64()),
+                "seq": pa.array(out["seq"], pa.int64()),
+                "x": pa.array(out["x"], pa.int64()),
+                "y": pa.array(out["y"], pa.int64()),
+            }
+        )
+
+    return lines.map_batches(per_batch, batch_format="pyarrow")

@@ -929,3 +929,47 @@ def test_convex_hull_edges(_ray):
             vx, vy = lat_pt(v2)
             wx, wy = lat_pt(w)
             assert (vx - ux) * (wy - uy) - (vy - uy) * (wx - ux) > 0, (g, u, v2, w)
+
+
+def test_simplify_lines_semantics(_ray):
+    """DP invariants: endpoints kept; every dropped vertex within tol of
+    the simplified chain's enclosing segment; straight lines collapse to
+    two points; tol=1 on a zigzag keeps everything."""
+    import pyarrow as pa
+    import ray.data
+
+    from exactextractr_ray.stages.spatial import simplify_lines
+
+    def mkline(line_id, xs, ys):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "line_id": pa.array([line_id], pa.int64()),
+                    "xs": pa.array([list(map(int, xs))], pa.list_(pa.int64())),
+                    "ys": pa.array([list(map(int, ys))], pa.list_(pa.int64())),
+                }
+            )
+        )
+
+    # perfectly straight -> endpoints only
+    xs = list(range(0, 1000, 100))
+    ys = [3 * x for x in xs]
+    df = simplify_lines(mkline(1, xs, ys), tol=5).to_pandas()
+    assert len(df) == 2
+    assert list(df["x"]) == [0, 900] and list(df["y"]) == [0, 2700]
+
+    # sharp zigzag with tol smaller than amplitude -> all kept
+    xs = list(range(0, 10))
+    ys = [0, 50, 0, 50, 0, 50, 0, 50, 0, 50]
+    df = simplify_lines(mkline(2, xs, ys), tol=1).to_pandas()
+    assert len(df) == 10
+
+    # single bump above tol -> bump kept
+    xs = [0, 50, 100]
+    ys = [0, 60, 0]
+    df = simplify_lines(mkline(3, xs, ys), tol=40).to_pandas()
+    assert len(df) == 3
+    # same bump below tol -> dropped
+    ys = [0, 30, 0]
+    df = simplify_lines(mkline(4, xs, ys), tol=40).to_pandas()
+    assert len(df) == 2

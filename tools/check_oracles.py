@@ -293,12 +293,63 @@ def check_strahler_reference(ray_df, sf_dir):
     return f"MISMATCH vs Strahler reference ({len(bad)}+ cells, e.g. {bad})"
 
 
+def check_simplify_reference(ray_df, sf_dir):
+    """simplify_lines: bit-exact vs an independent RECURSIVE
+    Douglas-Peucker over the same generated polylines (the pipeline uses
+    an explicit stack; this reference uses true recursion and fraction
+    comparison cross^2/len2 > tol^2 via exact integer cross-multiply)."""
+
+    tol2 = 40 * 40
+    want = {}
+    for k in range(48):
+        m = 12 + k % 9
+        xs = [j * 64 for j in range(m)]
+        ys = [(k * 31 + j * j * 17) % 512 for j in range(m)]
+
+        def rec(lo, hi, keep):
+            if hi - lo < 2:
+                return
+            ax, ay, bx, by = xs[lo], ys[lo], xs[hi], ys[hi]
+            dx, dy = bx - ax, by - ay
+            len2 = dx * dx + dy * dy
+            best, bk = -1, 0
+            for j in range(lo + 1, hi):
+                px, py = xs[j] - ax, ys[j] - ay
+                if len2 == 0:
+                    key, bound = (px * px + py * py) * tol2, tol2 * tol2
+                else:
+                    cr = dx * py - dy * px
+                    key, bound = cr * cr, tol2 * len2
+                if key > bound and key > bk:
+                    best, bk = j, key
+            if best >= 0:
+                keep.add(best)
+                rec(lo, best, keep)
+                rec(best, hi, keep)
+
+        keep = {0, m - 1}
+        rec(0, m - 1, keep)
+        seq = 0
+        for j in sorted(keep):
+            want[(k, seq)] = (xs[j], ys[j])
+            seq += 1
+    got = {
+        (int(r.line_id), int(r.seq)): (int(r.x), int(r.y))
+        for r in ray_df.itertuples()
+    }
+    if got == want:
+        return "OK (bit-exact vs independent recursive Douglas-Peucker)"
+    bad = [k for k in want if got.get(k) != want[k]][:5]
+    return f"MISMATCH vs DP reference (e.g. {bad}; rows {len(got)} vs {len(want)})"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
     "knn_cosine_lsh": check_knn_lsh_exact,
     "bpe_train_merges": check_bpe_reference,
     "bpe_encode_tokens": check_bpe_encode_reference,
     "strahler_order": check_strahler_reference,
+    "simplify_lines": check_simplify_reference,
 }
 
 
