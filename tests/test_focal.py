@@ -973,3 +973,37 @@ def test_simplify_lines_semantics(_ray):
     ys = [0, 30, 0]
     df = simplify_lines(mkline(4, xs, ys), tol=40).to_pandas()
     assert len(df) == 2
+
+
+def test_flow_accumulation_deep_single_basin(_ray):
+    """Stress: a monotone ramp makes ONE basin spanning every tile with a
+    maximal-depth flow path (the worst case for the per-basin wavefront).
+    Closed form: on value=row ramp (decreasing northward... here value =
+    r so flow is N, code 64), each interior cell's upstream count is the
+    chain length below it."""
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.hydrology import (
+        flow_accumulation_d8,
+        watershed_basins,
+    )
+    from exactextractr_ray.sources.raster import raster_from_array
+
+    n = 48
+    # value grows with row index -> steepest descent is due north (dr=-1)
+    vals = np.add.outer(np.arange(n, dtype=float) * 10.0, np.zeros(n))
+    rd = raster_from_array(vals, Grid(0.0, 0.0, float(n), float(n), 1.0, 1.0), tile=16)
+    acc = flow_accumulation_d8(rd).to_pandas().sort_values("cell")
+    a = acc["n_upstream"].to_numpy().reshape(n, n)
+    # interior columns: cell at row r has chain of (n-2 - r) cells above...
+    # rows 1..n-2 have valid windows; row r receives from r+1..n-2 in its
+    # column (edge rows are sinks/poisoned)
+    for r in range(1, n - 1):
+        assert np.all(a[r, 1 : n - 1] == (n - 2 - r)), r
+    wb = watershed_basins(rd).to_pandas()
+    # every interior column is one basin chain; distinct basins = per-column
+    # (plus edge-cell singleton basins); the KEY check: a basin spans rows
+    # across ALL tile boundaries
+    basin = dict(zip(wb["cell"].astype(int), wb["basin_id"].astype(int)))
+    col = 5
+    ids = {basin[r * n + col] for r in range(1, n - 1)}
+    assert len(ids) == 1

@@ -157,6 +157,11 @@ QUERIES = [
     "idw_proximity",
     "resample_bilinear",
     "raster_calc",
+    "strahler_order",
+    "basin_terrain_stats",
+    "convex_hulls",
+    "hull_stats",
+    "simplify_lines",
     "s2_cells",
     "ccnet_buckets",
     "dsir_topk",
