@@ -25,7 +25,151 @@ import argparse
 import sys
 
 
+def _open_raster_path(path: str, band: int = 1, var: str | None = None,
+                      layer: str = "value", tile: int = 256):
+    """Format dispatch shared by the zonal and terrain subcommands:
+    GeoTIFF / NetCDF classic / Arc-ASCII / ENVI (.hdr sidecar) / native
+    parquet tile directory."""
+    if path.endswith((".tif", ".tiff")):
+        from .sources.geotiff import geotiff_raster_dataset
+
+        return geotiff_raster_dataset(path, band=band, tile=tile)
+    if path.endswith(".nc"):
+        from .sources.netcdf_raster import netcdf_raster_dataset
+
+        return netcdf_raster_dataset(path, var=var)
+    if path.endswith(".asc"):
+        from .sources.ascii_grid import ascii_grid_raster_dataset
+
+        return ascii_grid_raster_dataset(path)
+    import os as _os
+
+    if _os.path.isfile(path) and (
+        _os.path.exists(path + ".hdr")
+        or _os.path.exists(_os.path.splitext(path)[0] + ".hdr")
+    ):
+        from .sources.envi import envi_raster_dataset
+
+        return envi_raster_dataset(path, band=band)
+    from .sources.raster import read_raster_parquet
+
+    return read_raster_parquet(path)
+
+
+# op -> (pipeline key, output column)
+_TERRAIN_OPS = {
+    "slope": ("terrain", "slope_num"),
+    "aspect": ("terrain", "aspect8"),
+    "hillshade": ("terrain", "hillshade"),
+    "shade": ("terrain", "shade"),
+    "tpi": ("indices", "tpi"),
+    "tri": ("indices", "tri"),
+    "roughness": ("indices", "roughness"),
+    "flowdir": ("flowdir", "flowdir"),
+    "flowacc": ("flowacc", "n_upstream"),
+}
+
+_MAX_TIF_CELLS = 1 << 26  # driver-assembled single-file output guard
+
+
+def terrain_main(argv) -> int:
+    """gdaldem-style terrain subcommand:
+
+        python -m exactextractr_ray.cli terrain -r dem.tif \
+            --op hillshade -o out.tif
+
+    Ops: slope (degrees), aspect (8-sector descent code), hillshade
+    (az=315/alt=45 byte), shade (raw cosine), tpi, tri, roughness,
+    flowdir (ESRI D8 codes), flowacc (upstream cell counts). Inputs as in
+    the zonal CLI (.tif/.nc/.asc/ENVI/parquet tiles). `-o out.parquet`
+    streams the (cell, value) table (the scale path — partitioned,
+    resumable); `-o out.tif` assembles a single raster on the driver
+    (guarded to {M} cells) for desktop-sized outputs.
+    """.format(M=_MAX_TIF_CELLS)
+    import numpy as np
+
+    ap = argparse.ArgumentParser(prog="exactextractr-ray terrain")
+    ap.add_argument("-r", "--raster", required=True)
+    ap.add_argument("--op", required=True, choices=sorted(_TERRAIN_OPS))
+    ap.add_argument("-o", "--output", required=True,
+                    help="output .parquet dir (streaming) or .tif")
+    ap.add_argument("--band", type=int, default=1)
+    ap.add_argument("--var", default=None, help="NetCDF variable")
+    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+
+    rd = _open_raster_path(args.raster, band=args.band, var=args.var,
+                           tile=args.tile)
+    kind, col = _TERRAIN_OPS[args.op]
+    if kind == "terrain":
+        from .pipelines.focal import terrain_3x3
+
+        out = terrain_3x3(rd)
+    elif kind == "indices":
+        from .pipelines.focal import terrain_indices_3x3
+
+        out = terrain_indices_3x3(rd)
+    elif kind == "flowdir":
+        from .pipelines.focal import flow_direction_d8
+
+        out = flow_direction_d8(rd)
+    else:
+        from .pipelines.hydrology import flow_accumulation_d8
+
+        out = flow_accumulation_d8(rd)
+    out = out.select_columns(["cell", col])
+
+    if args.op == "slope":
+        import pyarrow as pa
+
+        dx = float(rd.grid.dx)
+
+        def to_degrees(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy().astype(np.float64)
+            deg = np.degrees(np.arctan(np.sqrt(v) / (8.0 * dx)))
+            return pa.table({"cell": b.column("cell"), col: pa.array(deg)})
+
+        out = out.map_batches(to_degrees, batch_format="pyarrow")
+
+    if args.output.endswith(".parquet") or not args.output.endswith(".tif"):
+        out.write_parquet(args.output)
+        ray.shutdown()
+        return 0
+
+    g = rd.grid
+    n_cells = g.nrow * g.ncol
+    if n_cells > _MAX_TIF_CELLS:
+        raise SystemExit(
+            f"single-file .tif output assembles on the driver; {n_cells} "
+            f"cells exceeds the {_MAX_TIF_CELLS} guard — use a .parquet "
+            "output directory instead"
+        )
+    arr = np.full(n_cells, np.nan)
+    for b in out.iter_batches(batch_format="pyarrow"):
+        arr[b.column("cell").to_numpy()] = b.column(col).to_numpy()
+    from .sources.geotiff import write_geotiff
+
+    write_geotiff(arr.reshape(g.nrow, g.ncol), g, args.output, nodata=-9999.0)
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "terrain":
+        return terrain_main(argv[1:])
     ap = argparse.ArgumentParser(prog="exactextractr-ray")
     ap.add_argument("-p", "--polygons", required=True, help="zones parquet file")
     ap.add_argument(
