@@ -101,7 +101,8 @@ def terrain_main(argv) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(
             address="local",
             num_cpus=args.num_cpus,
@@ -144,7 +145,8 @@ def terrain_main(argv) -> int:
 
     if args.output.endswith(".parquet") or not args.output.endswith(".tif"):
         out.write_parquet(args.output)
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
         return 0
 
     g = rd.grid
@@ -161,7 +163,8 @@ def terrain_main(argv) -> int:
     from .sources.geotiff import write_geotiff
 
     write_geotiff(arr.reshape(g.nrow, g.ncol), g, args.output, nodata=-9999.0)
-    ray.shutdown()
+    if owns_ray:
+        ray.shutdown()
     return 0
 
 
