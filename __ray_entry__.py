@@ -2292,6 +2292,23 @@ def _q_simplify_lines(sf_dir: str):
     return df.sort_values(["line_id", "seq"]).reset_index(drop=True)
 
 
+def _q_anchor_text(sf_dir: str):
+    """Per-target anchor-text aggregation (the Common-Crawl anchor-text
+    dataset shape): parse <a href>anchor</a> from raw html, tokenize,
+    (href, token) partial counts, multi-key groupby-sum, exact
+    distributed top-3 per href (cnt DESC, token ASC) — html never leaves
+    its task (stages/web.py anchor_text_topk). Oracle derives the same
+    tokens arithmetically from the documented anchor rule."""
+    from exactextractr_ray.sources.pages import read_anchored_pages
+    from exactextractr_ray.stages.web import anchor_text_topk
+
+    pages = read_anchored_pages(sf_dir)
+    df = anchor_text_topk(pages, k=3).to_pandas()
+    for c in ("cnt", "rnk"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(["href", "rnk"]).reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3863,6 +3880,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "convex_hulls": _q_convex_hulls,
         "hull_stats": _q_hull_stats,
         "simplify_lines": _q_simplify_lines,
+        "anchor_text_topk": _q_anchor_text,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -5190,6 +5208,34 @@ def oracle_sql() -> dict[str, str]:
           * CAST((a_id * {synth.LAT_MULT}) % {synth.HASH_MOD} AS HUGEINT)
       ) AS VARCHAR) AS area2
     FROM hull GROUP BY grp ORDER BY grp
+    """
+
+    # anchor text: the outlink rule (self-links INCLUDED — the parser
+    # counts every anchor), tokens derived arithmetically from the
+    # anchor_text_for rule, ROW_NUMBER over (cnt DESC, token ASC)
+    anchor_text_sql = """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    links AS (
+      SELECT d.doc_id AS src,
+             (d.doc_id * 7 + j.j * 13 + 1) % (SELECT n FROM n) AS dst
+      FROM documents d CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) j
+      WHERE j.j < d.doc_id % 4),
+    toks AS (
+      SELECT 'https://site' || lpad(CAST(dst % 1000 AS VARCHAR), 4, '0')
+               || '.example/page/' || CAST(dst AS VARCHAR) AS href,
+             UNNEST(['ref', CAST(dst % 97 AS VARCHAR),
+                     'page', CAST(dst AS VARCHAR)]) AS token
+      FROM links),
+    cnts AS (
+      SELECT href, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2),
+    r AS (
+      SELECT href, token, cnt,
+        ROW_NUMBER() OVER (PARTITION BY href
+                           ORDER BY cnt DESC, token) AS rnk
+      FROM cnts)
+    SELECT href, token, cnt, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3 ORDER BY href, rnk
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7517,6 +7563,7 @@ def oracle_sql() -> dict[str, str]:
         "basin_terrain_stats": basin_terrain_sql,
         "convex_hulls": convex_hulls_sql,
         "hull_stats": hull_stats_sql,
+        "anchor_text_topk": anchor_text_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

@@ -149,3 +149,56 @@ def read_linked_pages(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(
         linked_pages_from_documents_batch, batch_format="pyarrow", fn_kwargs={"n": n}
     )
+
+
+def anchor_text_for(dst: int) -> str:
+    """Deterministic anchor text for a link to doc ``dst`` — arithmetic
+    so the SQL oracle derives the same tokens."""
+    return f"ref {int(dst) % 97} page {int(dst)}"
+
+
+def anchored_pages_from_documents_batch(batch: pa.Table, n: int) -> pa.Table:
+    """linked_pages_from_documents_batch with REAL anchor text per link
+    (anchor_text_for rule)."""
+    from ..stages.text import make_page_html_anchors
+
+    ids = batch.column("doc_id").to_numpy()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    src, dst = page_link_targets(ids, n)
+    k = ids.astype(np.int64) % LINK_KMOD
+    ends = np.cumsum(k)
+    starts = ends - k
+    htmls = []
+    for row, (i, t) in enumerate(zip(ids, texts)):
+        links = [
+            (page_url(d), anchor_text_for(d))
+            for d in dst[starts[row] : ends[row]]
+        ]
+        htmls.append(make_page_html_anchors(int(i), t or "", links))
+    urls = [page_url(int(i)) for i in ids]
+    ts = (EPOCH_2024 + ids.astype(np.int64)) * 1_000_000
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def read_anchored_pages(sf_dir: str) -> "ray.data.Dataset":
+    """Pages Dataset whose outlink anchors carry deterministic anchor
+    TEXT (the Common-Crawl anchor-text-dataset fixture)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    n = docs.count()
+    return docs.map_batches(
+        anchored_pages_from_documents_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"n": n},
+    )

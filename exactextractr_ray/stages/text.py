@@ -1364,3 +1364,21 @@ def t5_span_masks(
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def make_page_html_anchors(
+    doc_id: int, text: str, links: list[tuple[str, str]]
+) -> bytes:
+    """make_page_html plus a trailing ``<nav>`` of outlinks WITH anchor
+    text — the fixture for anchor-text aggregation (anchor text is part
+    of the body, so this variant is NOT under the byte-identical-text
+    invariant; use make_page_html_links for that)."""
+    body = "".join(f"<p>{escape_html_text(ln)}</p>" for ln in text.split("\n"))
+    nav = "".join(
+        f'<a href="{h}">{escape_html_text(a)}</a>' for h, a in links
+    )
+    return (
+        f"<html><head><title>doc{doc_id}</title>"
+        f'<script>var x="ignore me";</script></head>'
+        f"<body>{body}<nav>{nav}</nav></body></html>"
+    ).encode()

@@ -529,3 +529,52 @@ def upsert_merge(
         return t.drop_columns(["__side", "__cg"]).to_pandas()
 
     return pre.groupby("__cg").map_groups(_finalize, batch_format="pandas")
+
+
+_ANCHOR_RE = _re.compile(rb'<a href="([^"]+)">([^<]*)</a>')
+
+
+def anchor_text_topk(pages, k: int = 3, html_col: str = "html"):
+    """Per-target anchor-text aggregation — the Common-Crawl anchor-text
+    dataset shape (anchor tokens pointing AT a url are a relevance signal
+    for that url). Three stages, html never leaves its task:
+
+    1. per-batch: parse ``<a href>anchor</a>`` pairs, tokenize anchors,
+       collapse to (href, token, cnt) partials (Counter per batch);
+    2. native multi-key ``groupby(["href", "token"]).sum``;
+    3. exact distributed top-k per href ordered (cnt DESC, token ASC)
+       (stages/rank.py partial-combiner shape).
+
+    Returns (href, token, cnt, rnk<=k).
+    """
+    from collections import Counter
+
+    from .rank import top_k_per_group
+
+    def partial(b: pa.Table) -> pa.Table:
+        htmls = b.column(html_col).to_pylist()
+        c = Counter()
+        for h in htmls:
+            for href, anchor in _ANCHOR_RE.findall(h or b""):
+                for tok in anchor.decode("utf-8", "replace").split(" "):
+                    if tok:
+                        c[(href.decode(), tok)] += 1
+        hrefs = [h for h, _ in c]
+        toks = [t for _, t in c]
+        return pa.table(
+            {
+                "href": pa.array(hrefs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "cnt": pa.array(
+                    np.fromiter(c.values(), np.int64, len(c)), pa.int64()
+                ),
+            }
+        )
+
+    parts = pages.map_batches(partial, batch_format="pyarrow")
+    counts = parts.groupby(["href", "token"]).sum("cnt")
+    counts = counts.map_batches(
+        lambda b: b.rename_columns(["href", "token", "cnt"]),
+        batch_format="pyarrow",
+    )
+    return top_k_per_group(counts, "href", "cnt", k, tie_col="token")

@@ -168,3 +168,51 @@ def test_domain_stats_parse_and_agg(ray_session):
     assert out["domain"].tolist() == ["a.example", "b.example:8080", "c.example"]
     assert out["n_pages"].tolist() == [2, 1, 1]
     assert out["total_chars"].tolist() == [5, 1, 0]
+
+
+def test_anchor_text_topk(ray_session):
+    """Anchor parsing + top-k: tokens follow the anchor rule; the
+    most-frequent token per href is the duplicated dst string when
+    dst % 97 == dst... (both tokens coincide); counts equal inlink
+    multiplicity; rnk respects (cnt DESC, token ASC)."""
+    import numpy as np
+
+    from exactextractr_ray.sources.pages import (
+        anchor_text_for,
+        page_link_targets,
+        page_url,
+        read_anchored_pages,
+    )
+    from exactextractr_ray.stages.web import anchor_text_topk
+
+    sf = "/root/testdata/sf0.001"
+    pages = read_anchored_pages(sf)
+    df = anchor_text_topk(pages, k=3).to_pandas()
+    assert set(df.columns) == {"href", "token", "cnt", "rnk"}
+    assert df["rnk"].between(1, 3).all()
+
+    # brute force from the rule
+    import duckdb
+
+    ids = (
+        duckdb.connect()
+        .execute(f"SELECT doc_id FROM read_parquet('{sf}/documents.parquet')")
+        .df()["doc_id"]
+        .to_numpy()
+    )
+    n = len(ids)
+    src, dst = page_link_targets(np.sort(ids), n)
+    from collections import Counter
+
+    want = Counter()
+    for d in dst:
+        for tok in anchor_text_for(int(d)).split(" "):
+            want[(page_url(int(d)), tok)] += 1
+    got = {(r.href, r.token): int(r.cnt) for r in df.itertuples()}
+    for key, cnt in got.items():
+        assert want[key] == cnt, key
+    # ranks consistent within href
+    for href, sub in df.groupby("href"):
+        sub = sub.sort_values("rnk")
+        keys = list(zip(-sub["cnt"], sub["token"]))
+        assert keys == sorted(keys), href
