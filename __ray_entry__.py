@@ -2309,6 +2309,19 @@ def _q_anchor_text(sf_dir: str):
     return df.sort_values(["href", "rnk"]).reset_index(drop=True)
 
 
+def _q_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: per-priority counts of windowed orders having at
+    least one returned lineitem — distributed SEMI-JOIN (probe side
+    reduced to distinct keys BEFORE the join, exchange O(distinct), then
+    one hash join + tiny groupby; pipelines/relational.py
+    order_priority_semi)."""
+    from exactextractr_ray.pipelines.relational import order_priority_semi
+
+    df = order_priority_semi(sf_dir).to_pandas()
+    df["order_count"] = df["order_count"].astype(np.int64)
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3881,6 +3894,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "hull_stats": _q_hull_stats,
         "simplify_lines": _q_simplify_lines,
         "anchor_text_topk": _q_anchor_text,
+        "order_priority_semi": _q_order_priority,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -5236,6 +5250,17 @@ def oracle_sql() -> dict[str, str]:
       FROM cnts)
     SELECT href, token, cnt, CAST(rnk AS BIGINT) AS rnk
     FROM r WHERE rnk <= 3 ORDER BY href, rnk
+    """
+
+    # Q4 shape: EXISTS via IN over the returned-lineitem key set
+    order_priority_sql = """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND o_orderkey IN (
+        SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7564,6 +7589,7 @@ def oracle_sql() -> dict[str, str]:
         "convex_hulls": convex_hulls_sql,
         "hull_stats": hull_stats_sql,
         "anchor_text_topk": anchor_text_sql,
+        "order_priority_semi": order_priority_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

@@ -634,3 +634,71 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA", year: int = 1997):
         lambda b: b.rename_columns(["n_name", "revenue_cents_bp", "n_items"]),
         batch_format="pyarrow",
     )
+
+
+def order_priority_semi(sf_dir: str, date_lo="1996-01-01", date_hi="1996-07-01"):
+    """TPC-H Q4 shape (order-priority checking): COUNT(*) per
+    o_orderpriority over orders in a date window that have AT LEAST ONE
+    returned lineitem — the distributed SEMI-JOIN pattern: the probe side
+    reduces to DISTINCT keys first (groupby(l_orderkey).count() — exchange
+    is O(distinct keys), never lineitem rows), then one hash join against
+    the date-filtered orders projection, then a tiny groupby-count.
+
+    (The synthetic lineitem has no l_commitdate/l_receiptdate, so the
+    EXISTS predicate is l_returnflag = 'R'; the plan shape is Q4's.)
+    """
+    import ray
+
+    import numpy as np
+
+    lo = np.datetime64(date_lo, "us")
+    hi = np.datetime64(date_hi, "us")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+
+    def returned_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("l_returnflag"), "R")
+        keys = b.filter(m).column("l_orderkey")
+        import numpy as _np
+
+        u = _np.unique(keys.to_numpy())
+        return pa.table({"l_orderkey": pa.array(u, pa.int64())})
+
+    keys = (
+        li.map_batches(returned_keys, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .count()
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def window(b: pa.Table) -> pa.Table:
+        od = b.column("o_orderdate").to_numpy()
+        m = (od >= lo) & (od < hi)
+        return b.filter(pa.array(m))
+
+    orders = orders.map_batches(window, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = orders.join(
+        keys,
+        join_type="inner",
+        num_partitions=max(2, min(16, ncpu // 2)),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    agg = joined.groupby("o_orderpriority").count()
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "order_count": b.column(1).cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
