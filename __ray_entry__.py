@@ -2322,6 +2322,22 @@ def _q_order_priority(sf_dir: str):
     return df.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def _q_equalize(sf_dir: str):
+    """Histogram equalization: per-tile value-count partials (exchange
+    O(distinct values), never cells) -> tiny CDF broadcast via ray.put ->
+    one remap pass; exact int64 arithmetic
+    (pipelines/raster_calc.py:raster_equalize)."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.raster_calc import raster_equalize
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = raster_equalize(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_moving_avg(sf_dir: str):
     """Per-user 3-row moving average of event values (integer-cents
     quantized; stages/events.py moving_avg) — the ROWS-window AVG shape."""
@@ -3895,6 +3911,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "simplify_lines": _q_simplify_lines,
         "anchor_text_topk": _q_anchor_text,
         "order_priority_semi": _q_order_priority,
+        "raster_equalize": _q_equalize,
         "distance_join": _q_distance_join,
         "nearest_zone": _q_nearest_zone,
         "moving_avg": _q_moving_avg,
@@ -5261,6 +5278,25 @@ def oracle_sql() -> dict[str, str]:
       AND o_orderkey IN (
         SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
     GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    # histogram equalization: running-count CDF per value via a window
+    # SUM (HUGEINT), the same integer floor formula per cell
+    equalize_sql = f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    counts AS (
+      SELECT CAST(val AS BIGINT) AS v, COUNT(*) AS n
+      FROM cells WHERE val IS NOT NULL GROUP BY 1),
+    cdf AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM counts),
+    m AS (SELECT MIN(cum) AS cmin, MAX(cum) AS total FROM cdf)
+    SELECT CAST(cl.r * {N_GRID} + cl.c AS BIGINT) AS cell,
+      CASE WHEN cl.val IS NULL THEN NULL
+           ELSE CAST((cd.cum - m.cmin) * 255
+                     // GREATEST(m.total - m.cmin, 1) AS DOUBLE) END AS eq
+    FROM cells cl
+    LEFT JOIN cdf cd ON cd.v = CAST(cl.val AS BIGINT)
+    CROSS JOIN m
+    ORDER BY cell
     """
 
     # per-zone top tokens: strict-interior membership, unnested token
@@ -7590,6 +7626,7 @@ def oracle_sql() -> dict[str, str]:
         "hull_stats": hull_stats_sql,
         "anchor_text_topk": anchor_text_sql,
         "order_priority_semi": order_priority_sql,
+        "raster_equalize": equalize_sql,
         "distance_join": distance_join_sql,
         "nearest_zone": nearest_zone_sql,
         "simhash_pairs": simhash,

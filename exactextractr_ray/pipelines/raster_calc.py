@@ -128,3 +128,79 @@ def raster_calc(raster: RasterDataset, expr: str, layers: tuple[str, ...] = ("va
         )
 
     return raster.ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def raster_equalize(raster: RasterDataset, levels: int = 256):
+    """Histogram equalization (the classic contrast op; GRASS
+    i.histo.eq / skimage.exposure.equalize_hist for integer rasters):
+    remap each value v to
+
+        eq(v) = floor((cdf(v) - cdf_min) * (levels - 1) / (N - cdf_min))
+
+    Distributed shape: per-tile value-count partials -> groupby(val).sum
+    (exchange = O(distinct values) rows per tile, never cells) -> the
+    tiny CDF table is computed once and broadcast via ray.put -> one
+    remap pass over the tiles. All arithmetic is exact int64, so the
+    DuckDB window-function oracle matches bit-for-bit. NODATA cells stay
+    NaN. Returns (cell:int64, eq:float64 — NaN for NODATA)."""
+    import ray
+
+    n_cols = raster.grid.ncol
+
+    def counts(batch: pa.Table) -> pa.Table:
+        vals_col = batch.column("values")
+        layers = batch.column("layer").to_pylist()
+        out_v, out_n = [], []
+        for i, lay in enumerate(layers):
+            if lay != "value":
+                continue
+            v = np.asarray(vals_col[i].values, dtype=np.float64)
+            v = v[~np.isnan(v)]
+            uv, cnt = np.unique(v.astype(np.int64), return_counts=True)
+            out_v.append(uv)
+            out_n.append(cnt.astype(np.int64))
+        vv = np.concatenate(out_v) if out_v else np.empty(0, np.int64)
+        nn = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        return pa.table({"val": pa.array(vv, pa.int64()), "n": pa.array(nn, pa.int64())})
+
+    hist = (
+        raster.ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("val")
+        .sum("n")
+        .to_pandas()
+    )  # O(distinct values) rows — tiny by construction
+    hist = hist.sort_values("val")
+    vals = hist["val"].to_numpy(np.int64)
+    cdf = np.cumsum(hist.iloc[:, 1].to_numpy(np.int64))
+    total = int(cdf[-1]) if len(cdf) else 0
+    cdf_min = int(cdf[0]) if len(cdf) else 0
+    denom = max(total - cdf_min, 1)
+    eq = (cdf - cdf_min) * (levels - 1) // denom
+    ref = ray.put((vals, eq.astype(np.int64)))
+
+    def remap(batch: pa.Table) -> pa.Table:
+        lut_vals, lut_eq = ray.get(ref)
+        vals_col = batch.column("values")
+        row0s = batch.column("row0").to_numpy()
+        col0s = batch.column("col0").to_numpy()
+        ths = batch.column("th").to_numpy()
+        tws = batch.column("tw").to_numpy()
+        layers = batch.column("layer").to_pylist()
+        out_c, out_e = [], []
+        for i, lay in enumerate(layers):
+            if lay != "value":
+                continue
+            v = np.asarray(vals_col[i].values, dtype=np.float64)
+            rr = np.arange(row0s[i], row0s[i] + ths[i], dtype=np.int64)[:, None]
+            cc = np.arange(col0s[i], col0s[i] + tws[i], dtype=np.int64)[None, :]
+            out_c.append((rr * n_cols + cc).ravel())
+            ok = ~np.isnan(v)
+            idx = np.searchsorted(lut_vals, v[ok].astype(np.int64))
+            e = np.full(len(v), np.nan)
+            e[ok] = lut_eq[idx].astype(np.float64)
+            out_e.append(e)
+        cells = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        eqs = np.concatenate(out_e) if out_e else np.empty(0, np.float64)
+        return pa.table({"cell": pa.array(cells, pa.int64()), "eq": pa.array(eqs, pa.float64())})
+
+    return raster.ds.map_batches(remap, batch_format="pyarrow")

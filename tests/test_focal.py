@@ -1007,3 +1007,31 @@ def test_flow_accumulation_deep_single_basin(_ray):
     col = 5
     ids = {basin[r * n + col] for r in range(1, n - 1)}
     assert len(ids) == 1
+
+
+def test_raster_equalize_properties(_ray):
+    """Equalization invariants: output in [0, 255]; monotone in value;
+    the max value maps to 255; NODATA stays NaN; uniform histogram
+    becomes (approximately) a linear ramp."""
+    from exactextractr_ray.pipelines.raster_calc import raster_equalize
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+    from exactextractr_ray import synth
+
+    n = 40
+    rd = synthetic_raster_dataset(n=n, tile=16, dtype=np.float64)
+    df = raster_equalize(rd).to_pandas().sort_values("cell").reset_index(drop=True)
+    r, c = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    vals = synth.synth_values(r, c).ravel()
+    eq = df["eq"].to_numpy()
+    assert np.array_equal(np.isnan(eq), np.isnan(vals))
+    m = ~np.isnan(vals)
+    assert eq[m].min() == 0.0 and eq[m].max() == 255.0
+    order = np.argsort(vals[m], kind="stable")
+    assert np.all(np.diff(eq[m][order]) >= 0)  # monotone
+    # exact re-derivation
+    uv, cnt = np.unique(vals[m].astype(np.int64), return_counts=True)
+    cdf = np.cumsum(cnt)
+    want_lut = (cdf - cdf[0]) * 255 // max(cdf[-1] - cdf[0], 1)
+    lut = dict(zip(uv.tolist(), want_lut.tolist()))
+    want = np.array([lut[int(v)] for v in vals[m]], float)
+    assert np.array_equal(eq[m], want)
