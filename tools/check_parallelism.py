@@ -162,6 +162,9 @@ QUERIES = [
     "convex_hulls",
     "hull_stats",
     "simplify_lines",
+    "anchor_text_topk",
+    "order_priority_semi",
+    "raster_equalize",
     "s2_cells",
     "ccnet_buckets",
     "dsir_topk",
