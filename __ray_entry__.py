@@ -2645,6 +2645,79 @@ def _q_png_decode_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_webp_decode_features(sf_dir: str):
+    """REAL WebP-codec path under the bit-exact oracle: the same
+    integer-rule images as png_decode_features but encoded as lossless
+    VP8L with the transform/entropy options cycling per media id —
+    subtract-green, every predictor mode, cross-color, palette (with
+    index bundling), LZ77 runs and the color cache all pass through the
+    actor-pool decode stage, and DuckDB recomputes the exact sums from
+    the rule alone (decoder validated bit-exact against libwebp)."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.webp import encode_webp_lossless
+    from exactextractr_ray.stages.multimodal import decode_images
+
+    n, hw = 36, 20
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    payloads = []
+    for m in range(n):
+        img = ((m * 7 + yy * 13 + xx * 31) % 256).astype(np.uint8)
+        k = m % 6
+        if k == 0:
+            opts = {}
+        elif k == 1:
+            opts = dict(subtract_green=True)
+        elif k == 2:
+            opts = dict(predictor=m % 14)
+        elif k == 3:
+            opts = dict(palette=True)
+        elif k == 4:
+            opts = dict(cache_bits=4, use_lz77=True)
+        else:
+            opts = dict(subtract_green=True, color_transform=(37, 200, 5),
+                        predictor=(m * 5) % 14)
+        payloads.append(encode_webp_lossless(img, **opts))
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa_.array(["image/webp"] * n),
+            "payload": pa_.array(payloads, pa_.binary()),
+            "width": pa_.array([hw] * n, pa_.int32()),
+            "height": pa_.array([hw] * n, pa_.int32()),
+        }
+    )
+    dec = decode_images(
+        ray.data.from_arrow(tbl), target_hw=(hw, hw), fake=False,
+        batch_size=8, concurrency=(1, 2),
+    )
+
+    def agg(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        px = (
+            b["pixels"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, hw * hw)
+        )
+        return pa2.table(
+            {
+                "media_id": b["media_id"],
+                "pix_sum": pa2.array(
+                    px.astype(np_.int64).sum(axis=1), pa2.int64()
+                ),
+                "n_pix": pa2.array(
+                    np_.full(b.num_rows, hw * hw, np_.int64), pa2.int64()
+                ),
+            }
+        )
+
+    out = dec.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_warc_media_probe(sf_dir: str):
     """Common-Crawl media ingestion under the oracle: rule-dimensioned PNG
     payloads written into a real (gzip-member) WARC, read back through
@@ -3778,6 +3851,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "zonal_geojson_zones": _q_zonal_geojson_zones,
         "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
         "png_decode_features": _q_png_decode_features,
+        "webp_decode_features": _q_webp_decode_features,
         "gif_frames_features": _q_gif_frames_features,
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
@@ -7367,6 +7441,14 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.mid ORDER BY t.mid
     """
 
+    webp_decode = """
+    SELECT t.mid AS media_id,
+           CAST(SUM((t.mid*7 + a.y*13 + b.x*31) % 256) AS BIGINT) AS pix_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_pix
+    FROM range(36) t(mid), range(20) a(y), range(20) b(x)
+    GROUP BY t.mid ORDER BY t.mid
+    """
+
     warc_media = """
     SELECT 'http://img.example/p' || LPAD(CAST(t.i AS VARCHAR), 2, '0')
              || '.png' AS url,
@@ -7477,6 +7559,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_feature_seq_rect": zonal_feature_seq,
         "zonal_feature_seq_geotiff": zonal_feature_seq,
         "png_decode_features": png_decode,
+        "webp_decode_features": webp_decode,
         "gif_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,

@@ -357,8 +357,8 @@ def sniff_media(data: bytes) -> str:
         # ISO BMFF (MP4/QuickTime/M4A): first box is ftyp (14496-12 §4.3)
         return "video/mp4"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
-        # recognized so the skip policy can classify it; VP8/VP8L decode
-        # genuinely needs a native codec (boolean coder) — unsupported
+        # lossless (VP8L) decodes via functions/webp.py; lossy (VP8)
+        # needs the boolean arithmetic coder and stays unsupported
         return "image/webp"
     if data[:5] == b"%PDF-":
         return "application/pdf"
@@ -622,6 +622,11 @@ def probe_media(data: bytes) -> dict:
                     pos = j
             if len(toks) == 2:
                 w, h = toks
+        elif kind == "image/webp":
+            from .webp import webp_info
+
+            info = webp_info(data)
+            w, h = info["width"], info["height"]
         elif kind == "application/pdf":
             # page count via the reconstruction scan; "frames" = pages
             from .pdf import PdfFile

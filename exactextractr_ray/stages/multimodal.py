@@ -7,9 +7,11 @@ images: PNG (all color types/depths/Adam7), BMP, JPEG (baseline +
 progressive, EXIF orientation; functions/jpeg.py), GIF, ICO favicons,
 Netpbm; audio: WAV, AIFF, AU incl. G.711 (functions/audio.py); video:
 MJPEG AVI, Motion-JPEG MP4 and animated GIF (functions/avi.py / mp4.py /
-gif.py; any-codec MP4 probes + sample extraction via ISO-BMFF tables).
-Only formats genuinely requiring native codecs (H.264/HEVC, WebP VP8, MP3)
-raise
+gif.py; any-codec MP4 probes + sample extraction via ISO-BMFF tables);
+WebP lossless VP8L incl. the alpha plane of lossy files
+(functions/webp.py, validated bit-exact against libwebp).
+Only formats genuinely requiring native codecs (H.264/HEVC, WebP lossy
+VP8, MP3) raise
 NotImplementedError, with ``DeterministicFakeDecoder`` (a seeded pure
 function of the bytes) keeping those pipelines testable end-to-end.
 Everything Ray-side —
@@ -93,6 +95,13 @@ class CodecDecoder:
             from ..functions.gif import decode_gif
 
             img = decode_gif(payload)
+        elif kind == "image/webp":
+            from ..functions.webp import decode_webp
+
+            # lossless (VP8L) decodes; lossy raises NotImplementedError,
+            # which the on_error="skip" policy classifies like any other
+            # native-codec-only payload
+            img = decode_webp(payload)
         elif kind == "image/ico":
             img = codecs.decode_ico(payload)
         elif kind == "image/pnm":
