@@ -2309,6 +2309,63 @@ def _q_anchor_text(sf_dir: str):
     return df.sort_values(["href", "rnk"]).reset_index(drop=True)
 
 
+def _q_cdx_index(sf_dir: str):
+    """CDX capture index (the CC index shape): html reduced to ~100-byte
+    index rows in ONE map_batches pass (payload never shuffles), per-shard
+    byte offsets from a groupby(shard) whose group is one WARC file's
+    index, final sort("surt") moves index rows only. Offsets are EXACT
+    byte positions in write_warc shard files (verified against real files
+    in tests/test_webindex.py); oracle mirrors surt/digest/record-length
+    arithmetic and a per-shard window SUM."""
+    from exactextractr_ray.sources.pages import read_pages
+    from exactextractr_ray.stages.webindex import build_cdx
+
+    df = build_cdx(read_pages(sf_dir), num_shards=8).to_pandas()
+    for c in ("rec_len", "shard", "offset"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("surt").reset_index(drop=True)
+
+
+def _q_robots_gate(sf_dir: str):
+    """robots.txt gating (RFC 9309 longest-match / allow-wins): per-host
+    rule files parsed once, coarse-group hash JOIN on host (rules are
+    domain-cardinality — NOT broadcast), pages projected to
+    (doc_id, url, path) before the exchange (stages/webindex.apply_robots).
+    Fixture: site s disallows /page/<s%10> but re-allows the longer
+    /page/<s%10><(s//10)%10>; a decoy block-all group for another agent
+    exercises group selection."""
+    from exactextractr_ray.sources.pages import read_pages, read_robots
+    from exactextractr_ray.stages.webindex import apply_robots
+
+    df = apply_robots(read_pages(sf_dir), read_robots(1000), agent="ccbot")
+    df = df.to_pandas()
+    for c in ("doc_id", "allowed"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_postings_index(sf_dir: str):
+    """Segmented delta-encoded posting lists: (term, doc, tf) partials ->
+    groupby over (term, doc_id >> 8) SEGMENTS (bounded groups even for
+    stopword-grade terms) -> per-term stitch over tiny per-segment summary
+    rows (stages/webindex.build_postings). gap2 — the sum of squared
+    consecutive-doc gaps over the GLOBAL sorted posting list — is an
+    order-sensitive checksum proving segment stitching; blob round-trips
+    are pytest-verified."""
+    import ray.data
+
+    from exactextractr_ray.stages.webindex import build_postings
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    _, summary = build_postings(docs, seg_bits=8)
+    df = summary.to_pandas()
+    for c in ("df", "tf_total", "doc_lo", "doc_hi", "gap2", "n_segs"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("term").reset_index(drop=True)
+
+
 def _q_order_priority(sf_dir: str):
     """TPC-H Q4 shape: per-priority counts of windowed orders having at
     least one returned lineitem — distributed SEMI-JOIN (probe side
@@ -3984,6 +4041,9 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "hull_stats": _q_hull_stats,
         "simplify_lines": _q_simplify_lines,
         "anchor_text_topk": _q_anchor_text,
+        "cdx_index": _q_cdx_index,
+        "robots_gate": _q_robots_gate,
+        "postings_index": _q_postings_index,
         "order_priority_semi": _q_order_priority,
         "raster_equalize": _q_equalize,
         "distance_join": _q_distance_join,
@@ -5341,6 +5401,89 @@ def oracle_sql() -> dict[str, str]:
       FROM cnts)
     SELECT href, token, cnt, CAST(rnk AS BIGINT) AS rnk
     FROM r WHERE rnk <= 3 ORDER BY href, rnk
+    """
+
+    # CDX capture index: surt/digest/record-length arithmetic mirrors
+    # stages/webindex (record-length constants imported from the module —
+    # byte-verified against sources/warc.py write_warc output in
+    # tests/test_webindex.py); offsets via a per-shard window SUM in
+    # capture (ts, url) order.
+    from exactextractr_ray.stages import webindex as _wi
+
+    _cdx_url = (
+        "'https://site' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')"
+        " || '.example/page/' || CAST(doc_id AS VARCHAR)"
+    )
+    cdx_sql = f"""
+    WITH src AS (
+      SELECT doc_id, {_cdx_url} AS url,
+        '<html><head><title>doc' || CAST(doc_id AS VARCHAR)
+          || '</title><script>var x="ignore me";</script></head><body><p>'
+          || replace(replace(replace(replace(text, '&', '&amp;'),
+               '<', '&lt;'), '>', '&gt;'), chr(10), '</p><p>')
+          || '</p></body></html>' AS html,
+        TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id) AS wts
+      FROM documents
+    ), rec AS (
+      SELECT doc_id, url, wts,
+        'example,site' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+          || ')/page/' || CAST(doc_id AS VARCHAR) AS surt,
+        strftime(wts, '%Y%m%d%H%M%S') AS ts14,
+        md5(html) AS digest,
+        {_wi._WARC_FIXED} + strlen(url) + 20
+          + length(CAST({_wi._HTTP_OVERHEAD} + strlen(html)
+                        AS VARCHAR))
+          + {_wi._HTTP_OVERHEAD} + strlen(html) AS rec_len,
+        doc_id % 8 AS shard
+      FROM src)
+    SELECT surt, ts14, url, digest,
+      CAST(rec_len AS BIGINT) AS rec_len,
+      CAST(shard AS BIGINT) AS shard,
+      CAST(COALESCE(SUM(rec_len) OVER (
+             PARTITION BY shard ORDER BY ts14, url
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS "offset",
+      'crawl/warc-' || lpad(CAST(shard AS VARCHAR), 5, '0') || '.warc'
+        AS filename
+    FROM rec ORDER BY surt
+    """
+
+    # robots gate: the fixture rule (Disallow /page/<a>, Allow the longer
+    # /page/<a><b>) reduces to prefix tests on the doc id digits
+    robots_gate_sql = f"""
+    SELECT doc_id, {_cdx_url} AS url,
+      CAST(CASE WHEN
+          starts_with(CAST(doc_id AS VARCHAR),
+                      CAST((doc_id % 1000) % 10 AS VARCHAR))
+          AND NOT starts_with(CAST(doc_id AS VARCHAR),
+                      CAST((doc_id % 1000) % 10 AS VARCHAR)
+                      || CAST(((doc_id % 1000) // 10) % 10 AS VARCHAR))
+        THEN 0 ELSE 1 END AS BIGINT) AS allowed
+    FROM documents ORDER BY doc_id
+    """
+
+    # posting-list summary: gap2 (squared consecutive-doc gaps over the
+    # global sorted posting list) is the order-sensitive stitching check;
+    # n_segs = distinct doc_id >> 8 buckets
+    postings_sql = """
+    WITH flat AS (
+      SELECT doc_id,
+             UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, COUNT(*)::BIGINT AS tf FROM flat GROUP BY 1, 2
+    ), gaps AS (
+      SELECT term, doc_id, tf,
+             doc_id - lag(doc_id) OVER
+               (PARTITION BY term ORDER BY doc_id) AS gap
+      FROM tf)
+    SELECT term, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS tf_total,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_lo,
+           CAST(MAX(doc_id) AS BIGINT) AS doc_hi,
+           COALESCE(SUM(gap * gap), 0)::BIGINT AS gap2,
+           COUNT(DISTINCT doc_id // 256)::BIGINT AS n_segs
+    FROM gaps GROUP BY term ORDER BY term
     """
 
     # Q4 shape: EXISTS via IN over the returned-lineitem key set
@@ -7708,6 +7851,9 @@ def oracle_sql() -> dict[str, str]:
         "convex_hulls": convex_hulls_sql,
         "hull_stats": hull_stats_sql,
         "anchor_text_topk": anchor_text_sql,
+        "cdx_index": cdx_sql,
+        "robots_gate": robots_gate_sql,
+        "postings_index": postings_sql,
         "order_priority_semi": order_priority_sql,
         "raster_equalize": equalize_sql,
         "distance_join": distance_join_sql,

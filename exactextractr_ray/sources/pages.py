@@ -202,3 +202,43 @@ def read_anchored_pages(sf_dir: str) -> "ray.data.Dataset":
         batch_format="pyarrow",
         fn_kwargs={"n": n},
     )
+
+
+# Deterministic robots.txt fixture (FIXTURES.md): site s publishes a robots
+# file whose `*` group disallows the path prefix /page/<a> but re-allows the
+# longer prefix /page/<a><b>, with a = s % 10 and b = (s // 10) % 10 — so a
+# page is BLOCKED for a `*`-matched agent iff str(doc_id) starts with
+# str(a) and NOT with str(a)+str(b) (longest-match, allow-wins). A decoy
+# `megacrawler` group disallowing everything exercises group selection.
+def make_robots_txt(site: int) -> bytes:
+    a = site % 10
+    b = (site // 10) % 10
+    return (
+        f"# robots for site{site:04d}.example\n"
+        f"User-agent: megacrawler\n"
+        f"Disallow: /\n"
+        f"\n"
+        f"User-agent: *\n"
+        f"Disallow: /page/{a}\n"
+        f"Allow: /page/{a}{b}\n"
+        f"Crawl-delay: 2\n"
+        f"\n"
+        f"Sitemap: https://site{site:04d}.example/sitemap.xml\n"
+    ).encode()
+
+
+def read_robots(num_sites: int = 1000) -> "ray.data.Dataset":
+    """Dataset of (host, robots_txt) rows for every fixture site."""
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = b.column("id").to_numpy()
+        hosts = [f"site{int(s):04d}.example" for s in ids]
+        bodies = [make_robots_txt(int(s)) for s in ids]
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots_txt": pa.array(bodies, pa.binary()),
+            }
+        )
+
+    return ray.data.range(num_sites).map_batches(mk, batch_format="pyarrow")
