@@ -2872,6 +2872,74 @@ def _q_gif_frames_features(sf_dir: str):
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_h264_frames_features(sf_dir: str):
+    """REAL H.264 decode under the oracle: integer-rule gray frames ->
+    encode_h264_mp4 (Baseline I_PCM IDR — the spec's lossless raw-sample
+    macroblocks, functions/h264.py) -> FrameSampler(fake=False) decodes
+    through avcC/NAL/slice/macroblock parsing -> per-frame pixel sums.
+    Gray content makes the BT.601 chain the identity, so DuckDB
+    recomputes the sums from the generation rule alone. Layouts cycle
+    progressive / fragmented-CMAF / multi-slice by media_id % 3."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.mp4 import encode_h264_mp4
+    from exactextractr_ray.stages.multimodal import sample_frames
+
+    n, nf, hw = 12, 4, 16
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    payloads = []
+    for m in range(n):
+        frames = [
+            ((m * 5 + f * 11 + yy * 3 + xx * 7) % 251).astype(np.uint8)
+            for f in range(nf)
+        ]
+        payloads.append(
+            encode_h264_mp4(
+                frames, fps=10.0,
+                fragment_size=(2 if m % 3 == 1 else None),
+                mb_rows_per_slice=(1 if m % 3 == 2 else None),
+            )
+        )
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa_.array(["video/mp4"] * n),
+            "payload": pa_.array(payloads, pa_.binary()),
+            "width": pa_.array([hw] * n, pa_.int32()),
+            "height": pa_.array([hw] * n, pa_.int32()),
+            "n_frames": pa_.array([nf] * n, pa_.int32()),
+            "fps": pa_.array(np.full(n, 10.0, np.float32), pa_.float32()),
+        }
+    )
+    dec = sample_frames(
+        ray.data.from_arrow(tbl), k=nf, target_hw=(hw, hw), fake=False,
+        batch_size=4, concurrency=(1, 2),
+    )
+
+    def agg(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        px = (
+            b["pixels"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, hw * hw)
+        )
+        return pa2.table(
+            {
+                "media_id": b["media_id"],
+                "frame_idx": b["frame_idx"],
+                "pix_sum": pa2.array(
+                    px.astype(np_.int64).sum(axis=1), pa2.int64()
+                ),
+            }
+        )
+
+    out = dec.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_mp4_sample_ranges(sf_dir: str):
     """ISO-BMFF sample-table machinery under the oracle: rule-generated
     coded samples of rule-defined lengths are written into real MP4s
@@ -3910,6 +3978,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "png_decode_features": _q_png_decode_features,
         "webp_decode_features": _q_webp_decode_features,
         "gif_frames_features": _q_gif_frames_features,
+        "h264_frames_features": _q_h264_frames_features,
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
         "image_dhash_pairs": _q_image_dhash_pairs,
@@ -7704,6 +7773,8 @@ def oracle_sql() -> dict[str, str]:
         "png_decode_features": png_decode,
         "webp_decode_features": webp_decode,
         "gif_frames_features": gif_frames,
+        # same generation rule; the Ray side decodes real H.264 I_PCM MP4s
+        "h264_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
         "image_dhash_pairs": image_dhash,

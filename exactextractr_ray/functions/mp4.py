@@ -12,8 +12,12 @@ three honest capability tiers:
 2. **sample extraction** (any codec): exact per-frame byte ranges, so a
    pipeline can ship individual coded frames downstream without decoding.
 3. **frame decode**: REAL for Motion-JPEG-in-MP4 (sample entry ``jpeg`` /
-   ``mjpa``, every sample a standalone JPEG -> functions/jpeg.py); AVC /
-   HEVC / MPEG-4 Visual genuinely need native codecs and raise.
+   ``mjpa``, every sample a standalone JPEG -> functions/jpeg.py) and for
+   ``avc1``/``avc3`` whose samples are I_PCM-coded (functions/h264.py —
+   the spec's raw-sample macroblocks, bit-exact). Entropy-coded AVC /
+   HEVC / MPEG-4 Visual genuinely need native codecs and raise; their
+   ``avcC`` SPS still yields exact dimensions/profile/level/fps for the
+   probe tier.
 
 ``encode_mjpeg_mp4`` writes a minimal spec-conformant single-track file
 (ftyp + mdat + moov) for fixtures and sampled-frame reassembly.
@@ -69,7 +73,7 @@ def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
     """Sample-table box -> codec fourcc, dims, per-sample (offset, size),
     sync-sample indices (0-based), per-sample decode deltas."""
     out: dict = {
-        "codec": "", "width": 0, "height": 0,
+        "codec": "", "width": 0, "height": 0, "avcc": None,
         "sizes": None, "uniform_size": 0, "chunk_offsets": [],
         "stsc": [], "sync": None, "deltas": [],
     }
@@ -83,6 +87,14 @@ def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
                 if b + 44 <= e:
                     w, h = struct.unpack(">HH", data[b + 40:b + 44])
                     out["width"], out["height"] = w, h
+                # codec-config child boxes follow the 86-byte fixed
+                # VisualSampleEntry (14496-15 §5.3.4: avcC for avc1/avc3)
+                (entry_size,) = struct.unpack(">I", data[b + 8:b + 12])
+                for cfc, cb, ce in _iter_boxes(
+                    data, b + 8 + 86, min(b + 8 + entry_size, e)
+                ):
+                    if cfc == "avcC":
+                        out["avcc"] = bytes(data[cb:ce])
         elif fc == "stts":
             (n,) = struct.unpack(">I", data[b + 4:b + 8])
             raw = np.frombuffer(data[b + 8:b + 8 + 8 * n], dtype=">u4")
@@ -350,8 +362,25 @@ def parse_mp4(data: bytes) -> dict:
             height=int(stbl["height"]), n_frames=n,
             fps=(n / dur_s) if dur_s else 0.0, duration_s=dur_s,
             sample_offsets=offsets, sample_sizes=sizes,
-            sync=sync, sample_times=times,
+            sync=sync, sample_times=times, avcc=stbl["avcc"],
         )
+        if stbl["avcc"]:
+            # enrich from the in-band SPS: exact cropped dimensions,
+            # profile/level, and the VUI frame rate when signalled
+            from .h264 import ebsp_to_rbsp, parse_avcc, parse_sps
+
+            try:
+                rec = parse_avcc(stbl["avcc"])
+                sps = parse_sps(ebsp_to_rbsp(rec["sps"][0][1:]))
+                out.update(
+                    width=sps["width"], height=sps["height"],
+                    profile=sps["profile_idc"], level=sps["level_idc"],
+                    nal_length_size=rec["nal_length_size"],
+                )
+                if sps["fps"]:
+                    out["fps"] = sps["fps"]
+            except (ValueError, IndexError):
+                pass  # malformed avcC: keep the stsd/tkhd dimensions
         picked_video = True
     return out
 
@@ -373,13 +402,30 @@ def decode_mp4_frames(
     """Motion-JPEG MP4 -> (decoded uint8 frames at the given indices, fps).
 
     Every ``jpeg``/``mjpa`` sample is a standalone JPEG stream (QuickTime
-    File Format spec, Motion-JPEG sample description); other codecs raise."""
+    File Format spec, Motion-JPEG sample description). ``avc1``/``avc3``
+    decodes through functions/h264.py when the samples are I_PCM-coded
+    (the spec's raw-sample macroblocks — see that module's docstring for
+    why entropy-coded residuals stay unsupported); other codecs raise."""
     info = parse_mp4(data)
+    if info["codec"] in ("avc1", "avc3") and info["avcc"]:
+        from .h264 import decode_h264, parse_avcc
+
+        rec = parse_avcc(info["avcc"])
+        payloads = extract_mp4_samples(data, indices)
+        frames = []
+        for p in payloads:
+            fr, _ = decode_h264(
+                p, nal_length_size=rec["nal_length_size"],
+                sps_nals=rec["sps"], pps_nals=rec["pps"],
+            )
+            frames.extend(fr)
+        return frames, info["fps"]
     if info["codec"] not in _VIDEO_CODECS_DECODABLE:
         raise NotImplementedError(
             f"MP4 video codec {info['codec']!r} unsupported (Motion-JPEG "
-            "'jpeg'/'mjpa' decodes natively; avc1/hev1/mp4v need native "
-            "codecs absent from this environment)"
+            "'jpeg'/'mjpa' decodes natively, 'avc1' I_PCM through "
+            "functions/h264.py; entropy-coded AVC / hev1 / mp4v need "
+            "native codecs absent from this environment)"
         )
     from .jpeg import decode_jpeg
 
@@ -395,9 +441,11 @@ def _full(fourcc: bytes, body: bytes, version: int = 0) -> bytes:
     return _box(fourcc, struct.pack(">I", version << 24) + body)
 
 
-def _visual_sample_entry(codec: str, width: int, height: int) -> bytes:
+def _visual_sample_entry(
+    codec: str, width: int, height: int, extra: bytes = b""
+) -> bytes:
     return (
-        struct.pack(">I", 86)
+        struct.pack(">I", 86 + len(extra))
         + codec.encode("ascii")
         + b"\x00" * 6 + struct.pack(">H", 1)   # SampleEntry
         + b"\x00" * 16                          # pre_defined / reserved
@@ -406,6 +454,7 @@ def _visual_sample_entry(codec: str, width: int, height: int) -> bytes:
         + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frame_count
         + b"\x00" * 32                          # compressorname
         + struct.pack(">Hh", 24, -1)            # depth, pre_defined
+        + extra                                  # codec config (e.g. avcC)
     )
 
 
@@ -417,6 +466,7 @@ def _encode_fragmented(
     timescale: int,
     delta: int,
     fragment_size: int,
+    sample_entry_extra: bytes = b"",
 ) -> bytes:
     """CMAF-shaped fragmented MP4: ftyp + moov (EMPTY sample tables +
     mvex/trex defaults) followed by one moof+mdat pair per ``fragment_size``
@@ -424,7 +474,8 @@ def _encode_fragmented(
     data_offset from the first byte of moof) with per-sample sizes and the
     duration inherited from trex — the layout §8.8 readers must handle."""
     stsd = _full(b"stsd", struct.pack(">I", 1)
-                 + _visual_sample_entry(codec, width, height))
+                 + _visual_sample_entry(codec, width, height,
+                                        sample_entry_extra))
     stts = _full(b"stts", struct.pack(">I", 0))
     stsc = _full(b"stsc", struct.pack(">I", 0))
     stsz = _full(b"stsz", struct.pack(">II", 0, 0))
@@ -494,6 +545,7 @@ def encode_mjpeg_mp4(
     codec: str = "jpeg",
     co64: bool = False,
     fragment_size: int | None = None,
+    sample_entry_extra: bytes = b"",
 ) -> bytes:
     """JPEG frame payloads -> minimal single-track MP4 (ftyp+mdat+moov).
 
@@ -512,7 +564,7 @@ def encode_mjpeg_mp4(
     if fragment_size:
         return _encode_fragmented(
             jpeg_frames, width, height, codec, timescale, delta,
-            fragment_size,
+            fragment_size, sample_entry_extra,
         )
 
     mdat_body = b"".join(jpeg_frames)
@@ -528,7 +580,8 @@ def encode_mjpeg_mp4(
         pos += s
 
     stsd = _full(b"stsd", struct.pack(">I", 1)
-                 + _visual_sample_entry(codec, width, height))
+                 + _visual_sample_entry(codec, width, height,
+                                        sample_entry_extra))
     stts = _full(b"stts", struct.pack(">III", 1, n, delta))
     stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))  # one chunk
     stsz = _full(
@@ -574,3 +627,29 @@ def encode_mjpeg_mp4(
     )
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def encode_h264_mp4(
+    frames: list[np.ndarray],
+    fps: float = 24.0,
+    *,
+    mb_rows_per_slice: int | None = None,
+    fragment_size: int | None = None,
+) -> bytes:
+    """Frames (uint8 gray (h, w) or RGB (h, w, 3)) -> an ``avc1`` MP4
+    whose samples are Baseline I_PCM IDR pictures (functions/h264.py):
+    a genuinely standard H.264 file any conformant player decodes, and
+    the one AVC coding mode decodable offline. SPS/PPS ship out-of-band
+    in the avcC record per 14496-15; samples are 4-byte length-prefixed
+    NAL units. Grayscale content round-trips bit-exactly."""
+    from .h264 import encode_h264_ipcm
+
+    enc = encode_h264_ipcm(
+        frames, fps, mb_rows_per_slice=mb_rows_per_slice, annexb=False
+    )
+    h, w = frames[0].shape[:2]
+    return encode_mjpeg_mp4(
+        enc["samples"], w, h, fps=fps, codec="avc1",
+        fragment_size=fragment_size,
+        sample_entry_extra=_box(b"avcC", enc["avcc"]),
+    )

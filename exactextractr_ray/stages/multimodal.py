@@ -6,11 +6,14 @@ every format implementable from public specs without native libraries —
 images: PNG (all color types/depths/Adam7), BMP, JPEG (baseline +
 progressive, EXIF orientation; functions/jpeg.py), GIF, ICO favicons,
 Netpbm; audio: WAV, AIFF, AU incl. G.711 (functions/audio.py); video:
-MJPEG AVI, Motion-JPEG MP4 and animated GIF (functions/avi.py / mp4.py /
-gif.py; any-codec MP4 probes + sample extraction via ISO-BMFF tables);
+MJPEG AVI, Motion-JPEG MP4, I_PCM-coded H.264 MP4 and animated GIF
+(functions/avi.py / mp4.py / h264.py / gif.py; any-codec MP4 probes +
+sample extraction via ISO-BMFF tables, with avcC/SPS-exact dimensions,
+profile and fps for every AVC file);
 WebP lossless VP8L incl. the alpha plane of lossy files
 (functions/webp.py, validated bit-exact against libwebp).
-Only formats genuinely requiring native codecs (H.264/HEVC, WebP lossy
+Only formats genuinely requiring native codecs (entropy-coded
+H.264/HEVC — see functions/h264.py for why, WebP lossy
 VP8, MP3) raise
 NotImplementedError, with ``DeterministicFakeDecoder`` (a seeded pure
 function of the bytes) keeping those pipelines testable end-to-end.
@@ -491,7 +494,8 @@ class FrameSampler:
     """Actor-pool frame-sample stage: decode ``k`` evenly spaced frames per
     video to ``target_hw`` tensors. ``fake=False`` is REAL for the
     containers decodable from public specs without native libraries —
-    MJPEG AVI (functions/avi.py: RIFF walk, per-frame JPEG) and animated
+    MJPEG AVI (functions/avi.py: RIFF walk, per-frame JPEG), MJPEG and
+    I_PCM-H.264 MP4 (functions/mp4.py / h264.py) and animated
     GIF (functions/gif.py: composited frames); other containers raise
     NotImplementedError. ``fake=True`` uses a payload+frame-index-seeded
     pure function so the plumbing (even-index selection, tensor layout,
