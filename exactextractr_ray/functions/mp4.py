@@ -88,13 +88,14 @@ def _parse_stbl(data: bytes, pos: int, end: int) -> dict:
                     w, h = struct.unpack(">HH", data[b + 40:b + 44])
                     out["width"], out["height"] = w, h
                 # codec-config child boxes follow the 86-byte fixed
-                # VisualSampleEntry (14496-15 §5.3.4: avcC for avc1/avc3)
+                # VisualSampleEntry (14496-15 §5.3.4: avcC for avc1/avc3,
+                # hvcC for hev1/hvc1, av1C for av01, vpcC for vp09)
                 (entry_size,) = struct.unpack(">I", data[b + 8:b + 12])
                 for cfc, cb, ce in _iter_boxes(
                     data, b + 8 + 86, min(b + 8 + entry_size, e)
                 ):
-                    if cfc == "avcC":
-                        out["avcc"] = bytes(data[cb:ce])
+                    if cfc in ("avcC", "hvcC", "av1C", "vpcC"):
+                        out[cfc.lower()] = bytes(data[cb:ce])
         elif fc == "stts":
             (n,) = struct.unpack(">I", data[b + 4:b + 8])
             raw = np.frombuffer(data[b + 8:b + 8 + 8 * n], dtype=">u4")
@@ -381,6 +382,25 @@ def parse_mp4(data: bytes) -> dict:
                     out["fps"] = sps["fps"]
             except (ValueError, IndexError):
                 pass  # malformed avcC: keep the stsd/tkhd dimensions
+        elif stbl.get("hvcc") or stbl.get("av1c") or stbl.get("vpcc"):
+            # HEVC / AV1 / VP9 probe enrichment (functions/videometa.py)
+            from . import videometa as _vm
+
+            try:
+                if stbl.get("hvcc"):
+                    rec = _vm.parse_hvcc(stbl["hvcc"])
+                elif stbl.get("av1c"):
+                    rec = _vm.parse_av1c(stbl["av1c"])
+                else:
+                    rec = _vm.parse_vpcc(stbl["vpcc"])
+                out["profile"] = rec["profile"]
+                out["level"] = rec.get("level", rec.get("seq_level_idx", 0))
+                if rec.get("width"):
+                    out.update(width=rec["width"], height=rec["height"])
+                if rec.get("nal_length_size"):
+                    out["nal_length_size"] = rec["nal_length_size"]
+            except (ValueError, IndexError, struct.error):
+                pass  # malformed config record: keep stsd dimensions
         picked_video = True
     return out
 
