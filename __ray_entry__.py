@@ -3010,6 +3010,86 @@ def _q_mp4_sample_ranges(sf_dir: str):
     return out.sort_values(["media_id", "sample_idx"]).reset_index(drop=True)
 
 
+def _q_webm_frame_ranges(sf_dir: str):
+    """Matroska/WebM frame extraction under the oracle: rule-generated
+    opaque coded frames of rule-defined lengths are muxed into real
+    EBML files (functions/webm.py) whose block layout cycles plain
+    SimpleBlocks -> Xiph lacing -> EBML lacing -> unknown-size Segment
+    by media_id % 4, then extract_webm_frames recovers every frame's
+    bytes codec-free — per-frame length and byte sum are values DuckDB
+    recomputes from the generation rule alone, so all four physical
+    layouts must invert to the same bytes (same contract as
+    mp4_sample_ranges for ISO-BMFF)."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.webm import encode_webm
+
+    n, nf = 12, 5
+    payloads = []
+    for m in range(n):
+        frames = [
+            bytes(
+                (m * 7 + f * 11 + j * 3) % 256
+                for j in range(20 + (m + f) % 7)
+            )
+            for f in range(nf)
+        ]
+        lacing = [None, "xiph", "ebml", None][m % 4]
+        data = encode_webm(frames, 64, 48, fps=10.0, codec_id="V_VP9",
+                           lacing=lacing)
+        if m % 4 == 3:
+            # rewrite the Segment size to unknown (all-ones vint): the
+            # streamed-file layout
+            buf = bytearray(data)
+            i = data.find(bytes.fromhex("18538067"))
+            p = i + 4
+            width = 8 - buf[p].bit_length() + 1
+            val = (1 << (7 * width)) - 1
+            buf[p:p + width] = (val | (1 << (7 * width))).to_bytes(
+                width, "big"
+            )
+            data = bytes(buf)
+        payloads.append(data)
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "payload": pa_.array(payloads, pa_.binary()),
+        }
+    )
+
+    def extract(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        from exactextractr_ray.functions.webm import extract_webm_frames
+
+        mid, fi, size, bsum = [], [], [], []
+        for m, p in zip(
+            b["media_id"].to_pylist(), b["payload"].to_pylist()
+        ):
+            for f, s in enumerate(extract_webm_frames(p)):
+                mid.append(m)
+                fi.append(f)
+                size.append(len(s))
+                bsum.append(int(np_.frombuffer(s, np_.uint8).sum()))
+        return pa2.table(
+            {
+                "media_id": pa2.array(mid, pa2.int64()),
+                "sample_idx": pa2.array(fi, pa2.int64()),
+                "n_bytes": pa2.array(size, pa2.int64()),
+                "byte_sum": pa2.array(bsum, pa2.int64()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(extract, batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+    return out.sort_values(["media_id", "sample_idx"]).reset_index(drop=True)
+
+
 def _q_image_dhash_pairs(sf_dir: str):
     """Perceptual image near-dup under the oracle: rule-generated grayscale
     16x18 images are REAL-PNG-encoded, decoded by the from-spec codec,
@@ -3981,6 +4061,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "h264_frames_features": _q_h264_frames_features,
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
+        "webm_frame_ranges": _q_webm_frame_ranges,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
         "bpe_train_merges": _q_bpe_train_merges,
@@ -7777,6 +7858,16 @@ def oracle_sql() -> dict[str, str]:
         "h264_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
+        # same generation rule over 12 media x 5 frames; the Ray side
+        # walks real EBML (lacing + unknown-size layouts)
+        "webm_frame_ranges": """
+    SELECT t.m AS media_id, f.fi AS sample_idx,
+           CAST(20 + (t.m + f.fi) % 7 AS BIGINT) AS n_bytes,
+           CAST(SUM((t.m*7 + f.fi*11 + j.j*3) % 256) AS BIGINT) AS byte_sum
+    FROM range(12) t(m), range(5) f(fi), range(27) j(j)
+    WHERE j.j < 20 + (t.m + f.fi) % 7
+    GROUP BY t.m, f.fi ORDER BY t.m, f.fi
+    """,
         "image_dhash_pairs": image_dhash,
         # same dHash pair SQL -> recursive reachability closure, min label
         "image_dup_clusters": (

@@ -360,6 +360,9 @@ def sniff_media(data: bytes) -> str:
         # lossless (VP8L) decodes via functions/webp.py; lossy (VP8)
         # needs the boolean arithmetic coder and stays unsupported
         return "image/webp"
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        # EBML magic: Matroska or its WebM profile (functions/webm.py)
+        return "video/webm"
     if data[:5] == b"%PDF-":
         return "application/pdf"
     if data[:3] == b"\xff\xd8\xff":
@@ -646,6 +649,13 @@ def probe_media(data: bytes) -> dict:
             w, h = info["width"], info["height"]
             frames = info["n_frames"]
             rate = info["audio_rate"] or int(info["fps"])
+        elif kind == "video/webm":
+            from .webm import parse_webm
+
+            info = parse_webm(data)
+            w, h = info["width"], info["height"]
+            frames = info["n_frames"]
+            rate = int(info["audio_rate"] or info["fps"])
         elif kind == "audio/wav":
             import io as _io
             import wave as _wave

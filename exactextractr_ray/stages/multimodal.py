@@ -545,6 +545,12 @@ class FrameSampler:
             nf = parse_mp4(payload)["n_frames"]
             take = self._take(nf, self.k)
             frames, fps = decode_mp4_frames(payload, indices=take)
+        elif kind == "video/webm":
+            from ..functions.webm import decode_webm_frames, parse_webm
+
+            nf = parse_webm(payload)["n_frames"]
+            take = self._take(nf, self.k)
+            frames, fps = decode_webm_frames(payload, indices=take)
         elif kind == "image/gif":
             from ..functions.gif import decode_gif_frames
 
@@ -557,7 +563,8 @@ class FrameSampler:
         else:
             raise NotImplementedError(
                 f"no video container codec for {kind} in this environment "
-                "(MJPEG AVI / MJPEG MP4 / animated GIF decode natively; "
+                "(MJPEG AVI / MJPEG+I_PCM-H.264 MP4 / V_MJPEG WebM / "
+                "animated GIF decode natively; "
                 "use fake=True for other formats)"
             )
         tensors = [
