@@ -2812,6 +2812,117 @@ def _q_warc_media_probe(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_media_probe_kinds(sf_dir: str):
+    """The cheap pre-filter pass of a media corpus pipeline, across
+    EIGHT container families under one oracle: rule-dimensioned
+    payloads (PNG / animated GIF / BMP / WAV / avc1-I_PCM MP4 /
+    V_VP9 WebM / MPEG-1 Layer III / Ogg-Opus) are built by the
+    from-spec encoders (or hand-assembled frame headers for MP3),
+    then probe_media reads ONLY headers — kind, width, height,
+    frames, sample_rate are all values DuckDB recomputes from the
+    generation rule alone."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.audiometa import encode_ogg
+    from exactextractr_ray.functions.codecs import encode_png
+    from exactextractr_ray.functions.gif import encode_gif
+    from exactextractr_ray.functions.mp4 import encode_h264_mp4
+    from exactextractr_ray.functions.webm import encode_webm
+
+    def wav_bytes(rate, nframes):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(rate)
+            f.writeframes(b"\x00\x00" * nframes)
+        return buf.getvalue()
+
+    def mp3_bytes(nframes):
+        # MPEG-1 Layer III 44.1 kHz 128 kbps stereo: 417-byte frames
+        hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+        return (hdr + b"\x00" * 413) * nframes
+
+    payloads = []
+    n = 24
+    for m in range(n):
+        fam = m % 8
+        if fam == 0:
+            payloads.append(encode_png(np.zeros((16 + m, 24 + 2 * m),
+                                                np.uint8)))
+        elif fam == 1:
+            nf = 2 + m % 3
+            frames = [np.zeros((8 + m, 16, 3), np.uint8)] * nf
+            payloads.append(encode_gif(frames, delays_ms=[100] * nf))
+        elif fam == 2:
+            from exactextractr_ray.functions.codecs import encode_bmp
+
+            payloads.append(encode_bmp(np.zeros((6 + m, 10 + m, 3),
+                                                np.uint8)))
+        elif fam == 3:
+            payloads.append(wav_bytes(8000 + 100 * m, 50 + m))
+        elif fam == 4:
+            nf = 2 + m % 3
+            frames = [np.zeros((16 + 2 * (m % 4), 32), np.uint8)] * nf
+            payloads.append(encode_h264_mp4(frames, fps=10.0))
+        elif fam == 5:
+            nf = 1 + m % 4
+            payloads.append(encode_webm([b"\x00" * 10] * nf, 320 + m,
+                                        240 + m, fps=25.0,
+                                        codec_id="V_VP9"))
+        elif fam == 6:
+            payloads.append(mp3_bytes(3 + m % 4))
+        else:
+            nf = 2 + m % 3
+            payloads.append(encode_ogg([b"\x01" * 20] * nf,
+                                       granules=[960 * (i + 1)
+                                                 for i in range(nf)]))
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "payload": pa_.array(payloads, pa_.binary()),
+        }
+    )
+
+    def probe(b):
+        import pyarrow as pa2
+
+        from exactextractr_ray.functions.codecs import probe_media
+
+        rows = {"media_id": [], "kind": [], "width": [], "height": [],
+                "n_frames": [], "sample_rate": []}
+        for mid, p in zip(b["media_id"].to_pylist(),
+                          b["payload"].to_pylist()):
+            pm = probe_media(p)
+            rows["media_id"].append(mid)
+            rows["kind"].append(pm["kind"])
+            rows["width"].append(pm["width"])
+            rows["height"].append(pm["height"])
+            rows["n_frames"].append(pm["frames"])
+            rows["sample_rate"].append(pm["sample_rate"])
+        return pa2.table(
+            {
+                "media_id": pa2.array(rows["media_id"], pa2.int64()),
+                "kind": pa2.array(rows["kind"], pa2.string()),
+                "width": pa2.array(rows["width"], pa2.int64()),
+                "height": pa2.array(rows["height"], pa2.int64()),
+                "n_frames": pa2.array(rows["n_frames"], pa2.int64()),
+                "sample_rate": pa2.array(rows["sample_rate"], pa2.int64()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(probe, batch_format="pyarrow", batch_size=6)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_gif_frames_features(sf_dir: str):
     """REAL video-path oracle: integer-rule gray frames -> encode_gif
     (lossless, exact palette) -> FrameSampler(fake=False) decodes the
@@ -4059,6 +4170,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "webp_decode_features": _q_webp_decode_features,
         "gif_frames_features": _q_gif_frames_features,
         "h264_frames_features": _q_h264_frames_features,
+        "media_probe_kinds": _q_media_probe_kinds,
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
         "webm_frame_ranges": _q_webm_frame_ranges,
@@ -7858,6 +7970,28 @@ def oracle_sql() -> dict[str, str]:
         "h264_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
+        # pure generation-rule recomputation of the 8-family header probe
+        "media_probe_kinds": """
+    SELECT t.m AS media_id,
+      CASE t.m%8 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+                 WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'audio/wav'
+                 WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'video/webm'
+                 WHEN 6 THEN 'audio/mpeg' ELSE 'audio/ogg' END AS kind,
+      CAST(CASE t.m%8 WHEN 0 THEN 24+2*t.m WHEN 1 THEN 16
+                      WHEN 2 THEN 10+t.m WHEN 4 THEN 32
+                      WHEN 5 THEN 320+t.m ELSE 0 END AS BIGINT) AS width,
+      CAST(CASE t.m%8 WHEN 0 THEN 16+t.m WHEN 1 THEN 8+t.m
+                      WHEN 2 THEN 6+t.m WHEN 4 THEN 16+2*(t.m%4)
+                      WHEN 5 THEN 240+t.m ELSE 0 END AS BIGINT) AS height,
+      CAST(CASE t.m%8 WHEN 1 THEN 2+t.m%3 WHEN 3 THEN 50+t.m
+                      WHEN 4 THEN 2+t.m%3 WHEN 5 THEN 1+t.m%4
+                      WHEN 6 THEN 3+t.m%4 WHEN 7 THEN 3+t.m%3
+                      ELSE 0 END AS BIGINT) AS n_frames,
+      CAST(CASE t.m%8 WHEN 3 THEN 8000+100*t.m WHEN 4 THEN 10
+                      WHEN 5 THEN 25 WHEN 6 THEN 44100 WHEN 7 THEN 48000
+                      ELSE 0 END AS BIGINT) AS sample_rate
+    FROM range(24) t(m) ORDER BY t.m
+    """,
         # same generation rule over 12 media x 5 frames; the Ray side
         # walks real EBML (lacing + unknown-size layouts)
         "webm_frame_ranges": """

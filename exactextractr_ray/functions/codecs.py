@@ -363,6 +363,14 @@ def sniff_media(data: bytes) -> str:
     if data[:4] == b"\x1a\x45\xdf\xa3":
         # EBML magic: Matroska or its WebM profile (functions/webm.py)
         return "video/webm"
+    if data[:4] == b"OggS":
+        return "audio/ogg"
+    if data[:3] == b"ID3" or (
+        len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+        and (data[1] >> 1) & 3 != 0 and (data[2] >> 4) not in (0, 15)
+    ):
+        # ID3v2 tag or a valid MPEG audio frame sync (functions/audiometa)
+        return "audio/mpeg"
     if data[:5] == b"%PDF-":
         return "application/pdf"
     if data[:3] == b"\xff\xd8\xff":
@@ -656,6 +664,19 @@ def probe_media(data: bytes) -> dict:
             w, h = info["width"], info["height"]
             frames = info["n_frames"]
             rate = int(info["audio_rate"] or info["fps"])
+        elif kind == "audio/mpeg":
+            from .audiometa import parse_mp3
+
+            info = parse_mp3(data)
+            rate = info["sample_rate"]
+            frames = info["n_frames"]
+        elif kind == "audio/ogg":
+            from .audiometa import parse_ogg
+
+            info = parse_ogg(data)
+            rate = info["sample_rate"]
+            frames = info["n_packets"]
+            w, h = info["width"], info["height"]
         elif kind == "audio/wav":
             import io as _io
             import wave as _wave
