@@ -2812,6 +2812,74 @@ def _q_warc_media_probe(sf_dir: str):
     return out.sort_values("url").reset_index(drop=True)
 
 
+def _q_flac_decode_sums(sf_dir: str):
+    """REAL lossless-audio decode under the oracle: rule-generated
+    stereo int16 PCM -> encode_flac with the coding mode cycling
+    independent-channels / mid-side / partitioned-Rice2 / LPC by
+    media_id % 4 -> decode_flac -> per-document per-channel sample
+    sums. Losslessness means DuckDB recomputes the sums from the
+    generation rule alone, so all four coding modes must invert to the
+    identical PCM."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.flac import encode_flac
+
+    n = 12
+    payloads = []
+    counts = []
+    for m in range(n):
+        ns = 800 + 40 * m
+        i = np.arange(ns, dtype=np.int64)
+        left = (m * 31 + i * 17) % 4001 - 2000
+        right = (m * 13 + i * 7) % 3001 - 1500
+        pcm = np.stack([left, right], axis=1)
+        kw = [
+            {},
+            {"mid_side": True},
+            {"partition_order": 2, "rice2": True},
+            {"lpc": ([2, -1], 0)},
+        ][m % 4]
+        payloads.append(encode_flac(pcm, 16000, block_size=256, **kw))
+        counts.append(ns)
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "payload": pa_.array(payloads, pa_.binary()),
+        }
+    )
+
+    def dec(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        from exactextractr_ray.functions.flac import decode_flac
+
+        mid, cnt, sl, sr = [], [], [], []
+        for m, p in zip(b["media_id"].to_pylist(),
+                        b["payload"].to_pylist()):
+            pcm, _rate, _bits = decode_flac(p)
+            mid.append(m)
+            cnt.append(pcm.shape[0])
+            sl.append(int(pcm[:, 0].astype(np_.int64).sum()))
+            sr.append(int(pcm[:, 1].astype(np_.int64).sum()))
+        return pa2.table(
+            {
+                "media_id": pa2.array(mid, pa2.int64()),
+                "n_samples": pa2.array(cnt, pa2.int64()),
+                "sum_l": pa2.array(sl, pa2.int64()),
+                "sum_r": pa2.array(sr, pa2.int64()),
+            }
+        )
+
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(dec, batch_format="pyarrow", batch_size=4)
+        .to_pandas()
+    )
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_media_probe_kinds(sf_dir: str):
     """The cheap pre-filter pass of a media corpus pipeline, across
     EIGHT container families under one oracle: rule-dimensioned
@@ -4171,6 +4239,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "gif_frames_features": _q_gif_frames_features,
         "h264_frames_features": _q_h264_frames_features,
         "media_probe_kinds": _q_media_probe_kinds,
+        "flac_decode_sums": _q_flac_decode_sums,
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
         "webm_frame_ranges": _q_webm_frame_ranges,
@@ -7970,6 +8039,16 @@ def oracle_sql() -> dict[str, str]:
         "h264_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
+        # lossless FLAC: per-channel sums recomputed from the PCM rule
+        "flac_decode_sums": """
+    SELECT t.m AS media_id,
+           CAST(800 + 40*t.m AS BIGINT) AS n_samples,
+           CAST(SUM((t.m*31 + i.i*17) % 4001 - 2000) AS BIGINT) AS sum_l,
+           CAST(SUM((t.m*13 + i.i*7) % 3001 - 1500) AS BIGINT) AS sum_r
+    FROM range(12) t(m), range(1240) i(i)
+    WHERE i.i < 800 + 40*t.m
+    GROUP BY t.m ORDER BY t.m
+    """,
         # pure generation-rule recomputation of the 8-family header probe
         "media_probe_kinds": """
     SELECT t.m AS media_id,

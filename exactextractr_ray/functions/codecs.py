@@ -365,6 +365,8 @@ def sniff_media(data: bytes) -> str:
         return "video/webm"
     if data[:4] == b"OggS":
         return "audio/ogg"
+    if data[:4] == b"fLaC":
+        return "audio/flac"
     if data[:3] == b"ID3" or (
         len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
         and (data[1] >> 1) & 3 != 0 and (data[2] >> 4) not in (0, 15)
@@ -677,6 +679,12 @@ def probe_media(data: bytes) -> dict:
             rate = info["sample_rate"]
             frames = info["n_packets"]
             w, h = info["width"], info["height"]
+        elif kind == "audio/flac":
+            from .flac import flac_info
+
+            info = flac_info(data)
+            rate = info["sample_rate"]
+            frames = info["total_samples"]
         elif kind == "audio/wav":
             import io as _io
             import wave as _wave

@@ -702,9 +702,18 @@ class AudioFeatures:
                 from ..functions.audio import decode_au
 
                 return decode_au(payload)[0]
+            if kind == "audio/flac":
+                from ..functions.flac import decode_flac
+
+                pcm, _rate, bits = decode_flac(payload)
+                # same mono-mean + full-scale convention as decode_wav,
+                # so identical PCM in WAV and FLAC embeds identically
+                return (pcm.astype(np.float32).mean(axis=1)
+                        / float(1 << (bits - 1)))
             raise NotImplementedError(
-                "WAV/AIFF/AU (incl. G.711 ulaw/alaw) decode natively in "
-                "this environment; use fake=True for other formats"
+                "WAV/AIFF/AU (incl. G.711 ulaw/alaw) and FLAC decode "
+                "natively in this environment; use fake=True for other "
+                "formats"
             )
         seed = int(hashlib.md5(payload).hexdigest()[:8], 16)
         rng = np.random.default_rng(seed)
