@@ -676,6 +676,44 @@ def _q_orders_by_nation(sf_dir: str):
     return df.sort_values("n_name").reset_index(drop=True)
 
 
+def _q_customers_without_urgent(sf_dir: str):
+    """Anti join (relational.py customers_without_orders): probe side
+    filtered at the read + partial-distinct before the shuffle, then a
+    distributed left_outer join with a null filter — TPC-H Q22 shape."""
+    from exactextractr_ray.pipelines.relational import (
+        customers_without_orders,
+    )
+
+    df = customers_without_orders(sf_dir).to_pandas()
+    for c in ["n_customers", "acctbal_cents"]:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def _q_cube_order_counts(sf_dir: str):
+    """GROUP BY CUBE from one shuffle (relational.py cube_order_counts):
+    the base grouping aggregates distributed; the three rollups derive
+    from the tiny base driver-side."""
+    from exactextractr_ray.pipelines.relational import cube_order_counts
+
+    df = cube_order_counts(sf_dir)
+    for c in ["n_orders", "total_cents"]:
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+def _q_first_orderkeys_concat(sf_dir: str):
+    """Order-sensitive STRING_AGG via partial top-k (relational.py
+    first_orderkeys_concat)."""
+    from exactextractr_ray.pipelines.relational import (
+        first_orderkeys_concat,
+    )
+
+    return first_orderkeys_concat(sf_dir)
+
+
 def _q_revenue_by_priority(sf_dir: str):
     from exactextractr_ray.pipelines.relational import revenue_by_priority
 
@@ -4281,6 +4319,9 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "interval_join_sessions": _q_interval_join,
         "pricing_summary": _q_pricing_summary,
         "orders_by_nation": _q_orders_by_nation,
+        "customers_without_urgent": _q_customers_without_urgent,
+        "cube_order_counts": _q_cube_order_counts,
+        "first_orderkeys_concat": _q_first_orderkeys_concat,
         "revenue_by_priority": _q_revenue_by_priority,
         "local_supplier_volume": _q_local_supplier_volume,
         "sample_docs": _q_sample_docs,
@@ -8170,6 +8211,40 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_sessions": interval_join_sql,
         "pricing_summary": pricing_summary_sql,
         "orders_by_nation": orders_by_nation_sql,
+        "customers_without_urgent": """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+        "cube_order_counts": """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY 1, 2
+    """,
+        "first_orderkeys_concat": """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           STRING_AGG(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY o_orderkey) AS first_keys
+    FROM ranked WHERE rn <= 3
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
         "revenue_by_priority": revenue_by_priority_sql,
         "local_supplier_volume": local_supplier_volume_sql,
         "sample_docs": sample_docs_sql,

@@ -702,3 +702,177 @@ def order_priority_semi(sf_dir: str, date_lo="1996-01-01", date_hi="1996-07-01")
         )
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str, priority: str = "1-URGENT"):
+    """Anti join (TPC-H Q22 flavor): customers that placed no order of
+    the given priority, aggregated per market segment.
+
+    100-TB shape: the probe side (orders) is filtered AT THE READ and
+    reduced to DISTINCT custkeys with per-batch partial dedup BEFORE
+    the shuffle (exchange O(distinct keys), not O(orders)), then a
+    distributed left_outer ``Dataset.join`` marks matches and the anti
+    rows survive a null filter — never a driver-side key set."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(b.column("o_orderpriority"), priority)
+        keys = np.unique(b.filter(mask).column("o_custkey").to_numpy())
+        return pa.table({"o_custkey": pa.array(keys, pa.int64()),
+                         "one": pa.array(np.ones(len(keys), np.int64))})
+
+    probe = (
+        orders.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .max("one")
+    )
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    joined = cust.join(
+        probe,
+        join_type="left_outer",
+        num_partitions=max(2, min(16, ncpu // 2)),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        flag = df[df.columns[-1]]  # the probe marker column
+        anti = df[flag.isna()]
+        cents = np.round(anti["c_acctbal"].to_numpy() * 100.0).astype(
+            np.int64
+        )
+        out = pd.DataFrame(
+            {
+                "c_mktsegment": anti["c_mktsegment"].to_numpy(),
+                "n_customers": np.ones(len(anti), np.int64),
+                "acctbal_cents": cents,
+            }
+        ).groupby("c_mktsegment", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow").groupby(
+        "c_mktsegment"
+    ).sum(["n_customers", "acctbal_cents"])
+    return agg.map_batches(
+        lambda b: b.rename_columns(
+            ["c_mktsegment", "n_customers", "acctbal_cents"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def cube_order_counts(sf_dir: str):
+    """GROUP BY CUBE(status, priority): all four grouping sets from ONE
+    shuffle — the base (status, priority) aggregate is tiny (<= 15
+    rows), so the three rollups derive from it driver-side; rolled-up
+    dimensions carry the 'ALL' marker."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderstatus": b.column("o_orderstatus").to_numpy(
+                    zero_copy_only=False
+                ),
+                "o_orderpriority": b.column("o_orderpriority").to_numpy(
+                    zero_copy_only=False
+                ),
+                "n_orders": np.ones(b.num_rows, np.int64),
+                "total_cents": np.round(
+                    b.column("o_totalprice").to_numpy() * 100.0
+                ).astype(np.int64),
+            }
+        )
+        agg = df.groupby(
+            ["o_orderstatus", "o_orderpriority"], as_index=False
+        ).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    base = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .sum(["n_orders", "total_cents"])
+        .to_pandas()
+    )
+    base.columns = ["o_orderstatus", "o_orderpriority", "n_orders",
+                    "total_cents"]
+    outs = [base]
+    for dims in (["o_orderstatus"], ["o_orderpriority"], []):
+        roll = (
+            base.groupby(dims, as_index=False)[["n_orders", "total_cents"]]
+            .sum()
+            if dims
+            else pd.DataFrame(
+                {
+                    "n_orders": [base["n_orders"].sum()],
+                    "total_cents": [base["total_cents"].sum()],
+                }
+            )
+        )
+        for col in ("o_orderstatus", "o_orderpriority"):
+            if col not in roll.columns:
+                roll[col] = "ALL"
+        outs.append(roll[["o_orderstatus", "o_orderpriority", "n_orders",
+                          "total_cents"]])
+    out = pd.concat(outs, ignore_index=True)
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+def first_orderkeys_concat(sf_dir: str, k: int = 3):
+    """Order-SENSITIVE aggregation (STRING_AGG ... ORDER BY): the k
+    smallest orderkeys per priority, concatenated in ascending order.
+
+    100-TB shape: per-batch partial top-k (each batch emits <= k rows
+    per group) -> tiny groupby -> final top-k + concat in the
+    finalizer; exchange O(groups x k), the ordered-aggregate analogue
+    of the partial top-k used by tfidf/bm25."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": b.column("o_orderpriority").to_numpy(
+                    zero_copy_only=False
+                ),
+                "o_orderkey": b.column("o_orderkey").to_numpy(),
+            }
+        )
+        top = (
+            df.sort_values("o_orderkey")
+            .groupby("o_orderpriority", as_index=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        keys = np.sort(g["o_orderkey"].to_numpy())[:k]
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [g["o_orderpriority"].iloc[0]],
+                "first_keys": [",".join(str(int(v)) for v in keys)],
+            }
+        )
+
+    out = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -171,6 +171,14 @@ QUERIES = [
     "winnow_fingerprints",
     "substr_dup_spans",
     "zonal_geojson_zones",
+    # round-4 session 7 (H.264 / WebM / audio-probe / FLAC wave)
+    "h264_frames_features",
+    "webm_frame_ranges",
+    "media_probe_kinds",
+    "flac_decode_sums",
+    "customers_without_urgent",
+    "cube_order_counts",
+    "first_orderkeys_concat",
 ]
 
 _CHILD = r"""
