@@ -3432,6 +3432,59 @@ def _q_image_dup_clusters(sf_dir: str):
     )
 
 
+def _q_wordpiece_train_merges(sf_dir: str):
+    """Distributed WordPiece training (stages/wordpiece.py): corpus read
+    once into the bounded vocab table, then 10 likelihood-scored merge
+    rounds (score = cnt/(ca*cb), BERT convention). Iterative arg-best is
+    not SQL-expressible; tools/check_oracles.py compares bit-exactly
+    against the single-process reference, and the parallelism sweep
+    checks 4-vs-16-CPU byte identity."""
+    import ray.data
+
+    from exactextractr_ray.stages.wordpiece import wordpiece_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return wordpiece_train(docs, num_merges=10)
+
+
+def _q_wordpiece_encode_tokens(sf_dir: str):
+    """WordPiece APPLICATION side: train 10 merges distributed, build
+    the vocab (corpus alphabet from the bounded word table + merged
+    pieces), then greedy longest-match-first encode per document ->
+    per-doc piece/[UNK] counts. Checked bit-exact against the
+    single-process reference trainer+encoder."""
+    import ray.data
+
+    from exactextractr_ray.stages.bpe import word_counts
+    from exactextractr_ray.stages.wordpiece import (
+        wordpiece_encode_batch,
+        wordpiece_train,
+        wordpiece_vocab,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    merges = wordpiece_train(docs, num_merges=10)
+    words = word_counts(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text"])
+    ).to_pandas()["word"]  # bounded vocab table, the alphabet source
+    vocab = wordpiece_vocab(merges, words)
+    return (
+        docs.map_batches(
+            wordpiece_encode_batch,
+            batch_format="pyarrow",
+            fn_kwargs={"vocab": vocab},
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def _q_bpe_encode_tokens(sf_dir: str):
     """Tokenizer APPLICATION side: 12 merges trained distributed
     (stages/bpe.py bpe_train), then bpe_encode_batch applies the learned
@@ -4287,6 +4340,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "pdf_extract_text": _q_pdf_extract_text,
         "image_dup_clusters": _q_image_dup_clusters,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
+        "wordpiece_train_merges": _q_wordpiece_train_merges,
+        "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
         "photo_zone_join": _q_photo_zone_join,

@@ -343,8 +343,74 @@ def check_simplify_reference(ray_df, sf_dir):
     return f"MISMATCH vs DP reference (e.g. {bad}; rows {len(got)} vs {len(want)})"
 
 
+def check_wordpiece_reference(ray_df, sf_dir):
+    """wordpiece_train_merges: bit-exact vs the single-process
+    likelihood-scored reference."""
+    import duckdb
+
+    from exactextractr_ray.stages.wordpiece import wordpiece_train_reference
+
+    texts = (
+        duckdb.connect()
+        .execute(
+            f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+        )
+        .df()["text"]
+        .tolist()
+    )
+    want = wordpiece_train_reference(texts, num_merges=10)
+    got = ray_df[want.columns.tolist()].reset_index(drop=True)
+    if got.equals(want.reset_index(drop=True)):
+        return "OK (bit-exact vs single-process WordPiece reference)"
+    return "MISMATCH vs WordPiece reference implementation"
+
+
+def check_wordpiece_encode_reference(ray_df, sf_dir):
+    """wordpiece_encode_tokens: reference-train 10 merges, reference
+    greedy-encode every doc, compare counts."""
+    import duckdb
+
+    from exactextractr_ray.stages.wordpiece import (
+        wordpiece_encode_word,
+        wordpiece_train_reference,
+        wordpiece_vocab,
+    )
+
+    df = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        )
+        .df()
+    )
+    texts = df["text"].tolist()
+    merges = wordpiece_train_reference(texts, num_merges=10)
+    vocab = wordpiece_vocab(
+        merges, (w for t in texts for w in (t or "").split())
+    )
+    want = {}
+    for did, t in zip(df["doc_id"], texts):
+        nt = nu = 0
+        for w in (t or "").split():
+            pieces = wordpiece_encode_word(w, vocab)
+            nt += len(pieces)
+            nu += sum(1 for p in pieces if p == "[UNK]")
+        want[int(did)] = (nt, nu)
+    got = {
+        int(r.doc_id): (int(r.wp_tokens), int(r.wp_unks))
+        for r in ray_df.itertuples()
+    }
+    if got == want:
+        return "OK (bit-exact vs reference WordPiece encode)"
+    bad = [k for k in want if got.get(k) != want[k]][:5]
+    return f"MISMATCH vs WordPiece encode reference (e.g. {bad})"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
+    "wordpiece_train_merges": check_wordpiece_reference,
+    "wordpiece_encode_tokens": check_wordpiece_encode_reference,
     "knn_cosine_lsh": check_knn_lsh_exact,
     "bpe_train_merges": check_bpe_reference,
     "bpe_encode_tokens": check_bpe_encode_reference,

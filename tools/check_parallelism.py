@@ -179,6 +179,8 @@ QUERIES = [
     "customers_without_urgent",
     "cube_order_counts",
     "first_orderkeys_concat",
+    "wordpiece_train_merges",
+    "wordpiece_encode_tokens",
 ]
 
 _CHILD = r"""
