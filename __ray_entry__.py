@@ -3432,6 +3432,20 @@ def _q_image_dup_clusters(sf_dir: str):
     )
 
 
+def _q_cost_distance(sf_dir: str):
+    """Cost-distance wavefront fixpoint (pipelines/costdistance.py):
+    chamfer-(2,3) weighted shortest path from two sources over the
+    synthetic cost raster (NaN holes = barriers), iterated halo
+    exchange to global fixpoint. All-integer path costs, so
+    tools/check_oracles.py compares BIT-exactly against single-process
+    Dijkstra (shortest-path fixpoints are not SQL-expressible)."""
+    from exactextractr_ray.pipelines.costdistance import cost_distance
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    raster = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    return cost_distance(raster, [(0, 0), (50, 57)])
+
+
 def _q_wordpiece_train_merges(sf_dir: str):
     """Distributed WordPiece training (stages/wordpiece.py): corpus read
     once into the bounded vocab table, then 10 likelihood-scored merge
@@ -4341,6 +4355,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "image_dup_clusters": _q_image_dup_clusters,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "wordpiece_train_merges": _q_wordpiece_train_merges,
+        "cost_distance": _q_cost_distance,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,

@@ -1,0 +1,326 @@
+"""Cost-distance (GRASS ``r.cost`` / ArcGIS CostDistance shape):
+minimum accumulated traversal cost from source cells over a cost
+raster, distributed as a tile-wavefront fixpoint.
+
+Metric: the weighted chamfer-(2,3) form (Borgefors 1986's published
+integer metric): stepping between adjacent cells a -> b costs
+``(cost[a] + cost[b]) * m`` with m = 2 for cardinal and m = 3 for
+diagonal moves — the integer approximation of the GRASS average-cost
+convention (divide by 4 for that scale; the 3/2 ratio approximates
+sqrt(2)). All-integer arithmetic makes every path cost exact, so the
+distributed solver must agree BIT-exactly with a single-process
+Dijkstra (``cost_distance_reference``) — no float-order caveats.
+Cells with cost <= 0 or NaN are barriers.
+
+Distributed shape (the pattern focal/hydrology don't cover — an
+ITERATED halo exchange to fixpoint):
+
+1. seed: source cells get distance 0; every tile runs a LOCAL
+   multi-source Dijkstra (heapq over <= tile_h x tile_w cells).
+2. round: tiles fan out 1-deep border strips carrying (cost, dist) to
+   their 8 neighbors; each tile relaxes its border cells against the
+   incoming strips and, when anything improved, re-runs the local
+   Dijkstra seeded with the current labels.
+3. converge: a per-round ``sum(changed)`` aggregate (one tiny column)
+   stops the loop at the global fixpoint. Round count is bounded by
+   the tile-grid diameter of the optimal-path forest — O(D/tile_size)
+   all-to-alls, each moving only O(perimeter) strip cells, the same
+   wavefront shape as the hydrology basin labeling. Per-round tile
+   state is materialized (spillable object-store blocks, never the
+   driver).
+
+Label-correcting relaxation converges to the same labels as Dijkstra
+for any relaxation order (nonnegative integer weights), which is why
+tile-local solves + boundary exchange reach the exact global optimum.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.raster import RasterDataset
+
+INF = np.int64(2**62)
+
+_NBRS = [(-1, -1, 3), (-1, 0, 2), (-1, 1, 3),
+         (0, -1, 2), (0, 1, 2),
+         (1, -1, 3), (1, 0, 2), (1, 1, 3)]
+
+
+def _local_dijkstra(cost: np.ndarray, dist: np.ndarray) -> bool:
+    """In-place multi-source Dijkstra over one tile, seeded by the
+    current ``dist`` labels. Returns True when any label improved."""
+    h, w = cost.shape
+    passable = np.isfinite(cost) & (cost > 0)
+    ci = np.where(passable, cost, 0).astype(np.int64)
+    heap = [
+        (int(dist[r, c]), int(r), int(c))
+        for r, c in zip(*np.nonzero(dist < INF))
+    ]
+    heapq.heapify(heap)
+    changed = False
+    while heap:
+        d, r, c = heapq.heappop(heap)
+        if d != dist[r, c]:
+            continue
+        base = ci[r, c]
+        for dr, dc, m in _NBRS:
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and passable[nr, nc]:
+                nd = d + (base + ci[nr, nc]) * m
+                if nd < dist[nr, nc]:
+                    dist[nr, nc] = nd
+                    changed = True
+                    heapq.heappush(heap, (int(nd), nr, nc))
+    return changed
+
+
+def cost_distance_reference(
+    cost: np.ndarray, sources: list[tuple[int, int]]
+) -> np.ndarray:
+    """Single-process exact solver (the oracle): full-raster Dijkstra
+    with the same chamfer-(2,3) weights. INF where unreachable."""
+    dist = np.full(cost.shape, INF, np.int64)
+    for r, c in sources:
+        if np.isfinite(cost[r, c]) and cost[r, c] > 0:
+            dist[r, c] = 0
+    _local_dijkstra(np.asarray(cost, np.float64), dist)
+    return dist
+
+
+def _strip_rows(ty, tx, tiles_y, tiles_x, row0, col0, cost, dist):
+    """Border strips (cost, dist interleaved) for each existing
+    neighbor, tagged with the destination tile id."""
+    th, tw = cost.shape
+    out = []
+
+    def emit(dty, dtx, cs, ds_, r0, c0):
+        nty, ntx = ty + dty, tx + dtx
+        if 0 <= nty < tiles_y and 0 <= ntx < tiles_x:
+            out.append(
+                (nty * tiles_x + ntx, r0, c0, cs.shape[0], cs.shape[1],
+                 np.concatenate([cs.ravel(),
+                                 ds_.astype(np.float64).ravel()]))
+            )
+
+    emit(-1, 0, cost[:1], dist[:1], row0, col0)
+    emit(1, 0, cost[-1:], dist[-1:], row0 + th - 1, col0)
+    emit(0, -1, cost[:, :1], dist[:, :1], row0, col0)
+    emit(0, 1, cost[:, -1:], dist[:, -1:], row0, col0 + tw - 1)
+    emit(-1, -1, cost[:1, :1], dist[:1, :1], row0, col0)
+    emit(-1, 1, cost[:1, -1:], dist[:1, -1:], row0, col0 + tw - 1)
+    emit(1, -1, cost[-1:, :1], dist[-1:, :1], row0 + th - 1, col0)
+    emit(1, 1, cost[-1:, -1:], dist[-1:, -1:], row0 + th - 1,
+         col0 + tw - 1)
+    return out
+
+
+def cost_distance(
+    raster: RasterDataset,
+    sources: list[tuple[int, int]],
+    max_rounds: int = 10_000,
+):
+    """Distributed chamfer-(2,3) cost distance -> pandas DataFrame of
+    (row, col, dist) for every reachable cell, bit-exact vs
+    ``cost_distance_reference``. ``sources`` are absolute (row, col)
+    grid indices (the small side: broadcast via closure)."""
+    import ray.data
+
+    tiles_y, tiles_x = raster.tiles_y, raster.tiles_x
+    th_n, tw_n = raster.tile_h, raster.tile_w
+    src = sorted(set((int(r), int(c)) for r, c in sources))
+
+    def seed(b: pa.Table) -> pa.Table:
+        rows = []
+        for i in range(b.num_rows):
+            ty = int(b.column("ty")[i].as_py())
+            tx = int(b.column("tx")[i].as_py())
+            row0 = int(b.column("row0")[i].as_py())
+            col0 = int(b.column("col0")[i].as_py())
+            th = int(b.column("th")[i].as_py())
+            tw = int(b.column("tw")[i].as_py())
+            cost = np.asarray(
+                b.column("values").combine_chunks()[i].values,
+                np.float64,
+            ).reshape(th, tw)
+            dist = np.full((th, tw), INF, np.int64)
+            for r, c in src:
+                if row0 <= r < row0 + th and col0 <= c < col0 + tw:
+                    if np.isfinite(cost[r - row0, c - col0]) and \
+                            cost[r - row0, c - col0] > 0:
+                        dist[r - row0, c - col0] = 0
+            changed = _local_dijkstra(cost, dist)
+            rows.append((ty, tx, row0, col0, th, tw, cost, dist,
+                         int(changed or np.any(dist < INF))))
+        return _tiles_table(rows)
+
+    def _tiles_table(rows) -> pa.Table:
+        return pa.table(
+            {
+                "tile_id": pa.array(
+                    [ty * tiles_x + tx for ty, tx, *_ in rows], pa.int64()
+                ),
+                "ty": pa.array([r[0] for r in rows], pa.int64()),
+                "tx": pa.array([r[1] for r in rows], pa.int64()),
+                "row0": pa.array([r[2] for r in rows], pa.int64()),
+                "col0": pa.array([r[3] for r in rows], pa.int64()),
+                "th": pa.array([r[4] for r in rows], pa.int64()),
+                "tw": pa.array([r[5] for r in rows], pa.int64()),
+                "cost": pa.array(
+                    [r[6].ravel().tolist() for r in rows],
+                    pa.list_(pa.float64()),
+                ),
+                "dist": pa.array(
+                    [r[7].ravel().tolist() for r in rows],
+                    pa.list_(pa.int64()),
+                ),
+                "changed": pa.array([r[8] for r in rows], pa.int64()),
+            }
+        )
+
+    state = raster.ds.map_batches(seed, batch_format="pyarrow").materialize()
+
+    def fanout(b: pa.Table) -> pa.Table:
+        dst, r0s, c0s, hs, ws, payload, kinds = [], [], [], [], [], [], []
+        for i in range(b.num_rows):
+            ty = int(b.column("ty")[i].as_py())
+            tx = int(b.column("tx")[i].as_py())
+            row0 = int(b.column("row0")[i].as_py())
+            col0 = int(b.column("col0")[i].as_py())
+            th = int(b.column("th")[i].as_py())
+            tw = int(b.column("tw")[i].as_py())
+            cost = np.asarray(
+                b.column("cost").combine_chunks()[i].values, np.float64
+            ).reshape(th, tw)
+            dist = np.asarray(
+                b.column("dist").combine_chunks()[i].values, np.int64
+            ).reshape(th, tw)
+            # the body fragment (kind 1) carries the full state
+            dst.append(ty * tiles_x + tx)
+            r0s.append(row0)
+            c0s.append(col0)
+            hs.append(th)
+            ws.append(tw)
+            payload.append(
+                np.concatenate([cost.ravel(),
+                                dist.astype(np.float64).ravel()])
+            )
+            kinds.append(1)
+            for d, r0, c0, hh, ww, pl in _strip_rows(
+                ty, tx, tiles_y, tiles_x, row0, col0, cost, dist
+            ):
+                dst.append(d)
+                r0s.append(r0)
+                c0s.append(c0)
+                hs.append(hh)
+                ws.append(ww)
+                payload.append(pl)
+                kinds.append(0)
+        return pa.table(
+            {
+                "dst_tile": pa.array(dst, pa.int64()),
+                "row0": pa.array(r0s, pa.int64()),
+                "col0": pa.array(c0s, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+                "payload": pa.array(
+                    [p.tolist() for p in payload], pa.list_(pa.float64())
+                ),
+                "kind": pa.array(kinds, pa.int64()),
+            }
+        )
+
+    def relax(g: pd.DataFrame) -> pd.DataFrame:
+        body = g[g["kind"] == 1].iloc[0]
+        th, tw = int(body["h"]), int(body["w"])
+        pl = np.asarray(body["payload"], np.float64)
+        cost = pl[: th * tw].reshape(th, tw)
+        dist = pl[th * tw:].astype(np.int64).reshape(th, tw)
+        row0, col0 = int(body["row0"]), int(body["col0"])
+        tile_id = int(body["dst_tile"])
+        passable = np.isfinite(cost) & (cost > 0)
+        ci = np.where(passable, cost, 0).astype(np.int64)
+        improved = False
+        for _, frag in g[g["kind"] == 0].iterrows():
+            fh, fw = int(frag["h"]), int(frag["w"])
+            fpl = np.asarray(frag["payload"], np.float64)
+            fcost = fpl[: fh * fw].reshape(fh, fw)
+            fdist = fpl[fh * fw:].astype(np.int64).reshape(fh, fw)
+            fr0, fc0 = int(frag["row0"]), int(frag["col0"])
+            for rr in range(fh):
+                for cc in range(fw):
+                    hd = fdist[rr, cc]
+                    if hd >= INF or not np.isfinite(fcost[rr, cc]) or \
+                            fcost[rr, cc] <= 0:
+                        continue
+                    hr, hc = fr0 + rr, fc0 + cc
+                    hcost = np.int64(fcost[rr, cc])
+                    for dr, dc, m in _NBRS:
+                        br, bc = hr + dr - row0, hc + dc - col0
+                        if 0 <= br < th and 0 <= bc < tw and \
+                                passable[br, bc]:
+                            nd = hd + (hcost + ci[br, bc]) * m
+                            if nd < dist[br, bc]:
+                                dist[br, bc] = nd
+                                improved = True
+        if improved:
+            _local_dijkstra(cost, dist)
+        ty, tx = divmod(tile_id, tiles_x)
+        return pd.DataFrame(
+            {
+                "tile_id": [tile_id],
+                "ty": [ty],
+                "tx": [tx],
+                "row0": [row0],
+                "col0": [col0],
+                "th": [th],
+                "tw": [tw],
+                "cost": [cost.ravel().tolist()],
+                "dist": [dist.ravel().tolist()],
+                "changed": [int(improved)],
+            }
+        )
+
+    for _round in range(max_rounds):
+        state = (
+            state.map_batches(fanout, batch_format="pyarrow")
+            .groupby("dst_tile")
+            .map_groups(relax, batch_format="pandas")
+            .materialize()
+        )
+        n_changed = state.sum("changed")
+        if not n_changed:
+            break
+
+    def cells(b: pa.Table) -> pa.Table:
+        rows, cols, dists = [], [], []
+        for i in range(b.num_rows):
+            row0 = int(b.column("row0")[i].as_py())
+            col0 = int(b.column("col0")[i].as_py())
+            th = int(b.column("th")[i].as_py())
+            tw = int(b.column("tw")[i].as_py())
+            dist = np.asarray(
+                b.column("dist").combine_chunks()[i].values, np.int64
+            ).reshape(th, tw)
+            rr, cc = np.nonzero(dist < INF)
+            rows.append(rr + row0)
+            cols.append(cc + col0)
+            dists.append(dist[rr, cc])
+        if not rows:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows), pa.int64()),
+                "col": pa.array(np.concatenate(cols), pa.int64()),
+                "dist": pa.array(np.concatenate(dists), pa.int64()),
+            }
+        )
+
+    out = state.map_batches(cells, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["row", "col"]).reset_index(drop=True)

@@ -407,8 +407,39 @@ def check_wordpiece_encode_reference(ray_df, sf_dir):
     return f"MISMATCH vs WordPiece encode reference (e.g. {bad})"
 
 
+def check_cost_distance_reference(ray_df, sf_dir):
+    """cost_distance: bit-exact vs single-process Dijkstra on the same
+    synthetic cost raster."""
+    import numpy as np
+    import pandas as pd
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.costdistance import (
+        INF,
+        cost_distance_reference,
+    )
+
+    n = 64
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    cost = synth.synth_values(rr, cc).astype(np.float64)
+    want = cost_distance_reference(cost, [(0, 0), (50, 57)])
+    wr, wc = np.nonzero(want < INF)
+    wdf = (
+        pd.DataFrame({"row": wr, "col": wc, "dist": want[wr, wc]})
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    got = ray_df.reset_index(drop=True)
+    if got.equals(wdf):
+        return "OK (bit-exact vs single-process Dijkstra)"
+    return (
+        f"MISMATCH vs Dijkstra reference ({len(got)} vs {len(wdf)} rows)"
+    )
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
+    "cost_distance": check_cost_distance_reference,
     "wordpiece_train_merges": check_wordpiece_reference,
     "wordpiece_encode_tokens": check_wordpiece_encode_reference,
     "knn_cosine_lsh": check_knn_lsh_exact,

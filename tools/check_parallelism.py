@@ -181,6 +181,7 @@ QUERIES = [
     "first_orderkeys_concat",
     "wordpiece_train_merges",
     "wordpiece_encode_tokens",
+    "cost_distance",
 ]
 
 _CHILD = r"""
