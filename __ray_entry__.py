@@ -3446,6 +3446,34 @@ def _q_cost_distance(sf_dir: str):
     return cost_distance(raster, [(0, 0), (50, 57)])
 
 
+def _q_least_cost_path(sf_dir: str):
+    """Least-cost path (r.drain / CostPath): cost_distance state written
+    as tile_id-partitioned parquet, then the back-trace reads ONLY the
+    3x3 tile windows the path crosses (file-list pruning — the IVF
+    storage shape); bit-exact vs the single-process back-trace in
+    tools/check_oracles.py."""
+    import tempfile
+
+    from exactextractr_ray.pipelines.costdistance import (
+        cost_distance,
+        least_cost_path,
+        write_state_partitioned,
+    )
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    raster = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    _cells, state = cost_distance(raster, [(0, 1)], keep_state=True)
+    with tempfile.TemporaryDirectory(prefix="lcp_") as tmp:
+        path = least_cost_path(tmp + "/s", (64, 64), (16, 16), (63, 60))             if write_state_partitioned(state, tmp + "/s") is None else []
+    return pd.DataFrame(
+        {
+            "step": np.arange(len(path), dtype=np.int64),
+            "row": np.array([p[0] for p in path], np.int64),
+            "col": np.array([p[1] for p in path], np.int64),
+        }
+    )
+
+
 def _q_wordpiece_train_merges(sf_dir: str):
     """Distributed WordPiece training (stages/wordpiece.py): corpus read
     once into the bounded vocab table, then 10 likelihood-scored merge
@@ -4356,6 +4384,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "wordpiece_train_merges": _q_wordpiece_train_merges,
         "cost_distance": _q_cost_distance,
+        "least_cost_path": _q_least_cost_path,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,

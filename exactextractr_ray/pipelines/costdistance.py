@@ -123,11 +123,14 @@ def cost_distance(
     raster: RasterDataset,
     sources: list[tuple[int, int]],
     max_rounds: int = 10_000,
+    keep_state: bool = False,
 ):
     """Distributed chamfer-(2,3) cost distance -> pandas DataFrame of
     (row, col, dist) for every reachable cell, bit-exact vs
     ``cost_distance_reference``. ``sources`` are absolute (row, col)
-    grid indices (the small side: broadcast via closure)."""
+    grid indices (the small side: broadcast via closure).
+    ``keep_state=True`` returns ``(cells_df, state_dataset)`` — the
+    per-tile (cost, dist) state feeding ``least_cost_path``."""
     import ray.data
 
     tiles_y, tiles_x = raster.tiles_y, raster.tiles_x
@@ -323,4 +326,146 @@ def cost_distance(
         )
 
     out = state.map_batches(cells, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["row", "col"]).reset_index(drop=True)
+    if len(out):
+        out = out.sort_values(["row", "col"]).reset_index(drop=True)
+    else:  # all sources on barriers: empty result, stable schema
+        out = pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64)
+             for c in ("row", "col", "dist")}
+        )
+    return (out, state) if keep_state else out
+
+
+def least_cost_path_reference(
+    cost: np.ndarray, dist: np.ndarray, target: tuple[int, int]
+) -> list[tuple[int, int]]:
+    """Single-process back-trace (the oracle): from ``target`` follow
+    the predecessor relation ``dist[b] == dist[a] + (ca+cb)*m`` with
+    the deterministic (dist, row, col) tie-break, down to a source
+    cell (dist 0). Returns the path target -> source inclusive."""
+    h, w = dist.shape
+    ci = np.where(np.isfinite(cost) & (cost > 0), cost, 0).astype(np.int64)
+    r, c = int(target[0]), int(target[1])
+    if dist[r, c] >= INF:
+        return []
+    path = [(r, c)]
+    while dist[r, c] > 0:
+        best = None
+        for dr, dc, m in _NBRS:
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and dist[nr, nc] < INF and \
+                    dist[r, c] == dist[nr, nc] + (ci[nr, nc] + ci[r, c]) * m:
+                key = (int(dist[nr, nc]), nr, nc)
+                if best is None or key < best:
+                    best = key
+        if best is None:  # inconsistent labels (cannot happen post-fixpoint)
+            raise ValueError("no predecessor found: labels not a fixpoint")
+        _, r, c = best
+        path.append((r, c))
+    return path
+
+
+def write_state_partitioned(state, out_dir: str) -> None:
+    """Persist the cost-distance tile state as tile_id-partitioned
+    parquet — the storage layout that lets path tracing read ONLY the
+    tiles a path crosses (same file-list pruning shape as the IVF
+    index)."""
+    state.write_parquet(out_dir, partition_cols=["tile_id"])
+
+
+def least_cost_path(
+    state_dir: str,
+    grid_shape: tuple[int, int],
+    tile_hw: tuple[int, int],
+    target: tuple[int, int],
+) -> list[tuple[int, int]]:
+    """Distributed-storage back-trace (r.drain / ArcGIS CostPath): walk
+    the predecessor relation from ``target`` to a source, reading ONLY
+    the 3x3 tile window around the walker from the tile_id-partitioned
+    state (``write_state_partitioned``) and re-centering when the path
+    leaves the center tile. I/O is O(path-length / tile_size) windows
+    of 9 tiles each; nothing else is ever read — path tracing is
+    inherently sequential, so bounded targeted reads ARE the scale
+    shape (a full-state collect would be the anti-pattern).
+
+    Bit-identical to ``least_cost_path_reference`` (same predecessor
+    equation + (dist, row, col) tie-break)."""
+    import pyarrow.dataset as pads
+
+    nrow, ncol = grid_shape
+    th_n, tw_n = tile_hw
+    tiles_y = (nrow + th_n - 1) // th_n
+    tiles_x = (ncol + tw_n - 1) // tw_n
+    dset = pads.dataset(state_dir, partitioning="hive")
+
+    cache: dict[int, tuple] = {}
+
+    def tile_of(r: int, c: int) -> int:
+        return (r // th_n) * tiles_x + (c // tw_n)
+
+    def load_window(center: int) -> None:
+        ty, tx = divmod(center, tiles_x)
+        want = [
+            (ty + dy) * tiles_x + (tx + dx)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+            if 0 <= ty + dy < tiles_y and 0 <= tx + dx < tiles_x
+        ]
+        need = [t for t in want if t not in cache]
+        if not need:
+            return
+        import pyarrow.compute as pc
+
+        tbl = dset.to_table(
+            filter=pc.field("tile_id").isin(need),
+            columns=["tile_id", "row0", "col0", "th", "tw", "cost",
+                     "dist"],
+        )
+        for i in range(tbl.num_rows):
+            tid = int(tbl.column("tile_id")[i].as_py())
+            th = int(tbl.column("th")[i].as_py())
+            tw = int(tbl.column("tw")[i].as_py())
+            cost = np.asarray(
+                tbl.column("cost").combine_chunks()[i].values, np.float64
+            ).reshape(th, tw)
+            dist = np.asarray(
+                tbl.column("dist").combine_chunks()[i].values, np.int64
+            ).reshape(th, tw)
+            cache[tid] = (
+                int(tbl.column("row0")[i].as_py()),
+                int(tbl.column("col0")[i].as_py()),
+                np.where(np.isfinite(cost) & (cost > 0), cost, 0)
+                .astype(np.int64),
+                dist,
+            )
+
+    def lookup(r: int, c: int) -> tuple[int, int]:
+        """(dist, integer cost) at an absolute cell from the cache."""
+        tid = tile_of(r, c)
+        row0, col0, ci, dist = cache[tid]
+        return int(dist[r - row0, c - col0]), int(ci[r - row0, c - col0])
+
+    r, c = int(target[0]), int(target[1])
+    load_window(tile_of(r, c))
+    d0, _ = lookup(r, c)
+    if d0 >= INF:
+        return []
+    path = [(r, c)]
+    while True:
+        d_here, c_here = lookup(r, c)
+        if d_here == 0:
+            return path
+        load_window(tile_of(r, c))
+        best = None
+        for dr, dc, m in _NBRS:
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < nrow and 0 <= nc < ncol:
+                dn, cn = lookup(nr, nc)
+                if dn < INF and d_here == dn + (cn + c_here) * m:
+                    key = (dn, nr, nc)
+                    if best is None or key < best:
+                        best = key
+        if best is None:
+            raise ValueError("no predecessor found: labels not a fixpoint")
+        _, r, c = best
+        path.append((r, c))

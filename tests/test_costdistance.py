@@ -109,3 +109,53 @@ def test_ragged_tiles(ray_session):
     rng = np.random.default_rng(5)
     cost = rng.integers(1, 9, (20, 20)).astype(np.float64)
     _check(cost, [(1, 17)], 8, ray_session)  # 20 % 8 != 0 -> ragged edge
+
+
+def test_least_cost_path_matches_reference(ray_session, tmp_path):
+    from exactextractr_ray.pipelines.costdistance import (
+        least_cost_path,
+        least_cost_path_reference,
+        write_state_partitioned,
+    )
+
+    rng = np.random.default_rng(9)
+    cost = rng.integers(1, 9, (40, 40)).astype(np.float64)
+    cost[10:30, 20] = np.nan  # wall with ends open -> path must detour
+    raster = _raster_from_array(cost, 16)
+    cells, state = cost_distance(raster, [(0, 0)], keep_state=True)
+    write_state_partitioned(state, str(tmp_path / "state"))
+    want_dist = cost_distance_reference(cost, [(0, 0)])
+    tgt = (39, 39)
+    got = least_cost_path(
+        str(tmp_path / "state"), (40, 40), (16, 16), tgt
+    )
+    want = least_cost_path_reference(cost, want_dist, tgt)
+    assert got == want
+    assert got[0] == tgt and want_dist[got[-1]] == 0
+    # dist strictly decreases along the path
+    ds_ = [want_dist[p] for p in got]
+    assert all(a > b for a, b in zip(ds_, ds_[1:]))
+
+
+def test_least_cost_path_unreachable_target(ray_session, tmp_path):
+    from exactextractr_ray.pipelines.costdistance import (
+        least_cost_path,
+        write_state_partitioned,
+    )
+
+    cost = np.ones((16, 16))
+    cost[:, 8] = np.nan
+    raster = _raster_from_array(cost, 8)
+    _cells, state = cost_distance(raster, [(0, 0)], keep_state=True)
+    write_state_partitioned(state, str(tmp_path / "state"))
+    assert least_cost_path(
+        str(tmp_path / "state"), (16, 16), (8, 8), (5, 12)
+    ) == []
+
+
+def test_all_sources_on_barriers_empty_result(ray_session):
+    cost = np.ones((16, 16))
+    cost[3, 3] = np.nan
+    raster = _raster_from_array(cost, 8)
+    out = cost_distance(raster, [(3, 3)])
+    assert len(out) == 0 and list(out.columns) == ["row", "col", "dist"]

@@ -437,9 +437,38 @@ def check_cost_distance_reference(ray_df, sf_dir):
     )
 
 
+def check_least_cost_path_reference(ray_df, sf_dir):
+    """least_cost_path: bit-exact vs full-raster Dijkstra + back-trace."""
+    import numpy as np
+    import pandas as pd
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.costdistance import (
+        cost_distance_reference,
+        least_cost_path_reference,
+    )
+
+    n = 64
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    cost = synth.synth_values(rr, cc).astype(np.float64)
+    dist = cost_distance_reference(cost, [(0, 1)])
+    want = least_cost_path_reference(cost, dist, (63, 60))
+    wdf = pd.DataFrame(
+        {
+            "step": np.arange(len(want), dtype=np.int64),
+            "row": np.array([p[0] for p in want], np.int64),
+            "col": np.array([p[1] for p in want], np.int64),
+        }
+    )
+    if ray_df.reset_index(drop=True).equals(wdf):
+        return "OK (bit-exact vs single-process back-trace)"
+    return f"MISMATCH vs path reference ({len(ray_df)} vs {len(wdf)})"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
     "cost_distance": check_cost_distance_reference,
+    "least_cost_path": check_least_cost_path_reference,
     "wordpiece_train_merges": check_wordpiece_reference,
     "wordpiece_encode_tokens": check_wordpiece_encode_reference,
     "knn_cosine_lsh": check_knn_lsh_exact,

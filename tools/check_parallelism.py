@@ -182,6 +182,7 @@ QUERIES = [
     "wordpiece_train_merges",
     "wordpiece_encode_tokens",
     "cost_distance",
+    "least_cost_path",
 ]
 
 _CHILD = r"""
