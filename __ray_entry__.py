@@ -3446,6 +3446,19 @@ def _q_cost_distance(sf_dir: str):
     return cost_distance(raster, [(0, 0), (50, 57)])
 
 
+def _q_sieve_raster(sf_dir: str):
+    """gdal_sieve parity (pipelines/sieve.py): small-region removal with
+    GDAL's smallest-first-with-recontraction semantics over the synth
+    raster's NaN-holed value field. Component graph (sizes + adjacency)
+    is output-sized; cells never collect. Checked cell-exact vs the
+    single-process BFS reference by tools/check_oracles.py."""
+    from exactextractr_ray.pipelines.sieve import sieve_raster
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    raster = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    return sieve_raster(raster, threshold=6)
+
+
 def _q_least_cost_path(sf_dir: str):
     """Least-cost path (r.drain / CostPath): cost_distance state written
     as tile_id-partitioned parquet, then the back-trace reads ONLY the
@@ -4385,6 +4398,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "wordpiece_train_merges": _q_wordpiece_train_merges,
         "cost_distance": _q_cost_distance,
         "least_cost_path": _q_least_cost_path,
+        "sieve_raster": _q_sieve_raster,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,

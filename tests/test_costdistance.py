@@ -24,6 +24,7 @@ def _raster_from_array(cost: np.ndarray, tile: int) -> RasterDataset:
             blk = cost[ty:ty + tile, tx:tx + tile]
             rows.append(
                 {
+                    "layer": "value",
                     "ty": ty // tile,
                     "tx": tx // tile,
                     "row0": ty,

@@ -1,0 +1,84 @@
+"""Raster sieve (pipelines/sieve.py): cell-exact vs the single-process
+BFS reference, GDAL smallest-first-with-recontraction semantics,
+isolated small regions, NaN background, tile-crossing regions."""
+
+import numpy as np
+import pytest
+
+from exactextractr_ray.pipelines.sieve import (
+    _sieve_merge_plan,
+    runs_to_array,
+    sieve_raster,
+    sieve_reference,
+)
+from tests.test_costdistance import _raster_from_array
+
+
+def _assert_matches(cost, threshold, tile, ray_session):
+    got = runs_to_array(
+        sieve_raster(_raster_from_array(cost, tile), threshold),
+        cost.shape,
+    )
+    want = sieve_reference(cost, threshold)
+    assert np.array_equal(np.isnan(got), np.isnan(want))
+    assert np.array_equal(got[~np.isnan(got)], want[~np.isnan(want)])
+    return want
+
+
+def test_speckle_cleanup(ray_session):
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 3, (6, 6)).astype(np.float64)
+    cost = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    noise = rng.random((48, 48)) < 0.06
+    cost[noise] = rng.integers(5, 8, int(noise.sum())).astype(np.float64)
+    cost[0:3, 40:43] = np.nan
+    want = _assert_matches(cost, 20, 16, ray_session)
+    # all speckle values are gone; only the base classes remain
+    assert set(np.unique(want[np.isfinite(want)])) <= {0.0, 1.0, 2.0}
+
+
+def test_region_crossing_tiles_survives(ray_session):
+    cost = np.zeros((32, 32))
+    cost[14:18, :] = 7.0  # a 4x32 stripe crossing both tile rows
+    want = _assert_matches(cost, 50, 16, ray_session)
+    assert np.all(want[15] == 7.0)  # 128 cells >= 50: survives
+
+
+def test_isolated_small_region_keeps_value(ray_session):
+    cost = np.full((16, 16), np.nan)
+    cost[4:6, 4:6] = 3.0  # small but has NO neighbor (NaN background)
+    want = _assert_matches(cost, 10, 8, ray_session)
+    assert np.all(want[4:6, 4:6] == 3.0)
+
+
+def test_recontraction_lifts_absorber():
+    """Merging a into b can push b over the threshold: plan must then
+    leave b alone (smallest-first with recontraction)."""
+    sizes = {1: 2, 2: 4, 3: 100}
+    borders = {(1, 2): 1, (2, 3): 1}
+    plan = _sieve_merge_plan(dict(sizes), dict(borders), threshold=6)
+    # 1 (smallest) merges into 2 (its only neighbor) -> 2 has 6 >= 6
+    assert plan[1] == 2 and plan[2] == 2 and plan[3] == 3
+
+
+def test_chain_merge_into_large():
+    sizes = {1: 1, 2: 2, 3: 100}
+    borders = {(1, 2): 1, (2, 3): 1}
+    plan = _sieve_merge_plan(dict(sizes), dict(borders), threshold=50)
+    # 1 -> 2 (only neighbor), then 2 (size 3 < 50) -> 3
+    assert plan[1] == 3 and plan[2] == 3
+
+
+def test_tie_break_largest_then_smallest_id():
+    sizes = {5: 1, 2: 10, 9: 10}
+    borders = {(2, 5): 1, (5, 9): 1}
+    plan = _sieve_merge_plan(dict(sizes), dict(borders), threshold=2)
+    assert plan[5] == 2  # equal sizes -> smaller component id wins
+
+
+def test_checkerboard_all_small_collapses(ray_session):
+    """2x2 checkerboard blocks below threshold: everything merges; the
+    result must still match the reference exactly (order-sensitive)."""
+    base = np.indices((8, 8)).sum(axis=0) % 2
+    cost = np.repeat(np.repeat(base.astype(np.float64), 2, 0), 2, 1)
+    _assert_matches(cost, 5, 8, ray_session)

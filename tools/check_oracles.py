@@ -465,10 +465,35 @@ def check_least_cost_path_reference(ray_df, sf_dir):
     return f"MISMATCH vs path reference ({len(ray_df)} vs {len(wdf)})"
 
 
+def check_sieve_reference(ray_df, sf_dir):
+    """sieve_raster: cell-exact vs single-process BFS labeling + the
+    shared merge plan."""
+    import numpy as np
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.sieve import (
+        runs_to_array,
+        sieve_reference,
+    )
+
+    n = 64
+    rr, cc = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    cost = synth.synth_values(rr, cc).astype(np.float64)
+    want = sieve_reference(cost, 6)
+    got = runs_to_array(ray_df, (n, n))
+    if np.array_equal(np.isnan(got), np.isnan(want)) and np.array_equal(
+        got[~np.isnan(got)], want[~np.isnan(want)]
+    ):
+        return "OK (cell-exact vs single-process BFS sieve)"
+    bad = int((got[~np.isnan(want)] != want[~np.isnan(want)]).sum())
+    return f"MISMATCH vs sieve reference ({bad} cells differ)"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
     "cost_distance": check_cost_distance_reference,
     "least_cost_path": check_least_cost_path_reference,
+    "sieve_raster": check_sieve_reference,
     "wordpiece_train_merges": check_wordpiece_reference,
     "wordpiece_encode_tokens": check_wordpiece_encode_reference,
     "knn_cosine_lsh": check_knn_lsh_exact,

@@ -183,6 +183,7 @@ QUERIES = [
     "wordpiece_encode_tokens",
     "cost_distance",
     "least_cost_path",
+    "sieve_raster",
 ]
 
 _CHILD = r"""
