@@ -3446,6 +3446,22 @@ def _q_cost_distance(sf_dir: str):
     return cost_distance(raster, [(0, 0), (50, 57)])
 
 
+def _q_fillnodata(sf_dir: str):
+    """gdal_fillnodata shape (pipelines/interpolate.py fillnodata):
+    8-ray nearest-donor IDW over the synth raster's NODATA holes, ONE
+    max_dist-deep halo exchange + vectorized per-tile kernel; exact
+    integer rational (num, den) over the common denominator makes the
+    result order-independent — bit-exact DuckDB oracle."""
+    from exactextractr_ray.pipelines.interpolate import fillnodata
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    raster = synthetic_raster_dataset(
+        n=N_GRID, tile=16, dtype=np.float64
+    )
+    out = fillnodata(raster, max_dist=8).to_pandas()
+    return out.sort_values(["row", "col"]).reset_index(drop=True)
+
+
 def _q_sieve_raster(sf_dir: str):
     """gdal_sieve parity (pipelines/sieve.py): small-region removal with
     GDAL's smallest-first-with-recontraction semantics over the synth
@@ -4399,6 +4415,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "cost_distance": _q_cost_distance,
         "least_cost_path": _q_least_cost_path,
         "sieve_raster": _q_sieve_raster,
+        "fillnodata": _q_fillnodata,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8193,6 +8210,36 @@ def oracle_sql() -> dict[str, str]:
         "h264_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
+        "fillnodata": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    dirs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                            (1,-1),(1,0),(1,1)),
+    holes AS (SELECT r, c FROM cells WHERE val IS NULL),
+    hits AS (
+      SELECT h.r, h.c, d.dy, d.dx, MIN(s.i) AS dist
+      FROM holes h
+      CROSS JOIN dirs d
+      JOIN range(1, 9) s(i) ON TRUE
+      JOIN cells v ON v.r = h.r + d.dy * s.i AND v.c = h.c + d.dx * s.i
+                  AND v.val IS NOT NULL
+      GROUP BY h.r, h.c, d.dy, d.dx
+    ),
+    donors AS (
+      SELECT t.r, t.c, t.dist, CAST(v.val AS BIGINT) AS v
+      FROM hits t JOIN cells v
+        ON v.r = t.r + t.dy * t.dist AND v.c = t.c + t.dx * t.dist
+    ),
+    dd AS (SELECT r, c, CAST(ROUND(PRODUCT(dist)) AS BIGINT) AS big_d
+           FROM donors GROUP BY r, c)
+    SELECT CAST(d.r * {N_GRID} + d.c AS BIGINT) AS cell,
+           CAST(d.r AS BIGINT) AS row, CAST(d.c AS BIGINT) AS col,
+           CAST(SUM(d.v * (a.big_d // d.dist)) AS BIGINT) AS num,
+           CAST(SUM(a.big_d // d.dist) AS BIGINT) AS den,
+           CAST(SUM(d.v * (a.big_d // d.dist)) AS DOUBLE)
+             / SUM(a.big_d // d.dist) AS fill_val
+    FROM donors d JOIN dd a ON a.r = d.r AND a.c = d.c
+    GROUP BY d.r, d.c ORDER BY d.r, d.c
+    """,
         # lossless FLAC: per-channel sums recomputed from the PCM rule
         "flac_decode_sums": """
     SELECT t.m AS media_id,

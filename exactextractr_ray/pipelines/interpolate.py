@@ -73,3 +73,91 @@ def idw_proximity(n: int, seeds_q: np.ndarray, seed_vals: np.ndarray, parallelis
 
     ds = ray.data.range(n * n, override_num_blocks=parallelism or 16)
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+_FILL_DIRS = ((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
+              (1, -1), (1, 0), (1, 1))
+
+
+def fillnodata(raster, max_dist: int = 8, broadcast_cap=None):
+    """``gdal_fillnodata`` shape: NODATA (NaN) cells are filled by
+    inverse-distance weighting of the FIRST valid cell found along each
+    of the 8 compass rays within ``max_dist`` steps (GDAL's
+    GDALFillNodata search semantics, with ray length measured in steps —
+    the integer chamfer convention used throughout this toolbox).
+
+    Exactness: for integer-valued rasters the weighted mean
+    sum(v_i/d_i) / sum(1/d_i) is carried as the exact integer rational
+    (num, den) over the common denominator D = prod(d_i)
+    (d_i <= max_dist, <= 8 rays -> D <= max_dist^8 fits int64), so the
+    result is order-independent and matches a DuckDB recomputation
+    bit-for-bit; ``fill_val = num/den`` is one float division.
+
+    Distributed shape: ONE k-deep halo exchange (the focal machinery,
+    k = max_dist <= tile size) then a fully vectorized per-tile kernel
+    (8 x max_dist shifted-window passes). Returns a Dataset of
+    ``(cell, row, col, num, den, fill_val)`` for every fillable hole.
+    """
+    import pyarrow as pa
+
+    from .focal import _cell_ids, _run_focal
+
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    if max_dist > min(raster.tile_h, raster.tile_w):
+        raise ValueError("max_dist exceeds tile size (halo is one tile deep)")
+    k = max_dist
+    n_cols = raster.grid.ncol
+
+    def window_fn(canvas, row0, col0, th, tw) -> pa.Table:
+        valid = ~np.isnan(canvas)
+        ivals = np.where(valid, np.round(canvas), 0).astype(np.int64)
+        body_nan = ~valid[k:k + th, k:k + tw]
+        nd = len(_FILL_DIRS)
+        dists = np.zeros((nd, th, tw), np.int64)
+        vals = np.zeros((nd, th, tw), np.int64)
+        for di, (dy, dx) in enumerate(_FILL_DIRS):
+            found = np.zeros((th, tw), bool)
+            for s in range(1, k + 1):
+                r0 = k + dy * s
+                c0 = k + dx * s
+                wv = valid[r0:r0 + th, c0:c0 + tw]
+                new = wv & ~found
+                if np.any(new):
+                    dists[di][new] = s
+                    vals[di][new] = ivals[r0:r0 + th, c0:c0 + tw][new]
+                found |= wv
+        has = dists > 0
+        fill = body_nan & has.any(axis=0)
+        if not np.any(fill):
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "row": pa.array([], pa.int64()),
+                    "col": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.int64()),
+                    "den": pa.array([], pa.int64()),
+                    "fill_val": pa.array([], pa.float64()),
+                }
+            )
+        d = np.where(has, dists, 1)
+        big_d = np.prod(d, axis=0)  # <= max_dist^8: exact in int64
+        w = np.where(has, big_d[None] // d, 0)
+        num = (vals * w).sum(axis=0)
+        den = w.sum(axis=0)
+        rr, cc = np.nonzero(fill)
+        cells = _cell_ids(row0, col0, th, tw, n_cols).reshape(th, tw)
+        return pa.table(
+            {
+                "cell": pa.array(cells[rr, cc], pa.int64()),
+                "row": pa.array(rr + row0, pa.int64()),
+                "col": pa.array(cc + col0, pa.int64()),
+                "num": pa.array(num[rr, cc], pa.int64()),
+                "den": pa.array(den[rr, cc], pa.int64()),
+                "fill_val": pa.array(
+                    num[rr, cc] / den[rr, cc], pa.float64()
+                ),
+            }
+        )
+
+    return _run_focal(raster, window_fn, broadcast_cap, k=k)

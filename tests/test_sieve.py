@@ -82,3 +82,51 @@ def test_checkerboard_all_small_collapses(ray_session):
     base = np.indices((8, 8)).sum(axis=0) % 2
     cost = np.repeat(np.repeat(base.astype(np.float64), 2, 0), 2, 1)
     _assert_matches(cost, 5, 8, ray_session)
+
+
+def test_fillnodata_matches_bruteforce(ray_session):
+    """8-ray donor search vs a brute-force per-hole loop, exact
+    integer rationals; max_dist bound respected."""
+    from exactextractr_ray.pipelines.interpolate import (
+        _FILL_DIRS,
+        fillnodata,
+    )
+
+    rng = np.random.default_rng(4)
+    cost = rng.integers(0, 100, (32, 32)).astype(np.float64)
+    holes = rng.random((32, 32)) < 0.15
+    cost[holes] = np.nan
+    cost[10:19, 10:19] = np.nan  # a 9x9 hole: its center exceeds k=3
+    k = 3
+    out = (
+        fillnodata(_raster_from_array(cost, 16), max_dist=k)
+        .to_pandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    valid = np.isfinite(cost)
+    want = []
+    for r, c in np.argwhere(~valid):
+        ds_, vs = [], []
+        for dy, dx in _FILL_DIRS:
+            for s in range(1, k + 1):
+                nr, nc = r + dy * s, c + dx * s
+                if 0 <= nr < 32 and 0 <= nc < 32 and valid[nr, nc]:
+                    ds_.append(s)
+                    vs.append(int(cost[nr, nc]))
+                    break
+        if ds_:
+            D = int(np.prod(ds_))
+            w = [D // d for d in ds_]
+            want.append(
+                (int(r), int(c),
+                 sum(v * wi for v, wi in zip(vs, w)), sum(w))
+            )
+    got = [tuple(int(v) for v in t)
+           for t in out[["row", "col", "num", "den"]].itertuples(index=False)]
+    assert got == want
+    # fill_val is the single exact division
+    assert np.allclose(out["fill_val"], out["num"] / out["den"], rtol=0,
+                       atol=0)
+    # the hole's center is > k steps from any valid cell on all 8 rays
+    assert (14, 14) not in {(r, c) for r, c, *_ in got}

@@ -184,6 +184,7 @@ QUERIES = [
     "cost_distance",
     "least_cost_path",
     "sieve_raster",
+    "fillnodata",
 ]
 
 _CHILD = r"""
