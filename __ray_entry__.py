@@ -1769,6 +1769,21 @@ def _q_focal_mean(sf_dir: str):
     return df.sort_values("cell").reset_index(drop=True)
 
 
+def _q_focal_morph(sf_dir: str):
+    """3x3 grey morphology (pipelines/focal.py focal_minmax_3x3):
+    erosion / dilation / morphological gradient in one halo exchange;
+    bit-exact MIN/MAX self-join oracle."""
+    import numpy as np
+
+    from exactextractr_ray.pipelines.focal import focal_minmax_3x3
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = focal_minmax_3x3(rd).to_pandas()
+    df["cell"] = df["cell"].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
 def _q_raster_components(sf_dir: str):
     """Connected-component labeling (4-adjacency) of the synthetic raster
     quantized to floor(val/500) classes — run-based distributed CCL:
@@ -4519,6 +4534,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "zone_top_tokens": _q_zone_top_tokens,
         "focal_mean": _q_focal_mean,
         "focal_mean5": _q_focal_mean5,
+        "focal_morph": _q_focal_morph,
         "raster_components": _q_raster_components,
         "vectorize_raster": _q_vectorize_raster,
         "component_zonal_mean": _q_component_zonal_mean,
@@ -8438,6 +8454,21 @@ def oracle_sql() -> dict[str, str]:
         "cell_kring": cell_kring,
         "raster_runs": raster_runs_sql,
         "focal_mean": focal_mean_sql,
+        "focal_morph": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    nb AS (
+      SELECT c0.r AS r, c0.c AS c, c1.val AS v
+      FROM cells c0 JOIN cells c1
+        ON c1.r BETWEEN c0.r - 1 AND c0.r + 1
+       AND c1.c BETWEEN c0.c - 1 AND c0.c + 1
+      WHERE c1.val IS NOT NULL)
+    SELECT CAST(c0.r * {N_GRID} + c0.c AS BIGINT) AS cell,
+           MIN(nb.v) AS focal_min,
+           MAX(nb.v) AS focal_max,
+           MAX(nb.v) - MIN(nb.v) AS morph_gradient
+    FROM cells c0 LEFT JOIN nb ON nb.r = c0.r AND nb.c = c0.c
+    GROUP BY c0.r, c0.c ORDER BY cell
+    """,
         "focal_mean5": focal_mean5_sql,
         "raster_components": raster_components_sql,
         "vectorize_raster": vectorize_raster_sql,

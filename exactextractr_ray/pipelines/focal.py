@@ -774,3 +774,36 @@ def flow_direction_d8(raster: RasterDataset, broadcast_cap: int | None = None):
         )
 
     return _run_focal(raster, window, broadcast_cap)
+
+
+def focal_minmax_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Grey-scale morphology primitives in ONE halo exchange: 3x3 focal
+    min (erosion), max (dilation) and the morphological gradient
+    (dilation - erosion, the classic edge detector). NaN cells are
+    skipped (np.fmin/fmax semantics); windows with no valid cell yield
+    NaN. Erosion-then-dilation compositions (opening/closing) chain two
+    of these passes. Exact for integer-valued rasters -> bit-exact
+    DuckDB MIN/MAX oracle."""
+    n_cols = raster.grid.ncol
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        mn = np.full((th, tw), np.nan)
+        mx = np.full((th, tw), np.nan)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                win = canvas[dr:dr + th, dc:dc + tw]
+                mn = np.fmin(mn, win)
+                mx = np.fmax(mx, win)
+        grad = mx - mn
+        return pa.table(
+            {
+                "cell": pa.array(
+                    _cell_ids(row0, col0, th, tw, n_cols), pa.int64()
+                ),
+                "focal_min": pa.array(mn.ravel(), pa.float64()),
+                "focal_max": pa.array(mx.ravel(), pa.float64()),
+                "morph_gradient": pa.array(grad.ravel(), pa.float64()),
+            }
+        )
+
+    return _run_focal(raster, window, broadcast_cap, k=1)

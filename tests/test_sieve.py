@@ -130,3 +130,38 @@ def test_fillnodata_matches_bruteforce(ray_session):
                        atol=0)
     # the hole's center is > k steps from any valid cell on all 8 rays
     assert (14, 14) not in {(r, c) for r, c, *_ in got}
+
+
+def test_focal_morphology(ray_session):
+    """Erosion/dilation/gradient vs brute-force windows; NaN skipped;
+    broadcast and shuffle plans identical on ragged grids."""
+    from exactextractr_ray.pipelines.focal import focal_minmax_3x3
+
+    rng = np.random.default_rng(8)
+    cost = rng.integers(0, 50, (20, 20)).astype(np.float64)
+    cost[rng.random((20, 20)) < 0.1] = np.nan
+    rd = _raster_from_array(cost, 8)
+    got = (
+        focal_minmax_3x3(rd).to_pandas().sort_values("cell")
+        .reset_index(drop=True)
+    )
+    pad = np.full((22, 22), np.nan)
+    pad[1:21, 1:21] = cost
+    for i, (r, c) in enumerate(
+        (r, c) for r in range(20) for c in range(20)
+    ):
+        win = pad[r:r + 3, c:c + 3]
+        ok = np.isfinite(win)
+        row = got.iloc[i]
+        if ok.any():
+            assert row["focal_min"] == np.min(win[ok])
+            assert row["focal_max"] == np.max(win[ok])
+            assert row["morph_gradient"] == np.max(win[ok]) - np.min(win[ok])
+        else:
+            assert np.isnan(row["focal_min"]) and np.isnan(row["focal_max"])
+    # both physical plans agree on a ragged grid
+    shuf = (
+        focal_minmax_3x3(rd, broadcast_cap=0).to_pandas()
+        .sort_values("cell").reset_index(drop=True)
+    )
+    assert got.equals(shuf)

@@ -185,6 +185,7 @@ QUERIES = [
     "least_cost_path",
     "sieve_raster",
     "fillnodata",
+    "focal_morph",
 ]
 
 _CHILD = r"""
