@@ -67,6 +67,12 @@ _TERRAIN_OPS = {
     "roughness": ("indices", "roughness"),
     "flowdir": ("flowdir", "flowdir"),
     "flowacc": ("flowacc", "n_upstream"),
+    "erode": ("morph", "focal_min"),
+    "dilate": ("morph", "focal_max"),
+    "morphgrad": ("morph", "morph_gradient"),
+    "fillnodata": ("fill", "fill_val"),
+    "sieve": ("sieve", "val"),
+    "costdist": ("costdist", "dist"),
 }
 
 _MAX_TIF_CELLS = 1 << 26  # driver-assembled single-file output guard
@@ -80,7 +86,10 @@ def terrain_main(argv) -> int:
 
     Ops: slope (degrees), aspect (8-sector descent code), hillshade
     (az=315/alt=45 byte), shade (raw cosine), tpi, tri, roughness,
-    flowdir (ESRI D8 codes), flowacc (upstream cell counts). Inputs as in
+    flowdir (ESRI D8 codes), flowacc (upstream cell counts), erode /
+    dilate / morphgrad (3x3 grey morphology), fillnodata (8-ray IDW,
+    --max-dist), sieve (gdal_sieve small-region removal, --threshold),
+    costdist (chamfer-(2,3) cost distance from --source cells). Inputs as in
     the zonal CLI (.tif/.nc/.asc/ENVI/parquet tiles). `-o out.parquet`
     streams the (cell, value) table (the scale path — partitioned,
     resumable); `-o out.tif` assembles a single raster on the driver
@@ -97,6 +106,12 @@ def terrain_main(argv) -> int:
     ap.add_argument("--var", default=None, help="NetCDF variable")
     ap.add_argument("--tile", type=int, default=256)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--threshold", type=int, default=4,
+                    help="sieve: minimum region size kept")
+    ap.add_argument("--max-dist", type=int, default=8,
+                    help="fillnodata: donor search radius (steps)")
+    ap.add_argument("--source", default=None,
+                    help="costdist: semicolon-separated row,col seeds")
     args = ap.parse_args(argv)
 
     import ray
@@ -125,6 +140,59 @@ def terrain_main(argv) -> int:
         from .pipelines.focal import flow_direction_d8
 
         out = flow_direction_d8(rd)
+    elif kind == "morph":
+        from .pipelines.focal import focal_minmax_3x3
+
+        out = focal_minmax_3x3(rd)
+    elif kind == "fill":
+        from .pipelines.interpolate import fillnodata
+
+        out = fillnodata(rd, max_dist=args.max_dist).select_columns(
+            ["cell", "fill_val"]
+        )
+    elif kind == "sieve":
+        import pyarrow as pa
+
+        from .pipelines.sieve import sieve_raster
+
+        runs = sieve_raster(rd, threshold=args.threshold)
+        ncol_g = rd.grid.ncol
+        cells_out, vals_out = [], []
+        for r in runs.itertuples():
+            cs = np.arange(int(r.col_start), int(r.col_end) + 1,
+                           dtype=np.int64)
+            cells_out.append(int(r.row) * ncol_g + cs)
+            vals_out.append(np.full(len(cs), float(r.val)))
+        import ray.data as _rd
+
+        out = _rd.from_arrow(pa.table({
+            "cell": pa.array(
+                np.concatenate(cells_out) if cells_out else
+                np.array([], np.int64), pa.int64()),
+            "val": pa.array(
+                np.concatenate(vals_out) if vals_out else
+                np.array([], np.float64), pa.float64()),
+        }))
+    elif kind == "costdist":
+        import pyarrow as pa
+
+        from .pipelines.costdistance import cost_distance
+
+        if not args.source:
+            raise SystemExit("costdist requires --source \"r,c[;r,c...]\"")
+        seeds = [tuple(int(v) for v in pair.split(","))
+                 for pair in args.source.split(";")]
+        cd = cost_distance(rd, seeds)
+        ncol_g = rd.grid.ncol
+        import ray.data as _rd
+
+        out = _rd.from_arrow(pa.table({
+            "cell": pa.array(
+                cd["row"].to_numpy() * ncol_g + cd["col"].to_numpy(),
+                pa.int64()),
+            "dist": pa.array(cd["dist"].to_numpy().astype(np.float64),
+                             pa.float64()),
+        }))
     else:
         from .pipelines.hydrology import flow_accumulation_d8
 
@@ -158,6 +226,22 @@ def terrain_main(argv) -> int:
             "output directory instead"
         )
     arr = np.full(n_cells, np.nan)
+    if args.op == "fillnodata":
+        # fillnodata's table holds only the FILLED holes; the .tif
+        # output is the original raster with those holes patched
+        for b in rd.ds.iter_batches(batch_format="pyarrow"):
+            for i in range(b.num_rows):
+                row0 = int(b.column("row0")[i].as_py())
+                col0 = int(b.column("col0")[i].as_py())
+                th = int(b.column("th")[i].as_py())
+                tw = int(b.column("tw")[i].as_py())
+                v = np.asarray(
+                    b.column("values").combine_chunks()[i].values,
+                    np.float64,
+                ).reshape(th, tw)
+                idx = ((np.arange(row0, row0 + th)[:, None] * g.ncol)
+                       + np.arange(col0, col0 + tw)[None, :])
+                arr[idx.ravel()] = v.ravel()
     for b in out.iter_batches(batch_format="pyarrow"):
         arr[b.column("cell").to_numpy()] = b.column(col).to_numpy()
     from .sources.geotiff import write_geotiff

@@ -165,3 +165,56 @@ def test_focal_morphology(ray_session):
         .sort_values("cell").reset_index(drop=True)
     )
     assert got.equals(shuf)
+
+
+def test_cli_raster_tools_e2e(ray_session, tmp_path):
+    """terrain CLI: sieve to .tif (byte-compared vs the reference
+    semantics), morphology + costdist to parquet — gdal-utility
+    command-line parity over a real GeoTIFF."""
+    import os
+
+    from exactextractr_ray.cli import main as cli_main
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.pipelines.sieve import sieve_reference
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 3, (4, 4)).astype(np.float64)
+    arr = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    arr[rng.random((32, 32)) < 0.05] = 9.0
+    g = Grid(0.0, 0.0, 32.0, 32.0, 1.0, 1.0)
+    tif = str(tmp_path / "in.tif")
+    write_geotiff(arr, g, tif)
+
+    out_tif = str(tmp_path / "sieved.tif")
+    assert cli_main(["terrain", "-r", tif, "--op", "sieve",
+                     "--threshold", "10", "-o", out_tif,
+                     "--tile", "16"]) == 0
+    got, _meta = read_geotiff(out_tif)
+    want = sieve_reference(arr, 10)
+    assert np.array_equal(got[~np.isnan(want)], want[~np.isnan(want)])
+
+    out_pq = str(tmp_path / "dilate.parquet")
+    assert cli_main(["terrain", "-r", tif, "--op", "dilate",
+                     "-o", out_pq, "--tile", "16"]) == 0
+    assert os.path.isdir(out_pq)
+
+    out_cd = str(tmp_path / "cd.parquet")
+    assert cli_main(["terrain", "-r", tif, "--op", "costdist",
+                     "--source", "0,0;31,31", "-o", out_cd,
+                     "--tile", "16"]) == 0
+    assert os.path.isdir(out_cd)
+
+    # fillnodata .tif = original with holes patched
+    arr2 = arr.copy()
+    arr2[5, 5] = np.nan
+    tif2 = str(tmp_path / "holes.tif")
+    write_geotiff(arr2, g, tif2)
+    out_fill = str(tmp_path / "filled.tif")
+    assert cli_main(["terrain", "-r", tif2, "--op", "fillnodata",
+                     "--max-dist", "4", "-o", out_fill,
+                     "--tile", "16"]) == 0
+    filled, _m = read_geotiff(out_fill)
+    assert np.isfinite(filled[5, 5])  # hole patched
+    keep = np.isfinite(arr2)
+    assert np.array_equal(filled[keep], arr2[keep])  # others untouched
