@@ -33,6 +33,9 @@ __all__ = [
     "parse_ogg",
     "encode_ogg",
     "ogg_crc",
+    "ogg_packets",
+    "decode_ogg_flac",
+    "encode_ogg_flac",
 ]
 
 # ---------------- MPEG audio (MP3) ----------------
@@ -329,4 +332,92 @@ def encode_ogg(
         g = granules[i] if granules else (i + 1) * 960
         htype = 0x04 if i == len(packets) - 1 else 0
         out += page(htype, g, i + 1, pkt)
+    return out
+
+
+def ogg_packets(data: bytes, serial: int | None = None) -> list[bytes]:
+    """Reassemble the logical packets of one Ogg stream (RFC 3533
+    lacing: a packet ends at a segment < 255 bytes; the page
+    continuation flag carries packets across pages)."""
+    out: list[bytes] = []
+    pending = b""
+    want = serial
+    for htype, _gr, ser, _seq, segs, sizes, _ps, _pe in _iter_ogg_pages(
+        data
+    ):
+        if want is None:
+            want = ser
+        if ser != want:
+            continue
+        if not (htype & 0x01):  # not a continuation: drop stale partial
+            pending = b""
+        for (off, _s), sz in zip(segs, sizes):
+            pending += data[off:off + sz]
+            if sz < 255:
+                out.append(pending)
+                pending = b""
+    return out
+
+
+def decode_ogg_flac(data: bytes):
+    """FLAC-in-Ogg (the Ogg FLAC mapping) -> (samples, rate, bits) via
+    functions/flac.py: packet 0 is the mapping header carrying the
+    native ``fLaC`` signature + STREAMINFO; the advertised header
+    packets follow; every later packet is one native FLAC frame —
+    reassembling them yields a native stream the bit-exact decoder
+    already handles."""
+    from .flac import decode_flac
+
+    pkts = ogg_packets(data)
+    if not pkts or not pkts[0].startswith(b"\x7fFLAC"):
+        raise ValueError("not an Ogg-FLAC stream")
+    n_headers = struct.unpack(">H", pkts[0][7:9])[0]
+    native = bytearray(pkts[0][9:])  # "fLaC" + STREAMINFO block
+    if len(native) < 5:
+        raise ValueError("truncated Ogg-FLAC mapping header")
+    native[4] |= 0x80  # force last-metadata flag (headers are skipped)
+    audio = pkts[1 + n_headers:]
+    return decode_flac(bytes(native) + b"".join(audio))
+
+
+def encode_ogg_flac(samples, sample_rate: int = 44100, **kw) -> bytes:
+    """Fixture muxer: native FLAC (functions/flac.py) split into the
+    Ogg FLAC mapping — header packet + one packet per frame."""
+    from .flac import encode_flac, flac_info
+
+    native = encode_flac(samples, sample_rate, **kw)
+    info = flac_info(native)
+    frames_at = info["frames_at"]
+    header = (b"\x7fFLAC" + bytes([1, 0]) + struct.pack(">H", 0)
+              + native[:frames_at])
+    # split the frame section at frame sync boundaries (0xFF 0xF8+)
+    body = native[frames_at:]
+    bounds = [0]
+    i = 2
+    while i < len(body) - 1:
+        if body[i] == 0xFF and (body[i + 1] & 0xFC) == 0xF8:
+            bounds.append(i)
+            i += 2
+        else:
+            i += 1
+    bounds.append(len(body))
+    frames = [body[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+    packets = [header] + frames
+    # reuse the page writer from encode_ogg via a local serializer
+    out = b""
+    for i, pkt in enumerate(packets):
+        sizes = []
+        rem = len(pkt)
+        while True:
+            sizes.append(min(rem, 255))
+            rem -= sizes[-1]
+            if sizes[-1] < 255:
+                break
+        htype = 0x02 if i == 0 else (0x04 if i == len(packets) - 1 else 0)
+        hdr = (b"OggS" + struct.pack("<BBqIII", 0, htype, i, 0x46AC,
+                                     i, 0) + bytes([len(sizes)])
+               + bytes(sizes))
+        crc = ogg_crc(hdr + pkt)
+        hdr = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+        out += hdr + pkt
     return out

@@ -710,6 +710,14 @@ class AudioFeatures:
                 # so identical PCM in WAV and FLAC embeds identically
                 return (pcm.astype(np.float32).mean(axis=1)
                         / float(1 << (bits - 1)))
+            if kind == "audio/ogg":
+                from ..functions.audiometa import decode_ogg_flac
+
+                # Ogg-FLAC decodes natively; Opus/Vorbis payloads raise
+                # inside decode_ogg_flac's signature check
+                pcm, _rate, bits = decode_ogg_flac(payload)
+                return (pcm.astype(np.float32).mean(axis=1)
+                        / float(1 << (bits - 1)))
             raise NotImplementedError(
                 "WAV/AIFF/AU (incl. G.711 ulaw/alaw) and FLAC decode "
                 "natively in this environment; use fake=True for other "

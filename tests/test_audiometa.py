@@ -146,3 +146,42 @@ def test_sniff_and_probe_integration():
     assert sniff_media(ogg) == "audio/ogg"
     pm = probe_media(ogg)
     assert pm["sample_rate"] == 48000 and pm["frames"] == 2
+
+
+def test_ogg_flac_roundtrip_and_features():
+    """FLAC-in-Ogg decodes bit-exactly through packet reassembly onto
+    the native decoder; same PCM in bare FLAC and Ogg-FLAC embeds
+    identically (cross-container anchor)."""
+    import numpy as np
+
+    from exactextractr_ray.functions.audiometa import (
+        decode_ogg_flac,
+        encode_ogg_flac,
+        ogg_packets,
+    )
+    from exactextractr_ray.functions.flac import encode_flac
+    from exactextractr_ray.stages.multimodal import AudioFeatures
+
+    pcm = (1500 * np.sin(np.arange(9000) / 40)).astype(np.int64)
+    ogg = encode_ogg_flac(pcm, 22050, block_size=2048)
+    info = parse_ogg(ogg)
+    assert info["codec"] == "flac" and info["sample_rate"] == 22050
+    out, rate, bits = decode_ogg_flac(ogg)
+    assert rate == 22050 and bits == 16
+    assert np.array_equal(out[:, 0], pcm)
+    # multi-page packets reassemble (header packet is > 255 bytes
+    # whenever STREAMINFO + fLaC exceed one lacing segment)
+    assert len(ogg_packets(ogg)) >= 2
+
+    af = AudioFeatures(fake=False)
+    a = af.decode_waveform(encode_flac(pcm, 22050), 0)
+    b = af.decode_waveform(ogg, 0)
+    assert np.array_equal(a, b)
+
+
+def test_ogg_opus_payload_raises_in_decode():
+    from exactextractr_ray.functions.audiometa import decode_ogg_flac
+
+    o = encode_ogg([b"\x01" * 10], granules=[960])
+    with pytest.raises(ValueError, match="Ogg-FLAC"):
+        decode_ogg_flac(o)
