@@ -354,7 +354,13 @@ def sniff_media(data: bytes) -> str:
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "video/avi"
     if len(data) >= 12 and data[4:8] == b"ftyp":
-        # ISO BMFF (MP4/QuickTime/M4A): first box is ftyp (14496-12 §4.3)
+        # ISO BMFF (14496-12 §4.3): item-based HEIF stills (AVIF/HEIC)
+        # vs track-based MP4/QuickTime/M4A, split by major brand
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            return "image/avif"
+        if brand in (b"heic", b"heix", b"hevc", b"hevx", b"mif1"):
+            return "image/heic"
         return "video/mp4"
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         # lossless (VP8L) decodes via functions/webp.py; lossy (VP8)
@@ -652,7 +658,7 @@ def probe_media(data: bytes) -> dict:
             w, h = info["width"], info["height"]
             frames = len(info["frames"])
             rate = int(info["fps"])
-        elif kind == "video/mp4":
+        elif kind in ("video/mp4", "image/avif", "image/heic"):
             from .mp4 import parse_mp4
 
             info = parse_mp4(data)

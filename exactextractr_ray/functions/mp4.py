@@ -281,6 +281,9 @@ def parse_mp4(data: bytes) -> dict:
     brand = data[ftyp[0]:ftyp[0] + 4].decode("ascii", "replace") if ftyp else ""
     moov = _child(data, 0, len(data), "moov")
     if moov is None:
+        if _child(data, 0, len(data), "meta") is not None:
+            # item-based HEIF family (AVIF/HEIC stills): no tracks at all
+            return parse_heif(data, brand)
         if _child(data, 0, len(data), "moof") is not None:
             raise NotImplementedError(
                 "bare fragmented-MP4 segment: the moov initialization "
@@ -673,3 +676,147 @@ def encode_h264_mp4(
         fragment_size=fragment_size,
         sample_entry_extra=_box(b"avcC", enc["avcc"]),
     )
+
+
+def parse_heif(data: bytes, brand: str = "") -> dict:
+    """Item-based HEIF still images (ISO 23008-12: AVIF/HEIC) -> the
+    parse_mp4 probe dict. The ``meta`` FullBox carries pitm (primary
+    item), iinf/infe (item codec type), and iprp: ipco holds the
+    property boxes (ispe spatial extents, av1C/hvcC codec config), ipma
+    associates them to items. Dimensions/profile come from the PRIMARY
+    item's properties; payload decode is the AV1/HEVC entropy coder and
+    stays out of scope (probe + extraction tier only)."""
+    meta = _child(data, 0, len(data), "meta")
+    if meta is None:
+        raise ValueError("HEIF: no meta box")
+    mb, me = meta[0] + 4, meta[1]  # meta is a FullBox: skip version/flags
+    out = {
+        "codec": "", "width": 0, "height": 0, "n_frames": 1, "fps": 0.0,
+        "duration_s": 0.0, "sample_offsets": np.empty(0, np.int64),
+        "sample_sizes": np.empty(0, np.int64), "sync": None,
+        "sample_times": np.empty(0, np.float64), "audio_rate": 0,
+        "brand": brand, "avcc": None, "heif": True,
+    }
+    primary = None
+    item_types: dict[int, str] = {}
+    props: list[tuple[str, int, int]] = []
+    assoc: dict[int, list[int]] = {}
+    for fc, b, e in _iter_boxes(data, mb, me):
+        if fc == "pitm":
+            ver = data[b]
+            primary = (struct.unpack(">H", data[b + 4:b + 6])[0]
+                       if ver == 0 else
+                       struct.unpack(">I", data[b + 4:b + 8])[0])
+        elif fc == "iinf":
+            ver = data[b]
+            n_off = b + 4
+            cnt = (struct.unpack(">H", data[n_off:n_off + 2])[0]
+                   if ver == 0 else
+                   struct.unpack(">I", data[n_off:n_off + 4])[0])
+            p = n_off + (2 if ver == 0 else 4)
+            for ifc, ib, ie in _iter_boxes(data, p, e):
+                if ifc != "infe":
+                    continue
+                iver = data[ib]
+                if iver >= 2:
+                    iid = (struct.unpack(">H", data[ib + 4:ib + 6])[0]
+                           if iver == 2 else
+                           struct.unpack(">I", data[ib + 4:ib + 8])[0])
+                    toff = ib + (8 if iver == 2 else 10)
+                    item_types[iid] = data[toff:toff + 4].decode(
+                        "ascii", "replace"
+                    )
+        elif fc == "iprp":
+            for pfc, pb, pe in _iter_boxes(data, b, e):
+                if pfc == "ipco":
+                    for cfc, cb, ce in _iter_boxes(data, pb, pe):
+                        props.append((cfc, cb, ce))
+                elif pfc == "ipma":
+                    ver = data[pb]
+                    flags = data[pb + 3]
+                    (cnt,) = struct.unpack(">I", data[pb + 4:pb + 8])
+                    p = pb + 8
+                    for _ in range(cnt):
+                        if ver == 0:
+                            (iid,) = struct.unpack(">H", data[p:p + 2])
+                            p += 2
+                        else:
+                            (iid,) = struct.unpack(">I", data[p:p + 4])
+                            p += 4
+                        an = data[p]
+                        p += 1
+                        idxs = []
+                        for _a in range(an):
+                            if flags & 1:
+                                (v,) = struct.unpack(">H", data[p:p + 2])
+                                idxs.append(v & 0x7FFF)
+                                p += 2
+                            else:
+                                idxs.append(data[p] & 0x7F)
+                                p += 1
+                        assoc[iid] = idxs
+    if primary is None and item_types:
+        primary = sorted(item_types)[0]
+    out["codec"] = item_types.get(primary, "")
+    want = assoc.get(primary)
+    chosen = (
+        [props[i - 1] for i in want if 0 < i <= len(props)]
+        if want else props
+    )
+    for pfc, pb, pe in chosen:
+        if pfc == "ispe":
+            w, h = struct.unpack(">II", data[pb + 4:pb + 12])
+            out["width"], out["height"] = int(w), int(h)
+        elif pfc == "av1C":
+            from .videometa import parse_av1c
+
+            try:
+                rec = parse_av1c(data[pb:pe])
+                out["profile"] = rec["profile"]
+                out["level"] = rec["level"]
+            except (ValueError, IndexError):
+                pass
+        elif pfc == "hvcC":
+            from .videometa import parse_hvcc
+
+            try:
+                rec = parse_hvcc(data[pb:pe])
+                out["profile"] = rec["profile"]
+                out["level"] = rec["level"]
+            except (ValueError, IndexError, struct.error):
+                pass
+    return out
+
+
+def encode_heif_probe_fixture(
+    width: int, height: int, codec: str = "av01",
+    config: bytes | None = None, brand: str = "avif",
+) -> bytes:
+    """Minimal item-based HEIF for PROBE-tier fixtures: ftyp + meta
+    (pitm/iinf/iprp with ispe + optional codec config + ipma) + a stub
+    mdat. The payload is NOT a decodable AV1/HEVC stream (that needs
+    the native entropy coders); dimension/codec probing is the real
+    surface under test."""
+    ftyp = _box(b"ftyp", brand.encode("ascii") + struct.pack(">I", 0)
+                + b"mif1miaf")
+    hdlr = _full(b"hdlr", struct.pack(">I", 0) + b"pict" + b"\x00" * 12
+                 + b"\x00")
+    pitm = _full(b"pitm", struct.pack(">H", 1))
+    infe = _full(b"infe", struct.pack(">HH", 1, 0)
+                 + codec.encode("ascii") + b"img\x00", version=2)
+    iinf = _full(b"iinf", struct.pack(">H", 1) + infe)
+    ispe = _full(b"ispe", struct.pack(">II", width, height))
+    ipco_children = ispe
+    n_props = 1
+    if config is not None:
+        cfg_fourcc = b"av1C" if codec == "av01" else b"hvcC"
+        ipco_children += _box(cfg_fourcc, config)
+        n_props = 2
+    ipco = _box(b"ipco", ipco_children)
+    ipma_entries = (struct.pack(">H", 1) + bytes([n_props])
+                    + bytes(range(1, n_props + 1)))
+    ipma = _full(b"ipma", struct.pack(">I", 1) + ipma_entries)
+    iprp = _box(b"iprp", ipco + ipma)
+    meta = _full(b"meta", hdlr + pitm + iinf + iprp)
+    mdat = _box(b"mdat", b"\x00" * 16)
+    return ftyp + meta + mdat

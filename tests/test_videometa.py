@@ -170,3 +170,39 @@ def test_mp4_probe_enrichment_hevc_av1_vp9():
     info = parse_mp4(vp9)
     assert (info["width"], info["height"]) == (640, 360)
     assert info["profile"] == 0 and info["level"] == 31
+
+
+def test_heif_avif_heic_probe():
+    """Item-based HEIF (AVIF/HEIC): meta/pitm/iinf/iprp walk gives the
+    primary item's dimensions and codec-config profile/level; sniff
+    splits the ftyp brand from track-based MP4."""
+    from exactextractr_ray.functions.codecs import probe_media, sniff_media
+    from exactextractr_ray.functions.mp4 import (
+        encode_heif_probe_fixture,
+        parse_mp4,
+    )
+
+    avif = encode_heif_probe_fixture(800, 600, "av01", _av1c(),
+                                     brand="avif")
+    assert sniff_media(avif) == "image/avif"
+    info = parse_mp4(avif)
+    assert info["codec"] == "av01"
+    assert (info["width"], info["height"]) == (800, 600)
+    assert info["profile"] == 0 and info["level"] == 8
+    pm = probe_media(avif)
+    assert pm == {"kind": "image/avif", "width": 800, "height": 600,
+                  "frames": 1, "sample_rate": 0}
+
+    heic = encode_heif_probe_fixture(
+        1024, 768, "hvc1", _hvcc(_hevc_sps_1080p()), brand="heic"
+    )
+    assert sniff_media(heic) == "image/heic"
+    info = parse_mp4(heic)
+    assert info["codec"] == "hvc1"
+    assert (info["width"], info["height"]) == (1024, 768)
+    assert info["profile"] == 1 and info["level"] == 93
+
+    # no codec config: dimensions still come from ispe
+    bare = encode_heif_probe_fixture(64, 48, "av01", brand="avif")
+    info = parse_mp4(bare)
+    assert (info["width"], info["height"]) == (64, 48)
