@@ -2935,13 +2935,13 @@ def _q_flac_decode_sums(sf_dir: str):
 
 def _q_media_probe_kinds(sf_dir: str):
     """The cheap pre-filter pass of a media corpus pipeline, across
-    EIGHT container families under one oracle: rule-dimensioned
+    TWELVE container families under one oracle: rule-dimensioned
     payloads (PNG / animated GIF / BMP / WAV / avc1-I_PCM MP4 /
-    V_VP9 WebM / MPEG-1 Layer III / Ogg-Opus) are built by the
-    from-spec encoders (or hand-assembled frame headers for MP3),
-    then probe_media reads ONLY headers — kind, width, height,
-    frames, sample_rate are all values DuckDB recomputes from the
-    generation rule alone."""
+    V_VP9 WebM / MPEG-1 Layer III / Ogg-Opus / AVIF / HEIC / FLAC /
+    Sun AU) are built by the from-spec encoders (or hand-assembled
+    headers for MP3/AU), then probe_media reads ONLY headers — kind,
+    width, height, frames, sample_rate are all values DuckDB
+    recomputes from the generation rule alone."""
     import pyarrow as pa_
     import ray.data
 
@@ -2971,7 +2971,7 @@ def _q_media_probe_kinds(sf_dir: str):
     payloads = []
     n = 24
     for m in range(n):
-        fam = m % 8
+        fam = m % 12
         if fam == 0:
             payloads.append(encode_png(np.zeros((16 + m, 24 + 2 * m),
                                                 np.uint8)))
@@ -2997,11 +2997,40 @@ def _q_media_probe_kinds(sf_dir: str):
                                         codec_id="V_VP9"))
         elif fam == 6:
             payloads.append(mp3_bytes(3 + m % 4))
-        else:
+        elif fam == 7:
             nf = 2 + m % 3
             payloads.append(encode_ogg([b"\x01" * 20] * nf,
                                        granules=[960 * (i + 1)
                                                  for i in range(nf)]))
+        elif fam == 8:
+            from exactextractr_ray.functions.mp4 import (
+                encode_heif_probe_fixture,
+            )
+
+            payloads.append(encode_heif_probe_fixture(
+                160 + m, 90 + m, "av01", brand="avif"))
+        elif fam == 9:
+            from exactextractr_ray.functions.mp4 import (
+                encode_heif_probe_fixture,
+            )
+
+            payloads.append(encode_heif_probe_fixture(
+                120 + m, 80 + m, "hvc1", brand="heic"))
+        elif fam == 10:
+            from exactextractr_ray.functions.flac import encode_flac
+
+            ns = 300 + m
+            pcm = ((m * 7 + np.arange(ns) * 3) % 1001 - 500)
+            payloads.append(encode_flac(pcm, 8000 + m, block_size=128))
+        else:
+            # Sun AU (hand-assembled header): 16-bit PCM mono
+            ns = 100 + m
+            import struct as _st
+
+            payloads.append(
+                b".snd" + _st.pack(">5I", 24, ns * 2, 3, 8000 + 50 * m, 1)
+                + b"\x00\x00" * ns
+            )
     tbl = pa_.table(
         {
             "media_id": pa_.array(np.arange(n, dtype=np.int64)),
@@ -8269,22 +8298,30 @@ def oracle_sql() -> dict[str, str]:
         # pure generation-rule recomputation of the 8-family header probe
         "media_probe_kinds": """
     SELECT t.m AS media_id,
-      CASE t.m%8 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+      CASE t.m%12 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
                  WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'audio/wav'
                  WHEN 4 THEN 'video/mp4' WHEN 5 THEN 'video/webm'
-                 WHEN 6 THEN 'audio/mpeg' ELSE 'audio/ogg' END AS kind,
-      CAST(CASE t.m%8 WHEN 0 THEN 24+2*t.m WHEN 1 THEN 16
+                 WHEN 6 THEN 'audio/mpeg' WHEN 7 THEN 'audio/ogg'
+                 WHEN 8 THEN 'image/avif' WHEN 9 THEN 'image/heic'
+                 WHEN 10 THEN 'audio/flac'
+                 ELSE 'audio/basic' END AS kind,
+      CAST(CASE t.m%12 WHEN 0 THEN 24+2*t.m WHEN 1 THEN 16
                       WHEN 2 THEN 10+t.m WHEN 4 THEN 32
-                      WHEN 5 THEN 320+t.m ELSE 0 END AS BIGINT) AS width,
-      CAST(CASE t.m%8 WHEN 0 THEN 16+t.m WHEN 1 THEN 8+t.m
+                      WHEN 5 THEN 320+t.m WHEN 8 THEN 160+t.m
+                      WHEN 9 THEN 120+t.m ELSE 0 END AS BIGINT) AS width,
+      CAST(CASE t.m%12 WHEN 0 THEN 16+t.m WHEN 1 THEN 8+t.m
                       WHEN 2 THEN 6+t.m WHEN 4 THEN 16+2*(t.m%4)
-                      WHEN 5 THEN 240+t.m ELSE 0 END AS BIGINT) AS height,
-      CAST(CASE t.m%8 WHEN 1 THEN 2+t.m%3 WHEN 3 THEN 50+t.m
+                      WHEN 5 THEN 240+t.m WHEN 8 THEN 90+t.m
+                      WHEN 9 THEN 80+t.m ELSE 0 END AS BIGINT) AS height,
+      CAST(CASE t.m%12 WHEN 1 THEN 2+t.m%3 WHEN 3 THEN 50+t.m
                       WHEN 4 THEN 2+t.m%3 WHEN 5 THEN 1+t.m%4
                       WHEN 6 THEN 3+t.m%4 WHEN 7 THEN 3+t.m%3
+                      WHEN 8 THEN 1 WHEN 9 THEN 1
+                      WHEN 10 THEN 300+t.m WHEN 11 THEN 100+t.m
                       ELSE 0 END AS BIGINT) AS n_frames,
-      CAST(CASE t.m%8 WHEN 3 THEN 8000+100*t.m WHEN 4 THEN 10
+      CAST(CASE t.m%12 WHEN 3 THEN 8000+100*t.m WHEN 4 THEN 10
                       WHEN 5 THEN 25 WHEN 6 THEN 44100 WHEN 7 THEN 48000
+                      WHEN 10 THEN 8000+t.m WHEN 11 THEN 8000+50*t.m
                       ELSE 0 END AS BIGINT) AS sample_rate
     FROM range(24) t(m) ORDER BY t.m
     """,
