@@ -3490,6 +3490,59 @@ def _q_cost_distance(sf_dir: str):
     return cost_distance(raster, [(0, 0), (50, 57)])
 
 
+def _q_archive_documents(sf_dir: str):
+    """Crawl-dump archive ingestion under the byte-identity oracle:
+    documents texts are packed into real ZIP (deflated), ZIP (stored)
+    and tar.gz shards (sources/archive.py; stdlib containers — the
+    trusted in-environment implementation), read back through
+    read_archive_documents, and per-member text must be byte-identical
+    to the source table — the same contract as the WARC sources."""
+    import os
+    import tempfile
+
+    import duckdb
+    import ray.data
+
+    from exactextractr_ray.sources.archive import (
+        read_archive_documents,
+        write_tar_documents,
+        write_zip_documents,
+    )
+
+    docs = (
+        duckdb.connect()
+        .execute(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') "
+            "ORDER BY doc_id LIMIT 60"
+        )
+        .df()
+    )
+    with tempfile.TemporaryDirectory(prefix="arch_") as tmp:
+        paths = []
+        rows = list(zip(docs["doc_id"], docs["text"]))
+        for shard in range(3):
+            members = [
+                (f"doc{int(d):05d}.txt", (t or "").encode("utf-8"))
+                for d, t in rows[shard * 20:(shard + 1) * 20]
+            ]
+            if shard == 0:
+                p_ = os.path.join(tmp, "s0.zip")
+                write_zip_documents(p_, members, compress=True)
+            elif shard == 1:
+                p_ = os.path.join(tmp, "s1.zip")
+                write_zip_documents(p_, members, compress=False)
+            else:
+                p_ = os.path.join(tmp, "s2.tar.gz")
+                write_tar_documents(p_, members, gz=True)
+            paths.append(p_)
+        out = (
+            read_archive_documents(paths)
+            .to_pandas()[["archive", "member", "n_bytes", "text"]]
+        )
+    return out.sort_values(["archive", "member"]).reset_index(drop=True)
+
+
 def _q_fillnodata(sf_dir: str):
     """gdal_fillnodata shape (pipelines/interpolate.py fillnodata):
     8-ray nearest-donor IDW over the synth raster's NODATA holes, ONE
@@ -4460,6 +4513,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "least_cost_path": _q_least_cost_path,
         "sieve_raster": _q_sieve_raster,
         "fillnodata": _q_fillnodata,
+        "archive_documents": _q_archive_documents,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8284,6 +8338,19 @@ def oracle_sql() -> dict[str, str]:
              / SUM(a.big_d // d.dist) AS fill_val
     FROM donors d JOIN dd a ON a.r = d.r AND a.c = d.c
     GROUP BY d.r, d.c ORDER BY d.r, d.c
+    """,
+        "archive_documents": """
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents
+               ORDER BY doc_id LIMIT 60),
+    m AS (SELECT doc_id, text,
+                 CASE (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 20
+                      WHEN 0 THEN 's0.zip' WHEN 1 THEN 's1.zip'
+                      ELSE 's2.tar.gz' END AS archive
+          FROM d)
+    SELECT archive, printf('doc%05d.txt', doc_id) AS member,
+           CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+           text
+    FROM m ORDER BY archive, member
     """,
         # lossless FLAC: per-channel sums recomputed from the PCM rule
         "flac_decode_sums": """

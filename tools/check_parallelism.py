@@ -186,6 +186,7 @@ QUERIES = [
     "sieve_raster",
     "fillnodata",
     "focal_morph",
+    "archive_documents",
 ]
 
 _CHILD = r"""
