@@ -38,6 +38,7 @@ __all__ = [
     "decode_flac",
     "encode_flac",
     "flac_info",
+    "flac_tags",
     "crc8",
     "crc16",
 ]
@@ -192,6 +193,38 @@ def _write_coded_number(bw: _BitsW, v: int) -> None:
 
 
 # ---------------- stream / metadata ----------------
+
+
+def flac_tags(data: bytes) -> dict:
+    """VORBIS_COMMENT metadata block (type 4; the Vorbis comment spec:
+    little-endian length-prefixed vendor + KEY=value pairs) ->
+    {"vendor": str, "tags": {KEY_UPPER: value}}. Empty when absent."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    out = {"vendor": "", "tags": {}}
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        ln = int.from_bytes(data[pos + 1:pos + 4], "big")
+        body = data[pos + 4:pos + 4 + ln]
+        if hdr & 0x7F == 4 and len(body) >= 8:
+            (vlen,) = struct.unpack("<I", body[0:4])
+            out["vendor"] = body[4:4 + vlen].decode("utf-8", "replace")
+            p = 4 + vlen
+            (cnt,) = struct.unpack("<I", body[p:p + 4])
+            p += 4
+            for _ in range(cnt):
+                (clen,) = struct.unpack("<I", body[p:p + 4])
+                p += 4
+                kv = body[p:p + clen].decode("utf-8", "replace")
+                p += clen
+                if "=" in kv:
+                    k, v = kv.split("=", 1)
+                    out["tags"][k.upper()] = v
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    return out
 
 
 def flac_info(data: bytes) -> dict:
@@ -511,6 +544,7 @@ def encode_flac(
     lpc: tuple[list[int], int] | None = None,
     partition_order: int = 0,
     rice2: bool = False,
+    tags: dict | None = None,
 ) -> bytes:
     """int PCM (n,) or (n, channels) -> FLAC bytes (lossless; the
     round-trip through decode_flac is bit-exact).
@@ -579,5 +613,14 @@ def encode_flac(
         + packed.to_bytes(8, "big")
         + b"\x00" * 16  # md5 unset
     )
-    meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    if tags:
+        body = struct.pack("<I", 0) + struct.pack("<I", len(tags))
+        for k, v in tags.items():
+            kv = f"{k}={v}".encode("utf-8")
+            body += struct.pack("<I", len(kv)) + kv
+        meta = (bytes([0x00]) + len(streaminfo).to_bytes(3, "big")
+                + streaminfo
+                + bytes([0x84]) + len(body).to_bytes(3, "big") + body)
+    else:
+        meta = bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
     return b"fLaC" + meta + frames

@@ -160,3 +160,18 @@ def test_wav_flac_cross_container_identity():
     a = af.decode_waveform(wav_bytes, 0)
     b = af.decode_waveform(flac_bytes, 0)
     assert np.array_equal(a, b)
+
+
+def test_vorbis_comment_tags():
+    from exactextractr_ray.functions.flac import flac_tags
+
+    pcm = _smooth(2000)
+    d = encode_flac(pcm, 16000,
+                    tags={"TITLE": "wavefront", "artist": "ray-zonal"})
+    t = flac_tags(d)
+    assert t["tags"] == {"TITLE": "wavefront", "ARTIST": "ray-zonal"}
+    # tagged stream still decodes bit-exactly; STREAMINFO unaffected
+    out, rate, _ = decode_flac(d)
+    assert rate == 16000 and np.array_equal(out[:, 0], pcm)
+    assert flac_info(d)["total_samples"] == 2000
+    assert flac_tags(encode_flac(pcm, 16000))["tags"] == {}
