@@ -3490,6 +3490,18 @@ def _q_cost_distance(sf_dir: str):
     return cost_distance(raster, [(0, 0), (50, 57)])
 
 
+def _q_convex_overlay(sf_dir: str):
+    """Exact vector-vector overlay join (pipelines/overlay.py): pairwise
+    ST_Intersection areas of two convex integer-polygon sets, all
+    arithmetic in exact rationals (Sutherland-Hodgman clipping; bbox
+    broadcast pre-join). tools/check_oracles.py verifies every pair
+    against an INDEPENDENT exact algorithm (edge-intersection +
+    contained-vertex enumeration + angular ordering)."""
+    from exactextractr_ray.pipelines.overlay import convex_overlay_areas
+
+    return convex_overlay_areas()
+
+
 def _q_archive_documents(sf_dir: str):
     """Crawl-dump archive ingestion under the byte-identity oracle:
     documents texts are packed into real ZIP (deflated), ZIP (stored)
@@ -4514,6 +4526,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "sieve_raster": _q_sieve_raster,
         "fillnodata": _q_fillnodata,
         "archive_documents": _q_archive_documents,
+        "convex_overlay": _q_convex_overlay,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,

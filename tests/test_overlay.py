@@ -1,0 +1,76 @@
+"""Exact convex overlay (pipelines/overlay.py): clipping vs the
+independent vertex-enumeration algorithm, closed-form cases, rational
+exactness, disjoint/contained/partial configurations."""
+
+from fractions import Fraction
+
+import numpy as np
+import pytest
+
+from exactextractr_ray.pipelines.overlay import (
+    _poly_fixture,
+    convex_overlay_areas,
+    intersection_area,
+    intersection_area_reference,
+)
+
+SQUARE = [(0, 0), (4, 0), (4, 4), (0, 4)]
+
+
+def test_closed_form_squares():
+    # half-overlapping unit-scaled squares: area 8
+    other = [(2, 0), (6, 0), (6, 4), (2, 4)]
+    assert intersection_area(SQUARE, other) == Fraction(8)
+    # disjoint
+    assert intersection_area(SQUARE, [(10, 0), (12, 0), (12, 2),
+                                      (10, 2)]) == 0
+    # contained triangle: its own area 2
+    tri = [(1, 1), (3, 1), (1, 3)]
+    assert intersection_area(SQUARE, tri) == Fraction(2)
+    # rotated square (diamond) over square: the classic octagon case
+    diamond = [(2, -1), (5, 2), (2, 5), (-1, 2)]
+    a = intersection_area(SQUARE, diamond)
+    assert a == intersection_area_reference(SQUARE, diamond)
+    assert Fraction(0) < a < Fraction(16)
+
+
+def test_orientation_invariance():
+    cw = SQUARE[::-1]
+    tri = [(1, 1), (3, 1), (1, 3)]
+    assert intersection_area(cw, tri[::-1]) == Fraction(2)
+
+
+def test_rational_vertices_stay_exact():
+    # edges crossing at non-integer points: result must be the exact
+    # rational, not a float approximation
+    a = [(0, 0), (3, 0), (3, 3), (0, 3)]
+    b = [(1, -1), (4, 2), (1, 5), (-2, 2)]
+    x = intersection_area(a, b)
+    y = intersection_area_reference(a, b)
+    assert x == y and x.denominator >= 1
+
+
+def test_all_fixture_pairs_agree_both_algorithms():
+    for i in range(0, 14, 3):
+        for j in range(0, 14, 3):
+            a = _poly_fixture(i)
+            b = _poly_fixture(1000 + j)
+            assert intersection_area(a, b) == \
+                intersection_area_reference(a, b)
+
+
+def test_pipeline_output(ray_session):
+    df = convex_overlay_areas()
+    assert len(df) > 50
+    assert (df["area_num"] > 0).all() and (df["area_den"] > 0).all()
+    # lowest terms
+    from math import gcd
+
+    assert all(gcd(int(n), int(d)) == 1
+               for n, d in zip(df["area_num"], df["area_den"]))
+    # spot-check one pair against the reference
+    r = df.iloc[7]
+    want = intersection_area_reference(
+        _poly_fixture(int(r.a_id)), _poly_fixture(1000 + int(r.b_id))
+    )
+    assert Fraction(int(r.area_num), int(r.area_den)) == want

@@ -489,8 +489,38 @@ def check_sieve_reference(ray_df, sf_dir):
     return f"MISMATCH vs sieve reference ({bad} cells differ)"
 
 
+def check_convex_overlay_reference(ray_df, sf_dir):
+    """convex_overlay: every pair area re-derived by the independent
+    exact algorithm (vertex enumeration, not clipping)."""
+    from fractions import Fraction
+
+    from exactextractr_ray.pipelines.overlay import (
+        _poly_fixture,
+        intersection_area_reference,
+    )
+
+    want = {}
+    for i in range(14):
+        for j in range(14):
+            area = intersection_area_reference(
+                _poly_fixture(i), _poly_fixture(1000 + j)
+            )
+            if area > 0:
+                want[(i, j)] = area
+    got = {
+        (int(r.a_id), int(r.b_id)): Fraction(int(r.area_num),
+                                             int(r.area_den))
+        for r in ray_df.itertuples()
+    }
+    if got == want:
+        return "OK (exact-rational match vs independent vertex-enum algorithm)"
+    bad = [k for k in want if got.get(k) != want[k]][:5]
+    return f"MISMATCH vs overlay reference (e.g. {bad})"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
+    "convex_overlay": check_convex_overlay_reference,
     "cost_distance": check_cost_distance_reference,
     "least_cost_path": check_least_cost_path_reference,
     "sieve_raster": check_sieve_reference,

@@ -187,6 +187,7 @@ QUERIES = [
     "fillnodata",
     "focal_morph",
     "archive_documents",
+    "convex_overlay",
 ]
 
 _CHILD = r"""
