@@ -3502,6 +3502,17 @@ def _q_convex_overlay(sf_dir: str):
     return convex_overlay_areas()
 
 
+def _q_polygon_buffer(sf_dir: str):
+    """ST_Buffer surface (pipelines/overlay.py buffered_overlay_areas):
+    each fixture polygon Minkowski-summed with an integer octagon
+    (exact hull-of-vertex-sums), exact rational areas.
+    tools/check_oracles.py re-derives every buffer with the INDEPENDENT
+    edge-merge construction."""
+    from exactextractr_ray.pipelines.overlay import buffered_overlay_areas
+
+    return buffered_overlay_areas()
+
+
 def _q_archive_documents(sf_dir: str):
     """Crawl-dump archive ingestion under the byte-identity oracle:
     documents texts are packed into real ZIP (deflated), ZIP (stored)
@@ -4527,6 +4538,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "fillnodata": _q_fillnodata,
         "archive_documents": _q_archive_documents,
         "convex_overlay": _q_convex_overlay,
+        "polygon_buffer": _q_polygon_buffer,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,

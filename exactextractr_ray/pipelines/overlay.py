@@ -210,3 +210,132 @@ def convex_overlay_areas(n_a: int = 14, n_b: int = 14):
     out = ds.map_batches(pairs, batch_format="pyarrow",
                          batch_size=4).to_pandas()
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def _hull(points: list) -> list:
+    """Andrew monotone chain over exact integer/rational points -> CCW
+    hull (collinear points dropped)."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def build(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                ox, oy = out[-2]
+                ax, ay = out[-1]
+                if (ax - ox) * (p[1] - oy) - (ay - oy) * (p[0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = build(pts)
+    upper = build(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def minkowski_sum(poly_a: list, poly_b: list) -> list:
+    """Minkowski sum of two convex integer polygons — the exact core of
+    ST_Buffer with a polygonal structuring element (buffering A by a
+    regular 2k-gon approximates the disc; the sum stays integer-exact).
+    Computed as the convex hull of all pairwise vertex sums (exact for
+    convex operands)."""
+    return _hull([(ax + bx, ay + by) for ax, ay in poly_a
+                  for bx, by in poly_b])
+
+
+def minkowski_sum_reference(poly_a: list, poly_b: list) -> list:
+    """Independent algorithm: the edge-merge construction — a convex
+    Minkowski sum's boundary is the angular merge of both polygons'
+    edge vectors (CCW). Starts at the sum of both lowest-then-leftmost
+    vertices; agreement with the hull-of-sums method checks both."""
+    a = _ccw([(Fraction(x), Fraction(y)) for x, y in poly_a])
+    b = _ccw([(Fraction(x), Fraction(y)) for x, y in poly_b])
+
+    def rot_to_bottom(p):
+        i = min(range(len(p)), key=lambda k: (p[k][1], p[k][0]))
+        return p[i:] + p[:i]
+
+    a = rot_to_bottom(a)
+    b = rot_to_bottom(b)
+
+    def edges(p):
+        return [(p[(i + 1) % len(p)][0] - p[i][0],
+                 p[(i + 1) % len(p)][1] - p[i][1]) for i in range(len(p))]
+
+    ea, eb = edges(a), edges(b)
+
+    def angle_lt(u, v):
+        # CCW-from-east angular compare for edge vectors of a CCW
+        # polygon started at its bottom vertex (angles in [0, 2pi))
+        def half(w):
+            return 0 if (w[1] > 0 or (w[1] == 0 and w[0] > 0)) else 1
+
+        if half(u) != half(v):
+            return half(u) < half(v)
+        return u[0] * v[1] - u[1] * v[0] > 0
+
+    merged = []
+    i = j = 0
+    while i < len(ea) or j < len(eb):
+        if j >= len(eb) or (i < len(ea) and angle_lt(ea[i], eb[j])):
+            merged.append(ea[i])
+            i += 1
+        elif i >= len(ea) or angle_lt(eb[j], ea[i]):
+            merged.append(eb[j])
+            j += 1
+        else:  # parallel edges: combine
+            merged.append((ea[i][0] + eb[j][0], ea[i][1] + eb[j][1]))
+            i += 1
+            j += 1
+    x, y = a[0][0] + b[0][0], a[0][1] + b[0][1]
+    out = []
+    for dx, dy in merged:
+        out.append((x, y))
+        x += dx
+        y += dy
+    # drop any collinear chains the merge may leave
+    return _hull(out)
+
+
+def polygon_area2(poly: list) -> Fraction:
+    return abs(_shoelace2([(Fraction(x), Fraction(y)) for x, y in poly]))
+
+
+def buffered_overlay_areas(n: int = 14):
+    """Buffer every A-side fixture polygon by an integer octagon
+    (Minkowski sum) and report each buffered polygon's exact area and
+    vertex count — the ST_Buffer surface, rule-generated and
+    dual-algorithm checkable."""
+    import ray.data
+
+    octagon = [(2, 1), (1, 2), (-1, 2), (-2, 1), (-2, -1), (-1, -2),
+               (1, -2), (2, -1)]
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids, nv, num, den = [], [], [], []
+        for pid in batch.column("a_id").to_pylist():
+            s = minkowski_sum(_poly_fixture(pid), octagon)
+            a2 = polygon_area2(s)
+            ids.append(pid)
+            nv.append(len(s))
+            num.append(int((a2 / 2).numerator))
+            den.append(int((a2 / 2).denominator))
+        return pa.table(
+            {
+                "a_id": pa.array(ids, pa.int64()),
+                "n_vertices": pa.array(nv, pa.int64()),
+                "area_num": pa.array(num, pa.int64()),
+                "area_den": pa.array(den, pa.int64()),
+            }
+        )
+
+    ds = ray.data.from_arrow(
+        pa.table({"a_id": pa.array(np.arange(n, dtype=np.int64))})
+    )
+    out = ds.map_batches(rows, batch_format="pyarrow",
+                         batch_size=4).to_pandas()
+    return out.sort_values("a_id").reset_index(drop=True)

@@ -74,3 +74,35 @@ def test_pipeline_output(ray_session):
         _poly_fixture(int(r.a_id)), _poly_fixture(1000 + int(r.b_id))
     )
     assert Fraction(int(r.area_num), int(r.area_den)) == want
+
+
+def test_minkowski_sum_dual_algorithm():
+    from exactextractr_ray.pipelines.overlay import (
+        minkowski_sum,
+        minkowski_sum_reference,
+        polygon_area2,
+    )
+
+    oct_ = [(2, 1), (1, 2), (-1, 2), (-2, 1), (-2, -1), (-1, -2),
+            (1, -2), (2, -1)]
+    for i in range(14):
+        a = _poly_fixture(i)
+        s1 = minkowski_sum(a, oct_)
+        s2 = minkowski_sum_reference(a, oct_)
+        assert set(s1) == set(s2)
+        assert polygon_area2(s1) == polygon_area2(s2)
+    # closed forms: square ⊕ square doubles each side (area 4x);
+    # A ⊕ {0} == hull(A)
+    sq = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    assert polygon_area2(minkowski_sum(sq, sq)) / 2 == Fraction(16)
+    assert set(minkowski_sum(sq, [(0, 0)])) == set(sq)
+
+
+def test_buffer_pipeline(ray_session):
+    from exactextractr_ray.pipelines.overlay import buffered_overlay_areas
+
+    df = buffered_overlay_areas()
+    assert len(df) == 14
+    # buffered hexagon by an octagon: at most 6+8 boundary edges
+    assert (df["n_vertices"] <= 14).all() and (df["n_vertices"] >= 6).all()
+    assert (df["area_num"] > 0).all()

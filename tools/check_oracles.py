@@ -518,9 +518,38 @@ def check_convex_overlay_reference(ray_df, sf_dir):
     return f"MISMATCH vs overlay reference (e.g. {bad})"
 
 
+def check_polygon_buffer_reference(ray_df, sf_dir):
+    """polygon_buffer: every Minkowski sum re-derived by the independent
+    edge-merge construction (vs the pipeline's hull-of-vertex-sums)."""
+    from fractions import Fraction
+
+    from exactextractr_ray.pipelines.overlay import (
+        _poly_fixture,
+        minkowski_sum_reference,
+        polygon_area2,
+    )
+
+    octagon = [(2, 1), (1, 2), (-1, 2), (-2, 1), (-2, -1), (-1, -2),
+               (1, -2), (2, -1)]
+    want = {}
+    for pid in range(14):
+        s_ = minkowski_sum_reference(_poly_fixture(pid), octagon)
+        want[pid] = (len(s_), polygon_area2(s_) / 2)
+    got = {
+        int(r.a_id): (int(r.n_vertices),
+                      Fraction(int(r.area_num), int(r.area_den)))
+        for r in ray_df.itertuples()
+    }
+    if got == want:
+        return "OK (exact match vs independent edge-merge Minkowski sum)"
+    bad = [k for k in want if got.get(k) != want[k]][:5]
+    return f"MISMATCH vs Minkowski reference (e.g. {bad})"
+
+
 SPECIAL_CHECKS = {
     "minhash_pairs": check_minhash_bruteforce,
     "convex_overlay": check_convex_overlay_reference,
+    "polygon_buffer": check_polygon_buffer_reference,
     "cost_distance": check_cost_distance_reference,
     "least_cost_path": check_least_cost_path_reference,
     "sieve_raster": check_sieve_reference,

@@ -188,6 +188,7 @@ QUERIES = [
     "focal_morph",
     "archive_documents",
     "convex_overlay",
+    "polygon_buffer",
 ]
 
 _CHILD = r"""
