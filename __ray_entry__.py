@@ -3502,6 +3502,20 @@ def _q_convex_overlay(sf_dir: str):
     return convex_overlay_areas()
 
 
+def _q_segment_join(sf_dir: str):
+    """Exact segment-intersection join (pipelines/overlay.py
+    segment_intersection_join): grid-bucket co-partition with the
+    responsibility-cell dedup rule (each pair emitted by exactly one
+    cell, no second shuffle); integer orientation predicate incl.
+    collinear/touch cases. Bit-exact DuckDB oracle expresses the same
+    predicate in SQL over the generation rule."""
+    from exactextractr_ray.pipelines.overlay import (
+        segment_intersection_join,
+    )
+
+    return segment_intersection_join()
+
+
 def _q_polygon_buffer(sf_dir: str):
     """ST_Buffer surface (pipelines/overlay.py buffered_overlay_areas):
     each fixture polygon Minkowski-summed with an integer octagon
@@ -4539,6 +4553,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "archive_documents": _q_archive_documents,
         "convex_overlay": _q_convex_overlay,
         "polygon_buffer": _q_polygon_buffer,
+        "segment_join": _q_segment_join,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8363,6 +8378,36 @@ def oracle_sql() -> dict[str, str]:
              / SUM(a.big_d // d.dist) AS fill_val
     FROM donors d JOIN dd a ON a.r = d.r AND a.c = d.c
     GROUP BY d.r, d.c ORDER BY d.r, d.c
+    """,
+        "segment_join": """
+    WITH s AS (
+      SELECT i AS sid,
+             (i*17)%64 AS ax, (i*29)%64 AS ay,
+             ((i*17)%64 + 5 + (i*13)%21) % 64 AS bx,
+             ((i*29)%64 + 7 + (i*23)%19) % 64 AS by
+      FROM range(240) t(i)
+    ),
+    p AS (
+      SELECT a.sid AS a_id, b.sid AS b_id,
+             SIGN((a.bx-a.ax)*(b.ay-a.ay) - (a.by-a.ay)*(b.ax-a.ax)) AS o1,
+             SIGN((a.bx-a.ax)*(b.by-a.ay) - (a.by-a.ay)*(b.bx-a.ax)) AS o2,
+             SIGN((b.bx-b.ax)*(a.ay-b.ay) - (b.by-b.ay)*(a.ax-b.ax)) AS o3,
+             SIGN((b.bx-b.ax)*(a.by-b.ay) - (b.by-b.ay)*(a.bx-b.ax)) AS o4,
+             a.ax AS aax, a.ay AS aay, a.bx AS abx, a.by AS aby,
+             b.ax AS bax, b.ay AS bay, b.bx AS bbx, b.by AS bby
+      FROM s a JOIN s b ON b.sid > a.sid
+    )
+    SELECT a_id, b_id FROM p
+    WHERE (o1 <> o2 AND o3 <> o4)
+       OR (o1 = 0 AND bax BETWEEN LEAST(aax, abx) AND GREATEST(aax, abx)
+                  AND bay BETWEEN LEAST(aay, aby) AND GREATEST(aay, aby))
+       OR (o2 = 0 AND bbx BETWEEN LEAST(aax, abx) AND GREATEST(aax, abx)
+                  AND bby BETWEEN LEAST(aay, aby) AND GREATEST(aay, aby))
+       OR (o3 = 0 AND aax BETWEEN LEAST(bax, bbx) AND GREATEST(bax, bbx)
+                  AND aay BETWEEN LEAST(bay, bby) AND GREATEST(bay, bby))
+       OR (o4 = 0 AND abx BETWEEN LEAST(bax, bbx) AND GREATEST(bax, bbx)
+                  AND aby BETWEEN LEAST(bay, bby) AND GREATEST(bay, bby))
+    ORDER BY a_id, b_id
     """,
         "archive_documents": """
     WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents

@@ -339,3 +339,113 @@ def buffered_overlay_areas(n: int = 14):
     out = ds.map_batches(rows, batch_format="pyarrow",
                          batch_size=4).to_pandas()
     return out.sort_values("a_id").reset_index(drop=True)
+
+
+def _seg_fixture(sid: int) -> tuple:
+    """Deterministic integer segment (x1, y1, x2, y2) in a 64x64 box."""
+    x1 = (sid * 17) % 64
+    y1 = (sid * 29) % 64
+    x2 = (x1 + 5 + (sid * 13) % 21) % 64
+    y2 = (y1 + 7 + (sid * 23) % 19) % 64
+    return (x1, y1, x2, y2)
+
+
+def _segments_intersect(a: tuple, b: tuple) -> bool:
+    """Exact integer segment intersection (shared point exists),
+    including collinear-overlap and endpoint-touch cases — the classic
+    orientation-sign predicate."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+
+    def orient(ox, oy, px, py, qx, qy):
+        v = (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+    o2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+    o3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+    o4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def on_seg(ox, oy, px, py, qx, qy):
+        return (min(ox, px) <= qx <= max(ox, px)
+                and min(oy, py) <= qy <= max(oy, py))
+
+    if o1 == 0 and on_seg(ax1, ay1, ax2, ay2, bx1, by1):
+        return True
+    if o2 == 0 and on_seg(ax1, ay1, ax2, ay2, bx2, by2):
+        return True
+    if o3 == 0 and on_seg(bx1, by1, bx2, by2, ax1, ay1):
+        return True
+    if o4 == 0 and on_seg(bx1, by1, bx2, by2, ax2, ay2):
+        return True
+    return False
+
+
+def segment_intersection_join(n: int = 240, cell: int = 16):
+    """Exact segment-segment intersection join (ST_Intersects over two
+    line sets' cross pairs restricted to a != b here) via the
+    grid-bucket co-partition + RESPONSIBILITY-CELL dedup pattern: each
+    segment replicates to the grid cells its bbox covers, candidates
+    pair inside one groupby("cell"), the exact integer predicate
+    filters, and a pair is EMITTED only by the lexicographically first
+    cell both bboxes share — so the all-to-all moves each segment
+    O(bbox cells) times and the output needs no second dedup shuffle.
+    Bit-exact vs a DuckDB oracle expressing the same orientation-sign
+    predicate in SQL."""
+    import ray.data
+
+    segs = pa.table(
+        {
+            "sid": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        cids, sids = [], []
+        for sid in batch.column("sid").to_pylist():
+            x1, y1, x2, y2 = _seg_fixture(sid)
+            for cx in range(min(x1, x2) // cell, max(x1, x2) // cell + 1):
+                for cy in range(min(y1, y2) // cell,
+                               max(y1, y2) // cell + 1):
+                    cids.append(cy * 64 + cx)
+                    sids.append(sid)
+        return pa.table(
+            {
+                "cell": pa.array(cids, pa.int64()),
+                "sid": pa.array(sids, pa.int64()),
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cid = int(g["cell"].iloc[0])
+        ccy, ccx = divmod(cid, 64)
+        out_a, out_b = [], []
+        ids = sorted(set(int(v) for v in g["sid"]))
+        for i in range(len(ids)):
+            a = _seg_fixture(ids[i])
+            for j in range(i + 1, len(ids)):
+                b = _seg_fixture(ids[j])
+                # responsibility cell: first cell both bboxes share
+                lox = max(min(a[0], a[2]) // cell,
+                          min(b[0], b[2]) // cell)
+                loy = max(min(a[1], a[3]) // cell,
+                          min(b[1], b[3]) // cell)
+                if (loy, lox) != (ccy, ccx):
+                    continue
+                if _segments_intersect(a, b):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    import ray.data as rd
+
+    out = (
+        rd.from_arrow(segs)
+        .map_batches(fanout, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)

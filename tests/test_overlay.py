@@ -106,3 +106,29 @@ def test_buffer_pipeline(ray_session):
     # buffered hexagon by an octagon: at most 6+8 boundary edges
     assert (df["n_vertices"] <= 14).all() and (df["n_vertices"] >= 6).all()
     assert (df["area_num"] > 0).all()
+
+
+def test_segment_intersection_join(ray_session):
+    """Grid-bucket join with responsibility-cell dedup vs all-pairs
+    brute force; predicate covers proper crossings, collinear overlaps
+    and endpoint touches."""
+    from exactextractr_ray.pipelines.overlay import (
+        _seg_fixture,
+        _segments_intersect,
+        segment_intersection_join,
+    )
+
+    got = segment_intersection_join(n=120)
+    want = [
+        (i, j)
+        for i in range(120)
+        for j in range(i + 1, 120)
+        if _segments_intersect(_seg_fixture(i), _seg_fixture(j))
+    ]
+    assert list(zip(got["a_id"], got["b_id"])) == want
+    # predicate unit cases
+    assert _segments_intersect((0, 0, 4, 0), (2, -1, 2, 1))  # crossing
+    assert _segments_intersect((0, 0, 4, 0), (4, 0, 6, 2))   # touch
+    assert _segments_intersect((0, 0, 4, 0), (2, 0, 6, 0))   # collinear
+    assert not _segments_intersect((0, 0, 4, 0), (0, 1, 4, 1))
+    assert not _segments_intersect((0, 0, 4, 0), (5, 0, 8, 0))

@@ -189,6 +189,7 @@ QUERIES = [
     "archive_documents",
     "convex_overlay",
     "polygon_buffer",
+    "segment_join",
 ]
 
 _CHILD = r"""
