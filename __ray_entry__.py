@@ -3502,6 +3502,18 @@ def _q_convex_overlay(sf_dir: str):
     return convex_overlay_areas()
 
 
+def _q_hull_diameter(sf_dir: str):
+    """Rotating-calipers hull metrics (pipelines/overlay.py
+    hull_calipers): per-group exact squared diameter over the convex
+    hull — SQL recomputes it as the max pairwise squared distance over
+    the distinct point set (the hull shortcut must agree exactly);
+    min-area bounding rectangle covered by pytest brute force."""
+    from exactextractr_ray.pipelines.overlay import hull_calipers
+
+    df = hull_calipers()[["grp", "diam2"]]
+    return df.astype({"grp": np.int64, "diam2": np.int64})
+
+
 def _q_segment_join(sf_dir: str):
     """Exact segment-intersection join (pipelines/overlay.py
     segment_intersection_join): grid-bucket co-partition with the
@@ -4554,6 +4566,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "convex_overlay": _q_convex_overlay,
         "polygon_buffer": _q_polygon_buffer,
         "segment_join": _q_segment_join,
+        "hull_diameter": _q_hull_diameter,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8378,6 +8391,19 @@ def oracle_sql() -> dict[str, str]:
              / SUM(a.big_d // d.dist) AS fill_val
     FROM donors d JOIN dd a ON a.r = d.r AND a.c = d.c
     GROUP BY d.r, d.c ORDER BY d.r, d.c
+    """,
+        "hull_diameter": """
+    WITH p AS (
+      SELECT g.g AS grp, (g.g*31 + i.i*13) % 41 AS x,
+             (g.g*17 + i.i*19) % 37 AS y
+      FROM range(10) g(g), range(40) i(i)
+    ),
+    d AS (SELECT DISTINCT grp, x, y FROM p)
+    SELECT a.grp AS grp,
+           CAST(MAX((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS BIGINT)
+             AS diam2
+    FROM d a JOIN d b ON b.grp = a.grp
+    GROUP BY a.grp ORDER BY a.grp
     """,
         "segment_join": """
     WITH s AS (

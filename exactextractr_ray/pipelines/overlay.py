@@ -449,3 +449,79 @@ def segment_intersection_join(n: int = 240, cell: int = 16):
         .to_pandas()
     )
     return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+def hull_calipers(n_groups: int = 10, pts_per_group: int = 40):
+    """Rotating-calipers hull metrics per point group — the
+    ST_MaxDistance / ST_OrientedEnvelope surface: squared diameter
+    (exact int64; SQL recomputes it as the max pairwise squared
+    distance) and the minimum-area bounding rectangle's exact rational
+    area (min over hull-edge-aligned rectangles — the classic calipers
+    theorem; verified against brute force over edges in the tests).
+
+    Distributed shape: (grp, x, y) rows shuffle to their group once;
+    per-group work is O(n log n) hull + O(h^2) exact metrics (h = hull
+    size) — the same bound as the existing convex-hull stages."""
+    import ray.data
+
+    def gen(batch: pa.Table) -> pa.Table:
+        gs, xs, ys = [], [], []
+        for g in batch.column("grp").to_pylist():
+            for i in range(pts_per_group):
+                gs.append(g)
+                xs.append((g * 31 + i * 13) % 41)
+                ys.append((g * 17 + i * 19) % 37)
+        return pa.table(
+            {
+                "grp": pa.array(gs, pa.int64()),
+                "x": pa.array(xs, pa.int64()),
+                "y": pa.array(ys, pa.int64()),
+            }
+        )
+
+    def metrics(g: pd.DataFrame) -> pd.DataFrame:
+        pts = list({(int(x), int(y))
+                    for x, y in zip(g["x"], g["y"])})
+        hull = _hull(pts)
+        h = len(hull)
+        diam2 = 0
+        for i in range(h):
+            for j in range(i + 1, h):
+                dx = hull[i][0] - hull[j][0]
+                dy = hull[i][1] - hull[j][1]
+                diam2 = max(diam2, dx * dx + dy * dy)
+        # min-area rect: for each hull edge, width x extent along it
+        best = None
+        fh = [(Fraction(x), Fraction(y)) for x, y in hull]
+        for i in range(h):
+            ex = fh[(i + 1) % h][0] - fh[i][0]
+            ey = fh[(i + 1) % h][1] - fh[i][1]
+            L2 = ex * ex + ey * ey
+            if L2 == 0:
+                continue
+            us = [(ex * p[0] + ey * p[1]) for p in fh]
+            vs = [(ex * p[1] - ey * p[0]) for p in fh]
+            area = (max(us) - min(us)) * (max(vs) - min(vs)) / L2
+            if best is None or area < best:
+                best = area
+        best = best if best is not None else Fraction(0)
+        return pd.DataFrame(
+            {
+                "grp": [int(g["grp"].iloc[0])],
+                "hull_size": [h],
+                "diam2": [int(diam2)],
+                "rect_area_num": [int(best.numerator)],
+                "rect_area_den": [int(best.denominator)],
+            }
+        )
+
+    ds = ray.data.from_arrow(
+        pa.table({"grp": pa.array(np.arange(n_groups, dtype=np.int64))})
+    )
+    out = (
+        ds.map_batches(gen, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(metrics, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("grp").reset_index(drop=True)

@@ -132,3 +132,39 @@ def test_segment_intersection_join(ray_session):
     assert _segments_intersect((0, 0, 4, 0), (2, 0, 6, 0))   # collinear
     assert not _segments_intersect((0, 0, 4, 0), (0, 1, 4, 1))
     assert not _segments_intersect((0, 0, 4, 0), (5, 0, 8, 0))
+
+
+def test_hull_calipers(ray_session):
+    """Diameter^2 vs brute force over ALL points; min-area rectangle vs
+    brute force over hull-edge orientations; rect area <= bbox area."""
+    from exactextractr_ray.pipelines.overlay import _hull, hull_calipers
+
+    df = hull_calipers(n_groups=4)
+    for _, row in df.iterrows():
+        g = int(row["grp"])
+        pts = {((g * 31 + i * 13) % 41, (g * 17 + i * 19) % 37)
+               for i in range(40)}
+        d2 = max((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                 for a in pts for b in pts)
+        assert int(row["diam2"]) == d2
+        hull = _hull(list(pts))
+        assert int(row["hull_size"]) == len(hull)
+        # independent rect: same calipers theorem, recomputed here
+        best = None
+        fh = [(Fraction(x), Fraction(y)) for x, y in hull]
+        h = len(fh)
+        for i in range(h):
+            ex = fh[(i + 1) % h][0] - fh[i][0]
+            ey = fh[(i + 1) % h][1] - fh[i][1]
+            L2 = ex * ex + ey * ey
+            us = [ex * p[0] + ey * p[1] for p in fh]
+            vs = [ex * p[1] - ey * p[0] for p in fh]
+            area = (max(us) - min(us)) * (max(vs) - min(vs)) / L2
+            best = area if best is None else min(best, area)
+        got = Fraction(int(row["rect_area_num"]),
+                       int(row["rect_area_den"]))
+        assert got == best
+        # axis-aligned bbox bounds it above
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert got <= (max(xs) - min(xs)) * (max(ys) - min(ys))

@@ -190,6 +190,7 @@ QUERIES = [
     "convex_overlay",
     "polygon_buffer",
     "segment_join",
+    "hull_diameter",
 ]
 
 _CHILD = r"""
