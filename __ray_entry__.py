@@ -3502,6 +3502,41 @@ def _q_convex_overlay(sf_dir: str):
     return convex_overlay_areas()
 
 
+def _q_mwu_orders(sf_dir: str):
+    """Exact Mann-Whitney U (stages/rank.py mann_whitney_u): do URGENT
+    orders have stochastically larger totals than LOW ones? Values as
+    integer cents; half-unit-doubled integer statistic (ties exact);
+    compressed frequency-map shape — rows never shuffle. Bit-exact
+    cumulative-window oracle."""
+    import ray.data
+
+    from exactextractr_ray.stages.rank import mann_whitney_u
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def cents(b):
+        import pyarrow as pa2
+
+        return pa2.table(
+            {
+                "g": b.column("o_orderpriority"),
+                "v": pa2.array(
+                    np.round(
+                        b.column("o_totalprice").to_numpy() * 100.0
+                    ).astype(np.int64),
+                    pa2.int64(),
+                ),
+            }
+        )
+
+    ds = orders.map_batches(cents, batch_format="pyarrow")
+    df = mann_whitney_u(ds, "v", "g", "1-URGENT", "5-LOW")
+    return df.astype(np.int64)
+
+
 def _q_hull_diameter(sf_dir: str):
     """Rotating-calipers hull metrics (pipelines/overlay.py
     hull_calipers): per-group exact squared diameter over the convex
@@ -4567,6 +4602,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "polygon_buffer": _q_polygon_buffer,
         "segment_join": _q_segment_join,
         "hull_diameter": _q_hull_diameter,
+        "mwu_orders": _q_mwu_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8391,6 +8427,32 @@ def oracle_sql() -> dict[str, str]:
              / SUM(a.big_d // d.dist) AS fill_val
     FROM donors d JOIN dd a ON a.r = d.r AND a.c = d.c
     GROUP BY d.r, d.c ORDER BY d.r, d.c
+    """,
+        "mwu_orders": """
+    WITH f AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT COALESCE(a.v, b.v) AS v,
+             COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM (SELECT v, c FROM f WHERE g = '1-URGENT') a
+      FULL JOIN (SELECT v, c FROM f WHERE g = '5-LOW') b ON a.v = b.v
+    ),
+    w AS (
+      SELECT ca, cb,
+             COALESCE(SUM(cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_b
+      FROM m
+    )
+    SELECT CAST(SUM(ca*(2*cum_b + cb)) AS BIGINT) AS u2,
+           CAST(SUM(ca) AS BIGINT) AS n_a,
+           CAST(SUM(cb) AS BIGINT) AS n_b
+    FROM w
     """,
         "hull_diameter": """
     WITH p AS (

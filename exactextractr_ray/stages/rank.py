@@ -665,3 +665,63 @@ def pareto_front(
         .groupby("__g")
         .map_groups(finalize, batch_format="pandas")
     )
+
+
+def mann_whitney_u(ds, value_col: str, group_col: str, group_a, group_b):
+    """Exact Mann-Whitney U statistic between two groups — the standard
+    nonparametric two-sample test (rank-biserial effect size follows as
+    u/(n_a*n_b)). Returned in HALF-UNIT-DOUBLED integers so ties (each
+    contributing 1/2) stay exact: u2 = 2*U_A.
+
+    Scale shape (the percent_rank pattern): one pass reduces each group
+    to a compressed (value, count) frequency map (per-batch np.unique
+    partials + groupby-sum; exchange bounded by distinct values), then
+    U comes from a single vectorized cumulative pass over the merged
+    map — rows never shuffle, and the formula
+    U_A = sum_v cntA(v) * (cumB_below(v) + cntB(v)/2) is exactly the
+    pairwise-comparison definition."""
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        out_v, out_a, out_b = [], [], []
+        for want, sel in ((group_a, 0), (group_b, 1)):
+            vv = v[g == want]
+            vals, cnt = np.unique(vv, return_counts=True)
+            out_v.append(vals)
+            out_a.append(cnt if sel == 0 else np.zeros(len(vals), np.int64))
+            out_b.append(cnt if sel == 1 else np.zeros(len(vals), np.int64))
+        return pa.table(
+            {
+                "__v": pa.array(np.concatenate(out_v), pa.int64()),
+                "__ca": pa.array(
+                    np.concatenate(out_a).astype(np.int64), pa.int64()
+                ),
+                "__cb": pa.array(
+                    np.concatenate(out_b).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__v")
+        .sum(["__ca", "__cb"])
+        .to_pandas()
+    )
+    freq.columns = ["__v", "ca", "cb"]
+    freq = freq.sort_values("__v")
+    ca = freq["ca"].to_numpy(np.int64)
+    cb = freq["cb"].to_numpy(np.int64)
+    cum_b = np.r_[0, np.cumsum(cb)[:-1]]
+    u2 = int((ca * (2 * cum_b + cb)).sum())
+    return pd.DataFrame(
+        {
+            "u2": [u2],
+            "n_a": [int(ca.sum())],
+            "n_b": [int(cb.sum())],
+        }
+    )

@@ -168,3 +168,33 @@ def test_hull_calipers(ray_session):
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
         assert got <= (max(xs) - min(xs)) * (max(ys) - min(ys))
+
+
+def test_mann_whitney_u(ray_session):
+    """MWU vs brute-force pairwise comparison, ties exact, the
+    U_A + U_B = n_a*n_b invariant, shift detection."""
+    import ray.data
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.rank import mann_whitney_u
+
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 50, 80)
+    b = rng.integers(10, 60, 70)  # shifted up
+    t = pa.table(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b),
+            "v": np.r_[a, b].astype(np.int64),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    df = mann_whitney_u(ds, "v", "g", "a", "b")
+    u2 = int(df.iloc[0]["u2"])
+    brute = sum(
+        2 if x > y else (1 if x == y else 0) for x in a for y in b
+    )
+    assert u2 == brute
+    dfb = mann_whitney_u(ds, "v", "g", "b", "a")
+    assert u2 + int(dfb.iloc[0]["u2"]) == 2 * len(a) * len(b)
+    # b is stochastically larger: its U exceeds half the pair mass
+    assert int(dfb.iloc[0]["u2"]) > len(a) * len(b)

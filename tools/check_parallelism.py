@@ -191,6 +191,7 @@ QUERIES = [
     "polygon_buffer",
     "segment_join",
     "hull_diameter",
+    "mwu_orders",
 ]
 
 _CHILD = r"""
