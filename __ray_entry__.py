@@ -3537,6 +3537,42 @@ def _q_mwu_orders(sf_dir: str):
     return df.astype(np.int64)
 
 
+def _q_ks_orders(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov (stages/rank.py
+    ks_statistic): URGENT vs LOW order totals; the ECDF distance as the
+    integer cross-multiplied maximum (one float division at the end).
+    Bit-exact cumulative-window oracle."""
+    import ray.data
+
+    from exactextractr_ray.stages.rank import ks_statistic
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def cents(b):
+        import pyarrow as pa2
+
+        return pa2.table(
+            {
+                "g": b.column("o_orderpriority"),
+                "v": pa2.array(
+                    np.round(
+                        b.column("o_totalprice").to_numpy() * 100.0
+                    ).astype(np.int64),
+                    pa2.int64(),
+                ),
+            }
+        )
+
+    ds = orders.map_batches(cents, batch_format="pyarrow")
+    df = ks_statistic(ds, "v", "g", "1-URGENT", "5-LOW")
+    for c in ("ks_num", "n_a", "n_b"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_hull_diameter(sf_dir: str):
     """Rotating-calipers hull metrics (pipelines/overlay.py
     hull_calipers): per-group exact squared diameter over the convex
@@ -4603,6 +4639,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "segment_join": _q_segment_join,
         "hull_diameter": _q_hull_diameter,
         "mwu_orders": _q_mwu_orders,
+        "ks_orders": _q_ks_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8453,6 +8490,33 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(ca) AS BIGINT) AS n_a,
            CAST(SUM(cb) AS BIGINT) AS n_b
     FROM w
+    """,
+        "ks_orders": """
+    WITH f AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT COALESCE(a.v, b.v) AS v,
+             COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM (SELECT v, c FROM f WHERE g = '1-URGENT') a
+      FULL JOIN (SELECT v, c FROM f WHERE g = '5-LOW') b ON a.v = b.v
+    ),
+    tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM m),
+    w AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM m
+    )
+    SELECT CAST(MAX(ABS(w.cum_a*t.n_b - w.cum_b*t.n_a)) AS BIGINT)
+             AS ks_num,
+           CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+           CAST(MAX(ABS(w.cum_a*t.n_b - w.cum_b*t.n_a)) AS DOUBLE)
+             / (t.n_a * t.n_b) AS ks
+    FROM w, tot t GROUP BY t.n_a, t.n_b
     """,
         "hull_diameter": """
     WITH p AS (

@@ -725,3 +725,58 @@ def mann_whitney_u(ds, value_col: str, group_col: str, group_a, group_b):
             "n_b": [int(cb.sum())],
         }
     )
+
+
+def ks_statistic(ds, value_col: str, group_col: str, group_a, group_b):
+    """Exact two-sample Kolmogorov-Smirnov distance: D = max over the
+    merged value set of |ECDF_A - ECDF_B|, carried as the exact integer
+    cross-multiplication ks_num / (n_a * n_b) with
+    ks_num = max |cumA(v)*n_b - cumB(v)*n_a| — no float until the final
+    single division. Same compressed frequency-map shape as
+    mann_whitney_u."""
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False)
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        out_v, out_a, out_b = [], [], []
+        for want, sel in ((group_a, 0), (group_b, 1)):
+            vv = v[g == want]
+            vals, cnt = np.unique(vv, return_counts=True)
+            out_v.append(vals)
+            out_a.append(cnt if sel == 0 else np.zeros(len(vals), np.int64))
+            out_b.append(cnt if sel == 1 else np.zeros(len(vals), np.int64))
+        return pa.table(
+            {
+                "__v": pa.array(np.concatenate(out_v), pa.int64()),
+                "__ca": pa.array(
+                    np.concatenate(out_a).astype(np.int64), pa.int64()
+                ),
+                "__cb": pa.array(
+                    np.concatenate(out_b).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__v")
+        .sum(["__ca", "__cb"])
+        .to_pandas()
+    )
+    freq.columns = ["__v", "ca", "cb"]
+    freq = freq.sort_values("__v")
+    ca = freq["ca"].to_numpy(np.int64)
+    cb = freq["cb"].to_numpy(np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    ks_num = int(
+        np.abs(np.cumsum(ca) * n_b - np.cumsum(cb) * n_a).max()
+    ) if len(ca) else 0
+    return pd.DataFrame(
+        {
+            "ks_num": [ks_num],
+            "n_a": [n_a],
+            "n_b": [n_b],
+            "ks": [ks_num / (n_a * n_b) if n_a and n_b else 0.0],
+        }
+    )

@@ -198,3 +198,37 @@ def test_mann_whitney_u(ray_session):
     assert u2 + int(dfb.iloc[0]["u2"]) == 2 * len(a) * len(b)
     # b is stochastically larger: its U exceeds half the pair mass
     assert int(dfb.iloc[0]["u2"]) > len(a) * len(b)
+
+
+def test_ks_statistic(ray_session):
+    """KS vs brute-force ECDF scan; identical samples give 0; disjoint
+    supports give 1."""
+    import ray.data
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.rank import ks_statistic
+
+    rng = np.random.default_rng(2)
+    a = rng.integers(0, 40, 60)
+    b = rng.integers(15, 55, 50)
+    t = pa.table({"g": ["a"] * 60 + ["b"] * 50,
+                  "v": np.r_[a, b].astype(np.int64)})
+    df = ks_statistic(ray.data.from_arrow(t), "v", "g", "a", "b")
+    vals = sorted(set(np.r_[a, b]))
+    brute = max(
+        abs((a <= v).sum() * len(b) - (b <= v).sum() * len(a))
+        for v in vals
+    )
+    assert int(df.iloc[0]["ks_num"]) == brute
+    assert df.iloc[0]["ks"] == brute / (60 * 50)
+
+    same = pa.table({"g": ["a", "b"] * 30,
+                     "v": np.repeat(np.arange(30), 2).astype(np.int64)})
+    d0 = ks_statistic(ray.data.from_arrow(same), "v", "g", "a", "b")
+    assert int(d0.iloc[0]["ks_num"]) == 0
+
+    dis = pa.table({"g": ["a"] * 5 + ["b"] * 5,
+                    "v": np.r_[np.arange(5), 100 + np.arange(5)]
+                    .astype(np.int64)})
+    d1 = ks_statistic(ray.data.from_arrow(dis), "v", "g", "a", "b")
+    assert d1.iloc[0]["ks"] == 1.0

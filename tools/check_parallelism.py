@@ -192,6 +192,7 @@ QUERIES = [
     "segment_join",
     "hull_diameter",
     "mwu_orders",
+    "ks_orders",
 ]
 
 _CHILD = r"""
