@@ -3537,6 +3537,46 @@ def _q_mwu_orders(sf_dir: str):
     return df.astype(np.int64)
 
 
+def _q_spearman_orders(sf_dir: str):
+    """Exact tie-corrected Spearman rho (stages/rank.py spearman_rho)
+    between order total (cents) and order date (epoch days): doubled
+    integer average ranks, exact int64 moment sums, one mirrored float
+    closed form — bit-exact incl. the float vs the window-rank SQL."""
+    import ray.data
+
+    from exactextractr_ray.stages.rank import spearman_rho
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderdate"],
+    )
+
+    def prep(b):
+        import pyarrow as pa2
+
+        days = (
+            b.column("o_orderdate").to_numpy().astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa2.table(
+            {
+                "x": pa2.array(
+                    np.round(
+                        b.column("o_totalprice").to_numpy() * 100.0
+                    ).astype(np.int64),
+                    pa2.int64(),
+                ),
+                "y": pa2.array(days, pa2.int64()),
+            }
+        )
+
+    ds = orders.map_batches(prep, batch_format="pyarrow")
+    df = spearman_rho(ds, "x", "y")
+    for c in ("n", "sx", "sy", "sx2", "sy2", "sxy"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_ks_orders(sf_dir: str):
     """Exact two-sample Kolmogorov-Smirnov (stages/rank.py
     ks_statistic): URGENT vs LOW order totals; the ECDF distance as the
@@ -4640,6 +4680,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "hull_diameter": _q_hull_diameter,
         "mwu_orders": _q_mwu_orders,
         "ks_orders": _q_ks_orders,
+        "spearman_orders": _q_spearman_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8490,6 +8531,34 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(ca) AS BIGINT) AS n_a,
            CAST(SUM(cb) AS BIGINT) AS n_b
     FROM w
+    """,
+        "spearman_orders": """
+    WITH v AS (
+      SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS x,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+      FROM orders
+    ),
+    r AS (
+      SELECT CAST(2*RANK() OVER (ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             CAST(2*RANK() OVER (ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+      FROM v
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx*rx) AS BIGINT) AS sx2,
+             CAST(SUM(ry*ry) AS BIGINT) AS sy2,
+             CAST(SUM(rx*ry) AS BIGINT) AS sxy
+      FROM r
+    )
+    SELECT n, sx, sy, sx2, sy2, sxy,
+           CAST(n*sxy - sx*sy AS DOUBLE)
+             / (SQRT(CAST(n*sx2 - sx*sx AS DOUBLE))
+                * SQRT(CAST(n*sy2 - sy*sy AS DOUBLE))) AS rho
+    FROM m
     """,
         "ks_orders": """
     WITH f AS (

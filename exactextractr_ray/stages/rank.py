@@ -780,3 +780,84 @@ def ks_statistic(ds, value_col: str, group_col: str, group_a, group_b):
             "ks": [ks_num / (n_a * n_b) if n_a and n_b else 0.0],
         }
     )
+
+
+def spearman_rho(ds, x_col: str, y_col: str):
+    """Exact tie-corrected Spearman rank correlation: average ranks
+    carried as DOUBLED integers (R = 2*rank_less + cnt_eq + 1, so tie
+    midpoints stay integral), all five moment sums exact int64, and
+    rho computed as the one closed-form float expression
+    (n*Sxy - Sx*Sy) / (sqrt(n*Sx2 - Sx^2) * sqrt(n*Sy2 - Sy^2)) —
+    mirrored verbatim by the SQL oracle, so even the float is
+    bit-identical.
+
+    Scale shape: two compressed frequency maps (one per column)
+    broadcast once (the percent_rank pattern); ranks attach via
+    searchsorted; the moment partials are one tiny combine. Rows never
+    shuffle."""
+    import ray
+
+    def freq_map(col):
+        def partial(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vals, cnt = np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "__v": pa.array(vals, pa.int64()),
+                    "__c": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        f = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("__v")
+            .sum("__c")
+            .to_pandas()
+        )
+        f.columns = ["__v", "c"]
+        f = f.sort_values("__v")
+        vals = f["__v"].to_numpy(np.int64)
+        cnt = f["c"].to_numpy(np.int64)
+        less = np.r_[0, np.cumsum(cnt)[:-1]]
+        return vals, 2 * less + cnt + 1  # doubled average rank per value
+
+    vx, rx = freq_map(x_col)
+    vy, ry = freq_map(y_col)
+    ref = ray.put((vx, rx, vy, ry))
+
+    def moments(b: pa.Table) -> pa.Table:
+        vx_, rx_, vy_, ry_ = ray.get(ref)
+        x = b.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = rx_[np.searchsorted(vx_, x)]
+        dy = ry_[np.searchsorted(vy_, y)]
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(dx.sum())], pa.int64()),
+                "sy": pa.array([int(dy.sum())], pa.int64()),
+                "sx2": pa.array([int((dx * dx).sum())], pa.int64()),
+                "sy2": pa.array([int((dy * dy).sum())], pa.int64()),
+                "sxy": pa.array([int((dx * dy).sum())], pa.int64()),
+            }
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .sum(["n", "sx", "sy", "sx2", "sy2", "sxy"])
+    )
+    n = int(m["sum(n)"])
+    sx, sy = int(m["sum(sx)"]), int(m["sum(sy)"])
+    sx2, sy2 = int(m["sum(sx2)"]), int(m["sum(sy2)"])
+    sxy = int(m["sum(sxy)"])
+    num = float(n * sxy - sx * sy)
+    rho = num / (np.sqrt(float(n * sx2 - sx * sx))
+                 * np.sqrt(float(n * sy2 - sy * sy)))
+    return pd.DataFrame(
+        {
+            "n": [n], "sx": [sx], "sy": [sy], "sx2": [sx2],
+            "sy2": [sy2], "sxy": [sxy], "rho": [rho],
+        }
+    )

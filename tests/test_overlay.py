@@ -232,3 +232,31 @@ def test_ks_statistic(ray_session):
                     .astype(np.int64)})
     d1 = ks_statistic(ray.data.from_arrow(dis), "v", "g", "a", "b")
     assert d1.iloc[0]["ks"] == 1.0
+
+
+def test_spearman_rho(ray_session):
+    """Doubled-rank Spearman vs pandas rank(average) + corrcoef (the
+    independent reference; scipy absent), perfect monotone -> 1,
+    reversal -> -1."""
+    import ray.data
+    import pandas as pd
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.rank import spearman_rho
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 100, 500).astype(np.int64)
+    y = (x * 3 + rng.integers(0, 40, 500)).astype(np.int64)
+    df = spearman_rho(
+        ray.data.from_arrow(pa.table({"x": x, "y": y})), "x", "y"
+    )
+    ref = float(np.corrcoef(pd.Series(x).rank(method="average"),
+                            pd.Series(y).rank(method="average"))[0, 1])
+    assert abs(df.iloc[0]["rho"] - ref) < 1e-12
+    up = np.arange(60, dtype=np.int64)
+    assert spearman_rho(
+        ray.data.from_arrow(pa.table({"x": up, "y": up * up})), "x", "y"
+    ).iloc[0]["rho"] == pytest.approx(1.0, abs=1e-15)
+    assert spearman_rho(
+        ray.data.from_arrow(pa.table({"x": up, "y": -up})), "x", "y"
+    ).iloc[0]["rho"] == pytest.approx(-1.0, abs=1e-15)

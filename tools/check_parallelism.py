@@ -193,6 +193,7 @@ QUERIES = [
     "hull_diameter",
     "mwu_orders",
     "ks_orders",
+    "spearman_orders",
 ]
 
 _CHILD = r"""
