@@ -3537,6 +3537,50 @@ def _q_mwu_orders(sf_dir: str):
     return df.astype(np.int64)
 
 
+def _q_kendall_orders(sf_dir: str):
+    """Exact tie-corrected Kendall tau-b (stages/rank.py kendall_tau_b)
+    between URGENT orders' totals (cents) and dates (epoch days):
+    discordant pairs via the O(n log n) vectorized merge inversion
+    count; bit-exact (incl. the mirrored float) vs a pairwise
+    sign-product SQL oracle."""
+    import ray.data
+
+    from exactextractr_ray.stages.rank import kendall_tau_b
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+    )
+
+    def prep(b):
+        import pyarrow as pa2
+        import pyarrow.compute as pc2
+
+        b = b.filter(pc2.equal(b.column("o_orderpriority"), "1-URGENT"))
+        days = (
+            b.column("o_orderdate").to_numpy().astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa2.table(
+            {
+                "x": pa2.array(
+                    np.round(
+                        b.column("o_totalprice").to_numpy() * 100.0
+                    ).astype(np.int64),
+                    pa2.int64(),
+                ),
+                "y": pa2.array(days, pa2.int64()),
+            }
+        )
+
+    ds = orders.map_batches(prep, batch_format="pyarrow")
+    df = kendall_tau_b(ds, "x", "y")
+    for c in ("n", "concordant", "discordant", "ties_x", "ties_y",
+              "ties_xy"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_spearman_orders(sf_dir: str):
     """Exact tie-corrected Spearman rho (stages/rank.py spearman_rho)
     between order total (cents) and order date (epoch days): doubled
@@ -4681,6 +4725,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "mwu_orders": _q_mwu_orders,
         "ks_orders": _q_ks_orders,
         "spearman_orders": _q_spearman_orders,
+        "kendall_orders": _q_kendall_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8531,6 +8576,37 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(ca) AS BIGINT) AS n_a,
            CAST(SUM(cb) AS BIGINT) AS n_b
     FROM w
+    """,
+        "kendall_orders": """
+    WITH v AS (
+      SELECT ROW_NUMBER() OVER () AS rid,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS x,
+             CAST(DATEDIFF('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    p AS (
+      SELECT
+        CAST(SUM(CASE WHEN (a.x-b.x)*(a.y-b.y) > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS concordant,
+        CAST(SUM(CASE WHEN (a.x-b.x)*(a.y-b.y) < 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS discordant,
+        CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT)
+          AS ties_x,
+        CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT)
+          AS ties_y,
+        CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+             AS BIGINT) AS ties_xy,
+        CAST(COUNT(*) AS BIGINT) AS n0
+      FROM v a JOIN v b ON b.rid > a.rid
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+    SELECT nn.n, p.concordant, p.discordant, p.ties_x, p.ties_y,
+           p.ties_xy,
+           CAST(p.concordant - p.discordant AS DOUBLE)
+             / (SQRT(CAST(p.n0 - p.ties_x AS DOUBLE))
+                * SQRT(CAST(p.n0 - p.ties_y AS DOUBLE))) AS tau_b
+    FROM p, nn
     """,
         "spearman_orders": """
     WITH v AS (

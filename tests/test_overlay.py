@@ -260,3 +260,47 @@ def test_spearman_rho(ray_session):
     assert spearman_rho(
         ray.data.from_arrow(pa.table({"x": up, "y": -up})), "x", "y"
     ).iloc[0]["rho"] == pytest.approx(-1.0, abs=1e-15)
+
+
+def test_kendall_tau_b(ray_session):
+    """Merge inversion count vs brute force (with heavy ties); closed
+    forms: monotone -> 1, reversal -> -1."""
+    import ray.data
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.rank import (
+        _count_inversions,
+        kendall_tau_b,
+    )
+
+    rng = np.random.default_rng(9)
+    y = rng.integers(0, 20, 300)
+    brute_inv = sum(
+        1 for i in range(300) for j in range(i + 1, 300)
+        if y[i] > y[j]
+    )
+    assert _count_inversions(y) == brute_inv
+
+    x = rng.integers(0, 25, 200).astype(np.int64)
+    yy = (x + rng.integers(0, 10, 200)).astype(np.int64)
+    df = kendall_tau_b(
+        ray.data.from_arrow(pa.table({"x": x, "y": yy})), "x", "y"
+    )
+    C = D = 0
+    for i in range(200):
+        for j in range(i + 1, 200):
+            s = (x[i] - x[j]) * (yy[i] - yy[j])
+            C += s > 0
+            D += s < 0
+    assert int(df.iloc[0]["concordant"]) == C
+    assert int(df.iloc[0]["discordant"]) == D
+
+    up = np.arange(50, dtype=np.int64)
+    t1 = kendall_tau_b(
+        ray.data.from_arrow(pa.table({"x": up, "y": up * 3})), "x", "y"
+    )
+    assert t1.iloc[0]["tau_b"] == pytest.approx(1.0, abs=1e-15)
+    t2 = kendall_tau_b(
+        ray.data.from_arrow(pa.table({"x": up, "y": -up})), "x", "y"
+    )
+    assert t2.iloc[0]["tau_b"] == pytest.approx(-1.0, abs=1e-15)

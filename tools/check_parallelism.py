@@ -194,6 +194,7 @@ QUERIES = [
     "mwu_orders",
     "ks_orders",
     "spearman_orders",
+    "kendall_orders",
 ]
 
 _CHILD = r"""
