@@ -3537,6 +3537,76 @@ def _q_mwu_orders(sf_dir: str):
     return df.astype(np.int64)
 
 
+def _q_benford_orders(sf_dir: str):
+    """Benford first-digit screen (stages/profile.py benford_digits)
+    over order totals in cents — the synthetic-data / fraud data-quality
+    gate; counts exact, expected shares as ulp-safe ppm integers.
+    Bit-exact string-prefix SQL oracle."""
+    import ray.data
+
+    from exactextractr_ray.stages.profile import benford_digits
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def cents(b):
+        import pyarrow as pa2
+
+        return pa2.table(
+            {
+                "v": pa2.array(
+                    np.round(
+                        b.column("o_totalprice").to_numpy() * 100.0
+                    ).astype(np.int64),
+                    pa2.int64(),
+                ),
+            }
+        )
+
+    return benford_digits(
+        orders.map_batches(cents, batch_format="pyarrow"), "v"
+    )
+
+
+def _q_psi_orders(sf_dir: str):
+    """PSI drift buckets (stages/profile.py psi_buckets): URGENT vs LOW
+    order totals over fixed cent edges — exact per-bucket counts + the
+    mirrored per-bucket PSI term. Bit-exact SQL oracle."""
+    import ray.data
+
+    from exactextractr_ray.stages.profile import psi_buckets
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def prep(b):
+        import pyarrow as pa2
+
+        return pa2.table(
+            {
+                "g": b.column("o_orderpriority"),
+                "v": pa2.array(
+                    np.round(
+                        b.column("o_totalprice").to_numpy() * 100.0
+                    ).astype(np.int64),
+                    pa2.int64(),
+                ),
+            }
+        )
+
+    ds = orders.map_batches(prep, batch_format="pyarrow")
+    df = psi_buckets(ds, "v", "g", "1-URGENT", "5-LOW",
+                     edges=[5_000_000, 10_000_000, 20_000_000,
+                            30_000_000])
+    # the float psi_term uses libm log (not bit-portable vs DuckDB LN —
+    # measured last-ulp drift); the oracle-compared surface is the exact
+    # integer counts, the term is pytest-covered
+    return df[["bucket", "ca", "cb"]]
+
+
 def _q_kendall_orders(sf_dir: str):
     """Exact tie-corrected Kendall tau-b (stages/rank.py kendall_tau_b)
     between URGENT orders' totals (cents) and dates (epoch days):
@@ -4726,6 +4796,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "ks_orders": _q_ks_orders,
         "spearman_orders": _q_spearman_orders,
         "kendall_orders": _q_kendall_orders,
+        "benford_orders": _q_benford_orders,
+        "psi_orders": _q_psi_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
         "fix_mojibake": _q_fix_mojibake,
@@ -8576,6 +8648,42 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(ca) AS BIGINT) AS n_a,
            CAST(SUM(cb) AS BIGINT) AS n_b
     FROM w
+    """,
+        "benford_orders": """
+    WITH v AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+               FROM orders),
+    f AS (SELECT CAST(LEFT(CAST(c AS VARCHAR), 1) AS BIGINT) AS digit,
+                 COUNT(*) AS cnt
+          FROM v WHERE c > 0 GROUP BY 1)
+    SELECT d.d AS digit, CAST(COALESCE(f.cnt, 0) AS BIGINT) AS cnt,
+           CAST(ROUND(LOG10(1.0 + 1.0/d.d) * 1e6) AS BIGINT)
+             AS expected_ppm
+    FROM range(1, 10) d(d) LEFT JOIN f ON f.digit = d.d
+    ORDER BY digit
+    """,
+        "psi_orders": """
+    WITH v AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    bkt AS (
+      SELECT g, CASE WHEN c < 5000000 THEN 0 WHEN c < 10000000 THEN 1
+                     WHEN c < 20000000 THEN 2 WHEN c < 30000000 THEN 3
+                     ELSE 4 END AS bucket
+      FROM v
+    ),
+    f AS (
+      SELECT b.b AS bucket,
+             CAST(COALESCE(SUM(CASE WHEN g = '1-URGENT' THEN 1 END), 0)
+                  AS BIGINT) AS ca,
+             CAST(COALESCE(SUM(CASE WHEN g = '5-LOW' THEN 1 END), 0)
+                  AS BIGINT) AS cb
+      FROM range(5) b(b) LEFT JOIN bkt ON bkt.bucket = b.b
+      GROUP BY b.b
+    )
+    SELECT f.bucket, f.ca, f.cb
+    FROM f ORDER BY f.bucket
     """,
         "kendall_orders": """
     WITH v AS (

@@ -304,3 +304,40 @@ def test_kendall_tau_b(ray_session):
         ray.data.from_arrow(pa.table({"x": up, "y": -up})), "x", "y"
     )
     assert t2.iloc[0]["tau_b"] == pytest.approx(-1.0, abs=1e-15)
+
+
+def test_benford_and_psi(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from exactextractr_ray.stages.profile import benford_digits, psi_buckets
+
+    rng = np.random.default_rng(1)
+    v = (np.exp(rng.uniform(0, 10, 2000))).astype(np.int64) + 1
+    df = benford_digits(ray.data.from_arrow(pa.table({"v": v})), "v")
+    assert len(df) == 9 and int(df["cnt"].sum()) == 2000
+    # log-uniform data follows Benford: digit 1 dominates, shares decay
+    assert int(df.iloc[0]["cnt"]) == int(df["cnt"].max())
+    assert df.iloc[0]["expected_ppm"] == 301030
+    # brute-force digit counts
+    brute = np.zeros(10, np.int64)
+    for x in v:
+        brute[int(str(int(x))[0])] += 1
+    assert (df["cnt"].to_numpy() == brute[1:]).all()
+
+    g = ["a"] * 1000 + ["b"] * 1000
+    vals = np.r_[rng.integers(0, 100, 1000),
+                 rng.integers(20, 120, 1000)].astype(np.int64)
+    p = psi_buckets(
+        ray.data.from_arrow(pa.table({"g": g, "v": vals})),
+        "v", "g", "a", "b", edges=[25, 50, 75, 100],
+    )
+    assert int(p["ca"].sum()) == 1000 and int(p["cb"].sum()) == 1000
+    # psi_term matches the definition where both sides populated
+    na, nb = 1000.0, 1000.0
+    for _, r in p.iterrows():
+        if r["ca"] > 0 and r["cb"] > 0:
+            pa_, pb_ = r["ca"] / na, r["cb"] / nb
+            assert r["psi_term"] == (pa_ - pb_) * np.log(pa_ / pb_)
+        else:
+            assert np.isnan(r["psi_term"])

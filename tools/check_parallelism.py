@@ -195,6 +195,8 @@ QUERIES = [
     "ks_orders",
     "spearman_orders",
     "kendall_orders",
+    "benford_orders",
+    "psi_orders",
 ]
 
 _CHILD = r"""
