@@ -3537,6 +3537,21 @@ def _q_mwu_orders(sf_dir: str):
     return df.astype(np.int64)
 
 
+def _q_morans_i(sf_dir: str):
+    """Global Moran's I (pipelines/focal.py morans_i) over the synth
+    raster — the classic spatial autocorrelation statistic, exact via
+    centered-integer sums (num/den/W all int64, one mirrored float);
+    NaN holes excluded. Bit-exact self-join SQL oracle."""
+    from exactextractr_ray.pipelines.focal import morans_i
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = morans_i(rd)
+    for c in ("n", "s", "w_pairs", "num", "den"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_benford_orders(sf_dir: str):
     """Benford first-digit screen (stages/profile.py benford_digits)
     over order totals in cents — the synthetic-data / fraud data-quality
@@ -4797,6 +4812,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "spearman_orders": _q_spearman_orders,
         "kendall_orders": _q_kendall_orders,
         "benford_orders": _q_benford_orders,
+        "morans_i": _q_morans_i,
         "psi_orders": _q_psi_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
@@ -8648,6 +8664,33 @@ def oracle_sql() -> dict[str, str]:
            CAST(SUM(ca) AS BIGINT) AS n_a,
            CAST(SUM(cb) AS BIGINT) AS n_b
     FROM w
+    """,
+        "morans_i": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    v AS (SELECT r, c, CAST(val AS BIGINT) AS x FROM cells
+          WHERE val IS NOT NULL),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s FROM v),
+    adj AS (
+      SELECT a.x AS xi, b.x AS xj
+      FROM v a JOIN v b
+        ON (b.r = a.r AND b.c = a.c + 1)
+        OR (b.r = a.r + 1 AND b.c = a.c)
+    ),
+    m AS (
+      SELECT CAST(SUM((t.n*adj.xi - t.s)*(t.n*adj.xj - t.s)) AS BIGINT)
+               AS num,
+             CAST(COUNT(*) AS BIGINT) AS w_pairs
+      FROM adj, t GROUP BY t.n, t.s
+    ),
+    d AS (
+      SELECT CAST(SUM((t.n*v.x - t.s)*(t.n*v.x - t.s)) AS BIGINT) AS den
+      FROM v, t GROUP BY t.n, t.s
+    )
+    SELECT t.n, t.s, m.w_pairs, m.num, d.den,
+           (CAST(t.n AS DOUBLE) / (2*m.w_pairs))
+             * (CAST(m.num AS DOUBLE) * 2.0) / d.den AS moran_i
+    FROM t, m, d
     """,
         "benford_orders": """
     WITH v AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c

@@ -807,3 +807,86 @@ def focal_minmax_3x3(raster: RasterDataset, broadcast_cap: int | None = None):
         )
 
     return _run_focal(raster, window, broadcast_cap, k=1)
+
+
+def morans_i(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Global Moran's I spatial autocorrelation (rook adjacency,
+    binary weights) for an integer-valued raster — exact via
+    centered-integer arithmetic: with S = sum(x) and n cells, the
+    centered value n*x_i - S is an integer, so the cross-product sum
+    num = sum_adjacent (n*x_i - S)(n*x_j - S), the variance sum
+    den = sum (n*x_i - S)^2 and the weight count W are all exact
+    int64, and I = (n / W) * num / den is one mirrored float
+    expression — bit-exact against a self-join SQL oracle. NaN cells
+    are excluded from n, S, W and all sums (their adjacencies drop).
+
+    Two distributed passes: a tiny (n, S) aggregate, then ONE halo
+    exchange computing per-tile partial num/den/W (each adjacency
+    counted once: the canvas pairs every cell with its east and south
+    neighbors only)."""
+    import ray
+
+    n_cols = raster.grid.ncol
+
+    # pass 1: n and S (and to exclude NaN, count valid cells)
+    def sums(b: pa.Table) -> pa.Table:
+        total = 0
+        cnt = 0
+        vals = b.column("values").combine_chunks()
+        for i in range(b.num_rows):
+            v = np.asarray(vals[i].values, np.float64)
+            m = ~np.isnan(v)
+            total += int(np.round(v[m]).sum())
+            cnt += int(m.sum())
+        return pa.table(
+            {
+                "s": pa.array([total], pa.int64()),
+                "n": pa.array([cnt], pa.int64()),
+            }
+        )
+
+    agg = raster.ds.map_batches(sums, batch_format="pyarrow").sum(
+        ["s", "n"]
+    )
+    S = int(agg["sum(s)"])
+    N = int(agg["sum(n)"])
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        body = canvas[1:1 + th, 1:1 + tw]
+        valid = ~np.isnan(body)
+        c = np.where(valid, N * np.round(body), 0).astype(np.int64)
+        num = 0
+        w = 0
+        # east + south neighbors only: each rook pair counted once
+        for dr, dc in ((0, 1), (1, 0)):
+            nb = canvas[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
+            nv = ~np.isnan(nb)
+            cn = np.where(nv, N * np.round(nb), 0).astype(np.int64)
+            m = valid & nv
+            num += int(((c - S) * (cn - S))[m].sum())
+            w += int(m.sum())
+        den = int(((c - S)[valid] ** 2).sum())
+        return pa.table(
+            {
+                "num": pa.array([num], pa.int64()),
+                "den": pa.array([den], pa.int64()),
+                "w": pa.array([w], pa.int64()),
+            }
+        )
+
+    parts = _run_focal(raster, window, broadcast_cap, k=1).sum(
+        ["num", "den", "w"]
+    )
+    num = int(parts["sum(num)"])
+    den = int(parts["sum(den)"])
+    w_half = int(parts["sum(w)"])
+    W = 2 * w_half  # symmetric weights: each pair contributes twice
+    moran = (float(N) / float(W)) * (float(num) * 2.0) / float(den)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n": [N], "s": [S], "w_pairs": [w_half],
+            "num": [num], "den": [den], "moran_i": [moran],
+        }
+    )

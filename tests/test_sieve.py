@@ -218,3 +218,38 @@ def test_cli_raster_tools_e2e(ray_session, tmp_path):
     assert np.isfinite(filled[5, 5])  # hole patched
     keep = np.isfinite(arr2)
     assert np.array_equal(filled[keep], arr2[keep])  # others untouched
+
+
+def test_morans_i(ray_session):
+    """Moran's I: gradient strongly positive, checkerboard exactly -1,
+    brute-force parity with NaN holes, broadcast==shuffle plans."""
+    from exactextractr_ray.pipelines.focal import morans_i
+
+    g = np.add.outer(np.arange(24), np.arange(24)).astype(np.float64)
+    assert morans_i(_raster_from_array(g, 8)).iloc[0]["moran_i"] > 0.9
+    cb = (np.indices((24, 24)).sum(axis=0) % 2 * 10).astype(np.float64)
+    assert morans_i(_raster_from_array(cb, 8)).iloc[0]["moran_i"] == -1.0
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 9, (16, 16)).astype(np.float64)
+    a[rng.random((16, 16)) < 0.1] = np.nan
+    got = morans_i(_raster_from_array(a, 8)).iloc[0]
+    m = ~np.isnan(a)
+    xs = a[m]
+    n = len(xs)
+    mean = xs.mean()
+    num = 0.0
+    W = 0
+    for r in range(16):
+        for c in range(16):
+            if not m[r, c]:
+                continue
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < 16 and 0 <= cc < 16 and m[rr, cc]:
+                    num += (a[r, c] - mean) * (a[rr, cc] - mean)
+                    W += 1
+    ref = (n / W) * num / ((xs - mean) ** 2).sum()
+    assert abs(got["moran_i"] - ref) < 1e-12
+    shuf = morans_i(_raster_from_array(a, 8), broadcast_cap=0).iloc[0]
+    assert shuf["moran_i"] == got["moran_i"]

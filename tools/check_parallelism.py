@@ -197,6 +197,7 @@ QUERIES = [
     "kendall_orders",
     "benford_orders",
     "psi_orders",
+    "morans_i",
 ]
 
 _CHILD = r"""
