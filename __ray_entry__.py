@@ -3552,6 +3552,21 @@ def _q_morans_i(sf_dir: str):
     return df
 
 
+def _q_gearys_c(sf_dir: str):
+    """Global Geary's C (pipelines/focal.py gearys_c) over the synth
+    raster — Moran's local-contrast dual; integer difference-square
+    numerator + centered-integer denominator, one mirrored float.
+    Bit-exact self-join SQL oracle."""
+    from exactextractr_ray.pipelines.focal import gearys_c
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = gearys_c(rd)
+    for c in ("n", "s", "w_pairs", "num", "den"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_benford_orders(sf_dir: str):
     """Benford first-digit screen (stages/profile.py benford_digits)
     over order totals in cents — the synthetic-data / fraud data-quality
@@ -4813,6 +4828,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "kendall_orders": _q_kendall_orders,
         "benford_orders": _q_benford_orders,
         "morans_i": _q_morans_i,
+        "gearys_c": _q_gearys_c,
         "psi_orders": _q_psi_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
@@ -8690,6 +8706,33 @@ def oracle_sql() -> dict[str, str]:
     SELECT t.n, t.s, m.w_pairs, m.num, d.den,
            (CAST(t.n AS DOUBLE) / (2*m.w_pairs))
              * (CAST(m.num AS DOUBLE) * 2.0) / d.den AS moran_i
+    FROM t, m, d
+    """,
+        "gearys_c": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    v AS (SELECT r, c, CAST(val AS BIGINT) AS x FROM cells
+          WHERE val IS NOT NULL),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s FROM v),
+    adj AS (
+      SELECT a.x AS xi, b.x AS xj
+      FROM v a JOIN v b
+        ON (b.r = a.r AND b.c = a.c + 1)
+        OR (b.r = a.r + 1 AND b.c = a.c)
+    ),
+    m AS (
+      SELECT CAST(SUM((xi - xj)*(xi - xj)) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS w_pairs
+      FROM adj
+    ),
+    d AS (
+      SELECT CAST(SUM((t.n*v.x - t.s)*(t.n*v.x - t.s)) AS BIGINT) AS den
+      FROM v, t GROUP BY t.n, t.s
+    )
+    SELECT t.n, t.s, m.w_pairs, m.num, d.den,
+           (CAST(t.n - 1 AS DOUBLE) / (2 * 2 * m.w_pairs))
+             * (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+                * CAST(m.num AS DOUBLE) * 2.0) / d.den AS geary_c
     FROM t, m, d
     """,
         "benford_orders": """

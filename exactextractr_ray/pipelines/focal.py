@@ -890,3 +890,80 @@ def morans_i(raster: RasterDataset, broadcast_cap: int | None = None):
             "num": [num], "den": [den], "moran_i": [moran],
         }
     )
+
+
+def gearys_c(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Global Geary's C (rook adjacency) — Moran's local-contrast dual:
+    C = ((n-1) / (2W)) * sum_adj (x_i - x_j)^2 / sum (x_i - xbar)^2,
+    exact via integer difference squares and the same centered-integer
+    denominator as morans_i; one mirrored float. C < 1 = positive
+    autocorrelation, 1 = none, > 1 = negative."""
+    n_cols = raster.grid.ncol
+
+    def sums(b: pa.Table) -> pa.Table:
+        total = 0
+        cnt = 0
+        vals = b.column("values").combine_chunks()
+        for i in range(b.num_rows):
+            v = np.asarray(vals[i].values, np.float64)
+            m = ~np.isnan(v)
+            total += int(np.round(v[m]).sum())
+            cnt += int(m.sum())
+        return pa.table(
+            {
+                "s": pa.array([total], pa.int64()),
+                "n": pa.array([cnt], pa.int64()),
+            }
+        )
+
+    agg = raster.ds.map_batches(sums, batch_format="pyarrow").sum(
+        ["s", "n"]
+    )
+    S = int(agg["sum(s)"])
+    N = int(agg["sum(n)"])
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        body = canvas[1:1 + th, 1:1 + tw]
+        valid = ~np.isnan(body)
+        x = np.where(valid, np.round(body), 0).astype(np.int64)
+        num = 0
+        w = 0
+        for dr, dc in ((0, 1), (1, 0)):
+            nb = canvas[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
+            nv = ~np.isnan(nb)
+            xn = np.where(nv, np.round(nb), 0).astype(np.int64)
+            m = valid & nv
+            num += int(((x - xn)[m] ** 2).sum())
+            w += int(m.sum())
+        den = int(((N * x - S)[valid] ** 2).sum())
+        return pa.table(
+            {
+                "num": pa.array([num], pa.int64()),
+                "den": pa.array([den], pa.int64()),
+                "w": pa.array([w], pa.int64()),
+            }
+        )
+
+    parts = _run_focal(raster, window, broadcast_cap, k=1).sum(
+        ["num", "den", "w"]
+    )
+    num = int(parts["sum(num)"])
+    den = int(parts["sum(den)"])
+    w_half = int(parts["sum(w)"])
+    # den is in centered-integer units (scaled by N^2); rescale num too:
+    # C = ((n-1)/(2W)) * (N^2 * num_adj_sq) / den_centered, W = 2*w_half,
+    # and the adjacency sum counts each pair twice in the formula -> the
+    # single-counted num doubles
+    c_val = (
+        (float(N - 1) / float(2 * 2 * w_half))
+        * (float(N) * float(N) * float(num) * 2.0)
+        / float(den)
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n": [N], "s": [S], "w_pairs": [w_half],
+            "num": [num], "den": [den], "geary_c": [c_val],
+        }
+    )

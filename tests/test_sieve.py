@@ -253,3 +253,36 @@ def test_morans_i(ray_session):
     assert abs(got["moran_i"] - ref) < 1e-12
     shuf = morans_i(_raster_from_array(a, 8), broadcast_cap=0).iloc[0]
     assert shuf["moran_i"] == got["moran_i"]
+
+
+def test_gearys_c(ray_session):
+    """Geary's C brute-force parity with NaN holes; gradient << 1,
+    checkerboard near 2; plan identity."""
+    from exactextractr_ray.pipelines.focal import gearys_c
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 9, (16, 16)).astype(np.float64)
+    a[rng.random((16, 16)) < 0.1] = np.nan
+    got = gearys_c(_raster_from_array(a, 8)).iloc[0]
+    m = ~np.isnan(a)
+    xs = a[m]
+    n = len(xs)
+    num = 0.0
+    W = 0
+    for r in range(16):
+        for c in range(16):
+            if not m[r, c]:
+                continue
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < 16 and 0 <= cc < 16 and m[rr, cc]:
+                    num += (a[r, c] - a[rr, cc]) ** 2
+                    W += 1
+    ref = ((n - 1) / (2 * W)) * num / ((xs - xs.mean()) ** 2).sum()
+    assert abs(got["geary_c"] - ref) < 1e-12
+    g = np.add.outer(np.arange(24), np.arange(24)).astype(np.float64)
+    assert gearys_c(_raster_from_array(g, 8)).iloc[0]["geary_c"] < 0.1
+    cb = (np.indices((24, 24)).sum(axis=0) % 2 * 10).astype(np.float64)
+    assert gearys_c(_raster_from_array(cb, 8)).iloc[0]["geary_c"] > 1.9
+    shuf = gearys_c(_raster_from_array(a, 8), broadcast_cap=0).iloc[0]
+    assert shuf["geary_c"] == got["geary_c"]

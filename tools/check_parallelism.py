@@ -198,6 +198,7 @@ QUERIES = [
     "benford_orders",
     "psi_orders",
     "morans_i",
+    "gearys_c",
 ]
 
 _CHILD = r"""
