@@ -3567,6 +3567,21 @@ def _q_gearys_c(sf_dir: str):
     return df
 
 
+def _q_getis_ord_g(sf_dir: str):
+    """Getis-Ord General G (pipelines/focal.py getis_ord_g) over the
+    synth raster — hot-spot clustering; num (adjacency products) and
+    den (S^2 - sum x^2) fully integer, one float division. Bit-exact
+    self-join SQL oracle."""
+    from exactextractr_ray.pipelines.focal import getis_ord_g
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = getis_ord_g(rd)
+    for c in ("n", "s", "s2", "w_pairs", "num", "den"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_benford_orders(sf_dir: str):
     """Benford first-digit screen (stages/profile.py benford_digits)
     over order totals in cents — the synthetic-data / fraud data-quality
@@ -4829,6 +4844,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "benford_orders": _q_benford_orders,
         "morans_i": _q_morans_i,
         "gearys_c": _q_gearys_c,
+        "getis_ord_g": _q_getis_ord_g,
         "psi_orders": _q_psi_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
@@ -8734,6 +8750,25 @@ def oracle_sql() -> dict[str, str]:
              * (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
                 * CAST(m.num AS DOUBLE) * 2.0) / d.den AS geary_c
     FROM t, m, d
+    """,
+        "getis_ord_g": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    v AS (SELECT r, c, CAST(val AS BIGINT) AS x FROM cells
+          WHERE val IS NOT NULL),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s,
+                 CAST(SUM(x*x) AS BIGINT) AS s2 FROM v),
+    m AS (
+      SELECT CAST(SUM(a.x * b.x) AS BIGINT) AS num,
+             CAST(COUNT(*) AS BIGINT) AS w_pairs
+      FROM v a JOIN v b
+        ON (b.r = a.r AND b.c = a.c + 1)
+        OR (b.r = a.r + 1 AND b.c = a.c)
+    )
+    SELECT t.n, t.s, t.s2, m.w_pairs, m.num,
+           CAST(t.s*t.s - t.s2 AS BIGINT) AS den,
+           CAST(m.num AS DOUBLE) * 2.0 / (t.s*t.s - t.s2) AS general_g
+    FROM t, m
     """,
         "benford_orders": """
     WITH v AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c

@@ -967,3 +967,73 @@ def gearys_c(raster: RasterDataset, broadcast_cap: int | None = None):
             "num": [num], "den": [den], "geary_c": [c_val],
         }
     )
+
+
+def getis_ord_g(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Getis-Ord General G (rook adjacency) — the hot-spot clustering
+    statistic for POSITIVE-valued rasters: G = sum_adj x_i x_j over
+    sum_{i != j} x_i x_j. Entirely integer: the adjacency product sum
+    comes from the halo pass, the denominator from the global identity
+    S^2 - sum x^2; one final float division. NaN cells excluded."""
+    def sums(b: pa.Table) -> pa.Table:
+        total = 0
+        sq = 0
+        cnt = 0
+        vals = b.column("values").combine_chunks()
+        for i in range(b.num_rows):
+            v = np.asarray(vals[i].values, np.float64)
+            m = ~np.isnan(v)
+            xi = np.round(v[m]).astype(np.int64)
+            total += int(xi.sum())
+            sq += int((xi * xi).sum())
+            cnt += int(m.sum())
+        return pa.table(
+            {
+                "s": pa.array([total], pa.int64()),
+                "s2": pa.array([sq], pa.int64()),
+                "n": pa.array([cnt], pa.int64()),
+            }
+        )
+
+    agg = raster.ds.map_batches(sums, batch_format="pyarrow").sum(
+        ["s", "s2", "n"]
+    )
+    S = int(agg["sum(s)"])
+    SQ = int(agg["sum(s2)"])
+    N = int(agg["sum(n)"])
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        body = canvas[1:1 + th, 1:1 + tw]
+        valid = ~np.isnan(body)
+        x = np.where(valid, np.round(body), 0).astype(np.int64)
+        num = 0
+        w = 0
+        for dr, dc in ((0, 1), (1, 0)):
+            nb = canvas[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
+            nv = ~np.isnan(nb)
+            xn = np.where(nv, np.round(nb), 0).astype(np.int64)
+            m = valid & nv
+            num += int((x * xn)[m].sum())
+            w += int(m.sum())
+        return pa.table(
+            {
+                "num": pa.array([num], pa.int64()),
+                "w": pa.array([w], pa.int64()),
+            }
+        )
+
+    parts = _run_focal(raster, window, broadcast_cap, k=1).sum(
+        ["num", "w"]
+    )
+    num = int(parts["sum(num)"])
+    w_half = int(parts["sum(w)"])
+    den = S * S - SQ  # sum over ordered pairs i != j of x_i x_j
+    g_val = float(num) * 2.0 / float(den)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "n": [N], "s": [S], "s2": [SQ], "w_pairs": [w_half],
+            "num": [num], "den": [den], "general_g": [g_val],
+        }
+    )

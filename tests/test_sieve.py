@@ -286,3 +286,27 @@ def test_gearys_c(ray_session):
     assert gearys_c(_raster_from_array(cb, 8)).iloc[0]["geary_c"] > 1.9
     shuf = gearys_c(_raster_from_array(a, 8), broadcast_cap=0).iloc[0]
     assert shuf["geary_c"] == got["geary_c"]
+
+
+def test_getis_ord_g(ray_session):
+    from exactextractr_ray.pipelines.focal import getis_ord_g
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(1, 9, (16, 16)).astype(np.float64)
+    a[rng.random((16, 16)) < 0.1] = np.nan
+    got = getis_ord_g(_raster_from_array(a, 8)).iloc[0]
+    m = ~np.isnan(a)
+    num = 0.0
+    for r in range(16):
+        for c in range(16):
+            if not m[r, c]:
+                continue
+            for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+                rr, cc = r + dr, c + dc
+                if 0 <= rr < 16 and 0 <= cc < 16 and m[rr, cc]:
+                    num += a[r, c] * a[rr, cc]
+    xs = a[m]
+    ref = num / (xs.sum() ** 2 - (xs ** 2).sum())
+    assert abs(got["general_g"] - ref) < 1e-12
+    shuf = getis_ord_g(_raster_from_array(a, 8), broadcast_cap=0).iloc[0]
+    assert shuf["general_g"] == got["general_g"]

@@ -199,6 +199,7 @@ QUERIES = [
     "psi_orders",
     "morans_i",
     "gearys_c",
+    "getis_ord_g",
 ]
 
 _CHILD = r"""
