@@ -3567,6 +3567,32 @@ def _q_gearys_c(sf_dir: str):
     return df
 
 
+def _q_local_morans(sf_dir: str):
+    """Local Moran's I / LISA (pipelines/focal.py local_morans_i) over
+    the synth raster — the per-cell hot/cold-spot map in exact
+    centered-integer components + one mirrored float per cell.
+    Bit-exact self-join SQL oracle."""
+    from exactextractr_ray.pipelines.focal import local_morans_i
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = local_morans_i(rd).to_pandas()
+    for c in ("cell", "zi", "znbr_sum", "n_nbrs"):
+        df[c] = df[c].astype(np.int64)
+    return df.sort_values("cell").reset_index(drop=True)
+
+
+def _q_join_counts(sf_dir: str):
+    """Join-count statistics (pipelines/focal.py join_counts) over the
+    synth raster binarized at 500 — exact BB/WW/BW integers; bit-exact
+    self-join oracle."""
+    from exactextractr_ray.pipelines.focal import join_counts
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    return join_counts(rd, threshold=500.0).astype(np.int64)
+
+
 def _q_getis_ord_g(sf_dir: str):
     """Getis-Ord General G (pipelines/focal.py getis_ord_g) over the
     synth raster — hot-spot clustering; num (adjacency products) and
@@ -4845,6 +4871,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "morans_i": _q_morans_i,
         "gearys_c": _q_gearys_c,
         "getis_ord_g": _q_getis_ord_g,
+        "local_morans": _q_local_morans,
+        "join_counts": _q_join_counts,
         "psi_orders": _q_psi_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
@@ -8750,6 +8778,52 @@ def oracle_sql() -> dict[str, str]:
              * (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
                 * CAST(m.num AS DOUBLE) * 2.0) / d.den AS geary_c
     FROM t, m, d
+    """,
+        "local_morans": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    v AS (SELECT r, c, CAST(val AS BIGINT) AS x FROM cells
+          WHERE val IS NOT NULL),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s FROM v),
+    d AS (SELECT CAST(SUM((t.n*v.x - t.s)*(t.n*v.x - t.s)) AS BIGINT)
+                   AS den
+          FROM v, t GROUP BY t.n, t.s),
+    nbr AS (
+      SELECT a.r, a.c,
+             CAST(COALESCE(SUM(t.n*b.x - t.s), 0) AS BIGINT) AS znbr,
+             CAST(COUNT(b.x) AS BIGINT) AS n_nbrs
+      FROM v a CROSS JOIN t
+      LEFT JOIN v b
+        ON (b.r = a.r AND ABS(b.c - a.c) = 1)
+        OR (b.c = a.c AND ABS(b.r - a.r) = 1)
+      GROUP BY a.r, a.c, t.n, t.s
+    )
+    SELECT CAST(a.r * {N_GRID} + a.c AS BIGINT) AS cell,
+           CAST(t.n*a.x - t.s AS BIGINT) AS zi,
+           nbr.znbr AS znbr_sum, nbr.n_nbrs,
+           CAST(t.n AS DOUBLE)
+             * (CAST(t.n*a.x - t.s AS DOUBLE) * CAST(nbr.znbr AS DOUBLE))
+             / d.den AS local_i
+    FROM v a
+    JOIN nbr ON nbr.r = a.r AND nbr.c = a.c, t, d
+    ORDER BY cell
+    """,
+        "join_counts": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    v AS (SELECT r, c, CASE WHEN val >= 500 THEN 1 ELSE 0 END AS blk
+          FROM cells WHERE val IS NOT NULL),
+    adj AS (
+      SELECT a.blk AS x, b.blk AS y
+      FROM v a JOIN v b
+        ON (b.r = a.r AND b.c = a.c + 1)
+        OR (b.r = a.r + 1 AND b.c = a.c)
+    )
+    SELECT CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bb,
+           CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ww,
+           CAST(SUM(CASE WHEN x <> y THEN 1 ELSE 0 END) AS BIGINT) AS bw
+    FROM adj
     """,
         "getis_ord_g": f"""
     WITH cells AS ({synth.cells_sql(N_GRID)}),

@@ -1037,3 +1037,121 @@ def getis_ord_g(raster: RasterDataset, broadcast_cap: int | None = None):
             "num": [num], "den": [den], "general_g": [g_val],
         }
     )
+
+
+def local_morans_i(raster: RasterDataset, broadcast_cap: int | None = None):
+    """Local Moran's I (Anselin LISA) — the per-cell hot/cold-spot MAP:
+    I_i = z_i * sum_{j in rook(i)} z_j / m2, carried as exact
+    centered-integer components per cell (z in n*x - S units;
+    m2 = den/n in the same squared units), so the oracle recomputes
+    every cell bit-for-bit. Output one row per valid cell:
+    (cell, zi_num, znbr_sum, n_nbrs, local_i) with the single mirrored
+    float local_i = n * (zi*znbr) / den."""
+    n_cols = raster.grid.ncol
+
+    def sums(b: pa.Table) -> pa.Table:
+        total = 0
+        cnt = 0
+        vals = b.column("values").combine_chunks()
+        for i in range(b.num_rows):
+            v = np.asarray(vals[i].values, np.float64)
+            m = ~np.isnan(v)
+            total += int(np.round(v[m]).sum())
+            cnt += int(m.sum())
+        return pa.table(
+            {
+                "s": pa.array([total], pa.int64()),
+                "n": pa.array([cnt], pa.int64()),
+            }
+        )
+
+    agg = raster.ds.map_batches(sums, batch_format="pyarrow").sum(
+        ["s", "n"]
+    )
+    S = int(agg["sum(s)"])
+    N = int(agg["sum(n)"])
+
+    def den_part(b: pa.Table) -> pa.Table:
+        tot = 0
+        vals = b.column("values").combine_chunks()
+        for i in range(b.num_rows):
+            v = np.asarray(vals[i].values, np.float64)
+            m = ~np.isnan(v)
+            z = N * np.round(v[m]).astype(np.int64) - S
+            tot += int((z * z).sum())
+        return pa.table({"d": pa.array([tot], pa.int64())})
+
+    den = int(
+        raster.ds.map_batches(den_part, batch_format="pyarrow").sum("d")
+    )
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        body = canvas[1:1 + th, 1:1 + tw]
+        valid = ~np.isnan(body)
+        z = np.where(valid, N * np.round(body) - S, 0).astype(np.int64)
+        znbr = np.zeros((th, tw), np.int64)
+        nn = np.zeros((th, tw), np.int64)
+        for dr, dc in ((0, 1), (1, 0), (0, -1), (-1, 0)):
+            nb = canvas[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
+            nv = ~np.isnan(nb)
+            zn = np.where(nv, N * np.round(nb) - S, 0).astype(np.int64)
+            znbr += np.where(nv, zn, 0)
+            nn += nv
+        rr, cc = np.nonzero(valid)
+        cells = _cell_ids(row0, col0, th, tw, n_cols).reshape(th, tw)
+        li = (
+            float(N) * (z[rr, cc].astype(np.float64)
+                        * znbr[rr, cc].astype(np.float64))
+            / float(den)
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cells[rr, cc], pa.int64()),
+                "zi": pa.array(z[rr, cc], pa.int64()),
+                "znbr_sum": pa.array(znbr[rr, cc], pa.int64()),
+                "n_nbrs": pa.array(nn[rr, cc], pa.int64()),
+                "local_i": pa.array(li, pa.float64()),
+            }
+        )
+
+    return _run_focal(raster, window, broadcast_cap, k=1)
+
+
+def join_counts(raster: RasterDataset, threshold: float,
+                broadcast_cap: int | None = None):
+    """Join-count statistics for the binarized raster (x >= threshold
+    -> black): exact BB / WW / BW rook-adjacency counts — the simplest
+    spatial-clustering test, all integers."""
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        body = canvas[1:1 + th, 1:1 + tw]
+        valid = ~np.isnan(body)
+        blk = np.where(valid, body >= threshold, False)
+        bb = ww = bw = 0
+        for dr, dc in ((0, 1), (1, 0)):
+            nb = canvas[1 + dr:1 + dr + th, 1 + dc:1 + dc + tw]
+            nv = ~np.isnan(nb)
+            nblk = np.where(nv, nb >= threshold, False)
+            m = valid & nv
+            bb += int((blk & nblk & m).sum())
+            ww += int((~blk & ~nblk & m).sum())
+            bw += int(((blk ^ nblk) & m).sum())
+        return pa.table(
+            {
+                "bb": pa.array([bb], pa.int64()),
+                "ww": pa.array([ww], pa.int64()),
+                "bw": pa.array([bw], pa.int64()),
+            }
+        )
+
+    parts = _run_focal(raster, window, broadcast_cap, k=1).sum(
+        ["bb", "ww", "bw"]
+    )
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "bb": [int(parts["sum(bb)"])],
+            "ww": [int(parts["sum(ww)"])],
+            "bw": [int(parts["sum(bw)"])],
+        }
+    )

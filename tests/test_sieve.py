@@ -310,3 +310,53 @@ def test_getis_ord_g(ray_session):
     assert abs(got["general_g"] - ref) < 1e-12
     shuf = getis_ord_g(_raster_from_array(a, 8), broadcast_cap=0).iloc[0]
     assert shuf["general_g"] == got["general_g"]
+
+
+def test_local_morans_and_join_counts(ray_session):
+    """LISA per-cell brute-force parity; sum identity vs global Moran
+    numerator; join counts brute-force + total identity."""
+    from exactextractr_ray.pipelines.focal import (
+        join_counts,
+        local_morans_i,
+        morans_i,
+    )
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 9, (16, 16)).astype(np.float64)
+    a[rng.random((16, 16)) < 0.1] = np.nan
+    rd = _raster_from_array(a, 8)
+    df = local_morans_i(rd).to_pandas().sort_values("cell")
+    m = ~np.isnan(a)
+    xs = a[m]
+    mean = xs.mean()
+    m2 = ((xs - mean) ** 2).sum() / len(xs)
+    for cell in (5 * 16 + 5, 0, 12 * 16 + 9):
+        r, c = divmod(cell, 16)
+        if not m[r, c]:
+            continue
+        znb = sum(
+            a[rr, cc] - mean
+            for rr, cc in ((r, c + 1), (r, c - 1), (r + 1, c), (r - 1, c))
+            if 0 <= rr < 16 and 0 <= cc < 16 and m[rr, cc]
+        )
+        ref = (a[r, c] - mean) * znb / m2
+        got = df[df["cell"] == cell].iloc[0]["local_i"]
+        assert abs(got - ref) < 1e-9
+    # sum of zi*znbr equals twice the global Moran numerator
+    glob = morans_i(rd).iloc[0]
+    assert int((df["zi"] * df["znbr_sum"]).sum()) == 2 * int(glob["num"])
+
+    jc = join_counts(rd, threshold=5.0).iloc[0]
+    bb = ww = bw = total = 0
+    for r in range(16):
+        for c in range(16):
+            for dr, dc in ((0, 1), (1, 0)):
+                rr, cc = r + dr, c + dc
+                if rr < 16 and cc < 16 and m[r, c] and m[rr, cc]:
+                    total += 1
+                    x, y = a[r, c] >= 5, a[rr, cc] >= 5
+                    bb += x and y
+                    ww += (not x) and (not y)
+                    bw += x != y
+    assert (int(jc["bb"]), int(jc["ww"]), int(jc["bw"])) == (bb, ww, bw)
+    assert int(jc["bb"] + jc["ww"] + jc["bw"]) == total

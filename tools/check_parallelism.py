@@ -200,6 +200,8 @@ QUERIES = [
     "morans_i",
     "gearys_c",
     "getis_ord_g",
+    "local_morans",
+    "join_counts",
 ]
 
 _CHILD = r"""
