@@ -3567,6 +3567,21 @@ def _q_gearys_c(sf_dir: str):
     return df
 
 
+def _q_semivariogram(sf_dir: str):
+    """Empirical semivariogram (pipelines/focal.py semivariogram) over
+    the synth raster, lags 1-4 — exact per-lag integer pair counts +
+    squared-difference sums from one 4-deep halo; gamma is one float
+    division. Bit-exact offset-join SQL oracle."""
+    from exactextractr_ray.pipelines.focal import semivariogram
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
+
+    rd = synthetic_raster_dataset(n=64, tile=16, dtype=np.float64)
+    df = semivariogram(rd, max_lag=4)
+    for c in ("lag", "n_pairs", "sq_sum"):
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def _q_local_morans(sf_dir: str):
     """Local Moran's I / LISA (pipelines/focal.py local_morans_i) over
     the synth raster — the per-cell hot/cold-spot map in exact
@@ -4873,6 +4888,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "getis_ord_g": _q_getis_ord_g,
         "local_morans": _q_local_morans,
         "join_counts": _q_join_counts,
+        "semivariogram": _q_semivariogram,
         "psi_orders": _q_psi_orders,
         "wordpiece_encode_tokens": _q_wordpiece_encode_tokens,
         "warc_pdf_text": _q_warc_pdf_text,
@@ -8778,6 +8794,23 @@ def oracle_sql() -> dict[str, str]:
              * (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
                 * CAST(m.num AS DOUBLE) * 2.0) / d.den AS geary_c
     FROM t, m, d
+    """,
+        "semivariogram": f"""
+    WITH cells AS ({synth.cells_sql(N_GRID)}),
+    v AS (SELECT r, c, CAST(val AS BIGINT) AS x FROM cells
+          WHERE val IS NOT NULL),
+    p AS (
+      SELECT h.h AS lag, a.x AS xi, b.x AS xj
+      FROM range(1, 5) h(h)
+      JOIN v a ON TRUE
+      JOIN v b ON (b.r = a.r AND b.c = a.c + h.h)
+               OR (b.r = a.r + h.h AND b.c = a.c)
+    )
+    SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM((xi - xj)*(xi - xj)) AS BIGINT) AS sq_sum,
+           CAST(SUM((xi - xj)*(xi - xj)) AS DOUBLE)
+             / (2.0 * COUNT(*)) AS gamma
+    FROM p GROUP BY lag ORDER BY lag
     """,
         "local_morans": f"""
     WITH cells AS ({synth.cells_sql(N_GRID)}),

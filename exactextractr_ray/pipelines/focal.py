@@ -1155,3 +1155,54 @@ def join_counts(raster: RasterDataset, threshold: float,
             "bw": [int(parts["sum(bw)"])],
         }
     )
+
+
+def semivariogram(raster: RasterDataset, max_lag: int = 4,
+                  broadcast_cap: int | None = None):
+    """Empirical semivariogram — THE geostatistics primitive (kriging's
+    input): for each lag h = 1..max_lag along the two axes,
+    gamma(h) = sum (x_i - x_j)^2 / (2 * n_pairs(h)) over all
+    axis-aligned pairs at offset h. Exact: per-lag integer
+    (pair count, squared-difference sum) partials from ONE
+    max_lag-deep halo exchange; gamma is the single float division.
+    NaN pairs drop."""
+    k = max_lag
+
+    def window(canvas, row0, col0, th, tw) -> pa.Table:
+        body = canvas[k:k + th, k:k + tw]
+        valid = ~np.isnan(body)
+        x = np.where(valid, np.round(body), 0).astype(np.int64)
+        lags, cnts, sums = [], [], []
+        for h in range(1, k + 1):
+            n_p = 0
+            s_p = 0
+            for dr, dc in ((0, h), (h, 0)):
+                nb = canvas[k + dr:k + dr + th, k + dc:k + dc + tw]
+                nv = ~np.isnan(nb)
+                xn = np.where(nv, np.round(nb), 0).astype(np.int64)
+                m = valid & nv
+                n_p += int(m.sum())
+                s_p += int(((x - xn)[m] ** 2).sum())
+            lags.append(h)
+            cnts.append(n_p)
+            sums.append(s_p)
+        return pa.table(
+            {
+                "lag": pa.array(lags, pa.int64()),
+                "n_pairs": pa.array(cnts, pa.int64()),
+                "sq_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = (
+        _run_focal(raster, window, broadcast_cap, k=k)
+        .groupby("lag")
+        .sum(["n_pairs", "sq_sum"])
+        .to_pandas()
+    )
+    parts.columns = ["lag", "n_pairs", "sq_sum"]
+    parts = parts.sort_values("lag").reset_index(drop=True)
+    parts["gamma"] = parts["sq_sum"] / (2.0 * parts["n_pairs"])
+    import pandas as pd
+
+    return pd.DataFrame(parts)

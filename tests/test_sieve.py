@@ -360,3 +360,32 @@ def test_local_morans_and_join_counts(ray_session):
                     bw += x != y
     assert (int(jc["bb"]), int(jc["ww"]), int(jc["bw"])) == (bb, ww, bw)
     assert int(jc["bb"] + jc["ww"] + jc["bw"]) == total
+
+
+def test_semivariogram(ray_session):
+    from exactextractr_ray.pipelines.focal import semivariogram
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 9, (20, 20)).astype(np.float64)
+    a[rng.random((20, 20)) < 0.1] = np.nan
+    df = semivariogram(_raster_from_array(a, 8), max_lag=3)
+    m = ~np.isnan(a)
+    for h in (1, 2, 3):
+        n_p = 0
+        s_p = 0.0
+        for r in range(20):
+            for c in range(20):
+                if not m[r, c]:
+                    continue
+                for dr, dc in ((0, h), (h, 0)):
+                    rr, cc = r + dr, c + dc
+                    if rr < 20 and cc < 20 and m[rr, cc]:
+                        n_p += 1
+                        s_p += (a[r, c] - a[rr, cc]) ** 2
+        row = df[df["lag"] == h].iloc[0]
+        assert int(row["n_pairs"]) == n_p
+        assert int(row["sq_sum"]) == int(s_p)
+        assert row["gamma"] == s_p / (2.0 * n_p)
+    g = np.add.outer(np.arange(24), np.arange(24)).astype(np.float64)
+    dg = semivariogram(_raster_from_array(g, 8), max_lag=3)
+    assert (dg["gamma"].to_numpy()[:-1] < dg["gamma"].to_numpy()[1:]).all()

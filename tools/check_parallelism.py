@@ -202,6 +202,7 @@ QUERIES = [
     "getis_ord_g",
     "local_morans",
     "join_counts",
+    "semivariogram",
 ]
 
 _CHILD = r"""
