@@ -4809,26 +4809,45 @@ def _q_running_revenue(sf_dir: str):
 
 
 # Queries the driver's correctness harness already hash-verified in rounds
-# 1-3 (CORRECTNESS_r03.json: 50/50 green). The driver samples the FIRST N
-# entries of queries() in dict order, so round 4 fronts the entries it has
-# NOT yet checked — cumulative driver coverage grows while the in-repo
-# checker (tools/check_oracles.py) still verifies every registered oracle.
+# 1-4 (CORRECTNESS_r01..r04: 104 unique names, all green). The driver
+# samples the FIRST N entries of queries() in dict order, so round 5 fronts
+# the entries it has NOT yet checked — cumulative driver coverage grows
+# while the in-repo checker (tools/check_oracles.py) still verifies every
+# registered oracle.
 _DRIVER_CHECKED_R3 = [
     "zonal_stats_rect", "zonal_weighted_rect", "zonal_mode_rect",
-    "zonal_median_rect", "zonal_frac_rect", "zonal_gini", "zonal_regression",
-    "zonal_centroid", "extract_cells_rect", "rasterize_rect", "resample_sum",
-    "raster_pyramid", "resample_mean", "coverage_fraction_rect",
-    "zonal_mixedres_rect", "rasterize_min_coverage", "zonal_line_length",
-    "zonal_stack_rect", "embedding_dups", "pip_join_counts",
-    "top_docs_per_zone", "cell_assign_counts", "sessionize", "event_windows",
-    "sliding_windows", "asof_join_events", "interval_join_sessions",
-    "pricing_summary", "orders_by_nation", "revenue_by_priority",
-    "local_supplier_volume", "sample_docs", "stratified_sample",
-    "dedup_exact", "token_stats_lang", "quality_scores", "knn_cosine",
-    "extract_text_identity", "doc_fingerprint", "doc_chunks", "ngram_counts",
-    "contamination", "seeded_shuffle", "token_pack", "repetition_stats",
-    "tfidf_topk", "domain_stats", "zonal_variety_kmv", "zonal_quantile_hist",
-    "langid",
+    "zonal_median_rect", "zonal_frac_rect", "extract_cells_rect",
+    "rasterize_rect", "resample_sum", "resample_mean",
+    "coverage_fraction_rect", "zonal_mixedres_rect",
+    "rasterize_min_coverage", "zonal_line_length", "zonal_stack_rect",
+    "embedding_dups", "pip_join_counts", "top_docs_per_zone",
+    "cell_assign_counts", "sessionize", "event_windows", "dedup_exact",
+    "token_stats_lang", "quality_scores", "knn_cosine",
+    "extract_text_identity", "doc_fingerprint", "langid", "minhash_pairs",
+    "simhash_pairs", "knn_cosine_lsh", "doc_rolling_fingerprint",
+    "morton_cells", "sliding_windows", "asof_join_events",
+    "interval_join_sessions", "pricing_summary", "orders_by_nation",
+    "revenue_by_priority", "sample_docs", "stratified_sample",
+    "doc_chunks", "ngram_counts", "contamination", "seeded_shuffle",
+    "zonal_variety_kmv", "zonal_quantile_hist", "zonal_feature_seq_rect",
+    "ngram_jaccard_pairs", "zonal_gini", "zonal_regression",
+    "zonal_centroid", "raster_pyramid", "local_supplier_volume",
+    "token_pack", "repetition_stats", "tfidf_topk", "domain_stats",
+    "zonal_geotiff_stream", "zonal_netcdf_stream", "zonal_geojson_zones",
+    "zonal_feature_seq_geotiff", "png_decode_features",
+    "webp_decode_features", "gif_frames_features", "h264_frames_features",
+    "media_probe_kinds", "flac_decode_sums", "warc_media_probe",
+    "mp4_sample_ranges", "webm_frame_ranges", "image_dhash_pairs",
+    "audio_fp_pairs", "pdf_extract_text", "image_dup_clusters",
+    "fillnodata", "archive_documents", "segment_join", "hull_diameter",
+    "mwu_orders", "ks_orders", "spearman_orders", "kendall_orders",
+    "benford_orders", "morans_i", "gearys_c", "getis_ord_g",
+    "local_morans", "join_counts", "semivariogram", "psi_orders",
+    "warc_pdf_text", "fix_mojibake", "photo_zone_join",
+    "zonal_wcount_rect", "customers_without_urgent", "cube_order_counts",
+    "first_orderkeys_concat", "geohash_cells", "hilbert_cells",
+    "hex_cells", "s2_cells", "spatial_knn", "spatial_knn_cells",
+    "zone_tile_cover",
 ]
 
 

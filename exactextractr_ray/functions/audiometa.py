@@ -131,6 +131,7 @@ def parse_mp3(data: bytes) -> dict:
         if fr is None:
             break
         flen, fi = fr
+        meta_frame = False
         if first:
             info = fi
             # Xing/Info (VBR) header sits after the side info
@@ -140,12 +141,18 @@ def parse_mp3(data: bytes) -> dict:
             tag = data[tag_at:tag_at + 4]
             if tag in (b"Xing", b"Info"):
                 vbr = tag == b"Xing"
+                meta_frame = True
             elif data[pos + 36:pos + 40] == b"VBRI":
                 vbr = True
+                meta_frame = True
             first = False
-        frames += 1
-        samples += fi["samples_per_frame"]
-        bitrate_sum += fi["bitrate"]
+        if not meta_frame:
+            # A Xing/Info/VBRI header frame carries no audio: tools (and
+            # the Xing frame-count field itself) exclude it from frame /
+            # duration / bitrate accounting, so we do too.
+            frames += 1
+            samples += fi["samples_per_frame"]
+            bitrate_sum += fi["bitrate"]
         if flen <= 0:
             break
         pos += flen

@@ -175,6 +175,11 @@ def _parse_block(
         return track, rel, flags, [(p, e - p)]
     n_frames = data[p] + 1
     p += 1
+    if n_frames == 1:
+        # Lace count 0: the spec stores every coded size EXCEPT the last
+        # frame's, so a 1-frame lace stores no size fields at all (for any
+        # lacing mode) — the whole remainder is the single frame.
+        return track, rel, flags, [(p, e - p)]
     sizes: list[int] = []
     if lacing == 2:  # fixed-size
         per = (e - p) // n_frames
@@ -460,7 +465,9 @@ def encode_webm(
             for p in frame_payloads[:-1]:
                 s = len(p)
                 lace += b"\xff" * (s // 255) + bytes([s % 255])
-        else:
+        elif n > 1:
+            # EBML lacing stores sizes for all frames but the last; a
+            # 1-frame lace therefore stores no size fields at all.
             lace += _vint_size(len(frame_payloads[0]))
             prev = len(frame_payloads[0])
             for p in frame_payloads[1:-1]:

@@ -24,10 +24,18 @@ ITERATED halo exchange to fixpoint):
 3. converge: a per-round ``sum(changed)`` aggregate (one tiny column)
    stops the loop at the global fixpoint. Round count is bounded by
    the tile-grid diameter of the optimal-path forest — O(D/tile_size)
-   all-to-alls, each moving only O(perimeter) strip cells, the same
-   wavefront shape as the hydrology basin labeling. Per-round tile
-   state is materialized (spillable object-store blocks, never the
-   driver).
+   all-to-alls. NOTE on exchange volume: only the strips are
+   O(perimeter), but the current implementation also routes each
+   tile's full (cost, dist) body fragment (kind=1) through the same
+   groupby so the relax stage sees state + strips together — per-round
+   exchange is therefore O(raster cells), traded for a single-pass
+   dataflow with no driver-held or actor-held state. A body-resident
+   variant (join strips against materialized per-tile state instead of
+   re-shuffling the body) would cut each round to O(perimeter) at the
+   cost of a second keyed exchange; with the usual round counts
+   (~grid diameter / tile size) the simple shape has measured fine at
+   bench scale. Per-round tile state is spillable object-store blocks,
+   never the driver.
 
 Label-correcting relaxation converges to the same labels as Dijkstra
 for any relaxation order (nonnegative integer weights), which is why

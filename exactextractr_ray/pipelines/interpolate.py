@@ -141,11 +141,48 @@ def fillnodata(raster, max_dist: int = 8, broadcast_cap=None):
                 }
             )
         d = np.where(has, dists, 1)
-        big_d = np.prod(d, axis=0)  # <= max_dist^8: exact in int64
-        w = np.where(has, big_d[None] // d, 0)
-        num = (vals * w).sum(axis=0)
-        den = w.sum(axis=0)
         rr, cc = np.nonzero(fill)
+        # Overflow guard: big_d = prod(d) <= max_dist^8 and
+        # num <= 8 * |v|max * big_d; int64 wraps silently, so when the
+        # bound cannot be certified, fall back to exact Python ints for
+        # just the filled cells (rare: max_dist ~> 20 with large values).
+        vm = int(np.abs(vals).max(initial=0))
+        if 8 * vm * (max_dist ** 8) < 2 ** 63 and max_dist ** 8 < 2 ** 62:
+            big_d = np.prod(d, axis=0)  # exact in int64 (certified above)
+            w = np.where(has, big_d[None] // d, 0)
+            num = (vals * w).sum(axis=0)
+            den = w.sum(axis=0)
+        else:
+            num = np.zeros((th, tw), object)
+            den = np.zeros((th, tw), object)
+            for r, c in zip(rr.tolist(), cc.tolist()):
+                ds_rc = [int(d[i, r, c]) for i in range(nd) if has[i, r, c]]
+                vs_rc = [int(vals[i, r, c]) for i in range(nd)
+                         if has[i, r, c]]
+                bd = 1
+                for dv in ds_rc:
+                    bd *= dv
+                num[r, c] = sum(v * (bd // dv)
+                                for v, dv in zip(vs_rc, ds_rc))
+                den[r, c] = sum(bd // dv for dv in ds_rc)
+            # exact rationals may exceed int64: reduce by the gcd so the
+            # (num, den) columns stay int64 while staying exact
+            import math
+
+            for r, c in zip(rr.tolist(), cc.tolist()):
+                g = math.gcd(int(num[r, c]), int(den[r, c])) or 1
+                num[r, c] //= g
+                den[r, c] //= g
+                if not (-2 ** 63 <= num[r, c] < 2 ** 63
+                        and den[r, c] < 2 ** 63):
+                    raise OverflowError(
+                        "fillnodata: exact rational exceeds int64 even "
+                        "after reduction; lower max_dist"
+                    )
+            num = num.astype(np.int64, copy=False) if len(rr) else \
+                np.zeros((th, tw), np.int64)
+            den = den.astype(np.int64, copy=False) if len(rr) else \
+                np.ones((th, tw), np.int64)
         cells = _cell_ids(row0, col0, th, tw, n_cols).reshape(th, tw)
         return pa.table(
             {

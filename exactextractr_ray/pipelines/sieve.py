@@ -1,9 +1,11 @@
-"""Raster sieve filter — ``gdal_sieve.py`` parity: connected regions
+"""Raster sieve filter — ``gdal_sieve.py``-style semantics: connected regions
 smaller than a threshold are merged into a neighboring region, the
 standard cleanup pass after classification.
 
-Semantics (deterministic, documented; GDAL's smallest-first merge
-order): repeatedly take the SMALLEST under-threshold component
+Semantics (deterministic, documented — a GDAL-STYLE smallest-first merge
+order, self-defined here rather than pinned to gdal_sieve's exact
+tie-breaking, which is unspecified on ties / multi-pass growth):
+repeatedly take the SMALLEST under-threshold component
 (ties -> smallest component id) and merge it into the neighbor chosen
 by (largest size, then smallest component id); merging contracts the
 component graph (sizes add, borders union), so a merge can lift its

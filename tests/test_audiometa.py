@@ -47,6 +47,26 @@ def test_mp3_hand_built_mpeg1_frame():
     assert info["duration_s"] == pytest.approx(3 * 1152 / 44100)
 
 
+def test_mp3_xing_header_frame_excluded():
+    """A first frame carrying a Xing/Info tag is metadata, not audio:
+    frame count, duration and mean bitrate must exclude it (matching
+    the Xing frame-count convention and common tools)."""
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])  # MPEG-1 L3 stereo: side info 32
+    body = bytearray(b"\x00" * 413)
+    body[32:36] = b"Xing"
+    xing_frame = hdr + bytes(body)
+    audio_frame = hdr + b"\x00" * 413
+    info = parse_mp3(xing_frame + audio_frame * 3)
+    assert info["vbr"] is True
+    assert info["n_frames"] == 3
+    assert info["duration_s"] == pytest.approx(3 * 1152 / 44100)
+    assert info["bitrate"] == 128000
+    # Info tag (CBR) likewise excluded but not flagged VBR
+    body[32:36] = b"Info"
+    info = parse_mp3(hdr + bytes(body) + audio_frame * 2)
+    assert info["vbr"] is False and info["n_frames"] == 2
+
+
 def test_mp3_resync_after_garbage():
     hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
     frame = hdr + b"\x00" * 413

@@ -58,6 +58,16 @@ def test_lacing_variable(mode):
     assert extract_webm_frames(data) == payloads
 
 
+@pytest.mark.parametrize("mode", ["xiph", "ebml", "fixed"])
+def test_lacing_single_frame(mode):
+    """A lace with count byte 0 stores NO size fields (every coded size
+    except the last frame's is stored; the only frame IS the last), so the
+    block remainder is the single frame for every lacing mode."""
+    payloads = [b"\x42" * 37]
+    data = encode_webm(payloads, 8, 8, lacing=mode)
+    assert extract_webm_frames(data) == payloads
+
+
 def test_lacing_fixed():
     payloads = [bytes([i]) * 25 for i in range(4)]
     data = encode_webm(payloads, 8, 8, lacing="fixed")
