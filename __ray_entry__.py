@@ -126,9 +126,13 @@ def entry() -> Any:
 
 def _q_zonal_stats(sf_dir: str):
     from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.raster import synthetic_raster_dataset
 
+    # int16 tile storage (the bench configuration): proves the integer
+    # fast path is hash-identical to the float64 oracle under the driver
+    rd = synthetic_raster_dataset(n=N_GRID, tile=TILE, dtype=np.int16)
     t = exact_extract(
-        _raster(), _rect_zones(),
+        rd, _rect_zones(),
         ["count", "sum", "mean", "min", "max", "variance_exact"],
     ).to_pandas()
     t = t.rename(

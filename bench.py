@@ -49,7 +49,13 @@ def bench_zonal():
     from exactextractr_ray.sources.raster import synthetic_raster_dataset
     from exactextractr_ray.sources.zones import synth_rect_zones
 
-    rd = synthetic_raster_dataset(n=ZONAL_N, tile=ZONAL_TILE)
+    # int16 tile storage: the DRAM-bandwidth lever (PERF.md) — 2 B/cell
+    # through generation, object store and the stats kernels, with int64
+    # interior accumulation that is bit-identical to the float64 path
+    # (verified by tests/test_zonal_int16.py and the unchanged oracles).
+    import numpy as np
+
+    rd = synthetic_raster_dataset(n=ZONAL_N, tile=ZONAL_TILE, dtype=np.int16)
     zones = synth_rect_zones(ZONAL_ZONES, ZONAL_N)
     t0 = time.time()
     res = exact_extract(

@@ -48,7 +48,13 @@ import ray
 from ..grid import Box, Grid
 from ..sources.zones import ZoneSet, parse_zone_table
 from ..stages.pip_join import winding_number
-from ..stats import PARTIAL_COLUMNS, STORED_VALUE_STATS, RasterStats, VarState
+from ..stats import (
+    INT_NODATA,
+    PARTIAL_COLUMNS,
+    STORED_VALUE_STATS,
+    RasterStats,
+    VarState,
+)
 from ..coverage import coverage_matrix, length_matrix
 from ..util import cached_stage
 
@@ -314,8 +320,13 @@ class ZonalPartialStats:
                 continue
 
             loaded: dict[str, np.ndarray] = {}
+            loaded64: dict[str, np.ndarray] = {}
 
             def get_layer(name: str) -> np.ndarray:
+                """Tile layer in its STORED dtype (int16 tiles stay int16:
+                the DRAM lever — the interior unit-coverage path feeds the
+                2 B/cell array straight to RasterStats' exact int64
+                accumulators and never expands it to 8 B/cell)."""
                 arr = loaded.get(name)
                 if arr is None:
                     if name == "area":
@@ -331,10 +342,27 @@ class ZonalPartialStats:
                                 f"layer {name!r} for tile {tid} not in the "
                                 "same block as its value layer"
                             )
-                        arr = np.asarray(
-                            values_col[ri].values, dtype=np.float64
-                        ).reshape(th, tw)
+                        arr = np.asarray(values_col[ri].values).reshape(
+                            th, tw
+                        )
                     loaded[name] = arr
+                return arr
+
+            def get_layer_f64(name: str) -> np.ndarray:
+                """float64 view of the layer with integer NODATA sentinel
+                mapped to NaN — built once per tile and cached (boundary /
+                scaled-coverage paths; interior tiles never pay this)."""
+                arr = loaded64.get(name)
+                if arr is None:
+                    raw = get_layer(name)
+                    if raw.dtype.kind in "iu":
+                        arr = raw.astype(np.float64)
+                        arr[raw == INT_NODATA] = np.nan
+                    elif raw.dtype != np.float64:
+                        arr = raw.astype(np.float64)
+                    else:
+                        arr = raw
+                    loaded64[name] = arr
                 return arr
 
             cov_scale = None
@@ -367,12 +395,28 @@ class ZonalPartialStats:
                                 cov_full = np.full((th, tw), float(kind))
                                 if cov_scale is not None:
                                     cov_full = cov_full * cov_scale
-                            vals = self._fill(get_layer(vlay), self.default_value)
-                            ws = (
-                                self._fill(get_layer(wlay), self.default_weight)
-                                if wlay is not None
-                                else None
-                            )
+                            if unit_cov and self.default_value is None \
+                                    and self.default_weight is None:
+                                # stored-dtype fast path: RasterStats
+                                # handles int16 sentinel / float32 natively
+                                vals = get_layer(vlay)
+                                ws = (
+                                    get_layer(wlay)
+                                    if wlay is not None
+                                    else None
+                                )
+                            else:
+                                vals = self._fill(
+                                    get_layer_f64(vlay), self.default_value
+                                )
+                                ws = (
+                                    self._fill(
+                                        get_layer_f64(wlay),
+                                        self.default_weight,
+                                    )
+                                    if wlay is not None
+                                    else None
+                                )
                             st = RasterStats(store_values=self.store_values)
                             st.process(vals, cov_full, ws, need_minmax=self.need_minmax)
                             row = st.to_row()
@@ -415,13 +459,13 @@ class ZonalPartialStats:
                                 r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
                             ]
                         for pi, (vlay, wlay) in enumerate(self.pairs):
-                            vals = self._fill(get_layer(vlay), self.default_value)[
-                                r0 : r0 + sub.nrow, c0 : c0 + sub.ncol
-                            ]
+                            vals = self._fill(
+                                get_layer_f64(vlay), self.default_value
+                            )[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
                             ws = None
                             if wlay is not None:
                                 ws = self._fill(
-                                    get_layer(wlay), self.default_weight
+                                    get_layer_f64(wlay), self.default_weight
                                 )[r0 : r0 + sub.nrow, c0 : c0 + sub.ncol]
                             st = RasterStats(store_values=self.store_values)
                             st.process(vals, cov, ws, need_minmax=self.need_minmax)

@@ -135,12 +135,14 @@ def tile_batch(
     return pa.Table.from_arrays(arrays, schema=tile_schema(pa_type))
 
 
-_SYNTH_LAYER_FNS = {
+def _synth_layer_fns(dtype):
     # generate in the stored dtype directly: skips a float64 intermediate
-    # (values are small integers — exact in float32)
-    "value": lambda rr, cc: synth.synth_values(rr, cc, dtype=np.float32),
-    "weight": lambda rr, cc: synth.synth_weights(rr, cc, dtype=np.float32),
-}
+    # (values are small integers — exact in float32/int16; integer storage
+    # uses the synth.INT_NODATA sentinel instead of NaN)
+    return {
+        "value": lambda rr, cc: synth.synth_values(rr, cc, dtype=dtype),
+        "weight": lambda rr, cc: synth.synth_weights(rr, cc, dtype=dtype),
+    }
 
 
 def synthetic_raster_dataset(
@@ -173,7 +175,8 @@ def synthetic_raster_dataset(
             ncpu = 8
         parallelism = max(1, min(num_tiles, 16 * ncpu))
     ids = ray.data.range(num_tiles, override_num_blocks=parallelism)
-    layer_fns = {k: _SYNTH_LAYER_FNS[k] for k in layers}
+    all_fns = _synth_layer_fns(dtype)
+    layer_fns = {k: all_fns[k] for k in layers}
 
     def make_tiles(batch: pa.Table) -> pa.Table:
         tile_ids = batch.column("id").to_numpy()

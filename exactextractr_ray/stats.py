@@ -31,6 +31,14 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+#: NODATA sentinel for integer-stored tile values (mirrors synth.INT_NODATA;
+#: defined here too so stats.py stays dependency-free). Integer tiles are the
+#: memory-bandwidth path: int16 cells move 2 bytes instead of 8 through the
+#: object store and the CPU caches, and the interior fast path accumulates
+#: them in int64 (exact, and bit-identical to float64 accumulation for any
+#: values below 2^53 — which int16 guarantees by construction).
+INT_NODATA = -32768
+
 #: stats that require the value->coverage frequency map, mirroring
 #: requires_stored_values (/root/reference/src/raster_utils.h:63-73)
 STORED_VALUE_STATS = {
@@ -152,15 +160,41 @@ class RasterStats:
 
         Implemented with where-masked whole-array kernels (no boolean-index
         copies) and moment-form batch variance feeding the Chan merge."""
+        vraw = np.asarray(values).ravel()
+        int_in = vraw.dtype.kind in "iu"
+        if (
+            cov is None
+            and int_in
+            and vraw.dtype.itemsize <= 2
+            and (weights is None or (
+                np.asarray(weights).dtype.kind in "iu"
+                and np.asarray(weights).dtype.itemsize <= 2
+            ))
+        ):
+            # INTEGER UNIT-COVERAGE FAST PATH (int16 tile storage): no
+            # float64 materialization of the tile at all. int64 sums of
+            # int16 values (and their squares, < 2^30 each) are exact and
+            # equal the float64 accumulation bit-for-bit (both are the same
+            # integer < 2^53), so every downstream stat is identical to the
+            # float path. NODATA is the INT_NODATA sentinel. Restricted to
+            # <=16-bit ints so the square-sum provably cannot overflow.
+            self._process_int_unit(vraw, weights, need_minmax)
+            return
         if cov is None:
             # unit path additionally avoids the float64 cast pass: float32
             # storage stays float32 through the masks (f32 -> f64 conversion
             # is exact, and the reductions accumulate in f64 via dtype=)
-            v = np.asarray(values).ravel()
-            if v.dtype not in (np.float32, np.float64):
+            v = vraw
+            if int_in:
+                v = v.astype(np.float64)
+                v[vraw == INT_NODATA] = np.nan
+            elif v.dtype not in (np.float32, np.float64):
                 v = v.astype(np.float64)
         else:
-            v = np.asarray(values, dtype=np.float64).ravel()
+            v = vraw.astype(np.float64) if vraw.dtype != np.float64 else vraw
+            if int_in:
+                v = v.copy() if v is vraw else v
+                v[vraw == INT_NODATA] = np.nan
         nan = np.isnan(v)
         if cov is None:
             cm = None
@@ -227,6 +261,81 @@ class RasterStats:
             uq, inv = np.unique(x, return_inverse=True)
             csum = np.bincount(inv, weights=cc, minlength=len(uq))
             wsum = np.bincount(inv, weights=cw, minlength=len(uq))
+            for val, cs, wsv in zip(uq.tolist(), csum.tolist(), wsum.tolist()):
+                ent = self.freq.get(val)
+                if ent is None:
+                    self.freq[val] = [cs, wsv]
+                else:
+                    ent[0] += cs
+                    ent[1] += wsv
+
+    def _process_int_unit(
+        self,
+        v: np.ndarray,
+        weights: np.ndarray | None,
+        need_minmax: bool,
+    ) -> None:
+        """Unit-coverage accumulation for <=16-bit integer storage.
+
+        Every accumulator is an int64 sum of products of <=16-bit ints —
+        exact, and (being integers < 2^53) converts to float64 without
+        rounding, so the resulting state is bit-identical to the float
+        path's. This is the DRAM lever: the tile is read once at 2 B/cell
+        and never expanded to 8 B/cell.
+        """
+        nodata = v == INT_NODATA
+        n_nodata = int(np.count_nonzero(nodata))
+        W = float(v.size - n_nodata)
+        if W <= 0.0:
+            return
+        v0 = np.where(nodata, v.dtype.type(0), v)
+        s1 = float(int(np.sum(v0, dtype=np.int64)))
+        s2 = float(int(np.einsum("i,i->", v0, v0, dtype=np.int64)))
+        self.sum_ci += W
+        self.sum_xici += s1
+        self.sum_x2ci += s2
+        mu = s1 / W
+        self.var.merge(VarState(W, mu, max(0.0, s2 - s1 * mu)))
+        if need_minmax:
+            if n_nodata:
+                vmax_sent = np.iinfo(v.dtype).max
+                self.min = min(
+                    self.min,
+                    float(np.min(np.where(nodata, v.dtype.type(vmax_sent), v))),
+                )
+            else:
+                self.min = min(self.min, float(np.min(v)))
+            # INT_NODATA is the dtype minimum, so max is sentinel-immune
+            self.max = max(self.max, float(np.max(v0)))
+        if weights is None:
+            self.sum_ciwi += W
+            self.sum_xiciwi += s1
+            self.sum_x2ciwi += s2
+            WW, ws1, ws2 = W, s1, s2
+        else:
+            w = np.asarray(weights).ravel()
+            ciwi = np.where(nodata, w.dtype.type(0), w)
+            WW = float(int(np.sum(ciwi, dtype=np.int64)))
+            ws1 = float(int(np.einsum("i,i->", v0, ciwi, dtype=np.int64)))
+            ws2 = float(int(np.einsum("i,i,i->", v0, v0, ciwi, dtype=np.int64)))
+            self.sum_ciwi += WW
+            self.sum_xiciwi += ws1
+            self.sum_x2ciwi += ws2
+        if WW != 0.0:
+            wmu = ws1 / WW
+            t = ws2 - ws1 * wmu
+            self.wvar.merge(VarState(WW, wmu, t if t > 0.0 else 0.0))
+        if self.store_values:
+            x = v0[~nodata].astype(np.float64)
+            uq, inv = np.unique(x, return_inverse=True)
+            csum = np.bincount(inv, minlength=len(uq)).astype(np.float64)
+            if weights is None:
+                wsum = csum
+            else:
+                wsum = np.bincount(
+                    inv, weights=ciwi[~nodata].astype(np.float64),
+                    minlength=len(uq),
+                )
             for val, cs, wsv in zip(uq.tolist(), csum.tolist(), wsum.tolist()):
                 ent = self.freq.get(val)
                 if ent is None:

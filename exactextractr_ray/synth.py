@@ -29,6 +29,11 @@ VAL_A, VAL_B, VAL_MOD = 7919, 104729, 1000  # value = (r*A + c*B) % MOD
 NA_A, NA_B, NA_MOD = 31, 17, 23  # NODATA where (r*A + c*B) % MOD == 0
 W_A, W_B, W_MOD = 13, 29, 7  # weight layer = (r*A + c*B) % MOD + 1
 
+#: NODATA sentinel for integer-stored tiles (int16/int32): the most negative
+#: int16. Float-stored tiles use NaN. Consumers translate sentinel -> NaN at
+#: the compute edge (stats.py INT_NODATA is the same constant).
+INT_NODATA = -32768
+
 
 def synth_values(
     rows: np.ndarray, cols: np.ndarray, dtype=np.float64
@@ -43,18 +48,27 @@ def synth_values(
         # conditional subtract instead of a full-array integer division —
         # bit-identical values, ~3x less generation bandwidth (generation
         # showed up as the hottest pass in the zonal profile)
-        rv = ((r[:, 0] * VAL_A) % VAL_MOD).astype(np.int32)
-        cv = ((c[0, :] * VAL_B) % VAL_MOD).astype(np.int32)
+        # 2-D intermediates in int16 when the target is a small int (sum
+        # < 2*VAL_MOD = 2000 and < 2*NA_MOD: both fit) — generation is
+        # bandwidth-bound, so intermediate width is the cost
+        small = np.dtype(dtype).kind in "iu" and np.dtype(dtype).itemsize <= 2
+        idt = np.int16 if small else np.int32
+        rv = ((r[:, 0] * VAL_A) % VAL_MOD).astype(idt)
+        cv = ((c[0, :] * VAL_B) % VAL_MOD).astype(idt)
         t = rv[:, None] + cv[None, :]  # each < VAL_MOD -> sum < 2*VAL_MOD
-        t = np.where(t >= VAL_MOD, t - VAL_MOD, t)
-        rn = ((r[:, 0] * NA_A) % NA_MOD).astype(np.int32)
-        cn = ((c[0, :] * NA_B) % NA_MOD).astype(np.int32)
+        t = np.where(t >= VAL_MOD, t - idt(VAL_MOD), t)
+        rn = ((r[:, 0] * NA_A) % NA_MOD).astype(idt)
+        cn = ((c[0, :] * NA_B) % NA_MOD).astype(idt)
         tn = rn[:, None] + cn[None, :]
-        v = t.astype(dtype)  # integer values < 1000: exact in float32 too
-        v[(tn == 0) | (tn == NA_MOD)] = np.nan
+        v = t.astype(dtype, copy=False)
+        # NODATA: NaN for float storage, INT_NODATA sentinel for integer
+        # storage (int16 tiles are the DRAM-bandwidth path: 2 bytes/cell)
+        hole = (tn == 0) | (tn == NA_MOD)
+        v[hole] = INT_NODATA if np.dtype(dtype).kind in "iu" else np.nan
         return v
-    v = ((r * VAL_A + c * VAL_B) % VAL_MOD).astype(np.float64)
-    v[(r * NA_A + c * NA_B) % NA_MOD == 0] = np.nan
+    v = ((r * VAL_A + c * VAL_B) % VAL_MOD).astype(np.dtype(dtype))
+    hole = (r * NA_A + c * NA_B) % NA_MOD == 0
+    v[hole] = INT_NODATA if np.dtype(dtype).kind in "iu" else np.nan
     return v
 
 
@@ -64,11 +78,13 @@ def synth_weights(
     r = np.asarray(rows, dtype=np.int64)
     c = np.asarray(cols, dtype=np.int64)
     if r.ndim == 2 and r.shape == c.shape:
-        rw = ((r[:, 0] * W_A) % W_MOD).astype(np.int32)
-        cw = ((c[0, :] * W_B) % W_MOD).astype(np.int32)
+        small = np.dtype(dtype).kind in "iu" and np.dtype(dtype).itemsize <= 2
+        idt = np.int16 if small else np.int32
+        rw = ((r[:, 0] * W_A) % W_MOD).astype(idt)
+        cw = ((c[0, :] * W_B) % W_MOD).astype(idt)
         t = rw[:, None] + cw[None, :]
-        t = np.where(t >= W_MOD, t - W_MOD, t)
-        return (t + 1).astype(dtype)
+        t = np.where(t >= W_MOD, t - idt(W_MOD), t)
+        return (t + idt(1)).astype(dtype, copy=False)
     return ((r * W_A + c * W_B) % W_MOD + 1).astype(np.float64)
 
 
