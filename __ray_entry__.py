@@ -4269,6 +4269,51 @@ def _q_zonal_geotiff_stream(sf_dir: str):
     return t.sort_values("zone_id").reset_index(drop=True)
 
 
+def _q_zonal_geotiff_jpeg(sf_dir: str):
+    """JPEG-in-TIFF ingestion (compression 7, abbreviated streams + shared
+    JPEGTables — the GDAL COMPRESS=JPEG layout) through the same zonal
+    pipeline. The fixture raster is CONSTANT ON 8x8 BLOCKS, which makes the
+    lossy JPEG round trip bit-exact (only the DC coefficient is nonzero and
+    the quality-100 quantizer is 1), so a closed-form SQL oracle applies to
+    a genuinely JPEG-decoded input — Huffman, dequant, IDCT and the TIFF
+    chunk plumbing are all on the hash path."""
+    import os
+    import tempfile
+
+    from exactextractr_ray import synth
+    from exactextractr_ray.pipelines.zonal import exact_extract
+    from exactextractr_ray.sources.geotiff import (
+        geotiff_raster_dataset,
+        write_geotiff,
+    )
+
+    nb = N_GRID // 8
+    br = np.arange(nb)[:, None]
+    bc = np.arange(nb)[None, :]
+    blocks = ((br * 37 + bc * 59) % 256).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    with tempfile.TemporaryDirectory(prefix="gtiffj_") as tmp:
+        p = os.path.join(tmp, "synth_jpeg.tif")
+        write_geotiff(img, synth.synth_grid(N_GRID), p,
+                      compression=7, jpeg_quality=100, tile=TILE)
+        t = exact_extract(
+            geotiff_raster_dataset(p, tile=TILE, concurrency=(1, 2)),
+            _rect_zones(),
+            ["count", "sum", "mean", "min", "max", "variance_exact"],
+        ).to_pandas()
+    t = t.rename(
+        columns={
+            "count": "cell_count",
+            "sum": "val_sum",
+            "mean": "val_mean",
+            "min": "val_min",
+            "max": "val_max",
+            "variance_exact": "val_var",
+        }
+    )
+    return t.sort_values("zone_id").reset_index(drop=True)
+
+
 def _q_zonal_netcdf_stream(sf_dir: str):
     """The NetCDF-3 raster ingestion path (per-worker byte-range row reads,
     sources/netcdf_raster.py — the CF climate-grid access pattern) over the
@@ -4873,6 +4918,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
     return {
         "zonal_stats_rect": _q_zonal_stats,
         "zonal_geotiff_stream": _q_zonal_geotiff_stream,
+        "zonal_geotiff_jpeg": _q_zonal_geotiff_jpeg,
         "zonal_netcdf_stream": _q_zonal_netcdf_stream,
         "zonal_geojson_zones": _q_zonal_geojson_zones,
         "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
@@ -5112,6 +5158,37 @@ def oracle_sql() -> dict[str, str]:
     SELECT zone_id,
       SUM(val*cov*wgt) AS wsum,
       SUM(val*cov*wgt) / SUM(CASE WHEN val IS NOT NULL THEN cov*wgt END) AS wmean
+    FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
+    """
+
+    # JPEG-in-TIFF fixture: value constant on 8x8 blocks,
+    # v = ((r//8)*37 + (c//8)*59) % 256, no NODATA (JPEG carries none);
+    # same rectangle zones / closed-form coverage as zonal_stats
+    zonal_jpeg_stats = f"""
+    WITH zones AS ({synth.synth_rect_zones_sql(N_ZONES, N_GRID)}),
+    cells AS (
+      SELECT CAST(i % {N_GRID} AS DOUBLE) AS x0,
+             CAST(i % {N_GRID} + 1 AS DOUBLE) AS x1,
+             CAST({N_GRID} - (i // {N_GRID}) - 1 AS DOUBLE) AS y0,
+             CAST({N_GRID} - (i // {N_GRID}) AS DOUBLE) AS y1,
+             CAST((((i // {N_GRID}) // 8) * 37 + ((i % {N_GRID}) // 8) * 59)
+                  % 256 AS DOUBLE) AS val
+      FROM range(0, {N_GRID * N_GRID}) t(i)),
+    cov AS (
+      SELECT z.zone_id, v.val,
+             GREATEST(0.0, LEAST(v.x1, z.xmax) - GREATEST(v.x0, z.xmin)) *
+             GREATEST(0.0, LEAST(v.y1, z.ymax) - GREATEST(v.y0, z.ymin)) AS cov
+      FROM zones z CROSS JOIN cells v
+      WHERE v.x1 > z.xmin AND v.x0 < z.xmax
+        AND v.y1 > z.ymin AND v.y0 < z.ymax)
+    SELECT zone_id,
+      SUM(cov) AS cell_count,
+      SUM(val*cov) AS val_sum,
+      SUM(val*cov) / SUM(cov) AS val_mean,
+      MIN(val) AS val_min,
+      MAX(val) AS val_max,
+      (SUM(val*val*cov) - SUM(val*cov)*SUM(val*cov)/SUM(cov)) / SUM(cov)
+        AS val_var
     FROM cov WHERE cov > 0 GROUP BY zone_id ORDER BY zone_id
     """
 
@@ -8697,6 +8774,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "zonal_stats_rect": zonal_stats,
         "zonal_geotiff_stream": zonal_stats,
+        "zonal_geotiff_jpeg": zonal_jpeg_stats,
         "zonal_netcdf_stream": zonal_stats,
         "zonal_geojson_zones": zonal_stats,
         "zonal_feature_seq_rect": zonal_feature_seq,

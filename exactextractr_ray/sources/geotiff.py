@@ -586,7 +586,7 @@ def _compress_body(body: bytes, compression: int) -> bytes:
 
 
 def _jpeg_chunk(body: bytes, rows: int, cols: int, nb: int,
-                quality: int) -> bytes:
+                quality: int, subsampling: str = "4:4:4") -> bytes:
     """One raw chunky chunk -> abbreviated JPEG stream (Technote 2: the
     shared DQT/DHT ride in the JPEGTables tag)."""
     from ..functions.jpeg import encode_jpeg
@@ -595,7 +595,7 @@ def _jpeg_chunk(body: bytes, rows: int, cols: int, nb: int,
         rows, cols, nb
     )
     img = a[:, :, 0] if nb == 1 else a
-    return encode_jpeg(img, quality=quality, subsampling="4:4:4",
+    return encode_jpeg(img, quality=quality, subsampling=subsampling,
                        include_tables=False)
 
 
@@ -645,6 +645,7 @@ def write_geotiff(
     planar: int = 1,
     tile: int | None = None,
     jpeg_quality: int = 90,
+    jpeg_subsampling: str = "4:4:4",
     predictor: int = 1,
 ) -> None:
     """GeoTIFF writer (pure struct, classic little-endian container,
@@ -659,7 +660,8 @@ def write_geotiff(
     through :func:`read_geotiff` (tested), overviews via ``overview=k``.
     ``compression=7`` writes JPEG-in-TIFF (Technote 2: shared tables in a
     ``JPEGTables`` tag + abbreviated per-chunk streams; uint8, chunky, 1
-    or 3 samples, 4:4:4, LOSSY at ``jpeg_quality``). ``predictor=2``
+    or 3 samples, LOSSY at ``jpeg_quality``; ``jpeg_subsampling="4:2:0"``
+    writes chroma-subsampled YCbCr, the GDAL PHOTOMETRIC=YCBCR layout). ``predictor=2``
     (ints) / ``3`` (floats, TechNote 3) pre-differences rows before
     Deflate/ZSTD — the GDAL-default layout for smooth rasters."""
     import struct as _s
@@ -677,6 +679,10 @@ def write_geotiff(
             raise ValueError(
                 "JPEG-in-TIFF supports chunky 1- or 3-sample pixels only"
             )
+        if jpeg_subsampling not in ("4:4:4", "4:2:0"):
+            raise ValueError("jpeg_subsampling must be 4:4:4 or 4:2:0")
+        if nb == 1:
+            jpeg_subsampling = "4:4:4"  # grayscale has no chroma
     if predictor not in (1, 2, 3):
         raise ValueError("predictor must be 1 (none), 2 (ints) or 3 (floats)")
     if predictor != 1:
@@ -739,7 +745,8 @@ def write_geotiff(
         ch = lv.shape[0] if tile is None else tile
         cw = lv.shape[1] if tile is None else tile
         if compression == 7:
-            comp = [_jpeg_chunk(p, ch, cw, nb, jpeg_quality)
+            comp = [_jpeg_chunk(p, ch, cw, nb, jpeg_quality,
+                                jpeg_subsampling)
                     for p in raw_chunks]
         else:
             if predictor != 1:
@@ -779,8 +786,9 @@ def write_geotiff(
 
             jt = encode_jpeg_tables(gray=(nb == 1), quality=jpeg_quality)
             extra_items.append((347, 7, len(jt), jt))
-            if nb == 3:  # chroma stored 4:4:4 (matches the SOF factors)
-                extra_items.append((530, 3, 2, struct.pack("<2H", 1, 1)))
+            if nb == 3:  # YCbCrSubSampling matches the SOF factors
+                sub = (2, 2) if jpeg_subsampling == "4:2:0" else (1, 1)
+                extra_items.append((530, 3, 2, struct.pack("<2H", *sub)))
         if tile is None:
             tags.append((278, 4, 1, h))  # RowsPerStrip: whole image
             off_tag, cnt_tag = 273, 279

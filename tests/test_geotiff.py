@@ -786,3 +786,65 @@ def test_writer_predictors_roundtrip(tmp_path, tile):
         write_geotiff(flts, g, str(tmp_path / "x.tif"), predictor=2)
     with pytest.raises(ValueError):
         write_geotiff(ints, g, str(tmp_path / "y.tif"), predictor=3)
+
+
+@pytest.mark.parametrize("tile", [None, 16])
+def test_jpeg_in_tiff_block_constant_exact(tmp_path, tile):
+    """Compression 7 (Technote 2 abbreviated streams + JPEGTables tag):
+    a raster constant on 8x8 blocks survives the lossy codec EXACTLY at
+    quality 100 (DC-only blocks, unit quantizer), pinning the full
+    Huffman/dequant/IDCT/TIFF-chunk path without a tolerance."""
+    import numpy as np
+
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    rng = np.random.default_rng(12)
+    blocks = rng.integers(0, 256, (6, 8)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), np.uint8))
+    g = Grid(0.0, 0.0, 64.0, 48.0, 1.0, 1.0)
+    p = str(tmp_path / "jexact.tif")
+    write_geotiff(img, g, p, compression=7, jpeg_quality=100, tile=tile)
+    r, m = read_geotiff(p)
+    assert np.array_equal(r, img.astype(np.float64))
+    assert m.grid == g
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("tile", [None, 16])
+def test_jpeg_in_tiff_ycbcr_rgb(tmp_path, sub, tile):
+    """3-band YCbCr JPEG-in-TIFF (GDAL PHOTOMETRIC=YCBCR layout when
+    subsampled): band reads return RGB within lossy tolerance; the
+    YCbCrSubSampling tag matches the SOF sampling factors."""
+    import numpy as np
+
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import read_geotiff, write_geotiff
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    rgb = np.dstack([
+        (127 + 60 * np.sin(yy / 9.0)).astype(np.uint8),
+        (127 + 60 * np.cos(xx / 11.0)).astype(np.uint8),
+        (127 + 40 * np.sin((xx + yy) / 13.0)).astype(np.uint8),
+    ])
+    g = Grid(0.0, 0.0, 64.0, 48.0, 1.0, 1.0)
+    p = str(tmp_path / "jycc.tif")
+    write_geotiff(rgb, g, p, compression=7, jpeg_quality=95,
+                  jpeg_subsampling=sub, tile=tile)
+    tol = 4 if sub == "4:4:4" else 9
+    for b in (1, 2, 3):
+        r, _ = read_geotiff(p, band=b)
+        assert np.abs(r - rgb[:, :, b - 1]).max() <= tol, (sub, tile, b)
+
+
+def test_jpeg_subsampling_validation(tmp_path):
+    import numpy as np
+
+    from exactextractr_ray.grid import Grid
+    from exactextractr_ray.sources.geotiff import write_geotiff
+
+    g = Grid(0.0, 0.0, 8.0, 8.0, 1.0, 1.0)
+    a = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="4:4:4 or 4:2:0"):
+        write_geotiff(a, g, str(tmp_path / "z.tif"), compression=7,
+                      jpeg_subsampling="4:2:2")
