@@ -801,6 +801,8 @@ def parse_crs(name: str):
         p = [float(v) for v in parts[:7]]
         ell = parts[7] if len(parts) >= 8 else "WGS84"
         return HotineObliqueMercator(*p, ellipsoid=ell)
+    if name.startswith("+"):
+        return parse_proj_string(name)  # PROJ.4-style +proj= string
     up = name[:12].upper()
     if up.startswith(("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS")):
         return parse_crs_wkt(name)  # raw WKT (e.g. .prj sidecar content)
@@ -815,7 +817,10 @@ SUPPORTED = {"EPSG:4326/4269/4258 (geographic)", "EPSG:3857",
              "EPSG:27700 (BNG) + 230xx (ED50 UTM) via Helmert",
              "EPSG:2056/21781 (Swiss somerc) + 29873 (Borneo RSO, omerc)",
              "tmerc:...", "lcc:...", "aea:...", "laea:...", "stere:...",
-             "omerc:...", "raw WKT1/ESRI text"}
+             "omerc:...", "raw WKT1/ESRI text",
+             "+proj= strings (utm/tmerc/lcc/aea/laea/stere/sinu/eqc/merc/"
+             "omerc/somerc/longlat with +ellps/+a+b/+rf/+R, +datum "
+             "shorthand, +towgs84 Helmert)"}
 
 
 # ---------------- datum shifts (Helmert, EPSG method 9606) ----------------
@@ -1087,6 +1092,178 @@ def crs_from_prj(path: str):
     """Shapefile ``.prj`` sidecar -> projection object (parse_crs_wkt)."""
     with open(path) as f:
         return parse_crs_wkt(f.read())
+
+
+# ---------------- PROJ string front end (+proj=...) ----------------
+
+#: +ellps= aliases -> _ELLIPSOIDS keys (PROJ names are lowercase)
+_PROJ_ELLPS = {
+    "wgs84": "WGS84", "grs80": "GRS80", "clrk66": "CLRK66",
+    "airy": "AIRY", "intl": "INTL", "bessel": "BESSEL",
+    "evrst30": "EVRST67", "evrst69": "EVRST67",
+}
+
+#: +datum= shorthand -> (ellipsoid, towgs84 7-tuple or None). NAD27's
+#: published mean CONUS Helmert (~5 m vs NADCON grids) and OSGB36's OS
+#: 7-parameter set; WGS84-equivalent datums shift by nothing.
+_PROJ_DATUMS = {
+    "wgs84": ("WGS84", None),
+    "nad83": ("GRS80", None),
+    "etrs89": ("GRS80", None),
+    "nad27": ("CLRK66", (-8.0, 160.0, 176.0, 0.0, 0.0, 0.0, 0.0)),
+    "osgb36": ("AIRY", _OSGB36_HELMERT),
+    "ed50": ("INTL", _ED50_HELMERT + (0.0, 0.0, 0.0, 0.0)),
+    "potsdam": ("BESSEL", (598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7)),
+}
+
+
+class _GeographicIdentity:
+    """Degenerate 'projection' whose plane IS datum lon/lat degrees — lets
+    DatumProjection express a geographic CRS on a shifted datum (e.g.
+    ``+proj=longlat +datum=NAD27``): forward takes WGS84 lon/lat to NAD27
+    lon/lat, inverse the reverse."""
+
+    def forward(self, lon_deg, lat_deg):
+        return np.asarray(lon_deg, np.float64), np.asarray(lat_deg, np.float64)
+
+    def inverse(self, x, y):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+
+
+def parse_proj_string(s: str):
+    """PROJ.4-style string -> projection object (the ``+proj=`` front end
+    the reference inherits from PROJ via OGR, R/exact_extract.R:360-377).
+
+    Supported: longlat/latlong, utm (+zone, +south), tmerc, lcc (1SP and
+    2SP), aea, laea, stere/sterea (polar), sinu, eqc, merc (spherical /
+    web), omerc/somerc; ellipsoid via +ellps / +a +b / +a +rf / +a +f /
+    +R; datum via +datum shorthand or an explicit +towgs84=tx,ty,tz[,rx,
+    ry,rz,s] (position-vector convention, EPSG 9606) which wraps the
+    projection in a Helmert DatumProjection. +x_0/+y_0/+k/+k_0/+lat_0/
+    +lon_0/+lat_1/+lat_2/+lat_ts as in PROJ; +units must be m (or absent);
+    +no_defs and unknown keys are ignored, matching PROJ's tolerance.
+    """
+    toks = s.strip().split()
+    kv: dict[str, str] = {}
+    for t in toks:
+        t = t.lstrip("+")
+        if not t:
+            continue
+        if "=" in t:
+            k, v = t.split("=", 1)
+            kv[k.lower()] = v
+        else:
+            kv[t.lower()] = ""
+    if "proj" not in kv:
+        raise ValueError("proj string has no +proj=")
+    proj = kv["proj"].lower()
+    units = kv.get("units", "m").lower()
+    if proj not in ("longlat", "latlong") and units != "m":
+        raise ValueError(f"unsupported +units={units} (meters only)")
+
+    def f(key: str, default: float = 0.0) -> float:
+        v = kv.get(key)
+        return default if v in (None, "") else float(v)
+
+    # ellipsoid resolution: +datum > +ellps > +a/+b|+rf|+f > +R > WGS84
+    helmert = None
+    if "datum" in kv:
+        d = kv["datum"].lower()
+        if d not in _PROJ_DATUMS:
+            raise ValueError(f"unsupported +datum={kv['datum']}")
+        ell_name, tow = _PROJ_DATUMS[d]
+        ell = _ELLIPSOIDS[ell_name]
+        if tow is not None and any(tow):
+            helmert = Helmert(*tow)
+    elif "ellps" in kv:
+        e = kv["ellps"].lower()
+        if e not in _PROJ_ELLPS:
+            raise ValueError(f"unsupported +ellps={kv['ellps']}")
+        ell = _ELLIPSOIDS[_PROJ_ELLPS[e]]
+    elif "a" in kv:
+        a = f("a")
+        if "b" in kv:
+            b = f("b")
+            ell = (a, (a - b) / a)
+        elif "rf" in kv:
+            rf = f("rf")
+            ell = (a, 1.0 / rf if rf else 0.0)
+        else:
+            ell = (a, f("f"))
+    elif "r" in kv:
+        ell = (f("r"), 0.0)
+    else:
+        ell = _ELLIPSOIDS["WGS84"]
+    # explicit +towgs84 overrides the datum shorthand's shift
+    if "towgs84" in kv:
+        vals = [float(v) for v in kv["towgs84"].split(",")]
+        helmert = Helmert(*vals[:7]) if any(vals) else None
+
+    def wrap(p):
+        return DatumProjection(p, ell, helmert) if helmert else p
+
+    if proj in ("longlat", "latlong"):
+        return wrap(_GeographicIdentity()) if helmert else None
+    if proj == "utm":
+        zone = int(f("zone"))
+        if not 1 <= zone <= 60:
+            raise ValueError("utm needs +zone=1..60")
+        return wrap(TransverseMercator(
+            zone * 6 - 183, 0.9996, 500000.0,
+            10_000_000.0 if "south" in kv else 0.0, ellipsoid=ell,
+        ))
+    if proj == "tmerc":
+        return wrap(TransverseMercator(
+            f("lon_0"), f("k", f("k_0", 1.0)), f("x_0"), f("y_0"),
+            ellipsoid=ell, lat0_deg=f("lat_0"),
+        ))
+    if proj == "lcc":
+        lat1 = f("lat_1", f("lat_0"))
+        return wrap(LambertConformalConic(
+            lat1, f("lat_2", lat1), f("lat_0"), f("lon_0"),
+            f("x_0"), f("y_0"), ellipsoid=ell,
+        ))
+    if proj == "aea":
+        return wrap(AlbersEqualArea(
+            f("lat_1"), f("lat_2", f("lat_1")), f("lat_0"), f("lon_0"),
+            f("x_0"), f("y_0"), ellipsoid=ell,
+        ))
+    if proj == "laea":
+        return wrap(LambertAzimuthalEqualArea(
+            f("lat_0"), f("lon_0"), f("x_0"), f("y_0"), ellipsoid=ell,
+        ))
+    if proj in ("stere", "sterea"):
+        lat_ts = f("lat_ts", f("lat_0", 90.0))
+        if abs(f("lat_0", 90.0)) != 90.0:
+            raise ValueError("stere: only the polar aspect is supported")
+        return wrap(PolarStereographic(
+            lat_ts, f("lon_0"), f("x_0"), f("y_0"), ellipsoid=ell,
+            k0=f("k", f("k_0", 1.0)),
+        ))
+    if proj == "sinu":
+        return wrap(Sinusoidal(
+            f("lon_0"), R=ell[0], false_easting=f("x_0"),
+            false_northing=f("y_0"),
+        ))
+    if proj == "eqc":
+        return wrap(Equirectangular(
+            f("lat_ts", f("lat_1")), f("lon_0"), R=ell[0],
+            false_easting=f("x_0"), false_northing=f("y_0"),
+        ))
+    if proj == "merc":
+        # spherical / web mercator only (the 3857 hub path)
+        if abs(ell[0] - R_MERC) < 1.0 and (ell[1] == 0.0 or "b" in kv
+                                           and f("a") == f("b")):
+            return "mercator"
+        raise ValueError("merc: only the spherical R=6378137 form")
+    if proj in ("omerc", "somerc"):
+        az = 90.0 if proj == "somerc" else f("alpha", 90.0)
+        return wrap(HotineObliqueMercator(
+            f("lat_0"), f("lonc", f("lon_0")), az,
+            f("gamma", az), f("k", f("k_0", 1.0)),
+            f("x_0"), f("y_0"), ellipsoid=ell,
+        ))
+    raise ValueError(f"unsupported +proj={proj}")
 
 
 def lonlat_to_mercator(lon: np.ndarray, lat: np.ndarray):
