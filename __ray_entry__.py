@@ -1312,6 +1312,22 @@ def _q_substr_dup(sf_dir: str):
     return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 
 
+def _q_maximal_dup_spans(sf_dir: str):
+    """MAXIMAL duplicated spans (Lee et al. 2022 §3 semantics): per
+    position the longest-elsewhere-match length L (capped at 48); spans
+    [p, p+L) with L >= 20 kept unless contained in the previous span.
+    Unlike substr_dup_spans' fixed-k union, every reported span's own
+    substring occurs >= 2 times (chimera spans split); computed with one
+    global capped-window sort + adjacent LCP (stages/dedup.py)."""
+    from exactextractr_ray.stages.dedup import maximal_dup_spans
+
+    df = maximal_dup_spans(
+        _docs(sf_dir, ["doc_id", "text"]), min_len=20, cap=48
+    ).to_pandas()
+    df = df.reindex(columns=["doc_id", "span_start", "span_end"])
+    return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 def _q_dsir(sf_dir: str):
     """DSIR data selection (hashed-bigram importance weights, fixed-point
     integer likelihood ratios): top-100 docs most like the target domain
@@ -5038,6 +5054,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "token_rarity": _q_token_rarity,
         "dup_spans": _q_dup_spans,
         "substr_dup_spans": _q_substr_dup,
+        "maximal_dup_spans": _q_maximal_dup_spans,
         "dsir_topk": _q_dsir,
         "ccnet_buckets": _q_ccnet_buckets,
         "winnow_fingerprints": _q_winnow,
@@ -7158,6 +7175,47 @@ def oracle_sql() -> dict[str, str]:
     # count >= 2, gaps-and-islands span merge — integer-exact end to end.
     substr_dup_spans_sql = f"""
     WITH {synth.substr_dup_sql(20)}
+    ORDER BY doc_id, span_start
+    """
+
+    # maximal-span semantics: L[p] = max LCP of the 48-capped window at p
+    # with its neighbors in global window sort order (the suffix-array
+    # adjacency property, exact for capped suffixes); keep L >= 20 unless
+    # the previous position's span contains this one. Text-exact — no
+    # hashing on the oracle side.
+    maximal_dup_spans_sql = """
+    WITH pos AS (
+      SELECT doc_id, CAST(q.p AS BIGINT) AS p,
+             substr(text, CAST(q.p + 1 AS INT), 48) AS win
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, length(text) - 1)) AS p) q
+    ), srt AS (
+      SELECT doc_id, p, win,
+        LAG(win)  OVER w AS pw,
+        LEAD(win) OVER w AS nw
+      FROM pos WINDOW w AS (ORDER BY win, doc_id, p)
+    ), lcps AS (
+      SELECT doc_id, p,
+        GREATEST(
+          COALESCE((SELECT MAX(t) FROM range(1, 49) r(t)
+            WHERE t <= least(length(win), length(pw))
+              AND substr(win, 1, CAST(t AS INT))
+                = substr(pw, 1, CAST(t AS INT))), 0),
+          COALESCE((SELECT MAX(t) FROM range(1, 49) r(t)
+            WHERE t <= least(length(win), length(nw))
+              AND substr(win, 1, CAST(t AS INT))
+                = substr(nw, 1, CAST(t AS INT))), 0)
+        ) AS L
+      FROM srt
+    ), perdoc AS (
+      SELECT doc_id, p, L,
+        LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp,
+        LAG(L) OVER (PARTITION BY doc_id ORDER BY p) AS pl
+      FROM lcps
+    )
+    SELECT doc_id, p AS span_start, p + L AS span_end
+    FROM perdoc
+    WHERE L >= 20 AND NOT COALESCE(pp = p - 1 AND pl >= L + 1, FALSE)
     ORDER BY doc_id, span_start
     """
 
@@ -9414,6 +9472,7 @@ def oracle_sql() -> dict[str, str]:
         "token_rarity": token_rarity_sql,
         "dup_spans": dup_spans_sql,
         "substr_dup_spans": substr_dup_spans_sql,
+        "maximal_dup_spans": maximal_dup_spans_sql,
         "dsir_topk": dsir_sql,
         "ccnet_buckets": ccnet_sql,
         "winnow_fingerprints": winnow_fp_sql,

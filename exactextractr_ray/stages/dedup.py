@@ -1428,3 +1428,295 @@ def substr_dup_spans(
         .groupby("coarse")
         .map_groups(merge_spans, batch_format="pandas")
     )
+
+
+def maximal_dup_spans(
+    ds,
+    min_len: int = 20,
+    cap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int | None = None,
+    ncoarse: int = 256,
+):
+    """MAXIMAL duplicated spans (Lee et al. 2022 §3 semantics, upgraded
+    from :func:`substr_dup_spans`'s fixed-k union): for every position p
+    whose longest-elsewhere-match length L[p] (capped at ``cap``) is
+    >= ``min_len``, report the span [p, p + L[p]) unless it is contained
+    in the previous position's span (left-maximality: L[p-1] >= L[p]+1).
+    Unlike the k-gram union, each reported span's substring itself occurs
+    >= 2 times in the corpus (same-document repeats count), and chimera
+    spans — consecutive windows matching *different* sources — are split.
+
+    Algorithm (exact, suffix-array-free): (1) candidate positions via the
+    min_len-gram corpus-count semi-join (hash marks — collisions can only
+    ADD candidates; the final text-exact LCP filters them, so the result
+    is exact, not probabilistic). (2) one doc-coarse groupby co-locates
+    text with candidates and emits each candidate's cap-length window.
+    (3) ONE global Dataset.sort of the windows: in sorted order the
+    maximal-LCP partner of any row is adjacent (betweenness: a <= b <= c
+    lexicographically implies LCP(a,c) = min(LCP(a,b), LCP(b,c)), so
+    extra rows never change the max), hence L[p] = max(LCP(prev),
+    LCP(next)) computed per block with a tiny driver-side block-boundary
+    exchange. (4) per-doc left-maximality filter.
+
+    Scale shape (100 TB): the corpus streams once through the gram pass;
+    the only text that shuffles is (a) one doc-coarse pass (same as the
+    verify stages) and (b) candidates x cap bytes through the sort —
+    proportional to DUPLICATED content, not the corpus. The sort is the
+    single wide exchange; everything after moves (doc_id, p, L) triples.
+    ``cap`` bounds both the exchange and the reported span resolution
+    (spans longer than cap report as cap-length left-maximal prefixes of
+    runs, exactly like the SQL oracle's capped windows).
+
+    Returns a Dataset of (doc_id, span_start, span_end), exact and
+    bit-identical to the capped SQL recomputation.
+    """
+    import ray
+
+    if num_partitions is None:
+        num_partitions = 32 * int(ray.cluster_resources().get("CPU", 8))
+    njoin = int(num_partitions)
+    k = int(min_len)
+
+    # ---- stage 1: candidate positions (min_len-gram count >= 2) ----
+    def fanout(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        owner, pos, h1, h2 = _gram_hashes(texts, k)
+        key = (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+        uk, cnt = np.unique(key, return_counts=True)
+        hk = np.concatenate([uk, key]).view(np.int64)
+        jkey = (np.concatenate([uk, key]) % np.uint64(njoin)).astype(np.int64)
+        tag = np.concatenate(
+            [np.zeros(uk.size, np.int64), np.ones(key.size, np.int64)]
+        )
+        return pa.table(
+            {
+                "jkey": pa.array(jkey),
+                "hk": pa.array(hk),
+                "tag": pa.array(tag),
+                "cnt": pa.array(np.concatenate(
+                    [cnt.astype(np.int64), np.zeros(key.size, np.int64)]
+                )),
+                "doc_id": pa.array(np.concatenate(
+                    [np.full(uk.size, -1, np.int64), ids[owner].astype(np.int64)]
+                )),
+                "p": pa.array(np.concatenate(
+                    [np.full(uk.size, -1, np.int64), pos]
+                )),
+            }
+        )
+
+    def semi_join(g: pd.DataFrame) -> pd.DataFrame:
+        hk = g["hk"].to_numpy()
+        uniq, inv = np.unique(hk, return_inverse=True)
+        tot = np.bincount(inv, weights=g["cnt"].to_numpy())
+        keep = (tot[inv] >= 2) & (g["tag"].to_numpy() == 1)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy()[keep],
+                "p": g["p"].to_numpy()[keep],
+            }
+        )
+
+    cands = (
+        ds.map_batches(fanout, batch_format="pyarrow")
+        .groupby("jkey")
+        .map_groups(semi_join, batch_format="pandas")
+    )
+
+    # ---- stage 2: co-locate text, emit capped windows ----
+    def tag_marks(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "coarse": pa.array((d % ncoarse).astype(np.int64)),
+                "tag": pa.array(np.ones(len(d), np.int64)),
+                "doc_id": pa.array(d),
+                "p": batch.column("p"),
+                "text": pa.array([""] * len(d), pa.string()),
+            }
+        )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        d = batch.column(id_col).to_numpy()
+        return pa.table(
+            {
+                "coarse": pa.array((d % ncoarse).astype(np.int64)),
+                "tag": pa.array(np.zeros(len(d), np.int64)),
+                "doc_id": pa.array(d.astype(np.int64)),
+                "p": pa.array(np.full(len(d), -1, np.int64)),
+                "text": batch.column(text_col).cast(pa.string()),
+            }
+        )
+
+    def emit_windows(g: pd.DataFrame) -> pd.DataFrame:
+        txt = {
+            int(r.doc_id): r.text
+            for r in g[g["tag"] == 0].itertuples()
+        }
+        marks = g[g["tag"] == 1]
+        out_d, out_p, out_w = [], [], []
+        for doc, p in zip(marks["doc_id"].to_numpy(),
+                          marks["p"].to_numpy()):
+            t = txt.get(int(doc))
+            if t is None:
+                continue
+            out_d.append(int(doc))
+            out_p.append(int(p))
+            out_w.append(t[int(p):int(p) + cap])
+        # Arrow output: the downstream global sort requires homogeneous
+        # block types across this stage and the sentinel union
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "p": pa.array(out_p, pa.int64()),
+                "win": pa.array(out_w, pa.string()),
+            }
+        )
+
+    # schema-keeping sentinel: empty window sorts first, its LCP with any
+    # neighbor is 0 < min_len, so it drops in the final filter
+    sentinel = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([-1], pa.int64()),
+         "p": pa.array([0], pa.int64()),
+         "win": pa.array([""], pa.string())}
+    ))
+    wins = (
+        cands.map_batches(tag_marks, batch_format="pyarrow")
+        .union(ds.map_batches(tag_docs, batch_format="pyarrow"))
+        .groupby("coarse")
+        .map_groups(emit_windows, batch_format="pandas")
+        .union(sentinel)
+    )
+
+    # ---- stage 3: global window sort + per-block adjacent LCP ----
+    srt = wins.sort("win").materialize()
+
+    def _codes(s: str) -> np.ndarray:
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    def _lcp_pair(a: str, b: str) -> int:
+        ca, cb = _codes(a), _codes(b)
+        m = min(ca.size, cb.size)
+        if m == 0:
+            return 0
+        neq = ca[:m] != cb[:m]
+        return int(neq.argmax()) if neq.any() else m
+
+    def block_edges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64()),
+                             "win": pa.array([], pa.string()),
+                             "side": pa.array([], pa.int64())})
+        first = batch.slice(0, 1)
+        last = batch.slice(batch.num_rows - 1, 1)
+        t = pa.concat_tables([first, last])
+        return t.append_column("side", pa.array([0, 1], pa.int64()))
+
+    edges = srt.map_batches(
+        block_edges, batch_format="pyarrow", batch_size=None
+    ).take_all()  # 2 rows per block, in block order
+    # neighbor windows across block boundaries, keyed by the edge row
+    prev_win: dict[tuple[int, int], str] = {}
+    next_win: dict[tuple[int, int], str] = {}
+    blocks = [edges[i:i + 2] for i in range(0, len(edges), 2)]
+    for i, blk in enumerate(blocks):
+        if i > 0:
+            prev_last = blocks[i - 1][1]
+            prev_win[(int(blk[0]["doc_id"]), int(blk[0]["p"]))] = \
+                prev_last["win"]
+        if i + 1 < len(blocks):
+            nxt_first = blocks[i + 1][0]
+            next_win[(int(blk[1]["doc_id"]), int(blk[1]["p"]))] = \
+                nxt_first["win"]
+    prev_ref = ray.put(prev_win)
+    next_ref = ray.put(next_win)
+
+    def block_lcp(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64()),
+                             "L": pa.array([], pa.int64())})
+        pw = ray.get(prev_ref)
+        nw = ray.get(next_ref)
+        wins_l = batch.column("win").to_pylist()
+        docs = batch.column("doc_id").to_numpy()
+        ps = batch.column("p").to_numpy()
+        lens = np.array([len(w) for w in wins_l], np.int64)
+        # padded codepoint matrix: one C pass for all in-block LCPs
+        mat = np.zeros((n, cap), np.uint32)
+        if lens.sum():
+            flat = np.frombuffer(
+                "".join(wins_l).encode("utf-32-le"), dtype=np.uint32
+            )
+            mask = np.arange(cap)[None, :] < lens[:, None]
+            mat[mask] = flat
+        if n > 1:
+            eq = mat[1:] == mat[:-1]
+            neq_any = ~eq.all(axis=1)
+            adj = np.where(
+                neq_any, (~eq).argmax(axis=1), cap
+            ).astype(np.int64)
+            adj = np.minimum(adj, np.minimum(lens[1:], lens[:-1]))
+        else:
+            adj = np.zeros(0, np.int64)
+        lcp_prev = np.concatenate([[0], adj])
+        lcp_next = np.concatenate([adj, [0]])
+        kfirst = (int(docs[0]), int(ps[0]))
+        if kfirst in pw:
+            lcp_prev[0] = _lcp_pair(pw[kfirst], wins_l[0])
+        klast = (int(docs[-1]), int(ps[-1]))
+        if klast in nw:
+            lcp_next[-1] = _lcp_pair(wins_l[-1], nw[klast])
+        L = np.maximum(lcp_prev, lcp_next)
+        keep = (L >= min_len) & (docs >= 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[keep]),
+                "p": pa.array(ps[keep]),
+                "L": pa.array(L[keep]),
+            }
+        )
+
+    pos_l = srt.map_batches(
+        block_lcp, batch_format="pyarrow", batch_size=None
+    )
+
+    # ---- stage 4: per-doc left-maximality ----
+    pos_l = pos_l.union(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array([-1], pa.int64()),
+         "p": pa.array([0], pa.int64()),
+         "L": pa.array([0], pa.int64())}
+    )))
+
+    def coarse2(batch: pa.Table) -> pa.Table:
+        c = batch.column("doc_id").to_numpy() % ncoarse
+        return batch.append_column("coarse", pa.array(c.astype(np.int64)))
+
+    def left_maximal(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "p"])
+        doc = g["doc_id"].to_numpy()
+        p = g["p"].to_numpy()
+        L = g["L"].to_numpy()
+        contained = np.zeros(len(g), bool)
+        if len(g) > 1:
+            same = (doc[1:] == doc[:-1]) & (p[1:] == p[:-1] + 1)
+            contained[1:] = same & (L[:-1] >= L[1:] + 1)
+        keep = ~contained & (doc >= 0)
+        return pd.DataFrame(
+            {
+                "doc_id": doc[keep],
+                "span_start": p[keep],
+                "span_end": p[keep] + L[keep],
+            }
+        )
+
+    return (
+        pos_l.map_batches(coarse2, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(left_maximal, batch_format="pandas")
+    )

@@ -151,3 +151,92 @@ def test_unicode_codepoints(_ray):
     got = _spans(rows, k=10)
     exp = _ref_spans(rows, k=10)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def _brute_maximal(docs, min_len, cap):
+    """O(n^2) reference for maximal_dup_spans: per position the true
+    longest-elsewhere-match (capped), then the left-maximality filter."""
+    import pandas as pd
+
+    texts = dict(docs)
+    allpos = [(d, p) for d, t in docs for p in range(len(t))]
+    Ls = {}
+    for d, p in allpos:
+        w = texts[d][p:p + cap]
+        best = 0
+        for d2, p2 in allpos:
+            if (d2, p2) == (d, p):
+                continue
+            w2 = texts[d2][p2:p2 + cap]
+            m = min(len(w), len(w2))
+            l = 0
+            while l < m and w[l] == w2[l]:
+                l += 1
+            best = max(best, l)
+        Ls[(d, p)] = best
+    out = []
+    for d, t in docs:
+        for p in range(len(t)):
+            l = Ls[(d, p)]
+            if l < min_len:
+                continue
+            if p > 0 and Ls[(d, p - 1)] >= l + 1:
+                continue
+            out.append((d, p, p + l))
+    return pd.DataFrame(out, columns=["doc_id", "span_start", "span_end"])
+
+
+def test_maximal_dup_spans_vs_brute(ray_session):
+    """Maximal-span semantics (Lee et al. §3): chimera-splitting,
+    same-doc repeats, left-maximality and the p=0 edge — all against an
+    O(n^2) longest-match reference."""
+    import pyarrow as pa
+    import ray
+
+    from exactextractr_ray.stages.dedup import maximal_dup_spans
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog AND NOW "
+            "something else entirely here"),
+        (1, "xx the quick brown fox jumps over the lazy cat PLUS "
+            "unrelated tail content zz"),
+        (2, "zzz AND NOW something different follows ppp qq rr ss tt"),
+        (3, "no duplicate content in this one at all just unique"),
+        # same-document repeat
+        (4, "abcdefghijKLM---1---abcdefghijKLM---2---end"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    }))
+    for min_len, cap in ((10, 32), (8, 16)):
+        got = (
+            maximal_dup_spans(ds, min_len=min_len, cap=cap)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        exp = (
+            _brute_maximal(docs, min_len, cap)
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        assert got.equals(exp), (min_len, cap)
+
+
+def test_maximal_dup_spans_no_dups(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from exactextractr_ray.stages.dedup import maximal_dup_spans
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["completely unique alpha beta",
+                          "nothing shared gamma delta"], pa.string()),
+    }))
+    df = maximal_dup_spans(ds, min_len=10, cap=32).to_pandas()
+    df = df.reindex(columns=["doc_id", "span_start", "span_end"])
+    assert len(df) == 0
