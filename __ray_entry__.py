@@ -960,6 +960,30 @@ def _q_knn_lsh(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011): deterministic
+    per-subspace k-means codebooks (seeded, fixed iterations), uint8
+    codes (32x memory cut at m=16), ADC table-lookup scan, exact cosine
+    re-rank of refine*k candidates. Approximate by design (like
+    knn_cosine_lsh) — recall vs brute force is measured by
+    tools/sweep_pq_recall.py and pinned by tests; the driver check is
+    rows-only. Deterministic end to end, so the output is stable."""
+    import ray.data
+    from exactextractr_ray.stages.knn import knn_cosine_pq
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(expr=f"vec_id < {KNN_Q}").to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = knn_cosine_pq(
+        emb, qids, qmat, k=KNN_K, m=16, ks=64, refine=4
+    ).to_pandas()
+    out = out[["query_id", "neighbor_id", "rank"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_rolling_fp(sf_dir: str):
     from exactextractr_ray.stages.text import rolling_fingerprint_batch
 
@@ -5035,6 +5059,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
         "knn_cosine_lsh": _q_knn_lsh,  # approximate by design -> rows-only
+        "knn_cosine_pq": _q_knn_pq,  # PQ ANN, deterministic -> rows-only
         "doc_rolling_fingerprint": _q_rolling_fp,
         "morton_cells": _q_morton,
         "geohash_cells": _q_geohash,

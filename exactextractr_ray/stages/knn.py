@@ -612,3 +612,291 @@ def semdedup(
         .groupby("cluster_id")
         .map_groups(within, batch_format="pandas")
     )
+
+
+# ---------------- product quantization (PQ) ----------------
+
+
+def train_pq(
+    ds,
+    m: int = 8,
+    ks: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Train PQ sub-quantizer codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the (normalized)
+    vector into ``m`` contiguous subspaces and run a small deterministic
+    Lloyd k-means with ``ks`` centroids in each.
+
+    Deterministic by construction: the training set is the ``sample``
+    lowest-id vectors (a driver-side take of a bounded, sorted sample —
+    at 100 TB you sample by hash(id) the same way and the codebook is
+    still a broadcast-sized artifact), init is a seeded permutation of
+    the sample, iteration count is fixed, and empty clusters re-seed from
+    the sample in id order. Returns float64 (m, ks, dim//m).
+    """
+    rows = ds.sort(id_col).limit(int(sample)).take_all()
+    mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    n, dim = mat.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ks_eff = min(int(ks), n)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ks_eff, dsub), np.float64)
+    for i in range(m):
+        X = mat[:, i * dsub:(i + 1) * dsub]
+        C = X[rng.permutation(n)[:ks_eff]].copy()
+        for _ in range(int(iters)):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(ks_eff):
+                sel = a == j
+                if sel.any():
+                    C[j] = X[sel].mean(axis=0)
+                else:
+                    C[j] = X[j % n]  # deterministic re-seed
+        books[i] = C
+    return books
+
+
+class PQEncode:
+    """Actor stage: normalized vectors -> m uint8 codes (argmin centroid
+    per subspace). Stored as an m-byte binary column: the 100-TB memory
+    story — dim*8 bytes/vector become m bytes (64x for dim=64, m=8)."""
+
+    def __init__(self, books_ref, id_col: str, vec_col: str):
+        self.books = ray.get(books_ref) if not isinstance(
+            books_ref, np.ndarray) else books_ref
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy()
+        mat = _to_matrix(batch.column(self.vec_col))
+        m, ks, dsub = self.books.shape
+        if mat.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.binary())})
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        codes = np.empty((mat.shape[0], m), np.uint8)
+        for i in range(m):
+            X = mat[:, i * dsub:(i + 1) * dsub]
+            C = self.books[i]
+            # ||x-c||^2 argmin via the expanded form: one matmul per subspace
+            d2 = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None]
+            codes[:, i] = d2.argmin(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "code": pa.array([c.tobytes() for c in codes], pa.binary()),
+        })
+
+
+def pq_encode(ds, books: np.ndarray, id_col="vec_id", vec_col="embedding"):
+    """Dataset of (vec_id, code) — the compressed corpus representation."""
+    from ..util import cached_stage
+
+    books_ref = ray.put(np.ascontiguousarray(books))
+    return ds.map_batches(
+        cached_stage(PQEncode, books_ref, id_col, vec_col),
+        batch_format="pyarrow", batch_size=8192,
+    )
+
+
+class PQScanTopK:
+    """Actor stage: ADC (asymmetric distance computation) scan over code
+    batches. Per query a (m, ks) lookup table of query-subvector x
+    centroid dot products is built ONCE in __init__; scoring a vector is
+    m table lookups + adds — no float vector is ever touched."""
+
+    def __init__(self, books_ref, queries_ref, k: int):
+        books = ray.get(books_ref) if not isinstance(
+            books_ref, np.ndarray) else books_ref
+        q = ray.get(queries_ref) if not isinstance(
+            queries_ref, tuple) else queries_ref
+        self.query_ids, qmat = q
+        qmat = np.asarray(qmat, np.float64)
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        qmat = qmat / norms
+        m, ks, dsub = books.shape
+        Q = qmat.shape[0]
+        # lut[q, i, j] = <q_sub_i, c_ij>: approx cosine = sum_i lut[q,i,code_i]
+        self.lut = np.einsum(
+            "qid,ikd->qik",
+            qmat.reshape(Q, m, dsub), books,
+        )
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        n = len(ids)
+        if n == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.float64())})
+        m = self.lut.shape[1]
+        codes = np.frombuffer(
+            b"".join(batch.column("code").to_pylist()), np.uint8
+        ).reshape(n, m)
+        Q = self.lut.shape[0]
+        scores = np.zeros((Q, n), np.float64)
+        for i in range(m):
+            scores += self.lut[:, i, codes[:, i]]
+        k = min(self.k, n)
+        if k < n:
+            top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        else:
+            top = np.broadcast_to(np.arange(n)[None, :], (Q, n))
+        qids = np.broadcast_to(
+            np.asarray(self.query_ids, np.int64)[:, None], top.shape
+        ).ravel()
+        return pa.table({
+            "query_id": pa.array(qids, pa.int64()),
+            "neighbor_id": pa.array(
+                ids.astype(np.int64)[top].ravel(), pa.int64()),
+            "adc": pa.array(
+                np.take_along_axis(scores, top, axis=1).ravel(),
+                pa.float64()),
+        })
+
+
+def knn_cosine_pq(
+    ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    books: np.ndarray | None = None,
+    num_partitions: int = 64,
+):
+    """Approximate cosine top-k via product quantization with exact
+    re-rank — the realistic 100-TB ANN memory story next to IVF
+    (build_ivf_index) and hyperplane LSH (knn_cosine_lsh):
+
+    1. train: deterministic per-subspace k-means on a bounded sample
+       (driver-side, codebook is a broadcast artifact);
+    2. encode: corpus -> m uint8 codes/vector (dim*8 -> m bytes);
+    3. ADC scan: per-batch table-lookup scoring over CODES ONLY, partial
+       top-(refine*k) per batch, global top-(refine*k) per query;
+    4. exact re-rank: ONLY the refine*k surviving candidates' float
+       vectors move (a union-groupby semi-join keyed by vec_id — the
+       repo's standard hash-join shape), exact cosine, final top-k.
+
+    With refine*k >= corpus size this is EXACTLY brute-force top-k
+    (tested); smaller refine trades recall for scan cost. Returns
+    (query_id, neighbor_id, rank, sim) like knn_cosine.
+    """
+    import pandas as pd
+
+    from ..util import cached_stage
+
+    if books is None:
+        books = train_pq(ds, m=m, ks=ks, id_col=id_col, vec_col=vec_col)
+    books = np.ascontiguousarray(books)
+    books_ref = ray.put(books)
+    qids = np.asarray(query_ids, np.int64)
+    qmat = np.asarray(query_matrix, np.float64)
+    queries_ref = ray.put((qids, qmat))
+    codes = pq_encode(ds, books, id_col=id_col, vec_col=vec_col)
+    nkeep = int(refine) * (k + (1 if exclude_self else 0))
+    cand = codes.map_batches(
+        cached_stage(PQScanTopK, books_ref, queries_ref, nkeep),
+        batch_format="pyarrow", batch_size=8192,
+    )
+
+    def per_query_keep(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", "neighbor_id"],
+                          ascending=[False, True]).head(nkeep)
+        return g[["query_id", "neighbor_id"]].reset_index(drop=True)
+
+    kept = cand.groupby("query_id").map_groups(
+        per_query_keep, batch_format="pandas")
+
+    # exact re-rank: semi-join candidates to their float vectors without
+    # moving the corpus — union keyed by hash(vec_id) % num_partitions
+    njoin = int(num_partitions)
+
+    def tag_marks(batch: pa.Table) -> pa.Table:
+        nb = batch.column("neighbor_id").to_numpy()
+        return pa.table({
+            "jkey": pa.array((nb % njoin).astype(np.int64)),
+            "tag": pa.array(np.ones(len(nb), np.int64)),
+            "vec_id": pa.array(nb.astype(np.int64)),
+            "query_id": batch.column("query_id"),
+            "vec": pa.array([[]] * len(nb),
+                            pa.list_(pa.float64())),
+        })
+
+    def tag_vecs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
+        mat = _to_matrix(batch.column(vec_col)).astype(np.float64)
+        return pa.table({
+            "jkey": pa.array((ids % njoin).astype(np.int64)),
+            "tag": pa.array(np.zeros(len(ids), np.int64)),
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "query_id": pa.array(np.full(len(ids), -1, np.int64)),
+            "vec": pa.array(list(mat), pa.list_(pa.float64())),
+        })
+
+    norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    qn_ref = ray.put((qids, (qmat / norms)))
+
+    def rerank(g: pd.DataFrame) -> pd.DataFrame:
+        have = g[g["tag"] == 0]
+        vecs = {int(v): np.asarray(e, np.float64)
+                for v, e in zip(have["vec_id"], have["vec"])}
+        marks = g[g["tag"] == 1]
+        if not len(marks):
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64)})
+        q_ids, qn = ray.get(qn_ref)
+        qrow = {int(qid): qn[i] for i, qid in enumerate(q_ids)}
+        out_q, out_n, out_s = [], [], []
+        for qid, nb in zip(marks["query_id"], marks["vec_id"]):
+            v = vecs.get(int(nb))
+            if v is None:
+                continue
+            nv = np.linalg.norm(v) or 1.0
+            out_q.append(int(qid))
+            out_n.append(int(nb))
+            out_s.append(float(qrow[int(qid)] @ (v / nv)))
+        return pd.DataFrame({"query_id": np.array(out_q, np.int64),
+                             "neighbor_id": np.array(out_n, np.int64),
+                             "sim": np.array(out_s, np.float64)})
+
+    scored = (
+        kept.map_batches(tag_marks, batch_format="pyarrow")
+        .union(ds.map_batches(tag_vecs, batch_format="pyarrow"))
+        .groupby("jkey")
+        .map_groups(rerank, batch_format="pandas")
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = int(g["query_id"].iloc[0])
+        if exclude_self:
+            g = g[g["neighbor_id"] != qid]
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "sim"]]
+
+    return scored.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas")
