@@ -2872,6 +2872,80 @@ def _q_webp_decode_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_webp_lossy_roundtrip(sf_dir: str):
+    """Lossy VP8 WebP through the REAL decode chain (functions/
+    vp8_native.py, system libwebp behind the ctypes gate): rule-generated
+    gradient images encoded lossy (q90) and lossless by libwebp, decoded
+    by the actor-pool stage (VP8 via native, VP8L via the from-scratch
+    pure-Python decoder). Emits per image the dims plus two verifiable
+    invariants — lossless decode EXACTLY reproduces the rule, lossy
+    decode stays within a version-robust tolerance — which the SQL
+    oracle states closed-form. Removes the deterministic-fake path from
+    the lossy-image chain."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions import vp8_native
+    from exactextractr_ray.stages.multimodal import decode_images
+
+    if not vp8_native.available():
+        raise NotImplementedError("libwebp not available on this host")
+    n, hw = 12, 20
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    rows = []
+    for m in range(n):
+        g = ((m * 11 + yy * 2 + xx * 3) % 200 + 20).astype(np.uint8)
+        rgb = np.dstack([g, g, g])
+        rows.append((2 * m, vp8_native.encode_rgb(rgb, 90.0)))
+        rows.append((2 * m + 1, vp8_native.encode_lossless_rgb(rgb)))
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array([r[0] for r in rows], pa_.int64()),
+            "media_type": pa_.array(["image/webp"] * len(rows)),
+            "payload": pa_.array([r[1] for r in rows], pa_.binary()),
+            "width": pa_.array([hw] * len(rows), pa_.int32()),
+            "height": pa_.array([hw] * len(rows), pa_.int32()),
+        }
+    )
+    dec = decode_images(
+        ray.data.from_arrow(tbl), target_hw=(hw, hw), fake=False,
+        batch_size=8, concurrency=(1, 2),
+    )
+
+    def agg(b):
+        import numpy as np_
+        import pyarrow as pa2
+
+        mids = b["media_id"].to_numpy()
+        px = (
+            b["pixels"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, hw, hw)
+        )
+        ok = np_.empty(len(mids), np_.bool_)
+        exact = np_.empty(len(mids), np_.bool_)
+        for i, mid in enumerate(mids):
+            m = int(mid) // 2
+            g = ((m * 11 + yy * 2 + xx * 3) % 200 + 20).astype(np_.float64)
+            err = float(np_.abs(px[i].astype(np_.float64) - g).max())
+            exact[i] = err == 0.0
+            ok[i] = err <= 16.0
+        return pa2.table(
+            {
+                "media_id": pa2.array(mids, pa2.int64()),
+                "width_px": pa2.array(
+                    np_.full(len(mids), hw, np_.int64), pa2.int64()),
+                "height_px": pa2.array(
+                    np_.full(len(mids), hw, np_.int64), pa2.int64()),
+                "within_tol": pa2.array(ok),
+                "lossless_exact": pa2.array(exact),
+            }
+        )
+
+    out = dec.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_warc_media_probe(sf_dir: str):
     """Common-Crawl media ingestion under the oracle: rule-dimensioned PNG
     payloads written into a real (gzip-member) WARC, read back through
@@ -4964,6 +5038,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "zonal_feature_seq_geotiff": _q_zonal_feature_seq_geotiff,
         "png_decode_features": _q_png_decode_features,
         "webp_decode_features": _q_webp_decode_features,
+        "webp_lossy_roundtrip": _q_webp_lossy_roundtrip,
         "gif_frames_features": _q_gif_frames_features,
         "h264_frames_features": _q_h264_frames_features,
         "media_probe_kinds": _q_media_probe_kinds,
@@ -8744,6 +8819,18 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.mid ORDER BY t.mid
     """
 
+    # lossy fixtures are EVEN media ids (within tolerance, not exact);
+    # lossless twins are ODD ids (bit-exact) — the Ray side computes the
+    # booleans from real decodes, the oracle states them closed-form
+    webp_lossy = """
+    SELECT CAST(t.i AS BIGINT) AS media_id,
+           CAST(20 AS BIGINT) AS width_px,
+           CAST(20 AS BIGINT) AS height_px,
+           TRUE AS within_tol,
+           (t.i % 2 = 1) AS lossless_exact
+    FROM range(24) t(i) ORDER BY media_id
+    """
+
     webp_decode = """
     SELECT t.mid AS media_id,
            CAST(SUM((t.mid*7 + a.y*13 + b.x*31) % 256) AS BIGINT) AS pix_sum,
@@ -8864,6 +8951,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_feature_seq_geotiff": zonal_feature_seq,
         "png_decode_features": png_decode,
         "webp_decode_features": webp_decode,
+        "webp_lossy_roundtrip": webp_lossy,
         "gif_frames_features": gif_frames,
         # same generation rule; the Ray side decodes real H.264 I_PCM MP4s
         "h264_frames_features": gif_frames,

@@ -679,16 +679,29 @@ def webp_info(data: bytes) -> dict:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Decode a WebP payload. Lossless (VP8L) files decode fully; lossy
-    (VP8) payloads need the boolean arithmetic coder -> explicit
-    NotImplementedError (use decode_webp_alpha for their ALPH plane)."""
+    """Decode a WebP payload. Lossless (VP8L) files decode through the
+    from-scratch pure-Python path; lossy (VP8) payloads decode via the
+    system libwebp when present (functions/vp8_native.py, ctypes-gated —
+    the VP8 keyframe format needs ~2000 exact RFC 6386 probability
+    constants that the spec's prose alone cannot reconstruct), else the
+    documented NotImplementedError (use decode_webp_alpha for the ALPH
+    plane either way)."""
     for tag, body in _riff_chunks(data):
         if tag == b"VP8L":
             return _argb_to_img(_decode_vp8l_payload(body))
         if tag == b"VP8 ":
+            from . import vp8_native
+
+            if vp8_native.available():
+                rgba = vp8_native.decode_rgba(data)
+                # match the VP8L path's convention: drop an all-opaque
+                # alpha channel, keep it otherwise
+                if (rgba[..., 3] == 255).all():
+                    return np.ascontiguousarray(rgba[..., :3])
+                return rgba
             raise NotImplementedError(
-                "WebP lossy (VP8) decode requires the boolean arithmetic "
-                "coder; only lossless (VP8L) decodes in this environment"
+                "WebP lossy (VP8) decode requires libwebp (not present); "
+                "only lossless (VP8L) decodes in this environment"
             )
     raise ValueError("WebP: no image chunk found")
 

@@ -155,8 +155,18 @@ def test_real_file_alpha_plane():
     alpha = decode_webp_alpha(data)
     assert alpha.shape == (16, 16)
     assert np.array_equal(alpha, _py_webp_alpha_truth())
-    with pytest.raises(NotImplementedError):
-        decode_webp(data)  # lossy VP8 payload stays an explicit stub
+    # lossy VP8 decodes through the native gate when libwebp is present
+    # (round 5); without it the documented NotImplementedError remains
+    from exactextractr_ray.functions import vp8_native
+
+    if vp8_native.available():
+        img = decode_webp(data)
+        assert img.shape == (16, 16, 4)
+        # the container ALPH plane and the native RGBA alpha must agree
+        assert np.array_equal(img[..., 3], _py_webp_alpha_truth())
+    else:
+        with pytest.raises(NotImplementedError):
+            decode_webp(data)
 
 
 # --- native libwebp cross-validation (skipped where the lib is absent) ---
