@@ -40,7 +40,7 @@ def test_every_query_has_oracle_or_is_known_approximate():
     import __ray_entry__ as e
     from tools.check_oracles import SPECIAL_CHECKS
 
-    APPROX = {"minhash_pairs", "knn_cosine_lsh",
+    APPROX = {"minhash_pairs", "knn_cosine_lsh", "knn_cosine_pq",
               "bpe_train_merges", "bpe_encode_tokens", "strahler_order",
               "simplify_lines", "wordpiece_train_merges",
               "wordpiece_encode_tokens", "cost_distance", "least_cost_path",

@@ -173,6 +173,70 @@ def check_knn_lsh_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
     return f"OK (exact match to re-derivation; brute recall@{KNN_K} {np.mean(recalls):.2f})"
 
 
+def check_knn_pq_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
+    """The PQ kNN is deterministic (seeded codebooks, fixed iteration
+    count, tie-broken sorts), so its exact expected output re-derives
+    in-process: train the same codebooks with the pipeline's own
+    train_pq, encode by argmin, ADC-score with the same lut accumulation
+    order, keep refine*k by (-adc, neighbor_id), exact-cosine re-rank.
+    Pass criterion: IDENTICAL (query_id, neighbor_id, rank) rows;
+    brute-force recall@k is reported for context."""
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from exactextractr_ray.stages.knn import train_pq
+
+    KNN_Q, KNN_K, M, KS, REFINE = 8, 10, 16, 64, 4  # must match _q_knn_pq
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    qsel = ids < KNN_Q
+    qids, qmat = ids[qsel], mat[qsel]
+    ds = _ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq(ds, m=M, ks=KS)
+    m, ks, dsub = books.shape
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    nm = mat / norms
+    codes = np.empty((nm.shape[0], m), np.int64)
+    for i in range(m):
+        X = nm[:, i * dsub:(i + 1) * dsub]
+        C = books[i]
+        d2 = (X * X).sum(1)[:, None] - 2.0 * X @ C.T + (C * C).sum(1)[None]
+        codes[:, i] = d2.argmin(axis=1)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0] = 1.0
+    qn = qmat / qnorm
+    lut = np.einsum("qid,ikd->qik", qn.reshape(len(qids), m, dsub), books)
+    scores = np.zeros((len(qids), nm.shape[0]), np.float64)
+    for i in range(m):
+        scores += lut[:, i, codes[:, i]]
+    nkeep = REFINE * (KNN_K + 1)
+    rows = []
+    recalls = []
+    full = qn @ nm.T
+    for qi, q in enumerate(qids):
+        keep = np.lexsort((ids, -scores[qi]))[:nkeep]
+        sims = nm[keep] @ qn[qi]
+        sel = ids[keep] != q
+        order = np.lexsort((ids[keep][sel], -sims[sel]))[:KNN_K]
+        nbrs = ids[keep][sel][order]
+        for r, nb in enumerate(nbrs, 1):
+            rows.append((int(q), int(nb), r))
+        bsel = ids != q
+        border = np.lexsort((ids[bsel], -full[qi][bsel]))[:KNN_K]
+        truth = set(ids[bsel][border].tolist())
+        recalls.append(len(truth & set(nbrs.tolist())) / KNN_K)
+    exp = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    got = ray_df[["query_id", "neighbor_id", "rank"]].reset_index(drop=True)
+    exp = exp.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    got = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    if not got.astype("int64").equals(exp.astype("int64")):
+        return "PQ MISMATCH vs exact re-derivation"
+    return f"OK (exact re-derivation; recall@{KNN_K} {np.mean(recalls):.2f})"
+
+
 def check_bpe_reference(ray_df, sf_dir):
     """bpe_train_merges: bit-exact vs the single-process Sennrich
     reference run on the same corpus (iterative argmax isn't SQL)."""
@@ -556,6 +620,7 @@ SPECIAL_CHECKS = {
     "wordpiece_train_merges": check_wordpiece_reference,
     "wordpiece_encode_tokens": check_wordpiece_encode_reference,
     "knn_cosine_lsh": check_knn_lsh_exact,
+    "knn_cosine_pq": check_knn_pq_exact,
     "bpe_train_merges": check_bpe_reference,
     "bpe_encode_tokens": check_bpe_encode_reference,
     "strahler_order": check_strahler_reference,
