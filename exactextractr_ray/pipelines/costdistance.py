@@ -21,25 +21,30 @@ ITERATED halo exchange to fixpoint):
    their 8 neighbors; each tile relaxes its border cells against the
    incoming strips and, when anything improved, re-runs the local
    Dijkstra seeded with the current labels.
-3. converge: a per-round ``sum(changed)`` aggregate (one tiny column)
-   stops the loop at the global fixpoint. Round count is bounded by
-   the tile-grid diameter of the optimal-path forest — O(D/tile_size)
-   all-to-alls. NOTE on exchange volume: only the strips are
-   O(perimeter), but the current implementation also routes each
-   tile's full (cost, dist) body fragment (kind=1) through the same
-   groupby so the relax stage sees state + strips together — per-round
-   exchange is therefore O(raster cells), traded for a single-pass
-   dataflow with no driver-held or actor-held state. A body-resident
-   variant (join strips against materialized per-tile state instead of
-   re-shuffling the body) would cut each round to O(perimeter) at the
-   cost of a second keyed exchange; with the usual round counts
-   (~grid diameter / tile size) the simple shape has measured fine at
-   bench scale. Per-round tile state is spillable object-store blocks,
-   never the driver.
+3. converge: the driver sums per-shard changed counts (tiny ints) and
+   stops at the global fixpoint. Round count is bounded by the
+   tile-grid diameter of the optimal-path forest — O(D/tile_size)
+   rounds.
+
+BODY-RESIDENT state (round 5; this is the Dataset-API escape hatch the
+brief reserves for shared mutable state): tile (cost, dist) bodies live
+in a pool of shard-holder ACTORS, hash-partitioned by tile_id, loaded
+ONCE by a seeding ``map_batches`` push. Each round moves ONLY 1-deep
+border strips — and only from tiles whose labels changed last round —
+as actor-to-actor object refs (the driver handles refs, never strip
+bytes), so per-round exchange is O(active wavefront perimeter), not
+O(raster cells), and settled regions do zero work. The previous
+all-Dataset formulation re-shuffled every tile's full body through a
+groupby every round (flagged in ADVICE r04); the actor pool is the fix,
+at the documented cost of actor-held state: per-shard memory is
+raster_bytes x 16 B/cell / n_shards, so shard count scales with the
+cluster (actors per node) at 100 TB.
 
 Label-correcting relaxation converges to the same labels as Dijkstra
 for any relaxation order (nonnegative integer weights), which is why
-tile-local solves + boundary exchange reach the exact global optimum.
+tile-local solves + boundary exchange reach the exact global optimum —
+the actor orchestration changes scheduling only, so the result stays
+BIT-identical to ``cost_distance_reference``.
 """
 
 from __future__ import annotations
@@ -127,6 +132,159 @@ def _strip_rows(ty, tx, tiles_y, tiles_x, row0, col0, cost, dist):
     return out
 
 
+class _CostShard:
+    """Shard-holder actor: owns the (cost, dist) bodies of the tiles with
+    ``tile_id % nshards == shard_id``. Bodies are loaded once (ingest)
+    and never leave the actor; rounds exchange only border strips, and
+    only for tiles whose labels changed since their last fanout."""
+
+    def __init__(self, tiles_x: int, tiles_y: int, nshards: int):
+        self.tiles_x = tiles_x
+        self.tiles_y = tiles_y
+        self.nshards = nshards
+        # tile_id -> dict(cost, dist, row0, col0, changed)
+        self.tiles: dict[int, dict] = {}
+
+    def ingest(self, tbl: pa.Table) -> int:
+        for i in range(tbl.num_rows):
+            tid = int(tbl.column("tile_id")[i].as_py())
+            th = int(tbl.column("th")[i].as_py())
+            tw = int(tbl.column("tw")[i].as_py())
+            self.tiles[tid] = {
+                "cost": np.asarray(
+                    tbl.column("cost").combine_chunks()[i].values,
+                    np.float64,
+                ).reshape(th, tw).copy(),
+                "dist": np.asarray(
+                    tbl.column("dist").combine_chunks()[i].values,
+                    np.int64,
+                ).reshape(th, tw).copy(),
+                "row0": int(tbl.column("row0")[i].as_py()),
+                "col0": int(tbl.column("col0")[i].as_py()),
+                "changed": bool(tbl.column("changed")[i].as_py()),
+            }
+        return tbl.num_rows
+
+    def fanout(self) -> dict:
+        """Strips from CHANGED tiles only, grouped by destination shard;
+        returns {shard_id: ObjectRef([frag, ...])} so strip bytes move
+        actor-to-actor, never through the driver."""
+        import ray
+
+        groups: dict[int, list] = {}
+        for tid, st in self.tiles.items():
+            if not st["changed"]:
+                continue
+            st["changed"] = False
+            ty, tx = divmod(tid, self.tiles_x)
+            for frag in _strip_rows(
+                ty, tx, self.tiles_y, self.tiles_x,
+                st["row0"], st["col0"], st["cost"], st["dist"],
+            ):
+                groups.setdefault(frag[0] % self.nshards, []).append(frag)
+        return {sid: ray.put(frags) for sid, frags in groups.items()}
+
+    def relax(self, refs: list) -> int:
+        """Apply incoming halo strips; re-run the local Dijkstra on
+        improved tiles; mark them changed for the next fanout."""
+        import ray
+
+        improved_tiles: set[int] = set()
+        for ref in refs:
+            for (tid, fr0, fc0, fh, fw, fpl) in ray.get(ref):
+                st = self.tiles.get(tid)
+                if st is None:
+                    continue
+                if _apply_frag(st, fr0, fc0, fh, fw, fpl):
+                    improved_tiles.add(tid)
+        for tid in improved_tiles:
+            st = self.tiles[tid]
+            _local_dijkstra(st["cost"], st["dist"])
+            st["changed"] = True
+        return len(improved_tiles)
+
+    def emit_cells(self) -> pa.Table:
+        rows, cols, dists = [], [], []
+        for st in self.tiles.values():
+            dist = st["dist"]
+            rr, cc = np.nonzero(dist < INF)
+            rows.append(rr + st["row0"])
+            cols.append(cc + st["col0"])
+            dists.append(dist[rr, cc])
+        if not rows:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows), pa.int64()),
+                "col": pa.array(np.concatenate(cols), pa.int64()),
+                "dist": pa.array(np.concatenate(dists), pa.int64()),
+            }
+        )
+
+    def emit_state(self) -> pa.Table:
+        tids = sorted(self.tiles)
+        return pa.table(
+            {
+                "tile_id": pa.array(tids, pa.int64()),
+                "ty": pa.array(
+                    [t // self.tiles_x for t in tids], pa.int64()),
+                "tx": pa.array(
+                    [t % self.tiles_x for t in tids], pa.int64()),
+                "row0": pa.array(
+                    [self.tiles[t]["row0"] for t in tids], pa.int64()),
+                "col0": pa.array(
+                    [self.tiles[t]["col0"] for t in tids], pa.int64()),
+                "th": pa.array(
+                    [self.tiles[t]["cost"].shape[0] for t in tids],
+                    pa.int64()),
+                "tw": pa.array(
+                    [self.tiles[t]["cost"].shape[1] for t in tids],
+                    pa.int64()),
+                "cost": pa.array(
+                    [self.tiles[t]["cost"].ravel().tolist() for t in tids],
+                    pa.list_(pa.float64())),
+                "dist": pa.array(
+                    [self.tiles[t]["dist"].ravel().tolist() for t in tids],
+                    pa.list_(pa.int64())),
+                "changed": pa.array([0] * len(tids), pa.int64()),
+            }
+        )
+
+
+def _apply_frag(st: dict, fr0: int, fc0: int, fh: int, fw: int,
+                fpl: np.ndarray) -> bool:
+    """Relax one tile's border cells against an incoming halo strip
+    (the chamfer-(2,3) edge relaxation). Returns True on improvement."""
+    cost = st["cost"]
+    dist = st["dist"]
+    th, tw = cost.shape
+    row0, col0 = st["row0"], st["col0"]
+    passable = np.isfinite(cost) & (cost > 0)
+    ci = np.where(passable, cost, 0).astype(np.int64)
+    fpl = np.asarray(fpl, np.float64)
+    fcost = fpl[: fh * fw].reshape(fh, fw)
+    fdist = fpl[fh * fw:].astype(np.int64).reshape(fh, fw)
+    improved = False
+    for rr in range(fh):
+        for cc in range(fw):
+            hd = fdist[rr, cc]
+            if hd >= INF or not np.isfinite(fcost[rr, cc]) or \
+                    fcost[rr, cc] <= 0:
+                continue
+            hr, hc = fr0 + rr, fc0 + cc
+            hcost = np.int64(fcost[rr, cc])
+            for dr, dc, m in _NBRS:
+                br, bc = hr + dr - row0, hc + dc - col0
+                if 0 <= br < th and 0 <= bc < tw and passable[br, bc]:
+                    nd = hd + (hcost + ci[br, bc]) * m
+                    if nd < dist[br, bc]:
+                        dist[br, bc] = nd
+                        improved = True
+    return improved
+
+
 def cost_distance(
     raster: RasterDataset,
     sources: list[tuple[int, int]],
@@ -193,155 +351,67 @@ def cost_distance(
             }
         )
 
-    state = raster.ds.map_batches(seed, batch_format="pyarrow").materialize()
+    import ray
 
-    def fanout(b: pa.Table) -> pa.Table:
-        dst, r0s, c0s, hs, ws, payload, kinds = [], [], [], [], [], [], []
-        for i in range(b.num_rows):
-            ty = int(b.column("ty")[i].as_py())
-            tx = int(b.column("tx")[i].as_py())
-            row0 = int(b.column("row0")[i].as_py())
-            col0 = int(b.column("col0")[i].as_py())
-            th = int(b.column("th")[i].as_py())
-            tw = int(b.column("tw")[i].as_py())
-            cost = np.asarray(
-                b.column("cost").combine_chunks()[i].values, np.float64
-            ).reshape(th, tw)
-            dist = np.asarray(
-                b.column("dist").combine_chunks()[i].values, np.int64
-            ).reshape(th, tw)
-            # the body fragment (kind 1) carries the full state
-            dst.append(ty * tiles_x + tx)
-            r0s.append(row0)
-            c0s.append(col0)
-            hs.append(th)
-            ws.append(tw)
-            payload.append(
-                np.concatenate([cost.ravel(),
-                                dist.astype(np.float64).ravel()])
+    nshards = max(1, min(int(ray.cluster_resources().get("CPU", 8)),
+                         tiles_y * tiles_x))
+    RemoteShard = ray.remote(_CostShard)
+    shards = [
+        RemoteShard.remote(tiles_x, tiles_y, nshards)
+        for _ in range(nshards)
+    ]
+
+    def push(b: pa.Table) -> pa.Table:
+        """Route seeded tiles to their hash shard (loaded ONCE; bodies
+        never move again)."""
+        tid = b.column("tile_id").to_numpy()
+        sid = (tid % nshards).astype(np.int64)
+        refs = []
+        for sv in np.unique(sid):
+            refs.append(
+                shards[int(sv)].ingest.remote(b.filter(pa.array(sid == sv)))
             )
-            kinds.append(1)
-            for d, r0, c0, hh, ww, pl in _strip_rows(
-                ty, tx, tiles_y, tiles_x, row0, col0, cost, dist
-            ):
-                dst.append(d)
-                r0s.append(r0)
-                c0s.append(c0)
-                hs.append(hh)
-                ws.append(ww)
-                payload.append(pl)
-                kinds.append(0)
-        return pa.table(
-            {
-                "dst_tile": pa.array(dst, pa.int64()),
-                "row0": pa.array(r0s, pa.int64()),
-                "col0": pa.array(c0s, pa.int64()),
-                "h": pa.array(hs, pa.int64()),
-                "w": pa.array(ws, pa.int64()),
-                "payload": pa.array(
-                    [p.tolist() for p in payload], pa.list_(pa.float64())
-                ),
-                "kind": pa.array(kinds, pa.int64()),
-            }
-        )
+        ray.get(refs)
+        return pa.table({"n": pa.array([b.num_rows], pa.int64())})
 
-    def relax(g: pd.DataFrame) -> pd.DataFrame:
-        body = g[g["kind"] == 1].iloc[0]
-        th, tw = int(body["h"]), int(body["w"])
-        pl = np.asarray(body["payload"], np.float64)
-        cost = pl[: th * tw].reshape(th, tw)
-        dist = pl[th * tw:].astype(np.int64).reshape(th, tw)
-        row0, col0 = int(body["row0"]), int(body["col0"])
-        tile_id = int(body["dst_tile"])
-        passable = np.isfinite(cost) & (cost > 0)
-        ci = np.where(passable, cost, 0).astype(np.int64)
-        improved = False
-        for _, frag in g[g["kind"] == 0].iterrows():
-            fh, fw = int(frag["h"]), int(frag["w"])
-            fpl = np.asarray(frag["payload"], np.float64)
-            fcost = fpl[: fh * fw].reshape(fh, fw)
-            fdist = fpl[fh * fw:].astype(np.int64).reshape(fh, fw)
-            fr0, fc0 = int(frag["row0"]), int(frag["col0"])
-            for rr in range(fh):
-                for cc in range(fw):
-                    hd = fdist[rr, cc]
-                    if hd >= INF or not np.isfinite(fcost[rr, cc]) or \
-                            fcost[rr, cc] <= 0:
-                        continue
-                    hr, hc = fr0 + rr, fc0 + cc
-                    hcost = np.int64(fcost[rr, cc])
-                    for dr, dc, m in _NBRS:
-                        br, bc = hr + dr - row0, hc + dc - col0
-                        if 0 <= br < th and 0 <= bc < tw and \
-                                passable[br, bc]:
-                            nd = hd + (hcost + ci[br, bc]) * m
-                            if nd < dist[br, bc]:
-                                dist[br, bc] = nd
-                                improved = True
-        if improved:
-            _local_dijkstra(cost, dist)
-        ty, tx = divmod(tile_id, tiles_x)
-        return pd.DataFrame(
-            {
-                "tile_id": [tile_id],
-                "ty": [ty],
-                "tx": [tx],
-                "row0": [row0],
-                "col0": [col0],
-                "th": [th],
-                "tw": [tw],
-                "cost": [cost.ravel().tolist()],
-                "dist": [dist.ravel().tolist()],
-                "changed": [int(improved)],
-            }
-        )
+    try:
+        raster.ds.map_batches(seed, batch_format="pyarrow").map_batches(
+            push, batch_format="pyarrow"
+        ).sum("n")
 
-    for _round in range(max_rounds):
-        state = (
-            state.map_batches(fanout, batch_format="pyarrow")
-            .groupby("dst_tile")
-            .map_groups(relax, batch_format="pandas")
-            .materialize()
-        )
-        n_changed = state.sum("changed")
-        if not n_changed:
-            break
+        for _round in range(max_rounds):
+            fans = ray.get([sh.fanout.remote() for sh in shards])
+            per: dict[int, list] = {}
+            for d in fans:
+                for sid, ref in d.items():
+                    per.setdefault(sid, []).append(ref)
+            if not per:
+                break
+            changed = sum(
+                ray.get([shards[sid].relax.remote(refs)
+                         for sid, refs in per.items()])
+            )
+            if changed == 0:
+                break
 
-    def cells(b: pa.Table) -> pa.Table:
-        rows, cols, dists = [], [], []
-        for i in range(b.num_rows):
-            row0 = int(b.column("row0")[i].as_py())
-            col0 = int(b.column("col0")[i].as_py())
-            th = int(b.column("th")[i].as_py())
-            tw = int(b.column("tw")[i].as_py())
-            dist = np.asarray(
-                b.column("dist").combine_chunks()[i].values, np.int64
-            ).reshape(th, tw)
-            rr, cc = np.nonzero(dist < INF)
-            rows.append(rr + row0)
-            cols.append(cc + col0)
-            dists.append(dist[rr, cc])
-        if not rows:
-            return pa.table({"row": pa.array([], pa.int64()),
-                             "col": pa.array([], pa.int64()),
-                             "dist": pa.array([], pa.int64())})
-        return pa.table(
-            {
-                "row": pa.array(np.concatenate(rows), pa.int64()),
-                "col": pa.array(np.concatenate(cols), pa.int64()),
-                "dist": pa.array(np.concatenate(dists), pa.int64()),
-            }
-        )
-
-    out = state.map_batches(cells, batch_format="pyarrow").to_pandas()
-    if len(out):
-        out = out.sort_values(["row", "col"]).reset_index(drop=True)
-    else:  # all sources on barriers: empty result, stable schema
-        out = pd.DataFrame(
-            {c: pd.Series([], dtype=np.int64)
-             for c in ("row", "col", "dist")}
-        )
-    return (out, state) if keep_state else out
+        cell_tabs = ray.get([sh.emit_cells.remote() for sh in shards])
+        cell_tabs = [t for t in cell_tabs if t.num_rows]
+        if cell_tabs:
+            out = pa.concat_tables(cell_tabs).to_pandas()
+            out = out.sort_values(["row", "col"]).reset_index(drop=True)
+        else:  # all sources on barriers: empty result, stable schema
+            out = pd.DataFrame(
+                {c: pd.Series([], dtype=np.int64)
+                 for c in ("row", "col", "dist")}
+            )
+        if keep_state:
+            state_refs = [sh.emit_state.remote() for sh in shards]
+            state = ray.data.from_arrow_refs(state_refs).materialize()
+            return out, state
+        return out
+    finally:
+        for sh in shards:
+            ray.kill(sh)
 
 
 def least_cost_path_reference(
