@@ -4078,6 +4078,44 @@ def _q_least_cost_path(sf_dir: str):
     )
 
 
+def _q_unigram_train_pieces(sf_dir: str):
+    """Distributed Unigram-LM tokenizer training (stages/unigram.py,
+    Kudo 2018 hard-EM variant): seed substrings -> Viterbi-EM integer
+    count re-estimation -> prune to vocab_size. All aggregates are
+    integer sums, so the run is bit-identical at any parallelism;
+    tools/check_oracles.py compares against the single-process
+    reference trainer exactly."""
+    import ray.data
+
+    from exactextractr_ray.stages.unigram import unigram_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return unigram_train(docs, vocab_size=64, seed_size=512)
+
+
+def _q_unigram_encode_tokens(sf_dir: str):
+    """Unigram APPLICATION side: train distributed, broadcast the final
+    (piece -> logp) table, Viterbi-encode each document -> per-doc
+    token/[UNK] counts + the token stream. Checked bit-exact against
+    the single-process reference trainer+encoder."""
+    import ray.data
+
+    from exactextractr_ray.stages.unigram import unigram_encode, unigram_train
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vocab = unigram_train(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text"]),
+        vocab_size=64, seed_size=512,
+    )
+    out = unigram_encode(docs, vocab).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_wordpiece_train_merges(sf_dir: str):
     """Distributed WordPiece training (stages/wordpiece.py): corpus read
     once into the bounded vocab table, then 10 likelihood-scored merge
@@ -5053,6 +5091,8 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "image_dup_clusters": _q_image_dup_clusters,
         "bpe_encode_tokens": _q_bpe_encode_tokens,
         "wordpiece_train_merges": _q_wordpiece_train_merges,
+        "unigram_train_pieces": _q_unigram_train_pieces,
+        "unigram_encode_tokens": _q_unigram_encode_tokens,
         "cost_distance": _q_cost_distance,
         "least_cost_path": _q_least_cost_path,
         "sieve_raster": _q_sieve_raster,

@@ -43,7 +43,8 @@ def test_every_query_has_oracle_or_is_known_approximate():
     APPROX = {"minhash_pairs", "knn_cosine_lsh", "knn_cosine_pq",
               "bpe_train_merges", "bpe_encode_tokens", "strahler_order",
               "simplify_lines", "wordpiece_train_merges",
-              "wordpiece_encode_tokens", "cost_distance", "least_cost_path",
+              "wordpiece_encode_tokens", "unigram_train_pieces",
+              "unigram_encode_tokens", "cost_distance", "least_cost_path",
               "sieve_raster", "convex_overlay", "polygon_buffer"}
     # every non-SQL query must have a special check registered
     assert APPROX <= set(SPECIAL_CHECKS)

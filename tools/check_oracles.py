@@ -173,6 +173,69 @@ def check_knn_lsh_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
     return f"OK (exact match to re-derivation; brute recall@{KNN_K} {np.mean(recalls):.2f})"
 
 
+def _wc_from_documents(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    wc: dict = {}
+    for txt in t.column("text").to_pylist():
+        for w in (txt or "").split():
+            wc[w] = wc.get(w, 0) + 1
+    return wc
+
+
+def check_unigram_reference(ray_df: pd.DataFrame, sf_dir: str) -> str:
+    """Distributed Unigram-LM trainer vs the single-process reference:
+    hard-EM integer counts make the run parallelism-invariant, so the
+    tables must be IDENTICAL (piece, cnt, logp — float logp included,
+    since both sides compute log(cnt)-log(total) from the same ints)."""
+    from exactextractr_ray.stages.unigram import unigram_train_reference
+
+    exp = unigram_train_reference(
+        _wc_from_documents(sf_dir), vocab_size=64, seed_size=512
+    )
+    got = ray_df.reset_index(drop=True)
+    if not got.equals(exp):
+        return f"UNIGRAM MISMATCH vs reference ({len(got)} vs {len(exp)})"
+    return f"OK (bit-exact vs single-process reference, {len(exp)} pieces)"
+
+
+def check_unigram_encode_reference(ray_df: pd.DataFrame, sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    from exactextractr_ray.stages.unigram import (
+        UNK,
+        _viterbi_segment,
+        unigram_train_reference,
+    )
+
+    vocab = unigram_train_reference(
+        _wc_from_documents(sf_dir), vocab_size=64, seed_size=512
+    )
+    logp = dict(zip(vocab["piece"], vocab["logp"]))
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    rows = []
+    for r in t.itertuples():
+        toks: list = []
+        unk = 0
+        for w in (r.text or "").split():
+            seg = _viterbi_segment(w, logp, 8)
+            if seg is None:
+                toks.append(UNK)
+                unk += 1
+            else:
+                toks.extend(seg)
+        rows.append((int(r.doc_id), len(toks), unk, " ".join(toks)))
+    exp = pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_unk", "tokens_concat"]
+    ).sort_values("doc_id").reset_index(drop=True)
+    got = ray_df.sort_values("doc_id").reset_index(drop=True)
+    if not got.astype(exp.dtypes.to_dict()).equals(exp):
+        return "UNIGRAM ENCODE MISMATCH vs reference"
+    return f"OK (bit-exact vs reference encode, {len(exp)} docs)"
+
+
 def check_knn_pq_exact(ray_df: pd.DataFrame, sf_dir: str) -> str:
     """The PQ kNN is deterministic (seeded codebooks, fixed iteration
     count, tie-broken sorts), so its exact expected output re-derives
@@ -621,6 +684,8 @@ SPECIAL_CHECKS = {
     "wordpiece_encode_tokens": check_wordpiece_encode_reference,
     "knn_cosine_lsh": check_knn_lsh_exact,
     "knn_cosine_pq": check_knn_pq_exact,
+    "unigram_train_pieces": check_unigram_reference,
+    "unigram_encode_tokens": check_unigram_encode_reference,
     "bpe_train_merges": check_bpe_reference,
     "bpe_encode_tokens": check_bpe_encode_reference,
     "strahler_order": check_strahler_reference,
