@@ -3319,6 +3319,53 @@ def _q_h264_frames_features(sf_dir: str):
     return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
 
 
+def _q_scene_cuts(sf_dir: str):
+    """Shot-boundary detection over the REAL H.264 decode path: frames
+    carry a per-scene rule (scene increments at rule-defined cut frames,
+    shifting the luma base by 97), encoded as lossless I_PCM MP4s and
+    decoded by the actor pool; per-media consecutive-frame |diff| sums
+    and the threshold flags are values DuckDB recomputes from the rule
+    alone. Within-scene diffs stay <= 4/pixel, cross-scene >= ~93/pixel,
+    so the 5120 absolute threshold cleanly separates them and the oracle
+    is bit-exact, not tolerance-based."""
+    import pyarrow as pa_
+    import ray.data
+
+    from exactextractr_ray.functions.mp4 import encode_h264_mp4
+    from exactextractr_ray.stages.multimodal import scene_cut_stats
+
+    n, nf, hw = 10, 8, 16
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    payloads = []
+    for m in range(n):
+        cut1, cut2 = 2 + m % 3, 5 + m % 2
+        frames = []
+        for f in range(nf):
+            scene = (1 if f >= cut1 else 0) + (1 if f >= cut2 else 0)
+            frames.append(
+                ((m * 17 + scene * 97 + (yy * 3 + xx * 7 + f) % 5) % 251)
+                .astype(np.uint8)
+            )
+        payloads.append(encode_h264_mp4(frames, fps=10.0))
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa_.array(["video/mp4"] * n),
+            "payload": pa_.array(payloads, pa_.binary()),
+            "width": pa_.array([hw] * n, pa_.int32()),
+            "height": pa_.array([hw] * n, pa_.int32()),
+            "n_frames": pa_.array([nf] * n, pa_.int32()),
+            "fps": pa_.array(np.full(n, 10.0, np.float32), pa_.float32()),
+        }
+    )
+    out = scene_cut_stats(
+        ray.data.from_arrow(tbl), k=nf, target_hw=(hw, hw),
+        cut_threshold=5120, fake=False, batch_size=4, concurrency=(1, 2),
+    ).to_pandas()
+    out["frame_idx"] = out["frame_idx"].astype(np.int64)
+    return out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _q_mp4_sample_ranges(sf_dir: str):
     """ISO-BMFF sample-table machinery under the oracle: rule-generated
     coded samples of rule-defined lengths are written into real MP4s
@@ -5083,6 +5130,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "flac_decode_sums": _q_flac_decode_sums,
         "warc_media_probe": _q_warc_media_probe,
         "mp4_sample_ranges": _q_mp4_sample_ranges,
+        "scene_cuts": _q_scene_cuts,
         "webm_frame_ranges": _q_webm_frame_ranges,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "audio_fp_pairs": _q_audio_fp_pairs,
@@ -8888,6 +8936,32 @@ def oracle_sql() -> dict[str, str]:
     FROM range(12) t(i) ORDER BY url
     """
 
+    scene_cuts_sql = """
+    WITH px AS (
+      SELECT m.m AS media_id, f.f AS frame_idx, y.y AS y, x.x AS x,
+        (m.m*17 + ((CASE WHEN f.f >= 2 + m.m % 3 THEN 1 ELSE 0 END)
+                 + (CASE WHEN f.f >= 5 + m.m % 2 THEN 1 ELSE 0 END)) * 97
+         + (y.y*3 + x.x*7 + f.f) % 5) % 251 AS p
+      FROM range(10) m(m), range(8) f(f), range(16) y(y), range(16) x(x)
+    ), d AS (
+      SELECT a.media_id, a.frame_idx,
+             CAST(SUM(ABS(a.p - b.p)) AS BIGINT) AS diff_sum
+      FROM px a JOIN px b
+        ON a.media_id = b.media_id AND a.frame_idx = b.frame_idx + 1
+       AND a.y = b.y AND a.x = b.x
+      GROUP BY a.media_id, a.frame_idx
+    ), base AS (
+      SELECT m.m AS media_id, f.f AS frame_idx
+      FROM range(10) m(m), range(8) f(f)
+    )
+    SELECT base.media_id, base.frame_idx,
+           CAST(COALESCE(d.diff_sum, 0) AS BIGINT) AS diff_sum,
+           COALESCE(d.diff_sum, 0) > 5120 AS is_cut
+    FROM base LEFT JOIN d
+      ON base.media_id = d.media_id AND base.frame_idx = d.frame_idx
+    ORDER BY base.media_id, base.frame_idx
+    """
+
     gif_frames = """
     SELECT t.mid AS media_id, CAST(f.fi AS BIGINT) AS frame_idx,
            CAST(SUM((t.mid*5 + f.fi*11 + a.y*3 + b.x*7) % 251) AS BIGINT)
@@ -8997,6 +9071,7 @@ def oracle_sql() -> dict[str, str]:
         "h264_frames_features": gif_frames,
         "warc_media_probe": warc_media,
         "mp4_sample_ranges": mp4_samples,
+        "scene_cuts": scene_cuts_sql,
         "fillnodata": f"""
     WITH cells AS ({synth.cells_sql(N_GRID)}),
     dirs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),

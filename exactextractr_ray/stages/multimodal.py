@@ -887,3 +887,55 @@ def synth_audio_table(n: int, payload_kb: int = 8) -> pa.Table:
             ),
         }
     )
+
+
+def scene_cut_stats(
+    ds,
+    k: int = 8,
+    target_hw=(16, 16),
+    cut_threshold: int = 5120,
+    fake: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 16,
+    on_error: str = "raise",
+):
+    """Shot/scene-cut detection over REAL decoded frames: sample ``k``
+    frames per video (actor-pool decode, sample_frames), then per media
+    compute the consecutive-frame sum of absolute luma differences and
+    flag cuts where it exceeds ``cut_threshold`` — the classic
+    pixel-difference shot-boundary detector (the first stage of any
+    video curation pipeline; content-adaptive thresholds layer on top).
+
+    Distributed shape: payload bytes stay in the decode actors; only
+    (media_id, frame_idx, pixels) frame rows shuffle ONCE into per-media
+    groups (frames-per-video is k, so groups are tiny); diffs are one
+    vectorized pass per group. Returns one row per sampled frame:
+    (media_id, frame_idx, diff_sum, is_cut) with diff_sum = 0 for each
+    media's first sampled frame.
+    """
+    import pandas as pd
+
+    frames = sample_frames(
+        ds, k=k, target_hw=target_hw, fake=fake,
+        concurrency=concurrency, batch_size=batch_size, on_error=on_error,
+    )
+
+    def per_media(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("frame_idx")
+        px = np.stack([
+            np.asarray(p, np.int64) for p in g["pixels"]
+        ])
+        diffs = np.abs(px[1:] - px[:-1]).sum(axis=1)
+        diff_sum = np.concatenate([[0], diffs]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "media_id": g["media_id"].to_numpy(),
+                "frame_idx": g["frame_idx"].to_numpy(),
+                "diff_sum": diff_sum,
+                "is_cut": diff_sum > int(cut_threshold),
+            }
+        )
+
+    return frames.groupby("media_id").map_groups(
+        per_media, batch_format="pandas"
+    )

@@ -266,3 +266,40 @@ def test_read_warc_media_end_to_end(tmp_path, ray_session):
     for _, row in df[df.media_type.str.startswith("image")].iterrows():
         px = dec.decode_one(row["payload"], 0, 0)
         assert px.shape == (5, 5)
+
+
+def test_scene_cut_stats_real_decode(ray_session):
+    """scene_cut_stats over real MJPEG-AVI decode: a hard content jump
+    mid-video is flagged, within-scene frames are not."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from exactextractr_ray.functions.avi import encode_mjpeg_avi
+    from exactextractr_ray.functions.jpeg import encode_jpeg
+    from exactextractr_ray.stages.multimodal import scene_cut_stats
+
+    hw = 16
+    flat_a = np.full((hw, hw), 40, np.uint8)
+    flat_b = np.full((hw, hw), 200, np.uint8)
+    frames = [flat_a, flat_a, flat_a, flat_b, flat_b, flat_b]
+    jpegs = [encode_jpeg(f, quality=95, subsampling="4:4:4")
+             for f in frames]
+    payload = encode_mjpeg_avi(jpegs, hw, hw, fps=5.0)
+    tbl = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "media_type": pa.array(["video/avi"]),
+        "payload": pa.array([payload], pa.binary()),
+        "width": pa.array([hw], pa.int32()),
+        "height": pa.array([hw], pa.int32()),
+        "n_frames": pa.array([len(frames)], pa.int32()),
+        "fps": pa.array([5.0], pa.float32()),
+    })
+    out = scene_cut_stats(
+        ray.data.from_arrow(tbl), k=len(frames), target_hw=(hw, hw),
+        cut_threshold=2000, fake=False, concurrency=(1, 2),
+    ).to_pandas().sort_values("frame_idx").reset_index(drop=True)
+    assert len(out) == len(frames)
+    # MJPEG is lossy but flat frames decode near-flat: only the jump cuts
+    assert bool(out.loc[3, "is_cut"])
+    assert not out.loc[[0, 1, 2, 4, 5], "is_cut"].any()
