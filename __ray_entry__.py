@@ -3516,6 +3516,44 @@ def _q_webm_frame_ranges(sf_dir: str):
     return out.sort_values(["media_id", "sample_idx"]).reset_index(drop=True)
 
 
+def _q_image_phash_hashes(sf_dir: str):
+    """DCT perceptual hash (pHash) under the oracle: 32x32 integer-rule
+    images -> REAL PNG encode/decode -> 2-D DCT-II -> 8x8 low-frequency
+    block -> median-sign bits packed into a uint64. DuckDB recomputes
+    the full hash from the pixel rule (cos/median in SQL): both sides'
+    coefficients agree to ~1e-12 while the designed rule keeps every
+    AC coefficient >= 7e-4 away from the median, so the 64-bit outputs
+    are equal exactly, not approximately."""
+    import ray.data
+
+    from exactextractr_ray.functions.codecs import encode_png
+    from exactextractr_ray.stages.multimodal import phash_batch, decode_images
+
+    import pyarrow as pa_
+
+    n, hw = 24, 32
+    yy, xx = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    payloads = []
+    for i in range(n):
+        img = ((i * 31 + yy * yy * 3 + xx * xx * 5 + yy * xx * 7) % 256)
+        payloads.append(encode_png(img.astype(np.uint8)))
+    tbl = pa_.table(
+        {
+            "media_id": pa_.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa_.array(["image/png"] * n),
+            "payload": pa_.array(payloads, pa_.binary()),
+            "width": pa_.array([hw] * n, pa_.int32()),
+            "height": pa_.array([hw] * n, pa_.int32()),
+        }
+    )
+    dec = decode_images(
+        ray.data.from_arrow(tbl), target_hw=(hw, hw), fake=False,
+        batch_size=8, concurrency=(1, 2),
+    )
+    out = dec.map_batches(phash_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_image_dhash_pairs(sf_dir: str):
     """Perceptual image near-dup under the oracle: rule-generated grayscale
     16x18 images are REAL-PNG-encoded, decoded by the from-spec codec,
@@ -5133,6 +5171,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "scene_cuts": _q_scene_cuts,
         "webm_frame_ranges": _q_webm_frame_ranges,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "image_phash_hashes": _q_image_phash_hashes,
         "audio_fp_pairs": _q_audio_fp_pairs,
         "bpe_train_merges": _q_bpe_train_merges,
         "pdf_extract_text": _q_pdf_extract_text,
@@ -8975,6 +9014,33 @@ def oracle_sql() -> dict[str, str]:
     # thumbnail picks odd rows/cols (nearest resize), dHash bit (r,c) =
     # [p(2r+1,2c+3) > p(2r+1,2c+1)]; the 64-bit hash is carried as two
     # 32-bit BIGINT halves so xor/bit_count stay in signed-64 range
+    image_phash = """
+    WITH px AS (
+      SELECT i.i AS media_id, y.y AS y, x.x AS x,
+             CAST((i.i*31 + y.y*y.y*3 + x.x*x.x*5 + y.y*x.x*7) % 256
+                  AS DOUBLE) AS p
+      FROM range(24) i(i), range(32) y(y), range(32) x(x)
+    ), dct AS (
+      SELECT px.media_id, u.u AS u, v.v AS v,
+        SUM(px.p
+            * (CASE WHEN u.u = 0 THEN sqrt(0.5) ELSE 1.0 END)
+            * sqrt(2.0/32.0) * cos(pi() * (2*px.y + 1) * u.u / 64.0)
+            * (CASE WHEN v.v = 0 THEN sqrt(0.5) ELSE 1.0 END)
+            * sqrt(2.0/32.0) * cos(pi() * (2*px.x + 1) * v.v / 64.0)) AS c
+      FROM px, range(8) u(u), range(8) v(v)
+      GROUP BY px.media_id, u.u, v.v
+    ), med AS (
+      SELECT media_id, MEDIAN(c) AS m
+      FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY media_id
+    )
+    SELECT d.media_id,
+      CAST(SUM(CASE WHEN NOT (d.u = 0 AND d.v = 0) AND d.c > med.m
+               THEN CAST(POWER(2.0, d.u*8 + d.v) AS HUGEINT)
+               ELSE 0 END) AS UBIGINT) AS phash
+    FROM dct d JOIN med ON d.media_id = med.media_id
+    GROUP BY d.media_id ORDER BY d.media_id
+    """
+
     image_dhash = """
     WITH px AS (
       SELECT i.i AS media_id, r.r AS r, c.c AS c,
@@ -9493,6 +9559,7 @@ def oracle_sql() -> dict[str, str]:
     GROUP BY t.m, f.fi ORDER BY t.m, f.fi
     """,
         "image_dhash_pairs": image_dhash,
+        "image_phash_hashes": image_phash,
         # same dHash pair SQL -> recursive reachability closure, min label
         "image_dup_clusters": (
             "WITH RECURSIVE pairs AS (" + image_dhash + """),

@@ -939,3 +939,87 @@ def scene_cut_stats(
     return frames.groupby("media_id").map_groups(
         per_media, batch_format="pandas"
     )
+
+
+# ---------------- pHash (DCT perceptual hash) ----------------
+
+_PHASH_N = 32  # thumbnail side fed to the DCT
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (float64): D @ x applies the 1-D
+    DCT; the 2-D transform is D @ img @ D.T."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    D = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    D[0] *= np.sqrt(0.5)
+    return D
+
+
+def phash_batch(batch: pa.Table, id_col: str = "media_id") -> pa.Table:
+    """64-bit DCT perceptual hash (pHash) per DECODED image: 32x32 luma
+    thumbnail -> 2-D DCT-II -> top-left 8x8 low-frequency block -> bit =
+    coefficient > median of the 63 AC coefficients (DC excluded, the
+    standard pHash convention). More robust than dHash to blur/scale
+    because it compares global frequency structure, not adjacent pixels.
+
+    Expects decode with ``target_hw=(32, 32)``. Deterministic: float64
+    DCT via two fixed matmuls; bit-stability relies on coefficients not
+    sitting within float noise of the median, which holds for any
+    natural image (and is asserted by the re-derivation check)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "phash": pa.array([], pa.uint64())}
+        )
+    ph = int(batch.column("pix_h")[0].as_py())
+    pw = int(batch.column("pix_w")[0].as_py())
+    if (ph, pw) != (_PHASH_N, _PHASH_N):
+        raise ValueError(
+            f"phash_batch needs ({_PHASH_N}, {_PHASH_N}) thumbnails, "
+            f"got {(ph, pw)}"
+        )
+    px = np.asarray(
+        batch.column("pixels").combine_chunks().values, dtype=np.float64
+    ).reshape(n, _PHASH_N, _PHASH_N)
+    D = _dct_matrix(_PHASH_N)
+    co = np.einsum("ij,njk,lk->nil", D, px, D)  # (n, 32, 32) DCT-II
+    low = co[:, :8, :8].reshape(n, 64)
+    ac = low[:, 1:]  # drop DC
+    med = np.median(ac, axis=1, keepdims=True)
+    bits = np.zeros((n, 64), np.uint64)
+    bits[:, 1:] = (ac > med).astype(np.uint64)
+    hashes = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "phash": pa.array(hashes, pa.uint64()),
+        }
+    )
+
+
+def image_phash_pairs(
+    ds,
+    max_hamming: int = 10,
+    fake: bool = False,
+    id_col: str = "media_id",
+    concurrency=(1, 8),
+    batch_size: int = 64,
+    on_error: str = "raise",
+):
+    """Image near-duplicate pairs by DCT pHash + pigeonhole Hamming
+    banding — same distributed shape as image_dhash_pairs (payloads stay
+    in the decode actors; only (id, uint64) rows shuffle)."""
+    from .dedup import hamming_pairs
+
+    dec = decode_images(
+        ds, target_hw=(_PHASH_N, _PHASH_N), fake=fake,
+        concurrency=concurrency, batch_size=batch_size, on_error=on_error,
+    )
+    sigs = dec.map_batches(
+        phash_batch, batch_format="pyarrow", fn_kwargs={"id_col": id_col}
+    )
+    return hamming_pairs(sigs, max_hamming, id_col=id_col, sig_col="phash")
