@@ -203,6 +203,16 @@ QUERIES = [
     "local_morans",
     "join_counts",
     "semivariogram",
+    # round-5 operators
+    "zonal_geotiff_jpeg",
+    "maximal_dup_spans",
+    "knn_cosine_pq",
+    "webp_lossy_roundtrip",
+    "unigram_train_pieces",
+    "unigram_encode_tokens",
+    "scene_cuts",
+    "image_phash_hashes",
+    "cost_distance",
 ]
 
 _CHILD = r"""
