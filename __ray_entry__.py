@@ -1352,6 +1352,23 @@ def _q_maximal_dup_spans(sf_dir: str):
     return df.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
 
 
+def _q_dedup_excised_text(sf_dir: str):
+    """The full Lee-et-al dedup chain end to end: maximal duplicated
+    spans (discovery) -> excise_spans (removal) -> cleaned corpus with
+    per-doc span/char accounting. Both stages oracle-backed; the SQL
+    twin rebuilds each cleaned document char-by-char from the same
+    capped maximal-span definition."""
+    from exactextractr_ray.stages.dedup import excise_spans, maximal_dup_spans
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    spans = maximal_dup_spans(docs, min_len=20, cap=48)
+    out = excise_spans(_docs(sf_dir, ["doc_id", "text"]), spans).to_pandas()
+    out = out.reindex(
+        columns=["doc_id", "clean_text", "n_spans", "n_removed"]
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_dsir(sf_dir: str):
     """DSIR data selection (hashed-bigram importance weights, fixed-point
     integer likelihood ratios): top-100 docs most like the target domain
@@ -5282,6 +5299,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "substr_dup_spans": _q_substr_dup,
         "maximal_dup_spans": _q_maximal_dup_spans,
+        "dedup_excised_text": _q_dedup_excised_text,
         "dsir_topk": _q_dsir,
         "ccnet_buckets": _q_ccnet_buckets,
         "winnow_fingerprints": _q_winnow,
@@ -7410,7 +7428,7 @@ def oracle_sql() -> dict[str, str]:
     # adjacency property, exact for capped suffixes); keep L >= 20 unless
     # the previous position's span contains this one. Text-exact — no
     # hashing on the oracle side.
-    maximal_dup_spans_sql = """
+    _maxspan_ctes = """
     WITH pos AS (
       SELECT doc_id, CAST(q.p AS BIGINT) AS p,
              substr(text, CAST(q.p + 1 AS INT), 48) AS win
@@ -7439,11 +7457,48 @@ def oracle_sql() -> dict[str, str]:
         LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp,
         LAG(L) OVER (PARTITION BY doc_id ORDER BY p) AS pl
       FROM lcps
-    )
-    SELECT doc_id, p AS span_start, p + L AS span_end
-    FROM perdoc
-    WHERE L >= 20 AND NOT COALESCE(pp = p - 1 AND pl >= L + 1, FALSE)
+    ), maxspans AS (
+      SELECT doc_id, p AS span_start, p + L AS span_end
+      FROM perdoc
+      WHERE L >= 20 AND NOT COALESCE(pp = p - 1 AND pl >= L + 1, FALSE)
+    )"""
+
+    maximal_dup_spans_sql = _maxspan_ctes + """
+    SELECT doc_id, span_start, span_end FROM maxspans
     ORDER BY doc_id, span_start
+    """
+
+    dedup_excised_sql = _maxspan_ctes + """
+    , chars AS (
+      SELECT d.doc_id, CAST(q.i AS BIGINT) AS i,
+             substr(d.text, CAST(q.i + 1 AS INT), 1) AS ch
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(0, length(d.text) - 1)) AS i) q
+    ), kept AS (
+      SELECT c.doc_id, c.i, c.ch,
+             EXISTS (SELECT 1 FROM maxspans s
+                     WHERE s.doc_id = c.doc_id
+                       AND c.i >= s.span_start AND c.i < s.span_end) AS cov
+      FROM chars c
+    ), agg AS (
+      SELECT doc_id,
+             COALESCE(string_agg(ch, '' ORDER BY i)
+                      FILTER (WHERE NOT cov), '') AS clean_text,
+             CAST(SUM(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed
+      FROM kept GROUP BY doc_id
+    ), ns AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      FROM maxspans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           COALESCE(ns.n_spans, 0) AS n_spans,
+           COALESCE(a.n_removed, 0) AS n_removed
+    FROM documents d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    LEFT JOIN ns ON ns.doc_id = d.doc_id
+    ORDER BY d.doc_id
     """
 
     # Winnowing (MOSS) fingerprints: same rolling-hash sum form, window
@@ -9768,6 +9823,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": dup_spans_sql,
         "substr_dup_spans": substr_dup_spans_sql,
         "maximal_dup_spans": maximal_dup_spans_sql,
+        "dedup_excised_text": dedup_excised_sql,
         "dsir_topk": dsir_sql,
         "ccnet_buckets": ccnet_sql,
         "winnow_fingerprints": winnow_fp_sql,

@@ -1720,3 +1720,95 @@ def maximal_dup_spans(
         .groupby("coarse")
         .map_groups(left_maximal, batch_format="pandas")
     )
+
+
+def excise_spans(
+    docs,
+    spans,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ncoarse: int = 256,
+):
+    """Apply a (doc_id, span_start, span_end) table to the corpus: remove
+    every character covered by >= 1 span (the union of spans — Lee et
+    al. 2022's removal step after duplicate-span discovery) and rebuild
+    each document from the surviving characters, in order.
+
+    Composes with :func:`substr_dup_spans` or :func:`maximal_dup_spans`
+    as the discovery stage. Distributed shape: ONE union-groupby keyed
+    by coarse doc id co-locates each document's text with its spans
+    (text moves once; the span table is output-sized); per document the
+    covered set is a vectorized interval paint + boolean take. Output:
+    (doc_id, clean_text, n_spans, n_removed) — one row per input
+    document, including documents with no spans.
+    """
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        d = b.column(id_col).to_numpy()
+        return pa.table(
+            {
+                "coarse": pa.array((d % ncoarse).astype(np.int64)),
+                "tag": pa.array(np.zeros(len(d), np.int64)),
+                "doc_id": pa.array(d.astype(np.int64)),
+                "s": pa.array(np.full(len(d), -1, np.int64)),
+                "e": pa.array(np.full(len(d), -1, np.int64)),
+                "text": b.column(text_col).cast(pa.string()),
+            }
+        )
+
+    def tag_spans(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "coarse": pa.array((d % ncoarse).astype(np.int64)),
+                "tag": pa.array(np.ones(len(d), np.int64)),
+                "doc_id": pa.array(d.astype(np.int64)),
+                "s": b.column("span_start").cast(pa.int64()),
+                "e": b.column("span_end").cast(pa.int64()),
+                "text": pa.array([""] * len(d), pa.string()),
+            }
+        )
+
+    def apply(g: pd.DataFrame) -> pd.DataFrame:
+        span_rows = g[g["tag"] == 1]
+        by_doc: dict[int, list] = {}
+        for doc, s, e in zip(span_rows["doc_id"].to_numpy(),
+                             span_rows["s"].to_numpy(),
+                             span_rows["e"].to_numpy()):
+            by_doc.setdefault(int(doc), []).append((int(s), int(e)))
+        out_d, out_t, out_ns, out_nr = [], [], [], []
+        for r in g[g["tag"] == 0].itertuples():
+            doc = int(r.doc_id)
+            text = r.text or ""
+            sp = by_doc.get(doc, [])
+            if sp:
+                covered = np.zeros(len(text), bool)
+                for s, e in sp:
+                    covered[max(0, s):min(len(text), e)] = True
+                arr = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                )
+                clean = arr[~covered].tobytes().decode("utf-32-le")
+                removed = int(covered.sum())
+            else:
+                clean = text
+                removed = 0
+            out_d.append(doc)
+            out_t.append(clean)
+            out_ns.append(len(sp))
+            out_nr.append(removed)
+        return pd.DataFrame(
+            {
+                "doc_id": np.array(out_d, np.int64),
+                "clean_text": out_t,
+                "n_spans": np.array(out_ns, np.int64),
+                "n_removed": np.array(out_nr, np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(tag_docs, batch_format="pyarrow")
+        .union(spans.map_batches(tag_spans, batch_format="pyarrow"))
+        .groupby("coarse")
+        .map_groups(apply, batch_format="pandas")
+    )

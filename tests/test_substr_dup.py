@@ -240,3 +240,38 @@ def test_maximal_dup_spans_no_dups(ray_session):
     df = maximal_dup_spans(ds, min_len=10, cap=32).to_pandas()
     df = df.reindex(columns=["doc_id", "span_start", "span_end"])
     assert len(df) == 0
+
+
+def test_excise_spans_composition(ray_session):
+    """maximal_dup_spans -> excise_spans removes exactly the union of
+    covered characters and keeps untouched documents intact."""
+    import pyarrow as pa
+    import ray
+
+    from exactextractr_ray.stages.dedup import excise_spans, maximal_dup_spans
+
+    docs = [
+        (0, "HEADER the quick brown fox jumps over it TAIL-A unique one"),
+        (1, "HEADER the quick brown fox jumps over it TAIL-B other text"),
+        (2, "completely unique document body with no repeats at all"),
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+        "text": pa.array([t for _, t in docs], pa.string()),
+    }))
+    spans = maximal_dup_spans(ds, min_len=12, cap=48)
+    sp = spans.to_pandas()
+    out = excise_spans(ds, spans).to_pandas().set_index("doc_id")
+    texts = dict(docs)
+    for d, t in docs:
+        mine = sp[sp.doc_id == d]
+        covered = set()
+        for r in mine.itertuples():
+            covered.update(range(int(r.span_start), int(r.span_end)))
+        exp = "".join(c for i, c in enumerate(t) if i not in covered)
+        assert out.loc[d, "clean_text"] == exp, d
+        assert out.loc[d, "n_removed"] == len(covered)
+        assert out.loc[d, "n_spans"] == len(mine)
+    # doc 2 is untouched, docs 0/1 lost their shared prefix region
+    assert out.loc[2, "clean_text"] == texts[2]
+    assert out.loc[0, "n_removed"] > 20 and out.loc[1, "n_removed"] > 20
