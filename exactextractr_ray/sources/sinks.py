@@ -556,8 +556,118 @@ def write_result(df: pd.DataFrame, path: str, geoms=None) -> None:
         if geoms is None:
             raise ValueError(".shp output needs zone geometries")
         write_shp(df, path, geoms)
+    elif path.endswith(".pgsql"):
+        write_pgsql_script(df, path, geoms=geoms)
     else:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+
+
+# ---------------- PostgreSQL COPY-script sink ----------------
+
+_PG_TYPES = {
+    "i": "BIGINT",
+    "u": "BIGINT",
+    "f": "DOUBLE PRECISION",
+    "b": "BOOLEAN",
+}
+
+
+def _pg_ident(name: str) -> str:
+    """Double-quoted PostgreSQL identifier (embedded quotes doubled)."""
+    return '"' + str(name).replace('"', '""') + '"'
+
+
+def _pg_copy_escape(v) -> str:
+    """COPY text-format escaping (PostgreSQL docs, COPY chapter): NULL is
+    \\N; backslash, tab, newline and carriage return are escaped."""
+    if v is None or (isinstance(v, float) and v != v) or pd.isna(v):
+        return "\\N"
+    if isinstance(v, (bool, np.bool_)):
+        return "t" if v else "f"
+    if isinstance(v, (bytes, bytearray)):
+        return "\\\\x" + bytes(v).hex()
+    s = str(v)
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\t", "\\t")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+    )
+
+
+def write_pgsql_script(
+    df: pd.DataFrame,
+    path: str,
+    table: str = "results",
+    geoms: list | None = None,
+) -> None:
+    """PostgreSQL sink as a REPLAYABLE SQL SCRIPT: ``CREATE TABLE`` +
+    ``COPY ... FROM stdin`` in the documented text format (tab-delimited,
+    ``\\N`` NULLs, backslash escapes), terminated by ``\\.`` — exactly
+    what ``psql -f`` ingests. The reference writes result tables to
+    PostgreSQL through GDAL's PG driver
+    (/root/reference/src/exactextract/src/gdal_writer.cpp:26-143); this
+    environment has no server, so the sink produces the offline artifact
+    that loads into one, keeping the output contract (types, NULLs,
+    geometry as EWKB hex in a BYTEA column when ``geoms`` is given).
+
+    Scale contract: a RESULT sink (one row per zone), like the other
+    writers in this module — per-cell outputs stay on parquet.
+    """
+    cols = list(df.columns)
+    defs = []
+    for c in cols:
+        kind = df[c].dtype.kind
+        defs.append(f"{_pg_ident(c)} {_PG_TYPES.get(kind, 'TEXT')}")
+    if geoms is not None:
+        if len(geoms) != len(df):
+            raise ValueError("geoms length must match the result rows")
+        defs.append(f"{_pg_ident('geom_wkb')} BYTEA")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"CREATE TABLE IF NOT EXISTS {_pg_ident(table)} (\n    "
+                + ",\n    ".join(defs) + "\n);\n")
+        copy_cols = ", ".join(_pg_ident(c) for c in cols)
+        if geoms is not None:
+            copy_cols += ", " + _pg_ident("geom_wkb")
+        f.write(f"COPY {_pg_ident(table)} ({copy_cols}) FROM stdin;\n")
+        for i in range(len(df)):
+            vals = [_pg_copy_escape(df.iloc[i][c]) for c in cols]
+            if geoms is not None:
+                vals.append(_pg_copy_escape(bytes(geoms[i])))
+            f.write("\t".join(vals) + "\n")
+        f.write("\\.\n")
+
+
+def read_pgsql_script(path: str, table: str | None = None) -> pd.DataFrame:
+    """Parse back a ``write_pgsql_script`` artifact (round-trip check and
+    a loader for environments without psql): reads the COPY block,
+    reversing the text-format escapes."""
+    import re
+
+    text = open(path, encoding="utf-8").read()
+    m = re.search(r"COPY\s+(\S+|\"[^\"]*\")\s*\(([^)]*)\)\s+FROM stdin;\n",
+                  text)
+    if m is None:
+        raise ValueError("no COPY block found")
+    cols = [c.strip().strip('\"').replace('\"\"', '\"')
+            for c in m.group(2).split(",")]
+    body = text[m.end():]
+    end = body.index("\\.\n")
+    rows = []
+    for line in body[:end].splitlines():
+        out = []
+        for tok in line.split("\t"):
+            if tok == "\\N":
+                out.append(None)
+            elif tok.startswith("\\\\x"):
+                out.append(bytes.fromhex(tok[3:]))
+            else:
+                out.append(
+                    tok.replace("\\t", "\t").replace("\\n", "\n")
+                    .replace("\\r", "\r").replace("\\\\", "\\")
+                )
+        rows.append(out)
+    return pd.DataFrame(rows, columns=cols)

@@ -657,3 +657,44 @@ def test_cli_terrain_geotiff_end_to_end(ray_session, tmp_path):
     ).fetchone()
     assert cnt == n * n
     assert 0.0 < vmax < 90.0  # degrees
+
+
+def test_pgsql_script_sink_roundtrip(tmp_path):
+    """PostgreSQL COPY-script sink (the GDAL PG-driver target as an
+    offline replayable artifact): CREATE TABLE + documented COPY text
+    format with full escaping, terminated by backslash-dot; the bundled
+    reader reverses every escape."""
+    import numpy as np
+    import pandas as pd
+
+    from exactextractr_ray.sources.sinks import (
+        read_pgsql_script,
+        write_pgsql_script,
+        write_result,
+    )
+
+    df = pd.DataFrame({
+        "zone_id": pd.array([1, 2, 3], dtype="int64"),
+        "mean": [1.5, np.nan, -2.25],
+        "name": ["plain", "has\ttab and \\backslash", "multi\nline\rret"],
+        "flag": pd.array([True, False, None], dtype="boolean"),
+    })
+    geoms = [b"\x01\x02\x00", b"", b"\xff\xfe"]
+    p = str(tmp_path / "zonal.pgsql")
+    write_pgsql_script(df, p, table="zonal results", geoms=geoms)
+    text = open(p).read()
+    assert 'CREATE TABLE IF NOT EXISTS "zonal results"' in text
+    assert "DOUBLE PRECISION" in text and "BYTEA" in text
+    assert text.rstrip().endswith("\\.")
+    assert "\\N" in text  # NULLs in COPY text form
+    back = read_pgsql_script(p)
+    assert back.loc[1, "mean"] is None
+    assert back.loc[1, "name"] == "has\ttab and \\backslash"
+    assert back.loc[2, "name"] == "multi\nline\rret"
+    assert back.loc[0, "geom_wkb"] == b"\x01\x02\x00"
+    assert back.loc[2, "geom_wkb"] == b"\xff\xfe"
+    assert back.loc[0, "flag"] == "t" and back.loc[2, "flag"] is None
+    # extension dispatch through the CLI's write_result
+    p2 = str(tmp_path / "res.pgsql")
+    write_result(df[["zone_id", "mean"]], p2)
+    assert "COPY" in open(p2).read()
